@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-measure combine — parser2's three-way join + per-date zip with
+  * zero-fill (J2 + R2 + E2; reference `src/parser2.py:28-52,101-124`;
+  * SURVEY §2.3-R2, §2.4-J2).
+  *
+  * Reference semantics (pinned by SURVEY §2.3): the CONFIRMED table drives —
+  * its (country, province) rows and its date columns define the output; a
+  * measure table with no matching row contributes 0 for every date (E2,
+  * `src/parser2.py:35-46`); dates absent from a matched deaths/recovered row
+  * default to 0; deaths/recovered-only dates are dropped.
+  *
+  * Spark mapping: left-outer equi-joins of the WIDE tables on the composite
+  * key, then a zip-projection over the driving table's date columns with
+  * `coalesce(col, 0)`. The reference's O(N²·M) rescan loop becomes one or two
+  * broadcast/shuffle hash joins; the per-date merge is a projection (no
+  * shuffle, order-exact). At scale: measures partitioned the same way join
+  * shuffle-free; AQE downgrades to broadcast when a side is small.
+  */
+object Combine {
+
+  /** J2+R2: join `measures` (name -> wide table) onto `driver` by `keyCols`,
+    * then nest `array<struct<date, <measure1>, <measure2>, …>>` over the
+    * driver's date columns, zero-filling missing sides/cells.
+    */
+  def combine(
+      driver: DataFrame,
+      driverMeasure: String,
+      measures: Seq[(String, DataFrame)],
+      keyCols: Seq[String],
+  ): DataFrame = {
+    val cls = Normalize.classify(driver.columns.toSeq)
+    val dateCols = cls.dateCols
+
+    // Prefix each measure table's date columns so the join output is unambiguous.
+    val joined = measures.foldLeft(driver) { case (acc, (name, m)) =>
+      val mcls = Normalize.classify(m.columns.toSeq)
+      val proj = m.select(
+        (keyCols.map(col) ++ mcls.dateCols.map(c => col(c).as(s"__${name}__$c"))): _*
+      )
+      acc.join(proj, keyCols, "left_outer")
+    }
+
+    val elems: Seq[Column] = dateCols.map { d =>
+      val measureFields = (driverMeasure -> d) +: measures.map { case (name, _) =>
+        name -> s"__${name}__$d"
+      }
+      struct(
+        lit(Normalize.normalizeDateName(d)).as("date") +:
+          measureFields.map { case (name, c) =>
+            coalesce(col(c).cast("int"), lit(0)).as(name)
+          }: _*
+      )
+    }
+
+    val keep = (cls.other ++ cls.latLong).filterNot(dateCols.contains).map(col)
+    joined.select((array(elems: _*).as("time_series") +: keep.toSeq): _*)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read-side query surface over the JSON lake (SURVEY §3.3).
+  *
+  * The reference delegates querying to Glue+Athena over the `type=`
+  * partitioned layout (reference `src/README.md:5,11`). Natively:
+  * `spark.read.json` with partition discovery recovers `type` as a column,
+  * and `PartitioningAwareFileIndex` prunes `type=` directories for free when
+  * a query filters on it — the same pruning Athena did. Register as a temp
+  * view and the full Spark SQL surface (group-by, windows, top-k, set ops —
+  * SURVEY §2.5) is available.
+  *
+  * Scale note: for a 100 TB lake, pass an explicit `schema` — schema
+  * inference reads every file once before the first query. JSON is the
+  * reference's interchange format; [[compact]] rewrites to partitioned
+  * parquet for a columnar, pushdown-friendly scan.
+  */
+object Lake {
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def registerTable(spark: SparkSession, path: String, name: String): DataFrame = {
+    val df = readPartitioned(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Compact the JSON lake to partitioned parquet (the format the bench
+    * tables use): columnar scans, predicate pushdown, stats-based pruning.
+    */
+  def compact(spark: SparkSession, jsonPath: String, parquetPath: String, partitionCols: Seq[String]): Unit = {
+    val df = spark.read.json(jsonPath)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(parquetPath)
+  }
+}
