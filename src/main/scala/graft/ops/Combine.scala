@@ -36,6 +36,9 @@ object Combine {
     val dateCols = cls.dateCols
 
     // Prefix each measure table's date columns so the join output is unambiguous.
+    val measureDates: Map[String, Set[String]] = measures.map { case (name, m) =>
+      name -> Normalize.classify(m.columns.toSeq).dateCols.toSet
+    }.toMap
     val joined = measures.foldLeft(driver) { case (acc, (name, m)) =>
       val mcls = Normalize.classify(m.columns.toSeq)
       val proj = m.select(
@@ -45,14 +48,17 @@ object Combine {
     }
 
     val elems: Seq[Column] = dateCols.map { d =>
-      val measureFields = (driverMeasure -> d) +: measures.map { case (name, _) =>
-        name -> s"__${name}__$d"
-      }
       struct(
         lit(Normalize.normalizeDateName(d)).as("date") +:
-          measureFields.map { case (name, c) =>
-            coalesce(col(c).cast("int"), lit(0)).as(name)
-          }: _*
+          (coalesce(col(d).cast("int"), lit(0)).as(driverMeasure) +:
+            measures.map { case (name, _) =>
+              // A date column absent from a measure's SCHEMA contributes 0,
+              // same as a missing row (reference src/parser2.py:35-46).
+              val src =
+                if (measureDates(name)(d)) coalesce(col(s"__${name}__$d").cast("int"), lit(0))
+                else lit(0)
+              src.as(name)
+            }): _*
       )
     }
 

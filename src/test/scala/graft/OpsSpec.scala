@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Unit tests for the individual ops: column classification, date-name
+  * normalization (Python %y pivot parity), melt/renest round-trip, first-match
+  * determinism, sinks (partition layout + per-record filenames).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Normalize.classify splits date/latlong/other preserving order") {
+    val cls = Normalize.classify(Seq("Province/State", "Country/Region", "Lat", "Long", "1/22/20", "12/31/21"))
+    assert(cls.dateCols == Seq("1/22/20", "12/31/21"))
+    assert(cls.latLong == Seq("Lat", "Long"))
+    assert(cls.other == Seq("Province/State", "Country/Region"))
+  }
+
+  test("Normalize.normalizeDateName: Python %y pivot (69->1969, 68->2068), leap day") {
+    assert(Normalize.normalizeDateName("1/22/20") == "2020-01-22 00:00:00")
+    assert(Normalize.normalizeDateName("2/29/20") == "2020-02-29 00:00:00")
+    assert(Normalize.normalizeDateName("12/31/69") == "1969-12-31 00:00:00")
+    assert(Normalize.normalizeDateName("1/1/68") == "2068-01-01 00:00:00")
+    assert(Normalize.normalizeDateName("1/1/95") == "1995-01-01 00:00:00")
+  }
+
+  test("melt + renest round-trips to the projection nest") {
+    val wide = Seq(("a", "1", "2"), ("b", "3", "4")).toDF("k", "1/22/20", "1/23/20")
+    val nested = Unpivot.nest(wide, Seq("1/22/20", "1/23/20"))
+    val viaLong = Unpivot.renest(
+      Unpivot.meltDates(wide),
+      keyCols = Seq("k"),
+      orderCol = "date",
+      valueCols = Seq("value"),
+    )
+    val a = nested.select($"k", $"time_series").collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val b = viaLong.select($"k", $"time_series").collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(a.keySet == b.keySet)
+    // Same (date, value) sequence in chronological order via both paths.
+    assert(a.mapValues(_.toString).toMap == b.mapValues(_.toString).toMap)
+  }
+
+  test("Enrich.firstMatch keeps the first row per key by the order column") {
+    val lookup = Enrich.withFileOrder(
+      Seq(("k1", "first"), ("k1", "second"), ("k2", "only")).toDF("key", "val")
+    )
+    val got = Enrich
+      .firstMatch(lookup, Seq("key"), "__row_id")
+      .select($"key", $"val")
+      .as[(String, String)]
+      .collect()
+      .toMap
+    assert(got == Map("k1" -> "first", "k2" -> "only"))
+  }
+
+  test("Sink.partitionedJson writes Hive-style type= layout; nulls omitted") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Seq(("x", Some(1)), ("y", None)).toDF("name", "opt")
+    Sink.partitionedJson(df, "confirmed", dir)
+    val typeDir = new java.io.File(s"$dir/type=confirmed")
+    assert(typeDir.isDirectory, s"expected $typeDir")
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("name", "opt", "type"))
+    // absent-key behavior: the row with null opt serializes without the field
+    val raw = Files.list(typeDir.toPath).toArray.map(_.toString).filter(_.endsWith(".json"))
+    val lines = raw.flatMap(p => scala.io.Source.fromFile(p).getLines())
+    assert(lines.exists(l => l.contains(""""name":"y"""") && !l.contains("opt")))
+  }
+
+  test("Sink.writePerRecord: data-derived filenames via foreachPartition") {
+    val dir = Files.createTempDirectory("graft_rec").toString
+    val df = Seq(("Freedonia", ""), ("Sylvania", "North"))
+      .toDF("country/region", "province/state")
+      .withColumn("key", Pipelines.recordKey("confirmed"))
+      .withColumn("json", to_json(struct(col("`country/region`"))))
+    val n = Sink.writePerRecord(df, "key", "json", new Sink.LocalFsWriter(dir))
+    assert(n == 2)
+    assert(new java.io.File(s"$dir/type=confirmed/Freedonia.json").exists())
+    assert(new java.io.File(s"$dir/type=confirmed/Sylvania-North.json").exists())
+  }
+
+  test("Lake: partition discovery recovers type column; SQL surface works") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    Sink.partitionedJson(Seq(("a", 1), ("b", 2)).toDF("name", "v"), "confirmed", dir)
+    Sink.partitionedJson(Seq(("c", 3)).toDF("name", "v"), "deaths", dir)
+    // partitionedJson overwrites the root; re-write with dynamic overwrite per type
+    val both = Seq(("a", 1, "confirmed"), ("b", 2, "confirmed"), ("c", 3, "deaths")).toDF("name", "v", "type")
+    both.write.partitionBy("type").mode("overwrite").json(dir)
+    Lake.registerTable(spark, dir, "lake")
+    val got = spark.sql("SELECT type, count(*) n, sum(v) s FROM lake GROUP BY type ORDER BY type")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("confirmed", 2L, 3L), ("deaths", 1L, 3L)))
+  }
+}
