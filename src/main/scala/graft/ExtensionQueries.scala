@@ -1,0 +1,242 @@
+package graft
+
+import graft.Tables._
+import graft.functions.{Hashing, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension-surface queries (LLM-data-pipeline operators over `documents`
+  * and `embeddings`) with DuckDB oracles. The oracle SQL is GENERATED from
+  * the same constants as the Spark implementation (minhash coefficients,
+  * stopword lists, token patterns) so the two sides cannot drift.
+  */
+object ExtensionQueries {
+
+  private val K = 8 // minhash permutations
+  private val SimBits = 16 // simhash width
+
+  // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
+  private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private val sqlToks = """list_distinct(string_split_regex(trim(text), '\s+'))"""
+  private def sqlMinhash(i: Int): String = {
+    val (a, b) = Hashing.minhashCoeffs(K)(i)
+    s"list_min(list_transform(toks, t -> ($a * (${sqlHash64("t")} % ${Hashing.P}) + $b) % ${Hashing.P}))"
+  }
+  private def sqlSimhash: String =
+    (0 until SimBits)
+      .map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      .mkString(" + ")
+  private val sqlCos =
+    """list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+  private def sqlStopHits(lang: String): String = {
+    val words = TextAnalysis.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($words)))"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Exact dedup: content-hash groups with survivor choice ----
+    "q20_dedup_exact" -> ((s, d) => {
+      Dedup
+        .exactGroups(t(s, d, "documents"), col("text"), col("doc_id"))
+        .orderBy("content_hash")
+    }),
+
+    // ---- MinHash signatures (k=8, engine-agnostic md5-based hashes) ----
+    "q21_minhash_sig" -> ((s, d) => {
+      Dedup
+        .withMinhash(t(s, d, "documents").select(col("doc_id"), col("text")), col("text"), K)
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- MinHash LSH banding → verified Jaccard pairs ----
+    "q22_minhash_lsh_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text", K, bands = 4)
+      Dedup
+        .jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash fingerprints ----
+    "q23_simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          Hashing.simhash(TextAnalysis.tokenSet(col("text")), SimBits).as("simhash"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- N-gram (token-set) Jaccard near-dup pairs, blocked by source ----
+    "q24_jaccard_pairs" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), TextAnalysis.tokenSet(col("text")).as("toks"))
+      val l = toks.as("l")
+      val r = toks.as("r")
+      l.join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("l.toks"), col("r.toks")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Token counting (whitespace + BPE-ish regex) ----
+    "q25_token_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),
+          size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens"),
+          size(TextAnalysis.tokenSet(col("text"))).as("n_distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Quality scoring ----
+    "q26_quality" -> ((s, d) => {
+      val df = t(s, d, "documents")
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      df.select(
+        (col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
+          TextAnalysis.qualityScore(col("text")).as("quality_score"): _*
+      ).orderBy("doc_id")
+    }),
+
+    // ---- Language ID (stopword-vote heuristic) ----
+    "q27_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          TextAnalysis.langId(TextAnalysis.wsTokens(col("text"))).as("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Document fingerprint (rolling hash over chars) ----
+    "q28_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Brute-force cosine top-k (exact ANN baseline) ----
+    "q29_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      Similarity
+        .bruteForceTopK(emb, queriesDf, "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Embedding near-dup pairs (cosine, label-blocked) ----
+    "q30_cosine_neardup" -> ((s, d) => {
+      Similarity
+        .cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q21_minhash_sig" ->
+      s"""SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")}
+          FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+          ORDER BY doc_id""",
+    "q22_minhash_lsh_pairs" -> {
+      val bands = 4
+      val rows = K / bands
+      val bandKeys = (0 until bands)
+        .map { b =>
+          val cols = (b * rows until (b + 1) * rows).map(i => s"CAST(mh$i AS VARCHAR)").mkString(", '_', ")
+          s"SELECT doc_id AS id, $b AS band, concat($cols) AS band_key FROM sig"
+        }
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              sig AS (SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")} FROM toks),
+              banded AS ($bandKeys),
+              cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l
+                       JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
+              scored AS (SELECT id_a, id_b,
+                len(list_intersect(a.toks, b.toks)) * 1.0
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+                FROM cand JOIN toks a ON cand.id_a = a.doc_id JOIN toks b ON cand.id_b = b.doc_id)
+         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+    },
+    "q23_simhash" ->
+      s"""SELECT doc_id, $sqlSimhash AS simhash
+          FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
+          ORDER BY doc_id""",
+    "q24_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
+          ORDER BY id_a, id_b""",
+    "q25_token_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS INT) AS n_bpe_tokens,
+           CAST(len($sqlToks) AS INT) AS n_distinct_tokens
+          FROM documents ORDER BY doc_id""",
+    "q26_quality" ->
+      s"""WITH f AS (SELECT doc_id,
+            CAST(length(text) AS INT) AS n_chars,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'))
+              - len(list_filter(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}'),
+                                t -> regexp_matches(t, '^[A-Za-z0-9]+$$'))) AS INT) AS n_punct,
+            ${sqlStopHits("en").replace("toks", s"string_split_regex(trim(text), '\\s+')")} AS stop_hits
+          FROM documents)
+          SELECT doc_id, n_chars, n_tokens,
+            CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+            CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+            CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+            least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+              * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+              * (0.5 + CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1)) AS quality_score
+          FROM f ORDER BY doc_id""",
+    "q27_langid" -> {
+      val langs = TextAnalysis.Stopwords.map(_._1).sorted
+      val hitCols = langs.map(l => s"${sqlStopHits(l)} AS hits_$l").mkString(", ")
+      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN hits_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              h AS (SELECT doc_id, lang, $hitCols FROM t),
+              b AS (SELECT *, $best AS best FROM h)
+          SELECT doc_id, lang AS labeled_lang,
+                 CASE $caseChain ELSE 'und' END AS predicted_lang
+          FROM b ORDER BY doc_id"""
+    },
+    "q28_fingerprint" ->
+      s"""SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % ${Hashing.P}) AS fp
+          FROM documents ORDER BY doc_id""",
+    "q29_cosine_topk" ->
+      s"""WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+                     FROM scored)
+          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM ranked
+          WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q30_cosine_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCos AS sim
+          FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE $sqlCos >= 0.35
+          ORDER BY id_a, id_b""",
+  )
+}

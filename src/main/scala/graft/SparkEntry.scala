@@ -46,7 +46,11 @@ object SparkEntry {
     Pipelines.parser(wide, lookup)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtensionQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtensionQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S2/P2/P3: scan, projection, rename, cast, per-row arithmetic ----
     "q01_project_filter" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -306,7 +310,7 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
       """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_quantity AS qty,
          l_extendedprice * (1.0 - l_discount) AS revenue

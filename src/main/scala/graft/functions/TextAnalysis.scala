@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for a training-data pipeline over `documents`:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All builtin-composed (codegen'd), no UDFs; each has an
+  * exact DuckDB mirror for the oracle gate.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. `trim` first so leading/trailing whitespace doesn't
+    * produce empty tokens (DuckDB mirror: `string_split_regex(trim(x),'\s+')`).
+    */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish tokens: runs of letters, runs of digits, or single other
+    * non-space chars — the classic pre-tokenizer shape. Pattern is shared
+    * verbatim with the oracle (simple enough to mean the same in Java regex
+    * and RE2).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeTokenPattern), lit(0))
+
+  /** Distinct whitespace tokens — the set used for Jaccard/minhash. */
+  def tokenSet(c: Column): Column = array_distinct(wsTokens(c))
+
+  /** Stopword lists for the n-gram-heuristic language ID. Tiny on purpose:
+    * language ID at 100 TB must stay a projection; these lists broadcast as
+    * literals inside the plan.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men"),
+  )
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(tokens: Column, lang: String): Column = {
+    val words = Stopwords.toMap.apply(lang)
+    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+  }
+
+  /** Language ID: argmax of stopword hits, ties broken alphabetically,
+    * zero hits → "und" (undetermined). Pure projection.
+    */
+  def langId(tokens: Column): Column = {
+    val langs = Stopwords.map(_._1).sorted
+    val hits = langs.map(l => l -> stopwordHits(tokens, l))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score features + composite (length, punctuation density, word
+    * shape). Ratios are int/int double divisions — bit-identical across
+    * engines.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val toks = wsTokens(text)
+    val nTokens = size(toks)
+    val nPunct = size(bpeTokens(text)) - size(filter(bpeTokens(text), t => t.rlike("^[A-Za-z0-9]+$")))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "avg_token_len" -> (nChars - (nTokens - 1)).cast("double") / nTokens,
+      "punct_ratio" -> nPunct.cast("double") / greatest(nChars, lit(1)),
+      "stopword_ratio" -> stopwordHits(toks, "en").cast("double") / greatest(nTokens, lit(1)),
+    )
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs with low
+    * punctuation density and some stopwords (the usual boilerplate/garbage
+    * separators).
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = least(f("n_chars").cast("double") / 500.0, lit(1.0))
+    lenScore * (lit(1.0) - f("punct_ratio")) * (lit(0.5) + f("stopword_ratio"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * `h = fold(chars)(h * 31 + ascii(c)) mod (2^31-1)`. Each step keeps the
+    * accumulator < 2^31 so `h*31 + c` never overflows a long. DuckDB mirror:
+    * `list_reduce` over `string_split(text,'')`.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % Hashing.P,
+    )
+}

