@@ -2,9 +2,12 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Csv
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Extension-surface queries (LLM-data-pipeline operators over `documents`
   * and `embeddings`) with DuckDB oracles. The oracle SQL is GENERATED from
@@ -142,6 +145,75 @@ object ExtensionQueries {
         .cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.35)
         .orderBy("id_a", "id_b")
     }),
+
+    // ---- S2+K-class: CSV sink→scan round-trip (all-string DictReader
+    //      parity, then casts) ----
+    "q31_csv_roundtrip" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write
+        .mode("overwrite")
+        .option("header", "true")
+        .csv(dir)
+      val back = Csv.readCsv(s, dir) // all StringType
+      back
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- K1+Lake: partitioned JSON lake write→partition-discovered read ----
+    "q32_json_lake" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_lake"
+      Tables
+        .events(s, d)
+        .select(col("event_type"), col("user_id"), col("value"))
+        .write
+        .partitionBy("event_type")
+        .mode("overwrite")
+        .json(dir)
+      graft.ops.Lake
+        .readPartitioned(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"),
+        )
+        .orderBy("event_type")
+    }),
+
+    // ---- T: Structured Streaming == batch (windowed agg through a real
+    //      streaming query, memory sink, AvailableNow) ----
+    "q33_stream_hourly" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("ts"), col("event_type"), col("value").cast(DecimalType(18, 4)).as("value"))
+      EventStream
+        .hourlyAggOneShot(s, ev, "graft_q33")
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          col("n"),
+          col("total_value").cast("double").as("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- Multimodal plumbing (rows-only check: stubbed codec, real
+    //      byte-statistics + schema) ----
+    "q34_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.synthesizeFromDocuments(t(s, d, "documents"))
+      Multimodal
+        .extractFeatures(media)
+        .toDF()
+        .orderBy("media_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,5 +310,21 @@ object ExtensionQueries {
           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE $sqlCos >= 0.35
           ORDER BY id_a, id_b""",
+    "q31_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q32_json_lake" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q33_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
   )
 }

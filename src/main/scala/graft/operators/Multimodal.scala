@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus batch decode/feature-extract operators.
+  *
+  * The Spark-side plumbing is REAL — schema, partition-balanced batch
+  * processing (`mapPartitions` over a typed Dataset, the Scala analog of a
+  * Pandas-batch UDF), deterministic output schema — while the codec itself is
+  * a clearly-marked STUB (`StubCodec`): this container has no image/audio
+  * libraries, so the stub derives deterministic pseudo-features from the
+  * bytes. Swapping in a real codec is a one-object change; nothing in the
+  * plan shape moves.
+  *
+  * Scale design: decode is the most expensive per-row op in a multimodal
+  * pipeline, so it must (a) run post-filter (decode only surviving rows),
+  * (b) be partition-balanced (`repartition` by id before the map when
+  * upstream partitioning is skewed), and (c) never widen the shuffle —
+  * features out, raw bytes dropped as early as possible.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      source: String,
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int, // stub-decoded dimensions / sample counts
+      height: Int,
+      byte_mean: Double, // real computation over the payload
+      byte_entropy: Double,
+      frames_sampled: Int,
+  )
+
+  /** The decode seam. Production: wire an actual codec here. */
+  trait Codec extends Serializable {
+    def dimensions(bytes: Array[Byte]): (Int, Int)
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB codec — deterministic fake "decode" (no media libs in this
+    * environment). Dimensions derive from a byte hash; frame sampling chunks
+    * the payload. The byte statistics below are real computations.
+    */
+  object StubCodec extends Codec {
+    def dimensions(bytes: Array[Byte]): (Int, Int) = {
+      var h = 0L
+      var i = 0
+      while (i < math.min(bytes.length, 64)) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+      val w = 64 + (math.abs(h) % 1024).toInt
+      val ht = 64 + (math.abs(h / 1024) % 1024).toInt
+      (w, ht)
+    }
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      bytes.grouped(256).zipWithIndex.collect { case (b, i) if i % everyN == 0 => b }.toSeq
+  }
+
+  /** Synthesize a media table from `documents` (deterministic — the payload
+    * is the utf-8 text, typed by doc_id). Stands in for a real binary column
+    * scan; the operators downstream don't know the difference.
+    */
+  def synthesizeFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("media_type"),
+        encode(col("text"), "utf-8").as("content"),
+        col("source"),
+      )
+      .as[MediaRecord]
+  }
+
+  /** Batch decode + feature extraction. Partition-parallel `mapPartitions`
+    * (one codec instance per partition, streamed iterator — the Scala analog
+    * of `mapInPandas` batches); output is a narrow, columnar-friendly
+    * feature row.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], codec: Codec = StubCodec): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h) = codec.dimensions(m.content)
+        var sum = 0L
+        val hist = new Array[Long](256)
+        var i = 0
+        while (i < m.content.length) {
+          val b = m.content(i) & 0xff
+          sum += b
+          hist(b) += 1
+          i += 1
+        }
+        val n = math.max(m.content.length, 1)
+        var entropy = 0.0
+        var j = 0
+        while (j < 256) {
+          if (hist(j) > 0) {
+            val p = hist(j).toDouble / n
+            entropy -= p * math.log(p) / math.log(2)
+          }
+          j += 1
+        }
+        val frames = if (m.media_type == "video") codec.sampleFrames(m.content, 4).size else 0
+        MediaFeatures(m.media_id, m.media_type, m.content.length, w, h, sum.toDouble / n, entropy, frames)
+      }
+    }
+  }
+
+  /** "Resize" (stub): re-chunk payloads to a fixed-size thumbnail payload —
+    * demonstrates a binary→binary transform keeping the typed schema.
+    */
+  def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => m.copy(content = m.content.take(maxBytes))))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** CSV ingestion (S1/S2, reference `src/parser.py:43-55,61`; SURVEY §2.1).
+  *
+  * The reference GETs a whole CSV over HTTPS into one string, then parses
+  * with `csv.DictReader` (all cells strings). Spark mapping:
+  *
+  *  - [[readCsv]] — files already landed (S3/local): header=true,
+  *    inferSchema=false so every column is `StringType`, exactly DictReader's
+  *    contract. This is the scale path — parallel splittable reads.
+  *  - [[fromString]] — the reference's in-memory-string shape: parse a
+  *    fetched body via `spark.read.csv(Dataset[String])`. Driver-side fetch
+  *    is inherently single-node; only for small dimension files (the ~4k-row
+  *    lookup), never the fact path.
+  *  - [[Fetcher]] — seam for the HTTP GET (zero-egress here, so production
+  *    would plug `urlopen`-equivalent; tests plug a file reader).
+  */
+object Csv {
+
+  trait Fetcher extends Serializable {
+    def fetch(url: String): String
+  }
+
+  /** Local-file Fetcher (test double for HTTP; same one-big-string shape). */
+  final class FileFetcher extends Fetcher {
+    def fetch(url: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url)), "UTF-8")
+  }
+
+  /** S2 — header'd CSV scan, all columns StringType (DictReader parity). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /** S1 — parse an in-memory CSV body (one fetched string). */
+  def fromString(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    val lines: Dataset[String] = spark.createDataset(body.split("\n", -1).toIndexedSeq)
+    spark.read.option("header", "true").option("inferSchema", "false").csv(lines)
+  }
+
+  /** S1+S2 — fetch then parse (the reference's `fetch_data` + DictReader). */
+  def fetchCsv(spark: SparkSession, url: String, fetcher: Fetcher): DataFrame =
+    fromString(spark, fetcher.fetch(url))
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference's temporal semantics are a daily full-refresh batch
+  * (systemd timer, `jhu-data-parser.timer:5`) — mapped to
+  * `Trigger.AvailableNow` run-to-completion. Beyond parity, this module adds
+  * the streaming operators a live events pipeline needs: watermarked tumbling
+  * windows and stateful sessionization (`flatMapGroupsWithState`).
+  *
+  * Scale: streaming aggs shuffle by (window, key) like any groupBy; state
+  * lives in the state store keyed by group — sessionization state is O(open
+  * sessions), bounded by the event-time timeout.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double,
+  )
+
+  // Not `private`: the state encoder's generated code must construct it.
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Watermarked tumbling-window aggregation (event-time). */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"),
+        col("n"),
+        col("total_value"),
+      )
+
+  /** Sessionize a stream of events per user with an inactivity `gapMinutes`:
+    * emits one [[Session]] row when a session closes (event-time timeout).
+    * State per user is a single running summary — O(1) per group.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[SessionState],
+    ): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+      } else {
+        val events = batch.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        events.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Batch-parity runner: stream the events table through [[hourlyAgg]] with
+    * an AvailableNow-style one-shot run into a memory sink and return the
+    * result — Structured Streaming's core guarantee (streaming result ==
+    * batch result over the same data) made checkable by the DuckDB oracle.
+    */
+  def hourlyAggOneShot(spark: SparkSession, eventsDf: DataFrame, queryName: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .parquet(writeTemp(eventsDf, queryName))
+    val q = hourlyAgg(stream)
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  private def writeTemp(df: DataFrame, name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$name"
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+}

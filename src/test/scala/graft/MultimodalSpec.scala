@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.synthesizeFromDocuments(spark.read.parquet(sf() + "/documents.parquet"))
+
+  test("synthesized media table has the typed binary schema") {
+    val schema = media.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(schema("media_type").dataType.typeName == "string")
+    assert(media.count() == 500)
+    val types = media.select("media_type").distinct().as[String].collect().toSet
+    assert(types == Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures: deterministic, real byte statistics, video frames sampled") {
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq, "features must be deterministic")
+    assert(f1.forall(f => f.n_bytes > 0 && f.byte_mean > 0 && f.byte_entropy > 0))
+    assert(f1.forall(f => f.width >= 64 && f.height >= 64))
+    assert(f1.filter(_.media_type == "video").forall(_.frames_sampled > 0))
+    assert(f1.filter(_.media_type != "video").forall(_.frames_sampled == 0))
+    // byte_mean of ascii text payload must be in the printable range
+    assert(f1.forall(f => f.byte_mean > 32 && f.byte_mean < 127))
+  }
+
+  test("resize truncates payloads while keeping the record schema") {
+    val small = Multimodal.resize(media, 16)
+    assert(small.collect().forall(_.content.length <= 16))
+    // nullability flags differ between encoder- and projection-derived
+    // schemas; names and types are the contract
+    assert(small.schema.map(f => (f.name, f.dataType)) == media.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("decode runs post-filter (only surviving rows decoded)") {
+    // plan shape check: filter before mapPartitions keeps decode off dropped rows
+    val filtered = media.filter(col("media_type") === "video")
+    val features = Multimodal.extractFeatures(filtered)
+    val n = features.count()
+    assert(n == media.filter(col("media_type") === "video").count())
+    assert(features.collect().forall(_.media_type == "video"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyAggOneShot: streaming result equals batch result") {
+    val ev = Tables
+      .events(spark, sf())
+      .select(col("ts"), col("event_type"), col("value"))
+    val streaming = EventStream
+      .hourlyAggOneShot(spark, ev, "graft_test_hourly")
+      .select(col("hour"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)]
+      .collect()
+      .toSet
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, String, Long)]
+      .collect()
+      .toSet
+    assert(streaming == batch)
+    assert(streaming.nonEmpty)
+  }
+
+  test("sessionize: gap splits sessions, state emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream
+      .sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("graft_sessions")
+      .start()
+
+    // user 1: two sessions separated by > 30min; user 2: one session.
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 12:00:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 10:05:00"), 2, "view", 5.0),
+    )
+    query.processAllAvailable()
+    // advance watermark far past everything so open sessions time out
+    input.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(100, ts("2024-01-03 00:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    val sessions = spark.table("graft_sessions").as[Session].collect().toSeq
+    query.stop()
+
+    val u1 = sessions.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length == 2, s"expected 2 sessions for user 1, got $sessions")
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    assert(u1.head.session_end == ts("2024-01-01 10:10:00"))
+    assert(u1(1).n_events == 1 && u1(1).total_value == 3.0)
+    val u2 = sessions.filter(_.user_id == 2)
+    assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 5.0)
+  }
+}
