@@ -22,6 +22,8 @@ object ExtensionQueries {
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
   private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
   private val sqlToks = """list_distinct(string_split_regex(trim(text), '\s+'))"""
+  private val sqlToksHashed =
+    s"list_sort(list_distinct(list_transform($sqlToks, t -> ${sqlHash64("t")})))"
   private def sqlMinhash(i: Int): String = {
     val (a, b) = Hashing.minhashCoeffs(K)(i)
     s"list_min(list_transform(toks, t -> ($a * (${sqlHash64("t")} % ${Hashing.P}) + $b) % ${Hashing.P}))"
@@ -52,17 +54,14 @@ object ExtensionQueries {
     // ---- MinHash signatures (k=8, engine-agnostic md5-based hashes) ----
     "q21_minhash_sig" -> ((s, d) => {
       Dedup
-        .withMinhash(t(s, d, "documents").select(col("doc_id"), col("text")), col("text"), K)
-        .drop("text")
+        .withMinhash(t(s, d, "documents").select(col("doc_id"), col("text")), Seq("doc_id"), col("text"), K)
         .orderBy("doc_id")
     }),
 
-    // ---- MinHash LSH banding → verified Jaccard pairs ----
+    // ---- MinHash LSH banding → sig-prefilter → verified Jaccard pairs ----
     "q22_minhash_lsh_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val cands = Dedup.minhashCandidates(docs, "doc_id", "text", K, bands = 4)
       Dedup
-        .jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.8)
+        .minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", K, bands = 4, threshold = 0.8, minAgree = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -79,11 +78,11 @@ object ExtensionQueries {
     // ---- N-gram (token-set) Jaccard near-dup pairs, blocked by source ----
     "q24_jaccard_pairs" -> ((s, d) => {
       val toks = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), TextAnalysis.tokenSet(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), TextAnalysis.hashedTokenSet(col("text")).as("toks"))
       val l = toks.as("l")
       val r = toks.as("r")
       l.join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
-        .withColumn("jaccard", Dedup.jaccard(col("l.toks"), col("r.toks")))
+        .withColumn("jaccard", Dedup.jaccardHashed(col("l.toks"), col("r.toks")))
         .filter(col("jaccard") >= 0.6)
         .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
@@ -233,15 +232,20 @@ object ExtensionQueries {
           s"SELECT doc_id AS id, $b AS band, concat($cols) AS band_key FROM sig"
         }
         .mkString(" UNION ALL ")
+      val agree = (0 until K).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              hs AS (SELECT doc_id, $sqlToksHashed AS toks FROM documents),
               sig AS (SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")} FROM toks),
               banded AS ($bandKeys),
               cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l
                        JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
+              pre AS (SELECT id_a, id_b FROM cand
+                      JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id
+                      WHERE $agree >= 4),
               scored AS (SELECT id_a, id_b,
                 len(list_intersect(a.toks, b.toks)) * 1.0
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-                FROM cand JOIN toks a ON cand.id_a = a.doc_id JOIN toks b ON cand.id_b = b.doc_id)
+                FROM pre JOIN hs a ON pre.id_a = a.doc_id JOIN hs b ON pre.id_b = b.doc_id)
          SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
     },
     "q23_simhash" ->
@@ -249,7 +253,7 @@ object ExtensionQueries {
           FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
           ORDER BY doc_id""",
     "q24_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM documents)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             len(list_intersect(a.toks, b.toks)) * 1.0
               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard

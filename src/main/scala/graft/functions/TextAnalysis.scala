@@ -26,6 +26,15 @@ object TextAnalysis {
   /** Distinct whitespace tokens — the set used for Jaccard/minhash. */
   def tokenSet(c: Column): Column = array_distinct(wsTokens(c))
 
+  /** Sorted distinct 60-bit token hashes — the fixed-width form of the token
+    * set. Set operations over `array<long>` beat `array<string>` by a wide
+    * margin (no string hashing/boxing); sortedness enables the two-pointer
+    * [[SortedIntersectCount]]. md5-collision merges are identical in any
+    * engine computing the same formula, so oracle parity holds.
+    */
+  def hashedTokenSet(c: Column): Column =
+    sort_array(array_distinct(transform(tokenSet(c), t => Hashing.hash64(t))))
+
   /** Stopword lists for the n-gram-heuristic language ID. Tiny on purpose:
     * language ID at 100 TB must stay a projection; these lists broadcast as
     * literals inside the plan.

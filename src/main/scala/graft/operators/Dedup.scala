@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Hashing, TextAnalysis}
+import graft.functions.{Hashing, SortedIntersectCount, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -34,10 +34,28 @@ object Dedup {
     df.join(survivors, idCol === col("keep_id"), "left_semi")
   }
 
-  /** MinHash signature columns (mh0..mh{k-1}) from a text column. */
-  def withMinhash(df: DataFrame, textCol: Column, k: Int = 8): DataFrame = {
-    val sig = Hashing.minhash(TextAnalysis.tokenSet(textCol), k)
-    sig.zipWithIndex.foldLeft(df) { case (acc, (c, i)) => acc.withColumn(s"mh$i", c) }
+  /** MinHash signature columns (mh0..mh{k-1}) from a text column.
+    *
+    * Explode→aggregate formulation: tokens are exploded, each token is
+    * md5-hashed ONCE, and the k permutation minima are partial-aggregated
+    * map-side — the shuffle carries (id, 8×long), never text. The naive
+    * array-expression form ([[graft.functions.Hashing.minhash]]) re-hashes
+    * every token k times because Catalyst inlines the shared subexpression
+    * into each of the k projections (measured 8× md5 cost at sf0.1).
+    * Docs with an empty token set produce no row (callers on `documents`
+    * always have tokens).
+    */
+  def withMinhash(df: DataFrame, idCols: Seq[String], textCol: Column, k: Int = 8): DataFrame = {
+    val ids = idCols.map(col)
+    val h = (Hashing.hash64(col("__tok")) % Hashing.P).as("__h")
+    val aggs = Hashing
+      .minhashCoeffs(k)
+      .zipWithIndex
+      .map { case ((a, b), i) => min((lit(a) * col("__h") + lit(b)) % Hashing.P).as(s"mh$i") }
+    df.select(ids :+ explode(TextAnalysis.tokenSet(textCol)).as("__tok"): _*)
+      .select(ids :+ h: _*)
+      .groupBy(ids: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: docs agreeing on ALL rows of any band become candidate
@@ -48,17 +66,17 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = withMinhash(df.select(col(idCol), col(textCol)), col(textCol), k)
-    val banded = (0 until bands)
-      .map { b =>
-        val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-        sig.select(
-          col(idCol).as("id"),
-          lit(b).as("band"),
-          concat_ws("_", bandCols: _*).as("band_key"),
-        )
-      }
-      .reduce(_ unionAll _)
+    val sig = withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
+    // One projection builds all band keys; explode fans them out — the
+    // signature is computed exactly once per doc (a unionAll of per-band
+    // selects would re-run the whole minhash pipeline per band).
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), concat_ws("_", bandCols: _*).as("band_key"))
+    }
+    val banded = sig
+      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
@@ -74,9 +92,18 @@ object Dedup {
     inter.cast("double") / (size(ta) + size(tb) - inter)
   }
 
-  /** Verify candidate pairs: join token sets back, keep pairs with
+  /** Jaccard over SORTED DISTINCT hashed token sets
+    * ([[graft.functions.TextAnalysis.hashedTokenSet]]) via the zero-alloc
+    * merge-intersect expression — the scale form of [[jaccard]].
+    */
+  def jaccardHashed(ha: Column, hb: Column): Column = {
+    val inter = SortedIntersectCount.sortedIntersectCount(ha, hb)
+    inter.cast("double") / (size(ha) + size(hb) - inter)
+  }
+
+  /** Verify candidate pairs: join hashed token sets back, keep pairs with
     * Jaccard >= threshold. Only candidates are joined — the full corpus is
-    * never crossed.
+    * never crossed; the shuffle carries fixed-width long arrays, not text.
     */
   def jaccardVerify(
       candidates: DataFrame,
@@ -85,13 +112,56 @@ object Dedup {
       textCol: String,
       threshold: Double,
   ): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+    val toks = docs.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks"))
     candidates
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", jaccardHashed(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: banding candidates → signature-agreement
+    * prefilter (pairs must agree on >= `minAgree` of the k minhashes — an
+    * unbiased jaccard estimate, 8 long compares vs an array intersect) →
+    * exact hashed-set Jaccard verify. Each narrowing step is cheap relative
+    * to the one after it; the quadratic work only ever happens inside
+    * buckets.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      minAgree: Int = 4,
+  ): DataFrame = {
+    val rows = k / bands
+    val mh = (0 until k).map(i => s"mh$i")
+    val sig = withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
+    // Carry the full signature through the band fan-out: the self-join then
+    // yields both sides' signatures directly — the agreement prefilter is a
+    // projection, not two extra joins against a recomputed signature table.
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), concat_ws("_", bandCols: _*).as("band_key"))
+    }
+    val banded = sig.select(
+      col(idCol).as("id") +: mh.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*
+    )
+    val agree = mh.map(m => when(col(s"l.$m") === col(s"r.$m"), 1).otherwise(0)).reduce(_ + _)
+    val prefiltered = banded
+      .as("l")
+      .join(
+        banded.as("r"),
+        col("l.bk.band") === col("r.bk.band") && col("l.bk.band_key") === col("r.bk.band_key") &&
+          col("l.id") < col("r.id"),
+      )
+      .filter(agree >= minAgree)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
   /** SimHash near-dup pairs: bucket by the top (bits-prefixBits) bits, pair
