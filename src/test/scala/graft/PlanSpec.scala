@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.Unpivot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the "would this survive a 100× scale-up"
+  * checks: predicate pushdown reaches the parquet scan, column pruning
+  * shrinks ReadSchema, dimension joins broadcast, projection operators stay
+  * shuffle-free, aggregates are partial (map-side combine), and the hot
+  * paths stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  /** AQE finalizes (and shows WholeStageCodegen spans) only after execution. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf())
+
+  test("q01: filter pushed to parquet scan; only needed columns read") {
+    val p = plan(q("q01_project_filter"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"), p)
+    // pruned: only the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q07/q18: dimension enrich joins are broadcast, not shuffle") {
+    assert(plan(q("q07_firstmatch_enrich")).contains("BroadcastHashJoin"))
+    val p18 = plan(q("q18_dim_chain"))
+    assert("BroadcastHashJoin".r.findAllIn(p18).length == 2, p18)
+    assert(!p18.contains("SortMergeJoin"), "dim chain must not sort-merge")
+  }
+
+  test("R1 nest is a pure projection: no exchange, single codegen stage") {
+    import spark.implicits._
+    val wide = Seq(("a", "1", "2")).toDF("k", "1/22/20", "1/23/20")
+    val p = plan(Unpivot.nest(wide, Seq("1/22/20", "1/23/20")))
+    assert(!p.contains("Exchange"), s"nest must not shuffle:\n$p")
+  }
+
+  test("q09 melt (native unpivot) stays shuffle-free") {
+    val p = plan(
+      Unpivot.melt(
+        spark.read.parquet(sf() + "/lineitem.parquet"),
+        Seq("l_orderkey"),
+        Seq("l_quantity", "l_tax"),
+      )
+    )
+    assert(!p.contains("Exchange"), s"melt must not shuffle:\n$p")
+    assert(p.contains("Expand") || p.contains("Generate"), p)
+  }
+
+  test("q02 agg is partial (map-side combine) inside whole-stage codegen") {
+    val p = finalPlan(q("q02_agg_pricing"))
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_sum|merge_sum".r.findFirstIn(p).nonEmpty, p)
+    // "*(n)" node prefixes mark whole-stage-codegen spans in tree strings
+    assert(p.contains("*("), p)
+  }
+
+  test("custom expressions keep whole-stage codegen alive") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val p = finalPlan(
+      emb
+        .limit(20)
+        .as("a")
+        .crossJoin(emb.limit(20).as("b"))
+        .select(graft.functions.CosineSimilarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+        .filter(col("s") > 0.5)
+    )
+    assert(p.contains("*("), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
+  test("GraftExtensions: custom expressions usable from pure SQL") {
+    // injection path: applying the extensions object must register cleanly
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // functions registry is per-session; register directly on the test session
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in",
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)),
+      "built-in",
+    )
+    val r = spark
+      .sql("""SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                                       array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+                     sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS n""")
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 2L)
+  }
+}
