@@ -204,6 +204,40 @@ object ExtensionQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // ---- R2/J2/E2 end-to-end: the Combine operator (parser2 semantics)
+    //      over synthesized wide measure tables, melted back for the oracle.
+    //      deaths is missing ROWS (linestatus O), recovered is missing date
+    //      COLUMNS (months > 6) — both zero-fill paths exercised. ----
+    "q35_combine_zerofill" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def wide(src: DataFrame, agg: org.apache.spark.sql.Column) =
+        src
+          .withColumn("mcol", date_format(date_trunc("month", col("l_shipdate")), "M/d/yy"))
+          .groupBy(col("l_returnflag").as("Country/Region"), col("l_linestatus").as("Province/State"))
+          .pivot("mcol")
+          .agg(agg)
+      val confirmed = wide(li, sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int"))
+      val deaths = wide(li.filter(col("l_linestatus") === "F"), count(lit(1)).cast("int"))
+      val recovered = wide(li.filter(month(col("l_shipdate")) <= 6), count(lit(1)).cast("int"))
+      graft.ops.Combine
+        .combine(confirmed, "confirmed", Seq("deaths" -> deaths, "recovered" -> recovered),
+          Seq("Country/Region", "Province/State"))
+        .select(
+          col("`Country/Region`").as("country_region"),
+          col("`Province/State`").as("province_state"),
+          explode(col("time_series")).as("ts"),
+        )
+        .select(
+          col("country_region"),
+          col("province_state"),
+          col("ts.date").as("date"),
+          col("ts.confirmed").as("confirmed"),
+          col("ts.deaths").as("deaths"),
+          col("ts.recovered").as("recovered"),
+        )
+        .orderBy("country_region", "province_state", "date")
+    }),
+
     // ---- Multimodal plumbing (rows-only check: stubbed codec, real
     //      byte-statistics + schema) ----
     "q34_multimodal_features" -> ((s, d) => {
@@ -330,5 +364,29 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q35_combine_zerofill" ->
+      """WITH keys AS (SELECT DISTINCT l_returnflag AS cr, l_linestatus AS ps FROM lineitem),
+              months AS (SELECT DISTINCT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date FROM lineitem),
+              conf AS (SELECT l_returnflag cr, l_linestatus ps,
+                         strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date,
+                         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS INT) AS v
+                       FROM lineitem GROUP BY 1, 2, 3),
+              dth AS (SELECT l_returnflag cr, l_linestatus ps,
+                         strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date,
+                         CAST(COUNT(*) AS INT) AS v
+                       FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1, 2, 3),
+              rec AS (SELECT l_returnflag cr, l_linestatus ps,
+                         strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date,
+                         CAST(COUNT(*) AS INT) AS v
+                       FROM lineitem WHERE month(l_shipdate) <= 6 GROUP BY 1, 2, 3)
+         SELECT k.cr AS country_region, k.ps AS province_state, m.date,
+                COALESCE(conf.v, 0) AS confirmed,
+                COALESCE(dth.v, 0) AS deaths,
+                COALESCE(rec.v, 0) AS recovered
+         FROM keys k CROSS JOIN months m
+         LEFT JOIN conf ON conf.cr = k.cr AND conf.ps = k.ps AND conf.date = m.date
+         LEFT JOIN dth ON dth.cr = k.cr AND dth.ps = k.ps AND dth.date = m.date
+         LEFT JOIN rec ON rec.cr = k.cr AND rec.ps = k.ps AND rec.date = m.date
+         ORDER BY 1, 2, 3""",
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join/aggregate via key salting.
+  *
+  * AQE's skew-join splitting (on by default) handles most shuffle skew at
+  * runtime; salting is the explicit, plan-level tool for the cases AQE can't
+  * touch — e.g. a broadcast-too-big dimension with a handful of mega-keys,
+  * or aggregation skew. Pattern:
+  *
+  *  - fact side: append a random-ish salt in `[0, buckets)` derived from a
+  *    uniform row attribute (deterministic — no RNG, replayable).
+  *  - dim side: explode each row into all `buckets` salts.
+  *  - join on (key, salt): the mega-key's rows now spread over `buckets`
+  *    reducers instead of one straggler.
+  *
+  * Two-phase aggregate: partial agg on (key, salt), final agg on key — same
+  * rebalancing for `groupBy` hotspots.
+  */
+object SkewJoin {
+
+  /** Deterministic salt from an arbitrary unique-ish column (e.g. the fact
+    * table's primary key): uniform, reproducible, shippable to any engine.
+    */
+  def salt(uniqueCol: Column, buckets: Int): Column =
+    pmod(xxhash64(uniqueCol), lit(buckets))
+
+  /** Salted equi-join: `fact ⋈ dim` on `key`, with `dim` replicated
+    * `buckets`× and `fact` salted by `saltSource`.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltSource: Column,
+      buckets: Int,
+      joinType: String = "inner",
+  ): DataFrame = {
+    val salted = fact.withColumn("__salt", salt(saltSource, buckets))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted
+      .join(replicated, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation: partial on (key, salt), final on key.
+    * `partials` build the salted stage from input columns; `finals` fold the
+    * partials — e.g. partial `sum(x) as s` then final `sum(s)`.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      saltSource: Column,
+      buckets: Int,
+      partials: Seq[Column],
+      finals: Seq[Column],
+  ): DataFrame =
+    df.withColumn("__salt", salt(saltSource, buckets))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(finals.head, finals.tail: _*)
+}

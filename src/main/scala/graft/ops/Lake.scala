@@ -37,4 +37,19 @@ object Lake {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(parquetPath)
   }
+
+  /** Bucketed catalog table: co-locates join/agg keys at WRITE time so every
+    * subsequent equi-join or groupBy on `bucketCols` between same-bucketed
+    * tables runs with NO exchange — the 100 TB answer to "this join shuffles
+    * both sides every night". Bucket count should match target parallelism
+    * (e.g. executors × cores); sortBy makes the merge side of a sort-merge
+    * join sort-free too.
+    */
+  def bucketize(df: org.apache.spark.sql.DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

@@ -46,4 +46,22 @@ object Csv {
   /** S1+S2 — fetch then parse (the reference's `fetch_data` + DictReader). */
   def fetchCsv(spark: SparkSession, url: String, fetcher: Fetcher): DataFrame =
     fromString(spark, fetcher.fetch(url))
+
+  /** S4 — the reference's fixed multi-URL manifest (one CSV per category,
+    * reference `src/parser.py:88-91`) as ONE scan: read all paths together
+    * and derive `category` from `input_file_name()`. One job instead of N;
+    * at scale the categories parallelize as ordinary file splits.
+    * `categoryOf` maps a file name fragment to its category label.
+    */
+  def readManifest(spark: SparkSession, paths: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(paths.values.toSeq: _*)
+    val cat = paths.foldLeft(lit(null).cast("string")) { case (acc, (category, path)) =>
+      when(input_file_name().contains(new java.io.File(path).getName), lit(category)).otherwise(acc)
+    }
+    df.withColumn("category", cat)
+  }
 }

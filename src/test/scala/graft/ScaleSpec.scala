@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.ops.Lake
+import graft.sources.Csv
+import org.apache.spark.sql.functions._
+
+/** Scale-tooling tests: salting, bucketing (co-located joins), manifest
+  * scans, strict-cast semantics.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin == plain join; salted rows spread over buckets") {
+    val fact = spark.read.parquet(sf() + "/orders.parquet")
+    val dim = spark.read.parquet(sf() + "/customer.parquet").select($"c_custkey", $"c_mktsegment")
+    val plain = fact
+      .join(dim, fact("o_custkey") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val salted = SkewJoin
+      .saltedJoin(
+        fact.withColumnRenamed("o_custkey", "c_custkey"),
+        dim,
+        key = "c_custkey",
+        saltSource = col("o_orderkey"),
+        buckets = 8,
+      )
+      .groupBy("c_mktsegment")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(salted == plain)
+    // salt distribution: all 8 buckets used
+    val used = fact.select(SkewJoin.salt(col("o_orderkey"), 8).as("s")).distinct().count()
+    assert(used == 8)
+  }
+
+  test("saltedAgg == plain agg") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val plain = li.groupBy("l_returnflag").agg(Tables.dsum($"l_quantity").as("q"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map { case (k, q, n) => k -> ((q, n)) }.toMap
+    val salted = graft.operators.SkewJoin
+      .saltedAgg(
+        li,
+        key = "l_returnflag",
+        saltSource = col("l_orderkey"),
+        buckets = 8,
+        partials = Seq(Tables.dsum($"l_quantity").as("q"), count(lit(1)).as("n")),
+        finals = Seq(sum($"q").as("q"), sum($"n").as("n")),
+      )
+      .as[(String, Double, Long)].collect().map { case (k, q, n) => k -> ((q, n)) }.toMap
+    assert(salted == plain)
+  }
+
+  test("bucketized tables join with no exchange (co-located)") {
+    Lake.bucketize(spark.read.parquet(sf() + "/orders.parquet"), "orders_b", Seq("o_custkey"), 4)
+    Lake.bucketize(
+      spark.read.parquet(sf() + "/customer.parquet").withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b",
+      Seq("o_custkey"),
+      4,
+    )
+    // disable auto-broadcast so the co-located sort-merge path is exercised
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+      assert(joined.count() == spark.table("orders_b").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("readManifest: one scan over N category files, category derived from path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
+    def write(name: String, rows: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, s"Country/Region,1/22/20\n$rows")
+      p.toString
+    }
+    val paths = Map(
+      "confirmed" -> write("time_series_confirmed.csv", "X,1\nY,2"),
+      "deaths" -> write("time_series_deaths.csv", "X,0"),
+    )
+    val df = Csv.readManifest(spark, paths)
+    val got = df.select($"category", $"`Country/Region`").as[(String, String)].collect().toSet
+    assert(got == Set(("confirmed", "X"), ("confirmed", "Y"), ("deaths", "X")))
+    // all-string schema (DictReader parity)
+    assert(df.schema.filter(_.name != "category").forall(_.dataType.typeName == "string"))
+  }
+
+  test("strict casts (E4): ANSI mode crashes on junk like the reference's int()") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val bad = Seq("12", "abc").toDF("v").select($"v".cast("int"))
+      val e = intercept[Exception](bad.collect())
+      assert(e.getMessage.contains("CAST_INVALID_INPUT") || e.getCause != null)
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val lax = Seq("12", "abc").toDF("v").select($"v".cast("int").as("v")).as[Option[Int]].collect()
+      assert(lax.toSet == Set(Some(12), None))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+}
