@@ -294,6 +294,69 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- A: cube (full grouping-set lattice) ----
+    "q36_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- A: pivot (wide aggregation; fixed value list for determinism) ----
+    "q37_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- JSON scalar surface: parse the props JSON column ----
+    "q38_json_extract" -> ((s, d) => {
+      Tables
+        .events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        )
+        .groupBy((col("k_val") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k_val")).as("k_sum"))
+        .orderBy(col("k_mod").asc_nulls_first)
+    }),
+
+    // ---- String function surface (2.6 class) ----
+    "q39_string_funcs" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("repl"),
+          lpad(col("c_mktsegment"), 12, "*").as("pad"),
+          reverse(col("c_name")).as("rev"),
+          length(col("c_name")).as("len"),
+          instr(col("c_name"), "0").as("pos"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        )
+        .orderBy("c_custkey")
+    }),
+
+    // ---- A: exact percentiles (interpolated) ----
+    "q40_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"),
+        )
+        .orderBy("l_returnflag")
+    }),
+
     // ---- P1+P4+R1 end-to-end: dynamic date-named wide table melted long ----
     "q19_jhu_melt" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -419,6 +482,37 @@ object SparkEntry {
          LEFT JOIN nation ON c_nationkey = n_nationkey
          LEFT JOIN region ON n_regionkey = r_regionkey
          ORDER BY c_custkey""",
+    "q36_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q38_json_extract" ->
+      """SELECT CAST(json_extract_string(props, 'k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n, SUM(CAST(json_extract_string(props, 'k') AS INT)) AS k_sum
+         FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""",
+    "q39_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           substr(c_name, 1, 8) AS sub,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS repl,
+           lpad(c_mktsegment, 12, '*') AS pad,
+           reverse(c_name) AS rev,
+           CAST(length(c_name) AS INT) AS len,
+           CAST(instr(c_name, '0') AS INT) AS pos,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+         FROM customer ORDER BY c_custkey""",
+    "q40_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           min(l_quantity) AS qmin, max(l_quantity) AS qmax
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q19_jhu_melt" ->
       """SELECT l_returnflag,
            strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date,
