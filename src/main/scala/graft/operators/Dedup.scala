@@ -64,25 +64,41 @@ object Dedup {
     * key — shuffle is O(N·bands) small rows; within-bucket pairing is the
     * only quadratic step and buckets are tiny by construction.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8, bands: Int = 4): DataFrame = {
+  /** Band fan-out self-join with the full signature carried on both sides.
+    * The join key is the band struct itself (raw longs — no string
+    * synthesis); `firstBandOnly` keeps a pair only in its first matching
+    * band, so every candidate pair is emitted EXACTLY once and no
+    * multi-million-row DISTINCT shuffle is needed.
+    */
+  private def bandedPairs(df: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val sig = withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
-    // One projection builds all band keys; explode fans them out — the
-    // signature is computed exactly once per doc (a unionAll of per-band
-    // selects would re-run the whole minhash pipeline per band).
     val bandStructs = (0 until bands).map { b =>
-      val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), concat_ws("_", bandCols: _*).as("band_key"))
+      val bandCols = (b * rows until (b + 1) * rows).zipWithIndex.map { case (i, j) =>
+        col(s"mh$i").as(s"k$j")
+      }
+      struct((lit(b).as("band") +: bandCols): _*)
     }
-    val banded = sig
-      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    val banded = sig.select(
+      col(idCol).as("id") +: (0 until k).map(i => col(s"mh$i")) :+ explode(array(bandStructs: _*)).as("bk"): _*
+    )
+    def bandEq(b: Int) =
+      (b * rows until (b + 1) * rows).map(i => col(s"l.mh$i") === col(s"r.mh$i")).reduce(_ && _)
+    val firstBandOnly = (0 until bands)
+      .map { b =>
+        val earlierNoMatch = (0 until b).map(b2 => !bandEq(b2)).foldLeft(lit(true))(_ && _)
+        (col("l.bk.band") === b) && earlierNoMatch
+      }
+      .reduce(_ || _)
+    banded
+      .as("l")
+      .join(banded.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .filter(firstBandOnly)
   }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String, k: Int = 8, bands: Int = 4): DataFrame =
+    bandedPairs(df, idCol, textCol, k, bands)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
 
   /** Jaccard similarity of two distinct-token arrays (set semantics — both
     * engines' intersect dedups).
@@ -137,30 +153,16 @@ object Dedup {
       threshold: Double = 0.8,
       minAgree: Int = 4,
   ): DataFrame = {
-    val rows = k / bands
-    val mh = (0 until k).map(i => s"mh$i")
-    val sig = withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
-    // Carry the full signature through the band fan-out: the self-join then
-    // yields both sides' signatures directly — the agreement prefilter is a
-    // projection, not two extra joins against a recomputed signature table.
-    val bandStructs = (0 until bands).map { b =>
-      val bandCols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), concat_ws("_", bandCols: _*).as("band_key"))
-    }
-    val banded = sig.select(
-      col(idCol).as("id") +: mh.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*
-    )
-    val agree = mh.map(m => when(col(s"l.$m") === col(s"r.$m"), 1).otherwise(0)).reduce(_ + _)
-    val prefiltered = banded
-      .as("l")
-      .join(
-        banded.as("r"),
-        col("l.bk.band") === col("r.bk.band") && col("l.bk.band_key") === col("r.bk.band_key") &&
-          col("l.id") < col("r.id"),
-      )
+    // Signatures ride along through bandedPairs, so the agreement prefilter
+    // (>= minAgree of k minhashes equal — an unbiased jaccard estimate from
+    // 8 long compares) is a projection, applied before the expensive
+    // hashed-set intersect ever runs.
+    val agree = (0 until k)
+      .map(i => when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val prefiltered = bandedPairs(df, idCol, textCol, k, bands)
       .filter(agree >= minAgree)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
     jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
