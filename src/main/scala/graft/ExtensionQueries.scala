@@ -238,6 +238,20 @@ object ExtensionQueries {
         .orderBy("country_region", "province_state", "date")
     }),
 
+    // ---- Shingle→minhash: character-5-gram signatures (the tokenizer-free
+    //      near-dup path for code/CJK/mangled text) ----
+    "q41_shingle_minhash" -> ((s, d) => {
+      Dedup
+        .withMinhash(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          Seq("doc_id"),
+          col("text"),
+          k = 4,
+          tokenizer = c => TextAnalysis.charShingles(c, 5),
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal plumbing (rows-only check: stubbed codec, real
     //      byte-statistics + schema) ----
     "q34_multimodal_features" -> ((s, d) => {
@@ -364,6 +378,13 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q41_shingle_minhash" ->
+      s"""WITH sh AS (SELECT doc_id,
+            list_sort(list_distinct(list_transform(
+              range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5)))) AS toks
+          FROM documents)
+          SELECT doc_id, ${(0 until 4).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")}
+          FROM sh ORDER BY doc_id""",
     "q35_combine_zerofill" ->
       """WITH keys AS (SELECT DISTINCT l_returnflag AS cr, l_linestatus AS ps FROM lineitem),
               months AS (SELECT DISTINCT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date FROM lineitem),

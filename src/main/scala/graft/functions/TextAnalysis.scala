@@ -35,6 +35,22 @@ object TextAnalysis {
   def hashedTokenSet(c: Column): Column =
     sort_array(array_distinct(transform(tokenSet(c), t => Hashing.hash64(t))))
 
+  /** Character n-gram shingles (distinct, sorted for stable downstream set
+    * ops) — the canonical minhash input for near-dup detection when
+    * whitespace tokenization is unreliable (code, CJK, mangled text).
+    * Pure projection: `sequence` + `transform` + `substring`, no UDF.
+    * DuckDB mirror: `list_transform(range(1, len-n+2), i -> substr(text,i,n))`.
+    */
+  def charShingles(c: Column, n: Int): Column =
+    array_sort(
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+          i => c.substr(i, lit(n)),
+        )
+      )
+    )
+
   /** Stopword lists for the n-gram-heuristic language ID. Tiny on purpose:
     * language ID at 100 TB must stay a projection; these lists broadcast as
     * literals inside the plan.

@@ -45,14 +45,20 @@ object Dedup {
     * Docs with an empty token set produce no row (callers on `documents`
     * always have tokens).
     */
-  def withMinhash(df: DataFrame, idCols: Seq[String], textCol: Column, k: Int = 8): DataFrame = {
+  def withMinhash(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: Column,
+      k: Int = 8,
+      tokenizer: Column => Column = TextAnalysis.tokenSet,
+  ): DataFrame = {
     val ids = idCols.map(col)
     val h = (Hashing.hash64(col("__tok")) % Hashing.P).as("__h")
     val aggs = Hashing
       .minhashCoeffs(k)
       .zipWithIndex
       .map { case ((a, b), i) => min((lit(a) * col("__h") + lit(b)) % Hashing.P).as(s"mh$i") }
-    df.select(ids :+ explode(TextAnalysis.tokenSet(textCol)).as("__tok"): _*)
+    df.select(ids :+ explode(tokenizer(textCol)).as("__tok"): _*)
       .select(ids :+ h: _*)
       .groupBy(ids: _*)
       .agg(aggs.head, aggs.tail: _*)

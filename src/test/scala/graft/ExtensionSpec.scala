@@ -108,6 +108,50 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq("en", "es", "und"))
   }
 
+  test("charShingles: sorted distinct n-grams; short strings degrade to one shingle") {
+    val got = Seq("abcdef", "ab", "aaaa").toDF("t")
+      .select(TextAnalysis.charShingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(got(0) == Seq("abc", "bcd", "cde", "def"))
+    assert(got(1) == Seq("ab"))
+    assert(got(2) == Seq("aaa")) // repeated trigrams dedup to one
+  }
+
+  test("TopKAggregator == window top-k, but with partial (map-side) aggregation") {
+    import graft.functions.TopKAggregator
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val typed = li
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+      .as[(String, Double, Long)]
+    val viaAgg = typed
+      .groupByKey(_._1)
+      .mapValues { case (_, price, id) => (price, id) }
+      .agg(new TopKAggregator(3).toColumn)
+      .collect()
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+    val viaWindow = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+      .as[(String, Double, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(r => (r._2, r._3)).toSeq }
+    assert(viaAgg.keySet == viaWindow.keySet)
+    viaAgg.foreach { case (k, topk) => assert(topk == viaWindow(k), s"group $k") }
+    // partial aggregation: the plan must show ObjectHashAggregate partial+final
+    val plan = typed
+      .groupByKey(_._1)
+      .mapValues { case (_, price, id) => (price, id) }
+      .agg(new TopKAggregator(3).toColumn)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("Aggregate"), plan)
+  }
+
   test("fingerprint is stable and order-sensitive") {
     val got = Seq("ab", "ba", "ab").toDF("t")
       .select(TextAnalysis.fingerprint(col("t")).as("f")).as[Long].collect()

@@ -33,6 +33,39 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.nonEmpty)
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream
+      .hourlyAgg(input.toDF(), watermark = "1 hour")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("graft_late")
+      .start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:15:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:45:00"), 1, "view", 1.0),
+    )
+    query.processAllAvailable()
+    // watermark jumps to 13:00-1h = 12:00 -> the 10:00 window closes and emits
+    input.addData(Event(3, ts("2024-01-01 13:00:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    // LATE: event for the already-closed 10:00 window — must be dropped
+    input.addData(Event(4, ts("2024-01-01 10:30:00"), 1, "view", 99.0))
+    query.processAllAvailable()
+    input.addData(Event(5, ts("2024-01-01 16:00:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    val rows = spark
+      .table("graft_late")
+      .select(col("hour").cast("string"), col("n"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    query.stop()
+    assert(rows("2024-01-01 10:00:00") == 2L, s"late event must not inflate the closed window: $rows")
+  }
+
   test("sessionize: gap splits sessions, state emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
