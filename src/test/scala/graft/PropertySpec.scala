@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Combine, Normalize, Unpivot}
+import org.scalacheck.Gen
+
+/** Property-based tests (SURVEY §5.3): melt∘nest round-trip identity, date
+  * normalization over the full `M/d/yy` domain vs an independent model, and
+  * Combine (J2/R2) vs a Scala Map reference implementation on generated
+  * tables including missing-side cases. (Raw scalacheck Gen sampling — the
+  * scalatestplus bridge isn't in the offline dependency set.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 40)(f: T => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    Iterator
+      .iterate(seed)(_.next)
+      .map(s => g.apply(Gen.Parameters.default, s))
+      .flatten
+      .take(n)
+      .foreach(f)
+  }
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc), 25) { case (a, b, c) => f(a, b, c) }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val dateGen: Gen[(Int, Int, Int)] = for {
+    y <- Gen.choose(0, 99)
+    m <- Gen.choose(1, 12)
+    maxD = m match {
+      case 2               => if ((yFor(y) % 4 == 0 && yFor(y) % 100 != 0) || yFor(y) % 400 == 0) 29 else 28
+      case 4 | 6 | 9 | 11  => 30
+      case _               => 31
+    }
+    d <- Gen.choose(1, maxD)
+  } yield (m, d, y)
+
+  private def yFor(yy: Int): Int = if (yy >= 69) 1900 + yy else 2000 + yy
+
+  test("P4: normalizeDateName matches an independent model over the full M/d/yy domain") {
+    forAll(dateGen) { case (m, d, yy) =>
+      val got = Normalize.normalizeDateName(f"$m/$d/$yy%02d")
+      val want = f"${yFor(yy)}%04d-$m%02d-$d%02d 00:00:00"
+      assert(got == want, f"$m/$d/$yy%02d")
+    }
+  }
+
+  test("R1: meltDates inverts nest (same (key, date, value) triples)") {
+    val tableGen = for {
+      nDates <- Gen.choose(1, 5)
+      dates <- Gen.listOfN(nDates, dateGen).map(_.distinct.map { case (m, d, y) => f"$m/$d/$y%02d" })
+      nRows <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(dates.length, Gen.choose(0, 1000)))
+    } yield (dates, rows)
+    forAll(tableGen) { case (dates, rows) =>
+      whenever(dates.nonEmpty && rows.nonEmpty) {
+        val keyed = rows.zipWithIndex.map { case (vs, i) => s"k$i" +: vs.map(_.toString) }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(keyed.map(org.apache.spark.sql.Row.fromSeq(_)), 2),
+          org.apache.spark.sql.types.StructType(
+            ("k" +: dates).map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))
+          ),
+        )
+        val viaMelt = Unpivot
+          .meltDates(df)
+          .select("k", "date", "value")
+          .as[(String, String, Int)]
+          .collect()
+          .toSet
+        val expected = keyed.flatMap { r =>
+          dates.zipWithIndex.map { case (dc, i) =>
+            (r.head, Normalize.normalizeDateName(dc), r(i + 1).toInt)
+          }
+        }.toSet
+        assert(viaMelt == expected)
+      }
+    }
+  }
+
+  test("R2/J2: Combine matches a Map-based reference implementation") {
+    val keyGen = Gen.oneOf("a", "b", "c", "d")
+    val tableGen = Gen.mapOf(Gen.zip(keyGen, Gen.choose(0, 50))).map(_.toList)
+    forAll(tableGen, tableGen, tableGen) { (conf, dth, rec) =>
+      whenever(conf.nonEmpty) {
+        val dates = Seq("1/22/20", "1/23/20")
+        def widen(rows: List[(String, Int)]) =
+          rows.map { case (k, v) => (k, "", v.toString, (v * 2).toString) }
+            .toDF("Country/Region", "Province/State", dates(0), dates(1))
+        val got = Combine
+          .combine(widen(conf), "confirmed", Seq("deaths" -> widen(dth), "recovered" -> widen(rec)),
+            Seq("Country/Region", "Province/State"))
+          .select($"`Country/Region`", $"time_series")
+          .collect()
+          .map { r =>
+            val ts = r.getSeq[org.apache.spark.sql.Row](1)
+            r.getString(0) -> ts.map(e => (e.getString(0), e.getInt(1), e.getInt(2), e.getInt(3)))
+          }
+          .toMap
+        val dthM = dth.toMap
+        val recM = rec.toMap
+        conf.foreach { case (k, v) =>
+          val ts = got(k)
+          assert(ts.map(_._2) == Seq(v, v * 2), s"confirmed for $k")
+          assert(ts.map(_._3) == Seq(dthM.getOrElse(k, 0), dthM.get(k).map(_ * 2).getOrElse(0)), s"deaths for $k")
+          assert(ts.map(_._4) == Seq(recM.getOrElse(k, 0), recM.get(k).map(_ * 2).getOrElse(0)), s"recovered for $k")
+          assert(ts.map(_._1) == dates.map(Normalize.normalizeDateName))
+        }
+      }
+    }
+  }
+}
