@@ -210,15 +210,26 @@ object ExtensionQueries {
     //      COLUMNS (months > 6) — both zero-fill paths exercised. ----
     "q35_combine_zerofill" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      def wide(src: DataFrame, agg: org.apache.spark.sql.Column) =
+      // Explicit pivot values: one driver-side month scan instead of a
+      // value-discovery job per pivot (3 saved jobs). This is the same
+      // schema-level dispatch the reference does with dynamic date columns.
+      val months = li
+        .select(date_format(date_trunc("month", col("l_shipdate")), "M/d/yy").as("m"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .sortBy(m => graft.ops.Normalize.normalizeDateName(m))
+        .toSeq
+      val recMonths = months.filter(_.split("/")(0).toInt <= 6)
+      def wide(src: DataFrame, agg: org.apache.spark.sql.Column, vals: Seq[String]) =
         src
           .withColumn("mcol", date_format(date_trunc("month", col("l_shipdate")), "M/d/yy"))
           .groupBy(col("l_returnflag").as("Country/Region"), col("l_linestatus").as("Province/State"))
-          .pivot("mcol")
+          .pivot("mcol", vals)
           .agg(agg)
-      val confirmed = wide(li, sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int"))
-      val deaths = wide(li.filter(col("l_linestatus") === "F"), count(lit(1)).cast("int"))
-      val recovered = wide(li.filter(month(col("l_shipdate")) <= 6), count(lit(1)).cast("int"))
+      val confirmed = wide(li, sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int"), months)
+      val deaths = wide(li.filter(col("l_linestatus") === "F"), count(lit(1)).cast("int"), months)
+      val recovered = wide(li.filter(month(col("l_shipdate")) <= 6), count(lit(1)).cast("int"), recMonths)
       graft.ops.Combine
         .combine(confirmed, "confirmed", Seq("deaths" -> deaths, "recovered" -> recovered),
           Seq("Country/Region", "Province/State"))
