@@ -71,9 +71,14 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
+          // product of a 2dp price and a 2dp (1-discount) has exactly <=4dp,
+          // so the narrow re-cast is lossless — and keeps BOTH engines on
+          // exact (non-floating) decimal summation at any scale factor
+          // (DuckDB's wide-decimal sum goes through a double path).
           sum(
             (col("l_extendedprice").cast(DecimalType(18, 4)) *
               (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+              .cast(DecimalType(18, 4))
           ).cast("double").as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"),
@@ -383,7 +388,7 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
           ${dsumSql("l_quantity")} AS sum_qty,
           ${dsumSql("l_extendedprice")} AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
           ${davgSql("l_quantity")} AS avg_qty,
           COUNT(*) AS count_order,
           COUNT(DISTINCT l_orderkey) AS n_orders
