@@ -36,6 +36,26 @@ object Csv {
       .option("inferSchema", "false")
       .csv(path)
 
+  /** S2 variant — lenient scan: malformed lines land in `_corrupt_record`
+    * instead of failing the job (the 100 TB posture: quarantine, don't
+    * crash). The reference's crash-on-bad-input (E1/E4) is [[readCsvStrict]].
+    */
+  def readCsvLenient(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
+  /** S2 variant — FAILFAST scan (reference crash parity, E1). */
+  def readCsvStrict(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .csv(path)
+
   /** S1 — parse an in-memory CSV body (one fetched string). */
   def fromString(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._

@@ -94,6 +94,16 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup: drop events whose `idCols` were already seen
+    * within the watermark horizon — the stream-side of the dedup suite
+    * (exactly-once ingestion against at-least-once sources). State is
+    * bounded by the watermark: ids older than it are evicted.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Batch-parity runner: stream the events table through [[hourlyAgg]] with
     * an AvailableNow-style one-shot run into a memory sink and return the
     * result — Structured Streaming's core guarantee (streaming result ==

@@ -96,6 +96,22 @@ class ScaleSpec extends SparkSpec {
     assert(df.schema.filter(_.name != "category").forall(_.dataType.typeName == "string"))
   }
 
+  test("lenient vs strict CSV: quarantine column vs crash (E1 parity)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val p = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(p, "id,v\n1,10\nnot_an_int,20\n3,30\n")
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("v", IntegerType)))
+    // Spark disallows querying only _corrupt_record on the raw scan; cache first
+    val lenient = Csv.readCsvLenient(spark, p.toString, schema).cache()
+    val rows = lenient.collect()
+    assert(rows.length == 3)
+    val corrupt = lenient.filter(col("_corrupt_record").isNotNull).count()
+    assert(corrupt == 1, s"expected 1 quarantined row, got $corrupt")
+    val strict = Csv.readCsvStrict(spark, p.toString, schema)
+    intercept[Exception](strict.collect())
+  }
+
   test("strict casts (E4): ANSI mode crashes on junk like the reference's int()") {
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     try {

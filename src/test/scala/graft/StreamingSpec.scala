@@ -66,6 +66,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00") == 2L, s"late event must not inflate the closed window: $rows")
   }
 
+  test("dedupStream: duplicate event ids within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream
+      .dedupStream(input.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("graft_dedup")
+      .start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0), // same batch dup
+      Event(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0),
+    )
+    query.processAllAvailable()
+    input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0)) // cross-batch dup
+    query.processAllAvailable()
+    input.addData(Event(3, ts("2024-01-01 10:10:00"), 2, "view", 3.0))
+    query.processAllAvailable()
+    val ids = spark.table("graft_dedup").select("event_id").as[Long].collect().sorted.toSeq
+    query.stop()
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   test("sessionize: gap splits sessions, state emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
