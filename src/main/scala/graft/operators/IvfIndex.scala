@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: k-means coarse quantizer + per-centroid
+  * posting lists + nprobe search. The second scale path next to
+  * [[Similarity.lshTopK]]:
+  *
+  *  - **train**: Lloyd iterations in pure DataFrame ops — assignment is a
+  *    broadcast join against `nlist` centroids (argmax cosine via `max_by`),
+  *    the update is a posexplode → per-(centroid, dim) mean → re-assembled
+  *    array. Deterministic: init = first `nlist` vectors by id, no RNG.
+  *    At 100 TB you train on a sample (the quantizer needs thousands of
+  *    points per centroid, not the corpus) and only the ASSIGN pass scans
+  *    everything — one broadcast-join projection.
+  *  - **search**: probe the `nprobe` nearest centroids per query, exact
+  *    cosine rerank inside those posting lists only. Work per query is
+  *    `nprobe/nlist` of the corpus instead of all of it.
+  */
+object IvfIndex {
+
+  private def cos(a: Column, b: Column): Column = CosineSimilarity.cosine(a, b)
+
+  /** Centroids as a DataFrame (centroid_id, centroid: array<float>). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int, iters: Int): DataFrame = {
+    var centroids = corpus
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"), col(vecCol).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, centroids, idCol, vecCol)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
+            .as("centroid")
+        )
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast join + argmax cosine. */
+  def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.crossJoin(broadcast(centroids))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("centroid_id"), struct(cos(col(vecCol), col("centroid")), -col("centroid_id"))).as("centroid_id"),
+        first(col(vecCol)).as(vecCol),
+      )
+
+  /** nprobe ANN search: for each query, rerank exactly within the posting
+    * lists of its `nprobe` closest centroids.
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+      k: Int,
+  ): DataFrame = {
+    val posting = assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"), col(vecCol).as("cvec"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(cos(col("qvec"), col("centroid")).desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+    val scored = posting
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -63,6 +63,26 @@ class ExtensionSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("IVF: train/assign/search — recall vs brute force, work bounded by nprobe") {
+    import graft.operators.IvfIndex
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+    assert(centroids.count() == 8)
+    // every vector lands in exactly one posting list
+    val assigned = IvfIndex.assign(emb, centroids, "vec_id", "embedding")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("centroid_id").distinct().count() <= 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex
+      .topK(emb, queries, "vec_id", "embedding", centroids, nprobe = 3, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@3 (nlist=8, nprobe=3): $recall%.2f over ${exact.size} exact pairs")
+    assert(recall >= 0.3, s"recall $recall suspiciously low")
+  }
+
   test("exactDedup keeps one survivor per duplicated text") {
     val docs = Seq(
       (1L, "aa bb"), (2L, "aa bb"), (3L, "cc"), (4L, "aa bb"), (5L, "cc"),
