@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand") || p.contains("Generate"), p)
   }
 
+  test("JSON lake: type= partition pruning reaches the file index (Athena parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Seq(("a", 1, "confirmed"), ("b", 2, "deaths"), ("c", 3, "recovered"))
+      .toDF("name", "v", "type")
+      .write
+      .partitionBy("type")
+      .mode("overwrite")
+      .json(dir)
+    val pruned = graft.ops.Lake.readPartitioned(spark, dir).filter(col("type") === "deaths")
+    val p = plan(pruned)
+    // the filter lands in PartitionFilters (directory-level pruning), not as
+    // a data filter evaluated per row
+    assert(p.contains("PartitionFilters: [isnotnull(type"), p)
+    assert("PartitionFilters: \\[[^\\]]*= deaths".r.findFirstIn(p).nonEmpty, p)
+    assert(pruned.count() == 1)
+  }
+
   test("q02 agg is partial (map-side combine) inside whole-stage codegen") {
     val p = finalPlan(q("q02_agg_pricing"))
     assert(p.contains("HashAggregate"), p)
