@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Enrich
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Head-to-head against the reference's own dataflow at its published data
+  * scale (~289 rows × ~1100 date columns + 4300-row lookup; BASELINE.md
+  * "Input scale"). Generates the SAME synthetic JHU-shaped CSVs as
+  * `tools/reference_model_bench.py` (same formulas), runs the full parser2
+  * pipeline (three-way combine + enrich + JSON serialization), prints one
+  * JSON line with records/sec for direct comparison.
+  */
+object JhuBench {
+
+  private def genCsv(rows: Int, dateCols: Int, measureSeed: Int): String = {
+    val dates = scala.collection.mutable.ArrayBuffer[String]()
+    var (d, m, y) = (22, 1, 20)
+    for (_ <- 0 until dateCols) {
+      dates += s"$m/$d/$y"
+      d += 1
+      if (d > 28) { d = 1; m += 1; if (m > 12) { m = 1; y += 1 } }
+    }
+    val sb = new StringBuilder
+    sb ++= ("Province/State,Country/Region,Lat,Long," + dates.mkString(",") + "\n")
+    for (r <- 0 until rows) {
+      val prov = if (r % 3 == 0) "" else s"Prov${r % 7}"
+      sb ++= s"$prov,Country$r,${r % 90},${-(r % 180)},"
+      sb ++= (0 until dateCols).map(i => ((r * 31 + i * measureSeed) % 1000).toString).mkString(",")
+      sb ++= "\n"
+    }
+    sb.toString
+  }
+
+  private def genLookup(n: Int): String = {
+    val sb = new StringBuilder("Country_Region,iso2,Lat,Long_\n")
+    for (i <- 0 until n) sb ++= s"Country${i % 400},I${i % 99},${i % 90},${i % 180}\n"
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toInt else 289
+    val dateCols = if (args.length > 1) args(1).toInt else 1100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def parse(body: String): DataFrame = graft.sources.Csv.fromString(spark, body)
+    val confirmed = parse(genCsv(rows, dateCols, 1))
+    val deaths = parse(genCsv(rows, dateCols, 2))
+    val recovered = parse(genCsv(rows, dateCols, 3))
+    val lookup = Enrich.withFileOrder(parse(genLookup(4300)))
+    spark.range(10).count() // session warmup, matches Bench practice
+
+    val t0 = System.nanoTime()
+    val out = Pipelines.parser2(confirmed, deaths, recovered, lookup)
+    val n = Pipelines.toJsonRecords(out).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"impl":"graft.Pipelines.parser2(Spark)","rows":$n,"datecols":$dateCols,"sec":${math
+          .round(dt * 100) / 100.0},"records_per_sec":${math.round(n / dt * 10) / 10.0}}"""
+    )
+    spark.stop()
+  }
+}
