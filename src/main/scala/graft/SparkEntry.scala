@@ -362,6 +362,40 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Pure SQL surface (SURVEY §3.3): correlated subquery over views ----
+    "q42_sql_correlated" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        WITH avgs AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) AS ap
+          FROM v_orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name,
+               (SELECT COUNT(*) FROM v_orders o JOIN avgs a ON a.o_custkey = o.o_custkey
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > a.ap) AS big_orders
+        FROM v_customer c
+        ORDER BY c_custkey
+      """)
+    }),
+
+    // ---- A: RANGE window frame (value-based, not row-based) ----
+    "q43_window_range" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .rangeBetween(-5, 0)
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          count(lit(1)).over(w).as("n_in_range"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double").as("range_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- P1+P4+R1 end-to-end: dynamic date-named wide table melted long ----
     "q19_jhu_melt" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -518,6 +552,24 @@ object SparkEntry {
            quantile_cont(l_quantity, 0.75) AS p75,
            min(l_quantity) AS qmin, max(l_quantity) AS qmax
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q42_sql_correlated" ->
+      """WITH avgs AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) AS ap
+           FROM orders GROUP BY o_custkey
+         )
+         SELECT c.c_custkey, c.c_name,
+                (SELECT COUNT(*) FROM orders o JOIN avgs a ON a.o_custkey = o.o_custkey
+                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > a.ap) AS big_orders
+         FROM customer c ORDER BY c_custkey""",
+    "q43_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS n_in_range,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS range_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
     "q19_jhu_melt" ->
       """SELECT l_returnflag,
            strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS date,
