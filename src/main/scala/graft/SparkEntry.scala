@@ -399,10 +399,16 @@ object SparkEntry {
     // ---- P1+P4+R1 end-to-end: dynamic date-named wide table melted long ----
     "q19_jhu_melt" -> ((s, d) => {
       val li = t(s, d, "lineitem")
+      val months = li
+        .select(date_format(date_trunc("month", col("l_shipdate")), "M/d/yy").as("m"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .toSeq
       val wide = li
         .withColumn("mcol", date_format(date_trunc("month", col("l_shipdate")), "M/d/yy"))
         .groupBy(col("l_returnflag"))
-        .pivot("mcol")
+        .pivot("mcol", months)
         .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int"))
       Unpivot
         .meltDates(wide)
