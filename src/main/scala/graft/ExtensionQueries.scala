@@ -263,6 +263,30 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Batch sessionization (lag + cumulative-sum session ids): the
+    //      relational formulation of streaming sessionize, oracled ----
+    "q44_sessionize_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000000
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0),
+        )
+        .withColumn("session_id", sum(col("new_session")).over(wOrd))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- Multimodal plumbing (rows-only check: stubbed codec, real
     //      byte-statistics + schema) ----
     "q34_multimodal_features" -> ((s, d) => {
@@ -389,6 +413,27 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q44_sessionize_batch" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         sessions AS (
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(

@@ -97,16 +97,18 @@ object Similarity {
       k: Int,
       tables: Int = 4,
   ): DataFrame = {
+    // All table signatures in ONE projection + explode — a unionAll of
+    // per-table selects would rescan and re-hash the corpus `tables` times
+    // (same anti-pattern the minhash banding had).
     val buckets = (d: DataFrame, idAs: String) =>
-      (0 until tables)
-        .map { tbl =>
-          d.select(
-            col(idCol).as(idAs),
-            lit(tbl).as("tbl"),
-            lshSignature(col(vecCol), dim, planes, tbl).as("bucket"),
-          )
-        }
-        .reduce(_ unionAll _)
+      d.select(
+        col(idCol).as(idAs),
+        explode(
+          array((0 until tables).map { tbl =>
+            struct(lit(tbl).as("tbl"), lshSignature(col(vecCol), dim, planes, tbl).as("bucket"))
+          }: _*)
+        ).as("tb"),
+      ).select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val cand = buckets(corpus, "neighbor_id")
       .join(broadcast(buckets(queries, "query_id")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
