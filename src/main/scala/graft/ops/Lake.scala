@@ -22,6 +22,12 @@ object Lake {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Explicit-schema variant — at 100 TB always prefer this: JSON schema
+    * inference is a full extra pass over every file before the first query.
+    */
+  def readPartitioned(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def registerTable(spark: SparkSession, path: String, name: String): DataFrame = {
     val df = readPartitioned(spark, path)
     df.createOrReplaceTempView(name)

@@ -112,6 +112,18 @@ class ScaleSpec extends SparkSpec {
     intercept[Exception](strict.collect())
   }
 
+  test("HLL sketch: approx_count_distinct within 5% of exact on high-cardinality keys") {
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val r = li
+      .agg(
+        countDistinct($"l_orderkey").as("exact"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx"),
+      )
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("strict casts (E4): ANSI mode crashes on junk like the reference's int()") {
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     try {
