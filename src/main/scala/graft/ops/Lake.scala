@@ -19,17 +19,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Lake {
 
-  def readPartitioned(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path)
-
-  /** Explicit-schema variant — at 100 TB always prefer this: JSON schema
-    * inference is a full extra pass over every file before the first query.
+  /** Read the lake with partition discovery. Pass `schema` at scale — JSON
+    * schema inference is a full extra pass over every file before the first
+    * query; partition columns (`type=`) are discovered from the layout either
+    * way and appended if absent from the given schema.
     */
-  def readPartitioned(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def readPartitioned(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+  ): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
 
-  def registerTable(spark: SparkSession, path: String, name: String): DataFrame = {
-    val df = readPartitioned(spark, path)
+  def registerTable(
+      spark: SparkSession,
+      path: String,
+      name: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+  ): DataFrame = {
+    val df = readPartitioned(spark, path, schema)
     df.createOrReplaceTempView(name)
     df
   }
@@ -37,8 +45,14 @@ object Lake {
   /** Compact the JSON lake to partitioned parquet (the format the bench
     * tables use): columnar scans, predicate pushdown, stats-based pruning.
     */
-  def compact(spark: SparkSession, jsonPath: String, parquetPath: String, partitionCols: Seq[String]): Unit = {
-    val df = spark.read.json(jsonPath)
+  def compact(
+      spark: SparkSession,
+      jsonPath: String,
+      parquetPath: String,
+      partitionCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+  ): Unit = {
+    val df = readPartitioned(spark, jsonPath, schema)
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(parquetPath)

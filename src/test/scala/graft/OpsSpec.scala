@@ -82,6 +82,27 @@ class OpsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/type=confirmed/Sylvania-North.json").exists())
   }
 
+  test("Lake: explicit schema skips inference; partition column still discovered") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_lake_schema").toString
+    Seq(("a", 1, "confirmed"), ("b", 2, "deaths"))
+      .toDF("name", "v", "type")
+      .write.partitionBy("type").mode("overwrite").json(dir)
+    // schema omits the partition column -> discovery appends it
+    val s1 = StructType(Seq(StructField("name", StringType), StructField("v", LongType)))
+    val df1 = Lake.readPartitioned(spark, dir, Some(s1))
+    assert(df1.columns.toSeq == Seq("name", "v", "type"))
+    assert(df1.filter(col("type") === "deaths").count() == 1)
+    // schema includes the partition column -> honored, no duplicate
+    val s2 = s1.add(StructField("type", StringType))
+    val df2 = Lake.readPartitioned(spark, dir, Some(s2))
+    assert(df2.columns.toSeq == Seq("name", "v", "type"))
+    assert(df2.select("type").distinct().count() == 2)
+    // registerTable threads the schema through to the SQL surface
+    Lake.registerTable(spark, dir, "lake_s", Some(s1))
+    assert(spark.sql("SELECT sum(v) FROM lake_s WHERE type = 'confirmed'").head().getLong(0) == 1L)
+  }
+
   test("Lake: partition discovery recovers type column; SQL surface works") {
     val dir = Files.createTempDirectory("graft_lake").toString
     Sink.partitionedJson(Seq(("a", 1), ("b", 2)).toDF("name", "v"), "confirmed", dir)
