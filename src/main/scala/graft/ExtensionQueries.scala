@@ -148,7 +148,9 @@ object ExtensionQueries {
     // ---- S2+K-class: CSV sink→scan round-trip (all-string DictReader
     //      parity, then casts) ----
     "q31_csv_roundtrip" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      // fresh dir per invocation: concurrent Verify/Bench runs must not
+      // overwrite each other's intermediate files mid-read
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_roundtrip").toString
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         .write
@@ -168,7 +170,7 @@ object ExtensionQueries {
 
     // ---- K1+Lake: partitioned JSON lake write→partition-discovered read ----
     "q32_json_lake" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_lake"
+      val dir = java.nio.file.Files.createTempDirectory("graft_json_lake").toString
       Tables
         .events(s, d)
         .select(col("event_type"), col("user_id"), col("value"))
@@ -300,8 +302,8 @@ object ExtensionQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-         FROM documents GROUP BY 1 ORDER BY content_hash""",
+      s"""SELECT ${sqlHash64("text")} AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "q21_minhash_sig" ->
       s"""SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")}
           FROM (SELECT doc_id, $sqlToks AS toks FROM documents)

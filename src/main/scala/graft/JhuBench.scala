@@ -59,8 +59,23 @@ object JhuBench {
 
     val t0 = System.nanoTime()
     val out = Pipelines.parser2(confirmed, deaths, recovered, lookup)
-    val n = Pipelines.toJsonRecords(out).count()
+    // aggregate over the serialized length so Catalyst cannot column-prune
+    // the to_json projection away (a bare count() would skip the very work
+    // the reference model is timed on)
+    val agg = Pipelines.toJsonRecords(out).agg(count(lit(1)).as("n"), sum(length(col("json"))).as("bytes")).head()
+    val n = agg.getLong(0)
     val dt = (System.nanoTime() - t0) / 1e9
+    // steady-state: second run of the same shape (codegen/plan caches warm) —
+    // the marginal cost of the reference's DAILY re-run, vs dt which includes
+    // one-time plan compilation for the ~1100-column zip projection
+    val t1 = System.nanoTime()
+    val out2 = Pipelines.parser2(confirmed, deaths, recovered, lookup)
+    Pipelines.toJsonRecords(out2).agg(count(lit(1)), sum(length(col("json")))).head()
+    val dt2 = (System.nanoTime() - t1) / 1e9
+    println(
+      s"""{"impl":"graft.Pipelines.parser2(Spark,steady-state)","rows":$n,"datecols":$dateCols,"sec":${math
+          .round(dt2 * 100) / 100.0},"records_per_sec":${math.round(n / dt2 * 10) / 10.0}}"""
+    )
     println(
       s"""{"impl":"graft.Pipelines.parser2(Spark)","rows":$n,"datecols":$dateCols,"sec":${math
           .round(dt * 100) / 100.0},"records_per_sec":${math.round(n / dt * 10) / 10.0}}"""

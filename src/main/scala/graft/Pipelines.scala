@@ -27,12 +27,7 @@ object Pipelines {
   def parser(fact: DataFrame, lookup: DataFrame): DataFrame = {
     val cls = Normalize.classify(fact.columns.toSeq)
     val nested = Unpivot.nest(fact, cls.dateCols)
-    val attrs: Seq[Column] =
-      (cls.other ++ cls.latLong).map {
-        case c @ ("Lat" | "Long") => col(c).cast("double").as(c.toLowerCase)
-        case c                    => col(c).as(c.toLowerCase)
-      }
-    val normalized = nested.select((col("time_series") +: attrs): _*)
+    val normalized = nested.select((col("time_series") +: Normalize.lowercasedAttrs(cls)): _*)
     Enrich.enrich(
       normalized,
       lookup,
@@ -60,12 +55,7 @@ object Pipelines {
       keyCols = key,
     )
     val cls = Normalize.classify(confirmed.columns.toSeq)
-    val attrs: Seq[Column] =
-      (cls.other ++ cls.latLong).map {
-        case c @ ("Lat" | "Long") => col(c).cast("double").as(c.toLowerCase)
-        case c                    => col(c).as(c.toLowerCase)
-      }
-    val normalized = combined.select((col("time_series") +: attrs): _*)
+    val normalized = combined.select((col("time_series") +: Normalize.lowercasedAttrs(cls)): _*)
     Enrich.enrich(
       normalized,
       lookup,

@@ -20,12 +20,12 @@ object Dedup {
 
   /** Exact dedup: one survivor (min id) per distinct value of `keyCol`.
     * Returns (key-hash, n_copies, survivor id). Group on the md5-derived
-    * 64-bit hash, not the raw text — the shuffle carries 8-byte keys.
+    * 60-bit hash, not the raw text — the shuffle carries 8-byte long keys.
     * (Collision risk 2^-60-scale; for absolute certainty group on the full
     * md5 hex instead.)
     */
   def exactGroups(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
-    df.groupBy(md5(keyCol).as("content_hash"))
+    df.groupBy(Hashing.hash64(keyCol).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(idCol).as("keep_id"))
 
   /** Exact dedup applied: keep only the survivor row per key. */
@@ -172,10 +172,10 @@ object Dedup {
     jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
-  /** SimHash near-dup pairs: bucket by the top (bits-prefixBits) bits, pair
-    * within buckets, keep Hamming distance <= maxDist. Blocking keeps the
-    * pairing sub-quadratic; at scale use multiple rotated prefixes for
-    * recall.
+  /** SimHash near-dup pairs: bucket by the TOP `prefixBits` bits (so
+    * 2^prefixBits buckets — larger prefixBits = more, smaller buckets =
+    * cheaper pairing but lower recall), pair within buckets, keep Hamming
+    * distance <= maxDist. At scale use multiple rotated prefixes for recall.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, bits: Int = 16, prefixBits: Int = 6, maxDist: Int = 3): DataFrame = {
     val sigs = df.select(

@@ -25,6 +25,13 @@ object Combine {
   /** J2+R2: join `measures` (name -> wide table) onto `driver` by `keyCols`,
     * then nest `array<struct<date, <measure1>, <measure2>, …>>` over the
     * driver's date columns, zero-filling missing sides/cells.
+    *
+    * Precondition: `keyCols` are unique within each measure table (true for
+    * the reference's data, SURVEY §2.4-J2). With duplicate keys a left-outer
+    * join multiplies driver rows where the reference's `break` takes the
+    * first match — dedupe first with [[Enrich.firstMatch]] (plus
+    * [[Enrich.withFileOrder]] for file-order parity) if a measure table can
+    * carry duplicates.
     */
   def combine(
       driver: DataFrame,

@@ -52,15 +52,22 @@ object Normalize {
   def normalizeDateName(name: String): String =
     LocalDate.parse(name, inFmt).atStartOfDay().format(outFmt)
 
-  /** P2+P3 — lowercase-rename non-date attrs and cast Lat/Long to double
-    * (reference `src/parser.py:37-40`). Pure projection; column pruning and
-    * pushdown still reach the scan through it.
+  /** P2+P3 — the lowercase-rename + Lat/Long double-cast projection columns
+    * for a classified schema (reference `src/parser.py:37-40`), in original
+    * attribute order. Shared by [[normalizeAttrs]] and the two
+    * [[graft.Pipelines]] entry points.
+    */
+  def lowercasedAttrs(cls: ColumnClasses): Seq[Column] =
+    (cls.other ++ cls.latLong).map {
+      case c if LatLongCols(c) => col(c).cast("double").as(c.toLowerCase.stripSuffix("_"))
+      case c                   => col(c).as(c.toLowerCase)
+    }
+
+  /** P2+P3 applied to a whole frame (attrs normalized, date columns kept).
+    * Pure projection; column pruning and pushdown still reach the scan.
     */
   def normalizeAttrs(df: DataFrame): DataFrame = {
     val cls = classify(df.columns.toSeq)
-    val attrs: Seq[Column] =
-      cls.other.map(c => col(c).as(c.toLowerCase)) ++
-        cls.latLong.map(c => col(c).cast("double").as(c.toLowerCase.stripSuffix("_")))
-    df.select(attrs ++ cls.dateCols.map(col): _*)
+    df.select(lowercasedAttrs(cls) ++ cls.dateCols.map(col): _*)
   }
 }

@@ -33,6 +33,10 @@ object Sink {
     df.withColumn("type", lit(category))
       .write
       .partitionBy("type")
+      // dynamic: overwrite only the type= partitions present in this write —
+      // static mode would truncate the whole lake root, deleting every other
+      // category (K3 is per-category idempotent re-PUT, not full truncate)
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .json(path)
 

@@ -79,8 +79,13 @@ object Csv {
       .option("header", "true")
       .option("inferSchema", "false")
       .csv(paths.values.toSeq: _*)
+    // Match on the DECODED last path segment, exactly — a substring match
+    // would misattribute files whose names contain another manifest entry's
+    // name (confirmed.csv vs us_confirmed.csv), and input_file_name() is a
+    // URL-encoded URI, so raw name comparison breaks on e.g. spaces.
+    val lastSegment = url_decode(element_at(split(input_file_name(), "/"), -1))
     val cat = paths.foldLeft(lit(null).cast("string")) { case (acc, (category, path)) =>
-      when(input_file_name().contains(new java.io.File(path).getName), lit(category)).otherwise(acc)
+      when(lastSegment === new java.io.File(path).getName, lit(category)).otherwise(acc)
     }
     df.withColumn("category", cat)
   }

@@ -72,7 +72,11 @@ object EventStream {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
+              // out-of-order (but in-watermark) events may extend the session
+              // EARLIER too — keep start/end as min/max, not first/last seen
+              cur = Some(
+                s.copy(start = math.min(s.start, t), end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value)
+              )
             case Some(s) =>
               closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
@@ -125,7 +129,9 @@ object EventStream {
   }
 
   private def writeTemp(df: DataFrame, name: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$name"
+    // unique per invocation — a fixed path would let concurrent runs
+    // overwrite each other's files mid-scan
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toString
     df.write.mode("overwrite").parquet(dir)
     dir
   }

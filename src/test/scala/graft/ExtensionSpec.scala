@@ -112,7 +112,8 @@ class ExtensionSpec extends SparkSpec {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 2L)))
-    assert(!cands.contains((1L, 3L)) || !cands.contains((2L, 3L)) || true) // unrelated docs may rarely collide
+    // disjoint token sets: deterministic hashes make non-collision checkable
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)), s"unrelated docs collided: $cands")
     val verified = Dedup.jaccardVerify(Dedup.minhashCandidates(docs, "doc_id", "text"), docs, "doc_id", "text", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(verified == Set((1L, 2L)))

@@ -105,11 +105,11 @@ class OpsSpec extends SparkSpec {
 
   test("Lake: partition discovery recovers type column; SQL surface works") {
     val dir = Files.createTempDirectory("graft_lake").toString
+    // dynamic partition overwrite: per-category writes must NOT truncate
+    // each other (K3 idempotent daily re-run is per category)
     Sink.partitionedJson(Seq(("a", 1), ("b", 2)).toDF("name", "v"), "confirmed", dir)
-    Sink.partitionedJson(Seq(("c", 3)).toDF("name", "v"), "deaths", dir)
-    // partitionedJson overwrites the root; re-write with dynamic overwrite per type
-    val both = Seq(("a", 1, "confirmed"), ("b", 2, "confirmed"), ("c", 3, "deaths")).toDF("name", "v", "type")
-    both.write.partitionBy("type").mode("overwrite").json(dir)
+    Sink.partitionedJson(Seq(("x", 9)).toDF("name", "v"), "deaths", dir)
+    Sink.partitionedJson(Seq(("c", 3)).toDF("name", "v"), "deaths", dir) // re-run replaces deaths only
     Lake.registerTable(spark, dir, "lake")
     val got = spark.sql("SELECT type, count(*) n, sum(v) s FROM lake GROUP BY type ORDER BY type")
       .as[(String, Long, Long)].collect().toSeq
