@@ -49,8 +49,17 @@ object EventStream {
   /** Sessionize a stream of events per user with an inactivity `gapMinutes`:
     * emits one [[Session]] row when a session closes (event-time timeout).
     * State per user is a single running summary — O(1) per group.
+    * `watermarkMinutes` (default = gap) bounds how out-of-order events may
+    * be: with a delay larger than the gap, events from before the open
+    * session's window arrive non-late and are emitted as singleton fragment
+    * sessions (single-session-per-key state; full out-of-order merging
+    * would need multi-fragment state).
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkMinutes: Option[Int] = None,
+  ): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
@@ -71,15 +80,21 @@ object EventStream {
         events.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              // out-of-order (but in-watermark) events may extend the session
-              // EARLIER too — keep start/end as min/max, not first/last seen
+            case Some(s) if t > s.end + gapMs =>
+              // gap exceeded: close the current session, start a new one
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case Some(s) if t < s.start - gapMs =>
+              // out-of-order event from BEFORE the open session's window:
+              // emit as its own singleton session (single-session-per-key
+              // state, a documented simplification — full out-of-order
+              // merging needs multi-fragment state)
+              closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+            case Some(s) =>
+              // within [start-gap, end+gap]: extend in either direction
               cur = Some(
                 s.copy(start = math.min(s.start, t), end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value)
               )
-            case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-              cur = Some(SessionState(t, t, 1, e.value))
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
           }
@@ -93,7 +108,7 @@ object EventStream {
     }
 
     events
-      .withWatermark("ts", s"$gapMinutes minutes")
+      .withWatermark("ts", s"${watermarkMinutes.getOrElse(gapMinutes)} minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }

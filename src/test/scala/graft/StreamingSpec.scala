@@ -126,4 +126,39 @@ class StreamingSpec extends SparkSpec {
     val u2 = sessions.filter(_.user_id == 2)
     assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 5.0)
   }
+
+  test("sessionize: out-of-order events extend earlier within gap, fragment beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream
+      // watermark looser than the gap so far-out-of-order events arrive
+      // non-late and exercise the fragment path
+      .sessionize(input.toDS(), gapMinutes = 30, watermarkMinutes = Some(360))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("graft_sessions_ooo")
+      .start()
+    input.addData(Event(1, ts("2024-01-01 12:00:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    // in-gap earlier event: extends session start backwards
+    input.addData(Event(2, ts("2024-01-01 11:45:00"), 1, "view", 2.0))
+    query.processAllAvailable()
+    // far-earlier event (within watermark, before the session window):
+    // emitted as a singleton fragment, open session intact
+    input.addData(Event(3, ts("2024-01-01 08:00:00"), 1, "view", 4.0))
+    query.processAllAvailable()
+    // advance watermark to close everything
+    input.addData(Event(99, ts("2024-01-02 10:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(100, ts("2024-01-03 10:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    val sessions = spark.table("graft_sessions_ooo").as[Session].collect().toSeq
+    query.stop()
+    val u1 = sessions.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length == 2, s"expected fragment + main session, got $u1")
+    assert(u1.head.session_start == ts("2024-01-01 08:00:00") && u1.head.n_events == 1)
+    assert(u1(1).session_start == ts("2024-01-01 11:45:00"), s"start must extend backwards: ${u1(1)}")
+    assert(u1(1).n_events == 2 && u1(1).total_value == 3.0)
+  }
 }
