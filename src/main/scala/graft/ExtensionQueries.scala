@@ -265,6 +265,27 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Near-dup CLUSTERING: pairs → connected components → survivor per
+    //      cluster (the step that turns pair detection into a dedup decision)
+    "q45_neardup_clusters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), TextAnalysis.hashedTokenSet(col("text")).as("toks"))
+      val l = toks.as("l")
+      val r = toks.as("r")
+      val pairs = l
+        .join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
+        .filter(Dedup.jaccardHashed(col("l.toks"), col("r.toks")) >= 0.9)
+        .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"))
+      Dedup
+        .connectedComponents(pairs)
+        .select(
+          col("id").as("doc_id"),
+          col("comp").as("cluster_id"),
+          (col("id") === col("comp")).cast("int").as("is_survivor"),
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- Batch sessionization (lag + cumulative-sum session ids): the
     //      relational formulation of streaming sessionize, oracled ----
     "q44_sessionize_batch" -> ((s, d) => {
@@ -415,6 +436,23 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q45_neardup_clusters" ->
+      s"""WITH RECURSIVE
+            t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM documents),
+            p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+            e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            cc(node, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
+            )
+          SELECT node AS doc_id, MIN(comp) AS cluster_id,
+                 CAST(CASE WHEN node = MIN(comp) THEN 1 ELSE 0 END AS INT) AS is_survivor
+          FROM cc GROUP BY node ORDER BY doc_id""",
     "q44_sessionize_batch" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,

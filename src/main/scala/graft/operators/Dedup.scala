@@ -172,6 +172,42 @@ object Dedup {
     jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
+  /** Connected components over an undirected pair graph (`src`,`dst` long
+    * ids) by iterative min-label propagation: every node adopts the minimum
+    * label among itself and its neighbors until fixpoint (O(component
+    * diameter) rounds — near-dup clusters are dense, so typically 2-3).
+    * Returns (id, component) where component = min id in the cluster — the
+    * canonical survivor. Each round is one join + partial-aggregated min;
+    * `localCheckpoint` truncates the growing lineage. This is the step that
+    * turns near-dup PAIRS into an actual dedup decision.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct().withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = und
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next
+        .withColumnRenamed("comp", "ncomp2")
+        .join(labels, "id")
+        .filter(col("ncomp2") =!= col("comp"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: bucket by the TOP `prefixBits` bits (so
     * 2^prefixBits buckets — larger prefixBits = more, smaller buckets =
     * cheaper pairing but lower recall), pair within buckets, keep Hamming

@@ -119,6 +119,13 @@ class ExtensionSpec extends SparkSpec {
     assert(verified == Set((1L, 2L)))
   }
 
+  test("connectedComponents: min-label clusters over a known pair graph") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("langId predicts the language with the most stopword hits") {
     val df = Seq(
       "the cat and the dog is in a tree of it",
