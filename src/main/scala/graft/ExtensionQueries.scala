@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -286,6 +286,28 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- As-of join: each click enriched with the user's most recent
+    //      purchase value at click time (temporal enrichment) ----
+    "q46_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin
+        .asOf(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("value").as("click_value"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("last_purchase_value"),
+        )
+        .orderBy("event_id")
+    }),
+
     // ---- Batch sessionization (lag + cumulative-sum session ids): the
     //      relational formulation of streaming sessionize, oracled ----
     "q44_sessionize_batch" -> ((s, d) => {
@@ -436,6 +458,20 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q46_asof_join" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'click'
+         )
+         SELECT c.event_id, c.user_id, c.value AS click_value,
+                COALESCE(p.purchase_value, -1.0) AS last_purchase_value
+         FROM clicks c
+         ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
     "q45_neardup_clusters" ->
       s"""WITH RECURSIVE
             t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM documents),

@@ -119,6 +119,31 @@ class ExtensionSpec extends SparkSpec {
     assert(verified == Set((1L, 2L)))
   }
 
+  test("asOf join: latest dim state at fact time, inclusive ties, null before first") {
+    import graft.operators.AsOfJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 200.0),
+      (2L, ts("2024-01-01 11:00:00"), 999.0),
+    ).toDF("k", "ts", "state")
+    val fact = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")), // before any dim -> null
+      (11L, 1L, ts("2024-01-01 10:00:00")), // tie -> inclusive (100.0)
+      (12L, 1L, ts("2024-01-01 11:59:00")), // between -> 100.0
+      (13L, 1L, ts("2024-01-01 13:00:00")), // after last -> 200.0
+      (14L, 3L, ts("2024-01-01 13:00:00")), // key with no dim -> null
+    ).toDF("id", "k", "ts")
+    val got = AsOfJoin
+      .asOf(fact, dim, Seq("k"), "ts", "ts", Seq("state"))
+      .select($"id", $"state")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    assert(got == Map(10L -> None, 11L -> Some(100.0), 12L -> Some(100.0), 13L -> Some(200.0), 14L -> None))
+  }
+
   test("connectedComponents: min-label clusters over a known pair graph") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("src", "dst")
