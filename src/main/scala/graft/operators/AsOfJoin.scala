@@ -34,27 +34,46 @@ object AsOfJoin {
       valueCols: Seq[String],
   ): DataFrame = {
     val factCols = fact.columns.toSeq
-    val dimSide = dim.select(
+    val reserved = Seq("__ts", "__is_dim", "__dim")
+    require(
+      valueCols.intersect(factCols).isEmpty && reserved.intersect(factCols ++ dim.columns).isEmpty,
+      s"asOf: valueCols must not collide with fact columns, and ${reserved.mkString("/")} are reserved",
+    )
+    // Join-semantics guards: a NULL dim timestamp can never satisfy ts<=factTs,
+    // and NULL keys never equality-match — drop such dim rows up front
+    // (Spark's nulls-first ordering / null-grouping partitionBy would
+    // otherwise let them enrich facts).
+    val dimClean = dim.filter(col(dimTs).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
+    // Carry the dim row as ONE struct: last(ignoreNulls) then picks the last
+    // dim ROW atomically — a dim row whose value fields are genuinely NULL
+    // still wins (per-column carry would skip it and mix columns from
+    // different dim rows).
+    val dimSide = dimClean.select(
       keyCols.map(col) ++
-        Seq(col(dimTs).as("__ts"), lit(1).as("__is_dim")) ++
-        valueCols.map(col) ++
+        Seq(
+          col(dimTs).as("__ts"),
+          lit(1).as("__is_dim"),
+          struct(valueCols.map(col): _*).as("__dim"),
+        ) ++
         factCols.filterNot(c => keyCols.contains(c)).map(c => lit(null).cast(fact.schema(c).dataType).as(c)): _*
     )
     val factSide = fact.select(
       keyCols.map(col) ++
         Seq(col(factTs).as("__ts"), lit(0).as("__is_dim")) ++
-        valueCols.map(c => lit(null).cast(dim.schema(c).dataType).as(c)) ++
         factCols.filterNot(c => keyCols.contains(c)).map(col): _*
+    )
+    val factTagged = factSide.withColumn(
+      "__dim",
+      lit(null).cast(dimSide.schema("__dim").dataType),
     )
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_dim").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(factSide.unionByName(dimSide)) { case (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    carried
+    factTagged
+      .unionByName(dimSide)
+      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
       .filter(col("__is_dim") === 0)
-      .select(factCols.map(col) ++ valueCols.map(col): _*)
+      .select(factCols.map(col) ++ valueCols.map(v => col(s"__dim.$v").as(v)): _*)
   }
 }

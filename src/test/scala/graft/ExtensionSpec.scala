@@ -144,6 +144,34 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Map(10L -> None, 11L -> Some(100.0), 12L -> Some(100.0), 13L -> Some(200.0), 14L -> None))
   }
 
+  test("asOf join: SQL null semantics — null dim values win atomically, null keys/ts never match") {
+    import graft.operators.AsOfJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), Some(100.0)),
+      (Some(1L), Some(ts("2024-01-01 12:00:00")), None), // genuinely NULL state
+      (Some(2L), None, Some(42.0)), // NULL dim ts: must never match
+      (None, Some(ts("2024-01-01 10:00:00")), Some(7.0)), // NULL key: must never match
+    ).toDF("k", "ts", "state")
+    val fact = Seq(
+      (20L, Some(1L), ts("2024-01-01 13:00:00")), // matches the 12:00 row -> NULL, not stale 100.0
+      (21L, Some(2L), ts("2024-01-01 13:00:00")), // only a null-ts dim row -> no match
+      (22L, None, ts("2024-01-01 13:00:00")), // null fact key -> no match
+    ).toDF("id", "k", "ts")
+    val got = AsOfJoin
+      .asOf(fact, dim, Seq("k"), "ts", "ts", Seq("state"))
+      .select($"id", $"state")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    assert(got == Map(20L -> None, 21L -> None, 22L -> None))
+    // name-collision precondition is loud, not a silent AnalysisException
+    intercept[IllegalArgumentException](
+      AsOfJoin.asOf(fact.withColumnRenamed("id", "state"), dim, Seq("k"), "ts", "ts", Seq("state"))
+    )
+  }
+
   test("connectedComponents: min-label clusters over a known pair graph") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("src", "dst")
