@@ -286,6 +286,38 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Content scan: PII-ish pattern counts + repetition ratio (the
+    //      standard pre-training filters) ----
+    "q47_content_scan" -> ((s, d) => {
+      val toks = TextAnalysis.wsTokens(col("text"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+@[A-Za-z0-9]+")).as("email_like"),
+          regexp_count(col("text"), lit("http[A-Za-z0-9:/.]+")).as("url_like"),
+          regexp_count(col("text"), lit("[0-9][0-9][0-9]+")).as("long_numbers"),
+          (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)).as("repetition_ratio"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Deterministic sampling + class balancing (hash-based: the
+    //      reproducible, engine-agnostic way to cut training data) ----
+    "q48_hash_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // 10% sample: hash-bucket membership, reproducible anywhere
+      val sampled = docs.filter(Hashing.hash64(col("text")) % 100 < 10)
+      // class-balance: at most 5 sampled docs per lang, chosen by hash order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(Hashing.hash64(col("text")), col("doc_id"))
+      sampled
+        .withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= 5)
+        .select(col("lang"), col("pick"), col("doc_id"))
+        .orderBy("lang", "pick")
+    }),
+
     // ---- As-of join: each click enriched with the user's most recent
     //      purchase value at click time (temporal enrichment) ----
     "q46_asof_join" -> ((s, d) => {
@@ -458,6 +490,25 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q47_content_scan" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+')) AS INT) AS email_like,
+           CAST(len(regexp_extract_all(text, 'http[A-Za-z0-9:/.]+')) AS INT) AS url_like,
+           CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS INT) AS long_numbers,
+           1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+')) AS repetition_ratio
+         FROM documents ORDER BY doc_id""",
+    "q48_hash_sample" ->
+      s"""WITH sampled AS (
+            SELECT doc_id, lang, ${sqlHash64("text")} % 100 AS bucket, ${sqlHash64("text")} AS h
+            FROM documents WHERE ${sqlHash64("text")} % 100 < 10
+          ),
+          picked AS (
+            SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS pick
+            FROM sampled
+          )
+          SELECT lang, CAST(pick AS INT) AS pick, doc_id FROM picked
+          WHERE pick <= 5 ORDER BY lang, pick""",
     "q46_asof_join" ->
       """WITH purchases AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value

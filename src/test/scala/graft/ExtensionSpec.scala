@@ -233,6 +233,23 @@ class ExtensionSpec extends SparkSpec {
     assert(plan.contains("Aggregate"), plan)
   }
 
+  test("minhash: array-expression form and explode-agg form agree") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(100)
+    val viaArray = docs
+      .select(col("doc_id") +: Hashing.minhash(TextAnalysis.tokenSet(col("text")), 4).zipWithIndex.map {
+        case (c, i) => c.as(s"mh$i")
+      }: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_)))
+      .toMap
+    val viaAgg = Dedup
+      .withMinhash(docs.select(col("doc_id"), col("text")), Seq("doc_id"), col("text"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_)))
+      .toMap
+    assert(viaArray == viaAgg)
+  }
+
   test("fingerprint is stable and order-sensitive") {
     val got = Seq("ab", "ba", "ab").toDF("t")
       .select(TextAnalysis.fingerprint(col("t")).as("f")).as[Long].collect()
