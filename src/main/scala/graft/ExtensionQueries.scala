@@ -305,12 +305,15 @@ object ExtensionQueries {
     //      reproducible, engine-agnostic way to cut training data) ----
     "q48_hash_sample" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // hash computed ONCE (filter + sort key share it; Catalyst doesn't CSE
+      // across the filter and the window sort projection)
+      val hashed = docs.withColumn("__h", Hashing.hash64(col("text")))
       // 10% sample: hash-bucket membership, reproducible anywhere
-      val sampled = docs.filter(Hashing.hash64(col("text")) % 100 < 10)
+      val sampled = hashed.filter(col("__h") % 100 < 10)
       // class-balance: at most 5 sampled docs per lang, chosen by hash order
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
-        .orderBy(Hashing.hash64(col("text")), col("doc_id"))
+        .orderBy(col("__h"), col("doc_id"))
       sampled
         .withColumn("pick", row_number().over(w))
         .filter(col("pick") <= 5)

@@ -35,6 +35,7 @@ object AsOfJoin {
   ): DataFrame = {
     val factCols = fact.columns.toSeq
     val reserved = Seq("__ts", "__is_dim", "__dim")
+    require(keyCols.nonEmpty, "asOf: at least one key column is required")
     require(
       valueCols.intersect(factCols).isEmpty && reserved.intersect(factCols ++ dim.columns).isEmpty,
       s"asOf: valueCols must not collide with fact columns, and ${reserved.mkString("/")} are reserved",
