@@ -321,6 +321,15 @@ object ExtensionQueries {
         .orderBy("lang", "pick")
     }),
 
+    // ---- Capstone: full curation pipeline (quality gate -> near-dup CC ->
+    //      survivors), composed from verified operators ----
+    "q49_curate" -> ((s, d) => {
+      graft.operators.Curate
+        .curate(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- As-of join: each click enriched with the user's most recent
     //      purchase value at click time (temporal enrichment) ----
     "q46_asof_join" -> ((s, d) => {
@@ -493,6 +502,28 @@ object ExtensionQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    "q49_curate" ->
+      s"""WITH RECURSIVE
+            q AS (SELECT doc_id, lang, source, text FROM documents
+                  WHERE length(text) >= 100
+                    AND 1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                              / len(string_split_regex(trim(text), '\\s+')) <= 0.65),
+            t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM q),
+            p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+            e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            cc(node, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
+            ),
+            nonsurv AS (SELECT node FROM cc GROUP BY node HAVING node <> MIN(comp))
+          SELECT doc_id, lang, source FROM q
+          WHERE doc_id NOT IN (SELECT node FROM nonsurv)
+          ORDER BY doc_id""",
     "q47_content_scan" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+')) AS INT) AS email_like,

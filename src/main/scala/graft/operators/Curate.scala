@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a pre-training data pipeline
+  * actually runs, built entirely from the engine's verified operators:
+  *
+  *   1. quality gate: length + repetition filters (TextAnalysis features);
+  *   2. near-dup removal: source-blocked hashed-Jaccard pairs → connected
+  *      components → keep only cluster survivors (min doc id);
+  *   3. the survivors of both gates, ready for sampling/sharding.
+  *
+  * Each stage is a narrowing filter, so the expensive pair step only ever
+  * sees quality-passing docs. At 100 TB: stage 1 is a projection at scan
+  * speed; stage 2's shuffles carry hashed token sets and (id, component)
+  * labels, never raw text.
+  */
+object Curate {
+
+  final case class Config(
+      minChars: Int = 100,
+      maxRepetition: Double = 0.65,
+      neardupThreshold: Double = 0.9,
+      blockCol: String = "source",
+  )
+
+  /** Returns the curated corpus: input rows that pass the quality gate and
+    * are their near-dup cluster's survivor (or belong to no cluster).
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val quality = docs.filter(
+      length(col("text")) >= cfg.minChars &&
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) <= cfg.maxRepetition
+    )
+    val hashed = quality.select(
+      col("doc_id"),
+      col(cfg.blockCol).as("block"),
+      TextAnalysis.hashedTokenSet(col("text")).as("toks"),
+    )
+    val pairs = hashed
+      .as("l")
+      .join(hashed.as("r"), col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
+      .filter(Dedup.jaccardHashed(col("l.toks"), col("r.toks")) >= cfg.neardupThreshold)
+      .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"))
+    val nonSurvivors = Dedup
+      .connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    quality.join(nonSurvivors, Seq("doc_id"), "left_anti")
+  }
+}

@@ -172,6 +172,20 @@ class ExtensionSpec extends SparkSpec {
     )
   }
 
+  test("Curate: removes short docs, repetitive docs, and near-dup non-survivors") {
+    import graft.operators.Curate
+    val long = (1 to 40).map(i => s"word$i").mkString(" ") // ~280 chars, zero repetition
+    val docs = Seq(
+      (1L, long, "en", "s1"), // survivor of its dup cluster (min id)
+      (2L, long, "en", "s1"), // exact dup of 1 -> removed
+      (3L, "short", "en", "s1"), // too short -> removed
+      (4L, ("spam " * 60).trim, "en", "s1"), // 300 chars but repetition ~1 -> removed
+      (5L, long.replace("word1 ", "omega "), "en", "s2"), // different block: kept
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = Curate.curate(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"got $kept")
+  }
+
   test("connectedComponents: min-label clusters over a known pair graph") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("src", "dst")
