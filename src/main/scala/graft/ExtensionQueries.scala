@@ -38,6 +38,25 @@ object ExtensionQueries {
     """list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+  /** Shared CTE block: block-scoped jaccard pairs over `docSource` (must
+    * expose doc_id/source/text) + recursive connected-components closure.
+    * One definition feeding both the q45 and q49 oracles — the Scala side's
+    * [[graft.operators.Dedup.jaccardPairs]]/connectedComponents mirror.
+    */
+  private def sqlCcOver(docSource: String, threshold: Double): String =
+    s"""t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM $docSource),
+        p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= $threshold),
+        e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        nodes AS (SELECT DISTINCT src AS id FROM e),
+        cc(node, comp) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
+        )"""
+
   private def sqlStopHits(lang: String): String = {
     val words = TextAnalysis.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($words)))"
@@ -77,14 +96,8 @@ object ExtensionQueries {
 
     // ---- N-gram (token-set) Jaccard near-dup pairs, blocked by source ----
     "q24_jaccard_pairs" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), TextAnalysis.hashedTokenSet(col("text")).as("toks"))
-      val l = toks.as("l")
-      val r = toks.as("r")
-      l.join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
-        .withColumn("jaccard", Dedup.jaccardHashed(col("l.toks"), col("r.toks")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"), col("jaccard"))
+      Dedup
+        .jaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", threshold = 0.6)
         .orderBy("id_a", "id_b")
     }),
 
@@ -268,14 +281,9 @@ object ExtensionQueries {
     // ---- Near-dup CLUSTERING: pairs → connected components → survivor per
     //      cluster (the step that turns pair detection into a dedup decision)
     "q45_neardup_clusters" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), TextAnalysis.hashedTokenSet(col("text")).as("toks"))
-      val l = toks.as("l")
-      val r = toks.as("r")
-      val pairs = l
-        .join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
-        .filter(Dedup.jaccardHashed(col("l.toks"), col("r.toks")) >= 0.9)
-        .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"))
+      val pairs = Dedup
+        .jaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", threshold = 0.9)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
       Dedup
         .connectedComponents(pairs)
         .select(
@@ -508,18 +516,7 @@ object ExtensionQueries {
                   WHERE length(text) >= 100
                     AND 1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
                               / len(string_split_regex(trim(text), '\\s+')) <= 0.65),
-            t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM q),
-            p AS (SELECT a.doc_id AS src, b.doc_id AS dst
-                  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-                  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
-                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
-            e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
-            nodes AS (SELECT DISTINCT src AS id FROM e),
-            cc(node, comp) AS (
-              SELECT id, id FROM nodes
-              UNION
-              SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
-            ),
+            ${sqlCcOver("q", 0.9)},
             nonsurv AS (SELECT node FROM cc GROUP BY node HAVING node <> MIN(comp))
           SELECT doc_id, lang, source FROM q
           WHERE doc_id NOT IN (SELECT node FROM nonsurv)
@@ -559,18 +556,7 @@ object ExtensionQueries {
          ORDER BY c.event_id""",
     "q45_neardup_clusters" ->
       s"""WITH RECURSIVE
-            t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM documents),
-            p AS (SELECT a.doc_id AS src, b.doc_id AS dst
-                  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-                  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
-                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
-            e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
-            nodes AS (SELECT DISTINCT src AS id FROM e),
-            cc(node, comp) AS (
-              SELECT id, id FROM nodes
-              UNION
-              SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
-            )
+            ${sqlCcOver("documents", 0.9)}
           SELECT node AS doc_id, MIN(comp) AS cluster_id,
                  CAST(CASE WHEN node = MIN(comp) THEN 1 ELSE 0 END AS INT) AS is_survivor
           FROM cc GROUP BY node ORDER BY doc_id""",

@@ -31,20 +31,17 @@ object Curate {
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val toks = TextAnalysis.wsTokens(col("text"))
-    val quality = docs.filter(
-      length(col("text")) >= cfg.minChars &&
-        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) <= cfg.maxRepetition
-    )
-    val hashed = quality.select(
-      col("doc_id"),
-      col(cfg.blockCol).as("block"),
-      TextAnalysis.hashedTokenSet(col("text")).as("toks"),
-    )
-    val pairs = hashed
-      .as("l")
-      .join(hashed.as("r"), col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
-      .filter(Dedup.jaccardHashed(col("l.toks"), col("r.toks")) >= cfg.neardupThreshold)
-      .select(col("l.doc_id").as("src"), col("r.doc_id").as("dst"))
+    // materialize the gated corpus once — it fans out into the pair branch
+    // AND the final anti-join left side (two full re-scans otherwise)
+    val quality = docs
+      .filter(
+        length(col("text")) >= cfg.minChars &&
+          (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) <= cfg.maxRepetition
+      )
+      .localCheckpoint()
+    val pairs = Dedup
+      .jaccardPairs(quality, "doc_id", "text", cfg.blockCol, cfg.neardupThreshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nonSurvivors = Dedup
       .connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))

@@ -172,6 +172,25 @@ object Dedup {
     jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
+  /** Block-scoped hashed-Jaccard pair enumeration: all (id_a < id_b) pairs
+    * within the same `blockCol` whose hashed-token-set Jaccard meets
+    * `threshold`. The shared pair source for q24/q45/Curate — one definition
+    * so the predicate can't drift between callers.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      col(blockCol).as("block"),
+      TextAnalysis.hashedTokenSet(col(textCol)).as("toks"),
+    )
+    toks
+      .as("l")
+      .join(toks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .withColumn("jaccard", jaccardHashed(col("l.toks"), col("r.toks")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
+  }
+
   /** Connected components over an undirected pair graph (`src`,`dst` long
     * ids) by iterative min-label propagation: every node adopts the minimum
     * label among itself and its neighbors until fixpoint (O(component
