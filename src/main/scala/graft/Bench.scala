@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,7 +17,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Reduce every row to a hash and sum — a bare count() lets Catalyst
+      // prune the projections, so expensive output columns (regex, JSON,
+      // custom expressions) would never execute and the timing would not
+      // measure what the correctness gate verifies.
+      try {
+        val out = fn(spark, sfDir)
+        out
+          .select(xxhash64(struct(out.columns.map(col): _*)).as("__h"))
+          .agg(sum(col("__h")))
+          .collect()
+      } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

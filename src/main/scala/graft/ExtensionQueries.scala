@@ -18,6 +18,9 @@ object ExtensionQueries {
 
   private val K = 8 // minhash permutations
   private val SimBits = 16 // simhash width
+  private val EmbDim = 64 // embeddings.embedding length
+  private val LshPlanes = 4 // hyperplanes per ANN hash table
+  private val LshTables = 4 // ANN hash tables oracled by q50
 
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
   private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
@@ -38,10 +41,22 @@ object ExtensionQueries {
     """list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+  /** Recursive connected-components closure over an edge relation
+    * `pairsRel(src, dst)` — the DuckDB mirror of
+    * [[graft.operators.Dedup.connectedComponents]].
+    */
+  private def sqlCcFromPairs(pairsRel: String): String =
+    s"""e AS (SELECT src, dst FROM $pairsRel UNION SELECT dst, src FROM $pairsRel),
+        nodes AS (SELECT DISTINCT src AS id FROM e),
+        cc(node, comp) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
+        )"""
+
   /** Shared CTE block: block-scoped jaccard pairs over `docSource` (must
     * expose doc_id/source/text) + recursive connected-components closure.
-    * One definition feeding both the q45 and q49 oracles — the Scala side's
-    * [[graft.operators.Dedup.jaccardPairs]]/connectedComponents mirror.
+    * The Scala side's [[graft.operators.Dedup.jaccardPairs]] mirror (q45).
     */
   private def sqlCcOver(docSource: String, threshold: Double): String =
     s"""t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM $docSource),
@@ -49,13 +64,59 @@ object ExtensionQueries {
               FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
               WHERE len(list_intersect(a.toks, b.toks)) * 1.0
                     / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= $threshold),
-        e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
-        nodes AS (SELECT DISTINCT src AS id FROM e),
-        cc(node, comp) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT e.dst, cc.comp FROM cc JOIN e ON e.src = cc.node WHERE cc.comp < e.dst
-        )"""
+        ${sqlCcFromPairs("p")}"""
+
+  /** Shared CTE block mirroring [[graft.operators.Dedup.minhashNearDupPairs]]
+    * over `docSource` (must expose doc_id/text): LSH banding candidates →
+    * signature-agreement prefilter → exact hashed-set Jaccard verify.
+    * Terminal relation: `lshp(id_a, id_b, jaccard)`. One definition feeding
+    * both the q22 and q49 oracles so the two sides cannot drift.
+    */
+  private def sqlLshPairs(docSource: String, threshold: Double, minAgree: Int = 4): String = {
+    val bands = 4
+    val rows = K / bands
+    val bandKeys = (0 until bands)
+      .map { b =>
+        val cols = (b * rows until (b + 1) * rows).map(i => s"CAST(mh$i AS VARCHAR)").mkString(", '_', ")
+        s"SELECT doc_id AS id, $b AS band, concat($cols) AS band_key FROM sig"
+      }
+      .mkString(" UNION ALL ")
+    val agree = (0 until K).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""toks AS (SELECT doc_id, $sqlToks AS toks FROM $docSource),
+        hs AS (SELECT doc_id, $sqlToksHashed AS toks FROM $docSource),
+        sig AS (SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")} FROM toks),
+        banded AS ($bandKeys),
+        cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l
+                 JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
+        pre AS (SELECT id_a, id_b FROM cand
+                JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id
+                WHERE $agree >= $minAgree),
+        scored AS (SELECT id_a, id_b,
+          len(list_intersect(a.toks, b.toks)) * 1.0
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+          FROM pre JOIN hs a ON pre.id_a = a.doc_id JOIN hs b ON pre.id_b = b.doc_id),
+        lshp AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= $threshold)"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.Similarity.lshSignature]] for hash
+    * table `tbl`: the deterministic pseudo-plane is the same LCG formula
+    * (`(plane*dim + i) * 2654435761 + 1013904223 mod 2^31`, scaled to
+    * [-0.5, 0.5)); the dot product accumulates left-to-right exactly like
+    * Spark's `aggregate`, via list_reduce with a prepended 0.0 seed.
+    */
+  private def sqlLshBucket(tbl: Int): String = {
+    val bits = (0 until LshPlanes).map { j =>
+      val plane = tbl * LshPlanes + j
+      val dot =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, $EmbDim), i ->
+             CAST(embedding[i+1] AS DOUBLE) *
+             (CAST((($plane * $EmbDim + i) * 2654435761 + 1013904223) % 2147483648 AS DOUBLE)
+                / 2147483648.0 - 0.5))),
+             (acc, x) -> acc + x)"""
+      s"(CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
 
   private def sqlStopHits(lang: String): String = {
     val words = TextAnalysis.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -384,14 +445,50 @@ object ExtensionQueries {
         .orderBy("user_id", "session_id")
     }),
 
-    // ---- Multimodal plumbing (rows-only check: stubbed codec, real
-    //      byte-statistics + schema) ----
+    // ---- Multimodal plumbing: stubbed codec, real byte-statistics +
+    //      schema; fully oracled (the stub math is deterministic and
+    //      mirrored in DuckDB). Entropy is rounded to 6 decimals on BOTH
+    //      sides: JVM Math.log and DuckDB ln may differ in the last ulp. ----
     "q34_multimodal_features" -> ((s, d) => {
       val media = Multimodal.synthesizeFromDocuments(t(s, d, "documents"))
       Multimodal
         .extractFeatures(media)
         .toDF()
+        .withColumn("byte_entropy", round(col("byte_entropy"), 6))
         .orderBy("media_id")
+    }),
+    // ---- ANN LSH bucket assignment: the deterministic signature math that
+    //      underlies lshTopK, pinned by a DuckDB mirror (recall itself is
+    //      pinned by the ExtensionSpec recall assertion) ----
+    "q50_lsh_buckets" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      emb
+        .select(
+          col("vec_id") +: (0 until LshTables).map { tbl =>
+            Similarity.lshSignature(col("embedding"), EmbDim, LshPlanes, tbl).as(s"bucket_t$tbl")
+          }: _*
+        )
+        .orderBy("vec_id")
+    }),
+
+    // ---- Streaming exact dedup: duplicated events through a real
+    //      AvailableNow streaming query with dropDuplicatesWithinWatermark —
+    //      stream result == batch distinct, checkable by the oracle ----
+    "q51_stream_dedup" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val dup = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+      EventStream
+        .dedupOneShot(s, dup, Seq("event_id"), "graft_q51")
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"),
+          col("event_type"),
+          col("value"),
+        )
+        .orderBy("event_id")
     }),
   )
 
@@ -403,31 +500,9 @@ object ExtensionQueries {
       s"""SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")}
           FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
           ORDER BY doc_id""",
-    "q22_minhash_lsh_pairs" -> {
-      val bands = 4
-      val rows = K / bands
-      val bandKeys = (0 until bands)
-        .map { b =>
-          val cols = (b * rows until (b + 1) * rows).map(i => s"CAST(mh$i AS VARCHAR)").mkString(", '_', ")
-          s"SELECT doc_id AS id, $b AS band, concat($cols) AS band_key FROM sig"
-        }
-        .mkString(" UNION ALL ")
-      val agree = (0 until K).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-              hs AS (SELECT doc_id, $sqlToksHashed AS toks FROM documents),
-              sig AS (SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")} FROM toks),
-              banded AS ($bandKeys),
-              cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l
-                       JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
-              pre AS (SELECT id_a, id_b FROM cand
-                      JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id
-                      WHERE $agree >= 4),
-              scored AS (SELECT id_a, id_b,
-                len(list_intersect(a.toks, b.toks)) * 1.0
-                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-                FROM pre JOIN hs a ON pre.id_a = a.doc_id JOIN hs b ON pre.id_b = b.doc_id)
-         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
-    },
+    "q22_minhash_lsh_pairs" ->
+      s"""WITH ${sqlLshPairs("documents", 0.8)}
+          SELECT id_a, id_b, jaccard FROM lshp ORDER BY id_a, id_b""",
     "q23_simhash" ->
       s"""SELECT doc_id, $sqlSimhash AS simhash
           FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
@@ -509,18 +584,61 @@ object ExtensionQueries {
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
-    // q34_multimodal_features: no oracle (stub codec; driver rows-only check)
+    // Mirrors Multimodal.StubCodec + extractFeatures exactly: the h=h*31+b
+    // Java long (wrapping) hash over the first 64 bytes is emulated with
+    // HUGEINT mod-2^64 arithmetic; the entropy loop (ascending byte value,
+    // sequential -= p*ln(p)/ln(2)) via an ordered count list + list_reduce.
+    // documents.text is pure ASCII at every SF (verified), so DuckDB char
+    // codes == the utf-8 bytes Spark hashes.
+    "q34_multimodal_features" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c FROM documents),
+           cnt AS (SELECT doc_id, ascii(c) AS bv, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+           hist AS (SELECT doc_id, list(cnt ORDER BY bv) AS cs, SUM(cnt) AS n, SUM(bv*cnt) AS s
+                    FROM cnt GROUP BY doc_id),
+           hsh AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                           list_transform(string_split(substr(text,1,64),''), c -> CAST(ascii(c) AS HUGEINT))),
+                         (acc, c) -> (acc * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS hu
+             FROM documents),
+           sgn AS (SELECT doc_id,
+             CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS sv FROM hsh),
+           dims AS (SELECT doc_id, CASE WHEN sv < 0 THEN -sv ELSE sv END AS a FROM sgn)
+         SELECT d0.doc_id AS media_id,
+           CASE CAST(d0.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(length(d0.text) AS INT) AS n_bytes,
+           CAST(64 + (dm.a % 1024) AS INT) AS width,
+           CAST(64 + ((dm.a // 1024) % 1024) AS INT) AS height,
+           CAST(h.s AS DOUBLE) / h.n AS byte_mean,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(h.cs, c -> (CAST(c AS DOUBLE)/h.n) * ln(CAST(c AS DOUBLE)/h.n) / ln(2))),
+                 (acc, x) -> acc - x), 6) AS byte_entropy,
+           CASE WHEN CAST(d0.doc_id % 3 AS INT) = 2
+                THEN CAST((((length(d0.text) + 255)//256) + 3)//4 AS INT) ELSE 0 END AS frames_sampled
+         FROM documents d0 JOIN dims dm ON d0.doc_id = dm.doc_id JOIN hist h ON d0.doc_id = h.doc_id
+         ORDER BY media_id""",
     "q49_curate" ->
       s"""WITH RECURSIVE
             q AS (SELECT doc_id, lang, source, text FROM documents
                   WHERE length(text) >= 100
                     AND 1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
                               / len(string_split_regex(trim(text), '\\s+')) <= 0.65),
-            ${sqlCcOver("q", 0.9)},
+            ${sqlLshPairs("q", 0.9)},
+            lp AS (SELECT id_a AS src, id_b AS dst FROM lshp),
+            ${sqlCcFromPairs("lp")},
             nonsurv AS (SELECT node FROM cc GROUP BY node HAVING node <> MIN(comp))
           SELECT doc_id, lang, source FROM q
           WHERE doc_id NOT IN (SELECT node FROM nonsurv)
           ORDER BY doc_id""",
+    "q50_lsh_buckets" ->
+      s"""SELECT vec_id, ${(0 until LshTables).map(t => s"${sqlLshBucket(t)} AS bucket_t$t").mkString(", ")}
+          FROM embeddings ORDER BY vec_id""",
+    // The dedup survivor set of (events UNION duplicated subset) is exactly
+    // the events table: event_id is unique there and duplicate rows are
+    // byte-identical, so first-occurrence-wins == DISTINCT == the base table.
+    "q51_stream_dedup" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "q47_content_scan" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+')) AS INT) AS email_like,

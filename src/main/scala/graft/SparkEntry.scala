@@ -538,8 +538,11 @@ object SparkEntry {
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q38_json_extract" ->
+      // CAST AS BIGINT: DuckDB's SUM(INT) returns HUGEINT (rendered as a
+      // float in the driver hash) while Spark's sum(int) is BIGINT.
       """SELECT CAST(json_extract_string(props, 'k') AS INT) % 10 AS k_mod,
-           COUNT(*) AS n, SUM(CAST(json_extract_string(props, 'k') AS INT)) AS k_sum
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, 'k') AS INT)) AS BIGINT) AS k_sum
          FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""",
     "q39_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,

@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * actually runs, built entirely from the engine's verified operators:
   *
   *   1. quality gate: length + repetition filters (TextAnalysis features);
-  *   2. near-dup removal: source-blocked hashed-Jaccard pairs → connected
-  *      components → keep only cluster survivors (min doc id);
+  *   2. near-dup removal: MinHash+LSH candidate pairs (banded equi-join — no
+  *      quadratic step outside tiny band buckets) → connected components →
+  *      keep only cluster survivors (min doc id);
   *   3. the survivors of both gates, ready for sampling/sharding.
   *
   * Each stage is a narrowing filter, so the expensive pair step only ever
   * sees quality-passing docs. At 100 TB: stage 1 is a projection at scan
-  * speed; stage 2's shuffles carry hashed token sets and (id, component)
-  * labels, never raw text.
+  * speed; stage 2's shuffles carry minhash longs, hashed token sets and
+  * (id, component) labels, never raw text. The default candidate generator
+  * is LSH ([[Dedup.minhashNearDupPairs]]); the block-scoped all-pairs
+  * variant ([[Dedup.jaccardPairs]]) remains available for corpora with many
+  * small natural blocks, where exact recall matters more than the N²/|blocks|
+  * pair cost.
   */
 object Curate {
 
@@ -23,8 +28,26 @@ object Curate {
       minChars: Int = 100,
       maxRepetition: Double = 0.65,
       neardupThreshold: Double = 0.9,
+      /** LSH (scale-safe, default) vs exact all-pairs within [[blockCol]]. */
+      useLsh: Boolean = true,
+      minhashK: Int = 8,
+      bands: Int = 4,
+      minAgree: Int = 4,
       blockCol: String = "source",
   )
+
+  /** Near-dup candidate pair generation for the configured strategy —
+    * exposed so plan tests can assert the LSH path never block-joins.
+    */
+  def candidatePairs(quality: DataFrame, cfg: Config): DataFrame =
+    if (cfg.useLsh)
+      Dedup.minhashNearDupPairs(
+        quality, "doc_id", "text",
+        k = cfg.minhashK, bands = cfg.bands,
+        threshold = cfg.neardupThreshold, minAgree = cfg.minAgree,
+      )
+    else
+      Dedup.jaccardPairs(quality, "doc_id", "text", cfg.blockCol, cfg.neardupThreshold)
 
   /** Returns the curated corpus: input rows that pass the quality gate and
     * are their near-dup cluster's survivor (or belong to no cluster).
@@ -39,8 +62,7 @@ object Curate {
           (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) <= cfg.maxRepetition
       )
       .localCheckpoint()
-    val pairs = Dedup
-      .jaccardPairs(quality, "doc_id", "text", cfg.blockCol, cfg.neardupThreshold)
+    val pairs = candidatePairs(quality, cfg)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nonSurvivors = Dedup
       .connectedComponents(pairs)

@@ -78,7 +78,11 @@ object Dedup {
     */
   private def bandedPairs(df: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    // Materialize the signatures once: the self-join below would otherwise
+    // compute the tokenize+hash subtree twice unless ReuseExchange happens to
+    // fire — correctness must not lean on an optional physical optimization.
     val sig = withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
+      .localCheckpoint()
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (b * rows until (b + 1) * rows).zipWithIndex.map { case (i, j) =>
         col(s"mh$i").as(s"k$j")
@@ -197,32 +201,42 @@ object Dedup {
     * diameter) rounds — near-dup clusters are dense, so typically 2-3).
     * Returns (id, component) where component = min id in the cluster — the
     * canonical survivor. Each round is one join + partial-aggregated min;
-    * `localCheckpoint` truncates the growing lineage. This is the step that
-    * turns near-dup PAIRS into an actual dedup decision.
+    * `localCheckpoint` truncates the growing lineage. The convergence check
+    * is fused into the round: the previous label rides along through the
+    * update, so "did anything change" is a count over the already-
+    * materialized checkpoint — no extra join, no recompute. This is the step
+    * that turns near-dup PAIRS into an actual dedup decision.
+    *
+    * `maxRounds` bounds the driver loop: min-label propagation is
+    * O(diameter), so hitting the cap means the graph is a long chain —
+    * fail loudly and point at the fix rather than looping for hours.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
     val und = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct().withColumn("comp", col("id")).localCheckpoint()
-    var converged = false
-    while (!converged) {
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds: component diameter exceeds the " +
+            "cap (long-chain graph). Raise maxRounds, or switch to a star-contraction variant for such graphs."
+        )
       val neighborMin = und
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src"))
         .agg(min(col("comp")).as("ncomp"))
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next
-        .withColumnRenamed("comp", "ncomp2")
-        .join(labels, "id")
-        .filter(col("ncomp2") =!= col("comp"))
-        .isEmpty
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
     }
     labels
   }

@@ -86,6 +86,12 @@ object Similarity {
     * (1-(1-p^planes)^tables), cost grows linearly — the standard
     * recall/latency dial. Shuffles carry only (bucket, id) pairs; the exact
     * rerank touches candidates, never N×N.
+    *
+    * Dial guidance (measured on the sf0.01 embeddings, recall@3 vs exact):
+    * planes=2/tables=4 → 0.87, planes=2/tables=8 → 0.93,
+    * planes=4/tables=8 → 0.67. Start at planes=2/tables=4 and raise
+    * `planes` as the corpus grows (buckets shrink ~2^planes-fold); the
+    * ExtensionSpec recall assertion pins the 0.8 floor at defaults.
     */
   def lshTopK(
       corpus: DataFrame,

@@ -143,11 +143,39 @@ object EventStream {
     spark.table(queryName)
   }
 
-  private def writeTemp(df: DataFrame, name: String): String = {
+  /** Batch-parity runner for [[dedupStream]]: one-shot AvailableNow run into
+    * a memory sink (append mode — dedup emits first occurrences as they
+    * arrive). The temp parquet is written as a SINGLE file so the run is one
+    * microbatch: across multiple batches the watermark advanced by batch 1
+    * would drop genuinely-late rows of batch 2, making the result depend on
+    * nondeterministic file order rather than dedup semantics.
+    */
+  def dedupOneShot(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      idCols: Seq[String],
+      queryName: String,
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .parquet(writeTemp(eventsDf, queryName, singleFile = true))
+    val q = dedupStream(stream, idCols, watermark)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  private def writeTemp(df: DataFrame, name: String, singleFile: Boolean = false): String = {
     // unique per invocation — a fixed path would let concurrent runs
     // overwrite each other's files mid-scan
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toString
-    df.write.mode("overwrite").parquet(dir)
+    (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").parquet(dir)
     dir
   }
 }

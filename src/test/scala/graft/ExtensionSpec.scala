@@ -50,15 +50,18 @@ class ExtensionSpec extends SparkSpec {
       .as[(Long, Long)]
       .collect()
       .toSet
+    // Default-documented dial (planes=2, tables=8): measured recall@3 0.93
+    // at sf0.01, 0.77 at 2x4 on this sf0.001 corpus — 2x8 is the cheapest
+    // config above the 0.8 bar everywhere (planes=4/tables=8 only 0.67).
     val approx = Similarity
-      .lshTopK(emb, queries, "vec_id", "embedding", dim = 64, planes = 4, k = 3, tables = 8)
+      .lshTopK(emb, queries, "vec_id", "embedding", dim = 64, planes = 2, k = 3, tables = 8)
       .select("query_id", "neighbor_id")
       .as[(Long, Long)]
       .collect()
       .toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    info(f"LSH recall@3 (4 planes x 8 tables): $recall%.2f over ${exact.size} exact pairs")
-    assert(recall >= 0.3, s"recall $recall suspiciously low")
+    info(f"LSH recall@3 (2 planes x 8 tables): $recall%.2f over ${exact.size} exact pairs")
+    assert(recall >= 0.8, s"recall $recall below the pinned 0.8 floor")
     // every approx hit must be a real neighbor pair scored identically
     assert(approx.nonEmpty)
   }
@@ -180,10 +183,16 @@ class ExtensionSpec extends SparkSpec {
       (2L, long, "en", "s1"), // exact dup of 1 -> removed
       (3L, "short", "en", "s1"), // too short -> removed
       (4L, ("spam " * 60).trim, "en", "s1"), // 300 chars but repetition ~1 -> removed
-      (5L, long.replace("word1 ", "omega "), "en", "s2"), // different block: kept
+      (5L, long.replace("word1 ", "omega "), "en", "s2"), // near-dup of 1 (J=39/41) in ANOTHER source
     ).toDF("doc_id", "text", "lang", "source")
+    // default (LSH) candidates are global: the cross-source near-dup 5 is
+    // caught and removed — exactly what block pairing structurally cannot see
     val kept = Curate.curate(docs).select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 5L), s"got $kept")
+    assert(kept == Set(1L), s"got $kept")
+    // opt-in block variant scopes pairs within `source`: 5 survives
+    val keptBlock =
+      Curate.curate(docs, Curate.Config(useLsh = false)).select("doc_id").as[Long].collect().toSet
+    assert(keptBlock == Set(1L, 5L), s"got $keptBlock")
   }
 
   test("connectedComponents: min-label clusters over a known pair graph") {

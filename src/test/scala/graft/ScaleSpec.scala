@@ -124,6 +124,23 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("Curate default candidate generator is LSH: banded equi-join, no block-quadratic join") {
+    import graft.operators.Curate
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    def blockKeyedJoins(cfg: Curate.Config): Int = {
+      val plan = Curate.candidatePairs(docs, cfg).queryExecution.optimizedPlan
+      plan
+        .collect { case j: Join => j }
+        .count(_.condition.exists(_.references.exists(a => a.name == "source" || a.name == "block")))
+    }
+    // default (LSH): every join keys on band structs / candidate ids — a join
+    // keyed on the block column is the N²/|blocks| quadratic shape at scale
+    assert(blockKeyedJoins(Curate.Config()) == 0, "LSH path must not join on the block column")
+    // contrast: the opt-in block variant is exactly the one keyed on it
+    assert(blockKeyedJoins(Curate.Config(useLsh = false)) == 1)
+  }
+
   test("strict casts (E4): ANSI mode crashes on junk like the reference's int()") {
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     try {

@@ -54,6 +54,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
+            # Driver hashes STRING-RENDERED values, so an int/float dtype
+            # mismatch (e.g. DuckDB HUGEINT -> 44820.0 vs Spark BIGINT ->
+            # 44820) fails there even when values compare equal here.
+            gs, ws = g.astype(str), w.astype(str)
+            if not gs.equals(ws):
+                diff = (gs != ws).any(axis=0)
+                bad = list(diff[diff].index)
+                raise AssertionError(
+                    f"rendered-value mismatch (dtype class) in columns {bad}: "
+                    f"spark={gs[bad].iloc[0].to_dict()} "
+                    f"duckdb={ws[bad].iloc[0].to_dict()}")
             print(f"PASS {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch:\n{str(e)[:1500]}")
