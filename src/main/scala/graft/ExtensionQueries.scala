@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Similarity}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -490,6 +490,21 @@ object ExtensionQueries {
         )
         .orderBy("event_id")
     }),
+    // ---- Decontamination: corpus docs sharing word n-grams with an eval
+    //      set (src0 plays the benchmark; n=3 because synthetic docs are
+    //      short — production uses n~13) ----
+    "q52_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate
+        .overlaps(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id",
+          "text",
+          n = 3,
+        )
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -633,6 +648,24 @@ object ExtensionQueries {
     "q50_lsh_buckets" ->
       s"""SELECT vec_id, ${(0 until LshTables).map(t => s"${sqlLshBucket(t)} AS bucket_t$t").mkString(", ")}
           FROM embeddings ORDER BY vec_id""",
+    // Word-trigram hashes mirror TextAnalysis.wordNgramHashes: in-order
+    // (non-distinct) tokens, md5-based hash of the space-joined window.
+    "q52_decontaminate" -> {
+      val gram = sqlHash64("array_to_string(toks[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              ng AS (SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS h
+                     FROM tok),
+              ev AS (SELECT DISTINCT h FROM ng WHERE source = 'src0'),
+              hits AS (SELECT doc_id, COUNT(DISTINCT ng.h) AS n_hits
+                       FROM ng JOIN ev ON ng.h = ev.h
+                       WHERE ng.source <> 'src0' GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+                 CAST(COALESCE(hits.n_hits, 0) > 0 AS INT) AS is_contaminated
+          FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+          WHERE d.source <> 'src0'
+          ORDER BY d.doc_id"""
+    },
     // The dedup survivor set of (events UNION duplicated subset) is exactly
     // the events table: event_id is unique there and duplicate rows are
     // byte-identical, so first-occurrence-wins == DISTINCT == the base table.

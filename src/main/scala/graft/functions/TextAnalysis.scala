@@ -51,6 +51,25 @@ object TextAnalysis {
       )
     )
 
+  /** Hashes of overlapping word n-grams, in token order (source tokens NOT
+    * deduplicated — position matters for contamination checks). Documents
+    * shorter than `n` tokens yield an empty array; the `size >= n` guard is
+    * required because Spark's `sequence(a, b)` DESCENDS when a > b.
+    * DuckDB mirror: `list_transform(range(1, len(toks)-n+2),
+    * i -> hash64(array_to_string(toks[i:i+n-1], ' ')))` (range is
+    * end-exclusive and empty when the end is below the start).
+    */
+  def wordNgramHashes(c: Column, n: Int): Column = {
+    val toks = wsTokens(c)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => Hashing.hash64(array_join(slice(toks, i, lit(n)), " ")),
+      ),
+    ).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Stopword lists for the n-gram-heuristic language ID. Tiny on purpose:
     * language ID at 100 TB must stay a projection; these lists broadcast as
     * literals inside the plan.

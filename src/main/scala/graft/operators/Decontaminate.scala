@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data decontamination: flag corpus documents that share any word
+  * n-gram with an evaluation/benchmark set — the standard guard against
+  * benchmark leakage into pre-training data (typically n = 13 words; tests
+  * use smaller n because the synthetic docs are short).
+  *
+  * Scale design: the eval set is tiny relative to the corpus (thousands of
+  * benchmark items vs billions of documents), so its DISTINCT n-gram hashes
+  * are broadcast. The corpus side is then a projection (tokenize → n-gram →
+  * hash64) + explode + broadcast hash join + partial-aggregated per-doc
+  * count: the corpus never shuffles text — the only corpus shuffle is the
+  * (doc_id, hash) pair aggregation, and with map-side combine that carries
+  * one row per (doc, distinct matched gram). At 100 TB the plan is scan-speed
+  * bound. Hashes are md5-derived ([[graft.functions.Hashing.hash64]]) so the
+  * oracle reproduces them exactly.
+  */
+object Decontaminate {
+
+  /** Per-corpus-document overlap report against `eval`:
+    * (idCol, n_hits = distinct shared n-grams, is_contaminated 0/1).
+    * Every corpus row appears (zero-filled), so the output is a drop-in
+    * filter input: `overlaps(...).filter(col("is_contaminated") === 0)`.
+    */
+  def overlaps(corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextAnalysis.wordNgramHashes(col(textCol), n)).as("h"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("__id"), explode(TextAnalysis.wordNgramHashes(col(textCol), n)).as("h"))
+      .join(broadcast(evalGrams), "h")
+      .groupBy(col("__id"))
+      .agg(countDistinct(col("h")).as("__n_hits"))
+    corpus
+      .select(col(idCol).as("__id"))
+      .join(hits, Seq("__id"), "left_outer")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("__n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("__n_hits"), lit(0L)) > 0).cast("int").as("is_contaminated"),
+      )
+  }
+
+  /** The applied form: corpus rows with no n-gram overlap with `eval`. */
+  def clean(corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val contaminated = overlaps(corpus, eval, idCol, textCol, n)
+      .filter(col("is_contaminated") === 1)
+      .select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

@@ -195,6 +195,24 @@ class ExtensionSpec extends SparkSpec {
     assert(keptBlock == Set(1L, 5L), s"got $keptBlock")
   }
 
+  test("Decontaminate: shared word n-grams flag leaked docs; eval side broadcasts") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // shares "beta gamma delta" with eval
+      (2L, "foo bar baz qux"), // disjoint
+      (3L, "tiny doc"), // shorter than n -> structurally clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "zzz beta gamma delta yyy")).toDF("doc_id", "text")
+    val rep = Decontaminate.overlaps(corpus, bench, "doc_id", "text", n = 3)
+    val got = rep.as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)), s"got $got")
+    // the corpus-side join against eval n-grams must be a broadcast join —
+    // the corpus never shuffles for the membership probe
+    assert(rep.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val clean = Decontaminate.clean(corpus, bench, "doc_id", "text", n = 3)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("connectedComponents: min-label clusters over a known pair graph") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("src", "dst")
