@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,25 +15,41 @@ object Bench {
     // absorb session startup (measured ~3s on the first action otherwise).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // Reduce every row to a hash and sum — a bare count() lets Catalyst
-      // prune the projections, so expensive output columns (regex, JSON,
-      // custom expressions) would never execute and the timing would not
-      // measure what the correctness gate verifies.
+      // Reduce every row to a hash and XOR-fold — a bare count() lets
+      // Catalyst prune the projections, so expensive output columns (regex,
+      // JSON, custom expressions) would never execute and the timing would
+      // not measure what the correctness gate verifies. bit_xor (not sum):
+      // summing random 64-bit hashes overflows BIGINT under ANSI mode.
       try {
         val out = fn(spark, sfDir)
         out
           .select(xxhash64(struct(out.columns.map(col): _*)).as("__h"))
-          .agg(sum(col("__h")))
+          .agg(expr("bit_xor(__h)"))
           .collect()
-      } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // A failed query must be visible in the artifact (value -1, an
+          // errors entry, non-zero exit) — never folded into the total.
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+            .replaceAll("[\"\\\\]", "'")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

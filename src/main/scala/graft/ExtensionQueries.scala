@@ -618,19 +618,21 @@ object ExtensionQueries {
            sgn AS (SELECT doc_id,
              CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
                   THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS sv FROM hsh),
-           dims AS (SELECT doc_id, CASE WHEN sv < 0 THEN -sv ELSE sv END AS a FROM sgn)
+           dims AS (SELECT doc_id,
+             CASE WHEN sv = CAST('-9223372036854775808' AS HUGEINT) THEN sv
+                  WHEN sv < 0 THEN -sv ELSE sv END AS a FROM sgn)
          SELECT d0.doc_id AS media_id,
            CASE CAST(d0.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            CAST(length(d0.text) AS INT) AS n_bytes,
            CAST(64 + (dm.a % 1024) AS INT) AS width,
            CAST(64 + ((dm.a // 1024) % 1024) AS INT) AS height,
-           CAST(h.s AS DOUBLE) / h.n AS byte_mean,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           CAST(COALESCE(h.s, 0) AS DOUBLE) / GREATEST(COALESCE(h.n, 0), 1) AS byte_mean,
+           COALESCE(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(h.cs, c -> (CAST(c AS DOUBLE)/h.n) * ln(CAST(c AS DOUBLE)/h.n) / ln(2))),
-                 (acc, x) -> acc - x), 6) AS byte_entropy,
+                 (acc, x) -> acc - x), 6), 0.0) AS byte_entropy,
            CASE WHEN CAST(d0.doc_id % 3 AS INT) = 2
                 THEN CAST((((length(d0.text) + 255)//256) + 3)//4 AS INT) ELSE 0 END AS frames_sampled
-         FROM documents d0 JOIN dims dm ON d0.doc_id = dm.doc_id JOIN hist h ON d0.doc_id = h.doc_id
+         FROM documents d0 JOIN dims dm ON d0.doc_id = dm.doc_id LEFT JOIN hist h ON d0.doc_id = h.doc_id
          ORDER BY media_id""",
     "q49_curate" ->
       s"""WITH RECURSIVE
