@@ -37,6 +37,7 @@ object Bench {
           errors(name) = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
             .replaceAll("[\"\\\\]", "'")
+            .replaceAll("\\p{Cntrl}", " ")
           name -> -1.0
       }
     }

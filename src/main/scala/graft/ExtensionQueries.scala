@@ -147,11 +147,8 @@ object ExtensionQueries {
 
     // ---- SimHash fingerprints ----
     "q23_simhash" -> ((s, d) => {
-      t(s, d, "documents")
-        .select(
-          col("doc_id"),
-          Hashing.simhash(TextAnalysis.tokenSet(col("text")), SimBits).as("simhash"),
-        )
+      Dedup
+        .withSimhash(t(s, d, "documents").select(col("doc_id"), col("text")), Seq("doc_id"), col("text"), SimBits)
         .orderBy("doc_id")
     }),
 
@@ -286,26 +283,37 @@ object ExtensionQueries {
     //      COLUMNS (months > 6) — both zero-fill paths exercised. ----
     "q35_combine_zerofill" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      // Explicit pivot values: one driver-side month scan instead of a
-      // value-discovery job per pivot (3 saved jobs). This is the same
-      // schema-level dispatch the reference does with dynamic date columns.
-      val months = li
-        .select(date_format(date_trunc("month", col("l_shipdate")), "M/d/yy").as("m"))
+      // ONE fact-table scan+shuffle: per-(flag,status,month) partials; the
+      // month list and all three wide inputs derive from this ~1k-row base
+      // (previously one value-discovery scan + three full pivots = 4 scans
+      // of lineitem). The sum is complete per cell before the int cast, so
+      // values are identical to pivoting the raw rows. deaths keeps only
+      // F ROWS and recovered only months <= 6 COLUMNS — rows stay missing
+      // (not zero-valued), so both Combine zero-fill paths stay exercised.
+      val base = li
+        .withColumn("mcol", date_format(date_trunc("month", col("l_shipdate")), "M/d/yy"))
+        .groupBy(col("l_returnflag").as("Country/Region"), col("l_linestatus").as("Province/State"), col("mcol"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int").as("qty"),
+          count(lit(1)).cast("int").as("cnt"),
+        )
+        .localCheckpoint()
+      val months = base
+        .select(col("mcol"))
         .distinct()
         .collect()
         .map(_.getString(0))
         .sortBy(m => graft.ops.Normalize.normalizeDateName(m))
         .toSeq
       val recMonths = months.filter(_.split("/")(0).toInt <= 6)
-      def wide(src: DataFrame, agg: org.apache.spark.sql.Column, vals: Seq[String]) =
+      def wide(src: DataFrame, valueCol: String, vals: Seq[String]) =
         src
-          .withColumn("mcol", date_format(date_trunc("month", col("l_shipdate")), "M/d/yy"))
-          .groupBy(col("l_returnflag").as("Country/Region"), col("l_linestatus").as("Province/State"))
+          .groupBy(col("`Country/Region`"), col("`Province/State`"))
           .pivot("mcol", vals)
-          .agg(agg)
-      val confirmed = wide(li, sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int"), months)
-      val deaths = wide(li.filter(col("l_linestatus") === "F"), count(lit(1)).cast("int"), months)
-      val recovered = wide(li.filter(month(col("l_shipdate")) <= 6), count(lit(1)).cast("int"), recMonths)
+          .agg(first(col(valueCol)))
+      val confirmed = wide(base, "qty", months)
+      val deaths = wide(base.filter(col("`Province/State`") === "F"), "cnt", months)
+      val recovered = wide(base.filter(col("mcol").isin(recMonths: _*)), "cnt", recMonths)
       graft.ops.Combine
         .combine(confirmed, "confirmed", Seq("deaths" -> deaths, "recovered" -> recovered),
           Seq("Country/Region", "Province/State"))

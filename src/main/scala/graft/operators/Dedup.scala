@@ -64,6 +64,38 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SimHash column (`simhash`) via the same explode→aggregate formulation as
+    * [[withMinhash]]: each token is md5-hashed ONCE, the per-bit ±1 votes are
+    * partial-aggregated map-side, and the final signature is assembled from
+    * the `bits` vote sums in one projection. The array-expression form
+    * ([[graft.functions.Hashing.simhash]]) embeds the shared hashed-token
+    * array into each of the `bits` aggregates — Catalyst inlines it, so md5
+    * runs `bits`× per token (measured 6× slower at sf0.1). Bit-for-bit the
+    * same result: vote sums are order-independent.
+    * Docs with an empty token set produce no row (same caveat as minhash).
+    */
+  def withSimhash(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: Column,
+      bits: Int = 16,
+      tokenizer: Column => Column = TextAnalysis.tokenSet,
+  ): DataFrame = {
+    val ids = idCols.map(col)
+    val h = Hashing.hash64(col("__tok")).as("__h")
+    val votes = (0 until bits).map { j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"__v$j")
+    }
+    val sig = (0 until bits)
+      .map(j => when(col(s"__v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.select(ids :+ explode(tokenizer(textCol)).as("__tok"): _*)
+      .select(ids :+ h: _*)
+      .groupBy(ids: _*)
+      .agg(votes.head, votes.tail: _*)
+      .select(ids :+ sig.as("simhash"): _*)
+  }
+
   /** LSH banding: docs agreeing on ALL rows of any band become candidate
     * pairs. With k=8, bands=4 (2 rows/band), Jaccard-0.8 pairs are caught
     * with p = 1-(1-0.8²)⁴ ≈ 0.98. The self-join is an equi-join on the band
@@ -247,10 +279,8 @@ object Dedup {
     * distance <= maxDist. At scale use multiple rotated prefixes for recall.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, bits: Int = 16, prefixBits: Int = 6, maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("id"),
-      Hashing.simhash(TextAnalysis.tokenSet(col(textCol)), bits).as("sim"),
-    )
+    val sigs = withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
+      .select(col(idCol).as("id"), col("simhash").as("sim"))
     val bucketed = sigs.withColumn("bucket", shiftright(col("sim"), bits - prefixBits))
     val l = bucketed.as("l")
     val r = bucketed.as("r")
