@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, IvfIndex, Multimodal, Similarity, SkewJoin}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -498,6 +498,90 @@ object ExtensionQueries {
         )
         .orderBy("event_id")
     }),
+    // ---- Streaming sessionization: flatMapGroupsWithState through a real
+    //      AvailableNow run == batch sessionization (q44's semantics) — the
+    //      stream==batch guarantee extended to CUSTOM state ----
+    "q53_stream_sessionize" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      EventStream
+        .sessionizeOneShot(s, ev, "graft_q53", gapMinutes = 30)
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          col("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ---- Skew-salted two-phase aggregation: partial on (key, salt), final
+    //      on key — must equal the plain groupBy exactly ----
+    "q54_salted_agg" -> ((s, d) => {
+      SkewJoin
+        .saltedAgg(
+          t(s, d, "lineitem"),
+          "l_returnflag",
+          saltSource = col("l_orderkey"),
+          buckets = 8,
+          partials = Seq(sum(col("l_quantity").cast(DecimalType(18, 4))).as("s"), count(lit(1)).as("c")),
+          finals = Seq(sum(col("s")).cast("double").as("sum_qty"), sum(col("c")).as("n")),
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Skew-salted equi-join: dim replicated buckets×, fact salted by a
+    //      unique row attribute — must equal the plain join exactly ----
+    "q55_salted_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      SkewJoin
+        .saltedJoin(fact, dim, "o_orderkey", saltSource = struct(col("o_orderkey"), col("l_linenumber")), buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          Tables.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- Embedding normalize + int8 quantization (floor-based: identical
+    //      rounding in every engine, unlike round()'s mode differences) ----
+    "q56_embed_quantize" -> ((s, d) => {
+      val x = col("embedding")
+      val normed = t(s, d, "embeddings").select(
+        col("vec_id"),
+        x,
+        sqrt(aggregate(transform(x, v => v.cast("double") * v.cast("double")), lit(0.0), _ + _)).as("norm"),
+      )
+      def q8(v: org.apache.spark.sql.Column) =
+        floor(v.cast("double") * lit(127.0) / col("norm") + lit(0.5))
+      normed
+        .select(
+          col("vec_id") +:
+            col("norm") +:
+            (0 until 4).map(i => q8(element_at(x, i + 1)).cast("int").as(s"q$i")) :+
+            aggregate(transform(x, v => q8(v).cast("long")), lit(0L), _ + _).as("q_sum"): _*
+        )
+        .orderBy("vec_id")
+    }),
+
+    // ---- IVF coarse assignment with the deterministic seed codebook
+    //      (train iters=0): argmax-cosine against broadcast centroids — the
+    //      posting-list build step of [[IvfIndex.topK]], oracled ----
+    "q57_ivf_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .assign(emb, centroids, "vec_id", "embedding")
+        .select(col("vec_id"), col("centroid_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -742,6 +826,66 @@ object ExtensionQueries {
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    // Session assignment mirrors q44; total_value mirrors the stream's
+    // per-event DOUBLE accumulation in (µs-truncated ts, event_id) order —
+    // bit-exact left-to-right addition, not a decimal re-aggregation.
+    "q53_stream_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         sessions AS (
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged
+         )
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                COUNT(*) AS n_events,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                         list(value ORDER BY epoch_us(ts), event_id)),
+                            (a, x) -> a + x) AS total_value
+         FROM sessions GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q54_salted_agg" ->
+      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q55_salted_join" ->
+      s"""SELECT o.o_orderpriority, COUNT(*) AS n, ${dsumSql("l.l_quantity")} AS sum_qty,
+            COUNT(DISTINCT o.o_orderkey) AS n_orders
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    "q56_embed_quantize" -> {
+      val q8 = (e: String) => s"floor(CAST($e AS DOUBLE) * 127.0 / norm + 0.5)"
+      s"""WITH n AS (SELECT vec_id, embedding,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                 (a, x) -> a + x)) AS norm
+            FROM embeddings)
+          SELECT vec_id, norm,
+            ${(0 until 4).map(i => s"CAST(${q8(s"embedding[${i + 1}]")} AS INT) AS q$i").mkString(", ")},
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(embedding, v -> CAST(${q8("v")} AS BIGINT))),
+                        (a, x) -> a + x) AS q_sum
+          FROM n ORDER BY vec_id"""
+    },
+    // Seed codebook = first 16 vectors by id (train iters=0); assignment =
+    // argmax cosine, ties to the smaller centroid id — the exact mirror of
+    // IvfIndex.assign's max_by(centroid_id, struct(cos, -centroid_id)).
+    "q57_ivf_assign" ->
+      s"""WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                     FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              scored AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                         FROM embeddings a CROSS JOIN c b),
+              r AS (SELECT vec_id, centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                    FROM scored)
+          SELECT vec_id, centroid_id FROM r WHERE rn = 1 ORDER BY vec_id""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(

@@ -31,6 +31,9 @@ object EventStream {
   )
 
   // Not `private`: the state encoder's generated code must construct it.
+  // start/end are epoch MICROSECONDS: `Timestamp.getTime` is ms and would
+  // truncate the µs the events table actually carries, shifting session
+  // bounds (and, at a gap boundary, membership) off the batch semantics.
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   /** Watermarked tumbling-window aggregation (event-time). */
@@ -62,7 +65,16 @@ object EventStream {
   ): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
+    // local defs (not object members): the state-update closure must stay
+    // self-contained — an object-method reference would capture the module
+    // and fail Spark's closure serialization
+    def usOf(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
 
     def update(
         userId: Long,
@@ -72,24 +84,26 @@ object EventStream {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+        Iterator(Session(userId, tsOf(s.start), tsOf(s.end), s.n, s.total))
       } else {
-        val events = batch.toSeq.sortBy(_.ts.getTime)
+        // (ts, event_id) — the id tie-break makes the in-session double
+        // accumulation order deterministic (file row order is not)
+        val events = batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
         var closed = List.empty[Session]
         var cur = state.getOption
         events.foreach { e =>
-          val t = e.ts.getTime
+          val t = usOf(e.ts)
           cur match {
-            case Some(s) if t > s.end + gapMs =>
+            case Some(s) if t > s.end + gapUs =>
               // gap exceeded: close the current session, start a new one
-              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+              closed ::= Session(userId, tsOf(s.start), tsOf(s.end), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
-            case Some(s) if t < s.start - gapMs =>
+            case Some(s) if t < s.start - gapUs =>
               // out-of-order event from BEFORE the open session's window:
               // emit as its own singleton session (single-session-per-key
               // state, a documented simplification — full out-of-order
               // merging needs multi-fragment state)
-              closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+              closed ::= Session(userId, tsOf(t), tsOf(t), 1, e.value)
             case Some(s) =>
               // within [start-gap, end+gap]: extend in either direction
               cur = Some(
@@ -101,7 +115,8 @@ object EventStream {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // timeout API is ms; floor(end µs) keeps it within 1 ms of exact
+          state.setTimeoutTimestamp(s.end / 1000L + gapMinutes * 60L * 1000L)
         }
         closed.reverseIterator
       }
@@ -169,6 +184,64 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Batch-parity runner for [[sessionize]]: drive the events table through
+    * the stateful flatMapGroupsWithState query with an AvailableNow one-shot
+    * run and return EVERY session — proving stream == batch for custom state,
+    * the way [[hourlyAggOneShot]] does for windowed aggs.
+    *
+    * Three ordered microbatches (`maxFilesPerTrigger=1`, mtime-ordered
+    * files):
+    *   0. ALL real events in one batch — the in-batch (ts, event_id) sort
+    *      makes stateful processing equal to batch sessionization (no
+    *      cross-batch out-of-order fragments);
+    *   1. a sentinel event a day past the last real event — advances the
+    *      max event time, so the watermark computed for the NEXT batch
+    *      passes every open session's timeout;
+    *   2. a second sentinel — the batch in which those timeouts fire
+    *      (watermark updates take effect one batch after their data).
+    * The sentinel user's own session never closes and is filtered out.
+    */
+  def sessionizeOneShot(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      queryName: String,
+      gapMinutes: Int = 30,
+  ): DataFrame = {
+    import spark.implicits._
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = eventsDf.select(colsInOrder.map(col): _*)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val dayMs = 86400000L
+    def sentinel(days: Int) =
+      Seq(Event(-days.toLong, new Timestamp(maxTs.getTime + days * dayMs), -1L, "sentinel", 0.0))
+        .toDF()
+        .select(colsInOrder.map(col): _*)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
+    Seq(ev.coalesce(1), sentinel(1), sentinel(2)).zipWithIndex.foreach { case (df, i) =>
+      val scratch = java.nio.file.Files.createTempDirectory(s"graft_stream_${queryName}_$i")
+      df.write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(s"$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // strictly increasing mtimes pin the microbatch order (file sources
+      // pick oldest-first); the written mtimes are same-millisecond often
+      dst.toFile.setLastModified((i + 1) * 1000000L)
+    }
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = sessionize(stream.as[Event], gapMinutes)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).filter(col("user_id") >= 0)
   }
 
   private def writeTemp(df: DataFrame, name: String, singleFile: Boolean = false): String = {

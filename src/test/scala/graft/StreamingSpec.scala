@@ -91,6 +91,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("sessionizeOneShot: stateful streaming sessions equal batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(spark, sf())
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val streamed = EventStream
+      .sessionizeOneShot(spark, ev, "graft_test_sessions")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)]
+      .collect()
+      .toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = ev
+      .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(col("prev").isNull || unix_micros(col("ts")) - col("prev") > 30L * 60 * 1000000, 1).otherwise(0),
+      )
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("n"))
+      .as[(Long, Timestamp, Timestamp, Long)]
+      .collect()
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"stream-batch diff: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("sessionize: gap splits sessions, state emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
