@@ -163,6 +163,15 @@ object Dedup {
     * Jaccard >= threshold. Only candidates are joined — the full corpus is
     * never crossed; the shuffle carries fixed-width long arrays, not text.
     */
+  /** Length-ratio prefilter (the classic size filter from similarity-join
+    * literature): J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|)
+    * (intersection <= min, union >= max), so this NEVER removes a qualifying
+    * pair — it just skips the merge-intersect for size-mismatched candidates
+    * using two ints already at hand.
+    */
+  private def sizeRatioOk(sa: Column, sb: Column, threshold: Double): Column =
+    least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb)
+
   def jaccardVerify(
       candidates: DataFrame,
       docs: DataFrame,
@@ -174,6 +183,7 @@ object Dedup {
     candidates
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .filter(sizeRatioOk(size(col("toks_a")), size(col("toks_b")), threshold))
       .withColumn("jaccard", jaccardHashed(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -222,6 +232,7 @@ object Dedup {
     toks
       .as("l")
       .join(toks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .filter(sizeRatioOk(size(col("l.toks")), size(col("r.toks")), threshold))
       .withColumn("jaccard", jaccardHashed(col("l.toks"), col("r.toks")))
       .filter(col("jaccard") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
