@@ -582,6 +582,24 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Typed top-k aggregator: bounded per-group top-k via partial
+    //      (map-side) aggregation — shuffle carries at most k pairs per
+    //      (group × partition) instead of every row like the window form ----
+    "q58_topk_group" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(3).toColumn)
+        .flatMap { case (prio, items) =>
+          items.zipWithIndex.map { case ((price, id), i) => (prio, i + 1, id, price) }
+        }
+        .toDF("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -855,6 +873,15 @@ object ExtensionQueries {
     "q54_salted_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q58_topk_group" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+         SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+         FROM r WHERE rank <= 3
+         ORDER BY o_orderpriority, rank""",
     "q55_salted_join" ->
       s"""SELECT o.o_orderpriority, COUNT(*) AS n, ${dsumSql("l.l_quantity")} AS sum_qty,
             COUNT(DISTINCT o.o_orderkey) AS n_orders
