@@ -582,6 +582,27 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Native session_window sessionization: Spark's built-in session
+    //      operator next to the custom flatMapGroupsWithState one (q53).
+    //      Boundary semantics differ from q44's lag formulation: windows
+    //      [t, t+gap) MERGE only on overlap, so a gap of exactly 30 min
+    //      starts a NEW session, and the window end is last event + gap —
+    //      the oracle mirrors exactly that ----
+    "q59_session_window" -> ((s, d) => {
+      Tables
+        .events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value")).as("total_value"))
+        .select(
+          col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          col("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- Typed top-k aggregator: bounded per-group top-k via partial
     //      (map-side) aggregation — shuffle carries at most k pairs per
     //      (group × partition) instead of every row like the window form ----
@@ -873,6 +894,29 @@ object ExtensionQueries {
     "q54_salted_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // session_window semantics: sessions split when the inter-event gap is
+    // >= 30 min (window overlap is strict), window end = last event + gap.
+    "q59_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         sessions AS (
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged
+         )
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q58_topk_group" ->
       """WITH r AS (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
