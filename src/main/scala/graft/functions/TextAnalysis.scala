@@ -59,8 +59,17 @@ object TextAnalysis {
     * i -> hash64(array_to_string(toks[i:i+n-1], ' ')))` (range is
     * end-exclusive and empty when the end is below the start).
     */
-  def wordNgramHashes(c: Column, n: Int): Column = {
-    val toks = wsTokens(c)
+  def wordNgramHashes(c: Column, n: Int): Column = wordNgramHashesFromTokens(wsTokens(c), n)
+
+  /** [[wordNgramHashes]] over a pre-tokenized array column. Callers MUST pass
+    * an attribute (a column hoisted with `withColumn`), not the tokenizing
+    * expression inline: `toks` occurs in the size guard, the sequence bound,
+    * and the transform lambda, and Catalyst inlines shared subtrees into each
+    * occurrence (the same blowup the minhash/simhash aggregates hit —
+    * [[graft.operators.Dedup.withMinhash]]), so an inline `split` re-runs per
+    * n-gram position: O(tokens²) string-splitting per document.
+    */
+  def wordNgramHashesFromTokens(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
       transform(
@@ -68,7 +77,6 @@ object TextAnalysis {
         i => Hashing.hash64(array_join(slice(toks, i, lit(n)), " ")),
       ),
     ).otherwise(array().cast("array<bigint>"))
-  }
 
   /** Stopword lists for the n-gram-heuristic language ID. Tiny on purpose:
     * language ID at 100 TB must stay a projection; these lists broadcast as

@@ -27,11 +27,17 @@ object Decontaminate {
     * filter input: `overlaps(...).filter(col("is_contaminated") === 0)`.
     */
   def overlaps(corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // The token array is hoisted to a named projection on BOTH sides: the
+    // n-gram expression references it guard + bound + lambda, and an inline
+    // split would be re-evaluated per n-gram position (O(tokens²) splitting —
+    // see wordNgramHashesFromTokens' scaladoc).
     val evalGrams = eval
-      .select(explode(TextAnalysis.wordNgramHashes(col(textCol), n)).as("h"))
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
       .distinct()
     val hits = corpus
-      .select(col(idCol).as("__id"), explode(TextAnalysis.wordNgramHashes(col(textCol), n)).as("h"))
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(col(idCol).as("__id"), explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
       .join(broadcast(evalGrams), "h")
       .groupBy(col("__id"))
       .agg(countDistinct(col("h")).as("__n_hits"))
