@@ -16,6 +16,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Reading the numbers: the streaming-parity queries (q33, q51, q53, q62)
+    // time a REAL AvailableNow streaming run — temp-parquet write, ordered
+    // microbatches, state store — so most of their seconds are harness
+    // materialization proving stream==batch, not plan cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Reduce every row to a hash and XOR-fold — a bare count() lets

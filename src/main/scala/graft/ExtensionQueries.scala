@@ -584,10 +584,10 @@ object ExtensionQueries {
 
     // ---- Native session_window sessionization: Spark's built-in session
     //      operator next to the custom flatMapGroupsWithState one (q53).
-    //      Boundary semantics differ from q44's lag formulation: windows
-    //      [t, t+gap) MERGE only on overlap, so a gap of exactly 30 min
-    //      starts a NEW session, and the window end is last event + gap —
-    //      the oracle mirrors exactly that ----
+    //      Boundary semantics MEASURED (StreamingSpec boundary test), not
+    //      assumed: [t, t+gap) windows merge on adjacency too, so a gap of
+    //      exactly 30 min MERGES — the same strict-> split as q44/q53; the
+    //      only difference is window end = last event + gap ----
     "q59_session_window" -> ((s, d) => {
       Tables
         .events(s, d)
@@ -621,6 +621,58 @@ object ExtensionQueries {
         .orderBy("o_orderpriority", "rank")
     }),
 
+    // ---- IVF Lloyd training: ONE k-means iteration from the seed codebook,
+    //      flattened to (centroid_id, pos, c) — the deterministic avg/argmax
+    //      math of IvfIndex.train(iters=1), oracled (q57 pins iters=0; this
+    //      pins the update step). The trained float is compared exactly: both
+    //      engines' double means differ at ~1e-15, which the float cast
+    //      quantizes away. ----
+    "q60_ivf_lloyd" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      IvfIndex
+        .train(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+        .select(col("centroid_id"), posexplode(col("centroid")))
+        .select(col("centroid_id"), col("pos"), col("col").cast("double").as("c"))
+        .orderBy("centroid_id", "pos")
+    }),
+
+    // ---- Embedding near-dup pairs with the LSH-bucket DEFAULT blocker (no
+    //      data column needed — the scale path for unlabeled corpora; q30
+    //      stays as the exact-within-label variant) ----
+    "q61_cosine_neardup_lsh" -> ((s, d) => {
+      Similarity
+        .cosineNearDupPairsLsh(
+          t(s, d, "embeddings"),
+          "vec_id",
+          "embedding",
+          EmbDim,
+          LshPlanes,
+          threshold = 0.35,
+          tables = 2,
+        )
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Streaming sessionization, OUT-OF-ORDER path: per-user last event
+    //      first, everything else second — forces the t < start - gap
+    //      fragment branch, whose closed-form semantics the oracle encodes
+    //      (q53 proves the in-order path) ----
+    "q62_stream_sessionize_ooo" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      EventStream
+        .sessionizeOneShotOutOfOrder(s, ev, "graft_q62", gapMinutes = 30)
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          col("total_value"),
+        )
+        .orderBy("user_id", "session_start", "session_end", "n_events", "total_value")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -642,16 +694,24 @@ object ExtensionQueries {
     "q20_dedup_exact" ->
       s"""SELECT ${sqlHash64("text")} AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
           FROM documents GROUP BY 1 ORDER BY content_hash""",
+    // len(toks) > 0 pins the explode→agg contract explicitly: empty-token
+    // docs produce NO signature row on the Spark side (ADVICE r4 — the
+    // synthetic docs all have tokens, but the contract must not be implicit).
     "q21_minhash_sig" ->
       s"""SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")}
           FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+          WHERE len(toks) > 0
           ORDER BY doc_id""",
     "q22_minhash_lsh_pairs" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)}
           SELECT id_a, id_b, jaccard FROM lshp ORDER BY id_a, id_b""",
+    // len(hs) > 0: same explicit empty-token contract as q21 (the array-
+    // expression form would emit an all-ones signature; explode→agg emits
+    // no row).
     "q23_simhash" ->
       s"""SELECT doc_id, $sqlSimhash AS simhash
           FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
+          WHERE len(hs) > 0
           ORDER BY doc_id""",
     "q24_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM documents)
@@ -894,13 +954,16 @@ object ExtensionQueries {
     "q54_salted_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // session_window semantics: sessions split when the inter-event gap is
-    // >= 30 min (window overlap is strict), window end = last event + gap.
+    // session_window semantics (pinned by the StreamingSpec boundary test):
+    // adjacent windows merge, so sessions split only when the inter-event
+    // gap EXCEEDS 30 min (strict >, same as q44/q53); window end = last
+    // event + gap. An earlier draft encoded >= here — it passed only
+    // because the data has no exactly-30min gap.
     "q59_session_window" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -957,6 +1020,71 @@ object ExtensionQueries {
                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
                     FROM scored)
           SELECT vec_id, centroid_id FROM r WHERE rn = 1 ORDER BY vec_id""",
+    // One Lloyd iteration: q57's seed-codebook assignment, then per-
+    // (centroid, dim) mean — double avgs on both engines differ at ~1e-15,
+    // which the FLOAT cast quantizes away; the final DOUBLE cast is exact
+    // widening, so the compare is bit-exact.
+    "q60_ivf_lloyd" ->
+      s"""WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                     FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              scored AS (SELECT a.vec_id, b.centroid_id, a.embedding AS emb, $sqlCos AS sim
+                         FROM embeddings a CROSS JOIN c b),
+              r AS (SELECT vec_id, centroid_id, emb,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                    FROM scored),
+              asg AS (SELECT centroid_id, emb FROM r WHERE rn = 1),
+              dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+              m AS (SELECT centroid_id, pos, avg(CAST(emb[pos + 1] AS DOUBLE)) AS mu
+                    FROM asg CROSS JOIN dims GROUP BY centroid_id, pos)
+          SELECT centroid_id, pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS c
+          FROM m ORDER BY centroid_id, pos""",
+    // LSH-default near-dup: same-bucket-in-any-table candidates (UNION
+    // dedups — mirrors the Spark side's exactly-once first-table emission),
+    // exact cosine >= threshold on candidates only.
+    "q61_cosine_neardup_lsh" ->
+      s"""WITH sig AS (SELECT vec_id, ${sqlLshBucket(0)} AS b0, ${sqlLshBucket(1)} AS b1 FROM embeddings),
+              cand AS (SELECT id_a, id_b FROM (
+                SELECT l.vec_id AS id_a, r.vec_id AS id_b
+                FROM sig l JOIN sig r ON l.b0 = r.b0 AND l.vec_id < r.vec_id
+                UNION
+                SELECT l.vec_id AS id_a, r.vec_id AS id_b
+                FROM sig l JOIN sig r ON l.b1 = r.b1 AND l.vec_id < r.vec_id))
+          SELECT c.id_a, c.id_b, $sqlCos AS sim
+          FROM cand c JOIN embeddings a ON c.id_a = a.vec_id JOIN embeddings b ON c.id_b = b.vec_id
+          WHERE $sqlCos >= 0.35
+          ORDER BY id_a, id_b""",
+    // Closed-form mirror of the out-of-order harness (see
+    // sessionizeOneShotOutOfOrder's scaladoc): with T = the user's last
+    // event time, events with t < T - gap become singleton fragments; the
+    // rest form one main session whose total accumulates last-event-value
+    // FIRST, then the others in (ts, event_id) order — the stream's exact
+    // double-addition order.
+    "q62_stream_sessionize_ooo" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value, epoch_us(ts) AS us,
+                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events),
+             lastev AS (SELECT user_id, us AS last_us, value AS last_value FROM e WHERE rn = 1),
+             frag AS (SELECT e.user_id,
+                        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+                        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+                        CAST(1 AS BIGINT) AS n_events, e.value AS total_value
+                      FROM e JOIN lastev l ON e.user_id = l.user_id
+                      WHERE e.rn > 1 AND e.us < l.last_us - 30*60*1000000),
+             mainev AS (SELECT e.user_id, e.ts, e.us, e.event_id, e.value, e.rn, l.last_value
+                        FROM e JOIN lastev l ON e.user_id = l.user_id
+                        WHERE e.rn = 1 OR e.us >= l.last_us - 30*60*1000000),
+             main AS (SELECT user_id,
+                        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                        COUNT(*) AS n_events,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_prepend(max(last_value),
+                            coalesce(list(value ORDER BY us, event_id) FILTER (WHERE rn > 1),
+                                     CAST([] AS DOUBLE[])))),
+                          (a, x) -> a + x) AS total_value
+                      FROM mainev GROUP BY user_id)
+         SELECT * FROM frag UNION ALL SELECT * FROM main
+         ORDER BY user_id, session_start, session_end, n_events, total_value""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(

@@ -19,13 +19,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int) extends Aggregator[(Double, Long), TopKAggregator.Buf, Seq[(Double, Long)]] {
   import TopKAggregator.Buf
+  require(k > 0, s"k must be positive: $k")
 
   override def zero: Buf = Buf(Nil)
 
+  // descending by score, ascending by id on ties
+  private def outranks(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
   private def insert(items: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
-    // descending by score, ascending by id on ties
-    val updated = (x :: items).sortBy { case (s, id) => (-s, id) }
-    if (updated.length > k) updated.take(k) else updated
+    // O(k) splice at the insertion point, not a per-row re-sort; once the
+    // buffer is full, rows that don't outrank the current k-th are rejected
+    // in one comparison — the steady state for most of a partition's rows.
+    if (items.lengthCompare(k) >= 0 && !outranks(x, items.last)) items
+    else {
+      val (ahead, behind) = items.span(outranks(_, x))
+      (ahead ::: x :: behind).take(k)
+    }
   }
 
   override def reduce(b: Buf, a: (Double, Long)): Buf = Buf(insert(b.items, a))

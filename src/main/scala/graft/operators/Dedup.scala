@@ -42,8 +42,9 @@ object Dedup {
     * array-expression form ([[graft.functions.Hashing.minhash]]) re-hashes
     * every token k times because Catalyst inlines the shared subexpression
     * into each of the k projections (measured 8× md5 cost at sf0.1).
-    * Docs with an empty token set produce no row (callers on `documents`
-    * always have tokens).
+    * CONTRACT: docs with an empty token set produce NO row (explode emits
+    * nothing) — the q21 oracle filters them explicitly; left-join the ids
+    * back if a row-per-doc is required.
     */
   def withMinhash(
       df: DataFrame,
@@ -72,7 +73,9 @@ object Dedup {
     * array into each of the `bits` aggregates — Catalyst inlines it, so md5
     * runs `bits`× per token (measured 6× slower at sf0.1). Bit-for-bit the
     * same result: vote sums are order-independent.
-    * Docs with an empty token set produce no row (same caveat as minhash).
+    * CONTRACT: docs with an empty token set produce NO row (explode emits
+    * nothing; the array form would emit an all-ones signature from empty
+    * vote sums) — the q23 oracle filters them explicitly.
     */
   def withSimhash(
       df: DataFrame,
@@ -159,10 +162,6 @@ object Dedup {
     inter.cast("double") / (size(ha) + size(hb) - inter)
   }
 
-  /** Verify candidate pairs: join hashed token sets back, keep pairs with
-    * Jaccard >= threshold. Only candidates are joined — the full corpus is
-    * never crossed; the shuffle carries fixed-width long arrays, not text.
-    */
   /** Length-ratio prefilter (the classic size filter from similarity-join
     * literature): J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|)
     * (intersection <= min, union >= max), so this NEVER removes a qualifying
@@ -172,6 +171,10 @@ object Dedup {
   private def sizeRatioOk(sa: Column, sb: Column, threshold: Double): Column =
     least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb)
 
+  /** Verify candidate pairs: join hashed token sets back, keep pairs with
+    * Jaccard >= threshold. Only candidates are joined — the full corpus is
+    * never crossed; the shuffle carries fixed-width long arrays, not text.
+    */
   def jaccardVerify(
       candidates: DataFrame,
       docs: DataFrame,
@@ -222,8 +225,39 @@ object Dedup {
     * within the same `blockCol` whose hashed-token-set Jaccard meets
     * `threshold`. The shared pair source for q24/q45/Curate — one definition
     * so the predicate can't drift between callers.
+    *
+    * This is the EXACT-recall, N²/|blocks| variant — correct but quadratic
+    * inside a block, so it guards itself: a cheap pre-flight count over just
+    * `blockCol` (column-pruned scan, no tokenization) fails loudly when any
+    * block exceeds `maxBlockRows`, the same stance as
+    * [[connectedComponents]]' `maxRounds` — a 3-block 100 TB corpus must
+    * error with a pointer to [[minhashNearDupPairs]], not silently enumerate
+    * 10^15 pairs. The guard makes this operator EAGER (one small driver
+    * action at call time).
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String, threshold: Double): DataFrame = {
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      threshold: Double,
+      maxBlockRows: Long = 100000L,
+  ): DataFrame = {
+    val oversized = df
+      .groupBy(col(blockCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockRows)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      val block = oversized.head.get(0)
+      val n = oversized.head.getLong(1)
+      throw new IllegalStateException(
+        s"jaccardPairs: block '$block' of '$blockCol' has $n rows (> maxBlockRows=$maxBlockRows): " +
+          s"the within-block pairing would enumerate ~${n * n / 2} pairs. Use minhashNearDupPairs " +
+          "(LSH-banded, sub-quadratic) for such corpora, or raise maxBlockRows deliberately."
+      )
+    }
     val toks = df.select(
       col(idCol).as("id"),
       col(blockCol).as("block"),

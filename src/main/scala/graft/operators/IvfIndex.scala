@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Hashing}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *    broadcast join against `nlist` centroids (argmax cosine via `max_by`),
   *    the update is a posexplode → per-(centroid, dim) mean → re-assembled
   *    array. Deterministic: init = first `nlist` vectors by id, no RNG.
-  *    At 100 TB you train on a sample (the quantizer needs thousands of
-  *    points per centroid, not the corpus) and only the ASSIGN pass scans
-  *    everything — one broadcast-join projection.
+  *    At 100 TB you train on a sample (`sampleFraction` — the quantizer
+  *    needs thousands of points per centroid, not the corpus) and only the
+  *    ASSIGN pass scans everything — one broadcast-join projection.
   *  - **search**: probe the `nprobe` nearest centroids per query, exact
   *    cosine rerank inside those posting lists only. Work per query is
   *    `nprobe/nlist` of the corpus instead of all of it.
@@ -24,14 +24,32 @@ object IvfIndex {
 
   private def cos(a: Column, b: Column): Column = CosineSimilarity.cosine(a, b)
 
-  /** Centroids as a DataFrame (centroid_id, centroid: array<float>). */
-  def train(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int, iters: Int): DataFrame = {
-    var centroids = corpus
+  /** Centroids as a DataFrame (centroid_id, centroid: array<float>).
+    *
+    * `sampleFraction` < 1 trains the quantizer on a deterministic hash-based
+    * sample (md5 of the id — reproducible on any engine and under any
+    * partitioning, unlike `df.sample`, whose seed is per-partition): Lloyd
+    * iterations then never scan the corpus. The seed codebook and every
+    * iteration use the same sample, so training is still fully deterministic.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int,
+      sampleFraction: Double = 1.0,
+  ): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, s"sampleFraction must be in (0, 1]: $sampleFraction")
+    val training =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.filter(pmod(Hashing.hash64(col(idCol).cast("string")), lit(1000000L)) < (sampleFraction * 1e6).toLong)
+    var centroids = training
       .orderBy(col(idCol))
       .limit(nlist)
       .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"), col(vecCol).as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, centroids, idCol, vecCol)
+      val assigned = assign(training, centroids, idCol, vecCol)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy(col("centroid_id"), col("pos"))

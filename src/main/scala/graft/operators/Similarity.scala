@@ -132,7 +132,11 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by a
-    * grouping column (e.g. label or LSH bucket) to stay sub-quadratic.
+    * grouping column to stay sub-quadratic. This is the EXACT-within-block
+    * variant: recall is total inside a block and zero across blocks, so it
+    * needs a high-cardinality, similarity-aligned block column (a label, a
+    * shard key). For unlabeled corpora use [[cosineNearDupPairsLsh]] — the
+    * default at scale, where no data column can be trusted to block on.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), col(blockCol).as("block"))
@@ -142,5 +146,61 @@ object Similarity {
       .withColumn("sim", cosine(col("l.vec"), col("r.vec")))
       .filter(col("sim") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs for UNLABELED corpora: the blocker is the
+    * same deterministic hyperplane signature [[lshSignature]] the ANN path
+    * uses (oracled by q50), so no data column is needed and the plan stays
+    * sub-quadratic on any input. Candidates = same bucket in ANY of `tables`
+    * hash tables; each candidate pair is emitted EXACTLY once (kept only in
+    * its first agreeing table — all table signatures ride along on both join
+    * sides, so no multi-million-row DISTINCT shuffle), then exact cosine >=
+    * `threshold` keeps real near-dups.
+    *
+    * Scale shape: signatures are computed once ([[DataFrame.localCheckpoint]]
+    * — the self-join must not recompute the projection twice, and
+    * correctness must not lean on optional ReuseExchange); the self-join
+    * shuffles (id, `tables` longs) per row, never the vectors; vectors are
+    * joined back only for candidate pairs. Recall tunes with `planes`
+    * (fewer bits → bigger buckets → higher recall, more rerank work) and
+    * `tables`, exactly like [[lshTopK]].
+    */
+  def cosineNearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int,
+      threshold: Double,
+      tables: Int = 4,
+  ): DataFrame = {
+    val sigs = df
+      .select(
+        col(idCol).as("id") +:
+          (0 until tables).map(t => lshSignature(col(vecCol), dim, planes, t).as(s"b$t")): _*
+      )
+      .localCheckpoint()
+    val banded = sigs.select(
+      col("id") +: (0 until tables).map(t => col(s"b$t")) :+
+        explode(array((0 until tables).map(t => struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)).as("tb"): _*
+    )
+    val firstTableOnly = (0 until tables)
+      .map { t =>
+        val earlierNoMatch = (0 until t).map(t2 => col(s"l.b$t2") =!= col(s"r.b$t2")).foldLeft(lit(true))(_ && _)
+        (col("l.tb.tbl") === t) && earlierNoMatch
+      }
+      .reduce(_ || _)
+    val cand = banded
+      .as("l")
+      .join(banded.as("r"), col("l.tb") === col("r.tb") && col("l.id") < col("r.id"))
+      .filter(firstTableOnly)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("vec_a")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vec_b")), "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

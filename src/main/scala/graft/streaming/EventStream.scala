@@ -219,16 +219,7 @@ object EventStream {
         .toDF()
         .select(colsInOrder.map(col): _*)
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
-    Seq(ev.coalesce(1), sentinel(1), sentinel(2)).zipWithIndex.foreach { case (df, i) =>
-      val scratch = java.nio.file.Files.createTempDirectory(s"graft_stream_${queryName}_$i")
-      df.write.mode("overwrite").parquet(scratch.toString)
-      val part = scratch.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = dir.resolve(s"$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      // strictly increasing mtimes pin the microbatch order (file sources
-      // pick oldest-first); the written mtimes are same-millisecond often
-      dst.toFile.setLastModified((i + 1) * 1000000L)
-    }
+    writeOrderedBatches(dir, Seq(ev.coalesce(1), sentinel(1), sentinel(2)))
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
@@ -244,11 +235,125 @@ object EventStream {
     spark.table(queryName).filter(col("user_id") >= 0)
   }
 
+  /** Fragment-path parity runner: drives [[sessionize]] with DELIBERATELY
+    * out-of-order microbatches so the `t < start - gap` branch (singleton
+    * fragment emission) runs against a DuckDB oracle — q53's harness proves
+    * the happy path, this one proves the documented out-of-order semantics.
+    *
+    * Microbatch order (`maxFilesPerTrigger=1`, mtime-pinned):
+    *   0. each user's LAST event (by ts, event_id) — opens a session at the
+    *      end of the user's timeline;
+    *   1. ALL other events — every event more than `gap` before that open
+    *      session becomes a singleton fragment; the rest merge into it.
+    *      The watermark delay exceeds the event-time span, so nothing is
+    *      dropped as late;
+    *   2./3. two sentinels far enough ahead that the event-time timeout
+    *      fires for every open session despite the huge watermark delay.
+    *
+    * The resulting semantics are CLOSED-FORM (what the oracle encodes): with
+    * T = the user's last event time, in-batch ascending processing means
+    * every event with t < T - gap fragments (state start is still >= its
+    * final value when such an event arrives), and every event with
+    * t >= T - gap merges into the main session — the first merger drags
+    * `start` down to its own t, and each later event lands inside
+    * [start - gap, end + gap] because timestamps ascend. Main-session totals
+    * accumulate in stream order: last event's value FIRST (batch 0), then
+    * the mergers ascending.
+    */
+  def sessionizeOneShotOutOfOrder(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      queryName: String,
+      gapMinutes: Int = 30,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = eventsDf.select(colsInOrder.map(col): _*)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val ranked = ev.withColumn("__rn", row_number().over(w)).localCheckpoint()
+    val lastPerUser = ranked.filter(col("__rn") === 1).drop("__rn")
+    val rest = ranked.filter(col("__rn") > 1).drop("__rn")
+    val (minTs, maxTs) = {
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    // watermark delay must exceed the event-time span so batch-1 events are
+    // never late; sentinels sit past maxTs + delay + gap so the watermark
+    // computed from them passes every open session's timeout
+    val spanDays = ((maxTs.getTime - minTs.getTime) / 86400000L + 2).toInt
+    val dayMs = 86400000L
+    def sentinel(days: Int) =
+      Seq(Event(-days.toLong, new Timestamp(maxTs.getTime + days * dayMs), -1L, "sentinel", 0.0))
+        .toDF(colsInOrder: _*)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
+    writeOrderedBatches(
+      dir,
+      Seq(lastPerUser.coalesce(1), rest.coalesce(1), sentinel(spanDays + 1 + 1), sentinel(spanDays + 2 + 1)),
+    )
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = sessionize(stream.as[Event], gapMinutes, watermarkMinutes = Some(spanDays * 24 * 60))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
+
+  /** Write each DataFrame as one parquet file `<i>.parquet` under `dir` with
+    * STRICTLY increasing mtimes — file sources pick oldest-first, so this
+    * pins the microbatch order the one-shot harnesses depend on. A silent
+    * mtime failure (some filesystems/containers) would let the sentinel
+    * batch be read before the events batch, advancing the watermark and
+    * dropping every real event — hence the loud `require`, not a boolean
+    * discard. Scratch dirs are removed immediately; the batch dir is
+    * registered for JVM-exit cleanup.
+    */
+  private def writeOrderedBatches(dir: java.nio.file.Path, batches: Seq[DataFrame]): Unit = {
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val scratch = java.nio.file.Files.createTempDirectory(s"${dir.getFileName}_scratch$i")
+      df.write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(s"$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      require(
+        dst.toFile.setLastModified((i + 1) * 1000000L),
+        s"setLastModified failed for $dst: cannot pin microbatch order on this filesystem — " +
+          "the stream would read batches in arbitrary order and drop watermarked events",
+      )
+      deleteRecursively(scratch.toFile)
+    }
+    registerDeleteOnExit(dir.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** deleteOnExit runs in REVERSE registration order, so registering the dir
+    * before its (current and future-at-exit) children deletes files first,
+    * then the emptied dir.
+    */
+  private def registerDeleteOnExit(dir: java.io.File): Unit = {
+    dir.deleteOnExit()
+    Option(dir.listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory) registerDeleteOnExit(f) else f.deleteOnExit()
+    })
+  }
+
   private def writeTemp(df: DataFrame, name: String, singleFile: Boolean = false): String = {
     // unique per invocation — a fixed path would let concurrent runs
     // overwrite each other's files mid-scan
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toString
-    (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").parquet(dir)
-    dir
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+    (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").parquet(dir.toString)
+    registerDeleteOnExit(dir.toFile)
+    dir.toString
   }
 }

@@ -79,11 +79,68 @@ class ExtensionSpec extends SparkSpec {
       .bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = IvfIndex
-      .topK(emb, queries, "vec_id", "embedding", centroids, nprobe = 3, k = 3)
+      .topK(emb, queries, "vec_id", "embedding", centroids, nprobe = 4, k = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    info(f"IVF recall@3 (nlist=8, nprobe=3): $recall%.2f over ${exact.size} exact pairs")
-    assert(recall >= 0.3, s"recall $recall suspiciously low")
+    info(f"IVF recall@3 (nlist=8, nprobe=4): $recall%.2f over ${exact.size} exact pairs")
+    // same floor the LSH path pins — nprobe=4 of nlist=8 measured 0.83 here
+    // (nprobe=3 measured 0.73: half the lists probed is the honest dial for
+    // this corpus; work per query is still nprobe/nlist of the posting lists)
+    assert(recall >= 0.8, s"recall $recall below the pinned 0.8 floor")
+  }
+
+  test("IVF: hash-sampled training is deterministic and yields full codebooks") {
+    import graft.operators.IvfIndex
+    def trained() =
+      IvfIndex
+        .train(emb, "vec_id", "embedding", nlist = 4, iters = 1, sampleFraction = 0.5)
+        .as[(Int, Seq[Float])]
+        .collect()
+        .sortBy(_._1)
+        .toSeq
+    val c1 = trained()
+    assert(c1.length == 4)
+    // md5-based sampling: same result on every run/partitioning (df.sample
+    // would not be), and genuinely different from full-corpus training
+    assert(c1 == trained())
+    val full = IvfIndex
+      .train(emb, "vec_id", "embedding", nlist = 4, iters = 1)
+      .as[(Int, Seq[Float])]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(c1 != full, "0.5 sample should train a (slightly) different codebook")
+  }
+
+  test("cosineNearDupPairsLsh: exactly-once pairs, subset of exhaustive, sims exact") {
+    val lsh = Similarity
+      .cosineNearDupPairsLsh(emb, "vec_id", "embedding", dim = 64, planes = 4, threshold = 0.35, tables = 2)
+      .select("id_a", "id_b", "sim")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    val keys = lsh.map(p => (p._1, p._2))
+    assert(keys.distinct.length == keys.length, "a pair matching in BOTH tables must be emitted once")
+    assert(lsh.nonEmpty)
+    // every emitted pair must appear in the exhaustive >= threshold set with
+    // the identical cosine (candidates only ever shrink the set)
+    val exhaustive = emb
+      .as("a")
+      .crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id"),
+        col("b.vec_id"),
+        CosineSimilarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"),
+      )
+      .filter(col("sim") >= 0.35)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(p => (p._1, p._2) -> p._3)
+      .toMap
+    lsh.foreach { case (a, b, s) =>
+      assert(exhaustive.get((a, b)).contains(s), s"pair ($a,$b) not an exact >=0.35 pair with sim $s")
+    }
   }
 
   test("exactDedup keeps one survivor per duplicated text") {

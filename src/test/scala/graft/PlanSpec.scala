@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("q61: LSH near-dup candidates join on signature buckets, never on a data column") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = q("q61_cosine_neardup_lsh").queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the whole point of the LSH default: no join keyed on a data column
+    // (label/block) — those are the sub-quadratic-only-if-you're-lucky plans
+    assert(
+      !joins.exists(_.condition.exists(_.references.exists(a => a.name == "label" || a.name == "block"))),
+      "LSH near-dup must not block on a data column",
+    )
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -141,6 +141,18 @@ class ScaleSpec extends SparkSpec {
     assert(blockKeyedJoins(Curate.Config(useLsh = false)) == 1)
   }
 
+  test("jaccardPairs: oversized block fails loudly instead of running N² silently") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalStateException](
+      Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5, maxBlockRows = 2)
+    )
+    assert(e.getMessage.contains("maxBlockRows") && e.getMessage.contains("minhashNearDupPairs"), e.getMessage)
+    // under the cap the same call runs
+    val ok = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5, maxBlockRows = 3)
+    assert(ok.filter($"id_a" === 1 && $"id_b" === 2).count() == 1)
+  }
+
   test("strict casts (E4): ANSI mode crashes on junk like the reference's int()") {
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     try {

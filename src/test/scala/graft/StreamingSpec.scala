@@ -156,6 +156,57 @@ class StreamingSpec extends SparkSpec {
     assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 5.0)
   }
 
+  test("boundary: gap of exactly 30min MERGES in both session operators; >gap splits") {
+    // Pins the q59/q53 boundary by data (the events table has no exactly-
+    // 30min inter-event gap, so the oracles alone can't tell >= from >).
+    // MEASURED, not assumed: session_window's [t, t+gap) windows merge on
+    // adjacency too (next start == current end), so an exactly-gap pair
+    // MERGES — the same strict-> boundary as the custom sessionize. The two
+    // operators differ only in session_end (last event + gap vs last event).
+    val exactGap = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:30:00"), 1, "view", 2.0),
+    )
+    val merged = exactGap
+      .toDF()
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .count()
+      .select(col("w.start").cast("string"), col("w.end").cast("string"))
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    assert(
+      merged == Seq(("2024-01-01 10:00:00", "2024-01-01 11:00:00")),
+      s"exact-gap events must merge into one window ending last+gap: $merged",
+    )
+    val overGap = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:30:01"), 1, "view", 2.0),
+    )
+    val nOver = overGap.toDF().groupBy(session_window(col("ts"), "30 minutes"), col("user_id")).count().count()
+    assert(nOver == 2, "a gap one second past 30min must split session_window")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream
+      .sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("graft_sessions_boundary")
+      .start()
+    input.addData(exactGap: _*)
+    query.processAllAvailable()
+    input.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(100, ts("2024-01-03 00:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    val sessions = spark.table("graft_sessions_boundary").as[Session].collect().toSeq.filter(_.user_id == 1)
+    query.stop()
+    assert(sessions.length == 1, s"sessionize must merge a gap of exactly 30min: $sessions")
+    assert(sessions.head.n_events == 2 && sessions.head.session_end == ts("2024-01-01 10:30:00"))
+  }
+
   test("sessionize: out-of-order events extend earlier within gap, fragment beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
