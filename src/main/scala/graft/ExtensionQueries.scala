@@ -673,6 +673,74 @@ object ExtensionQueries {
         .orderBy("user_id", "session_start", "session_end", "n_events", "total_value")
     }),
 
+    // ---- SimHash near-dup pairs: prefix-bucketed Hamming pairing (the
+    //      spec-only half of the simhash suite, now oracled — q23 pins the
+    //      signatures, this pins bucketing + bit_count distance) ----
+    "q63_simhash_pairs" -> ((s, d) => {
+      Dedup
+        .simhashPairs(t(s, d, "documents"), "doc_id", "text", bits = SimBits, prefixBits = 6, maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Connected components over a LONG-CHAIN graph via alternating
+    //      star contraction: consecutive customers within a market segment
+    //      form ~3000-node chains — min-label propagation would need ~3000
+    //      rounds (and loudly refuses); star contraction needs O(log n).
+    //      The oracle is closed-form: component = min custkey per segment --
+    "q64_cc_chain" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      val edges = c
+        .withColumn("nxt", lead(col("c_custkey"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("c_custkey").as("src"), col("nxt").as("dst"))
+      Dedup
+        .connectedComponentsStar(edges)
+        .select(col("id").as("c_custkey"), col("comp").as("cluster_id"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- Stream-stream interval join through a real AvailableNow run:
+    //      binary stateful operator == batch join (the oracle) ----
+    "q65_stream_interval_join" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      EventStream
+        .intervalJoinOneShot(s, ev, "graft_q65")
+        .select(
+          col("click_id"),
+          col("purchase_id"),
+          col("c_user").as("user_id"),
+          col("click_value"),
+          col("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // ---- EXACT sessionization under out-of-order arrival: multi-fragment
+    //      state through the SAME adversarial microbatch order as q62, but
+    //      the result must equal plain BATCH sessionization — arrival order
+    //      is irrelevant by construction (fragments merge; emission waits
+    //      for the watermark), and totals are exact scaled-long sums ----
+    "q66_stream_sessionize_exact" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      EventStream
+        .sessionizeExactOneShot(s, ev, "graft_q66", gapMinutes = 30)
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          col("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1085,6 +1153,59 @@ object ExtensionQueries {
                       FROM mainev GROUP BY user_id)
          SELECT * FROM frag UNION ALL SELECT * FROM main
          ORDER BY user_id, session_start, session_end, n_events, total_value""",
+    // Bucket = top prefixBits of the 16-bit simhash; distance = bit_count
+    // of the XOR — both engine-agnostic integer ops over the q23-pinned
+    // signatures.
+    "q63_simhash_pairs" ->
+      s"""WITH sig AS (SELECT doc_id, $sqlSimhash AS sim
+                       FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
+                       WHERE len(hs) > 0),
+              b AS (SELECT doc_id, sim, sim >> ${SimBits - 6} AS bucket FROM sig)
+          SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sim, c.sim)) AS INT) AS dist
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+          WHERE bit_count(xor(a.sim, c.sim)) <= 3
+          ORDER BY id_a, id_b""",
+    // Chain graph by construction (consecutive custkeys within a segment),
+    // so the component of every node is closed-form: the segment's minimum.
+    "q64_cc_chain" ->
+      """SELECT c_custkey, MIN(c_custkey) OVER (PARTITION BY c_mktsegment) AS cluster_id
+         FROM customer ORDER BY c_custkey""",
+    // epoch_us on both bounds mirrors Spark's microsecond timestamp
+    // arithmetic exactly (events are ns in parquet; Spark truncates to µs).
+    "q65_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                c.value AS click_value, p.value AS purchase_value
+         FROM events c JOIN events p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.user_id = p.user_id
+          AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+         ORDER BY click_id, purchase_id""",
+    // The whole point of sessionizeExact: despite q62's adversarial arrival
+    // order, the oracle is PLAIN batch sessionization (q44 semantics), with
+    // the total as an order-independent exact decimal sum — the stream's
+    // scaled-long accumulator produces the identical double.
+    "q66_stream_sessionize_exact" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         sessions AS (
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged
+         )
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(

@@ -36,6 +36,14 @@ object EventStream {
   // bounds (and, at a gap boundary, membership) off the batch semantics.
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  // Multi-fragment state for [[sessionizeExact]]: every open fragment of the
+  // key's timeline. `totalScaled` is the value sum in 10^-4 units (a long) —
+  // addition is then exact and ORDER-INDEPENDENT, so the emitted total is
+  // identical no matter how fragments merge, and the oracle can use a plain
+  // DECIMAL(18,4) sum instead of modeling arrival order.
+  final case class Frag(start: Long, end: Long, n: Long, totalScaled: Long)
+  final case class FragsState(frags: List[Frag])
+
   /** Watermarked tumbling-window aggregation (event-time). */
   def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
@@ -126,6 +134,106 @@ object EventStream {
       .withWatermark("ts", s"${watermarkMinutes.getOrElse(gapMinutes)} minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Sessionization that is EXACT under any arrival order (the upgrade over
+    * [[sessionize]]'s single-session state): per key the state holds every
+    * open FRAGMENT of the timeline; an event joins (and possibly bridges)
+    * the fragments within `gap` of it, and a fragment is emitted only when
+    * the event-time watermark passes its `end + gap` — at which point no
+    * non-late event can still touch it (any such event would have
+    * `t <= end + gap < watermark`, i.e. be late). For data fully arrived
+    * within the watermark the output therefore EQUALS batch sessionization
+    * regardless of microbatch order — q66 proves that with deliberately
+    * out-of-order batches against the plain batch oracle.
+    *
+    * Fragments stay pairwise more-than-gap apart by construction (a
+    * bridging event lands in the touch-set of every fragment it bridges),
+    * so state is O(open fragments), bounded by the watermark horizon.
+    * Totals accumulate in exact scaled-long arithmetic ([[Frag]]) — no
+    * order-dependent double sums to mirror.
+    */
+  def sessionizeExact(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkMinutes: Option[Int] = None,
+  ): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    def usOf(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[FragsState],
+    ): Iterator[Session] = {
+      // timeout must exceed the current watermark when registered; the floor
+      // from µs -> ms is compensated by re-checking against the real µs
+      // watermark at fire time and re-registering if nothing closed
+      def register(frags: List[Frag]): Unit = {
+        state.update(FragsState(frags))
+        val next = frags.map(_.end).min / 1000L + gapMs
+        state.setTimeoutTimestamp(math.max(next, state.getCurrentWatermarkMs() + 1))
+      }
+      if (state.hasTimedOut) {
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (closed, open) = state.get.frags.partition(f => f.end + gapUs < wmUs)
+        if (open.isEmpty) state.remove() else register(open)
+        closed
+          .sortBy(_.start)
+          .map(f => Session(userId, tsOf(f.start), tsOf(f.end), f.n, f.totalScaled / 10000.0))
+          .iterator
+      } else {
+        var frags = state.getOption.map(_.frags).getOrElse(Nil)
+        batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+          val t = usOf(e.ts)
+          val v = math.round(e.value * 10000.0)
+          val (touched, rest) = frags.partition(f => t >= f.start - gapUs && t <= f.end + gapUs)
+          val merged = touched.foldLeft(Frag(t, t, 1, v)) { (a, f) =>
+            Frag(math.min(a.start, f.start), math.max(a.end, f.end), a.n + f.n, a.totalScaled + f.totalScaled)
+          }
+          frags = merged :: rest
+        }
+        if (frags.nonEmpty) register(frags.sortBy(_.start))
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", s"${watermarkMinutes.getOrElse(gapMinutes)} minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** One-shot runner for [[sessionizeExact]] over the SAME deliberately
+    * out-of-order microbatches as [[sessionizeOneShotOutOfOrder]] (per-user
+    * last event first, everything else second) — but here the expected
+    * output is plain BATCH sessionization: the multi-fragment state makes
+    * arrival order irrelevant, which is exactly what q66's oracle checks.
+    */
+  def sessionizeExactOneShot(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      queryName: String,
+      gapMinutes: Int = 30,
+  ): DataFrame = {
+    val (stream, wmMinutes) = outOfOrderEventStream(spark, eventsDf, queryName)
+    val q = sessionizeExact(stream, gapMinutes, watermarkMinutes = Some(wmMinutes))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).filter(col("user_id") >= 0)
   }
 
   /** Streaming exact dedup: drop events whose `idCols` were already seen
@@ -266,6 +374,31 @@ object EventStream {
       queryName: String,
       gapMinutes: Int = 30,
   ): DataFrame = {
+    val (stream, wmMinutes) = outOfOrderEventStream(spark, eventsDf, queryName)
+    val q = sessionize(stream, gapMinutes, watermarkMinutes = Some(wmMinutes))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
+
+  /** The microbatch layout shared by the two out-of-order harnesses
+    * (q62/q66): batch 0 = each user's LAST event (by ts, event_id), batch 1
+    * = everything else, then two sentinels. The watermark delay exceeds the
+    * event-time span so batch-1 events are never late; the sentinels sit
+    * past maxTs + delay + gap so the watermark computed from them passes
+    * every open state's timeout. Returns the `maxFilesPerTrigger=1` stream
+    * and the watermark minutes.
+    */
+  private def outOfOrderEventStream(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      queryName: String,
+  ): (Dataset[Event], Int) = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value")
@@ -278,9 +411,6 @@ object EventStream {
       val r = ev.agg(min(col("ts")), max(col("ts"))).head()
       (r.getTimestamp(0), r.getTimestamp(1))
     }
-    // watermark delay must exceed the event-time span so batch-1 events are
-    // never late; sentinels sit past maxTs + delay + gap so the watermark
-    // computed from them passes every open session's timeout
     val spanDays = ((maxTs.getTime - minTs.getTime) / 86400000L + 2).toInt
     val dayMs = 86400000L
     def sentinel(days: Int) =
@@ -289,21 +419,54 @@ object EventStream {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
     writeOrderedBatches(
       dir,
-      Seq(lastPerUser.coalesce(1), rest.coalesce(1), sentinel(spanDays + 1 + 1), sentinel(spanDays + 2 + 1)),
+      Seq(lastPerUser.coalesce(1), rest.coalesce(1), sentinel(spanDays + 2), sentinel(spanDays + 3)),
     )
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-    val q = sessionize(stream.as[Event], gapMinutes, watermarkMinutes = Some(spanDays * 24 * 60))
-      .writeStream
+    (stream.as[Event], spanDays * 24 * 60)
+  }
+
+  /** Stream-stream INTERVAL JOIN, one-shot: clicks joined to the same
+    * user's purchases within the preceding hour, both sides real file
+    * streams. This is the third streaming operator class after windowed
+    * aggregation (q33) and arbitrary state (q53/q62): a binary stateful
+    * operator whose buffered state is bounded by watermark + interval
+    * (each side can discard rows once the other side's watermark passes
+    * `ts + interval`). The AvailableNow run ingests both sides and must
+    * equal the batch join — checked by the q65 oracle.
+    */
+  def intervalJoinOneShot(spark: SparkSession, eventsDf: DataFrame, queryName: String): DataFrame = {
+    val clicks = eventsDf
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("ts").as("cts"),
+        col("user_id").as("c_user"),
+        col("value").as("click_value"),
+      )
+    val purchases = eventsDf
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("ts").as("pts"),
+        col("user_id").as("p_user"),
+        col("value").as("purchase_value"),
+      )
+    def fileStream(df: DataFrame, name: String) =
+      spark.readStream.schema(df.schema).parquet(writeTemp(df, name, singleFile = true))
+    val c = fileStream(clicks, s"${queryName}_c").withWatermark("cts", "2 hours")
+    val p = fileStream(purchases, s"${queryName}_p").withWatermark("pts", "2 hours")
+    val joined = c.join(p, expr("c_user = p_user AND pts BETWEEN cts - INTERVAL 1 HOUR AND cts"))
+    val q = joined.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName).filter(col("user_id") >= 0)
+    spark.table(queryName)
   }
 
   /** Write each DataFrame as one parquet file `<i>.parquet` under `dir` with

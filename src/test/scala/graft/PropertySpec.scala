@@ -80,6 +80,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CC: star contraction and min-label propagation agree on random graphs") {
+    import graft.operators.Dedup
+    val edgeGen = for {
+      n <- Gen.choose(1, 14)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+    } yield edges.filter { case (a, b) => a != b }
+    forAll(edgeGen, 10) { edges =>
+      whenever(edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val star = Dedup.connectedComponentsStar(df).as[(Long, Long)].collect().toMap
+        val label = Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+        assert(star == label, s"edges=$edges star=$star label=$label")
+      }
+    }
+  }
+
   test("R2/J2: Combine matches a Map-based reference implementation") {
     val keyGen = Gen.oneOf("a", "b", "c", "d")
     val tableGen = Gen.mapOf(Gen.zip(keyGen, Gen.choose(0, 50))).map(_.toList)

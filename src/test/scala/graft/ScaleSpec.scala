@@ -141,6 +141,21 @@ class ScaleSpec extends SparkSpec {
     assert(blockKeyedJoins(Curate.Config(useLsh = false)) == 1)
   }
 
+  test("star-contraction CC handles a chain that min-label propagation refuses") {
+    import graft.operators.Dedup
+    // a 1000-node path graph: diameter 999, so min-label needs 999 rounds
+    val chain = spark.range(999).selectExpr("id AS src", "id + 1 AS dst")
+    intercept[IllegalStateException](Dedup.connectedComponents(chain, maxRounds = 20).count())
+    val labels = Dedup.connectedComponentsStar(chain).as[(Long, Long)].collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L), s"single chain must collapse to component 0: ${labels.filter(_._2 != 0L).take(3)}")
+    // multiple components + equivalence with min-label on a small graph
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val star = Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+    val label = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(star == label, s"star=$star label=$label")
+  }
+
   test("jaccardPairs: oversized block fails loudly instead of running N² silently") {
     import graft.operators.Dedup
     val docs = Seq((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s")).toDF("doc_id", "text", "source")

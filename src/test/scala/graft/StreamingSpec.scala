@@ -207,6 +207,36 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.n_events == 2 && sessions.head.session_end == ts("2024-01-01 10:30:00"))
   }
 
+  test("sessionizeExact: out-of-order fragments bridge-merge to the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream
+      .sessionizeExact(input.toDS(), gapMinutes = 30, watermarkMinutes = Some(360))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("graft_sessions_exact")
+      .start()
+    // worst case for single-session state: latest event first, then a
+    // far-earlier event (separate fragment), then the bridge between them
+    input.addData(Event(3, ts("2024-01-01 10:50:00"), 1, "view", 3.0))
+    query.processAllAvailable()
+    input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(2, ts("2024-01-01 10:25:00"), 1, "view", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(99, ts("2024-01-02 10:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    input.addData(Event(100, ts("2024-01-03 10:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    val sessions = spark.table("graft_sessions_exact").as[Session].collect().toSeq.filter(_.user_id == 1)
+    query.stop()
+    assert(sessions.length == 1, s"fragments must bridge-merge into one session: $sessions")
+    val s = sessions.head
+    assert(s.session_start == ts("2024-01-01 10:00:00") && s.session_end == ts("2024-01-01 10:50:00"))
+    assert(s.n_events == 3 && s.total_value == 6.0)
+  }
+
   test("sessionize: out-of-order events extend earlier within gap, fragment beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
