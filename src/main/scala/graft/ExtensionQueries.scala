@@ -741,6 +741,47 @@ object ExtensionQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // ---- Sequence packing: assign docs to fixed-token-budget packs (the
+    //      training-batch prep op). Greedy-in-id-order per SHARD — the
+    //      window is partitioned, so at 100 TB each shard packs
+    //      independently and nothing needs a global sort; capacity 512
+    //      tokens, pack = floor(tokens-before-me / capacity) ----
+    "q67_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          (col("doc_id") % 8).as("shard"),
+          size(TextAnalysis.wsTokens(col("text"))).as("n_tokens"),
+        )
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      docs
+        .withColumn(
+          "cum_before",
+          coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)),
+        )
+        .select(
+          col("doc_id"),
+          col("shard"),
+          col("n_tokens"),
+          floor(col("cum_before") / 512.0).cast("long").as("pack_id"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Vocabulary building: corpus-wide token frequencies, top 100.
+    //      explode → partial-agg count (map-side combine carries one row
+    //      per distinct token per partition), then TakeOrdered — no full
+    //      sort shuffle for the top-k ----
+    "q68_vocab_topk" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1206,6 +1247,24 @@ object ExtensionQueries {
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM sessions GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "q67_pack_sequences" ->
+      """WITH tk AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+                     FROM documents),
+             c AS (SELECT doc_id, shard, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                   FROM tk)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
+    // Token frequencies over NON-distinct tokens (counting wants every
+    // occurrence, unlike the dedup tokenizers); ties broken by token text
+    // so the top-100 cut is total-ordered.
+    "q68_vocab_topk" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+         SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         ORDER BY n DESC, token LIMIT 100""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(

@@ -351,9 +351,17 @@ object Dedup {
       .localCheckpoint()
     def minOfNeighborhood(d: DataFrame) =
       d.groupBy(col("src")).agg(least(min(col("dst")), first(col("src"))).as("m"))
-    var changed = 1L
+    // distinct edge sets are equal iff (count, xor of row hashes) agree —
+    // one partial-agg job over the already-checkpointed set, vs the two
+    // exceptAll shuffles of a literal set-difference check
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = fingerprint(e)
     var rounds = 0
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       rounds += 1
       if (rounds > maxRounds)
         throw new IllegalStateException(
@@ -361,14 +369,14 @@ object Dedup {
             "O(log n), so this indicates a bug or a pathological input, not a long chain."
         )
       // large-star: (v, m(u)) for v in N(u), v > u — keeps the graph
-      // connected while hanging big nodes off local minima
+      // connected while hanging big nodes off local minima. No dedup here:
+      // the small-star canonicalization's distinct absorbs duplicates.
       val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       val ls = und
         .join(minOfNeighborhood(und), "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       // small-star on the large-star output, edges directed big -> small:
       // (v, m(u)) for v in N<=(u) and u itself
       val dir = ls
@@ -382,7 +390,9 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint()
-      changed = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+      val cur = fingerprint(ss)
+      converged = cur == prev
+      prev = cur
       e = ss
     }
     // fixpoint edges are child -> component-min stars; roots label themselves
