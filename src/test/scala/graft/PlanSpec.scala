@@ -109,6 +109,14 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q67 packing window is per-shard: hash-partitioned exchange, no global sort") {
+    val p = plan(q("q67_pack_sequences"))
+    // the cumsum window must partition by shard — a SinglePartition window
+    // is the classic sessionization-at-scale mistake (all data to one task)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!"Exchange SinglePartition.*Window".r.findFirstIn(p.replaceAll("\n", " ")).isDefined, p)
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
