@@ -782,6 +782,36 @@ object ExtensionQueries {
         .limit(100)
     }),
 
+    // ---- Unigram-LM quality scoring: per-doc average surprisal under the
+    //      corpus unigram distribution (the perplexity-style quality gate).
+    //      Scale/determinism design: ln() runs once per DISTINCT vocab
+    //      token and is quantized to a scaled LONG there, so the per-doc
+    //      sum is exact integer arithmetic — order-independent (no double
+    //      sums to mirror), and the corpus side is explode → broadcast
+    //      join → partial-agg count/sum, never a shuffle of text ----
+    "q69_unigram_surprisal" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      val lp = vocab
+        .crossJoin(broadcast(total))
+        .select(
+          col("token"),
+          floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5).cast("long").as("lps"),
+        )
+      tok
+        .join(broadcast(lp), "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lps")).as("s"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (-(col("s").cast("double") / col("n_tokens")) / 1e6).as("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1265,6 +1295,19 @@ object ExtensionQueries {
       """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
          SELECT token, COUNT(*) AS n FROM tok GROUP BY token
          ORDER BY n DESC, token LIMIT 100""",
+    // ln() is quantized to a scaled BIGINT per distinct token (floor(x*1e6
+    // + 0.5) — the cross-engine rounding used throughout), so per-doc sums
+    // are exact integers; the final double divisions are IEEE-identical.
+    "q69_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+             vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+             tot AS (SELECT SUM(cnt) AS total FROM vocab),
+             lp AS (SELECT token, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5) AS BIGINT) AS lps
+                    FROM vocab CROSS JOIN tot),
+             d AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(lp.lps) AS s
+                   FROM tok t JOIN lp ON t.token = lp.token GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens, -(CAST(s AS DOUBLE) / n_tokens) / 1000000.0 AS avg_neg_logp
+         FROM d ORDER BY doc_id""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(
