@@ -812,6 +812,23 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Train/val/test split on the CONTENT hash (80/10/10): the same
+    //      text lands in the same split across dataset versions and
+    //      engines — the leak-safe reproducible split. Pure projection;
+    //      verified via the per-(lang, split) distribution ----
+    "q70_train_val_test" -> ((s, d) => {
+      val bucket = Hashing.hash64(col("text")) % 100
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        )
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy("lang", "split")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1308,6 +1325,14 @@ object ExtensionQueries {
                    FROM tok t JOIN lp ON t.token = lp.token GROUP BY t.doc_id)
          SELECT doc_id, n_tokens, -(CAST(s AS DOUBLE) / n_tokens) / 1000000.0 AS avg_neg_logp
          FROM d ORDER BY doc_id""",
+    "q70_train_val_test" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+              CASE WHEN ${sqlHash64("text")} % 100 < 80 THEN 'train'
+                   WHEN ${sqlHash64("text")} % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents)
+          SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS min_doc_id
+          FROM s GROUP BY lang, split ORDER BY lang, split""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(
