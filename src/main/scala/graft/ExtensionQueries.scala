@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, IvfIndex, Multimodal, Similarity, SkewJoin}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, IvfIndex, Multimodal, Quality, Similarity, SkewJoin}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -784,33 +784,15 @@ object ExtensionQueries {
 
     // ---- Unigram-LM quality scoring: per-doc average surprisal under the
     //      corpus unigram distribution (the perplexity-style quality gate).
-    //      Scale/determinism design: ln() runs once per DISTINCT vocab
-    //      token and is quantized to a scaled LONG there, so the per-doc
-    //      sum is exact integer arithmetic — order-independent (no double
-    //      sums to mirror), and the corpus side is explode → broadcast
-    //      join → partial-agg count/sum, never a shuffle of text ----
-    "q69_unigram_surprisal" -> ((s, d) => {
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("token"))
-      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum(col("cnt")).as("total"))
-      val lp = vocab
-        .crossJoin(broadcast(total))
-        .select(
-          col("token"),
-          floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5).cast("long").as("lps"),
-        )
-      tok
-        .join(broadcast(lp), "token")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lps")).as("s"))
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          (-(col("s").cast("double") / col("n_tokens")) / 1e6).as("avg_neg_logp"),
-        )
-        .orderBy("doc_id")
-    }),
+    //      [[graft.operators.Quality.unigramSurprisal]]: ln() quantized to
+    //      a scaled LONG once per DISTINCT vocab token (order-independent
+    //      integer sums), log-prob table split head (broadcast, absorbs
+    //      the Zipf hot keys) / tail (skew-free shuffle join) so no
+    //      whole-vocab broadcast is ever required ----
+    "q69_unigram_surprisal" -> ((s, d) =>
+      Quality
+        .unigramSurprisal(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // ---- Train/val/test split on the CONTENT hash (80/10/10): the same
     //      text lands in the same split across dataset versions and

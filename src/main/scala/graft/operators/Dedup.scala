@@ -104,8 +104,8 @@ object Dedup {
     * with p = 1-(1-0.8²)⁴ ≈ 0.98. The self-join is an equi-join on the band
     * key — shuffle is O(N·bands) small rows; within-bucket pairing is the
     * only quadratic step and buckets are tiny by construction.
-    */
-  /** Band fan-out self-join with the full signature carried on both sides.
+    *
+    * Band fan-out self-join with the full signature carried on both sides.
     * The join key is the band struct itself (raw longs — no string
     * synthesis); `firstBandOnly` keeps a pair only in its first matching
     * band, so every candidate pair is emitted EXACTLY once and no
@@ -272,29 +272,48 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
 
+  /** Lineage truncation for the iterative CC operators, always LAZY: the
+    * caller's convergence action (the fused changed-count / fingerprint
+    * aggregation) is the job that materializes the checkpoint, so each round
+    * costs ONE job, not a materialize-then-check pair.
+    *
+    * `reliable = true` switches `localCheckpoint` (executor-local,
+    * non-replicated — on a real cluster losing ONE executor mid-iteration
+    * kills the job unrecoverably, because the severed lineage can't
+    * recompute) for a replicated `checkpoint` to
+    * `sparkContext.setCheckpointDir`'s HDFS/object-store path. Local mode
+    * and tests keep the cheap executor-local default; a 100 TB run on
+    * preemptible executors sets `reliable = true`.
+    */
+  private def truncateLineage(d: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) d.checkpoint(eager = false) else d.localCheckpoint(eager = false)
+
   /** Connected components over an undirected pair graph (`src`,`dst` long
     * ids) by iterative min-label propagation: every node adopts the minimum
     * label among itself and its neighbors until fixpoint (O(component
     * diameter) rounds — near-dup clusters are dense, so typically 2-3).
     * Returns (id, component) where component = min id in the cluster — the
     * canonical survivor. Each round is one join + partial-aggregated min;
-    * `localCheckpoint` truncates the growing lineage. The convergence check
-    * is fused into the round: the previous label rides along through the
-    * update, so "did anything change" is a count over the already-
-    * materialized checkpoint — no extra join, no recompute. This is the step
-    * that turns near-dup PAIRS into an actual dedup decision.
+    * a lazy checkpoint ([[truncateLineage]]) truncates the growing lineage.
+    * The convergence check is fused into the round twice over: the previous
+    * label rides along through the update, and the "did anything change"
+    * count is the SAME job that materializes the round's checkpoint — one
+    * job per round total.
     *
     * `maxRounds` bounds the driver loop: min-label propagation is
     * O(diameter), so hitting the cap means the graph is a long chain —
     * fail loudly and point at the fix rather than looping for hours.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
-    val und = edges
-      .select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct().withColumn("comp", col("id")).localCheckpoint()
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame = {
+    val und = truncateLineage(
+      edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      reliable,
+    )
+    var labels =
+      truncateLineage(und.select(col("src").as("id")).distinct().withColumn("comp", col("id")), reliable)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -308,10 +327,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-        .select(col("id"), col("comp").as("prev"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = truncateLineage(
+        labels
+          .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+          .select(col("id"), col("comp").as("prev"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
+        reliable,
+      )
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select(col("id"), col("comp"))
     }
@@ -333,26 +354,33 @@ object Dedup {
     * min-based and deterministic (no RNG). At fixpoint the edge set is a
     * union of stars whose centers are the component minima — the same
     * (id, comp = min id) contract as [[connectedComponents]], so the two are
-    * interchangeable. Lineage is truncated per round with `localCheckpoint`;
-    * the fixpoint check (any edge changed?) rides on the checkpointed sets.
+    * interchangeable. Lineage is truncated per round with a LAZY checkpoint
+    * ([[truncateLineage]]); the fixpoint fingerprint aggregation is the
+    * action that materializes it, so each round is ONE job — contraction
+    * and convergence check ride the same action.
     */
-  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val nodes = edges
-      .select(col("src").as("id"))
-      .unionAll(edges.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint()
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): DataFrame = {
+    val nodes = truncateLineage(
+      edges
+        .select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .distinct(),
+      reliable,
+    )
     // canonical working set: undirected closure, self-loops dropped
-    var e = edges
-      .select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    var e = truncateLineage(
+      edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct(),
+      reliable,
+    )
     def minOfNeighborhood(d: DataFrame) =
       d.groupBy(col("src")).agg(least(min(col("dst")), first(col("src"))).as("m"))
     // distinct edge sets are equal iff (count, xor of row hashes) agree —
-    // one partial-agg job over the already-checkpointed set, vs the two
+    // one partial-agg job over the lazily-checkpointed set (the agg both
+    // materializes the checkpoint and computes the fingerprint), vs the two
     // exceptAll shuffles of a literal set-difference check
     def fingerprint(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
@@ -389,11 +417,11 @@ object Dedup {
         .unionAll(mins.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
-      val cur = fingerprint(ss)
+      val ssc = truncateLineage(ss, reliable)
+      val cur = fingerprint(ssc)
       converged = cur == prev
       prev = cur
-      e = ss
+      e = ssc
     }
     // fixpoint edges are child -> component-min stars; roots label themselves
     nodes

@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * [[Similarity.lshTopK]]:
   *
   *  - **train**: Lloyd iterations in pure DataFrame ops — assignment is a
-  *    broadcast join against `nlist` centroids (argmax cosine via `max_by`),
-  *    the update is a posexplode → per-(centroid, dim) mean → re-assembled
-  *    array. Deterministic: init = first `nlist` vectors by id, no RNG.
-  *    At 100 TB you train on a sample (`sampleFraction` — the quantizer
-  *    needs thousands of points per centroid, not the corpus) and only the
-  *    ASSIGN pass scans everything — one broadcast-join projection.
+  *    shuffle-free projection argmax against the `nlist`-entry codebook
+  *    literal (see [[assign]]), the update is a posexplode →
+  *    per-(centroid, dim) mean → re-assembled array. Deterministic: init =
+  *    first `nlist` vectors by id, no RNG. At 100 TB you train on a sample
+  *    (`sampleFraction` — the quantizer needs thousands of points per
+  *    centroid, not the corpus) and only the ASSIGN pass scans everything —
+  *    a map-only projection, zero shuffle.
   *  - **search**: probe the `nprobe` nearest centroids per query, exact
   *    cosine rerank inside those posting lists only. Work per query is
   *    `nprobe/nlist` of the corpus instead of all of it.
@@ -63,14 +64,33 @@ object IvfIndex {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast join + argmax cosine. */
-  def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.crossJoin(broadcast(centroids))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("centroid_id"), struct(cos(col(vecCol), col("centroid")), -col("centroid_id"))).as("centroid_id"),
-        first(col(vecCol)).as(vecCol),
-      )
+  /** Nearest-centroid assignment as a pure projection — ZERO shuffle.
+    *
+    * The codebook is tiny (`nlist` rows) and, unlike the corpus, bounded by
+    * construction, so it is collected once to the driver and embedded as a
+    * single array-of-struct literal; the argmax is then
+    * `array_max(transform(codebook, c -> (cos(vec, c.vec), -c.id)))` — struct
+    * ordering is lexicographic, so this is exactly
+    * `max_by(centroid_id, struct(cos, -centroid_id))` (max similarity,
+    * ties to the LOWEST centroid id; [[CosineSimilarity.compute]] never
+    * yields NaN) with no join and no aggregation. At 100 TB this is the
+    * full-corpus posting-list pass, and it now runs as a map-only stage
+    * inside whole-stage codegen instead of a corpus-wide groupBy shuffle of
+    * id + vector bytes.
+    */
+  def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cents: Seq[(Int, Seq[Float])] = centroids
+      .orderBy(col("centroid_id"))
+      .collect()
+      .toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "assign: empty centroid codebook")
+    val codebook = typedLit(cents)
+    val best = array_max(
+      transform(codebook, c => struct(cos(col(vecCol), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
+    )
+    df.select(col(idCol), (-best.getField("negid")).as("centroid_id"), col(vecCol))
+  }
 
   /** nprobe ANN search: for each query, rerank exactly within the posting
     * lists of its `nprobe` closest centroids.

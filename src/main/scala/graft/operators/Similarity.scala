@@ -137,8 +137,39 @@ object Similarity {
     * needs a high-cardinality, similarity-aligned block column (a label, a
     * shard key). For unlabeled corpora use [[cosineNearDupPairsLsh]] — the
     * default at scale, where no data column can be trusted to block on.
+    *
+    * Like [[Dedup.jaccardPairs]], the operator guards its own quadratic
+    * step: a pre-flight count over just `blockCol` (column-pruned scan, no
+    * vectors read) fails loudly when any block exceeds `maxBlockRows` — a
+    * low-cardinality block column on a 100 TB corpus must error with a
+    * pointer to the LSH variant, not silently enumerate N²/|blocks| vector
+    * pairs. The guard makes this operator EAGER (one small driver action at
+    * call time).
     */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, blockCol: String, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+      maxBlockRows: Long = 100000L,
+  ): DataFrame = {
+    val oversized = df
+      .groupBy(col(blockCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockRows)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      val block = oversized.head.get(0)
+      val n = oversized.head.getLong(1)
+      throw new IllegalStateException(
+        s"cosineNearDupPairs: block '$block' of '$blockCol' has $n rows (> maxBlockRows=$maxBlockRows): " +
+          s"the within-block pairing would enumerate ~${n * n / 2} vector pairs. Use cosineNearDupPairsLsh " +
+          "(hyperplane-bucketed, sub-quadratic, no block column needed) for such corpora, or raise " +
+          "maxBlockRows deliberately."
+      )
+    }
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), col(blockCol).as("block"))
     val l = v.as("l")
     val r = v.as("r")
