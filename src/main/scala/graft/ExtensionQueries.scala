@@ -811,6 +811,100 @@ object ExtensionQueries {
         .orderBy("lang", "split")
     }),
 
+    // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1 family):
+    //      word-count bounds, mean word length, stopword presence,
+    //      alphabetic-word fraction — integer counts + int/int divisions,
+    //      a pure projection over a hoisted token array ----
+    "q71_gopher_rules" -> ((s, d) => {
+      val m = Quality.gopherMetrics(col("__toks")).toMap
+      t(s, d, "documents")
+        .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+        .select(
+          col("doc_id"),
+          m("n_words").as("n_words"),
+          m("mean_word_len").as("mean_word_len"),
+          m("stop_hits").as("stop_hits"),
+          m("alpha_words").as("alpha_words"),
+        )
+        .withColumn(
+          "passes",
+          (col("n_words").between(30, 10000) &&
+            col("mean_word_len").between(2.0, 8.0) &&
+            col("stop_hits") >= 2 &&
+            col("alpha_words").cast("double") / col("n_words") >= 0.8).cast("int"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Repetition detection (the Gopher dup-ngram family): fraction of
+    //      token positions and of in-order word-3-gram positions occupied
+    //      by a repeat. Pure projection — no shuffle ----
+    "q72_dup_ngrams" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+        .withColumn("__g3", TextAnalysis.wordNgramHashesFromTokens(col("__toks"), 3))
+        .select(
+          col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          TextAnalysis.dupFraction(col("__toks")).as("dup_token_frac"),
+          size(col("__g3")).as("n_grams"),
+          TextAnalysis.dupFraction(col("__g3")).as("dup_gram_frac"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII detect + redact. The synthetic corpus carries no PII, so the
+    //      query plants a deterministic email/phone/IP per row FROM the
+    //      row's own fields (both engines build the identical string);
+    //      the regex detect/redact surface is what's under test ----
+    "q73_pii_redact" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn(
+          "__pii",
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"),
+          ),
+        )
+        .select(
+          col("doc_id"),
+          TextAnalysis.patternCount(col("__pii"), TextAnalysis.EmailPattern).as("n_emails"),
+          TextAnalysis.patternCount(col("__pii"), TextAnalysis.Ipv4Pattern).as("n_ips"),
+          TextAnalysis.patternCount(col("__pii"), TextAnalysis.PhonePattern).as("n_phones"),
+          TextAnalysis.redactPii(col("__pii")).as("redacted"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Stratified hash sampling: per-lang keep rates (downsample the
+    //      majority class), salted content hash — `sampleBy` without RNG
+    //      state, reproducible on any engine / partitioning ----
+    "q74_stratified_sample" -> ((s, d) =>
+      Quality
+        .stratifiedHashSample(
+          t(s, d, "documents"),
+          col("text"),
+          col("lang"),
+          Map("en" -> 0.2),
+          defaultRate = 0.5,
+        )
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ---- TF-IDF top terms per doc: idf quantized to a scaled LONG once
+    //      per distinct token (cross-engine ln rule), integer scores ----
+    "q75_tfidf_top_terms" -> ((s, d) =>
+      Quality
+        .tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1315,6 +1409,73 @@ object ExtensionQueries {
             FROM documents)
           SELECT lang, split, COUNT(*) AS n, MIN(doc_id) AS min_doc_id
           FROM s GROUP BY lang, split ORDER BY lang, split""",
+    // Raw (non-distinct) token list; integer counts; the one double is an
+    // exact int-sum/int division — identical in both engines.
+    "q71_gopher_rules" ->
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+               m AS (SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_words,
+                       CAST(CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS DOUBLE) / len(toks) AS mean_word_len,
+                       CAST(len(list_filter(toks, t -> t IN (${TextAnalysis.Stopwords.toMap
+          .apply("en")
+          .map(w => s"'$w'")
+          .mkString(", ")}))) AS INT) AS stop_hits,
+                       CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS INT) AS alpha_words
+                     FROM tl)
+          SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_words,
+                 CAST(CASE WHEN n_words BETWEEN 30 AND 10000 AND mean_word_len BETWEEN 2.0 AND 8.0
+                            AND stop_hits >= 2 AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+                       THEN 1 ELSE 0 END AS INT) AS passes
+          FROM m ORDER BY doc_id""",
+    // In-order 3-gram hashes (same formula as the q52 decontamination
+    // mirror); dup fraction = (len - len(distinct)) / len.
+    "q72_dup_ngrams" ->
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+               g AS (SELECT doc_id, toks,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1), i -> ${sqlHash64("array_to_string(toks[i:i+2], ' ')")})
+                            ELSE CAST([] AS BIGINT[]) END AS g3
+                     FROM tl)
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CASE WHEN len(toks) > 0 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS dup_token_frac,
+                 CAST(len(g3) AS INT) AS n_grams,
+                 CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS dup_gram_frac
+          FROM g ORDER BY doc_id""",
+    // Same planted-PII string built in SQL; DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's replace-all.
+    "q73_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+                 substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii
+               FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pii, '${TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(pii, '${TextAnalysis.Ipv4Pattern}')) AS INT) AS n_ips,
+                 CAST(len(regexp_extract_all(pii, '${TextAnalysis.PhonePattern}')) AS INT) AS n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(pii,
+                   '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+                   '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+                   '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
+          FROM p ORDER BY doc_id""",
+    "q74_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${sqlHash64("'strat:' || text")} % 10000 <
+                CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
+          ORDER BY doc_id""",
+    "q75_tfidf_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+               tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+               df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+               n AS (SELECT COUNT(*) AS n FROM documents),
+               idf AS (SELECT token, CAST(floor(ln((n.n + 1.0) / (df.df + 1.0)) * 1000000 + 0.5) AS BIGINT) AS idfs
+                       FROM df CROSS JOIN n),
+               sc AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idfs AS score FROM tf JOIN idf USING (token)),
+               r AS (SELECT doc_id, token, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc)
+          SELECT doc_id, CAST(rank AS INT) AS rank, token, score FROM r
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q41_shingle_minhash" ->
       s"""WITH sh AS (SELECT doc_id,
             list_sort(list_distinct(list_transform(

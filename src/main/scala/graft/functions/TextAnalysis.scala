@@ -136,6 +136,47 @@ object TextAnalysis {
     lenScore * (lit(1.0) - f("punct_ratio")) * (lit(0.5) + f("stopword_ratio"))
   }
 
+  /** PII patterns for detect/redact — deliberately simple enough to mean the
+    * same thing in Java regex (Spark) and RE2 (DuckDB oracle): no lookaround,
+    * no backreferences, ASCII classes only.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Number of matches of `pattern` in `c` — a projection
+    * (`regexp_extract_all` + `size`), used for PII hit counting.
+    */
+  def patternCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact all PII matches, emails first (their domains contain dots the
+    * IPv4 pattern must not see), then IPs, then phones. Fixed order so both
+    * engines rewrite identically. Spark `regexp_replace` is global, matching
+    * the oracle's `'g'` flag.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern,
+        "<IP>",
+      ),
+      PhonePattern,
+      "<PHONE>",
+    )
+
+  /** Fraction of array positions occupied by a repeated value:
+    * `(size - size(distinct)) / size`, 0 for empty arrays — the Gopher-style
+    * repetition signal over raw token lists or in-order n-gram hashes.
+    * CONTRACT: pass an ATTRIBUTE (hoist the array with `withColumn`), not an
+    * expression — `arr` occurs three times and Catalyst inlines shared
+    * non-attribute subtrees per occurrence ([[wordNgramHashesFromTokens]]).
+    */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) > 0, (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+      .otherwise(lit(0.0))
+
   /** Polynomial rolling-hash document fingerprint:
     * `h = fold(chars)(h * 31 + ascii(c)) mod (2^31-1)`. Each step keeps the
     * accumulator < 2^31 so `h*31 + c` never overflows a long. DuckDB mirror:

@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.functions.TextAnalysis
+import graft.functions.{Hashing, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level quality scoring for a training-data pipeline: the unigram-LM
@@ -71,5 +72,71 @@ object Quality {
         col("n_tokens"),
         (-(col("s").cast("double") / col("n_tokens")) / 1e6).as("avg_neg_logp"),
       )
+  }
+
+  /** Gopher-shape per-doc quality metrics (Rae et al. 2021 §A1.1 rule
+    * family: word-count bounds, mean word length, stopword presence,
+    * alphabetic-word fraction) as named projection columns over a HOISTED
+    * raw token array (pass an attribute, not `wsTokens(text)` inline —
+    * Catalyst re-inlines shared non-attribute subtrees per use). Integer
+    * counts plus one int-sum/int division, so every metric is bit-identical
+    * cross-engine; thresholding into pass/fail flags is the caller's policy.
+    */
+  def gopherMetrics(toks: Column): Seq[(String, Column)] = Seq(
+    "n_words" -> size(toks),
+    "mean_word_len" ->
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).cast("double") / size(toks),
+    "stop_hits" -> TextAnalysis.stopwordHits(toks, "en"),
+    "alpha_words" -> size(filter(toks, t => t.rlike("[A-Za-z]"))),
+  )
+
+  /** Deterministic per-stratum hash sampling: keep a row iff the salted
+    * 60-bit content hash falls under its stratum's rate — `sampleBy` without
+    * RNG state, reproducible on any engine and any partitioning (the usual
+    * class-rebalancing step before training). Pure projection+filter: no
+    * shuffle, prunes at the scan.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "strat:",
+  ): DataFrame = {
+    val bucket = Hashing.hash64(concat(lit(salt), keyCol)) % 10000L
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 10000).toLong)) {
+      case (acc, (stratum, rate)) => when(strataCol === stratum, lit((rate * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Top-`k` TF-IDF terms per document. tf = per-(doc, token) count;
+    * idf = ln((N+1)/(df+1)) computed once per DISTINCT token and quantized
+    * to a scaled LONG there (cross-engine ln rule — scores are then exact
+    * integer products); top-k via per-doc row_number.
+    *
+    * Scale shape: both aggregations are partial (map-side combine) keyed by
+    * high-cardinality keys; the idf join keys on token and AQE broadcasts
+    * the (distinct-token-sized) idf side when it fits; the window partitions
+    * by doc — no global sort anywhere.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = dfreq
+      .crossJoin(broadcast(n))
+      .select(
+        col("token"),
+        floor(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6 + 0.5).cast("long").as("idfs"),
+      )
+    val scored = tf.join(idf, "token").select(col(idCol), col("token"), (col("tf") * col("idfs")).as("score"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("score"))
   }
 }

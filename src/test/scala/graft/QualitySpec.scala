@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, IvfIndex, Quality, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the quality/curation operator family added in round 6:
+  * Gopher-shape metrics, repetition fractions, PII redaction, stratified
+  * hash sampling, TF-IDF, the cosineNearDupPairs block guard, reliable
+  * checkpointing for the iterative CC operators, and the zero-shuffle IVF
+  * assignment plan.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherMetrics: counts and mean word length on a known doc") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val m = Quality.gopherMetrics(col("__toks")).toMap
+    val row = df
+      .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+      .select(
+        m("n_words").as("n"),
+        m("mean_word_len").as("len"),
+        m("stop_hits").as("stop"),
+        m("alpha_words").as("alpha"),
+      )
+      .head()
+    assert(row.getInt(0) == 6)
+    // chars: 3+3+3+2+1+3 = 15 over 6 words
+    assert(math.abs(row.getDouble(1) - 15.0 / 6.0) < 1e-12)
+    assert(row.getInt(2) == 2) // 'the' and 'a' are in the en stopword list
+    assert(row.getInt(3) == 6)
+  }
+
+  test("dupFraction: empty, all-distinct, and half-duplicated arrays") {
+    val df = Seq(
+      (1L, Seq[String]()),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("a", "a", "b", "b")),
+    ).toDF("id", "arr")
+    val got = df.select($"id", TextAnalysis.dupFraction($"arr").as("f")).as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.5)
+  }
+
+  test("PII: patternCount finds and redactPii rewrites email/ip/phone") {
+    val s = "write bob.smith+x@corp.example.org from 192.168.0.1 or +1-555-0199 ok"
+    val df = Seq(s).toDF("t")
+    val row = df
+      .select(
+        TextAnalysis.patternCount($"t", TextAnalysis.EmailPattern).as("e"),
+        TextAnalysis.patternCount($"t", TextAnalysis.Ipv4Pattern).as("i"),
+        TextAnalysis.patternCount($"t", TextAnalysis.PhonePattern).as("p"),
+        TextAnalysis.redactPii($"t").as("r"),
+      )
+      .head()
+    assert(row.getInt(0) == 1 && row.getInt(1) == 1 && row.getInt(2) == 1)
+    assert(row.getString(3) == "write <EMAIL> from <IP> or <PHONE> ok")
+  }
+
+  test("stratifiedHashSample: deterministic, per-stratum rates applied") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val sample = Quality
+      .stratifiedHashSample(docs, $"text", $"lang", Map("en" -> 0.2), defaultRate = 0.5)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+    val again = Quality
+      .stratifiedHashSample(docs, $"text", $"lang", Map("en" -> 0.2), defaultRate = 0.5)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(sample.sameElements(again), "hash sampling must be exactly reproducible")
+    // loose uniformity bounds: en kept at ~20%, the rest at ~50%
+    val total = docs.groupBy($"lang" === "en").count().as[(Boolean, Long)].collect().toMap
+    val kept = Quality
+      .stratifiedHashSample(docs, $"text", $"lang", Map("en" -> 0.2), defaultRate = 0.5)
+      .groupBy($"lang" === "en")
+      .count()
+      .as[(Boolean, Long)]
+      .collect()
+      .toMap
+    val enRate = kept(true).toDouble / total(true)
+    val otherRate = kept(false).toDouble / total(false)
+    assert(enRate > 0.1 && enRate < 0.3, s"en rate $enRate")
+    assert(otherRate > 0.38 && otherRate < 0.62, s"other rate $otherRate")
+  }
+
+  test("tfidfTopTerms: corpus-wide tokens score zero, rare tokens win") {
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma"),
+    ).toDF("doc_id", "text")
+    val top = Quality
+      .tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, Int, String, Long)]
+      .collect()
+      .map(r => r._1 -> (r._3, r._4))
+      .toMap
+    val ln2Scaled = math.floor(math.log(4.0 / 2.0) * 1e6 + 0.5).toLong
+    // 'common' has df=3 -> idf ln(4/4)=0; each doc's unique token (df=1 ->
+    // ln(4/2)) must rank first, with tf=2 doubling doc 1's score
+    assert(top(1L) == ("alpha", 2 * ln2Scaled))
+    assert(top(2L) == ("beta", ln2Scaled))
+    assert(top(3L) == ("gamma", ln2Scaled))
+  }
+
+  test("cosineNearDupPairs: oversized block fails loudly (parity with jaccardPairs)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "blk"),
+      (2L, Seq(1.0f, 0.0f), "blk"),
+      (3L, Seq(0.0f, 1.0f), "blk"),
+    ).toDF("id", "vec", "block")
+    val e = intercept[IllegalStateException](
+      Similarity.cosineNearDupPairs(df, "id", "vec", "block", 0.9, maxBlockRows = 2)
+    )
+    assert(e.getMessage.contains("maxBlockRows") && e.getMessage.contains("cosineNearDupPairsLsh"), e.getMessage)
+    val ok = Similarity.cosineNearDupPairs(df, "id", "vec", "block", 0.9, maxBlockRows = 3)
+    assert(ok.select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
+  test("connected components: reliable checkpointing matches local, both operators") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val rel = Dedup.connectedComponents(edges, reliable = true).as[(Long, Long)].collect().toMap
+    val relStar = Dedup.connectedComponentsStar(edges, reliable = true).as[(Long, Long)].collect().toMap
+    assert(rel == local && relStar == local, s"local=$local rel=$rel star=$relStar")
+  }
+
+  test("IVF assign is a zero-shuffle projection: no Exchange in the plan") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 0)
+    val p = IvfIndex.assign(emb, centroids, "vec_id", "embedding").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assign must be map-only:\n$p")
+  }
+}
