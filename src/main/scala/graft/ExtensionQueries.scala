@@ -905,6 +905,42 @@ object ExtensionQueries {
         .tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // ---- Scored decontamination: containment = fraction of a doc's
+    //      DISTINCT 3-grams found in the eval set — the thresholding form
+    //      (binary any-overlap is brittle at small n) ----
+    "q76_decontaminate_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate
+        .containment(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id",
+          "text",
+          n = 3,
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- Quality-curation capstone v2: Gopher gates + repetition gate →
+    //      exact dedup survivors → per-lang survivor counts. Composes the
+    //      round-6 operators into the end-to-end keep-list shape ----
+    "q77_curate_quality" -> ((s, d) => {
+      val m = Quality.gopherMetrics(col("__toks")).toMap
+      val gated = t(s, d, "documents")
+        .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+        .withColumn("__g3", TextAnalysis.wordNgramHashesFromTokens(col("__toks"), 3))
+        .withColumn("n_words", m("n_words"))
+        .withColumn("stop_hits", m("stop_hits"))
+        .withColumn("dup3", TextAnalysis.dupFraction(col("__g3")))
+        .filter(col("n_words").between(30, 10000) && col("stop_hits") >= 2 && col("dup3") < 0.8)
+        .select(col("doc_id"), col("lang"), col("text"))
+      Dedup
+        .exactDedup(gated, col("text"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy("lang")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1091,6 +1127,47 @@ object ExtensionQueries {
           WHERE d.source <> 'src0'
           ORDER BY d.doc_id"""
     },
+    // Distinct (doc, gram) pairs so each shared gram counts once; the
+    // div is exact-int/exact-int, identical cross-engine.
+    "q76_decontaminate_score" -> {
+      val gram = sqlHash64("array_to_string(toks[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              ng AS (SELECT DISTINCT doc_id, source, h
+                     FROM (SELECT doc_id, source,
+                             unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS h
+                           FROM tok)),
+              ev AS (SELECT DISTINCT h FROM ng WHERE source = 'src0'),
+              agg AS (SELECT ng.doc_id, COUNT(*) AS n_grams,
+                        CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                      FROM ng LEFT JOIN ev ON ng.h = ev.h
+                      WHERE ng.source <> 'src0' GROUP BY ng.doc_id)
+          SELECT d.doc_id, COALESCE(agg.n_grams, 0) AS n_grams, COALESCE(agg.n_hits, 0) AS n_hits,
+                 CASE WHEN COALESCE(agg.n_grams, 0) > 0
+                      THEN CAST(COALESCE(agg.n_hits, 0) AS DOUBLE) / agg.n_grams ELSE 0.0 END AS containment
+          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          WHERE d.source <> 'src0'
+          ORDER BY d.doc_id"""
+    },
+    // Gates mirror q71/q72's formulas exactly; the survivor set groups on
+    // the same md5-derived content hash as exactDedup.
+    "q77_curate_quality" ->
+      s"""WITH tl AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+               g AS (SELECT doc_id, lang, text, toks,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1), i -> ${sqlHash64("array_to_string(toks[i:i+2], ' ')")})
+                            ELSE CAST([] AS BIGINT[]) END AS g3
+                     FROM tl),
+               gated AS (SELECT doc_id, lang, text FROM g
+                         WHERE len(toks) BETWEEN 30 AND 10000
+                           AND len(list_filter(toks, t -> t IN (${TextAnalysis.Stopwords.toMap
+          .apply("en")
+          .map(w => s"'$w'")
+          .mkString(", ")}))) >= 2
+                           AND (CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END) < 0.8),
+               surv AS (SELECT MIN(doc_id) AS kid FROM gated GROUP BY ${sqlHash64("text")})
+          SELECT g2.lang, COUNT(*) AS n_docs, MIN(g2.doc_id) AS min_doc_id
+          FROM gated g2 JOIN surv ON g2.doc_id = surv.kid
+          GROUP BY g2.lang ORDER BY lang""",
     // The dedup survivor set of (events UNION duplicated subset) is exactly
     // the events table: event_id is unique there and duplicate rows are
     // byte-identical, so first-occurrence-wins == DISTINCT == the base table.

@@ -51,6 +51,41 @@ object Decontaminate {
       )
   }
 
+  /** Scored decontamination: per-corpus-document CONTAINMENT of its distinct
+    * n-grams in the eval set — `n_hits / n_grams` in [0,1] — the
+    * thresholding form used when binary any-overlap ([[overlaps]]) is too
+    * brittle (small n, boilerplate n-grams). Same broadcast shape as
+    * [[overlaps]]; the one extra step is a (doc, hash) distinct so each
+    * shared gram counts once, and that shuffle carries 16-byte rows.
+    * Zero-gram docs (shorter than n tokens) report containment 0.0.
+    */
+  def containment(corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val perDoc = corpus
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(col(idCol).as("__id"), explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
+      .distinct()
+      .join(broadcast(evalGrams), Seq("h"), "left_outer")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n_grams"), sum(coalesce(col("__hit"), lit(0L))).as("__n_hits"))
+    corpus
+      .select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left_outer")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("__n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__n_hits"), lit(0L)).as("n_hits"),
+        when(
+          coalesce(col("__n_grams"), lit(0L)) > 0,
+          coalesce(col("__n_hits"), lit(0L)).cast("double") / col("__n_grams"),
+        ).otherwise(lit(0.0)).as("containment"),
+      )
+  }
+
   /** The applied form: corpus rows with no n-gram overlap with `eval`. */
   def clean(corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val contaminated = overlaps(corpus, eval, idCol, textCol, n)

@@ -109,6 +109,26 @@ class QualitySpec extends SparkSpec {
     assert(top(3L) == ("gamma", ln2Scaled))
   }
 
+  test("Decontaminate.containment: closed-form fractions incl. zero-gram docs") {
+    import graft.operators.Decontaminate
+    // eval grams (n=2): "a b", "b c"
+    val eval = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d"), // grams: a-b, b-c, c-d -> 2/3 contained
+      (2L, "x y z"), //   grams: x-y, y-z      -> 0/2
+      (3L, "q"), //       shorter than n       -> 0 grams, containment 0.0
+    ).toDF("doc_id", "text")
+    val got = Decontaminate
+      .containment(corpus, eval, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("cosineNearDupPairs: oversized block fails loudly (parity with jaccardPairs)") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), "blk"),
