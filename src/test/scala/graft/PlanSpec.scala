@@ -117,6 +117,35 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange SinglePartition.*Window".r.findFirstIn(p.replaceAll("\n", " ")).isDefined, p)
   }
 
+  test("quality metrics / repetition / PII redaction are shuffle-free projections") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Quality
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val m = Quality.gopherMetrics(col("__toks")).toMap
+    val proj = docs
+      .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("__g3", TextAnalysis.wordNgramHashesFromTokens(col("__toks"), 3))
+      .select(
+        col("doc_id"),
+        m("n_words").as("n_words"),
+        m("mean_word_len").as("mean_word_len"),
+        m("stop_hits").as("stop_hits"),
+        TextAnalysis.dupFraction(col("__toks")).as("dup_token_frac"),
+        TextAnalysis.dupFraction(col("__g3")).as("dup_gram_frac"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+      )
+    val p = plan(proj)
+    assert(!p.contains("Exchange"), s"per-doc quality metrics must not shuffle:\n$p")
+  }
+
+  test("q76: eval n-gram set joins broadcast — the corpus side never builds a hash table of text") {
+    val p = plan(q("q76_decontaminate_score"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash-partitioned exchanges may carry ids/hashes, never text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")), exchanges.mkString("\n"))
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
