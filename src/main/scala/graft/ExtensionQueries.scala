@@ -923,17 +923,31 @@ object ExtensionQueries {
 
     // ---- Quality-curation capstone v2: Gopher gates + repetition gate →
     //      exact dedup survivors → per-lang survivor counts. Composes the
-    //      round-6 operators into the end-to-end keep-list shape ----
+    //      round-6 operators into the end-to-end keep-list shape.
+    //      PLAN TRAP (measured 22 s → 1.5 s at sf0.1): filtering directly on
+    //      the metric columns lets PushDownPredicate substitute the hoisted
+    //      __toks/__g3 aliases INTO the predicate — filters inline regardless
+    //      of cost (unlike CollapseProject), resurrecting the O(tokens²)
+    //      re-split q52 hit in round 4. So the metrics are materialized as a
+    //      NARROW (id + ints, no text) checkpoint first; the filter then runs
+    //      against the barrier and the survivors semi-join the corpus ----
     "q77_curate_quality" -> ((s, d) => {
       val m = Quality.gopherMetrics(col("__toks")).toMap
-      val gated = t(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val metered = docs
         .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
         .withColumn("__g3", TextAnalysis.wordNgramHashesFromTokens(col("__toks"), 3))
-        .withColumn("n_words", m("n_words"))
-        .withColumn("stop_hits", m("stop_hits"))
-        .withColumn("dup3", TextAnalysis.dupFraction(col("__g3")))
+        .select(
+          col("doc_id"),
+          m("n_words").as("n_words"),
+          m("stop_hits").as("stop_hits"),
+          TextAnalysis.dupFraction(col("__g3")).as("dup3"),
+        )
+        .localCheckpoint()
+      val keep = metered
         .filter(col("n_words").between(30, 10000) && col("stop_hits") >= 2 && col("dup3") < 0.8)
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"))
+      val gated = docs.join(keep, Seq("doc_id"), "left_semi").select(col("doc_id"), col("lang"), col("text"))
       Dedup
         .exactDedup(gated, col("text"), col("doc_id"))
         .groupBy(col("lang"))
