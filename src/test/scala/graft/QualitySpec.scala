@@ -109,6 +109,25 @@ class QualitySpec extends SparkSpec {
     assert(top(3L) == ("gamma", ln2Scaled))
   }
 
+  test("unigramSurprisal: head/tail split is invisible — tiny headK == whole-vocab broadcast") {
+    // At test scale the default headK exceeds the vocab, so the tail
+    // shuffle-join path would otherwise never execute; forcing headK=2
+    // routes almost every token occurrence through the tail and must yield
+    // bit-identical results (integer lps sums are path-independent).
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val whole = Quality
+      .unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+    val split = Quality
+      .unigramSurprisal(docs, "doc_id", "text", headK = 2)
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+    assert(split.sameElements(whole), "headK must not change results")
+  }
+
   test("Decontaminate.containment: closed-form fractions incl. zero-gram docs") {
     import graft.operators.Decontaminate
     // eval grams (n=2): "a b", "b c"
