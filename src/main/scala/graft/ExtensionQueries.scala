@@ -955,6 +955,31 @@ object ExtensionQueries {
         .orderBy("lang")
     }),
 
+    // ---- Streaming quality gate: the q71 word-count/stopword gates run as
+    //      a STATELESS streaming transform through a real AvailableNow
+    //      microbatch run — batch curation drops into incremental ingestion
+    //      unchanged, and the oracle is plain batch SQL. Gates deliberately
+    //      exclude the n-gram metric: a streaming filter inlines hoisted
+    //      aliases (PushDownPredicate), so only constant-factor token
+    //      gates belong in a streaming predicate ----
+    "q78_stream_quality_gate" -> ((s, d) => {
+      val m = Quality.gopherMetrics(col("__toks")).toMap
+      EventStream
+        .statelessOneShot(
+          s,
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "graft_q78",
+          stream =>
+            stream
+              .withColumn("__toks", TextAnalysis.wsTokens(col("text")))
+              .withColumn("n_words", m("n_words"))
+              .withColumn("stop_hits", m("stop_hits"))
+              .filter(col("n_words").between(30, 10000) && col("stop_hits") >= 2)
+              .select(col("doc_id"), col("lang"), col("n_words")),
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- Decontamination: corpus docs sharing word n-grams with an eval
     //      set (src0 plays the benchmark; n=3 because synthetic docs are
     //      short — production uses n~13) ----
@@ -1550,6 +1575,17 @@ object ExtensionQueries {
                    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
                    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
           FROM p ORDER BY doc_id""",
+    // Plain batch SQL — the streaming side must equal it exactly.
+    "q78_stream_quality_gate" ->
+      s"""WITH tl AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+          SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_words
+          FROM tl
+          WHERE len(toks) BETWEEN 30 AND 10000
+            AND len(list_filter(toks, t -> t IN (${TextAnalysis.Stopwords.toMap
+          .apply("en")
+          .map(w => s"'$w'")
+          .mkString(", ")}))) >= 2
+          ORDER BY doc_id""",
     "q74_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
           WHERE ${sqlHash64("'strat:' || text")} % 10000 <

@@ -104,6 +104,9 @@ object Quality {
       defaultRate: Double,
       salt: String = "strat:",
   ): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"sampling rate must be in [0, 1]: $r")
+    )
     val bucket = Hashing.hash64(concat(lit(salt), keyCol)) % 10000L
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 10000).toLong)) {
       case (acc, (stratum, rate)) => when(strataCol === stratum, lit((rate * 10000).toLong)).otherwise(acc)

@@ -511,6 +511,30 @@ object EventStream {
     })
   }
 
+  /** Batch-parity runner for a STATELESS transform (the quality-gate /
+    * curation-filter shape — no state, no watermark): stream `df` through
+    * `transform` via a real AvailableNow run into a memory sink. Streaming
+    * == batch for stateless plans is trivial in theory; this pins it
+    * through the actual microbatch machinery, so the batch quality gates
+    * drop into an incremental ingestion pipeline unchanged.
+    */
+  def statelessOneShot(
+      spark: SparkSession,
+      df: DataFrame,
+      queryName: String,
+      transform: DataFrame => DataFrame,
+  ): DataFrame = {
+    val stream = spark.readStream.schema(df.schema).parquet(writeTemp(df, queryName))
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   private def writeTemp(df: DataFrame, name: String, singleFile: Boolean = false): String = {
     // unique per invocation — a fixed path would let concurrent runs
     // overwrite each other's files mid-scan
