@@ -883,6 +883,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- SimHash recall path: candidates agree on the 6-bit prefix under
+    //      ANY of 2 bit-rotations (offsets 0/8); exactly-once first-rotation
+    //      emission, mirrored by a UNION of per-rotation joins ----
+    "q79_simhash_rotated" -> ((s, d) =>
+      Dedup
+        .simhashPairsRotated(t(s, d, "documents"), "doc_id", "text", bits = SimBits, prefixBits = 6, maxDist = 3, rotations = 2)
+        .orderBy("id_a", "id_b")),
+
     // ---- Stratified hash sampling: per-lang keep rates (downsample the
     //      majority class), salted content hash — `sampleBy` without RNG
     //      state, reproducible on any engine / partitioning ----
@@ -1446,6 +1454,26 @@ object ExtensionQueries {
           FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
           WHERE bit_count(xor(a.sim, c.sim)) <= 3
           ORDER BY id_a, id_b""",
+    // Rotation by k: ((sim << k) & mask) | (sim >> (bits-k)) — the two parts
+    // occupy disjoint bit ranges, so + == OR. UNION (not UNION ALL) dedups
+    // pairs found by both rotations, matching Spark's first-agreeing-
+    // rotation exactly-once emission.
+    "q79_simhash_rotated" ->
+      s"""WITH sig AS (SELECT doc_id, $sqlSimhash AS sim
+                       FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
+                       WHERE len(hs) > 0),
+              b AS (SELECT doc_id, sim,
+                      sim >> ${SimBits - 6} AS b0,
+                      (((sim * ${1L << (SimBits / 2)}) % ${1L << SimBits}) + (sim >> ${SimBits / 2})) >> ${SimBits - 6} AS b1
+                    FROM sig),
+              p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                      CAST(bit_count(xor(a.sim, c.sim)) AS INT) AS dist
+                    FROM b a JOIN b c ON a.b0 = c.b0 AND a.doc_id < c.doc_id
+                    UNION
+                    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                      CAST(bit_count(xor(a.sim, c.sim)) AS INT) AS dist
+                    FROM b a JOIN b c ON a.b1 = c.b1 AND a.doc_id < c.doc_id)
+          SELECT id_a, id_b, dist FROM p WHERE dist <= 3 ORDER BY id_a, id_b""",
     // Chain graph by construction (consecutive custkeys within a segment),
     // so the component of every node is closed-form: the segment's minimum.
     "q64_cc_chain" ->

@@ -432,7 +432,9 @@ object Dedup {
   /** SimHash near-dup pairs: bucket by the TOP `prefixBits` bits (so
     * 2^prefixBits buckets — larger prefixBits = more, smaller buckets =
     * cheaper pairing but lower recall), pair within buckets, keep Hamming
-    * distance <= maxDist. At scale use multiple rotated prefixes for recall.
+    * distance <= maxDist. At scale use [[simhashPairsRotated]] — multiple
+    * rotated prefixes recover the pairs whose differing bits happen to
+    * land in the single prefix.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, bits: Int = 16, prefixBits: Int = 6, maxDist: Int = 3): DataFrame = {
     val sigs = withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
@@ -441,6 +443,57 @@ object Dedup {
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
+  }
+
+  /** The recall path for SimHash pairing: candidates agree on the top
+    * `prefixBits` of the signature under ANY of `rotations` bit-rotations
+    * (rotation offsets spread evenly over `bits`), so a pair is missed only
+    * if EVERY rotation puts a differing bit inside the prefix — recall
+    * approaches 1 for dist << bits/prefixBits as rotations grow. Same
+    * exactly-once discipline as the minhash banding: every rotation's
+    * bucket rides along on both join sides and a pair is kept only in its
+    * FIRST agreeing rotation — no multi-million-row DISTINCT shuffle. The
+    * signature projection is computed once (checkpoint — the self-join must
+    * not lean on optional ReuseExchange); the join shuffles
+    * (id, sim, `rotations` buckets), never text.
+    */
+  def simhashPairsRotated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      prefixBits: Int = 6,
+      maxDist: Int = 3,
+      rotations: Int = 2,
+  ): DataFrame = {
+    require(rotations >= 1 && rotations <= bits, s"rotations must be in [1, $bits]: $rotations")
+    val mask = (1L << bits) - 1
+    def rotl(c: Column, k: Int): Column =
+      if (k == 0) c
+      else shiftleft(c, k).bitwiseAND(lit(mask)) + shiftright(c, bits - k)
+    val sigs = withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
+      .select(
+        col(idCol).as("id") +: col("simhash").as("sim") +:
+          (0 until rotations).map(r => shiftright(rotl(col("simhash"), r * bits / rotations), bits - prefixBits).as(s"b$r")): _*
+      )
+      .localCheckpoint()
+    val banded = sigs.select(
+      col("id") +: col("sim") +: (0 until rotations).map(r => col(s"b$r")) :+
+        explode(array((0 until rotations).map(r => struct(lit(r).as("rot"), col(s"b$r").as("bucket"))): _*)).as("rb"): _*
+    )
+    val firstRotationOnly = (0 until rotations)
+      .map { r =>
+        val earlierNoMatch = (0 until r).map(r2 => col(s"l.b$r2") =!= col(s"r.b$r2")).foldLeft(lit(true))(_ && _)
+        (col("l.rb.rot") === r) && earlierNoMatch
+      }
+      .reduce(_ || _)
+    banded
+      .as("l")
+      .join(banded.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
+      .filter(firstRotationOnly)
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))

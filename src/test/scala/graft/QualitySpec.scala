@@ -162,6 +162,24 @@ class QualitySpec extends SparkSpec {
     assert(ok.select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
   }
 
+  test("simhashPairsRotated: superset of single-prefix recall, exactly-once emission") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").select($"doc_id", $"text")
+    val single = Dedup
+      .simhashPairs(docs, "doc_id", "text", bits = 16, prefixBits = 6, maxDist = 3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val rotatedRows = Dedup
+      .simhashPairsRotated(docs, "doc_id", "text", bits = 16, prefixBits = 6, maxDist = 3, rotations = 2)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+    val rotated = rotatedRows.toSet
+    assert(rotatedRows.length == rotated.size, "each pair must be emitted exactly once")
+    assert(single.subsetOf(rotated), "rotation 0 is the single-prefix bucket — nothing may be lost")
+  }
+
   test("connected components: reliable checkpointing matches local, both operators") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
