@@ -297,7 +297,7 @@ object ExtensionQueries {
           sum(col("l_quantity").cast(DecimalType(18, 4))).cast("int").as("qty"),
           count(lit(1)).cast("int").as("cnt"),
         )
-        .localCheckpoint()
+        .transform(graft.operators.Lineage.truncate(_))
       val months = base
         .select(col("mcol"))
         .distinct()
@@ -951,7 +951,7 @@ object ExtensionQueries {
           m("stop_hits").as("stop_hits"),
           TextAnalysis.dupFraction(col("__g3")).as("dup3"),
         )
-        .localCheckpoint()
+        .transform(graft.operators.Lineage.truncate(_))
       val keep = metered
         .filter(col("n_words").between(30, 10000) && col("stop_hits") >= 2 && col("dup3") < 0.8)
         .select(col("doc_id"))

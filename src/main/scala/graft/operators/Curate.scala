@@ -61,7 +61,7 @@ object Curate {
         length(col("text")) >= cfg.minChars &&
           (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) <= cfg.maxRepetition
       )
-      .localCheckpoint()
+      .transform(Lineage.truncate(_))
     val pairs = candidatePairs(quality, cfg)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val nonSurvivors = Dedup

@@ -116,8 +116,7 @@ object Dedup {
     // Materialize the signatures once: the self-join below would otherwise
     // compute the tokenize+hash subtree twice unless ReuseExchange happens to
     // fire — correctness must not lean on an optional physical optimization.
-    val sig = withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
-      .localCheckpoint()
+    val sig = Lineage.truncate(withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k))
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (b * rows until (b + 1) * rows).zipWithIndex.map { case (i, j) =>
         col(s"mh$i").as(s"k$j")
@@ -275,18 +274,12 @@ object Dedup {
   /** Lineage truncation for the iterative CC operators, always LAZY: the
     * caller's convergence action (the fused changed-count / fingerprint
     * aggregation) is the job that materializes the checkpoint, so each round
-    * costs ONE job, not a materialize-then-check pair.
-    *
-    * `reliable = true` switches `localCheckpoint` (executor-local,
-    * non-replicated — on a real cluster losing ONE executor mid-iteration
-    * kills the job unrecoverably, because the severed lineage can't
-    * recompute) for a replicated `checkpoint` to
-    * `sparkContext.setCheckpointDir`'s HDFS/object-store path. Local mode
-    * and tests keep the cheap executor-local default; a 100 TB run on
-    * preemptible executors sets `reliable = true`.
+    * costs ONE job, not a materialize-then-check pair. Replicated vs
+    * executor-local is [[Lineage.truncate]]'s policy (`reliable = true`
+    * forces replicated regardless of the session conf).
     */
   private def truncateLineage(d: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) d.checkpoint(eager = false) else d.localCheckpoint(eager = false)
+    Lineage.truncate(d, eager = false, forceReliable = reliable)
 
   /** Connected components over an undirected pair graph (`src`,`dst` long
     * ids) by iterative min-label propagation: every node adopts the minimum
@@ -479,7 +472,7 @@ object Dedup {
         col(idCol).as("id") +: col("simhash").as("sim") +:
           (0 until rotations).map(r => shiftright(rotl(col("simhash"), r * bits / rotations), bits - prefixBits).as(s"b$r")): _*
       )
-      .localCheckpoint()
+      .transform(Lineage.truncate(_))
     val banded = sigs.select(
       col("id") +: col("sim") +: (0 until rotations).map(r => col(s"b$r")) :+
         explode(array((0 until rotations).map(r => struct(lit(r).as("rot"), col(s"b$r").as("bucket"))): _*)).as("rb"): _*

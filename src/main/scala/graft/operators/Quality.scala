@@ -45,7 +45,7 @@ object Quality {
     val tok = docs.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
-    // Materialized once (localCheckpoint): both the head limit and the tail
+    // Materialized once (Lineage.truncate): both the head limit and the tail
     // join read it, and neither may recompute the corpus-wide count.
     val lp = vocab
       .crossJoin(broadcast(total))
@@ -54,7 +54,7 @@ object Quality {
         col("cnt"),
         floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5).cast("long").as("lps"),
       )
-      .localCheckpoint()
+      .transform(Lineage.truncate(_))
     val head = broadcast(lp.orderBy(col("cnt").desc, col("token")).limit(headK).select(col("token"), col("lps")))
     val tagged = tok.join(head, Seq("token"), "left_outer")
     val headHits = tagged.filter(col("lps").isNotNull).select(col(idCol), col("lps"))

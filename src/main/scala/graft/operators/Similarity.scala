@@ -210,7 +210,7 @@ object Similarity {
         col(idCol).as("id") +:
           (0 until tables).map(t => lshSignature(col(vecCol), dim, planes, t).as(s"b$t")): _*
       )
-      .localCheckpoint()
+      .transform(Lineage.truncate(_))
     val banded = sigs.select(
       col("id") +: (0 until tables).map(t => col(s"b$t")) :+
         explode(array((0 until tables).map(t => struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)).as("tb"): _*

@@ -190,6 +190,31 @@ class QualitySpec extends SparkSpec {
     assert(rel == local && relStar == local, s"local=$local rel=$rel star=$relStar")
   }
 
+  test("spark.graft.reliableCheckpoints=true flips every operator to replicated checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val docs = spark.read.parquet(sf() + "/documents.parquet").select($"doc_id", $"text")
+    val before = Dedup
+      .minhashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    spark.conf.set(graft.operators.Lineage.ConfKey, "true")
+    try {
+      val after = Dedup
+        .minhashNearDupPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      assert(after == before, "reliable checkpointing must not change results")
+      // the replicated checkpoint must actually have been written
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, s"no reliable checkpoint written under $dir")
+    } finally spark.conf.set(graft.operators.Lineage.ConfKey, "false")
+  }
+
   test("IVF assign is a zero-shuffle projection: no Exchange in the plan") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 0)
