@@ -96,6 +96,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dupFraction matches a Scala multiset model on random token lists") {
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val toksGen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "eee", "ffff"))
+    val samples = {
+      val buf = scala.collection.mutable.ListBuffer.empty[List[String]]
+      forAll(toksGen, 120)(buf += _)
+      buf.toList.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    }
+    val got = samples
+      .toDF("id", "arr")
+      .select(col("id"), TextAnalysis.dupFraction(col("arr")).as("f"))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    samples.foreach { case (id, l) =>
+      val want = if (l.isEmpty) 0.0 else (l.size - l.distinct.size).toDouble / l.size
+      assert(got(id) == want, s"id=$id toks=$l")
+    }
+  }
+
+  test("Decontaminate.containment matches a Scala set model on random docs") {
+    import graft.operators.Decontaminate
+    import org.apache.spark.sql.functions.col
+    val wordGen = Gen.oneOf("w0", "w1", "w2", "w3", "w4", "w5")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val (corpus, eval) = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      forAll(docGen, 80)(buf += _)
+      (buf.toList.take(60).zipWithIndex.map { case (t, i) => (i.toLong, t) },
+       buf.toList.drop(60))
+    }
+    def grams(s: String, n: Int): Set[String] =
+      s.split("\\s+").toList.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+    val evalGrams = eval.flatMap(grams(_, 2)).toSet
+    val got = Decontaminate
+      .containment(
+        corpus.toDF("doc_id", "text"),
+        eval.zipWithIndex.map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        n = 2,
+      )
+      .select(col("doc_id"), col("n_grams"), col("n_hits"), col("containment"))
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    corpus.foreach { case (id, text) =>
+      val g = grams(text, 2)
+      val hits = g.intersect(evalGrams).size
+      val want = (g.size.toLong, hits.toLong, if (g.isEmpty) 0.0 else hits.toDouble / g.size)
+      assert(got(id) == want, s"id=$id text='$text'")
+    }
+  }
+
+  test("stratifiedHashSample matches an independent JVM md5 model") {
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.col
+    def modelHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val rows = docs.select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val want = rows.collect {
+      case (id, lang, text)
+          if modelHash("strat:" + text) % 10000L < (if (lang == "en") 2000L else 5000L) =>
+        id
+    }.toSet
+    val got = Quality
+      .stratifiedHashSample(docs, col("text"), col("lang"), Map("en" -> 0.2), defaultRate = 0.5)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(got == want, s"spark-only=${(got -- want).take(5)} model-only=${(want -- got).take(5)}")
+  }
+
   test("R2/J2: Combine matches a Map-based reference implementation") {
     val keyGen = Gen.oneOf("a", "b", "c", "d")
     val tableGen = Gen.mapOf(Gen.zip(keyGen, Gen.choose(0, 50))).map(_.toList)
