@@ -85,6 +85,12 @@ object IvfIndex {
       .toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, "assign: empty centroid codebook")
+    require(
+      cents.size <= (1 << 20),
+      s"assign: ${cents.size} centroids — the codebook is collected to the driver and embedded " +
+        "in the plan, which only makes sense for a coarse quantizer (nlist ≲ 2^20). " +
+        "A codebook this size is a bug or calls for a partitioned ANN design instead.",
+    )
     val codebook = typedLit(cents)
     val best = array_max(
       transform(codebook, c => struct(cos(col(vecCol), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
