@@ -146,6 +146,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")), exchanges.mkString("\n"))
   }
 
+  test("q69/q75: per-token tables join broadcast (head hint; idf via AQE)") {
+    val p69 = plan(q("q69_unigram_surprisal"))
+    assert(p69.contains("BroadcastHashJoin"), s"q69 head join must broadcast:\n$p69")
+    val p75 = finalPlan(q("q75_tfidf_top_terms"))
+    assert(p75.contains("BroadcastHashJoin"), s"q75 idf join should be broadcast at runtime (AQE):\n$p75")
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
