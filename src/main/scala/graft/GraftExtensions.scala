@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{CompressionRatio, CosineSimilarity, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sorted_intersect_count",
         ),
         (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)),
+      )
+    )
+    ext.injectFunction(
+      (
+        org.apache.spark.sql.catalyst.FunctionIdentifier("compression_ratio"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CompressionRatio].getName,
+          "compression_ratio",
+        ),
+        (children: Seq[Expression]) => CompressionRatio(children(0)),
       )
     )
   }

@@ -215,6 +215,28 @@ class QualitySpec extends SparkSpec {
     } finally spark.conf.set(graft.operators.Lineage.ConfKey, "false")
   }
 
+  test("compressionRatio: repetitive text compresses far better; deterministic; codegen-safe") {
+    import graft.functions.CompressionRatio.compressionRatio
+    val repetitive = "spam spam spam " * 100
+    val varied = (0 until 300).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, varied), (3L, "")).toDF("id", "t")
+    val got = df.select($"id", compressionRatio($"t").as("r")).as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.1, s"repetitive ratio ${got(1L)}")
+    assert(got(2L) > 0.3, s"varied ratio ${got(2L)}")
+    assert(got(3L) == 1.0, "empty text contract")
+    assert(got(1L) < got(2L))
+    // deterministic across executions (ThreadLocal deflater state resets)
+    val again = df.select($"id", compressionRatio($"t").as("r")).as[(Long, Double)].collect().toMap
+    assert(again == got)
+    // full-corpus scan stays inside whole-stage codegen
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val scan = docs.select(compressionRatio($"text").as("r"))
+    scan.collect()
+    // `*(n)` prefixes mark WholeStageCodegen stages in the compact plan form
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("compression_ratio")), p)
+  }
+
   test("IVF assign is a zero-shuffle projection: no Exchange in the plan") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 0)
