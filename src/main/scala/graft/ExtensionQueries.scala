@@ -891,6 +891,14 @@ object ExtensionQueries {
         .simhashPairsRotated(t(s, d, "documents"), "doc_id", "text", bits = SimBits, prefixBits = 6, maxDist = 3, rotations = 2)
         .orderBy("id_a", "id_b")),
 
+    // ---- Document chunking: overlapping 32-token windows, stride 24 —
+    //      the doc→chunk step ahead of embedding/indexing. Pure
+    //      projection + explode; chunk arithmetic shared with the oracle ----
+    "q80_chunk_documents" -> ((s, d) =>
+      Quality
+        .chunkDocuments(t(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // ---- Stratified hash sampling: per-lang keep rates (downsample the
     //      majority class), salted content hash — `sampleBy` without RNG
     //      state, reproducible on any engine / partitioning ----
@@ -1603,6 +1611,18 @@ object ExtensionQueries {
                    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
                    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
           FROM p ORDER BY doc_id""",
+    // stride = 24 = chunkTokens - overlap; DuckDB list slice is
+    // inclusive-end, so [24i+1 : 24i+32] == Spark slice(toks, 24i+1, 32).
+    "q80_chunk_documents" ->
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+               c AS (SELECT doc_id, toks,
+                       CAST(floor((greatest(len(toks) - 8, 1) + 23.0) / 24) AS INT) AS nchunks
+                     FROM tl),
+               e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c)
+          SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                 CAST(greatest(least(len(toks) - 24 * i, 32), 0) AS INT) AS n_tokens,
+                 array_to_string(toks[24 * i + 1 : 24 * i + 32], ' ') AS chunk
+          FROM e ORDER BY doc_id, chunk_id""",
     // Plain batch SQL — the streaming side must equal it exactly.
     "q78_stream_quality_gate" ->
       s"""WITH tl AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)

@@ -114,6 +114,52 @@ object Quality {
     df.filter(bucket < threshold)
   }
 
+  /** Split documents into overlapping token-window chunks — the doc→chunk
+    * step ahead of embedding/indexing. Chunk `i` covers tokens
+    * `[i·stride, i·stride + chunkTokens)` with `stride = chunkTokens -
+    * overlap`; every doc yields at least one chunk (short docs → one short
+    * chunk). Pure projection (hoisted token array + `sequence`/`transform`/
+    * `slice` + explode): zero shuffle, streams at scan speed, and the
+    * chunk count per doc is data-derived so no driver-side work. All chunk
+    * arithmetic is integer and shared verbatim with the oracle.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int,
+  ): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens, s"need 0 <= overlap < chunkTokens: $overlap, $chunkTokens")
+    val stride = chunkTokens - overlap
+    val chunked = docs
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .withColumn(
+        "__nchunks",
+        floor((greatest(size(col("__toks")) - overlap, lit(1)) + lit(stride - 1).cast("double")) / stride).cast("int"),
+      )
+      .select(
+        col(idCol),
+        size(col("__toks")).as("__n"),
+        explode(
+          transform(
+            sequence(lit(0), col("__nchunks") - 1),
+            i =>
+              struct(
+                i.cast("int").as("chunk_id"),
+                array_join(slice(col("__toks"), i * stride + 1, lit(chunkTokens)), " ").as("chunk"),
+              ),
+          )
+        ).as("__c"),
+      )
+    chunked.select(
+      col(idCol),
+      col("__c.chunk_id").as("chunk_id"),
+      greatest(least(col("__n") - col("__c.chunk_id") * stride, lit(chunkTokens)), lit(0)).cast("int").as("n_tokens"),
+      col("__c.chunk").as("chunk"),
+    )
+  }
+
   /** Top-`k` TF-IDF terms per document. tf = per-(doc, token) count;
     * idf = ln((N+1)/(df+1)) computed once per DISTINCT token and quantized
     * to a scaled LONG there (cross-engine ln rule — scores are then exact

@@ -215,6 +215,29 @@ class QualitySpec extends SparkSpec {
     } finally spark.conf.set(graft.operators.Lineage.ConfKey, "false")
   }
 
+  test("chunkDocuments: window/overlap arithmetic, short docs, full coverage") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, chunk=4, overlap=1 -> stride 3 -> 3 chunks
+      (2L, "a b"), //                                    shorter than one chunk -> single chunk
+      (3L, ""), //                                       empty-ish (one "" token after split)
+    ).toDF("doc_id", "text")
+    val got = Quality
+      .chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Int, Int, String)]
+      .collect()
+      .groupBy(_._1)
+    assert(got(1L).sortBy(_._2).map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0, 4, "t1 t2 t3 t4"),
+      (1, 4, "t4 t5 t6 t7"),
+      (2, 4, "t7 t8 t9 t10"),
+    ))
+    assert(got(2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(got(3L).length == 1) // one (possibly empty) chunk, never zero rows
+    // every token position is covered by at least one chunk
+    val covered = got(1L).flatMap(c => c._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("compressionRatio: repetitive text compresses far better; deterministic; codegen-safe") {
     import graft.functions.CompressionRatio.compressionRatio
     val repetitive = "spam spam spam " * 100
