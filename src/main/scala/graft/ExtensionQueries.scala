@@ -891,6 +891,13 @@ object ExtensionQueries {
         .simhashPairsRotated(t(s, d, "documents"), "doc_id", "text", bits = SimBits, prefixBits = 6, maxDist = 3, rotations = 2)
         .orderBy("id_a", "id_b")),
 
+    // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
+    //      check before committing to a vocab size (composes q68's vocab) ----
+    "q81_oov_rate" -> ((s, d) =>
+      Quality
+        .oovRate(t(s, d, "documents"), "doc_id", "text", vocabK = 100)
+        .orderBy("doc_id")),
+
     // ---- Document chunking: overlapping 32-token windows, stride 24 —
     //      the doc→chunk step ahead of embedding/indexing. Pure
     //      projection + explode; chunk arithmetic shared with the oracle ----
@@ -1611,6 +1618,16 @@ object ExtensionQueries {
                    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
                    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS redacted
           FROM p ORDER BY doc_id""",
+    // Vocab tie at the top-100 boundary breaks on token asc in both engines.
+    "q81_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+               v AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+                                        ORDER BY n DESC, token LIMIT 100)),
+               a AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                     FROM tok t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id)
+          SELECT doc_id, n_tokens, n_oov, CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+          FROM a ORDER BY doc_id""",
     // stride = 24 = chunkTokens - overlap; DuckDB list slice is
     // inclusive-end, so [24i+1 : 24i+32] == Spark slice(toks, 24i+1, 32).
     "q80_chunk_documents" ->

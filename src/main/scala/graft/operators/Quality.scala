@@ -114,6 +114,36 @@ object Quality {
     df.filter(bucket < threshold)
   }
 
+  /** Per-doc out-of-vocabulary rate against the corpus top-`vocabK` tokens —
+    * the tokenizer-coverage check run before committing to a vocab size.
+    * The vocab is a TakeOrdered top-k (per-partition heaps, no global
+    * sort; ties at the boundary break on the token string so the set is
+    * deterministic) and broadcasts by construction (`vocabK` rows); the
+    * per-doc side is one partial-aggregated count over the exploded tokens.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    val vocab = tok
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabK)
+      .select(col("token"), lit(1).as("__iv"))
+    tok
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"),
+      )
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"),
+      )
+  }
+
   /** Split documents into overlapping token-window chunks — the doc→chunk
     * step ahead of embedding/indexing. Chunk `i` covers tokens
     * `[i·stride, i·stride + chunkTokens)` with `stride = chunkTokens -
