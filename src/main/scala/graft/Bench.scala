@@ -45,12 +45,24 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Seconds rounded to 1 ms: halves the JSON line length (the round-5
+    // artifact was truncated mid-line when scraped from sbt stdout) without
+    // losing anything a benchmark comparison can use.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces: persist the line to a file too, so a truncated stdout
+    // scrape can always be reconstructed from the run itself.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")),
+      line + "\n",
+    )
+    catch { case _: java.io.IOException => () }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")

@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, IvfIndex, Multimodal, Quality, Similarity, SkewJoin}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, EventAnalytics, IvfIndex, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,6 +21,8 @@ object ExtensionQueries {
   private val EmbDim = 64 // embeddings.embedding length
   private val LshPlanes = 4 // hyperplanes per ANN hash table
   private val LshTables = 4 // ANN hash tables oracled by q50
+  private val Bm25Query = Seq("spark", "join", "shuffle") // q82's query terms
+  private val FunnelStages = Seq("view", "click", "purchase") // q83's funnel
 
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
   private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
@@ -116,6 +118,36 @@ object ExtensionQueries {
       s"(CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END)"
     }
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** DuckDB mirror of [[graft.operators.EventAnalytics.funnel]], generated
+    * from the same stage list so the two sides cannot drift: stacked
+    * unbounded MIN windows per user, then stage counts + integer-div
+    * conversion ratios.
+    */
+  private def sqlFunnel(stages: Seq[String]): String = {
+    val layers = stages.zipWithIndex
+      .map { case (stage, i) =>
+        val cond =
+          if (i == 0) s"event_type = '$stage'"
+          else s"event_type = '$stage' AND epoch_us(ts) > t${i - 1}"
+        val src = if (i == 0) "events" else s"s${i - 1}"
+        s"s$i AS (SELECT *, MIN(CASE WHEN $cond THEN epoch_us(ts) END) OVER (PARTITION BY user_id) AS t$i FROM $src)"
+      }
+      .mkString(",\n         ")
+    val maxes = stages.indices.map(i => s"MAX(t$i) AS t$i").mkString(", ")
+    val cnts = stages.indices.map(i => s"COUNT(t$i) AS n$i").mkString(", ")
+    val rows = stages.zipWithIndex
+      .map { case (stage, i) =>
+        val prev = s"n${math.max(i - 1, 0)}"
+        s"""SELECT ${i + 1} AS stage, '$stage' AS event_type, n$i AS users,
+              CASE WHEN $prev > 0 THEN (n$i * 1000000) // $prev ELSE CAST(0 AS BIGINT) END AS conv_scaled FROM c"""
+      }
+      .mkString(" UNION ALL ")
+    s"""WITH $layers,
+         pu AS (SELECT user_id, $maxes FROM s${stages.size - 1} GROUP BY user_id),
+         c AS (SELECT $cnts FROM pu)
+        $rows ORDER BY stage"""
   }
 
   private def sqlStopHits(lang: String): String = {
@@ -891,6 +923,62 @@ object ExtensionQueries {
         .simhashPairsRotated(t(s, d, "documents"), "doc_id", "text", bits = SimBits, prefixBits = 6, maxDist = 3, rotations = 2)
         .orderBy("id_a", "id_b")),
 
+    // ---- BM25 top-k lexical retrieval: k1=6/5, b=3/4 multiplied out to
+    //      ONE integer rational per term (idf quantized to a scaled long —
+    //      the q69/q75 ln rule), so per-doc scores are exact long sums.
+    //      Query terms are dropped BEFORE the only shuffle ----
+    "q82_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text", Bm25Query, k = 20)),
+
+    // ---- Inverted-index posting lists: token -> df + sorted doc-id list
+    //      (string-rendered: pins content AND order across engines) ----
+    "q85_posting_lists" -> ((s, d) =>
+      Retrieval.postingLists(t(s, d, "documents"), "doc_id", "text", minDf = 2).orderBy("token")),
+
+    // ---- Bigram next-token stats: per-token top-3 successors with the
+    //      conditional probability as a scaled long (integer div). Bigrams
+    //      are a zipped-slice projection, never a positional self-join ----
+    "q86_bigram_next" -> ((s, d) =>
+      Retrieval.bigramNextTopK(t(s, d, "documents"), "text", topN = 3).orderBy("w1", "rank")),
+
+    // ---- Strictly-ordered funnel over the event log: stage i+1 counts only
+    //      after the user's earliest stage-i completion. Stacked unbounded
+    //      windows on ONE partitionBy(user) exchange — no log self-joins ----
+    "q83_funnel" -> ((s, d) =>
+      EventAnalytics
+        .funnel(Tables.events(s, d), "user_id", "ts", "event_type", FunnelStages)
+        .orderBy("stage")),
+
+    // ---- Weekly retention cohorts: epoch-day integer buckets (no calendar
+    //      semantics to mirror); cohort = first-event week per user ----
+    "q84_retention" -> ((s, d) =>
+      EventAnalytics
+        .retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // ---- CDC latest-wins compaction: one surviving row per
+    //      (user, event_type), greatest (ts, event_id) — the read side of
+    //      MERGE INTO over an upsert log ----
+    "q87_latest_wins" -> ((s, d) =>
+      EventAnalytics
+        .latestWins(Tables.events(s, d), Seq("user_id", "event_type"), "ts", "event_id")
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"),
+        )
+        .orderBy("user_id", "event_type")),
+
+    // ---- Robust outliers on Tukey fences: DISCRETE quartiles over the
+    //      scaled-long value (actual data points — nothing interpolated),
+    //      fences ×2 so the 1.5 factor is the integer 3 ----
+    "q88_iqr_outliers" -> ((s, d) =>
+      EventAnalytics
+        .iqrOutliers(Tables.events(s, d), "event_type", floor(col("value") * 1e6 + 0.5))
+        .orderBy("event_type")),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -1630,6 +1718,82 @@ object ExtensionQueries {
           FROM a ORDER BY doc_id""",
     // stride = 24 = chunkTokens - overlap; DuckDB list slice is
     // inclusive-end, so [24i+1 : 24i+32] == Spark slice(toks, 24i+1, 32).
+    // BM25 with k1=6/5, b=3/4 multiplied out to one integer rational per
+    // term (numerator and denominator scaled by 10*total_len); idf is the
+    // scaled-long ln rule; `//` == Spark `div` on positive longs.
+    "q82_bm25_topk" ->
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_len FROM tl),
+            tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tl),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf, CAST(MIN(dl) AS BIGINT) AS dl FROM tok
+                   WHERE token IN (${Bm25Query.map(w => s"'$w'").mkString(", ")})
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            idf AS (SELECT token,
+                      CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_s,
+                      n_docs, total_len
+                    FROM df CROSS JOIN stats),
+            sc AS (SELECT tf.doc_id,
+                     (idf_s * tf.tf * 22 * total_len)
+                       // (10 * tf.tf * total_len + 3 * total_len + 9 * tf.dl * n_docs) AS term_score
+                   FROM tf JOIN idf USING (token))
+          SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(term_score) AS BIGINT) AS score
+          FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+    // Posting lists string-rendered (content AND order pinned); DISTINCT
+    // tokens per doc, so df == posting length.
+    "q85_posting_lists" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+                       FROM documents)
+          SELECT token, COUNT(*) AS df,
+                 array_to_string(list_sort(list(doc_id)), ',') AS postings
+          FROM tok GROUP BY token HAVING COUNT(*) >= 2 ORDER BY token""",
+    // Bigrams as two zipped shifted slices (DuckDB zips parallel unnests);
+    // conditional probability is exact integer division.
+    "q86_bigram_next" ->
+      s"""WITH tl AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            g AS (SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+                  FROM tl WHERE len(toks) >= 2),
+            c AS (SELECT w1, w2, COUNT(*) AS cnt FROM g GROUP BY w1, w2),
+            r AS (SELECT w1, w2, cnt,
+                    ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rank,
+                    CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total
+                  FROM c)
+          SELECT w1, w2, cnt, CAST(rank AS INT) AS rank, (cnt * 1000000) // total AS p_scaled
+          FROM r WHERE rank <= 3 ORDER BY w1, rank""",
+    "q83_funnel" -> sqlFunnel(FunnelStages),
+    // Epoch-day integer buckets: no calendar/timezone semantics to mirror.
+    "q84_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+              f AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM e)
+         SELECT first_day // 7 AS cohort_week, (day - first_day) // 7 AS week_offset,
+                COUNT(DISTINCT user_id) AS users
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Ordering on epoch_us (micros) — the Spark side reads ns-truncated
+    // micros, so ordering on the raw ns timestamp could disagree on
+    // sub-microsecond ties; event_id breaks exact-micro ties.
+    "q87_latest_wins" ->
+      """SELECT user_id, event_type, event_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+         FROM events
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+         ORDER BY user_id, event_type""",
+    // Discrete quartiles over the scaled-long value (quantile_disc ==
+    // SQL-standard percentile_disc: first value at cume_dist >= q); fences
+    // ×2 so the 1.5 factor is the integer 3 — all comparisons integer.
+    "q88_iqr_outliers" ->
+      """WITH v AS (SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vs FROM events),
+              f AS (SELECT event_type, quantile_disc(vs, 0.25) AS p25, quantile_disc(vs, 0.75) AS p75
+                    FROM v GROUP BY event_type)
+         SELECT v.event_type, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN v.vs * 2 < p25 * 2 - (p75 - p25) * 3
+                            OR v.vs * 2 > p75 * 2 + (p75 - p25) * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                MIN(CASE WHEN v.vs * 2 < p25 * 2 - (p75 - p25) * 3
+                           OR v.vs * 2 > p75 * 2 + (p75 - p25) * 3 THEN v.vs END) AS min_outlier,
+                MAX(CASE WHEN v.vs * 2 < p25 * 2 - (p75 - p25) * 3
+                           OR v.vs * 2 > p75 * 2 + (p75 - p25) * 3 THEN v.vs END) AS max_outlier
+         FROM v JOIN f USING (event_type)
+         GROUP BY v.event_type ORDER BY v.event_type""",
     "q80_chunk_documents" ->
       s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
                c AS (SELECT doc_id, toks,

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-log analytics: ordered funnels, retention cohorts, CDC
+  * latest-wins compaction, and robust (IQR) outlier detection. These are the
+  * product-analytics / log-compaction operators a warehouse runs over the
+  * same event stream the [[graft.streaming.EventStream]] operators ingest.
+  *
+  * Determinism contract: all time arithmetic is integer microseconds /
+  * epoch-days (`unix_micros`, `div`), never engine-local date casts, so the
+  * DuckDB mirrors (`epoch_us`, `//`) are bit-identical.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, stage i+1 counts only if an event of
+    * stage i+1's type occurs STRICTLY AFTER the user's earliest completion
+    * of stage i (the standard strictly-ordered funnel, not a bag-of-events
+    * intersection). Returns one row per stage with the user count and the
+    * conversion-from-previous-stage ratio as a scaled long (integer div —
+    * exact cross-engine).
+    *
+    * Scale design: one shuffle. The per-user stage times are stacked
+    * unbounded windows over the same `partitionBy(user)` — Catalyst plans
+    * one Exchange and chains the Window operators on it — and the final
+    * stage counts are a scalar aggregate over one row per user. No
+    * self-joins of the event log.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+  ): DataFrame = {
+    require(stages.size >= 2, "funnel: need at least two stages")
+    val w = Window.partitionBy(col(userCol))
+    val us = unix_micros(col(tsCol))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && us > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(cond, us)).over(w))
+    }
+    val stageTimes = stages.indices.map(i => max(col(s"__t$i")).as(s"__t$i"))
+    val perUser = staged
+      .groupBy(col(userCol))
+      .agg(stageTimes.head, stageTimes.tail: _*)
+    val stageCounts = stages.indices.map(i => count(col(s"__t$i")).as(s"__n$i"))
+    val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
+    val rows = stages.indices.map { i =>
+      val prev = if (i == 0) col("__n0") else col(s"__n${i - 1}")
+      struct(
+        lit(i + 1).as("stage"),
+        lit(stages(i)).as("event_type"),
+        col(s"__n$i").as("users"),
+        when(prev > 0, expr(s"(__n$i * 1000000) div __n${math.max(i - 1, 0)}"))
+          .otherwise(lit(0L))
+          .as("conv_scaled"),
+      )
+    }
+    counts
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.users"), col("r.conv_scaled"))
+  }
+
+  /** Weekly retention cohorts: cohort = the user's first-ever event week,
+    * cell (cohort_week, week_offset) = distinct users from that cohort
+    * active that many weeks later. Weeks are epoch-day integer buckets
+    * (`epoch_us div 86400e6 div 7`) — no calendar/timezone semantics to
+    * mirror across engines.
+    *
+    * Scale design: first-event time is an unbounded window over
+    * `partitionBy(user)` (one shuffle, reused directly by the groupBy via
+    * the user-prefixed grouping key being unnecessary — the second shuffle
+    * is on the (cohort, offset) cell, whose cardinality is weeks², tiny).
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div 86400000000").as("__day"))
+      .withColumn("__first", min(col("__day")).over(w))
+      .select(
+        col(userCol),
+        expr("__first div 7").as("cohort_week"),
+        expr("(__day - __first) div 7").as("week_offset"),
+      )
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+
+  /** CDC latest-wins compaction: one surviving row per key, the one with
+    * the greatest (ordering, tiebreak) — the read-side of a MERGE INTO /
+    * upsert log. Tiebreak column keeps the result total-ordered when the
+    * ordering column has duplicates (e.g. equal timestamps).
+    *
+    * Scale design: `row_number` over `partitionBy(keys)` is one shuffle and
+    * streams each key group (no buffering of the group); the filter keeps
+    * exactly one row per key. At 100 TB this is the standard log-compaction
+    * plan; if a single key is pathologically hot, salt the log first and
+    * compact twice ([[SkewJoin]] has the salting).
+    */
+  def latestWins(
+      log: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tiebreakCol: String,
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tiebreakCol).desc)
+    log
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Robust per-group outlier detection on Tukey fences: a value is an
+    * outlier when it falls outside `[p25 - 1.5*IQR, p75 + 1.5*IQR]`, with
+    * DISCRETE (SQL-standard `percentile_disc`) quartiles — actual data
+    * values, never interpolated doubles, so with a scaled-long `valueExpr`
+    * (the caller quantizes, e.g. `floor(value*1e6+0.5)`) every comparison
+    * is integer-exact cross-engine. The fence comparison multiplies both
+    * sides by 2 so the 1.5 factor is the integer 3 — no `1.5*` rounding.
+    *
+    * Scale design: quartiles are a per-group aggregate (groups are the
+    * shuffle key; exact percentiles buffer a group's values, so this wants
+    * group value-counts that fit an executor — true for typed event logs,
+    * not for a single global group at 100 TB); the tiny fence table then
+    * broadcasts back onto the stream, so the detail pass is a map-side
+    * join + partial-aggregated projection.
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column,
+  ): DataFrame = {
+    val vals = df.select(col(groupCol), valueExpr.cast("long").as("__v"))
+    val fences = vals
+      .groupBy(col(groupCol))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY __v)").cast("long").as("p25"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY __v)").cast("long").as("p75"),
+      )
+    val v2 = col("__v") * 2
+    val isOut = v2 < col("p25") * 2 - (col("p75") - col("p25")) * 3 ||
+      v2 > col("p75") * 2 + (col("p75") - col("p25")) * 3
+    vals
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("__v"))).as("min_outlier"),
+        max(when(isOut, col("__v"))).as("max_outlier"),
+      )
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-infrastructure operators over a document corpus: BM25 scoring,
+  * inverted-index posting lists, and bigram next-token statistics. These are
+  * the index-build / lexical-search half of a training-data pipeline (the
+  * embedding half lives in [[Similarity]] / [[IvfIndex]]).
+  *
+  * Reference scope: the reference engine (jhu-data-parser) exposes keyed
+  * lookup+enrich only; lexical retrieval is part of the LLM-pipeline
+  * extension surface, not a port.
+  */
+object Retrieval {
+
+  /** BM25 top-k lexical retrieval for one query (Robertson/Sparck Jones,
+    * k1 = 1.2, b = 0.75), integer-exact across engines.
+    *
+    * Determinism: the classic BM25 term score
+    * {{{ idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) }}}
+    * mixes doubles (`avgdl`, `idf`) into a per-doc SUM, which is
+    * order-dependent in a distributed fold. Instead, with k1 = 6/5 and
+    * b = 3/4 the term score multiplies out to the integer rational
+    * {{{ idfScaled * tf * 22 * totalLen  /  (10*tf*totalLen + 3*totalLen + 9*dl*nDocs) }}}
+    * (numerator and denominator both scaled by `10 * totalLen`), where
+    * `idfScaled = floor(ln(1 + (N-df+0.5)/(df+0.5)) * 1e6 + 0.5)` is
+    * quantized ONCE per query term (the same cross-engine ln rule as the
+    * q69/q75 scaled-long tables). Truncating integer division then gives an
+    * exact per-term LONG, so per-doc scores are order-independent integer
+    * sums — bit-identical in any engine.
+    *
+    * Overflow bound: `idfScaled * tf * 22 * totalLen` must fit a signed
+    * long, i.e. `totalLen * tf * idfScaled <= ~4.2e17`. With idfScaled
+    * <= ~2.1e7 (ln(1+2N) at a trillion docs ~ 28.3 -> 2.9e7) this caps the
+    * exact-integer variant around 1e10 corpus tokens per verification
+    * partition; beyond that, run it per shard (scores are per-doc, sharding
+    * by doc is free) or accept double scoring in production and keep this
+    * form for cross-engine verification.
+    *
+    * Scale design: tokens not in the (tiny, broadcast-literal) query term
+    * set are dropped BEFORE the only shuffle, so the aggregation carries
+    * `O(matching occurrences)` rows of (id, term) — never text, never the
+    * full token stream. Corpus stats (N, totalLen) and per-term df are
+    * scalar / |query|-sized aggregates joined back by broadcast. The final
+    * top-k is a TakeOrdered, not a full sort.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val toks = docs
+      .select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"), explode(col("__toks")).as("token"))
+    // Corpus stats are a scalar aggregate over a narrow projection (partial
+    // agg -> 1 row/partition) — NOT a groupBy(doc) over the exploded stream,
+    // which would shuffle O(N) rows to learn two numbers.
+    val totals = docs
+      .select(size(TextAnalysis.wsTokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = toks
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val idf = tf
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"),
+        floor(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6 + 0.5
+        ).cast("long").as("idf_s"),
+        col("n_docs"),
+        col("total_len"),
+      )
+    tf.join(broadcast(idf), Seq("token"))
+      .select(
+        col(idCol),
+        expr("(idf_s * tf * 22 * total_len) div (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)")
+          .as("term_score"),
+      )
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Inverted-index posting lists: one row per distinct token with its
+    * document frequency and the sorted posting list of doc ids, rendered as
+    * a comma-joined string (array outputs don't hash portably across the
+    * oracle boundary; the string pins content AND order).
+    *
+    * Scale design: one explode of DISTINCT tokens per doc, one shuffle keyed
+    * by token. At web scale a posting list for a stopword-frequency token
+    * exceeds a single aggregation buffer — there you'd range-shard the
+    * postings by (token, doc_id bucket) and keep this exact shape per
+    * shard; `minDf` is the opposite knob (drop hapax tokens whose postings
+    * are useless for retrieval).
+    */
+  def postingLists(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 1,
+  ): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokenSet(col(textCol))).as("token"), col(idCol))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col(idCol))).as("__post"))
+      .filter(col("df") >= minDf)
+      .select(
+        col("token"),
+        col("df"),
+        concat_ws(",", transform(col("__post"), _.cast("string"))).as("postings"),
+      )
+
+  /** Per-token top-`topN` next tokens by bigram frequency, with the
+    * conditional probability P(w2 | w1) as a scaled long
+    * (`cnt * 1e6 div total(w1)` — exact integer division, so cross-engine
+    * identical). The bigram-LM build step (and the data half of n-gram
+    * autocomplete / next-token baselines).
+    *
+    * Scale design: bigrams are a pure projection (two shifted slices of the
+    * token array zipped positionally — no positional self-join); the only
+    * shuffle is the (w1, w2) count, which map-side combines. The per-w1
+    * rank/total window rides the same key.
+    */
+  def bigramNextTopK(
+      docs: DataFrame,
+      textCol: String,
+      topN: Int = 3,
+  ): DataFrame = {
+    val grams = docs
+      .select(TextAnalysis.wsTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("__w1s"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("__w2s"),
+      )
+      .select(explode(arrays_zip(col("__w1s"), col("__w2s"))).as("__g"))
+      .select(col("__g.__w1s").as("w1"), col("__g.__w2s").as("w2"))
+    val counted = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val byW1 = Window.partitionBy(col("w1"))
+    counted
+      .withColumn("rank", row_number().over(byW1.orderBy(col("cnt").desc, col("w2"))))
+      .withColumn("total", sum(col("cnt")).over(byW1))
+      .filter(col("rank") <= topN)
+      .select(
+        col("w1"),
+        col("w2"),
+        col("cnt"),
+        col("rank"),
+        expr("(cnt * 1000000) div total").as("p_scaled"),
+      )
+  }
+}

@@ -153,6 +153,34 @@ class PlanSpec extends SparkSpec {
     assert(p75.contains("BroadcastHashJoin"), s"q75 idf join should be broadcast at runtime (AQE):\n$p75")
   }
 
+  test("q83 funnel: stacked windows + per-user agg share ONE user exchange") {
+    val p = plan(q("q83_funnel"))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"funnel must shuffle the log once (by user):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), s"funnel must not self-join the log:\n$p")
+  }
+
+  test("q82 bm25: stats/idf join broadcast; no sort-merge join of the corpus") {
+    val p = finalPlan(q("q82_bm25_topk"))
+    assert(!p.contains("SortMergeJoin"), s"bm25 joins tiny per-term tables — must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-k is a TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 top-k must not full-sort:\n$p")
+  }
+
+  test("q87 latest-wins compaction: one shuffle, streamed window filter") {
+    val p = plan(q("q87_latest_wins"))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"compaction is one shuffle by key:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q88 IQR outliers: fence table broadcasts back onto the stream") {
+    val p = finalPlan(q("q88_iqr_outliers"))
+    assert(p.contains("BroadcastHashJoin"), s"fences are |groups| rows — must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

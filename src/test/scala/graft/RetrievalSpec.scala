@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{EventAnalytics, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Closed-form unit tests for the retrieval (BM25, posting lists, bigram LM)
+  * and event-analytics (funnel, retention, latest-wins, IQR outliers)
+  * operator families.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bm25TopK: hand-computed integer score on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat cat cat"),
+      (3L, "bird"),
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 10).collect()
+    // N=3, totalLen=6, df(cat)=2 -> idf_s = floor(ln(1 + 1.5/2.5)*1e6 + 0.5)
+    val idfS = math.floor(math.log(1.0 + 1.5 / 2.5) * 1e6 + 0.5).toLong
+    def score(tf: Long, dl: Long) =
+      (idfS * tf * 22 * 6) / (10 * tf * 6 + 3 * 6 + 9 * dl * 3)
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, score(1, 2)), (2L, score(3, 3))))
+    // doc 2 has higher tf but is longer; both rank above absent doc 3
+    assert(out.length == 2)
+  }
+
+  test("bm25TopK: terms absent from the corpus contribute nothing") {
+    val docs = Seq((1L, "cat dog")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("unicorn", "cat"), k = 5).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L) // n_terms counts only matches
+  }
+
+  test("postingLists: df counts and sorted comma-joined postings") {
+    val docs = Seq((3L, "b a"), (1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Retrieval.postingLists(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // per-doc DISTINCT tokens: df('a')=3 even though doc 1 repeats it
+    assert(out == Set(("a", 3L, "1,2,3"), ("b", 2L, "1,3"), ("c", 1L, "2")))
+  }
+
+  test("bigramNextTopK: counts, ranks, and exact scaled conditional probability") {
+    val docs = Seq((1L, "a b a b a c"), (2L, "x")).toDF("doc_id", "text")
+    val out = Retrieval.bigramNextTopK(docs, "text", topN = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    // bigrams: (a,b)x2 (b,a)x2 (a,c)x1; single-token doc 2 emits nothing
+    assert(out == Set(
+      ("a", "b", 2L, 1, 2000000L / 3),
+      ("a", "c", 1L, 2, 1000000L / 3),
+      ("b", "a", 2L, 1, 1000000L),
+    ))
+  }
+
+  test("funnel: strictly-ordered stages — out-of-order completion doesn't count") {
+    val events = Seq(
+      // u1 completes the full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // u2 purchases BEFORE clicking: stage 3 must not count
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:01:00"), "purchase"),
+      (2L, ts("2024-01-01 11:02:00"), "click"),
+      // u3 never views: no stage counts at all
+      (3L, ts("2024-01-01 12:00:00"), "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1, "view", 2L, 1000000L)))
+    assert(out(1) == ((2, "click", 2L, 1000000L)))   // both viewers clicked after viewing
+    assert(out(2) == ((3, "purchase", 1L, 500000L))) // only u1; u2's purchase preceded the click
+  }
+
+  test("funnel: equal timestamps are NOT strictly after (boundary pinned)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click"), // same micro as the view
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_type", Seq("view", "click"))
+      .orderBy("stage")
+      .collect()
+    assert(out(0).getLong(2) == 1L && out(1).getLong(2) == 0L)
+  }
+
+  test("retentionCohorts: epoch-day week buckets from a user's first event") {
+    val events = Seq(
+      (1L, ts("1970-01-01 00:00:00")), // day 0 -> cohort week 0
+      (1L, ts("1970-01-09 00:00:00")), // day 8 -> offset week 1
+      (2L, ts("1970-01-08 00:00:00")), // day 7 -> cohort week 1, offset 0
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(events, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("latestWins: greatest (ts, tiebreak) survives per key") {
+    val log = Seq(
+      (1L, "a", 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, "a", 11L, ts("2024-01-01 10:00:00"), 2.0), // equal ts: higher id wins
+      (1L, "a", 5L, ts("2024-01-02 10:00:00"), 3.0),  // later ts beats higher id
+      (2L, "a", 7L, ts("2024-01-01 09:00:00"), 4.0),
+    ).toDF("user_id", "event_type", "event_id", "ts", "value")
+    val out = EventAnalytics
+      .latestWins(log, Seq("user_id", "event_type"), "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 5L), (2L, 7L)))
+  }
+
+  test("iqrOutliers: discrete quartiles and Tukey fences, integer-exact") {
+    // group g: values 1..9 plus outlier 100. disc p25 of 10 values = 3rd
+    // (cume_dist 0.3 >= 0.25), p75 = 8th: p25=3, p75=8, IQR=5.
+    // fences: [3-7.5, 8+7.5] = [-4.5, 15.5] -> only 100 is out.
+    val df = ((1 to 9).map(v => ("g", v.toLong)) :+ (("g", 100L))).toDF("grp", "v")
+    val out = EventAnalytics.iqrOutliers(df, "grp", col("v")).collect().head
+    assert(out.getLong(1) == 10L && out.getLong(2) == 1L)
+    assert(out.getLong(3) == 100L && out.getLong(4) == 100L)
+  }
+}
