@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, EventAnalytics, IvfIndex, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -148,6 +148,31 @@ object ExtensionQueries {
          pu AS (SELECT user_id, $maxes FROM s${stages.size - 1} GROUP BY user_id),
          c AS (SELECT $cnts FROM pu)
         $rows ORDER BY stage"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.Graph.pageRank]]: the fixed
+    * iteration count unrolls to chained CTEs (c_i = inflow, r_i = new
+    * ranks), generated from the same damping/scale constants as the Spark
+    * side. `//` == Spark `div` on the (always positive) scaled ranks.
+    */
+  private def sqlPageRank(iters: Int): String = {
+    val rounds = (1 to iters)
+      .map { i =>
+        s"""c$i AS (SELECT e.dst, CAST(SUM(r.rank_s // o.outdeg) AS BIGINT) AS in_s
+                    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN od o ON e.src = o.node
+                    GROUP BY e.dst),
+            r$i AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.in_s, 0) // 100 AS BIGINT) AS rank_s
+                    FROM n LEFT JOIN c$i c ON n.node = c.dst)"""
+      }
+      .mkString(",\n            ")
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT c AS src, s AS dst FROM p UNION SELECT s, c FROM p),
+            n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+            od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_s FROM n),
+            $rounds
+        SELECT node, rank_s FROM r$iters ORDER BY node"""
   }
 
   private def sqlStopHits(lang: String): String = {
@@ -979,6 +1004,44 @@ object ExtensionQueries {
         .iqrOutliers(Tables.events(s, d), "event_type", floor(col("value") * 1e6 + 0.5))
         .orderBy("event_type")),
 
+    // ---- Fixed-iteration PageRank (damping 0.85) over the bipartite
+    //      customer<->supplier trade graph, integer-exact: scaled-long
+    //      ranks, truncating-div contributions — order-independent sums.
+    //      Node encoding: customer -> 2k, supplier -> 2k+1 ----
+    "q89_pagerank" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")), "ok")
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("sup"))
+      val edges = pairs
+        .select(col("c").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
+    }),
+
+    // ---- Nearest-centroid label classifier over the embeddings: per-label
+    //      mean centroid (float-cast — the q60 cross-engine avg rule), then
+    //      the zero-shuffle argmax-cosine assignment; output is the
+    //      label × predicted-label confusion matrix ----
+    "q90_centroid_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb
+        .select(col("label").cast("int").as("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))), e => e.getField("m").cast("float"))
+            .as("centroid")
+        )
+      IvfIndex
+        .assign(emb.withColumn("__idl", struct(col("vec_id"), col("label"))), cents, "__idl", "embedding")
+        .select(col("__idl.label").cast("int").as("label"), col("centroid_id").as("pred_label"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -1794,6 +1857,24 @@ object ExtensionQueries {
                            OR v.vs * 2 > p75 * 2 + (p75 - p25) * 3 THEN v.vs END) AS max_outlier
          FROM v JOIN f USING (event_type)
          GROUP BY v.event_type ORDER BY v.event_type""",
+    "q89_pagerank" -> sqlPageRank(3),
+    // Per-label mean centroid float-cast (the q60 cross-engine avg rule:
+    // double avgs differ at ~1e-15, the FLOAT cast quantizes that away),
+    // then argmax cosine with ties to the lowest label — q57's assignment.
+    "q90_centroid_classify" ->
+      s"""WITH dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+            m AS (SELECT label, pos, avg(CAST(embedding[pos + 1] AS DOUBLE)) AS mu
+                  FROM embeddings CROSS JOIN dims GROUP BY label, pos),
+            c AS (SELECT CAST(label AS INT) AS centroid_id,
+                         list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY pos) AS embedding
+                  FROM m GROUP BY label),
+            scored AS (SELECT a.vec_id, a.label, b.centroid_id, $sqlCos AS sim
+                       FROM embeddings a CROSS JOIN c b),
+            r AS (SELECT vec_id, label, centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                  FROM scored)
+          SELECT CAST(label AS INT) AS label, centroid_id AS pred_label, COUNT(*) AS n
+          FROM r WHERE rn = 1 GROUP BY label, centroid_id ORDER BY label, pred_label""",
     "q80_chunk_documents" ->
       s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
                c AS (SELECT doc_id, toks,

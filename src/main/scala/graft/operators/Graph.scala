@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over an edge relation. Connected components (the
+  * near-dup clustering primitive) live in [[Dedup]]; this hosts the
+  * rank-propagation family.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank with damping 0.85, integer-exact across
+    * engines: ranks are scaled longs (1e6 = rank 1.0) and one iteration is
+    * {{{ rank'(v) = 150000 + (85 * sum_{u->v} (rank(u) div outdeg(u))) div 100 }}}
+    * — per-edge contributions and the damping factor use truncating integer
+    * division, so every iteration is an order-independent integer sum (no
+    * double accumulation to mirror; the cost is ≤1e-6 rank units of floor
+    * truncation per edge, irrelevant for ranking). Mass through dangling
+    * nodes (no out-edges) is dropped, the common simplification; a fixed
+    * iteration count (not convergence detection) keeps the oracle
+    * expressible as a plain chained-CTE SQL query.
+    *
+    * Scale design: each iteration is the canonical two-shuffle plan — join
+    * ranks (|V| rows, fixed-width) to edges on src, then re-aggregate by
+    * dst; the edge list itself never mutates, so at cluster scale you
+    * pre-partition BOTH edge tables by key once (bucketing) and every
+    * iteration's join is co-located. Lineage is truncated per iteration
+    * ([[Lineage.truncate]] — the `spark.graft.reliableCheckpoints` knob
+    * applies), so the plan doesn't grow with the iteration count.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"pageRank: iters must be in [1, 100]: $iters")
+    // Edge set, node list, and out-degrees are reused by EVERY iteration's
+    // joins — materialize each once (off the materialized edge set, not the
+    // raw plan, or each iteration re-runs the caller's edge-building query).
+    val ej = Lineage.truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = Lineage.truncate(
+      ej.select(col("src").as("node")).union(ej.select(col("dst").as("node"))).distinct()
+    )
+    val oj = Lineage.truncate(ej.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).withColumnRenamed("src", "node"))
+    var ranks = nodes.withColumn("rank_s", lit(1000000L))
+    for (i <- 1 to iters) {
+      // Inner join: nodes without out-edges contribute nothing by definition.
+      val withDeg = ranks.join(oj, "node")
+      val contrib = ej
+        .join(withDeg, ej("src") === withDeg("node"))
+        .select(ej("dst").as("dst"), expr("rank_s div outdeg").as("c"))
+      val next = nodes
+        .join(contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_s")), col("node") === col("dst"), "left_outer")
+        .select(
+          col("node"),
+          (lit(150000L) + expr("85 * coalesce(in_s, CAST(0 AS BIGINT)) div 100")).as("rank_s"),
+        )
+      ranks = if (i == iters) next else Lineage.truncate(next)
+    }
+    ranks
+  }
+}

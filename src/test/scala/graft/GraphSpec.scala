@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Closed-form tests for the rank-propagation operator. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph
+      .pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("pageRank: a symmetric 2-cycle is a fixed point at rank 1.0") {
+    // contribution = 1000000 div 1; new = 150000 + (85 * 1000000) div 100
+    assert(ranks(Seq((1L, 2L), (2L, 1L)), 3) == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: star sink accumulates, leaves get teleport only") {
+    // a,b,c -> hub; hub dangles (its mass drops — documented variant).
+    // iter1: hub = 150000 + (85 * 3000000) div 100 = 2700000; leaves = 150000.
+    // iter2: hub = 150000 + (85 * 450000) div 100 = 532500.
+    val r1 = ranks(Seq((1L, 9L), (2L, 9L), (3L, 9L)), 1)
+    assert(r1 == Map(1L -> 150000L, 2L -> 150000L, 3L -> 150000L, 9L -> 2700000L))
+    val r2 = ranks(Seq((1L, 9L), (2L, 9L), (3L, 9L)), 2)
+    assert(r2(9L) == 532500L && r2(1L) == 150000L)
+  }
+
+  test("pageRank: out-degree splits contribution with truncating div") {
+    // 1 -> {2, 3}: each gets 1000000 div 2 = 500000.
+    // iter1: node2 = node3 = 150000 + (85 * 500000) div 100 = 575000.
+    val r = ranks(Seq((1L, 2L), (1L, 3L)), 1)
+    assert(r(2L) == 575000L && r(3L) == 575000L && r(1L) == 150000L)
+  }
+
+  test("pageRank: duplicate edges collapse (edge set, not multiset)") {
+    val r = ranks(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 3)
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: rejects out-of-range iteration counts") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 0)
+    }
+  }
+}
