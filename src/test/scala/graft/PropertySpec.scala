@@ -207,4 +207,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sessionizeExact ≡ batch sessionization under RANDOM microbatch splits") {
+    // q66 proves exactness under ONE adversarial arrival order; this proves
+    // the order-independence claim in general: random event sets, randomly
+    // permuted and split into random microbatches, must always equal the
+    // Scala batch model (split where gap is STRICTLY greater than 30 min —
+    // the pinned boundary semantics).
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{Event, Session}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime // ms
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // ~50 events over 3 users across a day: plenty of >gap, ==gap-ish,
+      // and sub-gap deltas at minute granularity
+      val events = (1 to 50).map { i =>
+        Event(i.toLong, new java.sql.Timestamp(base + rnd.nextInt(24 * 60) * 60000L), rnd.nextInt(3) + 1L, "view", rnd.nextInt(10) + 0.5)
+      }
+      val expected = events
+        .groupBy(_.user_id)
+        .flatMap { case (uid, es) =>
+          val sorted = es.sortBy(_.ts.getTime)
+          val frags = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+            if ((e.ts.getTime - acc.last.last.ts.getTime) * 1000 > gapUs) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+          }
+          frags.map(f => (uid, f.head.ts, f.last.ts, f.size.toLong, f.map(_.value).sum))
+        }
+        .toSet
+      val input = MemoryStream[Event]
+      val query = EventStream
+        // 2000 min > the 1440-min event span, so no event is ever late no
+        // matter the arrival order; the +10-day sentinel still flushes all
+        .sessionizeExact(input.toDS(), gapMinutes = 30, watermarkMinutes = Some(2000))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(s"graft_sessions_prop_$trial")
+        .start()
+      // random permutation, random batch boundaries
+      val shuffled = rnd.shuffle(events)
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val k = rnd.nextInt(rest.size) + 1
+        input.addData(rest.take(k): _*)
+        query.processAllAvailable()
+        rest = rest.drop(k)
+      }
+      // sentinel far past every session's end+gap: advances the watermark
+      // so every real session flushes
+      input.addData(Event(9999, new java.sql.Timestamp(base + 10L * 24 * 3600 * 1000), 99L, "view", 0.0))
+      query.processAllAvailable()
+      val got = spark
+        .table(s"graft_sessions_prop_$trial")
+        .as[Session]
+        .collect()
+        .toSeq
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+        .toSet
+      query.stop()
+      assert(got == expected, s"trial $trial: stream ${got.size} sessions vs batch ${expected.size}")
+    }
+  }
 }
