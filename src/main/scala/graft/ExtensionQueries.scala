@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
+import graft.operators.{AsOfJoin, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1042,6 +1042,59 @@ object ExtensionQueries {
         .orderBy("label", "pred_label")
     }),
 
+    // ---- Market-basket lift: top co-purchased part pairs by lift over
+    //      order baskets; lift as an exact scaled long (integer arithmetic
+    //      end-to-end, safe to rank on cross-engine) ----
+    "q91_basket_lift" -> ((s, d) =>
+      Basket.pairLift(t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2, topK = 100)),
+
+    // ---- Mixture rebalancing: downsample every lang to ≈ the minority
+    //      class via data-derived integer basis-point rates + the salted
+    //      content-hash rule — q74's sampler with computed rates ----
+    "q92_balanced_sample" -> ((s, d) =>
+      Quality
+        .balancedSample(t(s, d, "documents"), col("text"), col("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy("lang")),
+
+    // ---- Leakage-safe split: near-dup clusters (q45's verified pair+CC
+    //      machinery) bucket on the cluster's MIN content hash, so 0.9-
+    //      Jaccard variants of one doc can never straddle train/test ----
+    "q93_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", threshold = 0.9)
+      graft.operators.Curate.clusterSplit(docs, "doc_id", "text", pairs).orderBy("doc_id")
+    }),
+
+    // ---- Mixture materialization: token-balance every source toward the
+    //      largest via deterministic fractional epochs (hash rule, cap 3) ----
+    "q94_mixture_epochs" -> ((s, d) =>
+      Mixture
+        .epochMaterialize(t(s, d, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id", "copy")),
+
+    // ---- Domain-level quality gate: sources whose aggregate stopword
+    //      ratio clears the corpus-wide ratio (self-calibrating) ----
+    "q95_source_gate" -> ((s, d) =>
+      Quality
+        .sourceQualityGate(t(s, d, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
+    // ---- Session Markov transitions: P(next event type | type) within
+    //      the 30-min gap rule, scaled-long conditionals ----
+    "q96_session_markov" -> ((s, d) =>
+      EventAnalytics
+        .sessionTransitions(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+
+    // ---- Length-curriculum buckets: 8 discrete-quantile fences over the
+    //      token count, assignment as a broadcast-fence projection ----
+    "q97_curriculum" -> ((s, d) =>
+      Quality
+        .curriculumBuckets(t(s, d, "documents"), "doc_id", "text", nBuckets = 8)
+        .orderBy("doc_id")),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -1858,6 +1911,101 @@ object ExtensionQueries {
          FROM v JOIN f USING (event_type)
          GROUP BY v.event_type ORDER BY v.event_type""",
     "q89_pagerank" -> sqlPageRank(3),
+    // Presence (DISTINCT), not multiplicity; `//` == Spark `div` on the
+    // positive scaled lift; total-ordered before the LIMIT.
+    "q91_basket_lift" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+            n AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM i),
+            ic AS (SELECT it, COUNT(*) AS cnt FROM i GROUP BY it),
+            p AS (SELECT l.it AS item_a, r.it AS item_b, COUNT(*) AS cnt_ab
+                  FROM i l JOIN i r ON l.b = r.b AND l.it < r.it
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT item_a, item_b, cnt_ab,
+                cnt_ab * n_baskets * 1000000 // (a.cnt * b.cnt) AS lift_scaled
+         FROM p JOIN ic a ON p.item_a = a.it JOIN ic b ON p.item_b = b.it CROSS JOIN n
+         ORDER BY lift_scaled DESC, item_a, item_b LIMIT 100""",
+    // Data-derived integer basis-point rates; same salted-hash membership
+    // rule as q74.
+    "q92_balanced_sample" ->
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+            mn AS (SELECT MIN(cnt) AS mn FROM counts),
+            rates AS (SELECT lang, mn * 10000 // cnt AS rate_bp FROM counts CROSS JOIN mn),
+            kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+                     WHERE ${sqlHash64("'bal:' || text")} % 10000 < r.rate_bp)
+          SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc_id
+          FROM kept GROUP BY lang ORDER BY lang""",
+    // q45's recursive-CTE closure; singletons fall back to their own id;
+    // the split buckets on the cluster's MIN content hash (q70's rule,
+    // lifted from doc to cluster).
+    "q93_cluster_split" ->
+      s"""WITH RECURSIVE
+            ${sqlCcOver("documents", 0.9)},
+            comp AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+            wc AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, ${sqlHash64("d.text")} AS h
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+            ch AS (SELECT cluster_id, MIN(h) AS mh FROM wc GROUP BY cluster_id)
+          SELECT wc.doc_id, wc.cluster_id,
+                 CASE WHEN mh % 100 < 80 THEN 'train'
+                      WHEN mh % 100 < 90 THEN 'val' ELSE 'test' END AS split
+          FROM wc JOIN ch USING (cluster_id) ORDER BY doc_id""",
+    // Token-balanced fractional epochs: weights are integer basis points off
+    // the per-source token totals; `copies` >= 1 by construction (the max
+    // source is the 10000-bp floor); unnest(generate_series) == explode(
+    // sequence) — both inclusive of the 0..copies-1 range.
+    "q94_mixture_epochs" ->
+      s"""WITH tk AS (SELECT doc_id, source, text,
+                        len(string_split_regex(trim(text), '\\s+')) AS nt FROM documents),
+            st AS (SELECT source, SUM(nt) AS tok FROM tk GROUP BY source),
+            mx AS (SELECT MAX(tok) AS mx FROM st),
+            w AS (SELECT source, least(mx * 10000 // tok, 30000) AS w_bp FROM st CROSS JOIN mx),
+            c AS (SELECT t.doc_id, t.source,
+                    w_bp // 10000
+                      + CASE WHEN ${sqlHash64("'ep:' || text")} % 10000 < w_bp % 10000
+                             THEN 1 ELSE 0 END AS copies
+                  FROM tk t JOIN w ON t.source = w.source)
+          SELECT * FROM (SELECT doc_id, source,
+                                unnest(generate_series(0, CAST(copies - 1 AS BIGINT))) AS copy FROM c)
+          ORDER BY doc_id, copy""",
+    // Self-calibrating domain gate: both ratios are integer basis points
+    // over the SAME token sums, so the >= is exact on both engines.
+    "q95_source_gate" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                       string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            ps AS (SELECT source, SUM(${sqlStopHits("en")}) AS sh, SUM(len(toks)) AS nt
+                   FROM t GROUP BY source),
+            c AS (SELECT SUM(sh) AS csh, SUM(nt) AS cnt FROM ps),
+            v AS (SELECT source, CAST(sh * 10000 // nt AS BIGINT) AS src_stop_bp,
+                         (sh * 10000 // nt) >= (csh * 10000 // cnt) AS kp
+                  FROM ps CROSS JOIN c)
+          SELECT d.doc_id, d.source, v.src_stop_bp
+          FROM documents d JOIN v ON d.source = v.source WHERE v.kp
+          ORDER BY d.doc_id""",
+    // Adjacent-pair transitions under the 30-min session gap; conditionals
+    // as scaled-long integer division off the counts table itself.
+    "q96_session_markov" ->
+      """WITH o AS (SELECT event_type AS from_type,
+                           lead(event_type) OVER w AS to_type,
+                           lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tr AS (SELECT from_type, to_type FROM o
+                   WHERE to_type IS NOT NULL AND dt <= 30*60*1000000),
+            c AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
+            f AS (SELECT from_type, SUM(cnt) AS tot FROM c GROUP BY 1)
+          SELECT c.from_type, c.to_type, c.cnt, CAST(c.cnt * 1000000 // f.tot AS BIGINT) AS p_scaled
+          FROM c JOIN f ON c.from_type = f.from_type
+          ORDER BY c.from_type, c.to_type""",
+    // Discrete-quantile fences (quantile_disc == SQL percentile_disc, the
+    // q88 rule); bucket = number of fences strictly below the count.
+    "q97_curriculum" -> {
+      val fences = (1 until 8).map(i => s"quantile_disc(n_tokens, ${i.toDouble / 8})").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                     FROM documents),
+            f AS (SELECT [$fences] AS fences FROM t)
+          SELECT doc_id, n_tokens,
+                 CAST(len(list_filter(fences, x -> n_tokens > x)) AS INT) AS bucket
+          FROM t CROSS JOIN f ORDER BY doc_id"""
+    },
     // Per-label mean centroid float-cast (the q60 cross-engine avg rule:
     // double avgs differ at ~1e-15, the FLOAT cast quantizes that away),
     // then argmax cosine with ties to the lowest label — q57's assignment.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextAnalysis
+import graft.functions.{Hashing, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -69,5 +69,48 @@ object Curate {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     quality.join(nonSurvivors, Seq("doc_id"), "left_anti")
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate docs MUST land in the
+    * same split (a hash-of-content split — q70 — sends two 0.9-Jaccard
+    * variants of one document to train and test, leaking the eval set). So
+    * the split key is the near-dup CLUSTER, not the doc: candidate pairs →
+    * connected components → every doc in a component buckets on the
+    * component's MINIMUM content hash (content-derived, so the assignment
+    * is stable across dataset versions and engines; singletons degenerate
+    * to exactly q70's per-doc rule).
+    *
+    * Scale design: the cluster-hash aggregation and the split join are both
+    * keyed on the component id — one shuffle each over (id, long) pairs,
+    * never text; the pair/CC machinery is the same verified LSH path as
+    * [[curate]].
+    */
+  def clusterSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+  ): DataFrame = {
+    require(trainPct + valPct < 100, s"train+val must leave room for test: $trainPct+$valPct")
+    val cc = Dedup.connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val withComp = docs
+      .join(cc, docs(idCol) === cc("id"), "left_outer")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"), col(textCol))
+    val clusterHash = withComp
+      .groupBy(col("cluster_id"))
+      .agg(min(Hashing.hash64(col(textCol))).as("__ch"))
+    val bucket = col("__ch") % 100
+    withComp
+      .join(clusterHash, Seq("cluster_id"))
+      .select(
+        col(idCol),
+        col("cluster_id"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test")
+          .as("split"),
+      )
   }
 }

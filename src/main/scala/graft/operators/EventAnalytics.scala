@@ -161,4 +161,49 @@ object EventAnalytics {
         max(when(isOut, col("__v"))).as("max_outlier"),
       )
   }
+
+  /** First-order Markov transitions between consecutive events of one user
+    * within a session: `(from_type, to_type)` counts plus the conditional
+    * probability `P(to | from)` as a scaled long (integer div — exact
+    * cross-engine). A transition exists iff the next event follows within
+    * `gapMinutes` — the same gap rule as sessionization, expressed on the
+    * ADJACENT pair, so no session ids need materializing. This is the
+    * session-graph feature behind next-event prediction and bot detection
+    * (bots have degenerate transition rows).
+    *
+    * Scale design: one shuffle. The `lead` window partitions by user —
+    * identical key to every other per-user window here, so stacked
+    * analyses share the Exchange — and the transition counts are a
+    * partial-aggregated groupBy on a low-cardinality (type, type) key with
+    * the per-from totals derived from the SAME counts table (|types|² rows,
+    * aggregated again, broadcast back), not a second pass over events.
+    */
+  def sessionTransitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      gapMinutes: Int = 30,
+  ): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(tiebreakCol))
+    val adjacent = events
+      .select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("__us"), col(tiebreakCol))
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__to").isNotNull && col("__dt") <= gapUs)
+    val counts = adjacent
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("__tot"))
+    counts
+      .join(broadcast(totals), Seq("from_type"))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("cnt"),
+        expr("cnt * 1000000 div __tot").as("p_scaled"),
+      )
+  }
 }

@@ -114,6 +114,35 @@ object Quality {
     df.filter(bucket < threshold)
   }
 
+  /** Downsample every class to ≈ the minority class's size — the static
+    * mixture-rebalancing step of dataset assembly ([[stratifiedHashSample]]
+    * with the rates COMPUTED from the data instead of passed in). Each
+    * class's keep-rate is the exact integer basis-points
+    * `minCount * 10000 div count(class)`, so the rate table is engine- and
+    * order-independent; membership is the same salted content-hash rule as
+    * every sampler here (no RNG state, reproducible on any partitioning).
+    *
+    * Scale design: the per-class counts are one partial-aggregated pass; the
+    * rate table is |classes| rows and broadcasts back, so the sampling pass
+    * is a map-side join + scan-speed filter.
+    */
+  def balancedSample(
+      df: DataFrame,
+      keyCol: Column,
+      classCol: Column,
+      salt: String = "bal:",
+  ): DataFrame = {
+    val counts = df.groupBy(classCol.as("__cls")).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__mn"))
+    val rates = counts
+      .crossJoin(broadcast(minCnt))
+      .select(col("__cls"), expr("__mn * 10000 div __cnt").as("__rate_bp"))
+    val bucket = Hashing.hash64(concat(lit(salt), keyCol)) % 10000L
+    df.join(broadcast(rates), classCol === col("__cls"))
+      .filter(bucket < col("__rate_bp"))
+      .drop("__cls", "__rate_bp")
+  }
+
   /** Per-doc out-of-vocabulary rate against the corpus top-`vocabK` tokens —
     * the tokenizer-coverage check run before committing to a vocab size.
     * The vocab is a TakeOrdered top-k (per-partition heaps, no global
@@ -188,6 +217,88 @@ object Quality {
       greatest(least(col("__n") - col("__c.chunk_id") * stride, lit(chunkTokens)), lit(0)).cast("int").as("n_tokens"),
       col("__c.chunk").as("chunk"),
     )
+  }
+
+  /** Domain-level quality gate: keep documents whose SOURCE's aggregate
+    * stopword ratio is at least the corpus-wide ratio — the spam-domain
+    * filter that per-doc scoring misses (a boilerplate farm's individual
+    * pages each look plausible; the domain aggregate gives it away). The
+    * gate is self-calibrating (source ratio vs corpus ratio, both exact
+    * integer basis points over the SAME token counts), so there is no
+    * tuned threshold to drift between engines.
+    *
+    * Scale design: one partial-aggregated pass builds the per-source
+    * (stop_hits, n_tokens) table — fixed-width ints keyed by source, never
+    * text; the corpus ratio folds over that |sources|-row table on a single
+    * partition, and the verdict table broadcasts back, so the keep/drop
+    * pass is a map-side join at scan speed.
+    */
+  def sourceQualityGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+  ): DataFrame = {
+    val perSource = docs
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol))) // hoisted: attribute, not re-inlined per use
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(
+        sum(TextAnalysis.stopwordHits(col("__toks"), "en").cast("long")).as("__sh"),
+        sum(size(col("__toks")).cast("long")).as("__nt"),
+      )
+    val corpus = perSource.agg(sum(col("__sh")).as("__csh"), sum(col("__nt")).as("__cnt"))
+    val verdict = perSource
+      .crossJoin(broadcast(corpus))
+      .select(
+        col("__src"),
+        expr("__sh * 10000 div __nt").as("src_stop_bp"),
+        expr("(__sh * 10000 div __nt) >= (__csh * 10000 div __cnt)").as("__keep"),
+      )
+    docs
+      .join(broadcast(verdict), col(sourceCol) === col("__src"))
+      .filter(col("__keep"))
+      .select(col(idCol), col(sourceCol), col("src_stop_bp"))
+  }
+
+  /** Length-curriculum bucketing: assign every document to one of `nBuckets`
+    * corpus-quantile buckets of its whitespace token count — the
+    * short-to-long ordering key for curriculum schedules and the
+    * length-stratification key for eval sampling. Fences are DISCRETE
+    * quantiles (`percentile_disc`: actual data values, the q88 rule), so
+    * ties share a bucket and the assignment is engine-exact; bucket i covers
+    * counts in (fence_{i-1}, fence_i].
+    *
+    * Scale design: the fence row is one exact-percentile aggregation — it
+    * buffers the token-count COLUMN (a long per doc, not text) on one
+    * partition, the documented cost of exact quantiles (q40); at larger
+    * scale the same operator takes pre-aggregated (count, n_docs) input.
+    * The single fence row broadcasts back and assignment is a pure
+    * projection fold over the fence array.
+    */
+  def curriculumBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int,
+  ): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
+    val counted = docs.select(col(idCol), size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tokens"))
+    val fenceCols = (1 until nBuckets).map { i =>
+      val q = i.toDouble / nBuckets
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY n_tokens)").as(s"__f$i")
+    }
+    val fences = counted
+      .agg(fenceCols.head, fenceCols.tail: _*)
+      .select(array((1 until nBuckets).map(i => col(s"__f$i")): _*).as("__fences"))
+    counted
+      .crossJoin(broadcast(fences))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        aggregate(col("__fences"), lit(0), (acc, f) => acc + when(col("n_tokens") > f, 1).otherwise(0))
+          .cast("int")
+          .as("bucket"),
+      )
   }
 
   /** Top-`k` TF-IDF terms per document. tf = per-(doc, token) count;

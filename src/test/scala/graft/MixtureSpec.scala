@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Basket, Curate, EventAnalytics, Mixture, Quality}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the dataset-assembly operators added late in round 6:
+  * market-basket lift, balanced/mixture sampling, cluster-aware splitting,
+  * the domain quality gate, curriculum bucketing, and session Markov
+  * transitions (q91–q97).
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairLift: known lift on a 4-basket toy; minSupport prunes") {
+    val df = Seq(
+      (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"),
+    ).toDF("b", "i")
+    // n=4 baskets; cnt A=3, B=3, C=1; pair (A,B)=2, (A,C)=1
+    val strict = Basket.pairLift(df, "b", "i", minSupport = 2, topK = 10).collect()
+    assert(strict.length == 1)
+    val r = strict.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B" && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L * 4 * 1000000 / 9) // 888888
+    val loose = Basket.pairLift(df, "b", "i", minSupport = 1, topK = 10).collect()
+    // (A,C): 1*4e6/3 = 1333333 outranks (A,B)'s 888888
+    assert(loose.head.getString(0) == "A" && loose.head.getString(1) == "C")
+    assert(loose.head.getLong(3) == 1L * 4 * 1000000 / 3)
+  }
+
+  test("balancedSample: minority class kept whole, majority downsampled, deterministic") {
+    val docs = ((1 to 100).map(i => (s"maj-$i", "big")) ++ (1 to 10).map(i => (s"min-$i", "small")))
+      .toDF("k", "cls")
+    val got = Quality.balancedSample(docs, col("k"), col("cls"))
+    val byCls = got.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls("small") == 10) // rate 10000 bp: every bucket < 10000
+    assert(byCls("big") < 100 && byCls("big") > 0)
+    assert(got.collect().toSet == Quality.balancedSample(docs, col("k"), col("cls")).collect().toSet)
+  }
+
+  test("clusterSplit: paired docs land in one split; singleton keeps its own cluster") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s"),
+      (2L, "alpha beta gamma delta", "s"),
+      (3L, "totally different text", "s"),
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Curate
+      .clusterSplit(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, String)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._2 == got(2L)._2) // same cluster, same split
+    assert(got(3L)._1 == 3L) // singleton degenerates to its own id
+  }
+
+  test("epochMaterialize: integer-epoch weights give exact copy counts; cap binds") {
+    // src a: 4 tokens total; src b: 2 -> weight(b) = 20000 bp = exactly 2 copies
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4", "a"),
+      (2L, "u1 u2", "b"),
+    ).toDF("doc_id", "text", "source")
+    val copies = Mixture
+      .epochMaterialize(docs, "doc_id", "text", "source")
+      .groupBy("doc_id")
+      .count()
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(copies(1L) == 1L && copies(2L) == 2L)
+    // 10:1 imbalance -> uncapped weight 100000 bp, capped to 30000 = 3 copies
+    val skewed = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "a"),
+      (2L, "u1", "b"),
+    ).toDF("doc_id", "text", "source")
+    val capped = Mixture
+      .epochMaterialize(skewed, "doc_id", "text", "source")
+      .groupBy("doc_id")
+      .count()
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(capped(2L) == 3L)
+  }
+
+  test("sourceQualityGate: stopword-heavy source clears the corpus bar, junk source dropped") {
+    val docs = Seq(
+      (1L, "the and of to the", "good"),
+      (2L, "a in is it that", "good"),
+      (3L, "xyzzy qqq zzz brr", "junk"),
+      (4L, "mmm nnn ooo ppp", "junk"),
+    ).toDF("doc_id", "text", "source")
+    val kept = Quality
+      .sourceQualityGate(docs, "doc_id", "text", "source")
+      .select("source")
+      .distinct()
+      .as[String]
+      .collect()
+      .toSet
+    assert(kept == Set("good"))
+  }
+
+  test("curriculumBuckets: median fence splits 1..8 tokens into buckets 0/1") {
+    val docs = (1 to 8).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Quality
+      .curriculumBuckets(docs, "doc_id", "text", nBuckets = 2)
+      .as[(Long, Long, Int)]
+      .collect()
+      .map(r => r._1 -> r._3)
+      .toMap
+    // percentile_disc(0.5) over 1..8 = 4 (first value with cume_dist >= 0.5)
+    (1 to 4).foreach(n => assert(got(n.toLong) == 0, s"doc $n"))
+    (5 to 8).foreach(n => assert(got(n.toLong) == 1, s"doc $n"))
+  }
+
+  test("sessionTransitions: gap rule cuts cross-session pairs; conditionals sum to 1e6") {
+    val events = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:10:00"),
+      (3L, 1L, "C", "2024-01-01 00:50:00"), // 40 min after B: new session, no B->C
+      (4L, 2L, "A", "2024-01-01 00:00:00"),
+      (5L, 2L, "B", "2024-01-01 00:05:00"),
+    ).toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventAnalytics
+      .sessionTransitions(events, "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)]
+      .collect()
+    assert(got.toSeq == Seq(("A", "B", 2L, 1000000L)))
+  }
+}
