@@ -22,6 +22,10 @@ object ExtensionQueries {
   private val LshPlanes = 4 // hyperplanes per ANN hash table
   private val LshTables = 4 // ANN hash tables oracled by q50
   private val Bm25Query = Seq("spark", "join", "shuffle") // q82's query terms
+  // q67's shard fan-out: a demo parameter (at 100 TB it's ~executor count ×
+  // a small factor); ONE definition feeds the query and the oracle so the
+  // two sides cannot drift.
+  private val PackShards = 8
   private val FunnelStages = Seq("view", "click", "purchase") // q83's funnel
 
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
@@ -808,7 +812,7 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
         .select(
           col("doc_id"),
-          (col("doc_id") % 8).as("shard"),
+          (col("doc_id") % PackShards).as("shard"),
           size(TextAnalysis.wsTokens(col("text"))).as("n_tokens"),
         )
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -1734,8 +1738,8 @@ object ExtensionQueries {
          FROM sessions GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
     "q67_pack_sequences" ->
-      """WITH tk AS (SELECT doc_id, doc_id % 8 AS shard,
-                       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+      s"""WITH tk AS (SELECT doc_id, doc_id % $PackShards AS shard,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
                      FROM documents),
              c AS (SELECT doc_id, shard, n_tokens,
                      COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -171,12 +171,14 @@ object EventAnalytics {
     * session-graph feature behind next-event prediction and bot detection
     * (bots have degenerate transition rows).
     *
-    * Scale design: one shuffle. The `lead` window partitions by user —
-    * identical key to every other per-user window here, so stacked
-    * analyses share the Exchange — and the transition counts are a
-    * partial-aggregated groupBy on a low-cardinality (type, type) key with
-    * the per-from totals derived from the SAME counts table (|types|² rows,
-    * aggregated again, broadcast back), not a second pass over events.
+    * Scale design: ONE pass over the event log. The `lead` window
+    * partitions by user — identical key to every other per-user window
+    * here, so stacked analyses share the Exchange — the transition counts
+    * are a partial-aggregated groupBy on a low-cardinality (type, type)
+    * key, and the per-from totals are a WINDOW over that |types|²-row
+    * counts table (a join back would physically duplicate the whole
+    * events→window subtree: Spark does not CSE DataFrame branches, so
+    * "derive from counts" must stay linear to stay one-pass).
     */
   def sessionTransitions(
       events: DataFrame,
@@ -193,12 +195,10 @@ object EventAnalytics {
       .withColumn("__to", lead(col(typeCol), 1).over(w))
       .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
       .filter(col("__to").isNotNull && col("__dt") <= gapUs)
-    val counts = adjacent
+    adjacent
       .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("__tot"))
-    counts
-      .join(broadcast(totals), Seq("from_type"))
+      .withColumn("__tot", sum(col("cnt")).over(Window.partitionBy(col("from_type"))))
       .select(
         col("from_type"),
         col("to_type"),

@@ -181,6 +181,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q92/q94/q95: sampler rate / mixture weight / domain verdict tables broadcast back") {
+    Seq("q92_balanced_sample", "q94_mixture_epochs", "q95_source_gate").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name: per-class/source table must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: the corpus must never shuffle for the tiny side:\n$p")
+    }
+  }
+
+  test("q96 transitions: ONE pass over the events (single user exchange, no join at all)") {
+    val p = plan(q("q96_session_markov"))
+    val userEx = p.linesIterator.filter(_.contains("hashpartitioning(user_id")).toSeq
+    assert(userEx.size == 1, s"the event log must shuffle once (by user):\n$p")
+    // totals are a window over the counts table — a join back would
+    // physically re-scan and re-window the whole event log
+    assert(!p.contains("Join"), s"no join: totals must ride the counts table:\n$p")
+  }
+
+  test("q97 curriculum: fence row broadcasts; assignment is a projection (no per-row shuffle)") {
+    val p = plan(q("q97_curriculum"))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"the 1-row fence table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q91 basket lift: count tables broadcast under AQE; top-k never global-sorts") {
+    val p = finalPlan(q("q91_basket_lift"))
+    assert(p.contains("TakeOrderedAndProject"), s"ranked limit must be top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-item count tables are dimension-sized — must broadcast:\n$p")
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
