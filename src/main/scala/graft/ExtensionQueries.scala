@@ -1099,6 +1099,29 @@ object ExtensionQueries {
         .curriculumBuckets(t(s, d, "documents"), "doc_id", "text", nBuckets = 8)
         .orderBy("doc_id")),
 
+    // ---- Trailing-window count anomalies: integer z-test over hourly
+    //      per-type event counts (RANGE window on the epoch-hour) ----
+    "q98_event_anomaly" -> ((s, d) =>
+      EventAnalytics
+        .countAnomalies(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type", "hr")),
+
+    // ---- BPE merge step: weighted adjacent char-pair counts over the
+    //      distinct-token table — the tokenizer trainer's primitive ----
+    "q99_bpe_merge" -> ((s, d) =>
+      Quality.bpeMergeCandidates(t(s, d, "documents"), "text", k = 50)),
+
+    // ---- Per-dimension embedding stats (whitening prep): float-cast mean
+    //      (the q60 cross-engine avg rule) + exact min/max ----
+    "q100_embed_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")))
+        .select(col("pos"), col("col").cast("double").as("v"))
+        .groupBy(col("pos"))
+        .agg(avg(col("v")).as("__mu"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .select(col("pos"), col("__mu").cast("float").cast("double").as("mu"), col("mn"), col("mx"))
+        .orderBy("pos")),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2010,6 +2033,48 @@ object ExtensionQueries {
                  CAST(len(list_filter(fences, x -> n_tokens > x)) AS INT) AS bucket
           FROM t CROSS JOIN f ORDER BY doc_id"""
     },
+    // Integer z-test: |x - s/n| > k·σ cross-multiplied to
+    // (n·x - s)² > k²·(n·q - s²) — no float epsilon on either engine.
+    // RANGE (not ROWS) so log gaps don't stretch the baseline.
+    "q98_event_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, hr, cnt,
+                         COUNT(cnt) OVER w AS base_n,
+                         COALESCE(SUM(cnt) OVER w, 0) AS base_s,
+                         COALESCE(SUM(cnt * cnt) OVER w, 0) AS base_q
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          SELECT event_type, CAST(hr AS BIGINT) AS hr, cnt,
+                 CAST(base_n AS BIGINT) AS base_n, CAST(base_s AS BIGINT) AS base_s
+          FROM b
+          WHERE base_n >= 12
+            AND (base_n * cnt - base_s) * (base_n * cnt - base_s)
+                > 4 * (base_n * base_q - base_s * base_s)
+          ORDER BY event_type, hr""",
+    // Pair counts over the DISTINCT-token table weighted by token count;
+    // generate_series(1, 0) is empty in DuckDB (the Spark side guards its
+    // descending-sequence default explicitly).
+    "q99_bpe_merge" ->
+      """WITH tc AS (SELECT t AS token, COUNT(*) AS cnt
+                     FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)
+                     GROUP BY t),
+            p AS (SELECT unnest(list_transform(generate_series(1, length(token) - 1),
+                                               i -> substr(token, i, 2))) AS pair, cnt
+                  FROM tc)
+          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair
+          ORDER BY cnt DESC, pair LIMIT 50""",
+    // Float-cast mean (q60's cross-engine avg rule); min/max compare floats
+    // exactly so only the mean needs quantizing.
+    "q100_embed_dim_stats" ->
+      s"""WITH dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+             m AS (SELECT pos, avg(CAST(embedding[pos + 1] AS DOUBLE)) AS mu,
+                          min(CAST(embedding[pos + 1] AS DOUBLE)) AS mn,
+                          max(CAST(embedding[pos + 1] AS DOUBLE)) AS mx
+                   FROM embeddings CROSS JOIN dims GROUP BY pos)
+          SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
+          FROM m ORDER BY pos""",
     // Per-label mean centroid float-cast (the q60 cross-engine avg rule:
     // double avgs differ at ~1e-15, the FLOAT cast quantizes that away),
     // then argmax cosine with ties to the lowest label — q57's assignment.

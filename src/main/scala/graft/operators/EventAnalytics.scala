@@ -162,6 +162,50 @@ object EventAnalytics {
       )
   }
 
+  /** Trailing-window anomaly detection on hourly event-type counts: an hour
+    * is anomalous when its count deviates from the trailing `windowHours`
+    * baseline by more than `k` standard deviations. The z-test is
+    * cross-multiplied into pure integers — with baseline row count `n`,
+    * sum `s`, and sum-of-squares `q`, the condition `|x - s/n| > k·σ` is
+    * exactly `(n·x - s)² > k²·(n·q - s²)` — so there is no float epsilon to
+    * mirror between engines. Hours with fewer than `minBaseline` trailing
+    * observed hours are never flagged (cold-start guard).
+    *
+    * Scale design: the raw log collapses to (type, hour) counts in one
+    * partial-aggregated pass before anything windows — the RANGE window
+    * (over the integer epoch-hour, so GAPS in the log are handled — ROWS
+    * would silently stretch the baseline across quiet days) then runs on
+    * the tiny counts table, partitioned by type.
+    */
+  def countAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      windowHours: Int = 24,
+      k: Int = 2,
+      minBaseline: Int = 12,
+  ): DataFrame = {
+    val hourly = events
+      .select(col(typeCol).as("event_type"), unix_micros(col(tsCol)).as("__us"))
+      .select(col("event_type"), expr("__us div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("hr"))
+      .rangeBetween(-windowHours, -1)
+    hourly
+      .withColumn("base_n", count(col("cnt")).over(w))
+      .withColumn("base_s", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("base_q", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("__dev", col("base_n") * col("cnt") - col("base_s"))
+      .filter(
+        col("base_n") >= minBaseline &&
+          col("__dev") * col("__dev") > lit(k.toLong * k) * (col("base_n") * col("base_q") - col("base_s") * col("base_s"))
+      )
+      .select(col("event_type"), col("hr"), col("cnt"), col("base_n"), col("base_s"))
+  }
+
   /** First-order Markov transitions between consecutive events of one user
     * within a session: `(from_type, to_type)` counts plus the conditional
     * probability `P(to | from)` as a scaled long (integer div — exact

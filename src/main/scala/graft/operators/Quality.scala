@@ -301,6 +301,43 @@ object Quality {
       )
   }
 
+  /** The counting step of one BPE merge: adjacent symbol-pair frequencies
+    * over the corpus, weighted by word frequency — the primitive a tokenizer
+    * trainer iterates (here with characters as the initial symbols, i.e.
+    * the first merge's exact candidate table). Returns the top-`k` pairs by
+    * weighted count, ties broken on the pair string so the cut is
+    * total-ordered.
+    *
+    * Scale design: pair enumeration runs over the DISTINCT-token count
+    * table, not the corpus — the corpus pass is the same map-side-combined
+    * token count as vocabulary building (q68), and the pair fan-out is
+    * bounded by token length × |vocab|. Top-k is a TakeOrdered (per-
+    * partition heaps), no global sort.
+    */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tokCnt = docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    tokCnt
+      .select(
+        // NB: Spark's sequence(1, 0) counts DOWN (implicit -1 step), so a
+        // 1-char token must short-circuit to an empty pair list explicitly.
+        explode(
+          expr(
+            """CASE WHEN length(token) > 1
+                 THEN transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))
+                 ELSE array() END"""
+          )
+        ).as("pair"),
+        col("__cnt"),
+      )
+      .groupBy(col("pair"))
+      .agg(sum(col("__cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Top-`k` TF-IDF terms per document. tf = per-(doc, token) count;
     * idf = ln((N+1)/(df+1)) computed once per DISTINCT token and quantized
     * to a scaled LONG there (cross-engine ln rule — scores are then exact

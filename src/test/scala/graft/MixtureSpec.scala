@@ -116,6 +116,30 @@ class MixtureSpec extends SparkSpec {
     (5 to 8).foreach(n => assert(got(n.toLong) == 1, s"doc $n"))
   }
 
+  test("countAnomalies: integer z-test flags the spike hour, not its successor") {
+    // type A: hours 0..23 have 1 event, hour 24 has 10, hour 25 has 1.
+    // hour 24: baseline n=24, s=24, q=24 -> zero variance, dev != 0 -> flag.
+    // hour 25: baseline contains the spike (s=33, q=123) -> 81 < 4*1863 -> quiet.
+    val rows = (0 to 23).map(h => (h.toLong, 1)) ++ Seq((24L, 10)) ++ Seq((25L, 1))
+    val events = rows
+      .flatMap { case (h, n) => (0 until n).map(i => (h * 3600000000L + i, "A")) }
+      .toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventAnalytics
+      .countAnomalies(events, "event_type", "ts")
+      .select("hr", "cnt")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq((24L, 10L)))
+  }
+
+  test("bpeMergeCandidates: token-frequency-weighted pair counts; 1-char tokens contribute nothing") {
+    val docs = Seq("ab ab cd x", "ab").toDF("text")
+    val got = Quality.bpeMergeCandidates(docs, "text", k = 10).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("cd", 1L)))
+  }
+
   test("sessionTransitions: gap rule cuts cross-session pairs; conditionals sum to 1e6") {
     val events = Seq(
       (1L, 1L, "A", "2024-01-01 00:00:00"),
