@@ -176,6 +176,74 @@ class PropertySpec extends SparkSpec {
     assert(got == want, s"spark-only=${(got -- want).take(5)} model-only=${(want -- got).take(5)}")
   }
 
+  test("clusterSplit: NO near-dup pair straddles train/val/test on the real corpus") {
+    import graft.operators.{Curate, Dedup}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", threshold = 0.8)
+    val split = Curate.clusterSplit(docs, "doc_id", "text", pairs)
+    // leakage check: both endpoints of every candidate pair share a split
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(leaked == 0L, s"$leaked near-dup pairs straddle splits")
+    // total function: every doc appears exactly once
+    assert(split.count() == docs.count() && split.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("balancedSample matches an independent JVM md5 model on the real corpus") {
+    import graft.operators.Quality
+    import org.apache.spark.sql.functions.col
+    def modelHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val rows = docs.select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val minCnt = counts.values.min
+    val want = rows.collect {
+      case (id, lang, text) if modelHash("bal:" + text) % 10000L < minCnt * 10000L / counts(lang) => id
+    }.toSet
+    val got = Quality
+      .balancedSample(docs, col("text"), col("lang"))
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(got == want, s"spark-only=${(got -- want).take(5)} model-only=${(want -- got).take(5)}")
+  }
+
+  test("epochMaterialize matches an independent JVM model (weights, fractions, cap)") {
+    import graft.operators.Mixture
+    def modelHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val rows = docs.select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def nToks(text: String): Long = text.trim.split("\\s+").length.toLong
+    val srcTok = rows.groupBy(_._2).view.mapValues(_.map(r => nToks(r._3)).sum).toMap
+    val maxTok = srcTok.values.max
+    val want = rows.map { case (id, src, text) =>
+      val wBp = math.min(maxTok * 10000L / srcTok(src), 30000L)
+      val extra = if (modelHash("ep:" + text) % 10000L < wBp % 10000L) 1L else 0L
+      id -> (wBp / 10000L + extra)
+    }.toMap
+    val got = Mixture
+      .epochMaterialize(docs, "doc_id", "text", "source")
+      .groupBy("doc_id")
+      .count()
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == want, s"diff=${(got.toSet -- want.toSet).take(5)}")
+  }
+
   test("R2/J2: Combine matches a Map-based reference implementation") {
     val keyGen = Gen.oneOf("a", "b", "c", "d")
     val tableGen = Gen.mapOf(Gen.zip(keyGen, Gen.choose(0, 50))).map(_.toList)
