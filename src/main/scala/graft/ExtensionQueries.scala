@@ -1122,6 +1122,43 @@ object ExtensionQueries {
         .select(col("pos"), col("__mu").cast("float").cast("double").as("mu"), col("mn"), col("mx"))
         .orderBy("pos")),
 
+    // ---- Per-source unigram entropy (diversity score): ln quantized to a
+    //      scaled long per DISTINCT (source, token) — q69's rule — so the
+    //      per-source sums are exact integers; final integer division ----
+    "q101_source_entropy" -> ((s, d) => {
+      val c = t(s, d, "documents")
+        .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = c.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      c.join(broadcast(n), "source")
+        .select(
+          col("source"),
+          col("n"),
+          (col("cnt") * floor(log(col("cnt").cast("double") / col("n")) * 1e6 + 0.5).cast("long")).as("term"),
+        )
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("term")).as("__s"))
+        .select(col("source"), expr("(-__s) div n").as("entropy_scaled"))
+        .orderBy("source")
+    }),
+
+    // ---- Log2 length histogram (dataset-card stat): bucket = number of
+    //      binary digits of the token count — integer log2 with no float
+    //      log on either engine ----
+    "q102_length_histogram" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .select(length(bin(col("n_tokens"))).cast("int").as("bucket"), col("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+        )
+        .orderBy("bucket")),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2075,6 +2112,28 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // ln() once per DISTINCT (source, token), quantized to a scaled long
+    // there (q69's rule) -> per-source integer sums, order-independent;
+    // the final // is exact integer division on both engines.
+    "q101_source_entropy" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+            c AS (SELECT source, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+            n AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
+            l AS (SELECT c.source, n.n, cnt,
+                         CAST(floor(ln(CAST(cnt AS DOUBLE) / n.n) * 1000000 + 0.5) AS BIGINT) AS lns
+                  FROM c JOIN n ON c.source = n.source)
+          SELECT source, CAST((-SUM(cnt * lns)) // CAST(MIN(n) AS BIGINT) AS BIGINT) AS entropy_scaled
+          FROM l GROUP BY source ORDER BY source""",
+    // Integer log2 via the binary-digit count (bin() renders identically on
+    // both engines) — no float log anywhere.
+    "q102_length_histogram" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents)
+          SELECT CAST(length(bin(n_tokens)) AS INT) AS bucket,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                 MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+          FROM t GROUP BY 1 ORDER BY bucket""",
     // Per-label mean centroid float-cast (the q60 cross-engine avg rule:
     // double avgs differ at ~1e-15, the FLOAT cast quantizes that away),
     // then argmax cosine with ties to the lowest label — q57's assignment.

@@ -349,8 +349,8 @@ object Dedup {
     * (id, comp = min id) contract as [[connectedComponents]], so the two are
     * interchangeable. Lineage is truncated per round with a LAZY checkpoint
     * ([[truncateLineage]]); the fixpoint fingerprint aggregation is the
-    * action that materializes it, so each round is ONE job — contraction
-    * and convergence check ride the same action.
+    * action that materializes it, and it runs every SECOND round, so two
+    * rounds of contraction plus the convergence check ride one job.
     */
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): DataFrame = {
     val nodes = truncateLineage(
@@ -389,6 +389,12 @@ object Dedup {
           s"connectedComponentsStar did not converge in $maxRounds rounds — star contraction is " +
             "O(log n), so this indicates a bug or a pathological input, not a long chain."
         )
+      // Convergence is only CHECKED every second round: the checkpoints stay
+      // lazy, so a skipped check means the two rounds materialize under ONE
+      // action — half the job launches, at the price of up to two extra
+      // (cheap, already-fixpoint) rounds. Correct because the star fixpoint
+      // is absorbing: once e stops changing it never changes again, so two
+      // equal CHECKED fingerprints still witness the fixpoint.
       // large-star: (v, m(u)) for v in N(u), v > u — keeps the graph
       // connected while hanging big nodes off local minima. No dedup here:
       // the small-star canonicalization's distinct absorbs duplicates.
@@ -399,10 +405,11 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
       // small-star on the large-star output, edges directed big -> small:
-      // (v, m(u)) for v in N<=(u) and u itself
+      // (v, m(u)) for v in N<=(u) and u itself. NOT deduped: duplicates
+      // cannot change a min, and the round-final distinct absorbs the dup
+      // (dst, m) rows they produce — a distinct here is a wasted shuffle.
       val dir = ls
         .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-        .distinct()
       val mins = minOfNeighborhood(dir)
       val ss = dir
         .join(mins, "src")
@@ -411,9 +418,11 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
       val ssc = truncateLineage(ss, reliable)
-      val cur = fingerprint(ssc)
-      converged = cur == prev
-      prev = cur
+      if (rounds % 2 == 0 || rounds == maxRounds) {
+        val cur = fingerprint(ssc)
+        converged = cur == prev
+        prev = cur
+      }
       e = ssc
     }
     // fixpoint edges are child -> component-min stars; roots label themselves
