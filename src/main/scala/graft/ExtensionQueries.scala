@@ -1126,10 +1126,14 @@ object ExtensionQueries {
     //      scaled long per DISTINCT (source, token) — q69's rule — so the
     //      per-source sums are exact integers; final integer division ----
     "q101_source_entropy" -> ((s, d) => {
-      val c = t(s, d, "documents")
-        .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
-        .groupBy(col("source"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
+      // (source, token) counts feed BOTH the totals and the entropy join —
+      // materialize once (no DataFrame CSE) instead of re-exploding the corpus
+      val c = graft.operators.Lineage.truncate(
+        t(s, d, "documents")
+          .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+      )
       val n = c.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
       c.join(broadcast(n), "source")
         .select(
@@ -1158,6 +1162,27 @@ object ExtensionQueries {
           max(col("n_tokens")).as("max_tokens"),
         )
         .orderBy("bucket")),
+
+    // ---- Stream-static join through a real AvailableNow run: the event
+    //      stream enriches against a static broadcast dimension inside the
+    //      microbatch machinery, then aggregates == plain batch join ----
+    "q103_stream_static_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      EventStream
+        .statelessOneShot(
+          s,
+          ev,
+          "q103_stream_static",
+          stream =>
+            stream
+              .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+              .select(col("c_mktsegment").as("segment"), col("value")),
+        )
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("total_value"))
+        .orderBy("segment")
+    }),
 
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
@@ -2112,6 +2137,14 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // The streamed side is a stateless broadcast enrich, so stream == the
+    // plain batch join; the double sum goes through the DECIMAL(18,4)
+    // accumulator rule.
+    "q103_stream_static_join" ->
+      s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+                 ${Tables.dsumSql("value")} AS total_value
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1 ORDER BY 1""",
     // ln() once per DISTINCT (source, token), quantized to a scaled long
     // there (q69's rule) -> per-source integer sums, order-independent;
     // the final // is exact integer division on both engines.

@@ -26,7 +26,11 @@ object Basket {
     * pair tail before the lift joins, and the per-item count table is a
     * dimension-sized aggregate the optimizer broadcasts back. Pathological
     * mega-baskets (a basket == a crawl day) should be capped upstream —
-    * the same guard stance as `jaccardPairs.maxBlockRows`.
+    * the same guard stance as `jaccardPairs.maxBlockRows`. The deduped
+    * (basket, item) relation feeds FOUR consumers (basket count, item
+    * counts, both join sides) and Spark does not CSE DataFrame branches,
+    * so it is materialized once ([[Lineage.truncate]] — the reliable-
+    * checkpoint knob applies) instead of re-shuffling the corpus 4×.
     */
   def pairLift(
       baskets: DataFrame,
@@ -35,7 +39,7 @@ object Basket {
       minSupport: Long = 2,
       topK: Int = 100,
   ): DataFrame = {
-    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val items = Lineage.truncate(baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
     val n = items.agg(countDistinct(col("b")).as("n_baskets"))
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
     val pairs = items

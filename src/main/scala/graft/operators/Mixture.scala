@@ -36,9 +36,13 @@ object Mixture {
       salt: String = "ep:",
   ): DataFrame = {
     val nToks = size(TextAnalysis.wsTokens(col(textCol))).cast("long")
-    val srcTokens = docs
-      .groupBy(col(sourceCol).as("__src"))
-      .agg(sum(nToks).as("__tok"))
+    // two consumers (max + weights) — materialize the |sources|-row stats
+    // once instead of scanning the corpus twice
+    val srcTokens = Lineage.truncate(
+      docs
+        .groupBy(col(sourceCol).as("__src"))
+        .agg(sum(nToks).as("__tok"))
+    )
     val maxTok = srcTokens.agg(max(col("__tok")).as("__mx"))
     val weights = srcTokens
       .crossJoin(broadcast(maxTok))

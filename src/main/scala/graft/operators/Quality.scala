@@ -132,7 +132,8 @@ object Quality {
       classCol: Column,
       salt: String = "bal:",
   ): DataFrame = {
-    val counts = df.groupBy(classCol.as("__cls")).agg(count(lit(1)).as("__cnt"))
+    // two consumers (min + rates) — materialize the |classes|-row stats once
+    val counts = Lineage.truncate(df.groupBy(classCol.as("__cls")).agg(count(lit(1)).as("__cnt")))
     val minCnt = counts.agg(min(col("__cnt")).as("__mn"))
     val rates = counts
       .crossJoin(broadcast(minCnt))
@@ -239,13 +240,17 @@ object Quality {
       textCol: String,
       sourceCol: String,
   ): DataFrame = {
-    val perSource = docs
-      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol))) // hoisted: attribute, not re-inlined per use
-      .groupBy(col(sourceCol).as("__src"))
-      .agg(
-        sum(TextAnalysis.stopwordHits(col("__toks"), "en").cast("long")).as("__sh"),
-        sum(size(col("__toks")).cast("long")).as("__nt"),
-      )
+    // two consumers (corpus ratio + verdict) — materialize the
+    // |sources|-row stats once instead of scanning the corpus twice
+    val perSource = Lineage.truncate(
+      docs
+        .withColumn("__toks", TextAnalysis.wsTokens(col(textCol))) // hoisted: attribute, not re-inlined per use
+        .groupBy(col(sourceCol).as("__src"))
+        .agg(
+          sum(TextAnalysis.stopwordHits(col("__toks"), "en").cast("long")).as("__sh"),
+          sum(size(col("__toks")).cast("long")).as("__nt"),
+        )
+    )
     val corpus = perSource.agg(sum(col("__sh")).as("__csh"), sum(col("__nt")).as("__cnt"))
     val verdict = perSource
       .crossJoin(broadcast(corpus))
