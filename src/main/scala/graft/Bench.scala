@@ -48,7 +48,10 @@ object Bench {
     // Seconds rounded to 1 ms: halves the JSON line length (the round-5
     // artifact was truncated mid-line when scraped from sbt stdout) without
     // losing anything a benchmark comparison can use.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
+    // comma-decimal locales (de_DE, fr_FR) would render 0,781 — invalid JSON.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

@@ -1184,6 +1184,25 @@ object ExtensionQueries {
         .orderBy("segment")
     }),
 
+    // ---- Dataset card: ROLLUP over (source, lang) with doc/token/char
+    //      totals — the per-slice + marginal + grand-total stats table a
+    //      corpus release ships, in one grouping-sets pass ----
+    "q104_dataset_card" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("source"),
+          col("lang"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("__nt"),
+          col("n_chars").cast("long").as("__nc"),
+        )
+        .rollup(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("__nc")).as("n_chars"),
+        )
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -1575,10 +1594,10 @@ object ExtensionQueries {
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          ),
          sessions AS (
-           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged
          )
@@ -1599,10 +1618,10 @@ object ExtensionQueries {
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          ),
          sessions AS (
-           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged
          )
@@ -1630,10 +1649,10 @@ object ExtensionQueries {
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          ),
          sessions AS (
-           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged
          )
@@ -1725,7 +1744,7 @@ object ExtensionQueries {
     // double-addition order.
     "q62_stream_sessionize_ooo" ->
       """WITH e AS (SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value, epoch_us(ts) AS us,
-                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                     FROM events),
              lastev AS (SELECT user_id, us AS last_us, value AS last_value FROM e WHERE rn = 1),
              frag AS (SELECT e.user_id,
@@ -1808,10 +1827,10 @@ object ExtensionQueries {
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          ),
          sessions AS (
-           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged
          )
@@ -2070,12 +2089,16 @@ object ExtensionQueries {
           FROM documents d JOIN v ON d.source = v.source WHERE v.kp
           ORDER BY d.doc_id""",
     // Adjacent-pair transitions under the 30-min session gap; conditionals
-    // as scaled-long integer division off the counts table itself.
+    // as scaled-long integer division off the counts table itself. The
+    // window orders by epoch_us(ts) (NOT raw ts): the parquet carries
+    // TIMESTAMP(NANOS), and the Spark side orders by micro-truncated time —
+    // a raw-ts order would break sub-microsecond ties differently (q87's
+    // documented rule).
     "q96_session_markov" ->
       """WITH o AS (SELECT event_type AS from_type,
                            lead(event_type) OVER w AS to_type,
                            lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
-                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
             tr AS (SELECT from_type, to_type FROM o
                    WHERE to_type IS NOT NULL AND dt <= 30*60*1000000),
             c AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
@@ -2137,6 +2160,17 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // ROLLUP NULL markers sort first on both sides (Spark default, written
+    // explicitly in the DuckDB ORDER BY); all measures are integer sums.
+    "q104_dataset_card" ->
+      """WITH t AS (SELECT source, lang,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+                      CAST(n_chars AS BIGINT) AS nc
+                    FROM documents)
+          SELECT source, lang, COUNT(*) AS n_docs,
+                 CAST(SUM(nt) AS BIGINT) AS n_tokens, CAST(SUM(nc) AS BIGINT) AS n_chars
+          FROM t GROUP BY ROLLUP (source, lang)
+          ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""",
     // The streamed side is a stateless broadcast enrich, so stream == the
     // plain batch join; the double sum goes through the DECIMAL(18,4)
     // accumulator rule.

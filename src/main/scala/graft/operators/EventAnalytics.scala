@@ -37,8 +37,11 @@ object EventAnalytics {
   ): DataFrame = {
     require(stages.size >= 2, "funnel: need at least two stages")
     val w = Window.partitionBy(col(userCol))
-    val us = unix_micros(col(tsCol))
-    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+    val us = col("__us")
+    // narrow BEFORE the windows: the one user-keyed exchange must carry
+    // (user, type, us), not every log column (props JSON etc.)
+    val narrowed = events.select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("__us"))
+    val staged = stages.zipWithIndex.foldLeft(narrowed) { case (df, (stage, i)) =>
       val cond =
         if (i == 0) col(typeCol) === stage
         else col(typeCol) === stage && us > col(s"__t${i - 1}")

@@ -43,10 +43,15 @@ object Quality {
       headK: Int = 100000,
   ): DataFrame = {
     val tok = docs.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // ONE corpus tokenization pass: the per-(doc, token) occurrence counts
+    // are materialized (Lineage.truncate — no DataFrame CSE otherwise), and
+    // the vocab, the head table, and BOTH scoring paths derive from them.
+    // Occurrence sums become tf-weighted sums — identical integers.
+    val tf = Lineage.truncate(tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf")))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("__tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
-    // Materialized once (Lineage.truncate): both the head limit and the tail
-    // join read it, and neither may recompute the corpus-wide count.
+    // Materialized once: both the head limit and the tail join read it, and
+    // neither may recompute the corpus-wide count.
     val lp = vocab
       .crossJoin(broadcast(total))
       .select(
@@ -56,17 +61,17 @@ object Quality {
       )
       .transform(Lineage.truncate(_))
     val head = broadcast(lp.orderBy(col("cnt").desc, col("token")).limit(headK).select(col("token"), col("lps")))
-    val tagged = tok.join(head, Seq("token"), "left_outer")
-    val headHits = tagged.filter(col("lps").isNotNull).select(col(idCol), col("lps"))
+    val tagged = tf.join(head, Seq("token"), "left_outer")
+    val headHits = tagged.filter(col("lps").isNotNull).select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
     val tailHits = tagged
       .filter(col("lps").isNull)
-      .select(col(idCol), col("token"))
+      .select(col(idCol), col("token"), col("__tf"))
       .join(lp.select(col("token"), col("lps")), Seq("token"))
-      .select(col(idCol), col("lps"))
+      .select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
     headHits
       .unionAll(tailHits)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lps")).as("s"))
+      .agg(sum(col("__tf")).as("n_tokens"), sum(col("__s")).as("s"))
       .select(
         col(idCol),
         col("n_tokens"),
@@ -107,9 +112,11 @@ object Quality {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"sampling rate must be in [0, 1]: $r")
     )
+    // math.round, not toLong: 0.29 * 10000 is 2899.999...; truncation would
+    // put the threshold 1 bp under the documented rate.
     val bucket = Hashing.hash64(concat(lit(salt), keyCol)) % 10000L
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 10000).toLong)) {
-      case (acc, (stratum, rate)) => when(strataCol === stratum, lit((rate * 10000).toLong)).otherwise(acc)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * 10000))) {
+      case (acc, (stratum, rate)) => when(strataCol === stratum, lit(math.round(rate * 10000))).otherwise(acc)
     }
     df.filter(bucket < threshold)
   }

@@ -27,6 +27,13 @@ class PropertySpec extends SparkSpec {
 
   private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
 
+  /** JVM model of [[graft.functions.Hashing.hash64]] (md5 prefix, 60 bits). */
+  private def modelHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   private val dateGen: Gen[(Int, Int, Int)] = for {
     y <- Gen.choose(0, 99)
     m <- Gen.choose(1, 12)
@@ -155,11 +162,6 @@ class PropertySpec extends SparkSpec {
   test("stratifiedHashSample matches an independent JVM md5 model") {
     import graft.operators.Quality
     import org.apache.spark.sql.functions.col
-    def modelHash(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val rows = docs.select("doc_id", "lang", "text").as[(Long, String, String)].collect()
     val want = rows.collect {
@@ -196,11 +198,6 @@ class PropertySpec extends SparkSpec {
   test("balancedSample matches an independent JVM md5 model on the real corpus") {
     import graft.operators.Quality
     import org.apache.spark.sql.functions.col
-    def modelHash(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val rows = docs.select("doc_id", "lang", "text").as[(Long, String, String)].collect()
     val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
@@ -219,11 +216,6 @@ class PropertySpec extends SparkSpec {
 
   test("epochMaterialize matches an independent JVM model (weights, fractions, cap)") {
     import graft.operators.Mixture
-    def modelHash(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val rows = docs.select("doc_id", "source", "text").as[(Long, String, String)].collect()
     def nToks(text: String): Long = text.trim.split("\\s+").length.toLong
