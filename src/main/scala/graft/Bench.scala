@@ -61,11 +61,16 @@ object Bench {
     println(line)
     // Belt-and-braces: persist the line to a file too, so a truncated stdout
     // scrape can always be reconstructed from the run itself.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")),
-      line + "\n",
+    // pid-unique default: a fixed shared path would let concurrent runs
+    // clobber each other's artifact (same rule as writeTemp's unique dirs)
+    val outPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_${ProcessHandle.current().pid()}.json",
     )
-    catch { case _: java.io.IOException => () }
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+      System.err.println(s"[bench] artifact written to $outPath")
+    } catch { case _: java.io.IOException => () }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")

@@ -95,12 +95,21 @@ object Curate {
   ): DataFrame = {
     require(trainPct + valPct < 100, s"train+val must leave room for test: $trainPct+$valPct")
     val cc = Dedup.connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-    val withComp = docs
-      .join(cc, docs(idCol) === cc("id"), "left_outer")
-      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"), col(textCol))
+    // two consumers (cluster-hash agg + the split join) — materialize the
+    // narrow (id, cluster, hash) projection once so the docs↔components
+    // join and the full-text hash run exactly once
+    val withComp = Lineage.truncate(
+      docs
+        .join(cc, docs(idCol) === cc("id"), "left_outer")
+        .select(
+          col(idCol),
+          coalesce(col("comp"), col(idCol)).as("cluster_id"),
+          Hashing.hash64(col(textCol)).as("__h"),
+        )
+    )
     val clusterHash = withComp
       .groupBy(col("cluster_id"))
-      .agg(min(Hashing.hash64(col(textCol))).as("__ch"))
+      .agg(min(col("__h")).as("__ch"))
     val bucket = col("__ch") % 100
     withComp
       .join(clusterHash, Seq("cluster_id"))

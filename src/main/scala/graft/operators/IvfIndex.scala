@@ -79,18 +79,23 @@ object IvfIndex {
     * id + vector bytes.
     */
   def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // Pre-flight BEFORE collect(): probing limit(max+1) costs one tiny job,
+    // whereas a corpus-sized `centroids` would OOM the driver inside
+    // collect() and the loud error below would never fire.
+    val maxCentroids = 1 << 20
+    val probed = centroids.select(lit(1).as("__one")).limit(maxCentroids + 1).count()
+    require(
+      probed <= maxCentroids,
+      s"assign: >$maxCentroids centroids — the codebook is collected to the driver and embedded " +
+        "in the plan, which only makes sense for a coarse quantizer (nlist ≲ 2^20). " +
+        "A codebook this size is a bug or calls for a partitioned ANN design instead.",
+    )
     val cents: Seq[(Int, Seq[Float])] = centroids
       .orderBy(col("centroid_id"))
       .collect()
       .toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, "assign: empty centroid codebook")
-    require(
-      cents.size <= (1 << 20),
-      s"assign: ${cents.size} centroids — the codebook is collected to the driver and embedded " +
-        "in the plan, which only makes sense for a coarse quantizer (nlist ≲ 2^20). " +
-        "A codebook this size is a bug or calls for a partitioned ANN design instead.",
-    )
     val codebook = typedLit(cents)
     val best = array_max(
       transform(codebook, c => struct(cos(col(vecCol), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))

@@ -25,7 +25,18 @@ object Lineage {
     * parameter override the session conf.
     */
   def truncate(df: DataFrame, eager: Boolean = true, forceReliable: Boolean = false): DataFrame = {
-    val reliable = forceReliable || df.sparkSession.conf.getOption(ConfKey).exists(_.toBoolean)
+    val reliable = forceReliable || df.sparkSession.conf.getOption(ConfKey).exists { v =>
+      // accept the common truthy/falsy spellings; anything else names the
+      // key instead of throwing toBoolean's bare "For input string" error
+      v.trim.toLowerCase match {
+        case "true" | "1" | "yes"  => true
+        case "false" | "0" | "no" => false
+        case other =>
+          throw new IllegalArgumentException(
+            s"$ConfKey must be true/false (got '$other')"
+          )
+      }
+    }
     if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
   }
 }

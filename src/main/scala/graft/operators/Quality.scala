@@ -160,18 +160,22 @@ object Quality {
     */
   def oovRate(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
-    val vocab = tok
+    // ONE corpus tokenization: the per-(doc, token) counts are materialized
+    // and both the vocab top-k and the per-doc coverage derive from them
+    // (occurrence counts become tf-weighted sums — identical integers)
+    val tf = Lineage.truncate(tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf")))
+    val vocab = tf
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__tf")).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(vocabK)
       .select(col("token"), lit(1).as("__iv"))
-    tok
+    tf
       .join(broadcast(vocab), Seq("token"), "left_outer")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("__tf")).as("n_tokens"),
+        sum(when(col("__iv").isNull, col("__tf")).otherwise(0L)).as("n_oov"),
       )
       .select(
         col(idCol),
@@ -294,7 +298,11 @@ object Quality {
       nBuckets: Int,
   ): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
-    val counted = docs.select(col(idCol), size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tokens"))
+    // two consumers (fence agg + assignment) — materialize the narrow
+    // (id, long) projection once so the corpus tokenizes exactly once
+    val counted = Lineage.truncate(
+      docs.select(col(idCol), size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_tokens"))
+    )
     val fenceCols = (1 until nBuckets).map { i =>
       val q = i.toDouble / nBuckets
       expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY n_tokens)").as(s"__f$i")
@@ -362,7 +370,9 @@ object Quality {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
-    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df-count and the scoring join — materialize once
+    // (no DataFrame CSE) so the corpus tokenizes exactly once
+    val tf = Lineage.truncate(tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val idf = dfreq
