@@ -1203,6 +1203,17 @@ object ExtensionQueries {
         )
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
+    // ---- Incremental dedup: the daily-increment-vs-corpus workflow —
+    //      incoming docs drop on exact content-hash match OR a verified
+    //      cross-side LSH near-dup against the existing corpus ----
+    "q105_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("inc:"), col("text"))) % 10
+      Dedup
+        .dedupIncrement(docs.filter(b < 8), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2160,6 +2171,26 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // The pair relation is the SAME sqlLshPairs CTE as q22/q49 (one
+    // definition, can't drift); drops = exact hash matches into the
+    // existing side ∪ the incoming endpoint of every cross-side pair.
+    "q105_incremental_dedup" ->
+      s"""WITH ${sqlLshPairs("documents", 0.8)},
+            d AS (SELECT doc_id, ${sqlHash64("'inc:' || text")} % 10 AS bkt,
+                         ${sqlHash64("text")} AS h FROM documents),
+            ex AS (SELECT * FROM d WHERE bkt < 8),
+            inc AS (SELECT * FROM d WHERE bkt >= 8),
+            cp AS (SELECT p.id_a, p.id_b, da.bkt AS ba, db.bkt AS bb
+                   FROM lshp p JOIN d da ON p.id_a = da.doc_id
+                               JOIN d db ON p.id_b = db.doc_id),
+            dropn AS (SELECT id_a AS doc_id FROM cp WHERE ba >= 8 AND bb < 8
+                      UNION SELECT id_b FROM cp WHERE bb >= 8 AND ba < 8),
+            drope AS (SELECT i.doc_id FROM inc i
+                      JOIN (SELECT DISTINCT h FROM ex) e ON i.h = e.h)
+          SELECT doc_id FROM inc
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
+            AND doc_id NOT IN (SELECT doc_id FROM drope)
+          ORDER BY doc_id""",
     // ROLLUP NULL markers sort first on both sides (Spark default, written
     // explicitly in the DuckDB ORDER BY); all measures are integer sums.
     "q104_dataset_card" ->

@@ -500,4 +500,62 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
   }
+
+  /** Incremental dedup: from `incoming`, drop every doc that duplicates the
+    * EXISTING corpus — exact (content hash) or near (the verified MinHash+
+    * LSH path) — and keep the rest. This is the production dedup workflow at
+    * scale: a daily crawl increment dedups AGAINST the corpus, it never
+    * re-dedups the corpus itself (within-increment near-dups are a separate
+    * [[curate]]-style pass by design — this operator's contract is purely
+    * incoming-vs-existing).
+    *
+    * Scale design: the exact path ships only 8-byte content hashes into the
+    * anti-join; the near path computes signatures over both sides once and
+    * keeps only CROSS-side candidate pairs (existing×existing pairs are
+    * filtered before the expensive Jaccard verify). On a standing pipeline
+    * the `existing` signature/banding step is the indexable artifact — store
+    * it once and only the increment's signatures are computed per batch.
+    */
+  def dedupIncrement(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      minAgree: Int = 4,
+  ): DataFrame = {
+    val exHashes = existing.select(Hashing.hash64(col(textCol)).as("__h")).distinct()
+    val incoming2 = incoming.select(col(idCol), col(textCol))
+    // near path: tag sides, band over the union, drop same-side candidates
+    // BEFORE the expensive hashed-set Jaccard verify ever runs
+    val union = existing
+      .select(col(idCol), col(textCol))
+      .withColumn("__side", lit(0))
+      .unionAll(incoming2.withColumn("__side", lit(1)))
+    val sides = union.select(col(idCol).as("__sid"), col("__side"))
+    val agree = (0 until k)
+      .map(i => when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // orient pairs (existing, incoming) — jaccard is symmetric, so after the
+    // verify the drop id is simply id_b
+    val crossCandidates = bandedPairs(union, idCol, textCol, k, bands)
+      .filter(agree >= minAgree)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .join(sides.select(col("__sid").as("id_a"), col("__side").as("__sa")), "id_a")
+      .join(sides.select(col("__sid").as("id_b"), col("__side").as("__sb")), "id_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(
+        when(col("__sa") === 0, col("id_a")).otherwise(col("id_b")).as("id_a"),
+        when(col("__sa") === 1, col("id_a")).otherwise(col("id_b")).as("id_b"),
+      )
+    val crossIncoming = jaccardVerify(crossCandidates, union, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol))
+    incoming2
+      .withColumn("__h", Hashing.hash64(col(textCol)))
+      .join(exHashes, Seq("__h"), "left_anti")
+      .join(crossIncoming, Seq(idCol), "left_anti")
+      .select(col(idCol))
+  }
 }

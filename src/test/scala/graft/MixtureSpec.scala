@@ -140,6 +140,27 @@ class MixtureSpec extends SparkSpec {
     assert(got == Seq(("ab", 3L), ("cd", 1L)))
   }
 
+  test("dedupIncrement: exact dup, cross near-dup, and unique incoming docs") {
+    import graft.operators.Dedup
+    val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (2L, base), // exact dup of existing -> drop
+      (3L, base + " extra"), // J = 9/10 >= 0.8 near-dup of existing -> drop
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // unique -> keep
+    ).toDF("doc_id", "text")
+    // precondition: the near pair must actually surface through the LSH path
+    val pairs = Dedup
+      .minhashNearDupPairs(existing.unionAll(incoming), "doc_id", "text")
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 3L)), s"toy near-pair not surfaced: $pairs")
+    val got = Dedup.dedupIncrement(existing, incoming, "doc_id", "text").as[Long].collect().toSeq
+    assert(got == Seq(4L), s"got $got")
+  }
+
   test("sessionTransitions: gap rule cuts cross-session pairs; conditionals sum to 1e6") {
     val events = Seq(
       (1L, 1L, "A", "2024-01-01 00:00:00"),
