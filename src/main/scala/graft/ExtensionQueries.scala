@@ -1214,6 +1214,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Exact distributed percentiles via value-histogram: eighths of
+    //      l_quantity over 600k rows with NO single-group value buffering
+    //      (the scale answer to q40's exact-percentile caveat) ----
+    "q106_quantiles_scalable" -> ((s, d) =>
+      EventAnalytics
+        .quantilesByCount(t(s, d, "lineitem"), col("l_quantity"), (1 to 7).map(i => (i, 8)))
+        .orderBy("q_num")),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2171,6 +2179,17 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // Binary-exact eighths so DuckDB's double cume_dist compare equals the
+    // Spark side's integer cc*8 >= i*N rule; values cast to BIGINT (the
+    // quantity domain is integral).
+    "q106_quantiles_scalable" -> {
+      val rows = (1 to 7)
+        .map(i =>
+          s"SELECT $i AS q_num, 8 AS q_den, quantile_disc(CAST(l_quantity AS BIGINT), ${i / 8.0}) AS value FROM lineitem"
+        )
+        .mkString(" UNION ALL ")
+      s"SELECT * FROM ($rows) ORDER BY q_num"
+    },
     // The pair relation is the SAME sqlLshPairs CTE as q22/q49 (one
     // definition, can't drift); drops = exact hash matches into the
     // existing side ∪ the incoming endpoint of every cross-side pair.

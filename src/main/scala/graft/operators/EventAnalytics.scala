@@ -165,6 +165,51 @@ object EventAnalytics {
       )
   }
 
+  /** Exact distributed `percentile_disc` for DISCRETE value domains — the
+    * scale answer to the exact-percentile caveat documented on q40/q88/q97
+    * (a single group's exact percentile buffers the group's values). For a
+    * value domain whose CARDINALITY is bounded (integer quantities, token
+    * counts, quantized scores), the same exact answer falls out of a
+    * value-histogram: per-value counts (one partial-aggregated pass over
+    * fixed-width values), a cumulative sum over the |domain|-row histogram,
+    * then `percentile_disc(num/den)` = the smallest value whose cumulative
+    * count `cc` satisfies `cc * den >= num * N` — the SQL-standard
+    * "first value at cume_dist >= q" rule in exact integer arithmetic
+    * (pass binary-exact fractions like i/8 if the oracle side compares in
+    * doubles).
+    *
+    * Scale design: the corpus pass is a map-side-combined groupBy on the
+    * value; the global window runs on the materialized |domain|-row
+    * histogram (bounded by value cardinality, NOT row count), and each
+    * requested fraction is a one-row aggregate over it.
+    */
+  def quantilesByCount(
+      df: DataFrame,
+      valueExpr: Column,
+      fracs: Seq[(Int, Int)],
+  ): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall { case (n, d) => d > 0 && n > 0 && n <= d }, s"fractions must be in (0,1]: $fracs")
+    val counts = df.groupBy(valueExpr.cast("long").as("v")).agg(count(lit(1)).as("c"))
+    val cum = Lineage.truncate(
+      counts.withColumn(
+        "cc",
+        sum(col("c")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+      )
+    )
+    val n = cum.agg(max(col("cc")).as("n"))
+    fracs
+      .map { case (num, den) =>
+        cum
+          .crossJoin(broadcast(n))
+          .filter(col("cc") * den >= lit(num.toLong) * col("n"))
+          .agg(min(col("v")).as("value"))
+          .select(lit(num).as("q_num"), lit(den).as("q_den"), col("value"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** Trailing-window anomaly detection on hourly event-type counts: an hour
     * is anomalous when its count deviates from the trailing `windowHours`
     * baseline by more than `k` standard deviations. The z-test is

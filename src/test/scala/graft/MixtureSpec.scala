@@ -140,6 +140,25 @@ class MixtureSpec extends SparkSpec {
     assert(got == Seq(("ab", 3L), ("cd", 1L)))
   }
 
+  test("quantilesByCount == Spark percentile_disc on a duplicate-heavy domain") {
+    import graft.operators.EventAnalytics
+    val vals = Seq(1L, 1L, 1L, 2L, 3L, 3L, 5L, 8L, 8L, 8L, 8L, 13L, 21L)
+    val df = vals.toDF("v")
+    val got = EventAnalytics
+      .quantilesByCount(df, col("v"), (1 to 7).map(i => (i, 8)))
+      .select("q_num", "value")
+      .as[(Int, Long)]
+      .collect()
+      .toMap
+    (1 to 7).foreach { i =>
+      val want = df
+        .agg(expr(s"percentile_disc(${i / 8.0}) WITHIN GROUP (ORDER BY v)").cast("long"))
+        .head()
+        .getLong(0)
+      assert(got(i) == want, s"q=$i/8: got ${got(i)} want $want")
+    }
+  }
+
   test("dedupIncrement: exact dup, cross near-dup, and unique incoming docs") {
     import graft.operators.Dedup
     val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9"

@@ -210,6 +210,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"per-item count tables are dimension-sized — must broadcast:\n$p")
   }
 
+  test("q106 scalable quantiles: per-fraction plan reads ONLY the materialized histogram") {
+    val p = plan(q("q106_quantiles_scalable"))
+    // the corpus pass collapsed into the truncated |domain|-row histogram at
+    // operator-construction time — the fraction plans must never re-scan
+    // lineitem; every gather they do is over that tiny RDD
+    assert(!p.contains("FileScan"), s"fractions must not re-scan the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"fractions must read the materialized histogram:\n$p")
+  }
+
   test("GraftExtensions: custom expressions usable from pure SQL") {
     // injection path: applying the extensions object must register cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
