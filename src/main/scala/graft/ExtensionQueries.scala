@@ -1222,6 +1222,21 @@ object ExtensionQueries {
         .quantilesByCount(t(s, d, "lineitem"), col("l_quantity"), (1 to 7).map(i => (i, 8)))
         .orderBy("q_num")),
 
+    // ---- Token-mass length percentiles: "p% of all tokens live in docs of
+    //      at most L tokens" — q106's histogram rule with the value as its
+    //      own weight ----
+    "q107_weighted_percentile" -> ((s, d) => {
+      val nt = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+      EventAnalytics
+        .weightedQuantilesByCount(
+          t(s, d, "documents").select(nt.as("__v")),
+          col("__v"),
+          col("__v"),
+          (1 to 7).map(i => (i, 8)),
+        )
+        .orderBy("q_num")
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2179,6 +2194,17 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // The weighted rule mirrored directly (min v with cumweight*8 >= i*W) —
+    // same spec as the Spark side, computed independently.
+    "q107_weighted_percentile" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v FROM documents),
+            h AS (SELECT v, SUM(v) AS w FROM t GROUP BY v),
+            c AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cw FROM h),
+            n AS (SELECT MAX(cw) AS tot FROM c)
+          SELECT CAST(q_num AS INT) AS q_num, 8 AS q_den,
+                 (SELECT MIN(v) FROM c CROSS JOIN n WHERE cw * 8 >= q_num * tot) AS value
+          FROM (SELECT unnest(generate_series(1, 7)) AS q_num) ORDER BY q_num""",
     // Binary-exact eighths so DuckDB's double cume_dist compare equals the
     // Spark side's integer cc*8 >= i*N rule; values cast to BIGINT (the
     // quantity domain is integral).

@@ -187,9 +187,23 @@ object EventAnalytics {
       df: DataFrame,
       valueExpr: Column,
       fracs: Seq[(Int, Int)],
+  ): DataFrame = weightedQuantilesByCount(df, valueExpr, lit(1L), fracs)
+
+  /** [[quantilesByCount]] with a row weight: `percentile_disc` over the
+    * multiset where each row's value appears `weight` times — e.g. value =
+    * doc token count weighted by itself answers "p% of all TOKENS live in
+    * docs of at most L tokens", the token-mass length percentile a
+    * curriculum or packing policy actually wants. Weights must be
+    * non-negative integers; the rule stays exact integer arithmetic.
+    */
+  def weightedQuantilesByCount(
+      df: DataFrame,
+      valueExpr: Column,
+      weightExpr: Column,
+      fracs: Seq[(Int, Int)],
   ): DataFrame = {
     require(fracs.nonEmpty && fracs.forall { case (n, d) => d > 0 && n > 0 && n <= d }, s"fractions must be in (0,1]: $fracs")
-    val counts = df.groupBy(valueExpr.cast("long").as("v")).agg(count(lit(1)).as("c"))
+    val counts = df.groupBy(valueExpr.cast("long").as("v")).agg(sum(weightExpr.cast("long")).as("c"))
     val cum = Lineage.truncate(
       counts.withColumn(
         "cc",

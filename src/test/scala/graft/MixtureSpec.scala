@@ -159,6 +159,25 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantilesByCount == percentile_disc over the weight-expanded multiset") {
+    import graft.operators.EventAnalytics
+    val rows = Seq((1L, 3L), (2L, 1L), (5L, 4L), (8L, 2L))
+    val got = EventAnalytics
+      .weightedQuantilesByCount(rows.toDF("v", "w"), col("v"), col("w"), (1 to 7).map(i => (i, 8)))
+      .select("q_num", "value")
+      .as[(Int, Long)]
+      .collect()
+      .toMap
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.toDF("v")
+    (1 to 7).foreach { i =>
+      val want = expanded
+        .agg(expr(s"percentile_disc(${i / 8.0}) WITHIN GROUP (ORDER BY v)").cast("long"))
+        .head()
+        .getLong(0)
+      assert(got(i) == want, s"q=$i/8: got ${got(i)} want $want")
+    }
+  }
+
   test("dedupIncrement: exact dup, cross near-dup, and unique incoming docs") {
     import graft.operators.Dedup
     val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
