@@ -62,15 +62,20 @@ object Bench {
     // Belt-and-braces: persist the line to a file too, so a truncated stdout
     // scrape can always be reconstructed from the run itself.
     // pid-unique default: a fixed shared path would let concurrent runs
-    // clobber each other's artifact (same rule as writeTemp's unique dirs)
+    // clobber each other's artifact (same rule as writeTemp's unique dirs).
+    // The legacy stable path is ALSO written (best-effort) so any consumer
+    // of the old default keeps working; the pid file is the authoritative
+    // copy for this run.
     val outPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT",
       s"/tmp/graft_bench_${ProcessHandle.current().pid()}.json",
     )
-    try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-      System.err.println(s"[bench] artifact written to $outPath")
-    } catch { case _: java.io.IOException => () }
+    for (p <- Seq(outPath, "/tmp/graft_bench_last.json").distinct) {
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+        System.err.println(s"[bench] artifact written to $p")
+      } catch { case _: java.io.IOException => () }
+    }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")
