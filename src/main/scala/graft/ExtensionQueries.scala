@@ -1237,6 +1237,27 @@ object ExtensionQueries {
         .orderBy("q_num")
     }),
 
+    // ---- Triangle counts on the user co-occurrence graph (edges = user
+    //      pairs sharing >= 3 distinct (hour, type) activity buckets) —
+    //      the local-clustering-coefficient numerator, top 50 ----
+    "q108_triangle_counts" -> ((s, d) => {
+      val b = Tables
+        .events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"))
+        .select(col("user_id"), col("event_type"), expr("__us div 3600000000").as("hr"))
+        .distinct()
+      val edges = b
+        .as("l")
+        .join(b.as("r"), col("l.hr") === col("r.hr") && col("l.event_type") === col("r.event_type") && col("l.user_id") < col("r.user_id"))
+        .groupBy(col("l.user_id").as("a"), col("r.user_id").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 3)
+      Graph
+        .triangleCounts(edges, "a", "b")
+        .orderBy(col("triangles").desc, col("node"))
+        .limit(50)
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2194,6 +2215,21 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // Each triangle a<b<c counted once as wedge (a,b)+(b,c) closed by (a,c),
+    // crediting all three corners; total-ordered before the LIMIT.
+    "q108_triangle_counts" ->
+      """WITH bk AS (SELECT DISTINCT user_id, event_type,
+                            epoch_us(ts) // 3600000000 AS hr FROM events),
+            e AS (SELECT l.user_id AS a, r.user_id AS b
+                  FROM bk l JOIN bk r ON l.hr = r.hr AND l.event_type = r.event_type
+                                     AND l.user_id < r.user_id
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            t AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+                  FROM e e1 JOIN e e2 ON e1.b = e2.a
+                            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+            x AS (SELECT ta AS node FROM t UNION ALL SELECT tb FROM t UNION ALL SELECT tc FROM t)
+          SELECT node, COUNT(*) AS triangles FROM x GROUP BY node
+          ORDER BY triangles DESC, node LIMIT 50""",
     // The weighted rule mirrored directly (min v with cumweight*8 >= i*W) —
     // same spec as the Spark side, computed independently.
     "q107_weighted_percentile" ->

@@ -60,4 +60,38 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an undirected graph given
+    * as canonical `src < dst` edges — the numerator of the local clustering
+    * coefficient (community-density / bot-ring signal). Each triangle
+    * `{a < b < c}` is enumerated exactly once as wedge `(a,b)+(b,c)` closed
+    * by `(a,c)`, then credits all three corners.
+    *
+    * Scale design: two equi-joins on node keys over fixed-width id pairs —
+    * the canonical distributed triangle plan. Fan-out is bounded by wedge
+    * count Σ deg²; for skew-heavy graphs the standard hardening is
+    * degree-ordered orientation (point each edge at the higher-degree
+    * endpoint) which this id-ordered variant deliberately keeps simple —
+    * the edge relation is caller-built, so a caller with hub nodes applies
+    * [[SkewJoin]] salting or a degree cap upstream. The edge set feeds
+    * three join sides and is materialized once ([[Lineage.truncate]]).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = Lineage.truncate(
+      edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+    )
+    val triangles = e
+      .as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+      .join(e.as("e3"), col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+      .select(col("ta"), col("tb"), col("tc"))
+    triangles
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -46,4 +46,20 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 0)
     }
   }
+
+  test("triangleCounts: single triangle + pendant; K4 gives C(3,1)=3 per node") {
+    val tri = Graph
+      .triangleCounts(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // node 4 in no triangle -> absent
+    val k4edges = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val k4 = Graph
+      .triangleCounts(k4edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(k4 == (1L to 4L).map(_ -> 3L).toMap) // 4 triangles, each node in 3
+  }
 }
