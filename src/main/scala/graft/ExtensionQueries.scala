@@ -1258,6 +1258,23 @@ object ExtensionQueries {
         .limit(50)
     }),
 
+    // ---- Local clustering coefficient on the (tighter, support >= 5)
+    //      co-occurrence graph: 2·tri·1e6 div deg(deg−1) per node ----
+    "q109_clustering_coef" -> ((s, d) => {
+      val b = Tables
+        .events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"))
+        .select(col("user_id"), col("event_type"), expr("__us div 3600000000").as("hr"))
+        .distinct()
+      val edges = b
+        .as("l")
+        .join(b.as("r"), col("l.hr") === col("r.hr") && col("l.event_type") === col("r.event_type") && col("l.user_id") < col("r.user_id"))
+        .groupBy(col("l.user_id").as("a"), col("r.user_id").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 5)
+      Graph.clusteringCoefficient(edges, "a", "b").orderBy("node")
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2215,6 +2232,28 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // Same triangle CTE at support >= 5 plus the degree table; the
+    // coefficient is exact integer arithmetic (scaled 1e6).
+    "q109_clustering_coef" ->
+      """WITH bk AS (SELECT DISTINCT user_id, event_type,
+                            epoch_us(ts) // 3600000000 AS hr FROM events),
+            e AS (SELECT l.user_id AS a, r.user_id AS b
+                  FROM bk l JOIN bk r ON l.hr = r.hr AND l.event_type = r.event_type
+                                     AND l.user_id < r.user_id
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            t AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+                  FROM e e1 JOIN e e2 ON e1.b = e2.a
+                            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+            x AS (SELECT ta AS node FROM t UNION ALL SELECT tb FROM t UNION ALL SELECT tc FROM t),
+            tri AS (SELECT node, COUNT(*) AS triangles FROM x GROUP BY node),
+            dg AS (SELECT node, COUNT(*) AS degree
+                   FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+          SELECT dg.node, dg.degree, COALESCE(tri.triangles, 0) AS triangles,
+                 CASE WHEN dg.degree >= 2
+                      THEN CAST(2 * COALESCE(tri.triangles, 0) * 1000000
+                                // (dg.degree * (dg.degree - 1)) AS BIGINT)
+                      ELSE 0 END AS coef_scaled
+          FROM dg LEFT JOIN tri ON dg.node = tri.node ORDER BY dg.node""",
     // Each triangle a<b<c counted once as wedge (a,b)+(b,c) closed by (a,c),
     // crediting all three corners; total-ordered before the LIMIT.
     "q108_triangle_counts" ->

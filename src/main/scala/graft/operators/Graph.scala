@@ -76,13 +76,43 @@ object Graph {
     * [[SkewJoin]] salting or a degree cap upstream. The edge set feeds
     * three join sides and is materialized once ([[Lineage.truncate]]).
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = Lineage.truncate(
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCountsOf(canonicalEdges(edges, srcCol, dstCol))
+
+  /** Local clustering coefficient per node: `2·triangles·1e6 div
+    * (deg·(deg−1))` as an exact scaled long (1e6 = fully clustered
+    * neighborhood); degree-<2 nodes report 0. Composes [[triangleCounts]]
+    * and the degree table off ONE materialized canonical edge set.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e
+      .select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(triangleCountsOf(e), Seq("node"), "left_outer")
+      .select(
+        col("node"),
+        col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(
+          col("degree") >= 2,
+          expr("2 * coalesce(triangles, CAST(0 AS BIGINT)) * 1000000 div (degree * (degree - 1))"),
+        ).otherwise(lit(0L)).as("coef_scaled"),
+      )
+  }
+
+  private def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    Lineage.truncate(
       edges
         .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
         .filter(col("a") < col("b"))
         .distinct()
     )
+
+  private def triangleCountsOf(e: DataFrame): DataFrame = {
     val triangles = e
       .as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))

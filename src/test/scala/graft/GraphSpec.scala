@@ -62,4 +62,16 @@ class GraphSpec extends SparkSpec {
       .toMap
     assert(k4 == (1L to 4L).map(_ -> 3L).toMap) // 4 triangles, each node in 3
   }
+
+  test("clusteringCoefficient: closed forms on triangle+pendant") {
+    val got = Graph
+      .clusteringCoefficient(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1000000L))) // deg 2, closed neighborhood
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 333333L))) // 2*1*1e6 div (3*2)
+    assert(got(4L) == ((1L, 0L, 0L))) // pendant: degree < 2
+  }
 }
