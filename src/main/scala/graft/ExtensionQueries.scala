@@ -1275,6 +1275,23 @@ object ExtensionQueries {
       Graph.clusteringCoefficient(edges, "a", "b").orderBy("node")
     }),
 
+    // ---- Label-propagation communities (3 synchronous rounds, ties to the
+    //      smallest label) on the support >= 5 co-occurrence graph ----
+    "q110_label_propagation" -> ((s, d) => {
+      val b = Tables
+        .events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"))
+        .select(col("user_id"), col("event_type"), expr("__us div 3600000000").as("hr"))
+        .distinct()
+      val edges = b
+        .as("l")
+        .join(b.as("r"), col("l.hr") === col("r.hr") && col("l.event_type") === col("r.event_type") && col("l.user_id") < col("r.user_id"))
+        .groupBy(col("l.user_id").as("a"), col("r.user_id").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 5)
+      Graph.labelPropagation(edges, "a", "b", iters = 3).orderBy("node")
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2232,6 +2249,31 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // Synchronous LPA, 3 chained rounds: per round each node takes the
+    // most frequent neighbor label, ROW_NUMBER tie-break to the smallest
+    // label — the exact mirror of Spark's max_by((count, -label)).
+    "q110_label_propagation" -> {
+      val rounds = (1 to 3)
+        .map { i =>
+          s"""l$i AS (SELECT a AS node, label FROM (
+                SELECT u.a, l.label,
+                       ROW_NUMBER() OVER (PARTITION BY u.a
+                                          ORDER BY COUNT(*) DESC, l.label) AS rn
+                FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY u.a, l.label)
+              WHERE rn = 1)"""
+        }
+        .mkString(", ")
+      s"""WITH bk AS (SELECT DISTINCT user_id, event_type,
+                             epoch_us(ts) // 3600000000 AS hr FROM events),
+             e AS (SELECT l.user_id AS a, r.user_id AS b
+                   FROM bk l JOIN bk r ON l.hr = r.hr AND l.event_type = r.event_type
+                                      AND l.user_id < r.user_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+             $rounds
+          SELECT node, label FROM l3 ORDER BY node"""
+    },
     // Same triangle CTE at support >= 5 plus the degree table; the
     // coefficient is exact integer arithmetic (scaled 1e6).
     "q109_clustering_coef" ->

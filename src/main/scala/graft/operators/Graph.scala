@@ -104,6 +104,41 @@ object Graph {
       )
   }
 
+  /** Synchronous label propagation (LPA community detection), fully
+    * deterministic: labels seed as the node's own id; each of `iters`
+    * rounds every node adopts its neighbors' MOST FREQUENT label, ties to
+    * the SMALLEST label (`max_by` over `(count, -label)` — no RNG, no
+    * update-order dependence, so a fixed-iteration chained-CTE oracle can
+    * mirror it exactly). Fixed iterations rather than convergence detection:
+    * synchronous LPA can 2-cycle on bipartite-ish structure, and a bounded
+    * round count is the standard production guard.
+    *
+    * Scale design: per round one join of the label table (|V| fixed-width
+    * rows) onto the undirected edge list + two partial-aggregated groupBys
+    * keyed by node — the PageRank plan shape; the edge set is materialized
+    * once and never mutates (bucket both sides on a cluster and every
+    * round's join is co-located). Lineage truncated per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"labelPropagation: iters must be in [1, 50]: $iters")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val und = Lineage.truncate(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    )
+    var labels = und.select(col("a").as("node")).distinct().withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val next = und
+        .join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("a"))
+        .agg(expr("max_by(label, named_struct('c', __c, 'nl', -label))").as("label"))
+        .select(col("a").as("node"), col("label"))
+      labels = if (i == iters) next else Lineage.truncate(next)
+    }
+    labels
+  }
+
   private def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     Lineage.truncate(
       edges

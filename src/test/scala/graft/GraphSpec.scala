@@ -74,4 +74,21 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 333333L))) // 2*1*1e6 div (3*2)
     assert(got(4L) == ((1L, 0L, 0L))) // pendant: degree < 2
   }
+
+  test("labelPropagation: path-graph rounds and star tie-break match hand simulation") {
+    def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+      Graph
+        .labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    val path = Seq((1L, 2L), (2L, 3L))
+    // round 1: 1<-{2}, 2<-tie{1,3}->min 1, 3<-{2}
+    assert(lpa(path, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // round 2 from that state: 1<-label(2)=1, 2<-{2,2}->2, 3<-1
+    assert(lpa(path, 2) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // star: center 0 ties across {1,2,3} -> min 1; leaves adopt 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(lpa(star, 1) == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
 }
