@@ -1292,6 +1292,24 @@ object ExtensionQueries {
       Graph.labelPropagation(edges, "a", "b", iters = 3).orderBy("node")
     }),
 
+    // ---- Duplication report: near-dup cluster-size histogram (log2
+    //      buckets, q102's integer-log2 rule) over q45's verified pair+CC
+    //      machinery — the dataset-card dedup statistic ----
+    "q111_dup_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val sizes = docs
+        .join(cc, docs("doc_id") === cc("id"), "left_outer")
+        .select(coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__sz"))
+      sizes
+        .groupBy(length(bin(col("__sz"))).cast("int").as("size_bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
+        .orderBy("size_bucket")
+    }),
+
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
     //      check before committing to a vocab size (composes q68's vocab) ----
     "q81_oov_rate" -> ((s, d) =>
@@ -2249,6 +2267,18 @@ object ExtensionQueries {
                    FROM embeddings CROSS JOIN dims GROUP BY pos)
           SELECT pos, CAST(CAST(mu AS FLOAT) AS DOUBLE) AS mu, mn, mx
           FROM m ORDER BY pos""",
+    // q45's recursive closure -> cluster sizes (singletons = their own
+    // cluster) -> integer-log2 size histogram (q102's bin() rule).
+    "q111_dup_report" ->
+      s"""WITH RECURSIVE
+            ${sqlCcOver("documents", 0.8)},
+            comp AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+            cl AS (SELECT COALESCE(c.comp, d.doc_id) AS cluster_id FROM documents d
+                   LEFT JOIN comp c ON d.doc_id = c.node),
+            sz AS (SELECT cluster_id, COUNT(*) AS s FROM cl GROUP BY cluster_id)
+          SELECT CAST(length(bin(s)) AS INT) AS size_bucket,
+                 COUNT(*) AS n_clusters, CAST(SUM(s) AS BIGINT) AS n_docs
+          FROM sz GROUP BY 1 ORDER BY size_bucket""",
     // Synchronous LPA, 3 chained rounds: per round each node takes the
     // most frequent neighbor label, ROW_NUMBER tie-break to the smallest
     // label — the exact mirror of Spark's max_by((count, -label)).
