@@ -58,7 +58,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
     // Belt-and-braces: persist the line to a file too, so a truncated stdout
     // scrape can always be reconstructed from the run itself.
     // pid-unique default: a fixed shared path would let concurrent runs
@@ -77,6 +76,11 @@ object Bench {
       } catch { case _: java.io.IOException => () }
     }
     spark.stop()
+    // The JSON line is the LAST thing on stdout — after spark.stop(), after
+    // the artifact-file writes — so a consumer that captures only the tail
+    // of stdout (the driver's round scrape truncated mid-map twice) always
+    // sees the complete line. Everything else above goes to stderr.
+    println(line)
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")
       sys.exit(1)

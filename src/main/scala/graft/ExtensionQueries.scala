@@ -179,10 +179,54 @@ object ExtensionQueries {
         SELECT node, rank_s FROM r$iters ORDER BY node"""
   }
 
+  /** DuckDB mirror of [[graft.operators.Graph.pageRank]] with
+    * `danglingMass = true` over the DIRECTED customer→supplier trade graph
+    * (suppliers are sinks): per iteration the dangling rank sum is divided
+    * by |V| (truncating) and added to every node's inflow before damping —
+    * the same integer rule as the Spark side, unrolled to chained CTEs.
+    */
+  private def sqlPageRankDangling(iters: Int): String = {
+    val rounds = (1 to iters)
+      .map { i =>
+        s"""d$i AS (SELECT CAST(COALESCE(SUM(rank_s), 0) AS BIGINT) AS dang
+                    FROM r${i - 1} WHERE node NOT IN (SELECT node FROM od)),
+            c$i AS (SELECT e.dst, CAST(SUM(r.rank_s // o.outdeg) AS BIGINT) AS in_s
+                    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN od o ON e.src = o.node
+                    GROUP BY e.dst),
+            r$i AS (SELECT n.node,
+                           CAST(150000 + 85 * (COALESCE(c.in_s, 0) + d.dang // v.nn) // 100 AS BIGINT) AS rank_s
+                    FROM n LEFT JOIN c$i c ON n.node = c.dst CROSS JOIN d$i d CROSS JOIN nv v)"""
+      }
+      .mkString(",\n            ")
+    s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM n),
+            od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_s FROM n),
+            $rounds
+        SELECT node, rank_s FROM r$iters ORDER BY node"""
+  }
+
   private def sqlStopHits(lang: String): String = {
     val words = TextAnalysis.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($words)))"
   }
+
+  /** The q108/q109/q110 user co-occurrence graph: users sharing >=
+    * `minSupport` distinct (event_type, hour) activity buckets — built via
+    * the GUARDED [[graft.operators.Graph.cooccurrenceEdges]] operator, so
+    * the per-bucket quadratic bound is engine policy, not query-body luck.
+    */
+  private def cooccurrenceUserEdges(s: SparkSession, d: String, minSupport: Long): DataFrame =
+    Graph.cooccurrenceEdges(
+      Tables
+        .events(s, d)
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr")),
+      itemCol = "user_id",
+      bucketCols = Seq("event_type", "hr"),
+      minSupport = minSupport,
+    )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Exact dedup: content-hash groups with survivor choice ----
@@ -808,25 +852,8 @@ object ExtensionQueries {
     //      independently and nothing needs a global sort; capacity 512
     //      tokens, pack = floor(tokens-before-me / capacity) ----
     "q67_pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-        .select(
-          col("doc_id"),
-          (col("doc_id") % PackShards).as("shard"),
-          size(TextAnalysis.wsTokens(col("text"))).as("n_tokens"),
-        )
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      docs
-        .withColumn(
-          "cum_before",
-          coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)),
-        )
-        .select(
-          col("doc_id"),
-          col("shard"),
-          col("n_tokens"),
-          floor(col("cum_before") / 512.0).cast("long").as("pack_id"),
-        )
+      Quality
+        .packSequences(t(s, d, "documents"), "doc_id", "text", shards = PackShards, capacityTokens = 512)
         .orderBy("doc_id")
     }),
 
@@ -1241,19 +1268,8 @@ object ExtensionQueries {
     //      pairs sharing >= 3 distinct (hour, type) activity buckets) —
     //      the local-clustering-coefficient numerator, top 50 ----
     "q108_triangle_counts" -> ((s, d) => {
-      val b = Tables
-        .events(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"))
-        .select(col("user_id"), col("event_type"), expr("__us div 3600000000").as("hr"))
-        .distinct()
-      val edges = b
-        .as("l")
-        .join(b.as("r"), col("l.hr") === col("r.hr") && col("l.event_type") === col("r.event_type") && col("l.user_id") < col("r.user_id"))
-        .groupBy(col("l.user_id").as("a"), col("r.user_id").as("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 3)
       Graph
-        .triangleCounts(edges, "a", "b")
+        .triangleCounts(cooccurrenceUserEdges(s, d, minSupport = 3), "a", "b")
         .orderBy(col("triangles").desc, col("node"))
         .limit(50)
     }),
@@ -1261,35 +1277,13 @@ object ExtensionQueries {
     // ---- Local clustering coefficient on the (tighter, support >= 5)
     //      co-occurrence graph: 2·tri·1e6 div deg(deg−1) per node ----
     "q109_clustering_coef" -> ((s, d) => {
-      val b = Tables
-        .events(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"))
-        .select(col("user_id"), col("event_type"), expr("__us div 3600000000").as("hr"))
-        .distinct()
-      val edges = b
-        .as("l")
-        .join(b.as("r"), col("l.hr") === col("r.hr") && col("l.event_type") === col("r.event_type") && col("l.user_id") < col("r.user_id"))
-        .groupBy(col("l.user_id").as("a"), col("r.user_id").as("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 5)
-      Graph.clusteringCoefficient(edges, "a", "b").orderBy("node")
+      Graph.clusteringCoefficient(cooccurrenceUserEdges(s, d, minSupport = 5), "a", "b").orderBy("node")
     }),
 
     // ---- Label-propagation communities (3 synchronous rounds, ties to the
     //      smallest label) on the support >= 5 co-occurrence graph ----
     "q110_label_propagation" -> ((s, d) => {
-      val b = Tables
-        .events(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"))
-        .select(col("user_id"), col("event_type"), expr("__us div 3600000000").as("hr"))
-        .distinct()
-      val edges = b
-        .as("l")
-        .join(b.as("r"), col("l.hr") === col("r.hr") && col("l.event_type") === col("r.event_type") && col("l.user_id") < col("r.user_id"))
-        .groupBy(col("l.user_id").as("a"), col("r.user_id").as("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 5)
-      Graph.labelPropagation(edges, "a", "b", iters = 3).orderBy("node")
+      Graph.labelPropagation(cooccurrenceUserEdges(s, d, minSupport = 5), "a", "b", iters = 3).orderBy("node")
     }),
 
     // ---- Duplication report: near-dup cluster-size histogram (log2
@@ -1308,6 +1302,19 @@ object ExtensionQueries {
         .groupBy(length(bin(col("__sz"))).cast("int").as("size_bucket"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
         .orderBy("size_bucket")
+    }),
+
+    // ---- Dangling-mass PageRank over the DIRECTED customer→supplier trade
+    //      graph (suppliers are sinks): each round the dangling rank sum is
+    //      redistributed to all nodes (dang div |V|, integer-exact) before
+    //      damping — the mass-conserving variant q89's drop-dangling
+    //      simplification trades away ----
+    "q114_pagerank_dangling" -> ((s, d) => {
+      val edges = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")), "ok")
+        .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3, danglingMass = true).orderBy("node")
     }),
 
     // ---- OOV rate vs the corpus top-100 vocab: the tokenizer-coverage
@@ -2279,6 +2286,7 @@ object ExtensionQueries {
           SELECT CAST(length(bin(s)) AS INT) AS size_bucket,
                  COUNT(*) AS n_clusters, CAST(SUM(s) AS BIGINT) AS n_docs
           FROM sz GROUP BY 1 ORDER BY size_bucket""",
+    "q114_pagerank_dangling" -> sqlPageRankDangling(3),
     // Synchronous LPA, 3 chained rounds: per round each node takes the
     // most frequent neighbor label, ROW_NUMBER tie-break to the smallest
     // label — the exact mirror of Spark's max_by((count, -label)).

@@ -5,9 +5,65 @@ import org.apache.spark.sql.functions._
 
 /** Graph operators over an edge relation. Connected components (the
   * near-dup clustering primitive) live in [[Dedup]]; this hosts the
-  * rank-propagation family.
+  * rank-propagation family and the co-occurrence edge builder.
   */
 object Graph {
+
+  /** Co-occurrence edge relation: items sharing at least `minSupport`
+    * distinct activity buckets become an undirected edge `(a < b, sup)`.
+    * This is the standard graph-construction step ahead of
+    * [[triangleCounts]] / [[labelPropagation]] — and the classic quadratic
+    * trap: the within-bucket self-join emits `n·(n−1)/2` rows per bucket
+    * BEFORE the support filter can drop anything, so one hot bucket (a
+    * popular event type in a busy hour, a stopword shingle) silently owns
+    * the job. Engine policy, not caller luck: a pre-flight per-bucket count
+    * fails LOUDLY when any bucket exceeds `maxBucketRows` (the
+    * [[Dedup.jaccardPairs]] `maxBlockRows` stance), which makes this
+    * operator EAGER — one small count job at call time.
+    *
+    * Scale design: the distinct (bucket, item) projection is materialized
+    * once and feeds the guard plus both self-join sides; the join is an
+    * equi-join on the bucket key (shuffle carries fixed-width ids, never
+    * payload), and the pair aggregation map-side combines. At 100 TB the
+    * guard is the contract: cap or sample per-bucket membership upstream
+    * (top-N items per bucket) rather than raising the bound blindly.
+    */
+  def cooccurrenceEdges(
+      df: DataFrame,
+      itemCol: String,
+      bucketCols: Seq[String],
+      minSupport: Long,
+      maxBucketRows: Long = 100000L,
+  ): DataFrame = {
+    require(bucketCols.nonEmpty, "cooccurrenceEdges: need at least one bucket column")
+    val b = Lineage.truncate(
+      df.select((bucketCols :+ itemCol).map(col): _*).distinct()
+    )
+    val oversized = b
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketRows)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      val r = oversized.head
+      val n = r.getLong(bucketCols.length)
+      val key = bucketCols.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }.mkString(", ")
+      throw new IllegalStateException(
+        s"cooccurrenceEdges: bucket ($key) has $n distinct items (> maxBucketRows=$maxBucketRows): " +
+          s"the within-bucket pairing would enumerate ~${n * n / 2} pairs before the support filter. " +
+          "Cap or sample per-bucket membership upstream (e.g. top-N items per bucket), or raise " +
+          "maxBucketRows deliberately."
+      )
+    }
+    val joinCond = bucketCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+      col(s"l.$itemCol") < col(s"r.$itemCol")
+    b.as("l")
+      .join(b.as("r"), joinCond)
+      .groupBy(col(s"l.$itemCol").as("a"), col(s"r.$itemCol").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+  }
 
   /** Fixed-iteration PageRank with damping 0.85, integer-exact across
     * engines: ranks are scaled longs (1e6 = rank 1.0) and one iteration is
@@ -19,6 +75,20 @@ object Graph {
     * nodes (no out-edges) is dropped, the common simplification; a fixed
     * iteration count (not convergence detection) keeps the oracle
     * expressible as a plain chained-CTE SQL query.
+    *
+    * `danglingMass = true` switches to the standard redistribute-to-all
+    * variant: each iteration the summed rank of dangling nodes is divided
+    * (truncating) by |V| and added to every node's inflow BEFORE damping —
+    * still integer-exact, one extra |V|-row anti-join + scalar aggregate
+    * per iteration (the scalar broadcasts back). Use it on graphs with
+    * sinks where total-mass conservation matters.
+    *
+    * `saltBuckets > 1` salts the per-iteration ranks→edges join via
+    * [[SkewJoin.saltedJoin]]: a hub node (every real web graph has one)
+    * concentrates its out-edges on one reducer every iteration; salting
+    * spreads them over `saltBuckets` at the cost of replicating the
+    * |V|-row rank table `saltBuckets`×. Results are bit-identical (the
+    * inflow sum is an order-independent integer sum).
     *
     * Scale design: each iteration is the canonical two-shuffle plan — join
     * ranks (|V| rows, fixed-width) to edges on src, then re-aggregate by
@@ -33,8 +103,11 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
+      saltBuckets: Int = 1,
+      danglingMass: Boolean = false,
   ): DataFrame = {
     require(iters >= 1 && iters <= 100, s"pageRank: iters must be in [1, 100]: $iters")
+    require(saltBuckets >= 1 && saltBuckets <= 1024, s"pageRank: saltBuckets must be in [1, 1024]: $saltBuckets")
     // Edge set, node list, and out-degrees are reused by EVERY iteration's
     // joins — materialize each once (off the materialized edge set, not the
     // raw plan, or each iteration re-runs the caller's edge-building query).
@@ -43,19 +116,44 @@ object Graph {
       ej.select(col("src").as("node")).union(ej.select(col("dst").as("node"))).distinct()
     )
     val oj = Lineage.truncate(ej.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).withColumnRenamed("src", "node"))
+    // |V| is iteration-invariant — materialize the 1-row aggregate once.
+    val nv = if (danglingMass) Lineage.truncate(nodes.agg(count(lit(1)).as("__nv"))) else null
     var ranks = nodes.withColumn("rank_s", lit(1000000L))
     for (i <- 1 to iters) {
       // Inner join: nodes without out-edges contribute nothing by definition.
       val withDeg = ranks.join(oj, "node")
-      val contrib = ej
-        .join(withDeg, ej("src") === withDeg("node"))
-        .select(ej("dst").as("dst"), expr("rank_s div outdeg").as("c"))
-      val next = nodes
-        .join(contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_s")), col("node") === col("dst"), "left_outer")
-        .select(
-          col("node"),
-          (lit(150000L) + expr("85 * coalesce(in_s, CAST(0 AS BIGINT)) div 100")).as("rank_s"),
-        )
+      val contrib =
+        if (saltBuckets == 1)
+          ej.join(withDeg, ej("src") === withDeg("node"))
+            .select(ej("dst").as("dst"), expr("rank_s div outdeg").as("c"))
+        else
+          SkewJoin
+            .saltedJoin(ej, withDeg.withColumnRenamed("node", "src"), "src", col("dst"), saltBuckets)
+            .select(col("dst"), expr("rank_s div outdeg").as("c"))
+      val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_s"))
+      val next =
+        if (danglingMass) {
+          // dangling mass this round: ranks of nodes with no out-edges,
+          // redistributed as a broadcast scalar (dang div |V| each).
+          val dang = ranks
+            .join(oj, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank_s")), lit(0L)).as("__dang"))
+            .crossJoin(nv)
+          nodes
+            .join(inflow, col("node") === col("dst"), "left_outer")
+            .crossJoin(broadcast(dang))
+            .select(
+              col("node"),
+              (lit(150000L) + expr("85 * (coalesce(in_s, CAST(0 AS BIGINT)) + __dang div __nv) div 100"))
+                .as("rank_s"),
+            )
+        } else
+          nodes
+            .join(inflow, col("node") === col("dst"), "left_outer")
+            .select(
+              col("node"),
+              (lit(150000L) + expr("85 * coalesce(in_s, CAST(0 AS BIGINT)) div 100")).as("rank_s"),
+            )
       ranks = if (i == iters) next else Lineage.truncate(next)
     }
     ranks
@@ -63,18 +161,20 @@ object Graph {
 
   /** Per-node triangle participation counts over an undirected graph given
     * as canonical `src < dst` edges — the numerator of the local clustering
-    * coefficient (community-density / bot-ring signal). Each triangle
-    * `{a < b < c}` is enumerated exactly once as wedge `(a,b)+(b,c)` closed
-    * by `(a,c)`, then credits all three corners.
+    * coefficient (community-density / bot-ring signal).
     *
-    * Scale design: two equi-joins on node keys over fixed-width id pairs —
-    * the canonical distributed triangle plan. Fan-out is bounded by wedge
-    * count Σ deg²; for skew-heavy graphs the standard hardening is
-    * degree-ordered orientation (point each edge at the higher-degree
-    * endpoint) which this id-ordered variant deliberately keeps simple —
-    * the edge relation is caller-built, so a caller with hub nodes applies
-    * [[SkewJoin]] salting or a degree cap upstream. The edge set feeds
-    * three join sides and is materialized once ([[Lineage.truncate]]).
+    * Scale design: degree-ordered orientation — every edge points at its
+    * higher-`(degree, id)` endpoint, wedges open only at the orientation
+    * minimum, and each triangle `{p ≺ q ≺ r}` (in that total order) is
+    * enumerated exactly once as wedge `(p→q, p→r)` closed by `q→r`, then
+    * credits all three corners. Under this orientation out-degree is
+    * bounded by `O(√(2m))` for ANY degree distribution (a node keeps only
+    * edges toward still-higher-degree nodes), so wedge fan-out is
+    * `Σ min-degree²` instead of the raw `Σ deg²` — a hub-star's `deg²`
+    * blow-up collapses to one wedge list owned by its lowest-degree
+    * corners. Two equi-joins on node keys over fixed-width id pairs; the
+    * oriented edge set feeds all three join sides and is materialized once
+    * ([[Lineage.truncate]]).
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     triangleCountsOf(canonicalEdges(edges, srcCol, dstCol))
@@ -118,17 +218,29 @@ object Graph {
     * keyed by node — the PageRank plan shape; the edge set is materialized
     * once and never mutates (bucket both sides on a cluster and every
     * round's join is co-located). Lineage truncated per round.
+    * `saltBuckets > 1` salts the labels→edges join ([[SkewJoin.saltedJoin]])
+    * for hub-skewed graphs — results identical (max_by over counts is
+    * order-independent).
     */
-  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      saltBuckets: Int = 1,
+  ): DataFrame = {
     require(iters >= 1 && iters <= 50, s"labelPropagation: iters must be in [1, 50]: $iters")
+    require(saltBuckets >= 1 && saltBuckets <= 1024, s"labelPropagation: saltBuckets must be in [1, 1024]: $saltBuckets")
     val e = canonicalEdges(edges, srcCol, dstCol)
     val und = Lineage.truncate(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     )
     var labels = und.select(col("a").as("node")).distinct().withColumn("label", col("node"))
     for (i <- 1 to iters) {
-      val next = und
-        .join(labels, col("b") === col("node"))
+      val joined =
+        if (saltBuckets == 1) und.join(labels, col("b") === col("node"))
+        else SkewJoin.saltedJoin(und, labels.withColumnRenamed("node", "b"), "b", col("a"), saltBuckets)
+      val next = joined
         .groupBy(col("a"), col("label"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("a"))
@@ -139,20 +251,52 @@ object Graph {
     labels
   }
 
+  /** Normalize an undirected edge list to canonical `a < b` form: each edge
+    * is REORIENTED (least, greatest) rather than filtered — an input that
+    * lists an edge in either (or both) directions yields the same canonical
+    * set; self-loops drop.
+    */
   private def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     Lineage.truncate(
       edges
-        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-        .filter(col("a") < col("b"))
+        .select(col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__t"))
+        .filter(col("__s") =!= col("__t"))
+        .select(least(col("__s"), col("__t")).as("a"), greatest(col("__s"), col("__t")).as("b"))
         .distinct()
     )
 
   private def triangleCountsOf(e: DataFrame): DataFrame = {
-    val triangles = e
-      .as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
-      .join(e.as("e3"), col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+    // Degree table feeds both endpoint joins — materialize once (no
+    // DataFrame CSE: two consumers would re-run the aggregation).
+    val deg = Lineage.truncate(
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("__d"))
+    )
+    // Orient each edge toward the HIGHER (degree, id) endpoint; carry the
+    // head's (degree, id) struct so wedge endpoints can be totally ordered
+    // without re-joining the degree table.
+    val aLower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    val oriented = Lineage.truncate(
+      e.join(deg.select(col("node").as("a"), col("__d").as("__da")), "a")
+        .join(deg.select(col("node").as("b"), col("__d").as("__db")), "b")
+        .select(
+          when(aLower, col("a")).otherwise(col("b")).as("x"),
+          when(aLower, struct(col("__db").as("d"), col("b").as("n")))
+            .otherwise(struct(col("__da").as("d"), col("a").as("n"))).as("yk"),
+        )
+    )
+    // Wedge (x→v, x→w) with v ≺ w in the orientation order closes iff the
+    // oriented edge v→w exists (v ≺ w fixes the closing edge's direction).
+    val triangles = oriented
+      .as("o1")
+      .join(oriented.as("o2"), col("o1.x") === col("o2.x") && col("o1.yk") < col("o2.yk"))
+      .select(col("o1.x").as("ta"), col("o1.yk.n").as("tb"), col("o2.yk.n").as("tc"))
+      .join(
+        oriented.select(col("x").as("tb"), col("yk.n").as("tc")),
+        Seq("tb", "tc"),
+      )
       .select(col("ta"), col("tb"), col("tc"))
     triangles
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))

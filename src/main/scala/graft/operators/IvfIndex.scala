@@ -81,16 +81,19 @@ object IvfIndex {
   def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
     // Pre-flight BEFORE collect(): probing limit(max+1) costs one tiny job,
     // whereas a corpus-sized `centroids` would OOM the driver inside
-    // collect() and the loud error below would never fire.
+    // collect() and the loud error below would never fire. The codebook plan
+    // is materialized ONCE first — a typical centroids input is a full-corpus
+    // scan + two aggregations, and the probe must not run that twice.
     val maxCentroids = 1 << 20
-    val probed = centroids.select(lit(1).as("__one")).limit(maxCentroids + 1).count()
+    val mat = Lineage.truncate(centroids)
+    val probed = mat.select(lit(1).as("__one")).limit(maxCentroids + 1).count()
     require(
       probed <= maxCentroids,
       s"assign: >$maxCentroids centroids — the codebook is collected to the driver and embedded " +
         "in the plan, which only makes sense for a coarse quantizer (nlist ≲ 2^20). " +
         "A codebook this size is a bug or calls for a partitioned ANN design instead.",
     )
-    val cents: Seq[(Int, Seq[Float])] = centroids
+    val cents: Seq[(Int, Seq[Float])] = mat
       .orderBy(col("centroid_id"))
       .collect()
       .toSeq

@@ -35,13 +35,20 @@ object Mixture {
       maxEpochsBp: Long = 30000L,
       salt: String = "ep:",
   ): DataFrame = {
+    // a sub-epoch cap would make `__w_bp div 10000` zero and the explode
+    // range `sequence(0, -1)` — which counts DOWN in Spark (two spurious
+    // copies); the same gotcha is guarded in Quality.bpeMergeCandidates
+    require(maxEpochsBp >= 10000L, s"epochMaterialize: maxEpochsBp must be >= 10000 (1 epoch): $maxEpochsBp")
     val nToks = size(TextAnalysis.wsTokens(col(textCol))).cast("long")
     // two consumers (max + weights) — materialize the |sources|-row stats
-    // once instead of scanning the corpus twice
+    // once instead of scanning the corpus twice. Zero-token sources are
+    // dropped: their weight is a divide-by-zero (null under non-ANSI,
+    // a throw under ANSI) and they contribute no trainable rows anyway.
     val srcTokens = Lineage.truncate(
       docs
         .groupBy(col(sourceCol).as("__src"))
         .agg(sum(nToks).as("__tok"))
+        .filter(col("__tok") > 0L)
     )
     val maxTok = srcTokens.agg(max(col("__tok")).as("__mx"))
     val weights = srcTokens

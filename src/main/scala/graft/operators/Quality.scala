@@ -231,6 +231,46 @@ object Quality {
     )
   }
 
+  /** Greedy sequence packing: assign docs to fixed-token-budget packs — the
+    * training-batch prep op that turns variable-length docs into dense
+    * `capacityTokens`-sized training rows. Greedy in id order per SHARD:
+    * `pack_id = floor(tokens-before-me / capacity)` under a window
+    * partitioned by `shard = id mod shards`.
+    *
+    * `shards` is a per-call parameter (not engine policy): it is the
+    * packing parallelism knob — at 100 TB set it to ~executor-count × a
+    * small factor so each shard's running-sum window sorts only its slice
+    * and nothing needs a global sort; packs never span shards by
+    * construction.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shards: Int,
+      capacityTokens: Int,
+  ): DataFrame = {
+    require(shards >= 1, s"packSequences: shards must be >= 1: $shards")
+    require(capacityTokens >= 1, s"packSequences: capacityTokens must be >= 1: $capacityTokens")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs
+      .select(
+        col(idCol),
+        (col(idCol) % shards).as("shard"),
+        size(TextAnalysis.wsTokens(col(textCol))).as("n_tokens"),
+      )
+      .withColumn(
+        "cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)),
+      )
+      .select(
+        col(idCol),
+        col("shard"),
+        col("n_tokens"),
+        floor(col("cum_before") / capacityTokens.toDouble).cast("long").as("pack_id"),
+      )
+  }
+
   /** Domain-level quality gate: keep documents whose SOURCE's aggregate
     * stopword ratio is at least the corpus-wide ratio — the spam-domain
     * filter that per-doc scoring misses (a boilerplate farm's individual

@@ -67,7 +67,7 @@ object Retrieval {
     val tf = toks
       .filter(col("token").isin(queryTerms: _*))
       .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val idf = tf
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))

@@ -91,4 +91,74 @@ class GraphSpec extends SparkSpec {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
     assert(lpa(star, 1) == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
+
+  /** Reference triangle counter: O(V³) nested loops over the edge SET —
+    * orientation-free ground truth for the degree-ordered plan.
+    */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.filter(p => p._1 != p._2).distinct.toSet
+    val ns = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      a <- ns; b <- ns if a < b && es((a, b))
+      c <- ns if b < c && es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1L)
+    counts.toMap
+  }
+
+  test("triangleCounts: hub-star + ring + chords counts identically under degree-ordered orientation") {
+    // hub 100 wired to every ring node (the deg² blow-up case the
+    // orientation exists for) + a 12-ring + chords for triangle variety
+    val ring = (1L to 12L).map(i => (i, if (i == 12) 1L else i + 1))
+    val spokes = (1L to 12L).map(i => (100L, i))
+    val chords = Seq((1L, 5L), (2L, 9L), (4L, 11L), (5L, 6L)) // (5,6) duplicates a ring edge
+    val edges = ring ++ spokes ++ chords
+    val got = Graph
+      .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == bruteTriangles(edges), s"got=$got expected=${bruteTriangles(edges)}")
+  }
+
+  test("pageRank/labelPropagation: salted join path is bit-identical on a hub graph") {
+    val hub = (1L to 30L).flatMap(i => Seq((0L, i), (i, 0L))) ++ Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val df = hub.toDF("src", "dst")
+    assert(
+      Graph.pageRank(df, "src", "dst", 3, saltBuckets = 4).collect().toSet ==
+        Graph.pageRank(df, "src", "dst", 3).collect().toSet
+    )
+    assert(
+      Graph.labelPropagation(df, "src", "dst", 3, saltBuckets = 4).collect().toSet ==
+        Graph.labelPropagation(df, "src", "dst", 3).collect().toSet
+    )
+  }
+
+  test("pageRank: danglingMass redistributes sink rank to every node") {
+    // 1,2,3 -> 9; 9 dangles. N=4; round 1: dang = 1000000, share = 250000.
+    // node9 = 150000 + 85*(3000000 + 250000) div 100 = 2912500
+    // leaves = 150000 + 85*250000 div 100 = 362500
+    val r = Graph
+      .pageRank(Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst"), "src", "dst", 1, danglingMass = true)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(r == Map(1L -> 362500L, 2L -> 362500L, 3L -> 362500L, 9L -> 2912500L), r.toString)
+  }
+
+  test("cooccurrenceEdges: pair support over distinct activity buckets") {
+    val df = Seq(
+      (1L, "A", 1L), (1L, "A", 2L), (1L, "B", 1L),
+      (2L, "A", 1L), (2L, "A", 2L), (2L, "B", 1L),
+      (3L, "A", 1L),
+      (1L, "A", 1L), // duplicate activity row — the distinct() collapses it
+    ).toDF("user", "et", "hr")
+    def run(minSup: Long) = Graph
+      .cooccurrenceEdges(df, "user", Seq("et", "hr"), minSupport = minSup)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(run(2L) == Set((1L, 2L, 3L)))
+    assert(run(1L) == Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }

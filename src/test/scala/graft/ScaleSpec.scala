@@ -168,6 +168,18 @@ class ScaleSpec extends SparkSpec {
     assert(ok.filter($"id_a" === 1 && $"id_b" === 2).count() == 1)
   }
 
+  test("cooccurrenceEdges: oversized bucket fails loudly instead of running B² silently") {
+    import graft.operators.Graph
+    val acts = Seq((1L, "A", 1L), (2L, "A", 1L), (3L, "A", 1L), (1L, "B", 2L)).toDF("user", "et", "hr")
+    val e = intercept[IllegalStateException](
+      Graph.cooccurrenceEdges(acts, "user", Seq("et", "hr"), minSupport = 1, maxBucketRows = 2)
+    )
+    assert(e.getMessage.contains("maxBucketRows") && e.getMessage.contains("et=A"), e.getMessage)
+    // under the cap the same call runs
+    val ok = Graph.cooccurrenceEdges(acts, "user", Seq("et", "hr"), minSupport = 1, maxBucketRows = 3)
+    assert(ok.count() == 3)
+  }
+
   test("strict casts (E4): ANSI mode crashes on junk like the reference's int()") {
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     try {
