@@ -991,6 +991,15 @@ object ExtensionQueries {
     "q85_posting_lists" -> ((s, d) =>
       Retrieval.postingLists(t(s, d, "documents"), "doc_id", "text", minDf = 2).orderBy("token")),
 
+    // ---- Sharded posting lists: the Zipf-head answer to q85 — each token's
+    //      postings split over ceil(df/maxPostings) deterministic doc-id
+    //      hash shards, so the hot token spreads instead of owning one
+    //      reducer. maxPostings=8 here so sf-scale data actually shards ----
+    "q113_posting_shards" -> ((s, d) =>
+      Retrieval
+        .postingListsSharded(t(s, d, "documents"), "doc_id", "text", minDf = 2, maxPostings = 8)
+        .orderBy("token", "shard")),
+
     // ---- Bigram next-token stats: per-token top-3 successors with the
     //      conditional probability as a scaled long (integer div). Bigrams
     //      are a zipped-slice projection, never a positional self-join ----
@@ -1302,6 +1311,24 @@ object ExtensionQueries {
         .groupBy(length(bin(col("__sz"))).cast("int").as("size_bucket"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
         .orderBy("size_bucket")
+    }),
+
+    // ---- Index-backed incremental dedup: the existing side's signature
+    //      index is BUILT ONCE, persisted to parquet, loaded back, and the
+    //      increment dedups against the loaded index — proving
+    //      increment-vs-stored-index ≡ increment-vs-recompute (the q105
+    //      workflow without re-signing the corpus every batch) ----
+    "q112_dedup_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("idx:"), col("text"))) % 10
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dedup_index")
+        .resolve("index")
+        .toString
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 7), "doc_id", "text"), path)
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndex(s, path), docs.filter(b >= 7), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // ---- Dangling-mass PageRank over the DIRECTED customer→supplier trade
@@ -2085,6 +2112,19 @@ object ExtensionQueries {
           SELECT token, COUNT(*) AS df,
                  array_to_string(list_sort(list(doc_id)), ',') AS postings
           FROM tok GROUP BY token HAVING COUNT(*) >= 2 ORDER BY token""",
+    // Same tok CTE; shard = md5-hash(doc_id) mod ceil(df/8) — the exact
+    // mirror of the Spark side's deterministic doc-id hash sharding.
+    "q113_posting_shards" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+                       FROM documents),
+             d AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token HAVING COUNT(*) >= 2),
+             s AS (SELECT t.token, d.df,
+                          ${sqlHash64("CAST(t.doc_id AS VARCHAR)")} % ((d.df + 7) // 8) AS shard,
+                          t.doc_id
+                   FROM tok t JOIN d USING (token))
+          SELECT token, df, shard, COUNT(*) AS shard_df,
+                 array_to_string(list_sort(list(doc_id)), ',') AS postings
+          FROM s GROUP BY token, df, shard ORDER BY token, shard""",
     // Bigrams as two zipped shifted slices (DuckDB zips parallel unnests);
     // conditional probability is exact integer division.
     "q86_bigram_next" ->
@@ -2374,6 +2414,26 @@ object ExtensionQueries {
     // The pair relation is the SAME sqlLshPairs CTE as q22/q49 (one
     // definition, can't drift); drops = exact hash matches into the
     // existing side ∪ the incoming endpoint of every cross-side pair.
+    // The q105 mirror with the 'idx:' salt and a 70/30 split — the oracle
+    // can't see the index round-trip (that's the point: results must be
+    // IDENTICAL to recomputing), so the SQL is the same workflow shape.
+    "q112_dedup_index" ->
+      s"""WITH ${sqlLshPairs("documents", 0.8)},
+            d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,
+                         ${sqlHash64("text")} AS h FROM documents),
+            ex AS (SELECT * FROM d WHERE bkt < 7),
+            inc AS (SELECT * FROM d WHERE bkt >= 7),
+            cp AS (SELECT p.id_a, p.id_b, da.bkt AS ba, db.bkt AS bb
+                   FROM lshp p JOIN d da ON p.id_a = da.doc_id
+                               JOIN d db ON p.id_b = db.doc_id),
+            dropn AS (SELECT id_a AS doc_id FROM cp WHERE ba >= 7 AND bb < 7
+                      UNION SELECT id_b FROM cp WHERE bb >= 7 AND ba < 7),
+            drope AS (SELECT i.doc_id FROM inc i
+                      JOIN (SELECT DISTINCT h FROM ex) e ON i.h = e.h)
+          SELECT doc_id FROM inc
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
+            AND doc_id NOT IN (SELECT doc_id FROM drope)
+          ORDER BY doc_id""",
     "q105_incremental_dedup" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'inc:' || text")} % 10 AS bkt,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Hashing, SortedIntersectCount, TextAnalysis}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline: exact,
@@ -112,11 +112,19 @@ object Dedup {
     * multi-million-row DISTINCT shuffle is needed.
     */
   private def bandedPairs(df: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
-    val rows = k / bands
     // Materialize the signatures once: the self-join below would otherwise
     // compute the tokenize+hash subtree twice unless ReuseExchange happens to
     // fire — correctness must not lean on an optional physical optimization.
     val sig = Lineage.truncate(withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k))
+    bandedPairsOfSigs(sig.withColumnRenamed(idCol, "id"), k, bands)
+  }
+
+  /** The banding self-join over a PRECOMPUTED signature table (`id`,
+    * `mh0..mh{k-1}`, any extra columns ride along on both sides) — the
+    * caller must pass a materialized input (see [[bandedPairs]]).
+    */
+  private def bandedPairsOfSigs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (b * rows until (b + 1) * rows).zipWithIndex.map { case (i, j) =>
         col(s"mh$i").as(s"k$j")
@@ -124,7 +132,7 @@ object Dedup {
       struct((lit(b).as("band") +: bandCols): _*)
     }
     val banded = sig.select(
-      col(idCol).as("id") +: (0 until k).map(i => col(s"mh$i")) :+ explode(array(bandStructs: _*)).as("bk"): _*
+      sig.columns.map(col).toSeq :+ explode(array(bandStructs: _*)).as("bk"): _*
     )
     def bandEq(b: Int) =
       (b * rows until (b + 1) * rows).map(i => col(s"l.mh$i") === col(s"r.mh$i")).reduce(_ && _)
@@ -180,8 +188,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-  ): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks"))
+  ): DataFrame =
+    jaccardVerifyToks(
+      candidates,
+      docs.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks")),
+      threshold,
+    )
+
+  /** [[jaccardVerify]] over a PRECOMPUTED hashed-token-set table
+    * (`id`, `toks`) — the form the index-backed incremental path uses so
+    * stored token sets are never re-tokenized.
+    */
+  def jaccardVerifyToks(candidates: DataFrame, toks: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -189,7 +207,6 @@ object Dedup {
       .withColumn("jaccard", jaccardHashed(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Full MinHash near-dup pipeline: banding candidates → signature-agreement
     * prefilter (pairs must agree on >= `minAgree` of the k minhashes — an
@@ -501,20 +518,71 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
   }
 
+  /** The dedup signature index of a corpus: per doc `(id, __h, toks,
+    * mh0..mh{k-1})` — content hash for the exact path, hashed token set for
+    * the Jaccard verify, MinHash signature for the LSH banding. One
+    * map-only projection (every token md5-hashed ONCE, the k permutation
+    * minima folded over the hashed set — bit-identical to [[withMinhash]]),
+    * zero shuffle: the index build streams at scan speed. Docs with an
+    * empty token set carry `toks = []` and null signatures (they can't
+    * near-dup; the exact path still covers them).
+    *
+    * This is the persistable artifact of the incremental-dedup workflow:
+    * [[saveDedupIndex]] it once per corpus and every daily increment pays
+    * only ITS OWN signature pass ([[dedupIncrementWithIndex]]) — at 100 TB
+    * recomputing corpus signatures per batch IS the whole cost.
+    */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val mh = Hashing.minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("toks"), h => (lit(a) * (h % Hashing.P) + lit(b)) % Hashing.P)).as(s"mh$i")
+    }
+    docs
+      .select(
+        col(idCol).as("id"),
+        Hashing.hash64(col(textCol)).as("__h"),
+        TextAnalysis.hashedTokenSet(col(textCol)).as("toks"),
+      )
+      .select(Seq(col("id"), col("__h"), col("toks")) ++ mh: _*)
+  }
+
+  /** Persist a [[buildDedupIndex]] table (plain parquet — fixed-width longs
+    * + the hashed token arrays; no text leaves the corpus).
+    */
+  def saveDedupIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  /** Load a persisted dedup index, failing loudly on a schema mismatch
+    * (e.g. an index built with a different `k`).
+    */
+  def loadDedupIndex(spark: SparkSession, path: String, k: Int = 8): DataFrame = {
+    val df = spark.read.parquet(path)
+    val expected = Seq("id", "__h", "toks") ++ (0 until k).map(i => s"mh$i")
+    val missing = expected.filterNot(df.columns.contains)
+    require(
+      missing.isEmpty,
+      s"loadDedupIndex: $path has columns ${df.columns.mkString(",")} — missing ${missing.mkString(",")} " +
+        s"(index built with a different k than $k?)",
+    )
+    df
+  }
+
   /** Incremental dedup: from `incoming`, drop every doc that duplicates the
     * EXISTING corpus — exact (content hash) or near (the verified MinHash+
     * LSH path) — and keep the rest. This is the production dedup workflow at
     * scale: a daily crawl increment dedups AGAINST the corpus, it never
     * re-dedups the corpus itself (within-increment near-dups are a separate
     * [[curate]]-style pass by design — this operator's contract is purely
-    * incoming-vs-existing).
+    * incoming-vs-existing). CONTRACT: `idCol` values must be disjoint
+    * between the two sides (guarded loudly — a shared id would make the
+    * pair orientation ambiguous and the drop set wrong).
     *
     * Scale design: the exact path ships only 8-byte content hashes into the
-    * anti-join; the near path computes signatures over both sides once and
-    * keeps only CROSS-side candidate pairs (existing×existing pairs are
-    * filtered before the expensive Jaccard verify). On a standing pipeline
-    * the `existing` signature/banding step is the indexable artifact — store
-    * it once and only the increment's signatures are computed per batch.
+    * anti-join; the near path keeps only CROSS-side candidate pairs
+    * (existing×existing pairs are filtered before the expensive Jaccard
+    * verify). Both sides' signature work is a [[buildDedupIndex]]
+    * projection; on a standing pipeline build the existing side's index
+    * ONCE ([[saveDedupIndex]]) and call [[dedupIncrementWithIndex]] per
+    * batch so only the increment's signatures are computed.
     */
   def dedupIncrement(
       existing: DataFrame,
@@ -525,37 +593,69 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       minAgree: Int = 4,
+  ): DataFrame =
+    dedupIncrementWithIndex(buildDedupIndex(existing, idCol, textCol, k), incoming, idCol, textCol, k, bands, threshold, minAgree)
+
+  /** [[dedupIncrement]] against a prebuilt/loaded existing-side index — the
+    * steady-state form: the corpus pays its signature pass once, each
+    * increment pays only its own.
+    */
+  def dedupIncrementWithIndex(
+      existingIndex: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      minAgree: Int = 4,
+  ): DataFrame =
+    dedupIncrementCore(existingIndex, buildDedupIndex(incoming, idCol, textCol, k), k, bands, threshold, minAgree)
+      .withColumnRenamed("id", idCol)
+
+  private def dedupIncrementCore(
+      exIndex: DataFrame,
+      incIndex: DataFrame,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      minAgree: Int,
   ): DataFrame = {
-    val exHashes = existing.select(Hashing.hash64(col(textCol)).as("__h")).distinct()
-    val incoming2 = incoming.select(col(idCol), col(textCol))
-    // near path: tag sides, band over the union, drop same-side candidates
-    // BEFORE the expensive hashed-set Jaccard verify ever runs
-    val union = existing
-      .select(col(idCol), col(textCol))
-      .withColumn("__side", lit(0))
-      .unionAll(incoming2.withColumn("__side", lit(1)))
-    val sides = union.select(col(idCol).as("__sid"), col("__side"))
+    // Disjoint-id contract, guarded loudly (one tiny id-only probe job —
+    // the jaccardPairs/assign pre-flight stance).
+    val shared = exIndex.select(col("id")).join(incIndex.select(col("id")), "id").limit(1).collect()
+    if (shared.nonEmpty) {
+      throw new IllegalStateException(
+        s"dedupIncrement: id '${shared.head.get(0)}' appears on BOTH sides — existing and incoming " +
+          "ids must be disjoint (a shared id makes the pair orientation and the drop set ambiguous)."
+      )
+    }
+    // One materialized side-tagged index feeds the banding, the verify, and
+    // the exact-hash path — each side's md5 work runs exactly once.
+    val union = Lineage.truncate(
+      exIndex.withColumn("__side", lit(0)).unionAll(incIndex.withColumn("__side", lit(1)))
+    )
+    val sigs = union
+      .filter(col("mh0").isNotNull)
+      .select(Seq(col("id"), col("__side")) ++ (0 until k).map(i => col(s"mh$i")): _*)
     val agree = (0 until k)
       .map(i => when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
     // orient pairs (existing, incoming) — jaccard is symmetric, so after the
-    // verify the drop id is simply id_b
-    val crossCandidates = bandedPairs(union, idCol, textCol, k, bands)
+    // verify the drop id is simply id_b; same-side candidates drop BEFORE
+    // the expensive hashed-set Jaccard verify ever runs
+    val crossCandidates = bandedPairsOfSigs(sigs, k, bands)
       .filter(agree >= minAgree)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .join(sides.select(col("__sid").as("id_a"), col("__side").as("__sa")), "id_a")
-      .join(sides.select(col("__sid").as("id_b"), col("__side").as("__sb")), "id_b")
-      .filter(col("__sa") =!= col("__sb"))
+      .filter(col("l.__side") =!= col("r.__side"))
       .select(
-        when(col("__sa") === 0, col("id_a")).otherwise(col("id_b")).as("id_a"),
-        when(col("__sa") === 1, col("id_a")).otherwise(col("id_b")).as("id_b"),
+        when(col("l.__side") === 0, col("l.id")).otherwise(col("r.id")).as("id_a"),
+        when(col("l.__side") === 1, col("l.id")).otherwise(col("r.id")).as("id_b"),
       )
-    val crossIncoming = jaccardVerify(crossCandidates, union, idCol, textCol, threshold)
-      .select(col("id_b").as(idCol))
-    incoming2
-      .withColumn("__h", Hashing.hash64(col(textCol)))
-      .join(exHashes, Seq("__h"), "left_anti")
-      .join(crossIncoming, Seq(idCol), "left_anti")
-      .select(col(idCol))
+    val dropNear = jaccardVerifyToks(crossCandidates, union.select(col("id"), col("toks")), threshold)
+      .select(col("id_b").as("id"))
+    incIndex
+      .join(exIndex.select(col("__h")).distinct(), Seq("__h"), "left_anti")
+      .join(dropNear, Seq("id"), "left_anti")
+      .select(col("id"))
   }
 }

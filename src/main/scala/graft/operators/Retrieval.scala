@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextAnalysis
+import graft.functions.{Hashing, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -98,20 +98,38 @@ object Retrieval {
     * oracle boundary; the string pins content AND order).
     *
     * Scale design: one explode of DISTINCT tokens per doc, one shuffle keyed
-    * by token. At web scale a posting list for a stopword-frequency token
-    * exceeds a single aggregation buffer — there you'd range-shard the
-    * postings by (token, doc_id bucket) and keep this exact shape per
-    * shard; `minDf` is the opposite knob (drop hapax tokens whose postings
-    * are useless for retrieval).
+    * by token. A stopword-frequency token's posting list exceeds any single
+    * aggregation buffer at web scale, so the head of the Zipf curve is
+    * GUARDED: a pre-flight count-only pass (cheap partial aggregation — no
+    * lists are materialized) fails loudly when any token's df exceeds
+    * `maxDf`, pointing at [[postingListsSharded]]. The guard makes this
+    * operator EAGER (one count job at call time). `minDf` is the opposite
+    * knob (drop hapax tokens whose postings are useless for retrieval).
     */
   def postingLists(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minDf: Int = 1,
-  ): DataFrame =
-    docs
-      .select(explode(TextAnalysis.tokenSet(col(textCol))).as("token"), col(idCol))
+      maxDf: Long = 10000000L,
+  ): DataFrame = {
+    val tok = docs.select(explode(TextAnalysis.tokenSet(col(textCol))).as("token"), col(idCol))
+    val oversized = tok
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDf)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      val t = oversized.head.getString(0)
+      val n = oversized.head.getLong(1)
+      throw new IllegalStateException(
+        s"postingLists: token '$t' has df=$n (> maxDf=$maxDf): its posting list would not fit one " +
+          "aggregation buffer. Use postingListsSharded (bounded per-shard lists), or raise maxDf " +
+          "deliberately."
+      )
+    }
+    tok
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col(idCol))).as("__post"))
       .filter(col("df") >= minDf)
@@ -120,6 +138,53 @@ object Retrieval {
         col("df"),
         concat_ws(",", transform(col("__post"), _.cast("string"))).as("postings"),
       )
+  }
+
+  /** Sharded posting lists — the web-scale form of [[postingLists]]: each
+    * token's postings are range-sharded over `ceil(df / maxPostings)`
+    * deterministic doc-id hash buckets, so every (token, shard) row carries
+    * ~`maxPostings` ids regardless of how deep into the Zipf head the token
+    * sits. Tokens under the bound keep exactly one shard (shard 0), so the
+    * common case degenerates to the unsharded shape plus a constant column.
+    *
+    * Scale design: pass 1 is a count-only df aggregation (partial-agg,
+    * no lists); the df table joins back onto the token stream (broadcast
+    * under AQE when the vocab is small, shuffle join otherwise) and the
+    * list aggregation is keyed by (token, shard) — the hot token's rows
+    * spread over its shard count instead of one reducer. The shard
+    * assignment is the engine's md5-derived hash on the doc id:
+    * deterministic, partition-independent, and mirrorable in any engine.
+    */
+  def postingListsSharded(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 1,
+      maxPostings: Long = 100000L,
+  ): DataFrame = {
+    require(maxPostings >= 1, s"postingListsSharded: maxPostings must be >= 1: $maxPostings")
+    val tok = docs.select(explode(TextAnalysis.tokenSet(col(textCol))).as("token"), col(idCol))
+    val dfTab = tok
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    tok
+      .join(dfTab, Seq("token"))
+      .withColumn("shard", pmod(Hashing.hash64(col(idCol).cast("string")), expr(s"(df + ${maxPostings - 1}) div $maxPostings")))
+      .groupBy(col("token"), col("shard"))
+      .agg(
+        min(col("df")).as("df"),
+        count(lit(1)).as("shard_df"),
+        sort_array(collect_list(col(idCol))).as("__post"),
+      )
+      .select(
+        col("token"),
+        col("df"),
+        col("shard"),
+        col("shard_df"),
+        concat_ws(",", transform(col("__post"), _.cast("string"))).as("postings"),
+      )
+  }
 
   /** Per-token top-`topN` next tokens by bigram frequency, with the
     * conditional probability P(w2 | w1) as a scaled long

@@ -115,4 +115,33 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("confirmed", 2L, 3L), ("deaths", 1L, 3L)))
   }
+
+  test("dedup index: save/load round-trip; index path ≡ recompute path; disjoint-id guard") {
+    import graft.operators.Dedup
+    val ex = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (11L, "my box pack with five dozen liquor jugs"), // token-set dup of 2 (reordered)
+      (12L, "sphinx of black quartz judge my vow"), // novel
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildDedupIndex(ex, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft_dedup_idx").resolve("index").toString
+    Dedup.saveDedupIndex(idx, dir)
+    val loaded = Dedup.loadDedupIndex(spark, dir)
+    assert(loaded.collect().toSet == idx.collect().toSet) // parquet round-trip is lossless
+    val viaIndex = Dedup.dedupIncrementWithIndex(loaded, inc, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val direct = Dedup.dedupIncrement(ex, inc, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct && viaIndex == Set(12L), s"viaIndex=$viaIndex direct=$direct")
+    // loading with a mismatched k names the problem
+    val eK = intercept[IllegalArgumentException](Dedup.loadDedupIndex(spark, dir, k = 16))
+    assert(eK.getMessage.contains("mh8"), eK.getMessage)
+    // shared ids across sides fail loudly instead of mis-orienting pairs
+    val eId = intercept[IllegalStateException](Dedup.dedupIncrement(ex, ex, "doc_id", "text"))
+    assert(eId.getMessage.contains("BOTH sides"), eId.getMessage)
+  }
 }

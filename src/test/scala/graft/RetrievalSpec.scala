@@ -43,6 +43,25 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Set(("a", 3L, "1,2,3"), ("b", 2L, "1,3"), ("c", 1L, "2")))
   }
 
+  test("postingLists: Zipf-head token fails loudly; sharded path reassembles identically") {
+    // "the" is in every doc (the stopword head); w1..w5 are hapax
+    val docs = (1L to 5L).map(i => (i, s"the w$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException](
+      Retrieval.postingLists(docs, "doc_id", "text", minDf = 1, maxDf = 3)
+    )
+    assert(e.getMessage.contains("postingListsSharded") && e.getMessage.contains("'the'"), e.getMessage)
+    val sharded = Retrieval.postingListsSharded(docs, "doc_id", "text", minDf = 1, maxPostings = 2).collect()
+    val theRows = sharded.filter(_.getString(0) == "the")
+    assert(theRows.forall(_.getLong(1) == 5L)) // df rides along unchanged
+    assert(theRows.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 3L)) // ceil(5/2) = 3 shards
+    assert(theRows.map(_.getLong(3)).sum == 5L) // shard_df partitions df
+    // the union of shard postings IS the unsharded posting list
+    assert(theRows.flatMap(_.getString(4).split(",")).map(_.toLong).sorted.toSeq == (1L to 5L))
+    // tokens under the bound keep exactly one shard: ceil(1/2) = 1 -> shard 0
+    val hapax = sharded.filter(_.getString(0) != "the")
+    assert(hapax.length == 5 && hapax.forall(r => r.getLong(2) == 0L && r.getLong(3) == 1L))
+  }
+
   test("bigramNextTopK: counts, ranks, and exact scaled conditional probability") {
     val docs = Seq((1L, "a b a b a c"), (2L, "x")).toDF("doc_id", "text")
     val out = Retrieval.bigramNextTopK(docs, "text", topN = 2).collect()
