@@ -154,7 +154,11 @@ object Graph {
               col("node"),
               (lit(150000L) + expr("85 * coalesce(in_s, CAST(0 AS BIGINT)) div 100")).as("rank_s"),
             )
-      ranks = if (i == iters) next else Lineage.truncate(next)
+      // LAZY truncation: pageRank has no per-round driver action (unlike
+      // CC's convergence check), so the caller's single action materializes
+      // every round's checkpoint in one cascading job instead of one
+      // blocking job per round.
+      ranks = if (i == iters) next else Lineage.truncate(next, eager = false)
     }
     ranks
   }
@@ -246,7 +250,8 @@ object Graph {
         .groupBy(col("a"))
         .agg(expr("max_by(label, named_struct('c', __c, 'nl', -label))").as("label"))
         .select(col("a").as("node"), col("label"))
-      labels = if (i == iters) next else Lineage.truncate(next)
+      // same lazy-truncation rationale as pageRank: no per-round action
+      labels = if (i == iters) next else Lineage.truncate(next, eager = false)
     }
     labels
   }
