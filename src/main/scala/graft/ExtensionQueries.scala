@@ -213,6 +213,21 @@ object ExtensionQueries {
     s"len(list_filter(toks, t -> t IN ($words)))"
   }
 
+  /** Per-label mean centroids over the embeddings table (float-cast means —
+    * the q60 cross-engine avg rule): the deterministic codebook the
+    * nearest-centroid queries (q90, q115) assign against.
+    */
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label").cast("int").as("centroid_id"), posexplode(col("embedding")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))), e => e.getField("m").cast("float"))
+          .as("centroid")
+      )
+
   /** The q108/q109/q110 user co-occurrence graph: users sharing >=
     * `minSupport` distinct (event_type, hour) activity buckets — built via
     * the GUARDED [[graft.operators.Graph.cooccurrenceEdges]] operator, so
@@ -1065,21 +1080,42 @@ object ExtensionQueries {
     //      label × predicted-label confusion matrix ----
     "q90_centroid_classify" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb
-        .select(col("label").cast("int").as("centroid_id"), posexplode(col("embedding")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))), e => e.getField("m").cast("float"))
-            .as("centroid")
-        )
       IvfIndex
-        .assign(emb.withColumn("__idl", struct(col("vec_id"), col("label"))), cents, "__idl", "embedding")
+        .assign(emb.withColumn("__idl", struct(col("vec_id"), col("label"))), labelCentroids(emb), "__idl", "embedding")
         .select(col("__idl.label").cast("int").as("label"), col("centroid_id").as("pred_label"))
         .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred_label")
+    }),
+
+    // ---- SemDeDup: nearest-centroid clustering (zero-shuffle assign) →
+    //      guarded within-cluster cosine pairs → drop every non-minimal
+    //      pair member. Embedding-space dedup that catches paraphrases
+    //      MinHash can't see ----
+    "q115_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity
+        .semDedup(emb, "vec_id", "embedding", labelCentroids(emb), threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- Quality-filter funnel: the q71 Gopher rules applied CUMULATIVELY
+    //      with per-stage enter/pass/drop accounting — which rule costs the
+    //      corpus what. ONE partial-aggregated scan ----
+    "q116_filter_funnel" -> ((s, d) => {
+      val m = Quality.gopherMetrics(col("__toks")).toMap
+      Quality
+        .filterFunnel(
+          t(s, d, "documents").withColumn("__toks", TextAnalysis.wsTokens(col("text"))),
+          Seq(
+            "word_count_30_10000" -> m("n_words").between(30, 10000),
+            "mean_word_len_2_8" -> m("mean_word_len").between(2.0, 8.0),
+            "min_2_stopwords" -> (m("stop_hits") >= 2),
+            "alpha_ratio_80" -> (m("alpha_words").cast("double") / m("n_words") >= 0.8),
+          ),
+        )
+        .orderBy("stage")
     }),
 
     // ---- Market-basket lift: top co-purchased part pairs by lift over
@@ -2023,6 +2059,35 @@ object ExtensionQueries {
           FROM s GROUP BY lang, split ORDER BY lang, split""",
     // Raw (non-distinct) token list; integer counts; the one double is an
     // exact int-sum/int division — identical in both engines.
+    // q71's metric CTE, then one conditional-sum aggregate and 4 UNION ALL
+    // rows off it — stage counts are exact integers on both engines.
+    "q116_filter_funnel" -> {
+      val stop = TextAnalysis.Stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH tl AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            m AS (SELECT CAST(len(toks) AS INT) AS n_words,
+                    CAST(CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS DOUBLE) / len(toks) AS mean_word_len,
+                    CAST(len(list_filter(toks, t -> t IN ($stop))) AS INT) AS stop_hits,
+                    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS INT) AS alpha_words
+                  FROM tl),
+            f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 10000 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                    CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 10000
+                               AND mean_word_len BETWEEN 2.0 AND 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                    CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 10000
+                               AND mean_word_len BETWEEN 2.0 AND 8.0
+                               AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                    CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 10000
+                               AND mean_word_len BETWEEN 2.0 AND 8.0
+                               AND stop_hits >= 2
+                               AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS p4
+                  FROM m)
+          SELECT * FROM (
+            SELECT 1 AS stage, 'word_count_30_10000' AS rule, n AS n_in, p1 AS n_pass, n - p1 AS n_drop FROM f
+            UNION ALL SELECT 2, 'mean_word_len_2_8', p1, p2, p1 - p2 FROM f
+            UNION ALL SELECT 3, 'min_2_stopwords', p2, p3, p2 - p3 FROM f
+            UNION ALL SELECT 4, 'alpha_ratio_80', p3, p4, p3 - p4 FROM f)
+          ORDER BY stage"""
+    },
     "q71_gopher_rules" ->
       s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
                m AS (SELECT doc_id,
@@ -2495,6 +2560,27 @@ object ExtensionQueries {
     // Per-label mean centroid float-cast (the q60 cross-engine avg rule:
     // double avgs differ at ~1e-15, the FLOAT cast quantizes that away),
     // then argmax cosine with ties to the lowest label — q57's assignment.
+    // q90's centroid+argmax CTEs, then within-cluster pairs (the pair
+    // cosine is sqlCos re-aliased l/r) and the drop-non-minimal rule.
+    "q115_semdedup" -> {
+      val pairCos = sqlCos.replace("a.embedding", "l.embedding").replace("b.embedding", "r.embedding")
+      s"""WITH dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+            m AS (SELECT label, pos, avg(CAST(embedding[pos + 1] AS DOUBLE)) AS mu
+                  FROM embeddings CROSS JOIN dims GROUP BY label, pos),
+            c AS (SELECT CAST(label AS INT) AS centroid_id,
+                         list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY pos) AS embedding
+                  FROM m GROUP BY label),
+            sc AS (SELECT a.vec_id, a.label, a.embedding, b.centroid_id,
+                          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.centroid_id) AS rn
+                   FROM embeddings a CROSS JOIN c b),
+            asg AS (SELECT vec_id, label, embedding, centroid_id FROM sc WHERE rn = 1),
+            p AS (SELECT r.vec_id AS ib FROM asg l JOIN asg r
+                  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+                  WHERE $pairCos >= 0.35)
+          SELECT vec_id, label FROM asg
+          WHERE vec_id NOT IN (SELECT DISTINCT ib FROM p)
+          ORDER BY vec_id"""
+    },
     "q90_centroid_classify" ->
       s"""WITH dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
             m AS (SELECT label, pos, avg(CAST(embedding[pos + 1] AS DOUBLE)) AS mu

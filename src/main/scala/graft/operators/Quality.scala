@@ -231,6 +231,42 @@ object Quality {
     )
   }
 
+  /** Quality-filter funnel report: apply `rules` (ordered (name, predicate)
+    * pairs) CUMULATIVELY and report, per stage, how many docs enter, pass,
+    * and drop — the dataset-card accounting that tells you WHICH rule costs
+    * the corpus what (a gate that silently drops 40% to one rule is a bug
+    * report, not a filter).
+    *
+    * Scale design: ONE partial-aggregated scan — every cumulative predicate
+    * is a conditional sum in the same aggregate, the single result row
+    * explodes into |rules| output rows driver-free. No shuffle carries more
+    * than one row.
+    */
+  def filterFunnel(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel: need at least one rule")
+    val cums = rules.scanLeft(lit(true))((acc, r) => acc && r._2).tail
+    val aggs = (count(lit(1)).as("__n") +:
+      cums.zipWithIndex.map { case (c, i) => sum(c.cast("long")).as(s"__p$i") })
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val stages = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(
+        lit(i + 1).as("stage"),
+        lit(name).as("rule"),
+        (if (i == 0) col("__n") else col(s"__p${i - 1}")).as("n_in"),
+        col(s"__p$i").as("n_pass"),
+      )
+    }
+    one
+      .select(explode(array(stages: _*)).as("s"))
+      .select(
+        col("s.stage"),
+        col("s.rule"),
+        col("s.n_in"),
+        col("s.n_pass"),
+        (col("s.n_in") - col("s.n_pass")).as("n_drop"),
+      )
+  }
+
   /** Greedy sequence packing: assign docs to fixed-token-budget packs — the
     * training-batch prep op that turns variable-length docs into dense
     * `capacityTokens`-sized training rows. Greedy in id order per SHARD:

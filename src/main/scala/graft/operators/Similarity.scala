@@ -179,6 +179,37 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus by
+    * nearest-centroid assignment ([[IvfIndex.assign]] — a zero-shuffle
+    * argmax projection against the broadcast codebook), enumerate
+    * within-cluster cosine pairs above `threshold` (via the GUARDED
+    * [[cosineNearDupPairs]], blocked by the assigned cluster), and keep one
+    * survivor per pair — every non-minimal pair member drops. This is the
+    * embedding-space answer to MinHash dedup: paraphrases and re-renders
+    * that share no token n-grams still collide in embedding space.
+    *
+    * The caller supplies the codebook (`centroids`: `(centroid_id,
+    * centroid)` rows) — per-label means, a k-means pass, or a loaded index
+    * — so the clustering policy stays composable. Scale design: assignment
+    * is map-only; the within-cluster pairing inherits
+    * [[cosineNearDupPairs]]' per-block loud-fail (`maxBlockRows`), so a
+    * degenerate codebook that funnels the corpus into one cluster errors
+    * with a pointer instead of running B². The final survivor filter is an
+    * anti-join shipping bare ids.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      maxBlockRows: Long = 100000L,
+  ): DataFrame = {
+    val assigned = IvfIndex.assign(df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+    val pairs = cosineNearDupPairs(assigned, idCol, vecCol, "centroid_id", threshold, maxBlockRows)
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs for UNLABELED corpora: the blocker is the
     * same deterministic hyperplane signature [[lshSignature]] the ANN path
     * uses (oracled by q50), so no data column is needed and the plan stays

@@ -241,4 +241,19 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == 2L)
   }
+
+  test("buildDedupIndex is zero-shuffle; filterFunnel is one partial-aggregated pass") {
+    import graft.operators.{Dedup, Quality}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val pIdx = plan(Dedup.buildDedupIndex(docs, "doc_id", "text"))
+    assert(!pIdx.contains("Exchange"), s"index build must be map-only:\n$pIdx")
+    val pF = plan(Quality.filterFunnel(docs, Seq("nonempty" -> (length(col("text")) > 0))))
+    assert("Exchange".r.findAllIn(pF).length == 1, s"funnel must be one agg exchange:\n$pF")
+  }
+
+  test("postingListsSharded: the list aggregation is keyed by (token, shard)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Retrieval.postingListsSharded(docs, "doc_id", "text"))
+    assert("hashpartitioning\\(token#\\d+L?, shard#\\d+".r.findAllIn(p).nonEmpty, p)
+  }
 }

@@ -266,4 +266,33 @@ class QualitySpec extends SparkSpec {
     val p = IvfIndex.assign(emb, centroids, "vec_id", "embedding").queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"assign must be map-only:\n$p")
   }
+
+  test("semDedup: within-cluster near-dups drop to one survivor; distant vectors survive") {
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "centroid")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.01f)), // cluster 0
+      (2L, Seq(1.0f, 0.02f)), // cluster 0, cos(1,2) ≈ 0.99995 -> drops (non-minimal)
+      (3L, Seq(0.01f, 1.0f)), // cluster 1
+      (4L, Seq(0.6f, 0.8f)), // cluster 1 (cos 0.8 vs c1, 0.6 vs c0); cos(3,4) ≈ 0.806 -> kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity
+      .semDedup(emb, "vec_id", "embedding", cents, threshold = 0.99)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(kept == Set(1L, 3L, 4L), kept.toString)
+  }
+
+  test("filterFunnel: cumulative stage accounting in one pass") {
+    val docs = Seq("a", "bb", "ccc").toDF("text")
+    val out = Quality
+      .filterFunnel(
+        docs,
+        Seq("len_ge_2" -> (length(col("text")) >= 2), "len_ge_3" -> (length(col("text")) >= 3)),
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set((1, "len_ge_2", 3L, 2L, 1L), (2, "len_ge_3", 2L, 1L, 1L)), out.toString)
+  }
 }
