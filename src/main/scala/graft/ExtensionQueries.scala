@@ -1118,6 +1118,43 @@ object ExtensionQueries {
         .orderBy("stage")
     }),
 
+    // ---- DSIR-style importance weights: per-doc Σ tf·(ln p_target −
+    //      ln p_raw), add-1 smoothed over the shared vocab, ln quantized
+    //      per DISTINCT token (q69's rule) — exact integer scores. Target
+    //      distribution = src0 (the q76 benchmark source) ----
+    "q117_dsir_weights" -> ((s, d) =>
+      Quality
+        .importanceWeights(t(s, d, "documents"), "doc_id", "text", col("source") === "src0")
+        .orderBy("doc_id")),
+
+    // ---- Streaming dedup against the STATIC corpus index: the increment
+    //      streams through a stream-static join with the loaded signature
+    //      index (left_outer + null-filter — the supported stream-static
+    //      anti shape) and must equal the batch anti-join exactly ----
+    "q118_stream_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("sd:"), col("text"))) % 10
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup_index")
+        .resolve("index")
+        .toString
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 8), "doc_id", "text"), path)
+      val idx = Dedup.loadDedupIndex(s, path).select(col("__h")).distinct().withColumn("__hit", lit(1))
+      EventStream
+        .statelessOneShot(
+          s,
+          docs.filter(b >= 8).select(col("doc_id"), col("text")),
+          "graft_q118",
+          stream =>
+            stream
+              .withColumn("__h", Hashing.hash64(col("text")))
+              .join(idx, Seq("__h"), "left_outer")
+              .filter(col("__hit").isNull)
+              .select(col("doc_id")),
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- Market-basket lift: top co-purchased part pairs by lift over
     //      order baskets; lift as an exact scaled long (integer arithmetic
     //      end-to-end, safe to rank on cross-engine) ----
@@ -2059,6 +2096,33 @@ object ExtensionQueries {
           FROM s GROUP BY lang, split ORDER BY lang, split""",
     // Raw (non-distinct) token list; integer counts; the one double is an
     // exact int-sum/int division — identical in both engines.
+    // Add-1 smoothing over the shared vocab; ln floor-quantized per
+    // DISTINCT token (the q69/q101 rule) -> exact integer per-doc sums.
+    "q117_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+                             unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+            tf AS (SELECT doc_id, tgt, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+            v AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt_r,
+                         CAST(SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS cnt_t
+                  FROM tf GROUP BY token),
+            tt AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS tot_r, CAST(SUM(cnt_t) AS BIGINT) AS tot_t,
+                          CAST(COUNT(*) AS BIGINT) AS nv FROM v),
+            w AS (SELECT token,
+                         CAST(floor(ln(CAST(cnt_t + 1 AS DOUBLE) / (tot_t + nv)) * 1000000 + 0.5) AS BIGINT)
+                         - CAST(floor(ln(CAST(cnt_r + 1 AS DOUBLE) / (tot_r + nv)) * 1000000 + 0.5) AS BIGINT) AS w
+                  FROM v CROSS JOIN tt)
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 CAST(SUM(tf * w.w) AS BIGINT) AS score_scaled
+          FROM tf JOIN w USING (token) GROUP BY doc_id ORDER BY doc_id""",
+    // The streamed side is a stateless hash anti-join, so stream == the
+    // plain batch NOT IN over the same 80/20 split.
+    "q118_stream_dedup" ->
+      s"""WITH d AS (SELECT doc_id, ${sqlHash64("'sd:' || text")} % 10 AS bkt,
+                            ${sqlHash64("text")} AS h FROM documents),
+             ex AS (SELECT DISTINCT h FROM d WHERE bkt < 8)
+          SELECT doc_id FROM d
+          WHERE bkt >= 8 AND h NOT IN (SELECT h FROM ex)
+          ORDER BY doc_id""",
     // q71's metric CTE, then one conditional-sum aggregate and 4 UNION ALL
     // rows off it — stage counts are exact integers on both engines.
     "q116_filter_funnel" -> {

@@ -79,6 +79,68 @@ object Quality {
       )
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023's data-selection rule,
+    * unigram form): per doc, `score = Σ_t tf(t) · (ln p_target(t) − ln
+    * p_raw(t))` — docs that look like the TARGET distribution (the
+    * high-quality subset `targetCol` marks) score high, generic corpus
+    * boilerplate scores ~0, anti-target garbage scores negative. Rank or
+    * threshold on it to resample the corpus toward the target domain.
+    *
+    * Determinism: both distributions are add-1 smoothed over the SHARED raw
+    * vocab (every raw token has a defined target probability — no OOV
+    * special case), each `ln` runs once per DISTINCT token and is quantized
+    * to a scaled long there (the q69/q101 rule), so per-doc scores are
+    * exact integer sums — order-independent, bit-identical cross-engine.
+    *
+    * Scale design: identical shape to [[unigramSurprisal]] — ONE corpus
+    * tokenization pass materialized as (doc, token, tf); the per-token
+    * weight table splits into a broadcast top-`headK` head (absorbs every
+    * Zipf hot key) and a skew-free shuffle-joined tail; the target subset
+    * adds only a conditional sum to the vocab aggregation, not a second
+    * pass.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCol: Column,
+      headK: Int = 100000,
+  ): DataFrame = {
+    val tok = docs.select(col(idCol), targetCol.as("__tgt"), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    val tf = Lineage.truncate(
+      tok.groupBy(col(idCol), col("__tgt"), col("token")).agg(count(lit(1)).as("__tf"))
+    )
+    val vocab = tf
+      .groupBy(col("token"))
+      .agg(
+        sum(col("__tf")).as("cnt_r"),
+        sum(when(col("__tgt"), col("__tf")).otherwise(0L)).as("cnt_t"),
+      )
+    val totals = vocab.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"), count(lit(1)).as("nv"))
+    val w = vocab
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"),
+        col("cnt_r"),
+        (floor(log((col("cnt_t") + 1).cast("double") / (col("tot_t") + col("nv"))) * 1e6 + 0.5).cast("long")
+          - floor(log((col("cnt_r") + 1).cast("double") / (col("tot_r") + col("nv"))) * 1e6 + 0.5).cast("long"))
+          .as("w"),
+      )
+      .transform(Lineage.truncate(_))
+    val head = broadcast(w.orderBy(col("cnt_r").desc, col("token")).limit(headK).select(col("token"), col("w")))
+    val tagged = tf.join(head, Seq("token"), "left_outer")
+    val headHits = tagged.filter(col("w").isNotNull).select(col(idCol), (col("w") * col("__tf")).as("__s"), col("__tf"))
+    val tailHits = tagged
+      .filter(col("w").isNull)
+      .select(col(idCol), col("token"), col("__tf"))
+      .join(w.select(col("token"), col("w")), Seq("token"))
+      .select(col(idCol), (col("w") * col("__tf")).as("__s"), col("__tf"))
+    headHits
+      .unionAll(tailHits)
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"), sum(col("__s")).as("score_scaled"))
+  }
+
   /** Gopher-shape per-doc quality metrics (Rae et al. 2021 §A1.1 rule
     * family: word-count bounds, mean word length, stopword presence,
     * alphabetic-word fraction) as named projection columns over a HOISTED

@@ -283,6 +283,22 @@ class QualitySpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L), kept.toString)
   }
 
+  test("importanceWeights: hand-computed add-1 smoothed DSIR scores") {
+    // vocab: aa (cnt_r=2, cnt_t=2), bb (cnt_r=2, cnt_t=0); tot_r=4, tot_t=2, nv=2
+    val docs = Seq((1L, "aa aa", "tgt"), (2L, "bb bb", "raw")).toDF("doc_id", "text", "source")
+    def q(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val wAa = q(3.0 / 4) - q(3.0 / 6) // (cnt_t+1)/(tot_t+nv) vs (cnt_r+1)/(tot_r+nv)
+    val wBb = q(1.0 / 4) - q(3.0 / 6)
+    val got = Quality
+      .importanceWeights(docs, "doc_id", "text", col("source") === "tgt")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 2 * wAa)), 2L -> ((2L, 2 * wBb))), got.toString)
+    // the target-looking doc must outscore the anti-target doc
+    assert(got(1L)._2 > 0 && got(2L)._2 < 0)
+  }
+
   test("filterFunnel: cumulative stage accounting in one pass") {
     val docs = Seq("a", "bb", "ccc").toDF("text")
     val out = Quality
