@@ -1118,6 +1118,14 @@ object ExtensionQueries {
         .orderBy("stage")
     }),
 
+    // ---- Bigram-LM surprisal: the fluency gate — shuffled-word garbage
+    //      has perfect unigram stats and catastrophic bigram stats. No
+    //      smoothing needed: the corpus model scores its own corpus ----
+    "q119_bigram_surprisal" -> ((s, d) =>
+      Quality
+        .bigramSurprisal(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- DSIR-style importance weights: per-doc Σ tf·(ln p_target −
     //      ln p_raw), add-1 smoothed over the shared vocab, ln quantized
     //      per DISTINCT token (q69's rule) — exact integer scores. Target
@@ -2096,6 +2104,22 @@ object ExtensionQueries {
           FROM s GROUP BY lang, split ORDER BY lang, split""",
     // Raw (non-distinct) token list; integer counts; the one double is an
     // exact int-sum/int division — identical in both engines.
+    // q86's zipped-slice bigram CTE; ln floor-quantized per DISTINCT
+    // bigram -> exact integer per-doc sums, no smoothing (corpus model
+    // scores its own corpus, every scored bigram exists).
+    "q119_bigram_surprisal" ->
+      """WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+                  FROM tl WHERE len(toks) >= 2),
+            bf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM g GROUP BY 1, 2, 3),
+            bt AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM bf GROUP BY 1, 2),
+            ut AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bt GROUP BY 1),
+            lp AS (SELECT bt.w1, bt.w2,
+                          CAST(floor(ln(CAST(c12 AS DOUBLE) / c1) * 1000000 + 0.5) AS BIGINT) AS lps
+                   FROM bt JOIN ut USING (w1))
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                 CAST(-SUM(tf * lps) AS BIGINT) AS surprisal_scaled
+          FROM bf JOIN lp USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""",
     // Add-1 smoothing over the shared vocab; ln floor-quantized per
     // DISTINCT token (the q69/q101 rule) -> exact integer per-doc sums.
     "q117_dsir_weights" ->

@@ -79,6 +79,72 @@ object Quality {
       )
   }
 
+  /** Per-doc bigram surprisal under the corpus bigram LM — the FLUENCY
+    * gate: a doc whose words are real but shuffled has perfect unigram
+    * stats and catastrophic bigram stats, so this catches template spam,
+    * keyword stuffing, and MT word salad that [[unigramSurprisal]] scores
+    * as fine. `p(w2|w1) = c(w1,w2) / c(w1·)` needs no smoothing or backoff
+    * here: the model is trained on the corpus it scores, so every scored
+    * bigram exists by construction.
+    *
+    * Determinism: `ln` quantized to a scaled long once per DISTINCT bigram
+    * (the q69 rule) — per-doc totals are exact integer sums. Docs with < 2
+    * tokens have no bigrams and produce no row (same contract as q69's
+    * empty-token docs).
+    *
+    * Scale design: one (doc, w1, w2, tf) pass materialized once; the
+    * bigram log-prob table splits broadcast-head / shuffle-tail exactly
+    * like [[unigramSurprisal]] (the head absorbs every Zipf-hot bigram, so
+    * the tail shuffle has no skewed keys); the context-count join
+    * (`c(w1·)`) runs over the BIGRAM TYPE table, not the corpus stream.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      headK: Int = 100000,
+  ): DataFrame = {
+    val grams = docs
+      .select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(
+        col(idCol),
+        explode(
+          arrays_zip(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("__w1s"),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("__w2s"),
+          )
+        ).as("__g"),
+      )
+      .select(col(idCol), col("__g.__w1s").as("w1"), col("__g.__w2s").as("w2"))
+    val bf = Lineage.truncate(grams.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("__tf")))
+    val bt = bf.groupBy(col("w1"), col("w2")).agg(sum(col("__tf")).as("c12"))
+    val ut = bt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val lp = bt
+      .join(ut, Seq("w1"))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c12"),
+        floor(log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5).cast("long").as("lps"),
+      )
+      .transform(Lineage.truncate(_))
+    val head = broadcast(
+      lp.orderBy(col("c12").desc, col("w1"), col("w2")).limit(headK).select(col("w1"), col("w2"), col("lps"))
+    )
+    val tagged = bf.join(head, Seq("w1", "w2"), "left_outer")
+    val headHits = tagged.filter(col("lps").isNotNull).select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
+    val tailHits = tagged
+      .filter(col("lps").isNull)
+      .select(col(idCol), col("w1"), col("w2"), col("__tf"))
+      .join(lp.select(col("w1"), col("w2"), col("lps")), Seq("w1", "w2"))
+      .select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
+    headHits
+      .unionAll(tailHits)
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_bigrams"), (-sum(col("__s"))).as("surprisal_scaled"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023's data-selection rule,
     * unigram form): per doc, `score = Σ_t tf(t) · (ln p_target(t) − ln
     * p_raw(t))` — docs that look like the TARGET distribution (the

@@ -283,6 +283,21 @@ class QualitySpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L), kept.toString)
   }
 
+  test("bigramSurprisal: hand-computed corpus-LM scores; short docs emit no row") {
+    // bt: (a,b)=2, (b,a)=1, (a,c)=1; ut: a=3, b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    def q(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val got = Quality
+      .bigramSurprisal(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((3L, -(2 * q(2.0 / 3) + q(1.0)))), 2L -> ((1L, -q(1.0 / 3)))), got.toString)
+    // doc 3 has one token -> no bigrams -> absent; the rarer-transition doc
+    // scores higher PER BIGRAM (the fluency signal)
+    assert(!got.contains(3L) && got(2L)._2 * got(1L)._1 > got(1L)._2 * got(2L)._1)
+  }
+
   test("importanceWeights: hand-computed add-1 smoothed DSIR scores") {
     // vocab: aa (cnt_r=2, cnt_t=2), bb (cnt_r=2, cnt_t=0); tot_r=4, tot_t=2, nv=2
     val docs = Seq((1L, "aa aa", "tgt"), (2L, "bb bb", "raw")).toDF("doc_id", "text", "source")
