@@ -75,7 +75,9 @@ object Bench {
         System.err.println(s"[bench] artifact written to $p")
       } catch { case _: java.io.IOException => () }
     }
-    spark.stop()
+    // A stop-time teardown exception must not eat the result line below.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     // The JSON line is the LAST thing on stdout — after spark.stop(), after
     // the artifact-file writes — so a consumer that captures only the tail
     // of stdout (the driver's round scrape truncated mid-map twice) always

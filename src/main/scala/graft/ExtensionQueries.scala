@@ -213,6 +213,22 @@ object ExtensionQueries {
     s"len(list_filter(toks, t -> t IN ($words)))"
   }
 
+  /** Unique temp dir for a query's persisted-index round-trip, with a
+    * recursive JVM-exit cleanup — repeated gate/bench runs must not
+    * accumulate index parquet in /tmp (the EventStream.writeTemp stance).
+    */
+  private def tempIndexDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.resolve("index").toString
+  }
+
   /** Per-label mean centroids over the embeddings table (float-cast means —
     * the q60 cross-engine avg rule): the deterministic codebook the
     * nearest-centroid queries (q90, q115) assign against.
@@ -1142,10 +1158,7 @@ object ExtensionQueries {
     "q118_stream_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val b = Hashing.hash64(concat(lit("sd:"), col("text"))) % 10
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_stream_dedup_index")
-        .resolve("index")
-        .toString
+      val path = tempIndexDir("graft_stream_dedup_index")
       Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 8), "doc_id", "text"), path)
       val idx = Dedup.loadDedupIndex(s, path).select(col("__h")).distinct().withColumn("__hit", lit(1))
       EventStream
@@ -1402,10 +1415,7 @@ object ExtensionQueries {
     "q112_dedup_index" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val b = Hashing.hash64(concat(lit("idx:"), col("text"))) % 10
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_dedup_index")
-        .resolve("index")
-        .toString
+      val path = tempIndexDir("graft_dedup_index")
       Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 7), "doc_id", "text"), path)
       Dedup
         .dedupIncrementWithIndex(Dedup.loadDedupIndex(s, path), docs.filter(b >= 7), "doc_id", "text")

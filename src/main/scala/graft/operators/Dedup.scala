@@ -552,18 +552,25 @@ object Dedup {
     index.write.mode("overwrite").parquet(path)
 
   /** Load a persisted dedup index, failing loudly on a schema mismatch
-    * (e.g. an index built with a different `k`).
+    * (e.g. an index built with a different `k`). The column SET must match
+    * exactly — extras are rejected, not ignored — and the result is
+    * re-selected into canonical column order, because the downstream union
+    * with the increment's index is positional: a reordered-but-same-set
+    * parquet would otherwise align `id` with `__h` silently.
     */
   def loadDedupIndex(spark: SparkSession, path: String, k: Int = 8): DataFrame = {
     val df = spark.read.parquet(path)
     val expected = Seq("id", "__h", "toks") ++ (0 until k).map(i => s"mh$i")
     val missing = expected.filterNot(df.columns.contains)
+    val extras = df.columns.filterNot(expected.contains)
     require(
-      missing.isEmpty,
-      s"loadDedupIndex: $path has columns ${df.columns.mkString(",")} — missing ${missing.mkString(",")} " +
+      missing.isEmpty && extras.isEmpty,
+      s"loadDedupIndex: $path has columns ${df.columns.mkString(",")} — " +
+        (if (missing.nonEmpty) s"missing ${missing.mkString(",")}; " else "") +
+        (if (extras.nonEmpty) s"unexpected ${extras.mkString(",")}; " else "") +
         s"(index built with a different k than $k?)",
     )
-    df
+    df.select(expected.map(col): _*)
   }
 
   /** Incremental dedup: from `incoming`, drop every doc that duplicates the
@@ -593,8 +600,19 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       minAgree: Int = 4,
+      checkDisjointIds: Boolean = true,
   ): DataFrame =
-    dedupIncrementWithIndex(buildDedupIndex(existing, idCol, textCol, k), incoming, idCol, textCol, k, bands, threshold, minAgree)
+    dedupIncrementWithIndex(
+      buildDedupIndex(existing, idCol, textCol, k),
+      incoming,
+      idCol,
+      textCol,
+      k,
+      bands,
+      threshold,
+      minAgree,
+      checkDisjointIds,
+    )
 
   /** [[dedupIncrement]] against a prebuilt/loaded existing-side index — the
     * steady-state form: the corpus pays its signature pass once, each
@@ -609,8 +627,9 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       minAgree: Int = 4,
+      checkDisjointIds: Boolean = true,
   ): DataFrame =
-    dedupIncrementCore(existingIndex, buildDedupIndex(incoming, idCol, textCol, k), k, bands, threshold, minAgree)
+    dedupIncrementCore(existingIndex, buildDedupIndex(incoming, idCol, textCol, k), k, bands, threshold, minAgree, checkDisjointIds)
       .withColumnRenamed("id", idCol)
 
   private def dedupIncrementCore(
@@ -620,15 +639,21 @@ object Dedup {
       bands: Int,
       threshold: Double,
       minAgree: Int,
+      checkDisjointIds: Boolean,
   ): DataFrame = {
-    // Disjoint-id contract, guarded loudly (one tiny id-only probe job —
-    // the jaccardPairs/assign pre-flight stance).
-    val shared = exIndex.select(col("id")).join(incIndex.select(col("id")), "id").limit(1).collect()
-    if (shared.nonEmpty) {
-      throw new IllegalStateException(
-        s"dedupIncrement: id '${shared.head.get(0)}' appears on BOTH sides — existing and incoming " +
-          "ids must be disjoint (a shared id makes the pair orientation and the drop set ambiguous)."
-      )
+    // Disjoint-id contract, guarded loudly. HONEST COST: this is an
+    // id-only equi-join of both sides (the ids shuffle even though limit(1)
+    // short-circuits the result stage) — at standing-pipeline scale where
+    // the id scheme guarantees disjointness by construction (e.g. crawl
+    // date in the id), pass checkDisjointIds = false and skip it.
+    if (checkDisjointIds) {
+      val shared = exIndex.select(col("id")).join(incIndex.select(col("id")), "id").limit(1).collect()
+      if (shared.nonEmpty) {
+        throw new IllegalStateException(
+          s"dedupIncrement: id '${shared.head.get(0)}' appears on BOTH sides — existing and incoming " +
+            "ids must be disjoint (a shared id makes the pair orientation and the drop set ambiguous)."
+        )
+      }
     }
     // One materialized side-tagged index feeds the banding, the verify, and
     // the exact-hash path — each side's md5 work runs exactly once.

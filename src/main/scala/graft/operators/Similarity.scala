@@ -205,7 +205,11 @@ object Similarity {
       threshold: Double,
       maxBlockRows: Long = 100000L,
   ): DataFrame = {
-    val assigned = IvfIndex.assign(df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+    // Materialize the assignment once: it feeds the block-size guard AND
+    // both self-join sides of the pairing — without this the corpus scan +
+    // argmax projection runs three times (correctness must not lean on
+    // optional ReuseExchange; same stance as bandedPairs).
+    val assigned = Lineage.truncate(IvfIndex.assign(df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol))
     val pairs = cosineNearDupPairs(assigned, idCol, vecCol, "centroid_id", threshold, maxBlockRows)
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }

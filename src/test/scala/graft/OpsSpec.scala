@@ -140,6 +140,11 @@ class OpsSpec extends SparkSpec {
     // loading with a mismatched k names the problem
     val eK = intercept[IllegalArgumentException](Dedup.loadDedupIndex(spark, dir, k = 16))
     assert(eK.getMessage.contains("mh8"), eK.getMessage)
+    // extra columns are rejected too (the downstream union is positional)
+    val dirX = Files.createTempDirectory("graft_dedup_idx_x").resolve("index").toString
+    Dedup.saveDedupIndex(idx.withColumn("junk", lit(1)), dirX)
+    val eX = intercept[IllegalArgumentException](Dedup.loadDedupIndex(spark, dirX))
+    assert(eX.getMessage.contains("junk"), eX.getMessage)
     // shared ids across sides fail loudly instead of mis-orienting pairs
     val eId = intercept[IllegalStateException](Dedup.dedupIncrement(ex, ex, "doc_id", "text"))
     assert(eId.getMessage.contains("BOTH sides"), eId.getMessage)
