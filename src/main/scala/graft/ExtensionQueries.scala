@@ -1116,6 +1116,16 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Hard-negative mining: per vector, the most-similar DIFFERENT-
+    //      label vector within its coarse cluster (the IVF-probe
+    //      approximation) — contrastive-training pair prep ----
+    "q120_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity
+        .hardNegatives(emb, "vec_id", "embedding", "label", labelCentroids(emb))
+        .orderBy("vec_id")
+    }),
+
     // ---- Quality-filter funnel: the q71 Gopher rules applied CUMULATIVELY
     //      with per-stage enter/pass/drop accounting — which rule costs the
     //      corpus what. ONE partial-aggregated scan ----
@@ -2658,6 +2668,25 @@ object ExtensionQueries {
     // Per-label mean centroid float-cast (the q60 cross-engine avg rule:
     // double avgs differ at ~1e-15, the FLOAT cast quantizes that away),
     // then argmax cosine with ties to the lowest label — q57's assignment.
+    // q90's centroid+argmax CTEs, then per-vector argmax over the
+    // DIFFERENT-label vectors of its cluster (ties to the lowest neg id).
+    "q120_hard_negatives" -> {
+      val pairCos = sqlCos.replace("a.embedding", "l.embedding").replace("b.embedding", "r.embedding")
+      s"""WITH dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+            m AS (SELECT label, pos, avg(CAST(embedding[pos + 1] AS DOUBLE)) AS mu
+                  FROM embeddings CROSS JOIN dims GROUP BY label, pos),
+            c AS (SELECT CAST(label AS INT) AS centroid_id,
+                         list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY pos) AS embedding
+                  FROM m GROUP BY label),
+            sc AS (SELECT a.vec_id, a.label, a.embedding, b.centroid_id,
+                          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.centroid_id) AS rn
+                   FROM embeddings a CROSS JOIN c b),
+            asg AS (SELECT vec_id, label, embedding, centroid_id FROM sc WHERE rn = 1),
+            p AS (SELECT l.vec_id, l.label, r.vec_id AS neg_id, $pairCos AS sim,
+                         ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY $pairCos DESC, r.vec_id) AS rn
+                  FROM asg l JOIN asg r ON l.centroid_id = r.centroid_id AND l.label <> r.label)
+          SELECT vec_id, label, neg_id, sim FROM p WHERE rn = 1 ORDER BY vec_id"""
+    },
     // q90's centroid+argmax CTEs, then within-cluster pairs (the pair
     // cosine is sqlCos re-aliased l/r) and the drop-non-minimal rule.
     "q115_semdedup" -> {

@@ -214,6 +214,66 @@ object Similarity {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * vector, the most-similar vector with a DIFFERENT label — the pairs
+    * that actually teach a model where its decision boundary is (easy
+    * random negatives carry no gradient signal). Mining is scoped to the
+    * vector's coarse cluster ([[IvfIndex.assign]] against the supplied
+    * codebook) — the standard IVF-probe approximation: a hard negative is
+    * by definition close, and close vectors share a coarse cell, so the
+    * within-cluster candidate set holds the true answer for every
+    * boundary-relevant vector while keeping the pair work Σ cluster²
+    * (guarded by `maxBlockRows`, the [[cosineNearDupPairs]] stance) instead
+    * of N².
+    *
+    * Deterministic: ties break to the LOWEST negative id; vectors whose
+    * cluster holds no other-label vector emit no row (their cell is pure —
+    * nothing boundary-relevant to mine).
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      centroids: DataFrame,
+      maxBlockRows: Long = 100000L,
+  ): DataFrame = {
+    // One materialized assignment feeds the guard and both join sides.
+    val assigned = Lineage.truncate(
+      IvfIndex
+        .assign(df.withColumn("__iv", struct(col(idCol), col(labelCol))), centroids, "__iv", vecCol)
+        .select(col("__iv")(idCol).as("id"), col("__iv")(labelCol).as("label"), col("centroid_id"), col(vecCol).as("vec"))
+    )
+    val oversized = assigned
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockRows)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      throw new IllegalStateException(
+        s"hardNegatives: cluster '${oversized.head.get(0)}' has ${oversized.head.getLong(1)} vectors " +
+          s"(> maxBlockRows=$maxBlockRows): within-cluster pairing would be quadratic. Train a finer " +
+          "codebook (more centroids), or raise maxBlockRows deliberately."
+      )
+    }
+    assigned
+      .as("l")
+      .join(
+        assigned.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") && col("l.label") =!= col("r.label"),
+      )
+      .withColumn("sim", cosine(col("l.vec"), col("r.vec")))
+      .withColumn(
+        "__rn",
+        row_number().over(
+          Window.partitionBy(col("l.id")).orderBy(col("sim").desc, col("r.id"))
+        ),
+      )
+      .filter(col("__rn") === 1)
+      .select(col("l.id").as(idCol), col("l.label").as(labelCol), col("r.id").as("neg_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs for UNLABELED corpora: the blocker is the
     * same deterministic hyperplane signature [[lshSignature]] the ANN path
     * uses (oracled by q50), so no data column is needed and the plan stays

@@ -314,6 +314,22 @@ class QualitySpec extends SparkSpec {
     assert(got(1L)._2 > 0 && got(2L)._2 < 0)
   }
 
+  test("hardNegatives: per-vector best other-label neighbor within its cluster; pure cells emit nothing") {
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "centroid")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.01f), "A"), // cluster 0
+      (2L, Seq(1.0f, 0.02f), "B"), // cluster 0 — mutual hard negative with 1
+      (3L, Seq(0.9f, 0.1f), "A"), // cluster 0 — its only B is 2
+      (4L, Seq(0.01f, 1.0f), "A"), // cluster 1 alone: pure cell -> no row
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .hardNegatives(emb, "vec_id", "embedding", "label", cents)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), got.toString)
+  }
+
   test("filterFunnel: cumulative stage accounting in one pass") {
     val docs = Seq("a", "bb", "ccc").toDF("text")
     val out = Quality
