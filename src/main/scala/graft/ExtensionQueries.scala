@@ -1116,6 +1116,25 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Chunk-level duplication fraction: q80's stride windows exact-
+    //      hashed across the corpus; per doc, what fraction of its chunks
+    //      appear elsewhere — the copy-paste/boilerplate containment
+    //      metric (C4's line-dedup signal at chunk granularity) ----
+    "q121_chunk_dup" -> ((s, d) => {
+      val ch = Quality
+        .chunkDocuments(t(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), Hashing.hash64(col("chunk")).as("__ch"))
+      val counts = ch.groupBy(col("__ch")).agg(count(lit(1)).as("__n"))
+      ch.join(counts, "__ch")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        )
+        .withColumn("dup_bp", expr("n_dup_chunks * 10000 div n_chunks"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Hard-negative mining: per vector, the most-similar DIFFERENT-
     //      label vector within its coarse cluster (the IVF-probe
     //      approximation) — contrastive-training pair prep ----
@@ -2722,6 +2741,22 @@ object ExtensionQueries {
                   FROM scored)
           SELECT CAST(label AS INT) AS label, centroid_id AS pred_label, COUNT(*) AS n
           FROM r WHERE rn = 1 GROUP BY label, centroid_id ORDER BY label, pred_label""",
+    // q80's chunk CTE verbatim, then corpus-wide chunk-hash counts and the
+    // per-doc duplicated-chunk fraction in integer basis points.
+    "q121_chunk_dup" ->
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+               c AS (SELECT doc_id, toks,
+                       CAST(floor((greatest(len(toks) - 8, 1) + 23.0) / 24) AS INT) AS nchunks
+                     FROM tl),
+               e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c),
+               ch AS (SELECT doc_id,
+                             ${sqlHash64("array_to_string(toks[24 * i + 1 : 24 * i + 32], ' ')")} AS h
+                      FROM e),
+               cc AS (SELECT h, COUNT(*) AS n FROM ch GROUP BY h)
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+                 CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+          FROM ch JOIN cc USING (h) GROUP BY doc_id ORDER BY doc_id""",
     "q80_chunk_documents" ->
       s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
                c AS (SELECT doc_id, toks,
