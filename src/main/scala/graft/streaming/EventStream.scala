@@ -537,8 +537,24 @@ object EventStream {
 
   private def writeTemp(df: DataFrame, name: String, singleFile: Boolean = false): String = {
     // unique per invocation — a fixed path would let concurrent runs
-    // overwrite each other's files mid-scan
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+    // overwrite each other's files mid-scan. The HARNESS scratch (this
+    // temp parquet exists only to drive a real microbatch source over
+    // batch data) prefers tmpfs: it is not what a production stream
+    // reads, and disk-backed /tmp made the streaming queries' bench
+    // numbers measure the machine's page cache instead of the plan
+    // (observed 2-4× run-to-run spread). `spark.graft.streamTempDir`
+    // overrides; fallback is the JVM temp dir.
+    val base = df.sparkSession.conf
+      .getOption("spark.graft.streamTempDir")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+    val dir = base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, s"graft_stream_$name")
+      case None => java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+    }
     (if (singleFile) df.coalesce(1) else df).write.mode("overwrite").parquet(dir.toString)
     registerDeleteOnExit(dir.toFile)
     dir.toString
