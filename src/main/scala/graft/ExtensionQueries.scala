@@ -1116,6 +1116,15 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Containment pairs: asymmetric |A∩B|/|A| over word-3-gram
+    //      shingle sets within source blocks — the excerpt/quote detector
+    //      (a short doc fully inside a long one is invisible to Jaccard;
+    //      shared 3-grams mean shared PHRASING, not shared vocab) ----
+    "q122_containment_pairs" -> ((s, d) =>
+      Dedup
+        .containmentPairs(t(s, d, "documents"), "doc_id", "text", "source", threshold = 0.8, shingleN = 3)
+        .orderBy("id_a", "id_b")),
+
     // ---- Chunk-level duplication fraction: q80's stride windows exact-
     //      hashed across the corpus; per doc, what fraction of its chunks
     //      appear elsewhere — the copy-paste/boilerplate containment
@@ -1616,6 +1625,24 @@ object ExtensionQueries {
           FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs FROM documents)
           WHERE len(hs) > 0
           ORDER BY doc_id""",
+    // q24's block self-join shape over DISTINCT word-trigram hash sets
+    // (q52's in-order gram formula + distinct), per-direction containment —
+    // emitted when EITHER direction clears the threshold; short docs drop.
+    "q122_containment_pairs" -> {
+      val gram = sqlHash64("array_to_string(tk[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+            t AS (SELECT doc_id, source,
+                    list_sort(list_distinct(list_transform(range(1, len(tk) - 1), i -> $gram))) AS toks
+                  FROM tok)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks) AS cont_a,
+            len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks) AS cont_b
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(a.toks) > 0 AND len(b.toks) > 0
+            AND greatest(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks),
+                         len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks)) >= 0.8
+          ORDER BY id_a, id_b"""
+    },
     "q24_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, source, $sqlToksHashed AS toks FROM documents)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -178,6 +178,75 @@ object Dedup {
   private def sizeRatioOk(sa: Column, sb: Column, threshold: Double): Column =
     least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb)
 
+  /** Asymmetric containment near-dup pairs within blocks:
+    * `C(A→B) = |A∩B| / |A|` — the EXCERPT/quote detector Jaccard
+    * structurally misses (a 50-token doc fully contained in a 5000-token
+    * doc has J ≈ 0.01 but C(small→big) = 1.0). A pair is emitted when
+    * EITHER direction's containment reaches `threshold`; both directions
+    * ride along so the caller can tell quote-of from quoted-by.
+    *
+    * `shingleN` sets the unit: 1 = unigram token sets (cheap, loose —
+    * dense-vocab corpora make almost everything contained); n > 1 = word
+    * n-gram shingle sets, the discriminative real-world form for quote
+    * detection (a shared 3-gram is evidence of shared PHRASING, not shared
+    * vocabulary). Docs with fewer than `shingleN` tokens have no shingles
+    * and emit no pairs.
+    *
+    * Same loud `maxBlockRows` block guard and plan shape as
+    * [[jaccardPairs]] (one materialized hashed-token projection, equi-join
+    * on the block key, zero-alloc merge intersect) — but NO size-ratio
+    * prefilter: size mismatch is exactly the signal here, so there is
+    * nothing sound to prune on. Dedup policy downstream is the caller's
+    * (typically: drop the contained side).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      threshold: Double,
+      maxBlockRows: Long = 100000L,
+      shingleN: Int = 1,
+  ): DataFrame = {
+    require(shingleN >= 1, s"containmentPairs: shingleN must be >= 1: $shingleN")
+    val oversized = df
+      .groupBy(col(blockCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockRows)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      val block = oversized.head.get(0)
+      val n = oversized.head.getLong(1)
+      throw new IllegalStateException(
+        s"containmentPairs: block '$block' of '$blockCol' has $n rows (> maxBlockRows=$maxBlockRows): " +
+          s"the within-block pairing would enumerate ~${n * n / 2} pairs. Shard the block column or " +
+          "raise maxBlockRows deliberately."
+      )
+    }
+    // Token array hoisted to an attribute BEFORE the n-gram transform —
+    // wordNgramHashesFromTokens' documented inlining trap.
+    val toks = df
+      .select(col(idCol).as("id"), col(blockCol).as("block"), TextAnalysis.wsTokens(col(textCol)).as("__t"))
+      .select(
+        col("id"),
+        col("block"),
+        (if (shingleN == 1) sort_array(array_distinct(transform(col("__t"), t => Hashing.hash64(t))))
+         else sort_array(array_distinct(TextAnalysis.wordNgramHashesFromTokens(col("__t"), shingleN))))
+          .as("toks"),
+      )
+    val inter = SortedIntersectCount.sortedIntersectCount(col("l.toks"), col("r.toks"))
+    toks
+      .as("l")
+      .join(toks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .withColumn("__i", inter)
+      .filter(size(col("l.toks")) > 0 && size(col("r.toks")) > 0)
+      .withColumn("cont_a", col("__i").cast("double") / size(col("l.toks")))
+      .withColumn("cont_b", col("__i").cast("double") / size(col("r.toks")))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** Verify candidate pairs: join hashed token sets back, keep pairs with
     * Jaccard >= threshold. Only candidates are joined — the full corpus is
     * never crossed; the shuffle carries fixed-width long arrays, not text.

@@ -168,6 +168,26 @@ class ScaleSpec extends SparkSpec {
     assert(ok.filter($"id_a" === 1 && $"id_b" === 2).count() == 1)
   }
 
+  test("containmentPairs: catches the excerpt Jaccard misses; oversized block fails loudly") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "s"), // long doc
+      (2L, "a b c", "s"), // fully contained excerpt: cont_b = 1.0 but jaccard = 0.3
+      (3L, "x y z", "s"),
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup
+      .containmentPairs(docs, "doc_id", "text", "source", threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 0.3, 1.0)), got.toString)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9).count() == 0)
+    val e = intercept[IllegalStateException](
+      Dedup.containmentPairs(docs, "doc_id", "text", "source", 0.5, maxBlockRows = 2)
+    )
+    assert(e.getMessage.contains("maxBlockRows"), e.getMessage)
+  }
+
   test("cooccurrenceEdges: oversized bucket fails loudly instead of running B² silently") {
     import graft.operators.Graph
     val acts = Seq((1L, "A", 1L), (2L, "A", 1L), (3L, "A", 1L), (1L, "B", 2L)).toDF("user", "et", "hr")
