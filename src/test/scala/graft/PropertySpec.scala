@@ -334,4 +334,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"trial $trial: stream ${got.size} sessions vs batch ${expected.size}")
     }
   }
+
+  test("containmentPairs dominates jaccardPairs on random corpora (C ≥ J pointwise)") {
+    // |A∩B|/min ≥ |A∩B|/|A∪B|, so every Jaccard pair must appear among the
+    // containment pairs at the same threshold — on ANY corpus.
+    import graft.operators.Dedup
+    val docGen = Gen.listOfN(6, Gen.choose(1, 8)).map(_.map(i => s"w$i").mkString(" "))
+    forAll(Gen.listOfN(8, docGen), 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }.toDF("doc_id", "text", "source")
+      val jac = Dedup
+        .jaccardPairs(docs, "doc_id", "text", "source", threshold = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val cont = Dedup
+        .containmentPairs(docs, "doc_id", "text", "source", threshold = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(jac.subsetOf(cont), s"jaccard-only pairs: ${jac.diff(cont)} on $texts")
+    }
+  }
+
+  test("triangleCounts: degree-ordered orientation matches brute force on random graphs") {
+    import graft.operators.Graph
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.filter(p => p._1 != p._2).distinct.toSet
+      val ns = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        a <- ns; b <- ns if a < b && es((a, b))
+        c <- ns if b < c && es((b, c)) && es((a, c))
+      } Seq(a, b, c).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1L)
+      counts.toMap
+    }
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    forAll(edgeGen, 6) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        val got = Graph
+          .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        assert(got == brute(edges), s"edges=$edges")
+      }
+    }
+  }
 }
