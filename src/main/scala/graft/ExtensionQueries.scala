@@ -1045,6 +1045,24 @@ object ExtensionQueries {
         .funnel(Tables.events(s, d), "user_id", "ts", "event_type", FunnelStages)
         .orderBy("stage")),
 
+    // ---- Last-touch attribution: each purchase credits the user's most
+    //      recent view/click within 7 days, else 'direct' — ONE user
+    //      exchange, two chained ignoreNulls windows, no log self-join ----
+    "q123_attribution" -> ((s, d) =>
+      EventAnalytics
+        .lastTouchAttribution(
+          Tables.events(s, d),
+          "user_id",
+          "ts",
+          "event_type",
+          "value",
+          "event_id",
+          touchTypes = Seq("view", "click"),
+          convType = "purchase",
+          windowMicros = 7L * 86400L * 1000000L,
+        )
+        .orderBy("channel")),
+
     // ---- Weekly retention cohorts: epoch-day integer buckets (no calendar
     //      semantics to mirror); cohort = first-event week per user ----
     "q84_retention" -> ((s, d) =>
@@ -2358,6 +2376,23 @@ object ExtensionQueries {
           SELECT w1, w2, cnt, CAST(rank AS INT) AS rank, (cnt * 1000000) // total AS p_scaled
           FROM r WHERE rank <= 3 ORDER BY w1, rank""",
     "q83_funnel" -> sqlFunnel(FunnelStages),
+    // Same (ts, event_id) total order as the Spark windows; IGNORE NULLS
+    // last_value mirrors last(..., ignoreNulls); value via DECIMAL(18,4).
+    "q123_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value
+                     FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+             t AS (SELECT *,
+                     last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+                     last_value(CASE WHEN event_type IN ('view', 'click') THEN us END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lus
+                   FROM e)
+          SELECT COALESCE(CASE WHEN lus IS NOT NULL AND us - lus <= 604800000000 THEN lt END,
+                          'direct') AS channel,
+                 COUNT(*) AS n_conversions, ${Tables.dsumSql("value")} AS total_value
+          FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
     // Epoch-day integer buckets: no calendar/timezone semantics to mirror.
     "q84_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -15,6 +15,54 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Last-touch attribution: each conversion event credits the user's most
+    * recent PRECEDING touch event (by strict event order) within
+    * `windowMicros`; conversions with no in-window touch credit
+    * `"direct"`. Returns per-channel conversion counts and attributed
+    * value — the marketing-analytics sibling of [[funnel]].
+    *
+    * Scale design: ONE user-keyed exchange — the last-touch type and time
+    * are two `last(..., ignoreNulls)` windows over the same
+    * `partitionBy(user)` sort (Catalyst chains them on one Exchange), the
+    * attribution is a projection, and the channel rollup is a tiny final
+    * aggregate. No self-join of the log. Total event order is (ts,
+    * event_id) so ties are deterministic; value sums go through the
+    * DECIMAL(18,4) accumulator rule.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      idCol: String,
+      touchTypes: Seq[String],
+      convType: String,
+      windowMicros: Long,
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType), "touchTypes must be non-empty and exclude convType")
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val w = Window
+      .partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(isTouch || col(typeCol) === convType)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__lt", last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__lus", last(when(isTouch, unix_micros(col(tsCol))), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(
+        coalesce(
+          when(col("__lus").isNotNull && col("__us") - col("__lus") <= windowMicros, col("__lt")),
+          lit("direct"),
+        ).as("channel"),
+        col(valueCol),
+      )
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"), graft.Tables.dsum(col(valueCol)).as("total_value"))
+  }
+
   /** Ordered funnel: for each user, stage i+1 counts only if an event of
     * stage i+1's type occurs STRICTLY AFTER the user's earliest completion
     * of stage i (the standard strictly-ordered funnel, not a bag-of-events

@@ -75,6 +75,26 @@ class RetrievalSpec extends SparkSpec {
     ))
   }
 
+  test("lastTouchAttribution: most recent in-window touch wins; stale or missing touch -> direct") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 10.0, 1L),
+      (1L, "click", ts("2024-01-01 11:00:00"), 0.0, 2L), // most recent touch before purchase
+      (1L, "purchase", ts("2024-01-02 09:00:00"), 50.0, 3L),
+      (2L, "view", ts("2024-01-01 10:00:00"), 0.0, 4L),
+      (2L, "purchase", ts("2024-01-09 11:00:00"), 20.0, 5L), // touch 8 days old -> direct
+      (3L, "purchase", ts("2024-01-01 10:00:00"), 5.0, 6L), // no touch at all -> direct
+    ).toDF("user_id", "event_type", "ts", "value", "event_id")
+    val got = EventAnalytics
+      .lastTouchAttribution(
+        ev, "user_id", "ts", "event_type", "value", "event_id",
+        touchTypes = Seq("view", "click"), convType = "purchase", windowMicros = 7L * 86400L * 1000000L,
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(("click", 1L, 50.0), ("direct", 2L, 25.0)), got.toString)
+  }
+
   test("funnel: strictly-ordered stages — out-of-order completion doesn't count") {
     val events = Seq(
       // u1 completes the full ordered funnel
