@@ -225,16 +225,20 @@ object Dedup {
       )
     }
     // Token array hoisted to an attribute BEFORE the n-gram transform —
-    // wordNgramHashesFromTokens' documented inlining trap.
-    val toks = df
-      .select(col(idCol).as("id"), col(blockCol).as("block"), TextAnalysis.wsTokens(col(textCol)).as("__t"))
-      .select(
-        col("id"),
-        col("block"),
-        (if (shingleN == 1) sort_array(array_distinct(transform(col("__t"), t => Hashing.hash64(t))))
-         else sort_array(array_distinct(TextAnalysis.wordNgramHashesFromTokens(col("__t"), shingleN))))
-          .as("toks"),
-      )
+    // wordNgramHashesFromTokens' documented inlining trap. The shingle
+    // projection is materialized ONCE: it feeds both self-join sides, and
+    // the n-gram md5 work must not run twice (the bandedPairs stance).
+    val toks = Lineage.truncate(
+      df
+        .select(col(idCol).as("id"), col(blockCol).as("block"), TextAnalysis.wsTokens(col(textCol)).as("__t"))
+        .select(
+          col("id"),
+          col("block"),
+          (if (shingleN == 1) sort_array(array_distinct(transform(col("__t"), t => Hashing.hash64(t))))
+           else sort_array(array_distinct(TextAnalysis.wordNgramHashesFromTokens(col("__t"), shingleN))))
+            .as("toks"),
+        )
+    )
     val inter = SortedIntersectCount.sortedIntersectCount(col("l.toks"), col("r.toks"))
     toks
       .as("l")
