@@ -216,16 +216,24 @@ object ExtensionQueries {
   /** Unique temp dir for a query's persisted-index round-trip, with a
     * recursive JVM-exit cleanup — repeated gate/bench runs must not
     * accumulate index parquet in /tmp (the EventStream.writeTemp stance).
+    * ONE shutdown hook drains a concurrent queue: registering a hook per
+    * invocation would leak a live Thread per gate-loop iteration.
     */
-  private def tempIndexDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  private val tempIndexDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tempIndexCleanup: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(dir.toFile)
+      tempIndexDirs.forEach(p => rm(p.toFile))
     }))
+  }
+
+  private def tempIndexDir(prefix: String): String = {
+    tempIndexCleanup
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempIndexDirs.add(dir)
     dir.resolve("index").toString
   }
 
@@ -1148,9 +1156,13 @@ object ExtensionQueries {
     //      appear elsewhere — the copy-paste/boilerplate containment
     //      metric (C4's line-dedup signal at chunk granularity) ----
     "q121_chunk_dup" -> ((s, d) => {
-      val ch = Quality
-        .chunkDocuments(t(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
-        .select(col("doc_id"), Hashing.hash64(col("chunk")).as("__ch"))
+      // materialized once: the chunk+md5 projection feeds BOTH the count
+      // aggregate and the join probe (no DataFrame CSE)
+      val ch = graft.operators.Lineage.truncate(
+        Quality
+          .chunkDocuments(t(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
+          .select(col("doc_id"), Hashing.hash64(col("chunk")).as("__ch"))
+      )
       val counts = ch.groupBy(col("__ch")).agg(count(lit(1)).as("__n"))
       ch.join(counts, "__ch")
         .groupBy(col("doc_id"))

@@ -12,6 +12,44 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Broadcast-head/shuffle-tail weighted scoring join — the shared Zipf
+    * pattern behind [[unigramSurprisal]], [[importanceWeights]], and
+    * [[bigramSurprisal]]: join each `(id, key…, __tf)` occurrence row to
+    * its key's weight, routing the top-`headK` keys (by `orderCol`)
+    * through a broadcast and only the tail occurrences through a shuffle
+    * join that has NO skewed keys left by construction (any key more
+    * frequent than the head's floor is in the head). Every occurrence
+    * takes exactly one path, so the union is the same multiset either way.
+    * Returns `(idCol, __s = weight·__tf, __tf)`; `weights` must be
+    * materialized by the caller — it feeds the head limit AND the tail
+    * join.
+    */
+  private def headTailScore(
+      tf: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      weights: DataFrame,
+      orderCol: String,
+      wCol: String,
+      headK: Int,
+  ): DataFrame = {
+    val head = broadcast(
+      weights
+        .orderBy(col(orderCol).desc +: keyCols.map(col): _*)
+        .limit(headK)
+        .select(keyCols.map(col) :+ col(wCol): _*)
+    )
+    val tagged = tf.join(head, keyCols, "left_outer")
+    val headHits =
+      tagged.filter(col(wCol).isNotNull).select(col(idCol), (col(wCol) * col("__tf")).as("__s"), col("__tf"))
+    val tailHits = tagged
+      .filter(col(wCol).isNull)
+      .select(col(idCol) +: keyCols.map(col) :+ col("__tf"): _*)
+      .join(weights.select(keyCols.map(col) :+ col(wCol): _*), keyCols)
+      .select(col(idCol), (col(wCol) * col("__tf")).as("__s"), col("__tf"))
+    headHits.unionAll(tailHits)
+  }
+
   /** Per-doc average surprisal under the corpus unigram distribution — the
     * perplexity-style quality gate (garbage text scores high, boilerplate
     * scores low).
@@ -60,16 +98,7 @@ object Quality {
         floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5).cast("long").as("lps"),
       )
       .transform(Lineage.truncate(_))
-    val head = broadcast(lp.orderBy(col("cnt").desc, col("token")).limit(headK).select(col("token"), col("lps")))
-    val tagged = tf.join(head, Seq("token"), "left_outer")
-    val headHits = tagged.filter(col("lps").isNotNull).select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
-    val tailHits = tagged
-      .filter(col("lps").isNull)
-      .select(col(idCol), col("token"), col("__tf"))
-      .join(lp.select(col("token"), col("lps")), Seq("token"))
-      .select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
-    headHits
-      .unionAll(tailHits)
+    headTailScore(tf, idCol, Seq("token"), lp, orderCol = "cnt", wCol = "lps", headK = headK)
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tokens"), sum(col("__s")).as("s"))
       .select(
@@ -129,18 +158,7 @@ object Quality {
         floor(log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5).cast("long").as("lps"),
       )
       .transform(Lineage.truncate(_))
-    val head = broadcast(
-      lp.orderBy(col("c12").desc, col("w1"), col("w2")).limit(headK).select(col("w1"), col("w2"), col("lps"))
-    )
-    val tagged = bf.join(head, Seq("w1", "w2"), "left_outer")
-    val headHits = tagged.filter(col("lps").isNotNull).select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
-    val tailHits = tagged
-      .filter(col("lps").isNull)
-      .select(col(idCol), col("w1"), col("w2"), col("__tf"))
-      .join(lp.select(col("w1"), col("w2"), col("lps")), Seq("w1", "w2"))
-      .select(col(idCol), (col("lps") * col("__tf")).as("__s"), col("__tf"))
-    headHits
-      .unionAll(tailHits)
+    headTailScore(bf, idCol, Seq("w1", "w2"), lp, orderCol = "c12", wCol = "lps", headK = headK)
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_bigrams"), (-sum(col("__s"))).as("surprisal_scaled"))
   }
@@ -193,16 +211,7 @@ object Quality {
           .as("w"),
       )
       .transform(Lineage.truncate(_))
-    val head = broadcast(w.orderBy(col("cnt_r").desc, col("token")).limit(headK).select(col("token"), col("w")))
-    val tagged = tf.join(head, Seq("token"), "left_outer")
-    val headHits = tagged.filter(col("w").isNotNull).select(col(idCol), (col("w") * col("__tf")).as("__s"), col("__tf"))
-    val tailHits = tagged
-      .filter(col("w").isNull)
-      .select(col(idCol), col("token"), col("__tf"))
-      .join(w.select(col("token"), col("w")), Seq("token"))
-      .select(col(idCol), (col("w") * col("__tf")).as("__s"), col("__tf"))
-    headHits
-      .unionAll(tailHits)
+    headTailScore(tf, idCol, Seq("token"), w, orderCol = "cnt_r", wCol = "w", headK = headK)
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tokens"), sum(col("__s")).as("score_scaled"))
   }
@@ -373,8 +382,11 @@ object Quality {
   def filterFunnel(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "filterFunnel: need at least one rule")
     val cums = rules.scanLeft(lit(true))((acc, r) => acc && r._2).tail
+    // coalesce: sum() over zero qualifying rows (empty corpus, or a
+    // predicate that is NULL for every row) is NULL in Spark but the
+    // CASE-WHEN mirror sums to 0 — pin the 0.
     val aggs = (count(lit(1)).as("__n") +:
-      cums.zipWithIndex.map { case (c, i) => sum(c.cast("long")).as(s"__p$i") })
+      cums.zipWithIndex.map { case (c, i) => coalesce(sum(c.cast("long")), lit(0L)).as(s"__p$i") })
     val one = docs.agg(aggs.head, aggs.tail: _*)
     val stages = rules.zipWithIndex.map { case ((name, _), i) =>
       struct(

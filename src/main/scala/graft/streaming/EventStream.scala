@@ -548,8 +548,14 @@ object EventStream {
       .getOption("spark.graft.streamTempDir")
       .map(java.nio.file.Paths.get(_))
       .orElse {
+        // auto-pick tmpfs only when it is PLAUSIBLY big enough — a default
+        // Docker /dev/shm is 64 MB and would fail mid-write where /tmp
+        // succeeds, so small tmpfs falls through to the JVM temp dir
         val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+        val bigEnough = java.nio.file.Files.isWritable(shm) &&
+          (try java.nio.file.Files.getFileStore(shm).getUsableSpace >= (8L << 30)
+           catch { case _: java.io.IOException => false })
+        if (bigEnough) Some(shm) else None
       }
     val dir = base match {
       case Some(b) => java.nio.file.Files.createTempDirectory(b, s"graft_stream_$name")
