@@ -1490,6 +1490,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Index lifecycle: build the corpus index, APPEND an accepted
+    //      increment's signatures (parquet append — cost is the increment,
+    //      not the corpus), then dedup the NEXT increment against the
+    //      updated index — must equal recomputing over the full corpus ----
+    "q124_index_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_upd")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.appendDedupIndex(Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 8), "doc_id", "text"), path)
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndex(s, path), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- Dangling-mass PageRank over the DIRECTED customer→supplier trade
     //      graph (suppliers are sinks): each round the dangling rank sum is
     //      redistributed to all nodes (dang div |V|, integer-exact) before
@@ -2683,6 +2698,25 @@ object ExtensionQueries {
     // The q105 mirror with the 'idx:' salt and a 70/30 split — the oracle
     // can't see the index round-trip (that's the point: results must be
     // IDENTICAL to recomputing), so the SQL is the same workflow shape.
+    // The oracle can't see the append — the point: build(b<5) + append
+    // (5<=b<8) must behave exactly like one index over b<8.
+    "q124_index_append" ->
+      s"""WITH ${sqlLshPairs("documents", 0.8)},
+            d AS (SELECT doc_id, ${sqlHash64("'upd:' || text")} % 10 AS bkt,
+                         ${sqlHash64("text")} AS h FROM documents),
+            ex AS (SELECT * FROM d WHERE bkt < 8),
+            inc AS (SELECT * FROM d WHERE bkt >= 8),
+            cp AS (SELECT p.id_a, p.id_b, da.bkt AS ba, db.bkt AS bb
+                   FROM lshp p JOIN d da ON p.id_a = da.doc_id
+                               JOIN d db ON p.id_b = db.doc_id),
+            dropn AS (SELECT id_a AS doc_id FROM cp WHERE ba >= 8 AND bb < 8
+                      UNION SELECT id_b FROM cp WHERE bb >= 8 AND ba < 8),
+            drope AS (SELECT i.doc_id FROM inc i
+                      JOIN (SELECT DISTINCT h FROM ex) e ON i.h = e.h)
+          SELECT doc_id FROM inc
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
+            AND doc_id NOT IN (SELECT doc_id FROM drope)
+          ORDER BY doc_id""",
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

@@ -624,6 +624,16 @@ object Dedup {
   def saveDedupIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  /** Append new docs' signatures to a persisted index — the
+    * end-of-batch step of the standing pipeline: after an increment is
+    * deduped and ACCEPTED, its signatures join the corpus index so the
+    * next batch dedups against it too. Parquet append (new files only —
+    * never rewrites the existing index), so the update cost is the
+    * increment's size, not the corpus's.
+    */
+  def appendDedupIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("append").parquet(path)
+
   /** Load a persisted dedup index, failing loudly on a schema mismatch
     * (e.g. an index built with a different `k`). The column SET must match
     * exactly — extras are rejected, not ignored — and the result is

@@ -148,5 +148,12 @@ class OpsSpec extends SparkSpec {
     // shared ids across sides fail loudly instead of mis-orienting pairs
     val eId = intercept[IllegalStateException](Dedup.dedupIncrement(ex, ex, "doc_id", "text"))
     assert(eId.getMessage.contains("BOTH sides"), eId.getMessage)
+    // append: build(A) + append(B) loads as exactly index(A ∪ B)
+    val more = Seq((20L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
+    Dedup.appendDedupIndex(Dedup.buildDedupIndex(more, "doc_id", "text"), dir)
+    assert(
+      Dedup.loadDedupIndex(spark, dir).collect().toSet ==
+        (idx.collect().toSet ++ Dedup.buildDedupIndex(more, "doc_id", "text").collect().toSet)
+    )
   }
 }
