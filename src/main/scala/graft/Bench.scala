@@ -75,14 +75,26 @@ object Bench {
         System.err.println(s"[bench] artifact written to $p")
       } catch { case _: java.io.IOException => () }
     }
-    // A stop-time teardown exception must not eat the result line below.
+    // A stop-time teardown exception must not eat the result lines below —
+    // but only a NON-fatal one: an OutOfMemoryError here means the run is
+    // broken and must not print a success-looking summary.
     try spark.stop()
-    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    // The JSON line is the LAST thing on stdout — after spark.stop(), after
-    // the artifact-file writes — so a consumer that captures only the tail
-    // of stdout (the driver's round scrape truncated mid-map twice) always
-    // sees the complete line. Everything else above goes to stderr.
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    // Two stdout lines, full map FIRST, compact summary LAST. The full
+    // per-query line outgrew the driver's tail-capture buffer at 124 queries
+    // (three rounds of parsed:null artifacts), so the LAST line — the one a
+    // tail scrape is guaranteed to see whole — is a short fixed-size summary
+    // (~150 bytes), and the full map rides on the preceding line plus the
+    // file artifacts above for anything that wants per-query times.
     println(line)
+    // Error VALUES here are exception class names only — full messages are
+    // on the preceding line and in the file artifacts; keeping the last line
+    // bounded matters more than inlining 200-char messages into it.
+    val errNames = errors.map { case (k, v) => s"\"" + k + "\":\"" + v.takeWhile(_ != ':') + "\"" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errNames,"sf":"$sfDir"}"""
+    println(compact)
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")
       sys.exit(1)

@@ -230,10 +230,25 @@ object ExtensionQueries {
     }))
   }
 
+  /** One temp dir PER PREFIX, reused across invocations: a gate loop
+    * re-running the index queries in one JVM would otherwise accumulate a
+    * fresh index parquet dir per round until shutdown. Reuse is safe
+    * because every user starts with a mode("overwrite") save; the shutdown
+    * hook stays as the backstop cleanup.
+    */
+  private val tempIndexDirByPrefix =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   private def tempIndexDir(prefix: String): String = {
     tempIndexCleanup
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    tempIndexDirs.add(dir)
+    val dir = tempIndexDirByPrefix.computeIfAbsent(
+      prefix,
+      _ => {
+        val d = java.nio.file.Files.createTempDirectory(prefix)
+        tempIndexDirs.add(d)
+        d
+      },
+    )
     dir.resolve("index").toString
   }
 

@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pre-flight loud-fail shared by the bucket-scoped pairing surfaces: if
+    * any group of `keyCols` in `keyed` exceeds `maxRows`, throw with the
+    * operator's own message instead of silently running a quadratic
+    * within-group join. One count-aggregate job over the (usually already
+    * materialized) keyed projection — the price of never discovering a B²
+    * blowup from a hung stage.
+    */
+  private def requireBoundedGroups(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      maxRows: Long,
+      msg: (String, Long) => String,
+  ): Unit = {
+    val oversized = keyed
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxRows)
+      .limit(1)
+      .collect()
+    if (oversized.nonEmpty) {
+      val key = keyCols.indices.map(i => oversized.head.get(i)).mkString(", ")
+      throw new IllegalStateException(msg(key, oversized.head.getLong(keyCols.length)))
+    }
+  }
+
   /** Exact dedup: one survivor (min id) per distinct value of `keyCol`.
     * Returns (key-hash, n_copies, survivor id). Group on the md5-derived
     * 60-bit hash, not the raw text — the shuffle carries 8-byte long keys.
@@ -527,11 +552,41 @@ object Dedup {
     * distance <= maxDist. At scale use [[simhashPairsRotated]] — multiple
     * rotated prefixes recover the pairs whose differing bits happen to
     * land in the single prefix.
+    *
+    * The signature projection is materialized ONCE (it feeds the guard and
+    * both self-join sides — the simhash over full text must not run three
+    * times), and any prefix bucket larger than `maxBucketRows` fails loudly
+    * before the join (the [[jaccardPairs]] `maxBlockRows` stance): a
+    * boilerplate-heavy corpus collapses into few buckets and the within-
+    * bucket join silently goes B² otherwise. Raise `prefixBits` (more,
+    * smaller buckets) or `maxBucketRows` deliberately.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, bits: Int = 16, prefixBits: Int = 6, maxDist: Int = 3): DataFrame = {
-    val sigs = withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
-      .select(col(idCol).as("id"), col("simhash").as("sim"))
-    val bucketed = sigs.withColumn("bucket", shiftright(col("sim"), bits - prefixBits))
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      prefixBits: Int = 6,
+      maxDist: Int = 3,
+      maxBucketRows: Long = 100000L,
+  ): DataFrame = {
+    val bucketed = Lineage.truncate(
+      withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
+        .select(
+          col(idCol).as("id"),
+          col("simhash").as("sim"),
+          shiftright(col("simhash"), bits - prefixBits).as("bucket"),
+        )
+    )
+    requireBoundedGroups(
+      bucketed,
+      Seq("bucket"),
+      maxBucketRows,
+      (bucket, n) =>
+        s"simhashPairs: prefix bucket $bucket has $n rows (> maxBucketRows=$maxBucketRows): " +
+          s"the within-bucket pairing would enumerate ~${n * n / 2} pairs. Raise prefixBits " +
+          "(more, smaller buckets) or raise maxBucketRows deliberately.",
+    )
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
@@ -550,7 +605,9 @@ object Dedup {
     * FIRST agreeing rotation — no multi-million-row DISTINCT shuffle. The
     * signature projection is computed once (checkpoint — the self-join must
     * not lean on optional ReuseExchange); the join shuffles
-    * (id, sim, `rotations` buckets), never text.
+    * (id, sim, `rotations` buckets), never text. Any per-(rotation, bucket)
+    * group larger than `maxBucketRows` fails loudly before the join (the
+    * [[simhashPairs]] guard, applied per rotation).
     */
   def simhashPairsRotated(
       df: DataFrame,
@@ -560,6 +617,7 @@ object Dedup {
       prefixBits: Int = 6,
       maxDist: Int = 3,
       rotations: Int = 2,
+      maxBucketRows: Long = 100000L,
   ): DataFrame = {
     require(rotations >= 1 && rotations <= bits, s"rotations must be in [1, $bits]: $rotations")
     val mask = (1L << bits) - 1
@@ -575,6 +633,19 @@ object Dedup {
     val banded = sigs.select(
       col("id") +: col("sim") +: (0 until rotations).map(r => col(s"b$r")) :+
         explode(array((0 until rotations).map(r => struct(lit(r).as("rot"), col(s"b$r").as("bucket"))): _*)).as("rb"): _*
+    )
+    // Guard the largest per-(rotation, bucket) group: every rotation's
+    // bucketing pairs within its own buckets, so ONE collapsed rotation is
+    // enough to go B². Counts run over the truncated signature projection —
+    // the simhash itself is not recomputed.
+    requireBoundedGroups(
+      banded.select(col("rb.rot").as("rot"), col("rb.bucket").as("bucket")),
+      Seq("rot", "bucket"),
+      maxBucketRows,
+      (key, n) =>
+        s"simhashPairsRotated: (rot, bucket) group ($key) has $n rows (> maxBucketRows=$maxBucketRows): " +
+          s"that rotation's within-bucket pairing would enumerate ~${n * n / 2} pairs. Raise prefixBits " +
+          "(more, smaller buckets) or raise maxBucketRows deliberately.",
     )
     val firstRotationOnly = (0 until rotations)
       .map { r =>
@@ -624,15 +695,52 @@ object Dedup {
   def saveDedupIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  private def indexColumns(k: Int): Seq[String] =
+    Seq("id", "__h", "toks") ++ (0 until k).map(i => s"mh$i")
+
+  /** The loud column-set check shared by [[loadDedupIndex]] and
+    * [[appendDedupIndex]]: exact set match against the canonical `k`-wide
+    * shape — extras are rejected, not ignored.
+    */
+  private def requireIndexColumns(context: String, actual: Seq[String], k: Int): Unit = {
+    val expected = indexColumns(k)
+    val missing = expected.filterNot(actual.contains)
+    val extras = actual.filterNot(expected.contains)
+    require(
+      missing.isEmpty && extras.isEmpty,
+      s"$context: columns ${actual.mkString(",")} — " +
+        (if (missing.nonEmpty) s"missing ${missing.mkString(",")}; " else "") +
+        (if (extras.nonEmpty) s"unexpected ${extras.mkString(",")}; " else "") +
+        s"(index built with a different k than $k?)",
+    )
+  }
+
   /** Append new docs' signatures to a persisted index — the
     * end-of-batch step of the standing pipeline: after an increment is
     * deduped and ACCEPTED, its signatures join the corpus index so the
     * next batch dedups against it too. Parquet append (new files only —
     * never rewrites the existing index), so the update cost is the
     * increment's size, not the corpus's.
+    *
+    * The appended frame's column set is validated against the STORED
+    * index's before any file is written: [[loadDedupIndex]]'s own check
+    * inspects a single parquet footer, so a different-`k` append would
+    * otherwise produce heterogeneous files whose missing mh columns read
+    * back as NULLs — silently excluded from the near-dup path (silent
+    * under-dedup, the worst failure mode an index can have).
+    *
+    * Append forever and the index degrades to file-listing-bound loads:
+    * run [[compactDedupIndex]] on the cadence the batch count dictates.
     */
-  def appendDedupIndex(index: DataFrame, path: String): Unit =
+  def appendDedupIndex(index: DataFrame, path: String): Unit = {
+    val k = index.columns.count(_.startsWith("mh"))
+    requireIndexColumns(s"appendDedupIndex: incoming frame for $path", index.columns.toSeq, k)
+    val stored =
+      try Some(index.sparkSession.read.parquet(path).columns.toSeq)
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // first write: append creates
+    stored.foreach(requireIndexColumns(s"appendDedupIndex: stored index at $path", _, k))
     index.write.mode("append").parquet(path)
+  }
 
   /** Load a persisted dedup index, failing loudly on a schema mismatch
     * (e.g. an index built with a different `k`). The column SET must match
@@ -643,17 +751,42 @@ object Dedup {
     */
   def loadDedupIndex(spark: SparkSession, path: String, k: Int = 8): DataFrame = {
     val df = spark.read.parquet(path)
-    val expected = Seq("id", "__h", "toks") ++ (0 until k).map(i => s"mh$i")
-    val missing = expected.filterNot(df.columns.contains)
-    val extras = df.columns.filterNot(expected.contains)
-    require(
-      missing.isEmpty && extras.isEmpty,
-      s"loadDedupIndex: $path has columns ${df.columns.mkString(",")} — " +
-        (if (missing.nonEmpty) s"missing ${missing.mkString(",")}; " else "") +
-        (if (extras.nonEmpty) s"unexpected ${extras.mkString(",")}; " else "") +
-        s"(index built with a different k than $k?)",
-    )
-    df.select(expected.map(col): _*)
+    requireIndexColumns(s"loadDedupIndex: $path", df.columns.toSeq, k)
+    df.select(indexColumns(k).map(col): _*)
+  }
+
+  /** Compact an append-accumulated index in place: read (schema-checked),
+    * coalesce to `targetFiles`, rewrite, atomic-swap. A daily
+    * [[appendDedupIndex]] cadence otherwise accumulates thousands of small
+    * parquet files and every [[loadDedupIndex]] degrades to
+    * file-listing-bound — compaction cost is one linear rewrite of the
+    * index (fixed-width longs, no text), amortized over the batches since
+    * the last one.
+    *
+    * Swap discipline: the compacted copy is fully written to a sibling tmp
+    * dir BEFORE any rename; the old index is moved aside, the tmp renamed
+    * in, and the old copy deleted only after — on a failed second rename
+    * the original is restored, so no failure mode leaves the path empty.
+    * (Directory rename is atomic on HDFS and POSIX; on object stores it is
+    * copy-based — run compaction from a single writer there, which a
+    * standing pipeline's end-of-batch step already is.)
+    */
+  def compactDedupIndex(spark: SparkSession, path: String, k: Int = 8, targetFiles: Int = 8): Unit = {
+    require(targetFiles >= 1, s"compactDedupIndex: targetFiles must be >= 1: $targetFiles")
+    val idx = loadDedupIndex(spark, path, k)
+    val tmp = path + ".compacting"
+    val bak = path + ".precompact"
+    idx.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(hp(bak), true)
+    if (!fs.rename(hp(path), hp(bak)))
+      throw new IllegalStateException(s"compactDedupIndex: could not move $path aside to $bak")
+    if (!fs.rename(hp(tmp), hp(path))) {
+      fs.rename(hp(bak), hp(path))
+      throw new IllegalStateException(s"compactDedupIndex: could not move $tmp into place; original restored")
+    }
+    fs.delete(hp(bak), true): Unit
   }
 
   /** Incremental dedup: from `incoming`, drop every doc that duplicates the

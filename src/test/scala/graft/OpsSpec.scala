@@ -155,5 +155,44 @@ class OpsSpec extends SparkSpec {
       Dedup.loadDedupIndex(spark, dir).collect().toSet ==
         (idx.collect().toSet ++ Dedup.buildDedupIndex(more, "doc_id", "text").collect().toSet)
     )
+    // a different-k append is refused BEFORE writing (heterogeneous files
+    // would read back with NULL mh columns -> silent under-dedup)
+    val eA = intercept[IllegalArgumentException](
+      Dedup.appendDedupIndex(Dedup.buildDedupIndex(more, "doc_id", "text", k = 4), dir)
+    )
+    assert(eA.getMessage.contains("appendDedupIndex") && eA.getMessage.contains("mh4"), eA.getMessage)
+  }
+
+  test("compactDedupIndex: file count drops, dedup output identical, swap leaves no debris") {
+    import graft.operators.Dedup
+    val docs = (1L to 40L).map(i => (i, s"document number $i with shared filler words")).toDF("doc_id", "text")
+    val inc = Seq(
+      (101L, "document number 7 with shared filler words"), // near/exact dup of 7
+      (102L, "an entirely novel zebra sentence"),
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_dedup_cmp").resolve("index").toString
+    // ten appended batches -> many small files
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 4), "doc_id", "text"), dir)
+    (1 to 9).foreach { b =>
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter($"doc_id" > b * 4 && $"doc_id" <= (b + 1) * 4), "doc_id", "text"),
+        dir,
+      )
+    }
+    def parquetFiles() = Option(new java.io.File(dir).listFiles()).get.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 10, s"expected >=10 files from 10 writes, got $before")
+    val preCompact = Dedup.loadDedupIndex(spark, dir).collect().toSet
+    val preDedup = Dedup.dedupIncrementWithIndex(Dedup.loadDedupIndex(spark, dir), inc, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    Dedup.compactDedupIndex(spark, dir, targetFiles = 1)
+    assert(parquetFiles() == 1, s"expected 1 file post-compaction, got ${parquetFiles()}")
+    assert(Dedup.loadDedupIndex(spark, dir).collect().toSet == preCompact) // compaction is content-lossless
+    val postDedup = Dedup.dedupIncrementWithIndex(Dedup.loadDedupIndex(spark, dir), inc, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(postDedup == preDedup && postDedup == Set(102L), s"pre=$preDedup post=$postDedup")
+    // no stray swap dirs left behind
+    val siblings = Option(new java.io.File(dir).getParentFile.listFiles()).get.map(_.getName).toSet
+    assert(!siblings.exists(n => n.contains("compacting") || n.contains("precompact")), siblings.toString)
   }
 }

@@ -188,6 +188,23 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBlockRows"), e.getMessage)
   }
 
+  test("simhashPairs + rotated: low-entropy corpus collapsing into one bucket fails loudly") {
+    import graft.operators.Dedup
+    // identical boilerplate text -> identical simhash -> ONE prefix bucket
+    val docs = (1L to 4L).map(i => (i, "the same boilerplate text")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxBucketRows = 3)
+    )
+    assert(e.getMessage.contains("maxBucketRows") && e.getMessage.contains("simhashPairs"), e.getMessage)
+    val er = intercept[IllegalStateException](
+      Dedup.simhashPairsRotated(docs, "doc_id", "text", rotations = 2, maxBucketRows = 3)
+    )
+    assert(er.getMessage.contains("maxBucketRows") && er.getMessage.contains("rot"), er.getMessage)
+    // under the cap the same calls run and still find all 6 identical pairs
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", maxBucketRows = 4).count() == 6)
+    assert(Dedup.simhashPairsRotated(docs, "doc_id", "text", rotations = 2, maxBucketRows = 4).count() == 6)
+  }
+
   test("cooccurrenceEdges: oversized bucket fails loudly instead of running B² silently") {
     import graft.operators.Graph
     val acts = Seq((1L, "A", 1L), (2L, "A", 1L), (3L, "A", 1L), (1L, "B", 2L)).toDF("user", "et", "hr")
