@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
+import graft.operators.{AsOfJoin, Assemble, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1157,6 +1157,18 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- SemDeDup, representative keep policy: same qualifying pairs as
+    //      q115, but survivors are chosen per CONNECTED COMPONENT of the
+    //      pair graph (the centroid-nearest member) instead of dropping
+    //      every id_b — the paper policy; A~B~C chains keep exactly one ----
+    "q125_semdedup_rep" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity
+        .semDedup(emb, "vec_id", "embedding", labelCentroids(emb), threshold = 0.35, representative = true)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
     // ---- Containment pairs: asymmetric |A∩B|/|A| over word-3-gram
     //      shingle sets within source blocks — the excerpt/quote detector
     //      (a short doc fully inside a long one is invisible to Jaccard;
@@ -1517,6 +1529,30 @@ object ExtensionQueries {
       Dedup.appendDedupIndex(Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 8), "doc_id", "text"), path)
       Dedup
         .dedupIncrementWithIndex(Dedup.loadDedupIndex(s, path), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Capstone composition: quality gate → incremental dedup against
+    //      the existing corpus → decontamination vs a benchmark slice →
+    //      deterministic split, all through Assemble.assembleCorpus in ONE
+    //      plan — the production shape the pipeline operators exist for ----
+    "q126_assemble_corpus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("cap:"), col("text"))) % 10
+      val toks = TextAnalysis.wsTokens(col("text"))
+      Assemble
+        .assembleCorpus(
+          existing = docs.filter(b < 8),
+          incoming = docs.filter(b >= 8),
+          evalSet = docs.filter(col("doc_id") % 97 === 0),
+          idCol = "doc_id",
+          textCol = "text",
+          rules = Seq(
+            "min_chars" -> (length(col("text")) >= 100),
+            "repetition" ->
+              ((lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)) <= 0.65),
+          ),
+        )
         .orderBy("doc_id")
     }),
 
@@ -2713,6 +2749,48 @@ object ExtensionQueries {
     // The q105 mirror with the 'idx:' salt and a 70/30 split — the oracle
     // can't see the index round-trip (that's the point: results must be
     // IDENTICAL to recomputing), so the SQL is the same workflow shape.
+    // Capstone mirror, stage for stage: the q49 quality gate over the
+    // 'cap:' incoming buckets, the q124 cross-side LSH + exact-hash drop
+    // rules against the existing buckets, the q52 3-gram decontamination
+    // against the doc_id%97 benchmark slice, the q70 split rule. Every CTE
+    // is a helper/pattern an individually-oracled query already uses — the
+    // composition is the only new thing under test.
+    "q126_assemble_corpus" -> {
+      val gram = sqlHash64("array_to_string(toks[i:i+2], ' ')")
+      s"""WITH d AS (SELECT doc_id, text, ${sqlHash64("'cap:' || text")} % 10 AS bkt,
+                            ${sqlHash64("text")} AS h FROM documents),
+            gate AS (SELECT doc_id, text, h FROM d
+                     WHERE bkt >= 8 AND length(text) >= 100
+                       AND 1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                                 / len(string_split_regex(trim(text), '\\s+')) <= 0.65),
+            ex AS (SELECT doc_id, text, h FROM d WHERE bkt < 8),
+            dd AS (SELECT doc_id, text FROM ex UNION ALL SELECT doc_id, text FROM gate),
+            ${sqlLshPairs("dd", 0.8)},
+            cp AS (SELECT p.id_a, p.id_b, da.bkt AS ba, db.bkt AS bb
+                   FROM lshp p JOIN d da ON p.id_a = da.doc_id
+                               JOIN d db ON p.id_b = db.doc_id),
+            dropn AS (SELECT id_a AS doc_id FROM cp WHERE ba >= 8 AND bb < 8
+                      UNION SELECT id_b FROM cp WHERE bb >= 8 AND ba < 8),
+            drope AS (SELECT g.doc_id FROM gate g
+                      JOIN (SELECT DISTINCT h FROM ex) e ON g.h = e.h),
+            kept AS (SELECT doc_id, text FROM gate
+                     WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
+                       AND doc_id NOT IN (SELECT doc_id FROM drope)),
+            ktok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM kept),
+            kng AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS gh
+                    FROM ktok),
+            etok AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+                     WHERE doc_id % 97 = 0),
+            eng AS (SELECT DISTINCT gh FROM (SELECT unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS gh
+                                             FROM etok)),
+            contaminated AS (SELECT DISTINCT kng.doc_id FROM kng JOIN eng ON kng.gh = eng.gh)
+          SELECT k.doc_id,
+                 CASE WHEN ${sqlHash64("k.text")} % 100 < 80 THEN 'train'
+                      WHEN ${sqlHash64("k.text")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM kept k WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          ORDER BY k.doc_id"""
+    },
     // The oracle can't see the append — the point: build(b<5) + append
     // (5<=b<8) must behave exactly like one index over b<8.
     "q124_index_append" ->
@@ -2828,6 +2906,35 @@ object ExtensionQueries {
                          ROW_NUMBER() OVER (PARTITION BY l.vec_id ORDER BY $pairCos DESC, r.vec_id) AS rn
                   FROM asg l JOIN asg r ON l.centroid_id = r.centroid_id AND l.label <> r.label)
           SELECT vec_id, label, neg_id, sim FROM p WHERE rn = 1 ORDER BY vec_id"""
+    },
+    // q115's centroid/assignment/pair CTEs, then the REPRESENTATIVE keep
+    // policy: recursive min-label closure over the pair graph (q45's cc
+    // shape), one survivor per component = max sim-to-own-centroid, ties
+    // to the lowest vec_id (mirrors the Spark window exactly).
+    "q125_semdedup_rep" -> {
+      val pairCos = sqlCos.replace("a.embedding", "l.embedding").replace("b.embedding", "r.embedding")
+      s"""WITH RECURSIVE
+            dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+            m AS (SELECT label, pos, avg(CAST(embedding[pos + 1] AS DOUBLE)) AS mu
+                  FROM embeddings CROSS JOIN dims GROUP BY label, pos),
+            c AS (SELECT CAST(label AS INT) AS centroid_id,
+                         list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY pos) AS embedding
+                  FROM m GROUP BY label),
+            sc AS (SELECT a.vec_id, a.label, a.embedding, b.centroid_id, $sqlCos AS sim,
+                          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.centroid_id) AS rn
+                   FROM embeddings a CROSS JOIN c b),
+            asg AS (SELECT vec_id, label, embedding, centroid_id, sim FROM sc WHERE rn = 1),
+            p AS (SELECT l.vec_id AS src, r.vec_id AS dst FROM asg l JOIN asg r
+                  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+                  WHERE $pairCos >= 0.35),
+            ${sqlCcFromPairs("p")},
+            comp AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+            rnk AS (SELECT a.vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY cm.comp ORDER BY a.sim DESC, a.vec_id) AS rrn
+                    FROM asg a JOIN comp cm ON a.vec_id = cm.node)
+          SELECT vec_id, label FROM asg
+          WHERE vec_id NOT IN (SELECT vec_id FROM rnk WHERE rrn > 1)
+          ORDER BY vec_id"""
     },
     // q90's centroid+argmax CTEs, then within-cluster pairs (the pair
     // cosine is sqlCos re-aliased l/r) and the drop-non-minimal rule.

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus assembly — the production shape of the LLM-pipeline
+  * operators composed in ONE plan: quality gate → incremental dedup against
+  * the existing corpus → decontamination against an eval/benchmark set →
+  * deterministic train/val/test split. Each stage is the engine's own
+  * operator ([[Quality.filterFunnel]]'s rule semantics, [[Dedup.dedupIncrement]],
+  * [[Decontaminate.overlaps]], the content-hash split rule), so the
+  * composition can't drift from the individually-oracled pieces.
+  */
+object Assemble {
+
+  /** Assemble an accepted-increment table: from `incoming`, keep docs that
+    * pass every quality `rule` (the same cumulative-AND semantics
+    * [[Quality.filterFunnel]] accounts for — run the funnel on the same rule
+    * list for the per-rule drop report), survive [[Dedup.dedupIncrement]]
+    * against `existing`, and share no word `decontamN`-gram with `evalSet`;
+    * each surviving doc is assigned its deterministic content-hash split
+    * (`trainPct`/`valPct`/rest, the q70 rule — reproducible on any engine,
+    * no RNG state). Returns `(idCol, split)`.
+    *
+    * Scale design: the gated increment is materialized ONCE and feeds the
+    * dedup signature build, the decontamination gram explode, and the final
+    * split projection (three consumers — no DataFrame CSE); the
+    * dedup-survivor increment is materialized once for the same reason
+    * (decontamination consumes its corpus side twice). `existing` is
+    * consumed exactly once (inside the dedup union's own barrier), and
+    * `evalSet` once (its distinct gram hashes broadcast). Nothing in the
+    * composition re-scans a side an operator already materialized — the
+    * plan-level proof is in PlanSpec.
+    */
+  def assembleCorpus(
+      existing: DataFrame,
+      incoming: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: Seq[(String, Column)],
+      dedupThreshold: Double = 0.8,
+      decontamN: Int = 3,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      checkDisjointIds: Boolean = true,
+  ): DataFrame = {
+    require(rules.nonEmpty, "assembleCorpus: need at least one quality rule")
+    require(
+      trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"assembleCorpus: train/val percentages must fit in 100: $trainPct/$valPct",
+    )
+    val gate = rules.map(_._2).reduce(_ && _)
+    val gated = Lineage.truncate(
+      incoming.select(col(idCol), col(textCol)).filter(gate)
+    )
+    val keptIds = Dedup.dedupIncrement(
+      existing.select(col(idCol), col(textCol)),
+      gated,
+      idCol,
+      textCol,
+      threshold = dedupThreshold,
+      checkDisjointIds = checkDisjointIds,
+    )
+    val kept = Lineage.truncate(gated.join(keptIds, Seq(idCol), "left_semi"))
+    val clean = Decontaminate
+      .overlaps(kept, evalSet, idCol, textCol, decontamN)
+      .filter(col("is_contaminated") === 0)
+      .select(col(idCol))
+    val bucket = Hashing.hash64(col(textCol)) % 100
+    kept
+      .join(clean, Seq(idCol), "left_semi")
+      .select(
+        col(idCol),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test")
+          .as("split"),
+      )
+  }
+}

@@ -190,13 +190,13 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol)
-    val deg = e
-      .select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node")))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("degree"))
+    // ONE materialized degree table serves the output's degree column AND
+    // the orientation joins inside triangleCountsOf — the aggregation over
+    // the full edge set must not run twice (no DataFrame CSE).
+    val deg = degreesOf(e)
     deg
-      .join(triangleCountsOf(e), Seq("node"), "left_outer")
+      .select(col("node"), col("__d").as("degree"))
+      .join(triangleCountsOf(e, Some(deg)), Seq("node"), "left_outer")
       .select(
         col("node"),
         col("degree"),
@@ -270,15 +270,22 @@ object Graph {
         .distinct()
     )
 
-  private def triangleCountsOf(e: DataFrame): DataFrame = {
-    // Degree table feeds both endpoint joins — materialize once (no
-    // DataFrame CSE: two consumers would re-run the aggregation).
-    val deg = Lineage.truncate(
+  /** Degree per node of a canonical edge set, materialized
+    * ([[Lineage.truncate]]) — it always feeds at least two joins.
+    */
+  private def degreesOf(e: DataFrame): DataFrame =
+    Lineage.truncate(
       e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("__d"))
     )
+
+  private def triangleCountsOf(e: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+    // Degree table feeds both endpoint joins — materialize once (no
+    // DataFrame CSE: two consumers would re-run the aggregation); callers
+    // that already have it pass it in rather than re-aggregating.
+    val deg = degOpt.getOrElse(degreesOf(e))
     // Orient each edge toward the HIGHER (degree, id) endpoint; carry the
     // head's (degree, id) struct so wedge endpoints can be totally ordered
     // without re-joining the degree table.

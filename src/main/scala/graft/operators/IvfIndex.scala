@@ -77,8 +77,13 @@ object IvfIndex {
     * full-corpus posting-list pass, and it now runs as a map-only stage
     * inside whole-stage codegen instead of a corpus-wide groupBy shuffle of
     * id + vector bytes.
+    *
+    * `withSim = true` adds the winning cosine as a `sim` column — the same
+    * struct's other field, free in the same projection (callers that need
+    * "how close to my centroid", e.g. [[Similarity.semDedup]]'s
+    * representative policy, must not pay a centroid re-join for it).
     */
-  def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String, withSim: Boolean = false): DataFrame = {
     // Pre-flight BEFORE collect(): probing limit(max+1) costs one tiny job,
     // whereas a corpus-sized `centroids` would OOM the driver inside
     // collect() and the loud error below would never fire. The codebook plan
@@ -103,7 +108,19 @@ object IvfIndex {
     val best = array_max(
       transform(codebook, c => struct(cos(col(vecCol), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
     )
-    df.select(col(idCol), (-best.getField("negid")).as("centroid_id"), col(vecCol))
+    if (!withSim) df.select(col(idCol), (-best.getField("negid")).as("centroid_id"), col(vecCol))
+    else
+      // Two-step projection: `best` (the full codebook cosine scan) is
+      // referenced twice below, and Catalyst inlines duplicated non-cheap
+      // expressions when collapsing projections (the withMinhash trap) —
+      // naming it in an inner projection keeps it computed once per row.
+      df.select(col(idCol), col(vecCol), best.as("__best"))
+        .select(
+          col(idCol),
+          (-col("__best").getField("negid")).as("centroid_id"),
+          col(vecCol),
+          col("__best").getField("sim").as("sim"),
+        )
   }
 
   /** nprobe ANN search: for each query, rerank exactly within the posting

@@ -148,12 +148,22 @@ object Retrieval {
     * common case degenerates to the unsharded shape plus a constant column.
     *
     * Scale design: pass 1 is a count-only df aggregation (partial-agg,
-    * no lists); the df table joins back onto the token stream (broadcast
-    * under AQE when the vocab is small, shuffle join otherwise) and the
+    * no lists); the df table joins back onto the token stream and the
     * list aggregation is keyed by (token, shard) — the hot token's rows
     * spread over its shard count instead of one reducer. The shard
     * assignment is the engine's md5-derived hash on the doc id:
     * deterministic, partition-independent, and mirrorable in any engine.
+    *
+    * The df-join-back is keyed by RAW token, so the Zipf-head token skews
+    * that shuffle. Two stances, pick by vocab size:
+    *  - `broadcastDf = true` (use whenever the distinct vocab fits an
+    *    executor — tens of millions of tokens is ~100s of MB of
+    *    (token, long)): the join becomes a broadcast hash join, no
+    *    shuffle of the token stream at all, skew moot.
+    *  - default shuffle join: DEPENDS ON AQE's skew-join split
+    *    (`spark.sql.adaptive.skewJoin.enabled`, on by default) to split
+    *    the hot token's partition; without AQE the head token's reducer
+    *    is the straggler. Reserve for vocabularies too large to ship.
     */
   def postingListsSharded(
       docs: DataFrame,
@@ -161,6 +171,7 @@ object Retrieval {
       textCol: String,
       minDf: Int = 1,
       maxPostings: Long = 100000L,
+      broadcastDf: Boolean = false,
   ): DataFrame = {
     require(maxPostings >= 1, s"postingListsSharded: maxPostings must be >= 1: $maxPostings")
     val tok = docs.select(explode(TextAnalysis.tokenSet(col(textCol))).as("token"), col(idCol))
@@ -169,7 +180,7 @@ object Retrieval {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     tok
-      .join(dfTab, Seq("token"))
+      .join(if (broadcastDf) broadcast(dfTab) else dfTab, Seq("token"))
       .withColumn("shard", pmod(Hashing.hash64(col(idCol).cast("string")), expr(s"(df + ${maxPostings - 1}) div $maxPostings")))
       .groupBy(col("token"), col("shard"))
       .agg(

@@ -196,6 +196,19 @@ object Similarity {
     * degenerate codebook that funnels the corpus into one cluster errors
     * with a pointer instead of running B². The final survivor filter is an
     * anti-join shipping bare ids.
+    *
+    * Keep policies:
+    *  - default (`representative = false`): drop every `id_b` of a
+    *    qualifying pair. Cheap (no extra pass) but OVER-drops transitive
+    *    chains: in A~B, B~C (A≁C), B drops for A and C drops for B — even
+    *    though C's only qualifying partner was already dropped.
+    *  - `representative = true`: connected components over the qualifying
+    *    pair graph ([[Dedup.connectedComponentsStar]] — the pair graph
+    *    holds only docs in >= 1 pair, tiny vs the corpus), keep exactly
+    *    the CENTROID-NEAREST doc per component (max `sim` to its assigned
+    *    centroid, ties to the lowest id; the sim rides out of the argmax
+    *    projection free via `assign(withSim = true)`). In the A~B~C chain
+    *    exactly one of the three survives — the SemDeDup-paper policy.
     */
   def semDedup(
       df: DataFrame,
@@ -204,14 +217,35 @@ object Similarity {
       centroids: DataFrame,
       threshold: Double,
       maxBlockRows: Long = 100000L,
+      representative: Boolean = false,
   ): DataFrame = {
     // Materialize the assignment once: it feeds the block-size guard AND
     // both self-join sides of the pairing — without this the corpus scan +
     // argmax projection runs three times (correctness must not lean on
     // optional ReuseExchange; same stance as bandedPairs).
-    val assigned = Lineage.truncate(IvfIndex.assign(df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol))
+    val assigned = Lineage.truncate(
+      IvfIndex.assign(df.select(col(idCol), col(vecCol)), centroids, idCol, vecCol, withSim = representative)
+    )
     val pairs = cosineNearDupPairs(assigned, idCol, vecCol, "centroid_id", threshold, maxBlockRows)
-    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val drop =
+      if (!representative) pairs.select(col("id_b").as(idCol)).distinct()
+      else {
+        // Components of the pair graph, then one window over (component
+        // members ⋈ sim) — both sides fixed-width (id, comp, sim), no
+        // vectors; the non-representative members are the drop set.
+        val comps = Dedup.connectedComponentsStar(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        )
+        comps
+          .join(assigned.select(col(idCol).as("id"), col("sim")), Seq("id"))
+          .withColumn(
+            "__rn",
+            row_number().over(Window.partitionBy(col("comp")).orderBy(col("sim").desc, col("id"))),
+          )
+          .filter(col("__rn") > 1)
+          .select(col("id").as(idCol))
+      }
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each

@@ -251,9 +251,37 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pF).length == 1, s"funnel must be one agg exchange:\n$pF")
   }
 
+  test("assembleCorpus: the composition adds no full-corpus re-scans") {
+    // Each stage's input is materialized once behind its operator's own
+    // barrier (gated increment, dedup union, survivor set), so the FINAL
+    // composed plan touches parquet exactly once — the decontamination
+    // eval side (whose distinct gram hashes broadcast).
+    val p = plan(q("q126_assemble_corpus"))
+    assert("Scan parquet".r.findAllIn(p).length <= 1, s"composition must not re-scan the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"eval gram hashes must broadcast:\n$p")
+  }
+
   test("postingListsSharded: the list aggregation is keyed by (token, shard)") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val p = plan(graft.operators.Retrieval.postingListsSharded(docs, "doc_id", "text"))
     assert("hashpartitioning\\(token#\\d+L?, shard#\\d+".r.findAllIn(p).nonEmpty, p)
+    // broadcastDf: the df-join-back becomes a broadcast hash join — the
+    // token stream is never shuffled on the skewed raw-token key
+    // (dfTab's own count aggregation still shuffles once on token — that's
+    // the df pass itself, not the join.)
+    // broadcastDf at SCALE: below the auto-broadcast threshold Spark
+    // broadcasts the tiny test dfTab on its own, so to test what the knob
+    // buys we disable auto-broadcast (= a dfTab too big for the estimator,
+    // the at-scale planning): the default path degrades to a shuffled join
+    // keyed by raw token, the hinted path stays broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pS = plan(graft.operators.Retrieval.postingListsSharded(docs, "doc_id", "text"))
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"), s"expected shuffled join without hint:\n$pS")
+      val pB = plan(graft.operators.Retrieval.postingListsSharded(docs, "doc_id", "text", broadcastDf = true))
+      assert(pB.contains("BroadcastHashJoin"), s"broadcastDf must force a broadcast join:\n$pB")
+      assert(!pB.contains("SortMergeJoin") && !pB.contains("ShuffledHashJoin"), s"no shuffled join under broadcastDf:\n$pB")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -283,6 +283,23 @@ class QualitySpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L), kept.toString)
   }
 
+  test("semDedup representative: A~B~C chain keeps exactly the centroid-nearest; default over-drops") {
+    import scala.math.{cos, sin, toRadians => rad}
+    def v(deg: Double) = Seq(cos(rad(deg)).toFloat, sin(rad(deg)).toFloat)
+    val cents = Seq((0, Seq(1f, 0f))).toDF("centroid_id", "centroid")
+    // chain: cos(A,B) = cos(B,C) = cos20° ≈ 0.94 >= 0.9; cos(A,C) = cos40° ≈ 0.77 < 0.9
+    val emb = Seq((1L, v(40)), (2L, v(20)), (3L, v(0)))
+      .toDF("vec_id", "embedding") // C (id 3) is centroid-nearest (cos 1.0)
+    def run(rep: Boolean) = Similarity
+      .semDedup(emb, "vec_id", "embedding", cents, threshold = 0.9, representative = rep)
+      .collect().map(_.getLong(0)).toSet
+    // default drop-id_b policy: pairs (1,2),(2,3) -> drops {2,3}. C dropped
+    // even though its only qualifying partner B was itself dropped.
+    assert(run(rep = false) == Set(1L), run(rep = false).toString)
+    // representative: one component {1,2,3}, survivor = centroid-nearest C
+    assert(run(rep = true) == Set(3L), run(rep = true).toString)
+  }
+
   test("bigramSurprisal: hand-computed corpus-LM scores; short docs emit no row") {
     // bt: (a,b)=2, (b,a)=1, (a,c)=1; ut: a=3, b=1
     val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
