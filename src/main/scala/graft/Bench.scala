@@ -15,12 +15,56 @@ object Bench {
     // absorb session startup (measured ~3s on the first action otherwise).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Streaming-engine warmup: the FIRST streaming query in a JVM absorbs
+    // ~5 s of one-time MicroBatchExecution / state-store / streaming-codegen
+    // init (measured: q65 solo 12 s cold vs ~7 s after any prior streaming
+    // query). Which bench query paid that tax depended on Map iteration
+    // order, which shifts whenever queries are added — the r6→r7 "3×
+    // streaming regressions" were exactly this tax moving between queries.
+    // Run one tiny stateful AvailableNow query so no timed query pays it.
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val tiny = spark.range(10).selectExpr(
+        "timestamp_seconds(1700000000 + id * 60) as ts", "id % 3 as k", "id as v")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
+      tiny.write.mode("overwrite").parquet(dir.toString)
+      val q = spark.readStream.schema(tiny.schema).parquet(dir.toString)
+        .withWatermark("ts", "1 minute")
+        .groupBy(expr("window(ts, '5 minutes')"), col("k"))
+        .agg(expr("sum(v) as s"))
+        .writeStream.format("memory").queryName("graft_bench_warm")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.sql("DROP TABLE IF EXISTS graft_bench_warm")
+      // The stream-stream symmetric hash join is a separate stateful
+      // operator with its own first-use cost — warm it too.
+      val l = spark.readStream.schema(tiny.schema).parquet(dir.toString)
+        .withWatermark("ts", "1 minute").toDF("lts", "lk", "lv")
+      val r = spark.readStream.schema(tiny.schema).parquet(dir.toString)
+        .withWatermark("ts", "1 minute").toDF("rts", "rk", "rv")
+      val qj = l.join(r, expr("lk = rk AND rts BETWEEN lts AND lts + interval 5 minutes"))
+        .writeStream.format("memory").queryName("graft_bench_warm_join")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qj.awaitTermination()
+      spark.sql("DROP TABLE IF EXISTS graft_bench_warm_join")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    } catch { case scala.util.control.NonFatal(_) => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Optional comma-separated query-name filter for targeted re-measurement
+    // (e.g. re-running a regression cluster at matched machine state without
+    // paying for the full suite). Unset/empty = all queries, the driver path.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // Reading the numbers: the streaming-parity queries (q33, q51, q53, q62)
     // time a REAL AvailableNow streaming run — temp-parquet write, ordered
     // microbatches, state store — so most of their seconds are harness
     // materialization proving stream==batch, not plan cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Reduce every row to a hash and XOR-fold — a bare count() lets
       // Catalyst prune the projections, so expensive output columns (regex,
