@@ -8,9 +8,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Explicit UTC: the TIMESTAMP_NTZ→TIMESTAMP cast in Tables.events is
+      // only value-preserving under a UTC session zone.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-line diagnosis on regenerated testdata instead of per-query errors.
+    Tables.assertTestdataSchema(spark, sfDir)
+    System.err.println(s"[bench] testdata schema probe OK for $sfDir")
     // JVM/codegen/parquet-reader warmup so the first timed query doesn't
     // absorb session startup (measured ~3s on the first action otherwise).
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail loud and early on regenerated testdata (round-8 lesson: a silent
+    // physical-type change surfaced as 23 scattered AnalysisExceptions).
+    Tables.assertTestdataSchema(spark, sfDir)
+    System.err.println(s"[verify] testdata schema probe OK for $sfDir")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
