@@ -27,6 +27,11 @@ object ExtensionQueries {
   // two sides cannot drift.
   private val PackShards = 8
   private val FunnelStages = Seq("view", "click", "purchase") // q83's funnel
+  // q127's block width: 8 tokens so the short synthetic docs still split
+  // into several blocks (production exact-substring dedup uses ~50 tokens).
+  private val BlockTokens = 8
+  private val KmvK = 64 // q129's sketch size (±1/√k ≈ 12% relative error)
+  private val SkewTarget = 32L // q130's rows-per-reducer target (demo scale)
 
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
   private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
@@ -1696,6 +1701,49 @@ object ExtensionQueries {
         )
         .orderBy("doc_id")
     }),
+
+    // ---- Block-level exact-substring dedup REWRITE (the applied form of
+    //      q121's duplication signal): consecutive 8-token blocks, first
+    //      corpus-wide occurrence kept, survivors reassembled in order ----
+    "q127_block_dedup_rewrite" -> ((s, d) =>
+      Dedup
+        .blockDedupRewrite(t(s, d, "documents"), "doc_id", "text", blockTokens = BlockTokens)
+        .orderBy("doc_id")),
+
+    // ---- Bloom-prefiltered decontamination: byte-identical to q52 (the
+    //      exact join eliminates Bloom false positives), but the corpus
+    //      gram stream is pre-screened by a fixed-size bit array whose
+    //      footprint doesn't grow with the eval set — the shape that holds
+    //      when the benchmark suite outgrows a comfortable broadcast ----
+    "q128_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate
+        .overlapsBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id",
+          "text",
+          n = 3,
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- KMV approximate distinct users per event type: the mergeable,
+    //      cross-engine-reproducible sketch (order statistic of hash64 —
+    //      DuckDB reproduces it bit-for-bit; HLL++ registers can't be) ----
+    "q129_kmv_distinct" -> ((s, d) =>
+      EventAnalytics
+        .kmvDistinct(events(s, d), "event_type", col("user_id").cast("string"), k = KmvK)
+        .orderBy("event_type")),
+
+    // ---- Shuffle-key skew report: top-20 heaviest event users with exact
+    //      basis-point share and the salt bucket count that levels each
+    //      onto fixed-size reducers — the measurement behind q54/q55's
+    //      salting decisions ----
+    "q130_skew_report" -> ((s, d) =>
+      SkewJoin
+        .skewReport(events(s, d), "user_id", targetRowsPerTask = SkewTarget, topN = 20)
+        .orderBy(col("cnt").desc, col("user_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3056,5 +3104,69 @@ object ExtensionQueries {
          LEFT JOIN dth ON dth.cr = k.cr AND dth.ps = k.ps AND dth.date = m.date
          LEFT JOIN rec ON rec.cr = k.cr AND rec.ps = k.ps AND rec.date = m.date
          ORDER BY 1, 2, 3""",
+    // Non-overlapping token blocks; the (lowest doc, lowest ordinal)
+    // occurrence of each distinct block survives, mirrored via the same
+    // packed doc·2^20+blk min-key the Spark side uses.
+    "q127_block_dedup_rewrite" -> {
+      val b = BlockTokens
+      val cap = Dedup.BlockOrdinalCap
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              blku AS (SELECT doc_id,
+                         unnest(list_transform(range(0, greatest(1, (len(toks) + ${b - 1}) // $b)),
+                           i -> {'blk': CAST(i AS BIGINT),
+                                 'btext': array_to_string(toks[CAST(i*$b+1 AS BIGINT):CAST(i*$b+$b AS BIGINT)], ' ')})) AS u
+                       FROM tok),
+              blk AS (SELECT doc_id, u.blk AS blk, u.btext AS btext FROM blku),
+              h AS (SELECT doc_id, blk, btext, ${sqlHash64("btext")} AS h FROM blk),
+              agg AS (SELECT h, MIN(doc_id * $cap + blk) AS mk FROM h GROUP BY h),
+              keep AS (SELECT doc_id, blk, btext, (doc_id * $cap + blk = agg.mk) AS kp
+                       FROM h JOIN agg USING (h))
+          SELECT doc_id, COUNT(*) AS n_blocks,
+                 CAST(SUM(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 COALESCE(string_agg(CASE WHEN kp THEN btext END, ' ' ORDER BY blk), '') AS text_dedup
+          FROM keep GROUP BY doc_id ORDER BY doc_id"""
+    },
+    // Byte-identical semantics to q52 — the Bloom pre-filter is invisible
+    // to the result (exact join eliminates false positives), so the oracle
+    // IS q52's oracle.
+    "q128_decontaminate_bloom" -> {
+      val gram = sqlHash64("array_to_string(toks[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              ng AS (SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS h
+                     FROM tok),
+              ev AS (SELECT DISTINCT h FROM ng WHERE source = 'src0'),
+              hits AS (SELECT doc_id, COUNT(DISTINCT ng.h) AS n_hits
+                       FROM ng JOIN ev ON ng.h = ev.h
+                       WHERE ng.source <> 'src0' GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+                 CAST(COALESCE(hits.n_hits, 0) > 0 AS INT) AS is_contaminated
+          FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+          WHERE d.source <> 'src0'
+          ORDER BY d.doc_id"""
+    },
+    // KMV sketch = pure order statistic of hash64: the k-th smallest
+    // distinct hash per group. (k-1)·2^60 is exactly double-representable,
+    // and the final IEEE double division is identical cross-engine.
+    "q129_kmv_distinct" -> {
+      val k = KmvK
+      s"""WITH d AS (SELECT DISTINCT event_type,
+                       ${sqlHash64("CAST(user_id AS VARCHAR)")} AS h FROM events),
+              r AS (SELECT event_type, h,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS nd
+                    FROM d)
+          SELECT event_type, CAST(LEAST(nd, $k) AS BIGINT) AS n_sketch, h AS kth_min,
+                 CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+                      ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / h END AS est_distinct
+          FROM r WHERE rn = LEAST(nd, $k)
+          ORDER BY event_type"""
+    },
+    "q130_skew_report" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+          SELECT user_id, cnt, CAST(cnt * 10000 // total AS BIGINT) AS share_bp,
+                 CAST((cnt + ${SkewTarget - 1}) // $SkewTarget AS BIGINT) AS salt_buckets
+          FROM c, t ORDER BY cnt DESC, user_id LIMIT 20""",
   )
 }

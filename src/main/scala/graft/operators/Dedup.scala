@@ -899,4 +899,90 @@ object Dedup {
       .join(dropNear, Seq("id"), "left_anti")
       .select(col("id"))
   }
+
+  /** Maximum block ordinal per document for [[blockDedupRewrite]]'s packed
+    * (doc, block) keep-key. 2^20 blocks × blockTokens ≥ 8 ≈ an 8M-token
+    * document — far beyond any real training doc; exceeding it raises
+    * in-plan rather than silently corrupting the keep rule.
+    */
+  val BlockOrdinalCap: Long = 1L << 20
+
+  /** Cross-document exact-substring dedup REWRITE at block granularity (the
+    * applied form of q121's duplication signal — "Deduplicating Training
+    * Data Makes Language Models Better"-style span removal, approximated on
+    * non-overlapping token blocks so removal is well-defined): split each
+    * doc into consecutive `blockTokens`-token blocks, keep each distinct
+    * block's FIRST occurrence corpus-wide (lowest doc id, then lowest block
+    * ordinal), drop every other copy, and reassemble the surviving blocks
+    * in order.
+    *
+    * Scale shape: block construction is a pure projection (one `transform`
+    * over a hoisted token array — no explode until the blocks exist, no
+    * self-join); the duplicate decision is ONE map-side-combined aggregate
+    * on the 8-byte block hash carrying (count, min packed key); the probe
+    * join is keyed on the same hash (AQE handles the Zipf head); reassembly
+    * is one partial-aggregated `collect_list` bounded by the doc's own
+    * block count. Nothing is pairwise; at 100 TB every stage is scan- or
+    * shuffle-bandwidth bound on ~24-byte rows.
+    *
+    * Output: (idCol, n_blocks, n_kept, text_dedup) — `text_dedup` is the
+    * space-rejoined surviving text ("" when every block was a duplicate
+    * copy). Docs shorter than one full block still form one (short) block,
+    * so they participate in dedup rather than bypassing it.
+    */
+  def blockDedupRewrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 16,
+  ): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
+    val toksed = df
+      .withColumn("__toks", graft.functions.TextAnalysis.wsTokens(col(textCol)))
+      .withColumn(
+        "__nblk",
+        greatest(lit(1L), expr(s"(size(__toks) + ${blockTokens - 1}) div $blockTokens")),
+      )
+    // In-plan guard: the packed keep-key multiplexes (id, blk) into one
+    // BIGINT min(); an ordinal past the cap would alias another document.
+    val guarded = toksed.withColumn(
+      "__nblk",
+      when(
+        col("__nblk") >= BlockOrdinalCap,
+        raise_error(concat(lit(s"blockDedupRewrite: document exceeds $BlockOrdinalCap blocks: id="), col(idCol))),
+      ).otherwise(col("__nblk")),
+    )
+    val blocks = Lineage.truncate(
+      guarded
+        .select(
+          col(idCol).as("__id"),
+          posexplode(
+            transform(
+              sequence(lit(0L), col("__nblk") - 1),
+              i => array_join(slice(col("__toks"), (i * blockTokens + 1).cast("int"), lit(blockTokens)), " "),
+            )
+          ).as(Seq("__blk", "__btext")),
+        )
+        .withColumn("__h", graft.functions.Hashing.hash64(col("__btext")))
+    )
+    val firstOccurrence = blocks
+      .groupBy(col("__h"))
+      .agg(min(col("__id") * BlockOrdinalCap + col("__blk")).as("__keep_key"))
+    blocks
+      .join(firstOccurrence, "__h")
+      .withColumn("__keep", (col("__id") * BlockOrdinalCap + col("__blk")) === col("__keep_key"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("__keep"), struct(col("__blk"), col("__btext"))))),
+            x => x.getField("__btext"),
+          ),
+          " ",
+        ).as("text_dedup"),
+      )
+      .select(col("__id").as(idCol), col("n_blocks"), col("n_kept"), col("text_dedup"))
+  }
 }

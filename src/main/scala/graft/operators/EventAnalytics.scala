@@ -360,4 +360,48 @@ object EventAnalytics {
         expr("cnt * 1000000 div __tot").as("p_scaled"),
       )
   }
+
+  /** KMV ("k minimum values") approximate distinct count per group — the
+    * cross-engine-reproducible alternative to `approx_count_distinct`
+    * (HLL++ registers are engine-private; a KMV sketch is an order
+    * statistic of a deterministic hash, so DuckDB mirrors it exactly).
+    *
+    * Per group: hash the value ([[graft.functions.Hashing.hash64]], uniform
+    * on [0, 2^60)), keep the k smallest DISTINCT hashes via the bounded
+    * [[graft.functions.MinKAggregator]] — partial aggregation ships ≤ k
+    * longs per (group × partition), never the distinct set — and estimate
+    * `(k-1) · 2^60 / h_k` (exact sketch size when the group has fewer than
+    * k distinct values). The constant `(k-1) · 2^60` is exactly double-
+    * representable, and double-divided by the integer h_k identically in
+    * any IEEE engine.
+    *
+    * Output: (groupCol, n_sketch, kth_min, est_distinct). ±~1/√k relative
+    * error (k=64 ≈ 12%); sketches from disjoint shards merge losslessly
+    * (keep the k smallest of the union) — the property the mergeability
+    * spec pins.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      k: Int = 64,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numerator = (k - 1).toDouble * (1L << 60).toDouble
+    df.select(col(groupCol), graft.functions.Hashing.hash64(valueCol).as("__h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinKAggregator(k).toColumn.name("__mins"))
+      .toDF(groupCol, "__mins")
+      .select(
+        col(groupCol),
+        size(col("__mins")).cast("long").as("n_sketch"),
+        element_at(col("__mins"), -1).as("kth_min"),
+        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+          .otherwise(lit(numerator) / element_at(col("__mins"), -1).cast("double"))
+          .as("est_distinct"),
+      )
+  }
 }

@@ -63,4 +63,35 @@ object SkewJoin {
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))
       .agg(finals.head, finals.tail: _*)
+
+  /** Skew profile for a prospective shuffle key: the top-`topN` heaviest
+    * keys with their global share (basis points, exact integer) and the
+    * salt bucket count that would level each onto `targetRowsPerTask`-row
+    * reducers — the measurement that decides BETWEEN plain shuffle, AQE
+    * skew split, and explicit salting, instead of guessing.
+    *
+    * Shape: one map-side-combined count aggregate (the only corpus-sized
+    * shuffle), a broadcast-scalar total, and a TakeOrdered top-N — no sort
+    * of the full key census. Deterministic order: count desc, then key.
+    */
+  def skewReport(
+      df: DataFrame,
+      key: String,
+      targetRowsPerTask: Long = 1000000L,
+      topN: Int = 20,
+  ): DataFrame = {
+    require(targetRowsPerTask > 0, s"targetRowsPerTask must be positive: $targetRowsPerTask")
+    val counts = Lineage.truncate(df.groupBy(col(key)).agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topN)
+      .select(
+        col(key),
+        col("cnt"),
+        expr("cnt * 10000 div __total").as("share_bp"),
+        expr(s"(cnt + ${targetRowsPerTask - 1}) div $targetRowsPerTask").as("salt_buckets"),
+      )
+  }
 }
