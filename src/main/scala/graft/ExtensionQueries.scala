@@ -1744,6 +1744,80 @@ object ExtensionQueries {
       SkewJoin
         .skewReport(events(s, d), "user_id", targetRowsPerTask = SkewTarget, topN = 20)
         .orderBy(col("cnt").desc, col("user_id"))),
+
+    // ---- Binned range join: events against OVERLAPPING per-(type, hour)
+    //      [-30 min, +90 min] windows — each event legitimately matches
+    //      several adjacent intervals, so the exact BETWEEN (not the hour
+    //      key) decides membership. A raw BETWEEN join is a nested-loop
+    //      plan; the binning makes it a hash equi-join ----
+    "q131_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val hourUs = 3600L * 1000000
+      val iv = ev
+        .select(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("hour"))
+        .distinct()
+        .withColumn("s", timestamp_micros(col("hour") * hourUs - 1800000000L))
+        .withColumn("e", timestamp_micros(col("hour") * hourUs + 5400000000L))
+      graft.operators.RangeJoin
+        .binnedRangeJoin(
+          ev.select(col("event_id"), col("event_type"), col("ts")),
+          "ts",
+          iv,
+          "s",
+          "e",
+          equiKeys = Seq("event_type"),
+          binUs = hourUs,
+        )
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // ---- Mergeable dataset card: per-source doc/token totals plus the
+    //      KMV distinct-token estimate — every column either a sum or an
+    //      order-statistic sketch, so two shards' cards merge into the
+    //      union's card without rescanning either shard ----
+    "q132_card_sketch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("__toks", graft.functions.TextAnalysis.wsTokens(col("text")))
+      val totals = docs
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("__toks"))).cast("long").as("n_tokens"))
+      val sketch = EventAnalytics
+        .kmvDistinct(
+          docs.select(col("source"), explode(col("__toks")).as("__tok")),
+          "source",
+          col("__tok"),
+          k = KmvK,
+        )
+        .select(col("source"), col("est_distinct").as("est_distinct_tokens"))
+      totals.join(sketch, "source").orderBy("source")
+    }),
+
+    // ---- k-means to (fixed-round) convergence: q60 pins ONE Lloyd step;
+    //      this chains three, each re-assigning against the previous
+    //      round's float-quantized codebook — the full IVF training loop
+    //      the ANN surface consumes ----
+    "q133_ivf_lloyd3" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      IvfIndex
+        .train(emb, "vec_id", "embedding", nlist = 16, iters = 3)
+        .select(col("centroid_id"), posexplode(col("centroid")))
+        .select(col("centroid_id"), col("pos"), col("col").cast("double").as("c"))
+        .orderBy("centroid_id", "pos")
+    }),
+
+    // ---- Join-cardinality estimate from two KMV sketches: distinct
+    //      orders.o_custkey ∩ customer.c_custkey sized WITHOUT running the
+    //      join — two bounded sketch aggregates + array expressions ----
+    "q134_kmv_join_estimate" -> ((s, d) =>
+      EventAnalytics.kmvJoinEstimate(
+        t(s, d, "orders"),
+        col("o_custkey").cast("string"),
+        t(s, d, "customer"),
+        col("c_custkey").cast("string"),
+        k = KmvK,
+      )),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3168,5 +3242,92 @@ object ExtensionQueries {
           SELECT user_id, cnt, CAST(cnt * 10000 // total AS BIGINT) AS share_bp,
                  CAST((cnt + ${SkewTarget - 1}) // $SkewTarget AS BIGINT) AS salt_buckets
           FROM c, t ORDER BY cnt DESC, user_id LIMIT 20""",
+    // The oracle states the SEMANTICS (a plain BETWEEN join — DuckDB's
+    // nested-loop is fine at sf0.01); the Spark side must produce the same
+    // rows through the binned equi-join plan.
+    "q131_range_join" ->
+      s"""WITH iv AS (SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+              ivb AS (SELECT event_type, hour,
+                        hour * 3600000000 - 1800000000 AS s,
+                        hour * 3600000000 + 5400000000 AS e
+                      FROM iv)
+          SELECT i.event_type, i.hour, COUNT(*) AS n_events
+          FROM events ev JOIN ivb i
+            ON ev.event_type = i.event_type AND epoch_us(ev.ts) BETWEEN i.s AND i.e
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q132_card_sketch" -> {
+      val k = KmvK
+      s"""WITH tok AS (SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              totals AS (SELECT source, COUNT(*) AS n_docs,
+                           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+                         FROM tok GROUP BY source),
+              d AS (SELECT DISTINCT source, ${sqlHash64("tok")} AS h
+                    FROM (SELECT source, unnest(toks) AS tok FROM tok)),
+              r AS (SELECT source, h,
+                      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+                      COUNT(*) OVER (PARTITION BY source) AS nd
+                    FROM d),
+              sk AS (SELECT source,
+                       CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+                            ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / h END AS est_distinct_tokens
+                     FROM r WHERE rn = LEAST(nd, $k))
+          SELECT t.source, t.n_docs, t.n_tokens, sk.est_distinct_tokens
+          FROM totals t JOIN sk USING (source) ORDER BY t.source"""
+    },
+    // Three chained Lloyd rounds. Each round's codebook is FLOAT-quantized
+    // (as the Spark side's array<float> centroids are) before the next
+    // assignment, so the ~1e-15 double-mean divergence between engines is
+    // crushed at every round boundary, not just the last.
+    "q133_ivf_lloyd3" -> {
+      def cos(va: String, vb: String) =
+        s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      val rounds = (1 to 3)
+        .map { it =>
+          s"""scored$it AS (SELECT a.vec_id, b.centroid_id, a.embedding AS emb, ${cos("a.embedding", "b.cen")} AS sim
+                            FROM embeddings a CROSS JOIN c${it - 1} b),
+              r$it AS (SELECT vec_id, centroid_id, emb,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                       FROM scored$it),
+              asg$it AS (SELECT centroid_id, emb FROM r$it WHERE rn = 1),
+              m$it AS (SELECT centroid_id, pos, avg(CAST(emb[pos + 1] AS DOUBLE)) AS mu
+                       FROM asg$it CROSS JOIN dims GROUP BY centroid_id, pos),
+              c$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
+                       FROM m$it GROUP BY centroid_id)"""
+        }
+        .mkString(",\n")
+      s"""WITH c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding AS cen
+                      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+              $rounds
+          SELECT centroid_id, pos, CAST(cen[pos + 1] AS DOUBLE) AS c
+          FROM c3 CROSS JOIN dims ORDER BY centroid_id, pos"""
+    },
+    // Union sketch from the two per-side sketches; membership of a
+    // union-sketch element in a side's sketch is EXACT (see
+    // kmvJoinEstimate's scaladoc), and every double is built with the same
+    // expression shape as the Spark side.
+    "q134_kmv_join_estimate" -> {
+      val k = KmvK
+      s"""WITH ha AS (SELECT DISTINCT ${sqlHash64("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+              hb AS (SELECT DISTINCT ${sqlHash64("CAST(c_custkey AS VARCHAR)")} AS h FROM customer),
+              ska AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+              skb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+              un AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)),
+              kk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM un QUALIFY rn <= $k),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(h) AS kth_min,
+                        CAST(SUM(CASE WHEN h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+                      FROM kk)
+          SELECT n_sketch, kth_min,
+                 CASE WHEN n_sketch < $k THEN CAST(n_sketch AS DOUBLE)
+                      ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / kth_min END AS est_union,
+                 CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE) AS est_jaccard,
+                 (CASE WHEN n_sketch < $k THEN CAST(n_sketch AS DOUBLE)
+                       ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / kth_min END
+                  * (CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE))) AS est_join_keys
+          FROM agg"""
+    },
   )
 }

@@ -404,4 +404,62 @@ object EventAnalytics {
           .as("est_distinct"),
       )
   }
+
+  /** Join-cardinality estimation from two KMV sketches — "how big is
+    * `a ⋈ b` on this key" WITHOUT running the join, the statistic a planner
+    * (or a human sizing a 100 TB shuffle) wants first.
+    *
+    * Theory: the k smallest hashes of A ∪ B all live in sketch(A) ∪
+    * sketch(B), so the union sketch is computable from the two sketches
+    * alone; and any union-sketch member belonging to A is ≤ A's k-th
+    * minimum, hence present in sketch(A) — membership tests against the
+    * sketches are EXACT for union-sketch elements. The fraction of
+    * union-sketch members present in both sides estimates the Jaccard of
+    * the key sets, and `est_union · est_jaccard` estimates the distinct
+    * join keys (for a key unique on one side — the FK⟶PK case — that is
+    * the row count driver).
+    *
+    * One bounded aggregate per side (≤ k longs each), then a
+    * single-row × single-row crossJoin and pure array expressions — no
+    * shuffle touches the data again. Both output doubles are built with
+    * the exact expression shapes the DuckDB mirror uses, so the compare is
+    * bit-identical.
+    */
+  def kmvJoinEstimate(
+      a: DataFrame,
+      aKey: Column,
+      b: DataFrame,
+      bKey: Column,
+      k: Int = 64,
+  ): DataFrame = {
+    val sparkA = a.sparkSession
+    import sparkA.implicits._
+    val numerator = (k - 1).toDouble * (1L << 60).toDouble
+    def sketch(df: DataFrame, key: Column, out: String): DataFrame =
+      df.select(graft.functions.Hashing.hash64(key).as("__h"))
+        .as[Long]
+        .select(new graft.functions.MinKAggregator(k).toColumn.name(out))
+        .toDF(out)
+    val ka = sketch(a, aKey, "__ma")
+    val kb = sketch(b, bKey, "__mb")
+    val unionK = slice(array_sort(array_distinct(concat(col("__ma"), col("__mb")))), 1, k)
+    ka.crossJoin(kb)
+      .withColumn("__u", unionK)
+      .withColumn(
+        "__both",
+        filter(col("__u"), h => array_contains(col("__ma"), h) && array_contains(col("__mb"), h)),
+      )
+      .select(
+        size(col("__u")).cast("long").as("n_sketch"),
+        element_at(col("__u"), -1).as("kth_min"),
+        when(size(col("__u")) < k, size(col("__u")).cast("double"))
+          .otherwise(lit(numerator) / element_at(col("__u"), -1).cast("double"))
+          .as("est_union"),
+        (size(col("__both")).cast("double") / size(col("__u")).cast("double")).as("est_jaccard"),
+        (when(size(col("__u")) < k, size(col("__u")).cast("double"))
+          .otherwise(lit(numerator) / element_at(col("__u"), -1).cast("double"))
+          * (size(col("__both")).cast("double") / size(col("__u")).cast("double")))
+          .as("est_join_keys"),
+      )
+  }
 }

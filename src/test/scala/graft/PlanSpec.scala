@@ -284,4 +284,35 @@ class PlanSpec extends SparkSpec {
       assert(!pB.contains("SortMergeJoin") && !pB.contains("ShuffledHashJoin"), s"no shuffled join under broadcastDf:\n$pB")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q131 range join: the BETWEEN plans as a hash equi-join on (key, bin), never nested-loop") {
+    // The whole point of the binning: without it this interval predicate
+    // would be a BroadcastNestedLoopJoin probing every interval per event.
+    // Disable auto-broadcast so the tiny test interval table can't hide a
+    // nested-loop plan behind a broadcast that wouldn't exist at scale.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(q("q131_range_join"))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range join must not plan as a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a (key, bin) equi-join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q127 block dedup rewrite: block build is a projection; survivorship joins on the 8-byte hash") {
+    val p = plan(q("q127_block_dedup_rewrite"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the survivor decision must key on the block hash, not the block text
+    assert("hashpartitioning\\(__h#\\d+L?".r.findAllIn(p).nonEmpty,
+      s"survivorship must shuffle on the block hash:\n$p")
+  }
+
+  test("q134 kmv join estimate: two bounded sketch aggregates, then scalar work only") {
+    val p = plan(q("q134_kmv_join_estimate"))
+    // the only join is the 1-row x 1-row sketch combine
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no data-sized join may appear:\n$p")
+  }
 }

@@ -85,6 +85,67 @@ class SketchSpec extends SparkSpec {
       s"KMV estimate $est too far from 5000")
   }
 
+  test("binnedRangeJoin: equals the naive BETWEEN join, exactly once per match") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf()).select($"event_id", $"event_type", $"ts")
+    val hourUs = 3600L * 1000000
+    val iv = ev
+      .select($"event_type", expr(s"unix_micros(ts) div $hourUs").as("hour"))
+      .distinct()
+      .withColumn("s", timestamp_micros($"hour" * hourUs - 1800000000L))
+      .withColumn("e", timestamp_micros($"hour" * hourUs + 5400000000L))
+    val binned = graft.operators.RangeJoin
+      .binnedRangeJoin(ev, "ts", iv, "s", "e", Seq("event_type"), binUs = hourUs)
+      .select($"event_id", $"hour")
+    val naive = ev
+      .join(iv, Seq("event_type"))
+      .filter($"ts" >= $"s" && $"ts" <= $"e")
+      .select($"event_id", $"hour")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // overlapping windows: matches must exceed events (each event falls in
+    // its own hour's window AND at least one neighbour's for most rows)
+    assert(binned.count() > ev.count())
+  }
+
+  test("binnedRangeJoin: oversize interval fails loudly at the bin guard") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    val right = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+       java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+    ).toDF("s", "e")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin
+        .binnedRangeJoin(left, "ts", right, "s", "e", binUs = 1000000, maxBinsPerInterval = 100)
+        .count()
+    }
+    assert(e.getMessage.contains("binnedRangeJoin"))
+  }
+
+  test("kmvJoinEstimate: exact when both sides fit the sketch") {
+    import spark.implicits._
+    // A = {k1..k10}, B = {k6..k15}: union 15 < k=64, so every estimate
+    // collapses to the exact value: union 15, jaccard 5/15, join keys 5.
+    val a = (1 to 10).map(i => s"k$i").toDF("ka")
+    val b = (6 to 15).map(i => s"k$i").toDF("kb")
+    val r = EventAnalytics.kmvJoinEstimate(a, col("ka"), b, col("kb"), k = 64).head()
+    assert(r.getLong(0) === 15L)
+    assert(r.getDouble(2) === 15.0)
+    assert(r.getDouble(3) === 5.0 / 15.0)
+    assert(r.getDouble(4) === 15.0 * (5.0 / 15.0))
+  }
+
+  test("kmvJoinEstimate: sketched estimate lands near truth above k") {
+    import spark.implicits._
+    // |A| = 3000, |B| = 2000, overlap 1000 -> union 4000, J = 0.25.
+    val a = (1 to 3000).map(i => s"x$i").toDF("ka")
+    val b = (2001 to 4000).map(i => s"x$i").toDF("kb")
+    val r = EventAnalytics.kmvJoinEstimate(a, col("ka"), b, col("kb"), k = 64).head()
+    assert(math.abs(r.getDouble(2) - 4000) / 4000 < 0.5, s"union est ${r.getDouble(2)}")
+    assert(r.getDouble(3) > 0.05 && r.getDouble(3) < 0.6, s"jaccard est ${r.getDouble(3)}")
+  }
+
   test("skewReport: shares and salt buckets are the closed-form integers") {
     import spark.implicits._
     // key 1: 70 rows, key 2: 20, key 3: 10 -> total 100
