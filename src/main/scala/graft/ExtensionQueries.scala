@@ -1818,6 +1818,28 @@ object ExtensionQueries {
         col("c_custkey").cast("string"),
         k = KmvK,
       )),
+
+    // ---- Multi-source BFS over the q89 customer↔supplier graph: hop
+    //      distance from the nation-0 customer seed set, frontier-bounded
+    //      rounds (k-hop neighborhood / blast-radius analysis) ----
+    "q135_bfs_hops" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")), "ok")
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("sup"))
+      val edges = pairs
+        .select(col("c").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      val seeds = t(s, d, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 4).orderBy("node")
+    }),
+
+    // ---- PMI collocations over the documents: the integer-rational
+    //      ln-decomposition scoring (no float product ever formed) ----
+    "q136_pmi_collocations" -> ((s, d) =>
+      Retrieval.pmiCollocations(t(s, d, "documents"), "text", minCount = 5, topN = 100)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3328,6 +3350,39 @@ object ExtensionQueries {
                        ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / kth_min END
                   * (CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE))) AS est_join_keys
           FROM agg"""
+    },
+    // Recursive closure bounded at 4 hops; MIN(d) per node == the frontier
+    // round that first reached it.
+    "q135_bfs_hops" ->
+      s"""WITH RECURSIVE
+              pairs AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+              e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs),
+              seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0),
+              bfs(node, d) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.d < 4)
+          SELECT node, CAST(MIN(d) AS INT) AS d FROM bfs GROUP BY node ORDER BY node""",
+    // The same l(x) = floor(ln(x)*1e6 + 0.5) quantization as q69, applied
+    // per DISTINCT integer count; the PMI sum is then exact 64-bit math.
+    "q136_pmi_collocations" -> {
+      def l(x: String) = s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH tok AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              g AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
+                       {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+                    FROM tok WHERE len(toks) >= 2),
+              grams AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM g),
+              bi AS (SELECT w1, w2, COUNT(*) AS c_ab FROM grams GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+              uni AS (SELECT unnest(toks) AS w FROM tok),
+              uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+              n1 AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n1 FROM uc),
+              n2 AS (SELECT COUNT(*) AS n2 FROM grams)
+          SELECT bi.w1, bi.w2, bi.c_ab,
+                 ${l("bi.c_ab")} + 2 * ${l("n1.n1")} - ${l("n2.n2")} - ${l("a.c_w")} - ${l("b.c_w")} AS pmi_s
+          FROM bi JOIN uc a ON bi.w1 = a.w JOIN uc b ON bi.w2 = b.w
+          CROSS JOIN n1 CROSS JOIN n2
+          ORDER BY pmi_s DESC, bi.w1, bi.w2 LIMIT 100"""
     },
   )
 }

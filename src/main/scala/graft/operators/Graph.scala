@@ -315,4 +315,55 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, capped at
+    * `maxHops` — k-hop neighborhoods, blast-radius analysis, "how far is
+    * every account from a known-bad seed set".
+    *
+    * Frontier-based rounds (the at-scale BFS shape): round r joins ONLY the
+    * nodes first reached at distance r-1 against the edge set, so per-round
+    * work is proportional to the frontier's out-edges, not the graph — the
+    * same reason Pregel-style engines beat naive whole-graph iteration.
+    * Each frontier and the accumulated distance table are materialized
+    * behind [[Lineage.truncate]] (same per-round policy as [[pageRank]]);
+    * an empty frontier short-circuits the remaining rounds (the check rides
+    * the materialization the round needs anyway). Distances are exact
+    * integers — no tie-breaking needed: a node's first reaching round IS
+    * its distance, and the anti-join guarantees each node is assigned once.
+    *
+    * Output: (node, d) for every node within `maxHops` of a seed —
+    * unreached nodes are absent (left-join the node list for a dense form).
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int,
+  ): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 30, s"bfsHops: maxHops must be in [0, 30]: $maxHops")
+    val ej = Lineage.truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var dist = Lineage.truncate(
+      seeds.select(col(seedCol).as("node")).distinct().withColumn("d", lit(0))
+    )
+    var frontier = dist.select(col("node"))
+    var r = 1
+    var exhausted = frontier.isEmpty
+    while (r <= maxHops && !exhausted) {
+      val next = Lineage.truncate(
+        ej.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"))
+          .distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+      )
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        frontier = next
+        dist = Lineage.truncate(dist.union(next.withColumn("d", lit(r))))
+      }
+      r += 1
+    }
+    dist
+  }
 }

@@ -236,4 +236,66 @@ object Retrieval {
         expr("(cnt * 1000000) div total").as("p_scaled"),
       )
   }
+
+  /** PMI collocations: adjacent token pairs ranked by pointwise mutual
+    * information — `ln(p(a,b) / (p(a)·p(b)))` — the "natural phrase"
+    * detector (vocabulary merging, tokenizer seeding, stop-phrase lists).
+    *
+    * Cross-engine exactness: PMI is decomposed into
+    * `l(c_ab) + 2·l(N₁) − l(N₂) − l(c_a) − l(c_b)` with
+    * `l(x) = floor(ln(x)·10⁶ + 0.5)` — the corpus ln-quantization rule
+    * (q69): ln runs only on DISTINCT integer counts and every remaining
+    * operation is exact 64-bit arithmetic, so both engines produce the
+    * identical scaled-long score (and no product `c_ab·N₁²` ever risks
+    * 64-bit overflow, which the direct ratio form would at corpus scale).
+    *
+    * Shape: one bigram count aggregate + one unigram count aggregate (both
+    * map-side combined), two broadcast-scalar totals, and two broadcast
+    * joins of the unigram table onto the bigram table (the unigram table is
+    * vocabulary-sized). `minCount` drops hapax noise BEFORE the joins;
+    * the TakeOrdered top-N never global-sorts.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      topN: Int = 100,
+  ): DataFrame = {
+    val l: Column => Column = x => floor(log(x.cast("double")) * 1000000 + 0.5).cast("long")
+    val toks = graft.operators.Lineage.truncate(
+      docs.select(TextAnalysis.wsTokens(col(textCol)).as("__toks"))
+    )
+    val grams = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("__w1s"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("__w2s"),
+      )
+      .select(explode(arrays_zip(col("__w1s"), col("__w2s"))).as("__g"))
+      .select(col("__g.__w1s").as("w1"), col("__g.__w2s").as("w2"))
+    val bigrams = grams
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val unigrams = toks
+      .select(explode(col("__toks")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c_w"))
+    val n1 = unigrams.agg(sum(col("c_w")).as("__n1"))
+    val n2 = grams.groupBy().agg(count(lit(1)).as("__n2"))
+    bigrams
+      .join(broadcast(unigrams.select(col("w").as("w1"), col("c_w").as("c_a"))), "w1")
+      .join(broadcast(unigrams.select(col("w").as("w2"), col("c_w").as("c_b"))), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c_ab"),
+        (l(col("c_ab")) + lit(2) * l(col("__n1")) - l(col("__n2")) - l(col("c_a")) - l(col("c_b")))
+          .as("pmi_s"),
+      )
+      .orderBy(col("pmi_s").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

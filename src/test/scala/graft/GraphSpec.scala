@@ -161,4 +161,27 @@ class GraphSpec extends SparkSpec {
     assert(run(2L) == Set((1L, 2L, 3L)))
     assert(run(1L) == Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
+
+  test("bfsHops: path-graph closed form, hop cap, and disconnected nodes absent") {
+    // undirected path 1-2-3-4-5 plus an isolated edge 8-9
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def run(maxHops: Int): Map[Long, Int] =
+      Graph.bfsHops(edges, "src", "dst", seeds, "node", maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(4) === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    assert(run(2) === Map(1L -> 0, 2L -> 1, 3L -> 2)) // cap respected
+    // two seeds: distance is the MIN over seeds
+    val multi = Graph.bfsHops(edges, "src", "dst", Seq(1L, 5L).toDF("node"), "node", 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("bfsHops: empty frontier short-circuits (exhausted component)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, "src", "dst", Seq(1L).toDF("node"), "node", 30)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 1))
+  }
 }

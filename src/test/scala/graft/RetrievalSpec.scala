@@ -164,4 +164,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getLong(1) == 10L && out.getLong(2) == 1L)
     assert(out.getLong(3) == 100L && out.getLong(4) == 100L)
   }
+
+  test("pmiCollocations: hand-computed integer PMI on a tiny corpus") {
+    import spark.implicits._
+    // docs: "a b a b", "a c" -> bigrams (a,b)x2 (b,a)x1 (a,c)x1, N2=4;
+    // unigrams a:3 b:2 c:1, N1=6. pmi(a,b) = ln(2*36/(4*3*2)) = ln(3);
+    // in l(x)=floor(ln(x)*1e6+0.5) terms: l(2)+2l(6)-l(4)-l(3)-l(2) = l(3).
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val out = graft.operators.Retrieval
+      .pmiCollocations(docs, "text", minCount = 1, topN = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("a", "b")) === ((2L, 1098612L)))
+    // ln(1*36/(4*3*1)) = ln(3) for (a,c) too; (b,a) = ln(1*36/(4*2*3)) = ln(1.5)
+    assert(out(("a", "c"))._2 === 1098612L)
+    assert(out(("b", "a"))._2 === 405465L)
+  }
 }
