@@ -32,6 +32,7 @@ object ExtensionQueries {
   private val BlockTokens = 8
   private val KmvK = 64 // q129's sketch size (±1/√k ≈ 12% relative error)
   private val SkewTarget = 32L // q130's rows-per-reducer target (demo scale)
+  private val FunnelGapMin = 120L // q140's per-transition time box (minutes)
 
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
   private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
@@ -134,12 +135,13 @@ object ExtensionQueries {
     * unbounded MIN windows per user, then stage counts + integer-div
     * conversion ratios.
     */
-  private def sqlFunnel(stages: Seq[String]): String = {
+  private def sqlFunnel(stages: Seq[String], maxGapUs: Long = 0): String = {
     val layers = stages.zipWithIndex
       .map { case (stage, i) =>
+        val gapCond = if (maxGapUs > 0) s" AND epoch_us(ts) <= t${i - 1} + $maxGapUs" else ""
         val cond =
           if (i == 0) s"event_type = '$stage'"
-          else s"event_type = '$stage' AND epoch_us(ts) > t${i - 1}"
+          else s"event_type = '$stage' AND epoch_us(ts) > t${i - 1}$gapCond"
         val src = if (i == 0) "events" else s"s${i - 1}"
         s"s$i AS (SELECT *, MIN(CASE WHEN $cond THEN epoch_us(ts) END) OVER (PARTITION BY user_id) AS t$i FROM $src)"
       }
@@ -1840,6 +1842,50 @@ object ExtensionQueries {
     //      ln-decomposition scoring (no float product ever formed) ----
     "q136_pmi_collocations" -> ((s, d) =>
       Retrieval.pmiCollocations(t(s, d, "documents"), "text", minCount = 5, topN = 100)),
+
+    // ---- Tumbling-window rate limiting: first event per (user, type,
+    //      10-min bucket) via ONE min-struct aggregate — burst/retry dedup
+    //      without a row_number sort ----
+    "q137_rate_limit" -> ((s, d) =>
+      EventAnalytics
+        .rateLimitFirst(events(s, d), "user_id", "event_type", "ts", "event_id", windowMinutes = 10)
+        .orderBy("user_id", "event_type", "bucket")),
+
+    // ---- OHLC bars per (type, hour): open/close ride min/max structs in
+    //      the same single aggregate as high/low/volume ----
+    "q138_ohlc_bars" -> ((s, d) =>
+      EventAnalytics
+        .ohlcBars(events(s, d), "event_type", "ts", "event_id", "value", barHours = 1)
+        .orderBy("event_type", "bar")),
+
+    // ---- Sliding 3-day distinct users from MERGED daily KMV sketches:
+    //      the log is scanned once; every window estimate is pure sketch
+    //      algebra ("sketch once, window many") ----
+    "q139_sliding_distinct" -> ((s, d) =>
+      EventAnalytics
+        .kmvDistinctSlidingDays(events(s, d), "ts", col("user_id").cast("string"), windowDays = 3, k = KmvK)
+        .orderBy("day")),
+
+    // ---- Time-boxed funnel: q83's stages with a 2-hour cap on each
+    //      transition — "did they convert promptly" ----
+    "q140_funnel_windowed" -> ((s, d) =>
+      EventAnalytics
+        .funnel(events(s, d), "user_id", "ts", "event_type", FunnelStages, maxGapMinutes = FunnelGapMin)
+        .orderBy("stage")),
+
+    // ---- Deterministic weighted sampling without replacement
+    //      (Efraimidis–Spirakis, quantized-ln rank keys): 50 documents,
+    //      inclusion odds ∝ n_chars ----
+    "q141_weighted_sample" -> ((s, d) =>
+      Quality
+        .weightedSample(t(s, d, "documents"), "doc_id", col("n_chars"), n = 50)
+        .orderBy(col("key").desc, col("doc_id"))),
+
+    // ---- Per-source KL divergence from the corpus unigram distribution:
+    //      the domain-drift card metric, integer-exact via the quantized-ln
+    //      decomposition ----
+    "q142_source_kl" -> ((s, d) =>
+      Quality.sourceKlDivergence(t(s, d, "documents"), "source", "text").orderBy("source")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3383,6 +3429,85 @@ object ExtensionQueries {
           FROM bi JOIN uc a ON bi.w1 = a.w JOIN uc b ON bi.w2 = b.w
           CROSS JOIN n1 CROSS JOIN n2
           ORDER BY pmi_s DESC, bi.w1, bi.w2 LIMIT 100"""
+    },
+    // Survivor = the (µs, event_id)-minimal row per bucket; the QUALIFY
+    // row_number mirrors the Spark side's min-struct exactly (event_id is
+    // unique, so the order is total).
+    "q137_rate_limit" ->
+      s"""WITH b AS (SELECT user_id, event_type, epoch_us(ts) // 600000000 AS bucket,
+                       epoch_us(ts) AS us, event_id FROM events),
+              n AS (SELECT user_id, event_type, bucket, COUNT(*) AS n_events
+                    FROM b GROUP BY 1, 2, 3),
+              f AS (SELECT user_id, event_type, bucket, event_id, us AS kept_us,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type, bucket
+                                         ORDER BY us, event_id) AS rn
+                    FROM b QUALIFY rn = 1)
+          SELECT f.user_id, f.event_type, f.bucket, f.event_id, f.kept_us, n.n_events
+          FROM f JOIN n USING (user_id, event_type, bucket)
+          ORDER BY f.user_id, f.event_type, f.bucket""",
+    "q138_ohlc_bars" ->
+      s"""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+                       epoch_us(ts) AS us, event_id, value FROM events),
+              o AS (SELECT event_type, bar, value AS open,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, bar ORDER BY us, event_id) AS rn
+                    FROM b QUALIFY rn = 1),
+              c AS (SELECT event_type, bar, value AS close,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, bar ORDER BY us DESC, event_id DESC) AS rn
+                    FROM b QUALIFY rn = 1),
+              hl AS (SELECT event_type, bar, MAX(value) AS high, MIN(value) AS low,
+                       COUNT(*) AS n_events FROM b GROUP BY 1, 2)
+          SELECT hl.event_type, hl.bar, o.open, hl.high, hl.low, c.close, hl.n_events
+          FROM hl JOIN o USING (event_type, bar) JOIN c USING (event_type, bar)
+          ORDER BY hl.event_type, hl.bar""",
+    // Per-day k-smallest distinct hashes, then each trailing 3-day window
+    // merges its days' sketches (k smallest of the union) — the same
+    // order-statistic algebra as q129, windowed.
+    "q139_sliding_distinct" -> {
+      val k = KmvK
+      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                       ${sqlHash64("CAST(user_id AS VARCHAR)")} AS h FROM events),
+              sk AS (SELECT day, h,
+                       ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+                     FROM d QUALIFY rn <= $k),
+              days AS (SELECT DISTINCT day FROM d),
+              win AS (SELECT DISTINCT t.day, s.h
+                      FROM days t JOIN sk s ON s.day BETWEEN t.day - 2 AND t.day),
+              r AS (SELECT day, h,
+                      ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn,
+                      COUNT(*) OVER (PARTITION BY day) AS nd
+                    FROM win)
+          SELECT day, CAST(LEAST(nd, $k) AS BIGINT) AS n_sketch, h AS kth_min,
+                 CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+                      ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / h END AS est_distinct
+          FROM r WHERE rn = LEAST(nd, $k)
+          ORDER BY day"""
+    },
+    "q140_funnel_windowed" -> sqlFunnel(FunnelStages, maxGapUs = FunnelGapMin * 60 * 1000000),
+    // Same lq(u)/w rank key, same (key DESC, id) total order.
+    "q141_weighted_sample" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                       CAST(floor(ln(CAST($h AS DOUBLE) / ${1L << 60}) * 1000000 + 0.5) AS BIGINT) AS lq
+                     FROM documents)
+          SELECT doc_id, weight, CAST(lq AS DOUBLE) / weight AS key
+          FROM k ORDER BY key DESC, doc_id LIMIT 50"""
+    },
+    // Same l(x) quantization; the weighted sum is exact integer math, the
+    // final per-token average one IEEE division.
+    "q142_source_kl" -> {
+      def l(x: String) = s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+              gt AS (SELECT source, token, COUNT(*) AS c_gt FROM tok GROUP BY 1, 2),
+              ct AS (SELECT token, COUNT(*) AS c_t FROM tok GROUP BY 1),
+              ng AS (SELECT source, COUNT(*) AS n_g FROM tok GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n_total FROM tok),
+              agg AS (SELECT gt.source, CAST(MAX(ng.n_g) AS BIGINT) AS n_tokens,
+                        CAST(SUM(c_gt * (${l("c_gt")} + ${l("n_total")} - ${l("n_g")} - ${l("c_t")})) AS BIGINT) AS kl_scaled
+                      FROM gt JOIN ct USING (token) JOIN ng USING (source) CROSS JOIN n
+                      GROUP BY gt.source)
+          SELECT source, n_tokens, kl_scaled,
+                 CAST(kl_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl_e6
+          FROM agg ORDER BY source"""
     },
   )
 }

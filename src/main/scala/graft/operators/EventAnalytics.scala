@@ -75,6 +75,11 @@ object EventAnalytics {
     * one Exchange and chains the Window operators on it — and the final
     * stage counts are a scalar aggregate over one row per user. No
     * self-joins of the event log.
+    *
+    * `maxGapMinutes > 0` time-boxes each transition: stage i counts only
+    * when it happens within that many minutes of the user's stage-(i-1)
+    * time — the product form of "did they convert PROMPTLY". 0 = unbounded
+    * (the classic funnel). Same single user-keyed exchange either way.
     */
   def funnel(
       events: DataFrame,
@@ -82,17 +87,22 @@ object EventAnalytics {
       tsCol: String,
       typeCol: String,
       stages: Seq[String],
+      maxGapMinutes: Long = 0,
   ): DataFrame = {
     require(stages.size >= 2, "funnel: need at least two stages")
+    require(maxGapMinutes >= 0, s"funnel: maxGapMinutes must be >= 0: $maxGapMinutes")
+    val gapUs = maxGapMinutes * 60 * 1000000
     val w = Window.partitionBy(col(userCol))
     val us = col("__us")
     // narrow BEFORE the windows: the one user-keyed exchange must carry
     // (user, type, us), not every log column (props JSON etc.)
     val narrowed = events.select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("__us"))
     val staged = stages.zipWithIndex.foldLeft(narrowed) { case (df, (stage, i)) =>
-      val cond =
-        if (i == 0) col(typeCol) === stage
-        else col(typeCol) === stage && us > col(s"__t${i - 1}")
+      val ordered =
+        if (i == 0) lit(true)
+        else if (gapUs == 0) us > col(s"__t${i - 1}")
+        else us > col(s"__t${i - 1}") && us <= col(s"__t${i - 1}") + gapUs
+      val cond = col(typeCol) === stage && ordered
       df.withColumn(s"__t$i", min(when(cond, us)).over(w))
     }
     val stageTimes = stages.indices.map(i => max(col(s"__t$i")).as(s"__t$i"))
@@ -403,6 +413,125 @@ object EventAnalytics {
           .otherwise(lit(numerator) / element_at(col("__mins"), -1).cast("double"))
           .as("est_distinct"),
       )
+  }
+
+  /** Tumbling-window rate limiting: the FIRST event per (user, type,
+    * `windowMinutes`-bucket) survives; bursts, retries, and bot repeats
+    * within the window drop. One map-side-combined aggregate — the
+    * min-struct carries (µs, tiebreak id) so the survivor is total-order
+    * deterministic — NOT a row_number window, which would sort every
+    * group's rows after shuffling all of them; the aggregate ships one row
+    * per (user, type, bucket) per map partition.
+    */
+  def rateLimitFirst(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      windowMinutes: Int = 10,
+  ): DataFrame = {
+    val winUs = windowMinutes.toLong * 60 * 1000000
+    events
+      .select(
+        col(userCol),
+        col(typeCol),
+        expr(s"unix_micros($tsCol) div $winUs").as("__bucket"),
+        struct(unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id")).as("__first"),
+      )
+      .groupBy(col(userCol), col(typeCol), col("__bucket"))
+      .agg(count(lit(1)).as("n_events"), min(col("__first")).as("__keep"))
+      .select(
+        col(userCol),
+        col(typeCol),
+        col("__bucket").as("bucket"),
+        col("__keep.__id").as(idCol),
+        col("__keep.__us").as("kept_us"),
+        col("n_events"),
+      )
+  }
+
+  /** OHLC bars: per (type, hour) open/high/low/close/volume — the
+    * warehouse form of a market-data candle, and a general "first/last
+    * value per bucket" pattern. ONE map-side-combined aggregate: open and
+    * close ride min/max structs keyed (µs, tiebreak id) — the id is unique,
+    * so the struct comparison never reaches the value field and the
+    * selection is total-order deterministic. No window, no sort, no
+    * second pass.
+    */
+  def ohlcBars(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      barHours: Int = 1,
+  ): DataFrame = {
+    val barUs = barHours.toLong * 3600 * 1000000
+    events
+      .select(
+        col(typeCol),
+        expr(s"unix_micros($tsCol) div $barUs").as("bar"),
+        struct(unix_micros(col(tsCol)).as("__us"), col(idCol).as("__id"), col(valueCol).as("__v")).as("__e"),
+        col(valueCol),
+      )
+      .groupBy(col(typeCol), col("bar"))
+      .agg(
+        min(col("__e")).getField("__v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(col("__e")).getField("__v").as("close"),
+        count(lit(1)).as("n_events"),
+      )
+  }
+
+  /** Sliding-window distinct counts from MERGED daily KMV sketches — the
+    * "sketch once, window many" pattern: the event log is scanned ONCE to
+    * build one bounded sketch per day, and every `windowDays`-day trailing
+    * window's distinct estimate is then computed purely by merging ≤
+    * `windowDays` sketches (k smallest of their union — the lossless KMV
+    * merge [[graft.functions.MinKAggregator]] pins). At 100 TB the
+    * alternative — one distinct-aggregation per overlapping window —
+    * re-shuffles the log `windowDays`×; this shuffles it once and the
+    * window pass touches only (day, k-longs) rows.
+    *
+    * Output: (day, n_sketch, kth_min, est_distinct) per day WITH data,
+    * estimating distinct `valueCol` over [day − windowDays + 1, day].
+    */
+  def kmvDistinctSlidingDays(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: Column,
+      windowDays: Int = 3,
+      k: Int = 64,
+  ): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val numerator = (k - 1).toDouble * (1L << 60).toDouble
+    val dayUs = 86400L * 1000000
+    val daily = events
+      .select(expr(s"unix_micros($tsCol) div $dayUs").as("__day"), graft.functions.Hashing.hash64(valueCol).as("__h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinKAggregator(k).toColumn.name("__mins"))
+      .toDF("__day", "__mins")
+    val contributions = daily
+      .select(explode(sequence(col("__day"), col("__day") + (windowDays - 1))).as("day"), col("__mins"))
+    val merged = contributions
+      .groupBy(col("day"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("__mins"))))), 1, k).as("__u"))
+      // only days that themselves have data (the leading edge of a window)
+      .join(daily.select(col("__day").as("day")), "day")
+    merged.select(
+      col("day"),
+      size(col("__u")).cast("long").as("n_sketch"),
+      element_at(col("__u"), -1).as("kth_min"),
+      when(size(col("__u")) < k, size(col("__u")).cast("double"))
+        .otherwise(lit(numerator) / element_at(col("__u"), -1).cast("double"))
+        .as("est_distinct"),
+    )
   }
 
   /** Join-cardinality estimation from two KMV sketches — "how big is

@@ -604,4 +604,74 @@ object Quality {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("token"), col("score"))
   }
+
+  /** Weighted sampling WITHOUT replacement, deterministic (Efraimidis–
+    * Spirakis): each row draws a pseudo-uniform `u = hash64(id)/2^60` and is
+    * ranked by `u^(1/w)` — taking the n largest keys samples n items with
+    * inclusion probability increasing in weight `w`, with no RNG state
+    * (replayable, shardable, engine-agnostic — the weighted sibling of the
+    * q48/q74 salted-hash samplers).
+    *
+    * Cross-engine exactness: the rank key is `lq(u) / w` in log space,
+    * where `lq(x) = floor(ln(x)·10⁶ + 0.5)` is the corpus ln-quantization
+    * rule — ln runs once per distinct hash, the division is one IEEE
+    * double op with identical operand shapes in both engines, and the
+    * (key DESC, id) order is total. One projection + TakeOrdered top-n:
+    * no shuffle carries more than n rows per partition.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      n: Int,
+  ): DataFrame = {
+    require(n > 0, s"weightedSample: n must be positive: $n")
+    val u = Hashing.hash64(col(idCol).cast("string")).cast("double") / lit((1L << 60).toDouble)
+    val lq = floor(log(u) * 1000000 + 0.5).cast("long")
+    df.select(col(idCol), weightCol.cast("long").as("weight"))
+      .withColumn("key", lq.cast("double") / col("weight"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Per-group KL divergence of the group's unigram distribution from the
+    * whole-corpus distribution — the domain-drift / "how unusual is this
+    * source" card metric (large KL = the slice speaks its own dialect).
+    *
+    * `KL(p_g ‖ p) = Σ_t p_g(t)·ln(p_g(t)/p(t))` decomposed into quantized
+    * ln terms of pure integer counts (the q69/q136 rule):
+    * `kl_scaled = Σ_t c_gt · (l(c_gt) + l(N) − l(N_g) − l(c_t))` with
+    * `l(x) = floor(ln(x)·10⁶ + 0.5)` — ln runs only on distinct integer
+    * counts, the weighted sum is exact 64-bit arithmetic, and the final
+    * per-token-average `kl_e6 = kl_scaled / N_g` is one IEEE division.
+    * Nonnegative up to quantization (±1e-6·ln-unit per term).
+    *
+    * Shape: ONE tokenization pass materialized, feeding the (group, token)
+    * counts, the vocabulary-sized corpus count table (broadcast back), and
+    * both totals (broadcast scalars) — the corpus text never shuffles.
+    */
+  def sourceKlDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val l: Column => Column = x => floor(log(x.cast("double")) * 1000000 + 0.5).cast("long")
+    val tok = Lineage.truncate(
+      docs.select(col(groupCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+    )
+    val gt = tok.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c_gt"))
+    val ct = tok.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val ng = tok.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    gt.join(broadcast(ct), "token")
+      .join(broadcast(ng), groupCol)
+      .crossJoin(broadcast(n))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n_g")).as("n_tokens"),
+        sum(col("c_gt") * (l(col("c_gt")) + l(col("n_total")) - l(col("n_g")) - l(col("c_t"))))
+          .as("kl_scaled"),
+      )
+      .withColumn("kl_e6", col("kl_scaled").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -315,4 +315,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"no data-sized join may appear:\n$p")
   }
+
+  test("q137/q138: first/last-per-bucket are single aggregates — no Window sort of the log") {
+    Seq("q137_rate_limit", "q138_ohlc_bars").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("Window"), s"$name must use min/max structs, not a row_number window:\n$p")
+      assert(!p.contains("Join") || name == "q137_rate_limit" && !p.contains("SortMergeJoin"),
+        s"$name: one aggregate pass, no self-join:\n$p")
+    }
+  }
+
+  test("q141 weighted sample: rank-and-take is TakeOrdered, never a global sort") {
+    val p = finalPlan(q("q141_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-n must be TakeOrdered:\n$p")
+  }
+
+  test("q142 source KL: vocab and totals broadcast; the corpus tokenizes once") {
+    val p = plan(q("q142_source_kl"))
+    assert(p.contains("BroadcastHashJoin"), s"corpus token table must broadcast onto the counts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized shuffle join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1, s"one tokenization pass:\n$p")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MinKAggregator
-import graft.operators.{Decontaminate, Dedup, EventAnalytics, SkewJoin}
+import graft.operators.{Decontaminate, Dedup, EventAnalytics, Quality, SkewJoin}
 import org.apache.spark.sql.functions._
 
 /** Round-9 operators: block-level dedup rewrite, Bloom-prefiltered
@@ -144,6 +144,115 @@ class SketchSpec extends SparkSpec {
     val r = EventAnalytics.kmvJoinEstimate(a, col("ka"), b, col("kb"), k = 64).head()
     assert(math.abs(r.getDouble(2) - 4000) / 4000 < 0.5, s"union est ${r.getDouble(2)}")
     assert(r.getDouble(3) > 0.05 && r.getDouble(3) < 0.6, s"jaccard est ${r.getDouble(3)}")
+  }
+
+  test("rateLimitFirst: earliest (us, id) survives per bucket; counts are per-bucket") {
+    import spark.implicits._
+    // user 1 bursts 3 events inside one 10-min bucket (ids out of ts order
+    // to prove the tiebreak is (us, id), not id); a 4th lands in the next.
+    val ev = Seq(
+      (10L, 1L, "click", "2024-01-01 00:01:00"),
+      (11L, 1L, "click", "2024-01-01 00:01:00"), // same us as id 10 -> id 10 wins
+      (9L, 1L, "click", "2024-01-01 00:05:00"),
+      (12L, 1L, "click", "2024-01-01 00:11:00"),
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val out = EventAnalytics
+      .rateLimitFirst(ev, "user_id", "event_type", "ts", "event_id", windowMinutes = 10)
+      .orderBy("bucket")
+      .collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("event_id") === 10L && out(0).getAs[Long]("n_events") === 3L)
+    assert(out(1).getAs[Long]("event_id") === 12L && out(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("ohlcBars: open/close are the (us, id)-ordered endpoints, high/low the extremes") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "t", "2024-01-01 00:05:00", 5.0),
+      (2L, "t", "2024-01-01 00:10:00", 9.0),
+      (3L, "t", "2024-01-01 00:20:00", 1.0),
+      (4L, "t", "2024-01-01 00:50:00", 7.0),
+    ).toDF("event_id", "event_type", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val r = EventAnalytics.ohlcBars(ev, "event_type", "ts", "event_id", "value").head()
+    assert(r.getAs[Double]("open") === 5.0 && r.getAs[Double]("high") === 9.0)
+    assert(r.getAs[Double]("low") === 1.0 && r.getAs[Double]("close") === 7.0)
+    assert(r.getAs[Long]("n_events") === 4L)
+  }
+
+  test("kmvDistinctSlidingDays: window estimate equals the direct sketch of the window's union") {
+    import spark.implicits._
+    // days 0, 1, 2 with overlapping user sets; window [0..2] on day 2 must
+    // equal the DIRECT KMV over the 3 days' union — sketch merge is lossless.
+    def u(day: Int, ids: Range) = ids.map(i => (s"2024-01-0${day + 1} 12:00:00", s"u$i"))
+    val rows = u(0, 1 to 30) ++ u(1, 20 to 50) ++ u(2, 40 to 60)
+    val ev = rows.toDF("s", "uid").withColumn("ts", col("s").cast("timestamp"))
+    val slid = EventAnalytics
+      .kmvDistinctSlidingDays(ev, "ts", col("uid"), windowDays = 3, k = 16)
+      .orderBy("day")
+      .collect()
+    val direct = EventAnalytics
+      .kmvDistinct(ev.withColumn("g", lit("all")), "g", col("uid"), k = 16)
+      .head()
+    assert(slid.last.getAs[Double]("est_distinct") === direct.getAs[Double]("est_distinct"))
+    assert(slid.last.getAs[Long]("kth_min") === direct.getAs[Long]("kth_min"))
+    // day 0's window is just day 0: 30 distinct > k=16 -> sketched estimate
+    assert(slid.head.getAs[Long]("n_sketch") === 16L)
+  }
+
+  test("funnel maxGap: the time box drops slow transitions, 0 keeps the classic semantics") {
+    import spark.implicits._
+    // user 1 converts view->click in 10 min (in-window), user 2 in 3 hours
+    // (outside a 2h box but valid classically).
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:10:00"),
+      (3L, 2L, "view", "2024-01-01 10:00:00"),
+      (4L, 2L, "click", "2024-01-01 13:00:00"),
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    def users(gap: Long): Seq[Long] =
+      EventAnalytics
+        .funnel(ev, "user_id", "ts", "event_type", Seq("view", "click"), maxGapMinutes = gap)
+        .orderBy("stage")
+        .collect()
+        .map(_.getAs[Long]("users"))
+        .toSeq
+    assert(users(0) === Seq(2L, 2L))
+    assert(users(120) === Seq(2L, 1L))
+  }
+
+  test("weightedSample: key formula is the quantized-ln rule; higher weight raises the key") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("doc_id", "w")
+    val out = Quality.weightedSample(docs, "doc_id", col("w"), n = 3).collect()
+    out.foreach { r =>
+      val h = r.getLong(0) // recompute lq from the id's hash
+      val hashed = spark.range(1).select(
+        graft.functions.Hashing.hash64(lit(h.toString)).cast("double") / math.pow(2, 60)).head().getDouble(0)
+      val lq = math.floor(math.log(hashed) * 1000000 + 0.5).toLong
+      assert(r.getAs[Double]("key") === lq.toDouble / 100L)
+    }
+    // same ids, one weight raised 100x: its key must not decrease
+    val boosted = Quality
+      .weightedSample(Seq((1L, 10000L), (2L, 100L), (3L, 100L)).toDF("doc_id", "w"), "doc_id", col("w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("key")).toMap
+    val base = out.map(r => r.getLong(0) -> r.getAs[Double]("key")).toMap
+    assert(boosted(1L) >= base(1L) && boosted(2L) === base(2L))
+  }
+
+  test("sourceKlDivergence: hand-computed ln(3/2)/ln(3) closed forms") {
+    import spark.implicits._
+    // s1 = "a a" (KL = ln(3/2) per token), s2 = "b" (KL = ln(3)).
+    val docs = Seq(("s1", "a a"), ("s2", "b")).toDF("source", "text")
+    val out = Quality
+      .sourceKlDivergence(docs, "source", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("s1") === ((2L, 810930L, 405465.0)))   // 2·(l(3)−l(2)); /2
+    assert(out("s2") === ((1L, 1098612L, 1098612.0))) // l(3)
   }
 
   test("skewReport: shares and salt buckets are the closed-form integers") {
