@@ -1886,6 +1886,36 @@ object ExtensionQueries {
     //      decomposition ----
     "q142_source_kl" -> ((s, d) =>
       Quality.sourceKlDivergence(t(s, d, "documents"), "source", "text").orderBy("source")),
+
+    // ---- Stratified weighted sampling: 5 docs per source, inclusion odds
+    //      ∝ n_chars, via the bounded per-group top-k aggregate ----
+    "q143_weighted_sample_by_source" -> ((s, d) =>
+      Quality
+        .weightedSampleByGroup(t(s, d, "documents"), "source", "doc_id", col("n_chars"), nPerGroup = 5)
+        .orderBy("source", "rank")),
+
+    // ---- Hybrid retrieval: BM25 (q82's query) ⊕ embedding-cosine
+    //      neighbors of vec 0 (q29's scorer), fused by reciprocal rank —
+    //      each modality retrieves independently, fusion touches k·2 rows ----
+    "q144_hybrid_rrf" -> ((s, d) => {
+      val bm = Retrieval
+        .bm25TopK(t(s, d, "documents"), "doc_id", "text", Bm25Query, k = 20)
+        .withColumn(
+          "rank",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))),
+        )
+        .select(col("doc_id"), col("rank"))
+      val cos = Similarity
+        .bruteForceTopK(
+          t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") === 0),
+          "vec_id",
+          "embedding",
+          k = 20,
+        )
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.reciprocalRankFusion(Seq(bm, cos), "doc_id", "rank", topN = 10)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3509,5 +3539,45 @@ object ExtensionQueries {
                  CAST(kl_scaled AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl_e6
           FROM agg ORDER BY source"""
     },
+    // Same rank key as q141, per-stratum top-5 under (key DESC, id).
+    "q143_weighted_sample_by_source" -> {
+      val h = sqlHash64("CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (SELECT source, doc_id,
+                       CAST(CAST(floor(ln(CAST($h AS DOUBLE) / ${1L << 60}) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+                         / CAST(n_chars AS BIGINT) AS key
+                     FROM documents),
+              r AS (SELECT source, doc_id, key,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS INT) AS rank
+                    FROM k QUALIFY rank <= 5)
+          SELECT source, rank, doc_id, key FROM r ORDER BY source, rank"""
+    },
+    // BM25 ranking = q82's scoring CTE; cosine ranking = q29's scorer for
+    // the single probe vec 0; fusion = exact integer 1e9 div (60 + rank).
+    "q144_hybrid_rrf" ->
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_len FROM tl),
+            tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tl),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf, CAST(MIN(dl) AS BIGINT) AS dl FROM tok
+                   WHERE token IN (${Bm25Query.map(w => s"'$w'").mkString(", ")})
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            idf AS (SELECT token,
+                      CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_s,
+                      n_docs, total_len
+                    FROM df CROSS JOIN stats),
+            sc AS (SELECT tf.doc_id,
+                     (idf_s * tf.tf * 22 * total_len)
+                       // (10 * tf.tf * total_len + 3 * total_len + 9 * tf.dl * n_docs) AS term_score
+                   FROM tf JOIN idf USING (token)),
+            bm AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+                   FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+            ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+            cosq AS (SELECT b.vec_id AS doc_id, $sqlCos AS sim
+                     FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> a.vec_id),
+            rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+                   FROM cosq QUALIFY rank <= 20),
+            u AS (SELECT doc_id, rank FROM ra UNION ALL SELECT doc_id, rank FROM rb)
+          SELECT doc_id, COUNT(*) AS n_lists, CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_s
+          FROM u GROUP BY doc_id ORDER BY rrf_s DESC, doc_id LIMIT 10""",
   )
 }

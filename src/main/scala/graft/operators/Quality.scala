@@ -634,6 +634,42 @@ object Quality {
       .limit(n)
   }
 
+  /** Per-stratum [[weightedSample]]: n items per group, same deterministic
+    * Efraimidis–Spirakis rank key — per-domain token-weighted subsampling
+    * ("keep the n most sampling-worthy docs of EVERY source").
+    *
+    * The per-group top-n uses the bounded [[graft.functions.TopKAggregator]]
+    * (key as the score, ties to the lower id — exactly the (key DESC, id)
+    * order), so the shuffle carries ≤ n rows per (group × partition)
+    * instead of sorting every group's rows under a row_number window.
+    */
+  def weightedSampleByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: Column,
+      nPerGroup: Int,
+  ): DataFrame = {
+    require(nPerGroup > 0, s"weightedSampleByGroup: nPerGroup must be positive: $nPerGroup")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = Hashing.hash64(col(idCol).cast("string")).cast("double") / lit((1L << 60).toDouble)
+    val lq = floor(log(u) * 1000000 + 0.5).cast("long")
+    df.select(
+      col(groupCol),
+      (lq.cast("double") / weightCol.cast("long")).as("__key"),
+      col(idCol),
+    )
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAggregator(nPerGroup).toColumn)
+      .flatMap { case (g, items) =>
+        items.zipWithIndex.map { case ((key, id), i) => (g, i + 1, id, key) }
+      }
+      .toDF(groupCol, "rank", idCol, "key")
+  }
+
   /** Per-group KL divergence of the group's unigram distribution from the
     * whole-corpus distribution — the domain-drift / "how unusual is this
     * source" card metric (large KL = the slice speaks its own dialect).

@@ -298,4 +298,36 @@ object Retrieval {
       .orderBy(col("pmi_s").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Reciprocal-rank fusion: merge N ranked retrieval lists into one —
+    * THE standard hybrid-search combiner (lexical BM25 ⊕ embedding ANN),
+    * robust because it uses only ranks, never the incomparable raw scores.
+    *
+    * `rrf(d) = Σ_lists 1/(kRrf + rank_d)`, here as the exact integer
+    * `10⁹ div (kRrf + rank)` per contribution — cross-engine-identical
+    * with no float summation. Inputs are already tiny top-k lists, so the
+    * fusion is a toy-sized aggregate; the heavy lifting happened in the
+    * per-modality retrievers, which is the point of RRF at scale: each
+    * index answers independently, fusion touches k·N rows.
+    */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      kRrf: Int = 60,
+      topN: Int = 10,
+  ): DataFrame = {
+    require(rankings.size >= 2, "reciprocalRankFusion: need at least two ranked lists")
+    require(kRrf >= 1, s"reciprocalRankFusion: kRrf must be positive: $kRrf")
+    val u = rankings
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionAll _)
+    u.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        sum(expr(s"1000000000 div ($kRrf + __rank)")).as("rrf_s"),
+      )
+      .orderBy(col("rrf_s").desc, col(idCol))
+      .limit(topN)
+  }
 }

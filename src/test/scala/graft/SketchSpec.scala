@@ -255,6 +255,35 @@ class SketchSpec extends SparkSpec {
     assert(out("s2") === ((1L, 1098612L, 1098612.0))) // l(3)
   }
 
+  test("reciprocalRankFusion: exact integer fusion, overlap outranks single-list wins") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((30L, 1), (40L, 2)).toDF("id", "rank")
+    val out = graft.operators.Retrieval
+      .reciprocalRankFusion(Seq(a, b), "id", "rank", kRrf = 60, topN = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // id 30: 1e9/63 + 1e9/61 = 15873015 + 16393442
+    assert(out(30L) === ((2L, 15873015L + 16393442L)))
+    assert(out(10L) === ((1L, 1000000000L / 61)))
+    // the doubly-retrieved doc must beat every single-list doc here
+    assert(out(30L)._2 > out.filterKeys(_ != 30L).values.map(_._2).max)
+  }
+
+  test("weightedSampleByGroup: per-stratum counts and the global key order within each") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf(), "documents")
+    val out = Quality
+      .weightedSampleByGroup(docs, "source", "doc_id", col("n_chars"), nPerGroup = 5)
+    val perGroup = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 5L), "every source must contribute exactly 5 docs")
+    // rank order within a group must follow (key desc, id)
+    val rows = out.filter(col("source") === "src0").orderBy("rank").collect()
+    val keys = rows.map(_.getAs[Double]("key"))
+    assert(keys.sameElements(keys.sorted.reverse))
+  }
+
   test("skewReport: shares and salt buckets are the closed-form integers") {
     import spark.implicits._
     // key 1: 70 rows, key 2: 20, key 3: 10 -> total 100
