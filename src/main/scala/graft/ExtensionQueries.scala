@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Assemble, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Retrieval, Similarity, SkewJoin}
+import graft.operators.{AsOfJoin, Assemble, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Retrieval, Similarity, SkewJoin, Winnow}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,6 +33,38 @@ object ExtensionQueries {
   private val KmvK = 64 // q129's sketch size (±1/√k ≈ 12% relative error)
   private val SkewTarget = 32L // q130's rows-per-reducer target (demo scale)
   private val FunnelGapMin = 120L // q140's per-transition time box (minutes)
+  // q146's snapshot/update split point: 2024-01-21T00:00:00Z in epoch µs
+  // (the events table spans 2024-01; ~2/3 before, ~1/3 after).
+  private val CdcCutoffUs = 1705795200000000L
+  // q147/q148 winnowing parameters: token trigrams, window 4 (any shared
+  // run of k+w-1 = 6 tokens is guaranteed a shared fingerprint), common-
+  // fingerprint drop at 20 docs, match report at >= 2 shared fingerprints.
+  private val WinnowK = 3
+  private val WinnowW = 4
+  private val WinnowMaxDf = 20
+  private val WinnowMinShared = 2
+
+  /** DuckDB mirror of [[graft.operators.Winnow.fingerprints]]: zip-unnest
+    * of the gram-hash list with its positions, struct-min window (same
+    * lexicographic (hash, -pos) rule = rightmost minimal), full windows
+    * only. Terminal relation: `fp(doc_id, g_total, fp_hash, fp_pos)`.
+    */
+  private def sqlWinnowFp: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    val gram = sqlHash64(s"array_to_string(tk[i:i+${k - 1}], ' ')")
+    s"""tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+        gl AS (SELECT doc_id, list_transform(range(1, len(tk) - ${k - 2}), i -> $gram) AS ghs
+               FROM tok WHERE len(tk) >= ${k + w - 1}),
+        g AS (SELECT doc_id, len(ghs) AS g_total,
+                     unnest(range(1, len(ghs)+1)) AS pos, unnest(ghs) AS h FROM gl),
+        sel AS (SELECT doc_id, pos, g_total,
+                  min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+                FROM g),
+        fp AS (SELECT DISTINCT doc_id, g_total,
+                      struct_extract(m, 'h') AS fp_hash, -struct_extract(m, 'np') AS fp_pos
+               FROM sel WHERE pos <= g_total - ${w - 1})"""
+  }
 
   // DuckDB mirrors of graft.functions.Hashing / TextAnalysis ---------------
   private def sqlHash64(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
@@ -1916,6 +1948,55 @@ object ExtensionQueries {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Retrieval.reciprocalRankFusion(Seq(bm, cos), "doc_id", "rank", topN = 10)
     }),
+
+    // ---- SCD-2 state periods: gaps-and-islands run-length encoding of
+    //      each user's event_type runs, [valid_from, valid_to) bounds —
+    //      one user-keyed exchange end to end ----
+    "q145_state_periods" -> ((s, d) =>
+      EventAnalytics
+        .statePeriods(events(s, d), "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "period")),
+
+    // ---- Batch CDC MERGE: latest-wins snapshot (before the cutoff) ⊕
+    //      update log (after), whole-row update-wins with insert/update/
+    //      carry provenance ----
+    "q146_cdc_merge" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+      )
+      val snap = EventAnalytics
+        .latestWins(ev.filter(col("us") < CdcCutoffUs), Seq("user_id"), "us", "event_id")
+      EventAnalytics
+        .cdcMerge(snap, ev.filter(col("us") >= CdcCutoffUs), Seq("user_id"), "us", "event_id")
+        .orderBy("user_id")
+    }),
+
+    // ---- Winnowing (MOSS) fingerprint cards: per-doc selected-minima
+    //      counts + XOR checksum; one doc-keyed exchange ----
+    "q147_winnow_fingerprints" -> ((s, d) =>
+      Winnow
+        .fingerprintSummary(t(s, d, "documents"), "doc_id", "text", WinnowK, WinnowW)
+        .orderBy("doc_id")),
+
+    // ---- Winnowing match report: doc pairs sharing >= 2 selected
+    //      fingerprints after the common-fingerprint drop ----
+    "q148_winnow_overlap" -> ((s, d) =>
+      Winnow
+        .overlapPairs(t(s, d, "documents"), "doc_id", "text", WinnowK, WinnowW, WinnowMinShared, WinnowMaxDf)
+        .orderBy("id_a", "id_b")),
+
+    // ---- Prefix-filtered exact Jaccard join (AllPairs/PPJoin): the whole
+    //      corpus, NO blocking column, exact recall over word-TRIGRAM
+    //      shingle sets at threshold 1/2 — candidates only on each doc's
+    //      rarest-shingle prefix ----
+    "q149_prefix_jaccard_join" -> ((s, d) =>
+      Dedup
+        .prefixJaccardJoin(t(s, d, "documents"), "doc_id", "text", thresholdNum = 1, thresholdDen = 2, shingleN = 3)
+        .orderBy("id_a", "id_b")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3579,5 +3660,82 @@ object ExtensionQueries {
             u AS (SELECT doc_id, rank FROM ra UNION ALL SELECT doc_id, rank FROM rb)
           SELECT doc_id, COUNT(*) AS n_lists, CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_s
           FROM u GROUP BY doc_id ORDER BY rrf_s DESC, doc_id LIMIT 10""",
+    // Null-safe change flag (IS NOT DISTINCT FROM == Spark's <=>); the
+    // running sum of flags is the 1-based dense period id.
+    "q145_state_periods" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+            flg AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                                        IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+                    FROM e),
+            per AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+                    FROM flg),
+            grp AS (SELECT user_id, pid, event_type, MIN(us) AS valid_from_us, COUNT(*) AS n_events
+                    FROM per GROUP BY 1, 2, 3)
+         SELECT user_id, CAST(pid AS BIGINT) AS period, event_type AS state, valid_from_us,
+                LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY pid) AS valid_to_us,
+                CAST(n_events AS BIGINT) AS n_events
+         FROM grp ORDER BY user_id, period""",
+    // Whole-row update-wins (CASE on the update key, never per-field
+    // COALESCE) — mirrors cdcMerge's struct pick exactly.
+    "q146_cdc_merge" -> {
+      def pickRow(f: String) = s"CASE WHEN u.user_id IS NOT NULL THEN u.$f ELSE s.$f END AS $f"
+      s"""WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id FROM events),
+             snap AS (SELECT user_id, event_type, value, us, event_id FROM
+                      (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                       FROM ev WHERE us < $CdcCutoffUs) WHERE rn = 1),
+             upd AS (SELECT user_id, event_type, value, us, event_id FROM
+                     (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                      FROM ev WHERE us >= $CdcCutoffUs) WHERE rn = 1)
+          SELECT COALESCE(u.user_id, s.user_id) AS user_id,
+                 CASE WHEN u.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN 'update'
+                      WHEN u.user_id IS NOT NULL THEN 'insert' ELSE 'carry' END AS op,
+                 ${Seq("event_type", "value", "us", "event_id").map(pickRow).mkString(", ")}
+          FROM snap s FULL OUTER JOIN upd u ON s.user_id = u.user_id
+          ORDER BY user_id"""
+    },
+    "q147_winnow_fingerprints" ->
+      s"""WITH $sqlWinnowFp
+          SELECT doc_id, CAST(MAX(g_total) AS BIGINT) AS n_grams, CAST(COUNT(*) AS BIGINT) AS n_fps,
+                 MIN(fp_hash) AS min_fp, MAX(fp_hash) AS max_fp, bit_xor(fp_hash) AS xor_fp
+          FROM fp GROUP BY doc_id ORDER BY doc_id""",
+    // Distinct (doc, hash) first — a doc can select the same hash at
+    // several positions; the match report counts shared HASH VALUES.
+    "q148_winnow_overlap" ->
+      s"""WITH $sqlWinnowFp,
+              ph AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+              freq AS (SELECT fp_hash, COUNT(*) AS ndocs FROM ph GROUP BY 1),
+              keep AS (SELECT ph.doc_id, ph.fp_hash FROM ph JOIN freq USING (fp_hash)
+                       WHERE ndocs <= $WinnowMaxDf),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+                        FROM keep a JOIN keep b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= $WinnowMinShared
+          ORDER BY id_a, id_b""",
+    // Same global shingle order (df ASC, hash ASC), same integer prefix
+    // length sz - ceil(sz/2) + 1, same q24-form double jaccard verify —
+    // over the q122 word-trigram shingle formula.
+    "q149_prefix_jaccard_join" -> {
+      val gram = sqlHash64("array_to_string(tk[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+              tt AS (SELECT doc_id AS id,
+                            list_sort(list_distinct(list_transform(range(1, len(tk) - 1), i -> $gram))) AS toks
+                     FROM tok WHERE len(tk) >= 3),
+              ex AS (SELECT id, len(toks) AS sz, unnest(toks) AS tok FROM tt),
+              dfr AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY 1),
+              rk AS (SELECT id, sz, tok,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, tok) AS rn
+                     FROM ex JOIN dfr USING (tok)),
+              pre AS (SELECT id, sz, tok FROM rk WHERE rn <= sz - ((1 * sz + 1) // 2) + 1),
+              cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                       FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id)
+          SELECT id_a, id_b,
+                 len(list_intersect(a.toks, b.toks)) * 1.0
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+          FROM cand JOIN tt a ON cand.id_a = a.id JOIN tt b ON cand.id_b = b.id
+          WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+          ORDER BY id_a, id_b"""
+    },
   )
 }

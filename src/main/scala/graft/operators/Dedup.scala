@@ -386,6 +386,88 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
 
+  /** Exact-threshold Jaccard similarity join over the WHOLE corpus with NO
+    * blocking column — the prefix-filtering (AllPairs/PPJoin) algorithm:
+    * order every doc's tokens by ascending global document frequency (ties
+    * by token hash), keep only each doc's first
+    * `p = |x| - ceil(t·|x|) + 1` tokens (its "prefix" — the rarest ones),
+    * and pair docs sharing ANY prefix token. The prefix-filtering principle
+    * guarantees every pair with `J ≥ t` shares a prefix token under a
+    * common global order, so after the exact verify the output EQUALS the
+    * brute-force threshold join — same results as [[jaccardPairs]] without
+    * its block column or its N²/blocks cost, and exact recall where
+    * [[minhashNearDupPairs]] is probabilistic.
+    *
+    * The threshold is a rational `num/den` so the prefix length is integer
+    * arithmetic (`ceil(t·sz) = (num·sz + den − 1) div den`) — no float
+    * rounding to mirror cross-engine; the verify compares the same double
+    * `jaccard` both engines compute.
+    *
+    * Scale design: the hashed-token projection is materialized once (feeds
+    * the ranking, the guard, and the verify); candidate buckets are keyed
+    * by RARE tokens by construction (frequent tokens sort out of every
+    * prefix), and a loud pre-flight fails if any prefix token still
+    * exceeds `maxPrefixBucketRows` (a corpus of near-identical docs makes
+    * every token rare-per-doc but shared-by-all). The pair join shuffles
+    * (token, id, sz) — never text or token arrays; the arrays only travel
+    * to verify the deduplicated candidates.
+    */
+  def prefixJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 4,
+      thresholdDen: Int = 5,
+      maxPrefixBucketRows: Long = 100000L,
+      shingleN: Int = 1,
+  ): DataFrame = {
+    require(
+      thresholdNum > 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
+      s"prefixJaccardJoin: threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen",
+    )
+    require(shingleN >= 1, s"prefixJaccardJoin: shingleN must be >= 1: $shingleN")
+    val threshold = thresholdNum.toDouble / thresholdDen
+    // shingleN > 1: word n-gram shingle sets (the discriminative real-world
+    // unit — see containmentPairs) with the token array hoisted to an
+    // attribute first (wordNgramHashesFromTokens' documented inlining trap).
+    val toks = Lineage.truncate(
+      df.select(col(idCol).as("id"), TextAnalysis.wsTokens(col(textCol)).as("__t"))
+        .select(
+          col("id"),
+          (if (shingleN == 1) sort_array(array_distinct(transform(col("__t"), t => Hashing.hash64(t))))
+           else sort_array(array_distinct(TextAnalysis.wordNgramHashesFromTokens(col("__t"), shingleN))))
+            .as("toks"),
+        )
+        .filter(size(col("toks")) > 0)
+    )
+    val ex = toks.select(col("id"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+    val dfTab = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefixLen = col("sz") - expr(s"(($thresholdNum * sz) + ${thresholdDen - 1}) div $thresholdDen") + 1
+    val prefix = Lineage.truncate(
+      ex.join(dfTab, "tok")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= prefixLen)
+        .select(col("tok"), col("id"), col("sz"))
+    )
+    requireBoundedGroups(
+      prefix.select(col("tok")),
+      Seq("tok"),
+      maxPrefixBucketRows,
+      (tok, n) =>
+        s"prefixJaccardJoin: prefix token $tok indexes $n docs (> maxPrefixBucketRows=$maxPrefixBucketRows): " +
+          s"its candidate bucket would enumerate ~${n * n / 2} pairs — the corpus is too self-similar for " +
+          "exact prefix filtering at this threshold. Use minhashNearDupPairs, or raise the limit deliberately.",
+    )
+    val cand = prefix
+      .as("l")
+      .join(prefix.as("r"), col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
+      .filter(sizeRatioOk(col("l.sz"), col("r.sz"), threshold))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    jaccardVerifyToks(cand, toks, threshold)
+  }
+
   /** Lineage truncation for the iterative CC operators, always LAZY: the
     * caller's convergence action (the fused changed-count / fingerprint
     * aggregation) is the job that materializes the checkpoint, so each round

@@ -371,6 +371,102 @@ object EventAnalytics {
       )
   }
 
+  /** Gaps-and-islands run-length encoding of per-key state — the SCD
+    * Type-2 dimension build: the event log collapses to one row per MAXIMAL
+    * RUN of consecutive equal `stateCol` values per key, carrying
+    * `[valid_from_us, valid_to_us)` validity bounds (the last period's
+    * `valid_to_us` is NULL = still current) and the run's event count.
+    * Change detection is null-safe (`<=>`), so a null state forms its own
+    * runs exactly like any other value — the same rule as SQL's
+    * `IS DISTINCT FROM`.
+    *
+    * Scale design: ONE key-partitioned exchange end to end. The change
+    * flag (`lag`) and the running period id (`sum` over rows-unbounded)
+    * stack on the same `partitionBy(key)` sort; the per-period groupBy's
+    * key set (key, pid, state) is a superset of the window's partitioning,
+    * so `HashPartitioning(key)` already satisfies its distribution — no
+    * re-shuffle — and the closing `lead` window runs on the COMPACTED
+    * periods table with the same key. The input is narrowed to four
+    * columns before the exchange.
+    */
+  def statePeriods(
+      log: DataFrame,
+      keyCol: String,
+      stateCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tiebreakCol))
+    val flagged = log
+      .select(col(keyCol), col(stateCol), unix_micros(col(tsCol)).as("__us"), col(tiebreakCol))
+      .withColumn("__chg", when(lag(col(stateCol), 1).over(w) <=> col(stateCol), 0L).otherwise(1L))
+      // first row's lag is null -> not <=> a non-null state -> 1, so the
+      // running sum is a 1-based dense period number per key.
+      .withColumn("__pid", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val periods = flagged
+      .groupBy(col(keyCol), col("__pid"), col(stateCol))
+      .agg(min(col("__us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+    val pw = Window.partitionBy(col(keyCol)).orderBy(col("__pid"))
+    periods.select(
+      col(keyCol),
+      col("__pid").as("period"),
+      col(stateCol).as("state"),
+      col("valid_from_us"),
+      lead(col("valid_from_us"), 1).over(pw).as("valid_to_us"),
+      col("n_events"),
+    )
+  }
+
+  /** Batch CDC MERGE (upsert): applies an update log onto a keyed snapshot
+    * — the write-side sibling of [[latestWins]] (which is the read-side
+    * compaction). The update log is compacted to its latest row per key
+    * first; then for every key the UPDATE row wins WHOLESALE (whole-row
+    * replacement — never a per-field coalesce, which would silently keep a
+    * stale snapshot field wherever an update field is null). Each output
+    * row is tagged `op`: `insert` (new key), `update` (key in both), or
+    * `carry` (snapshot key untouched by the log).
+    *
+    * Both inputs must share one schema: `keys` ++ payload.
+    *
+    * Scale design: one exchange per side on the merge key. The update-side
+    * compaction's `row_number` window partitions on the same key the join
+    * shuffles on, so the compacted side arrives at the join already
+    * hash-partitioned (no extra exchange); the snapshot side shuffles
+    * once. A typical CDC batch is small next to the snapshot — AQE
+    * downgrades the join to broadcast when it fits, carrying the big
+    * snapshot shuffle-free.
+    */
+  def cdcMerge(
+      snapshot: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tiebreakCol: String,
+  ): DataFrame = {
+    require(keys.nonEmpty, "cdcMerge: need at least one merge key")
+    require(
+      snapshot.columns.toSeq == updates.columns.toSeq,
+      s"cdcMerge: schema mismatch: snapshot ${snapshot.columns.mkString(",")} vs updates ${updates.columns.mkString(",")}",
+    )
+    val payload = snapshot.columns.filterNot(keys.contains).toSeq
+    def pack(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+ struct(payload.map(col): _*).as(as): _*)
+    val s = pack(snapshot, "__s")
+    val u = pack(latestWins(updates, keys, orderCol, tiebreakCol), "__u")
+    val pick = when(col("__u").isNotNull, col("__u")).otherwise(col("__s"))
+    s.join(u, keys, "full_outer")
+      .select(
+        keys.map(col) ++
+          Seq(
+            when(col("__u").isNotNull && col("__s").isNotNull, lit("update"))
+              .when(col("__u").isNotNull, lit("insert"))
+              .otherwise(lit("carry"))
+              .as("op")
+          ) ++
+          payload.map(p => pick.getField(p).as(p)): _*
+      )
+  }
+
   /** KMV ("k minimum values") approximate distinct count per group — the
     * cross-engine-reproducible alternative to `approx_count_distinct`
     * (HLL++ registers are engine-private; a KMV sketch is an order

@@ -355,4 +355,99 @@ class ExtensionSpec extends SparkSpec {
     assert(got(0) != got(1))
     assert(got(0) == ("ab".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Hashing.P)))
   }
+
+  /** JVM model of [[Hashing.hash64]] (md5 prefix, 60 bits). */
+  private def modelHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Independent JVM winnowing model: gram hashes, window minima with the
+    * rightmost-minimal tie rule, distinct (pos, hash) selections.
+    */
+  private def modelWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val tk = text.trim.split("\\s+").toSeq
+    if (tk.size < k + w - 1) Set.empty
+    else {
+      val gh = (0 to tk.size - k).map(i => modelHash(tk.slice(i, i + k).mkString(" ")))
+      (0 to gh.size - w).flatMap { s =>
+        val win = (s until s + w).map(p => (gh(p), p))
+        val minH = win.map(_._1).min
+        val pos = win.filter(_._1 == minH).map(_._2).max // rightmost minimal
+        Some((pos + 1, minH)) // operator positions are 1-based
+      }.toSet
+    }
+  }
+
+  test("Winnow.fingerprints == independent JVM model on real corpus docs") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(20).cache()
+    val got = graft.operators.Winnow
+      .fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(2), r.getLong(3))).toSet).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> modelWinnow(r.getString(1), 3, 4))
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want)
+  }
+
+  test("Winnow guarantee: a shared k+w-1 token run yields a shared fingerprint hash") {
+    // Distinct surroundings, one shared 6-token run (k=3, w=4).
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve"),
+    ).toDF("doc_id", "text")
+    val fp = graft.operators.Winnow.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).toSet)
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+  }
+
+  test("prefixJaccardJoin == brute-force threshold join on the real corpus (exact recall)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").cache()
+    val got = graft.operators.Dedup
+      .prefixJaccardJoin(docs, "doc_id", "text", thresholdNum = 1, thresholdDen = 2, shingleN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // Brute force: every (a < b) pair over the same trigram-shingle sets.
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("__t"))
+      .select(col("doc_id"), sort_array(array_distinct(TextAnalysis.wordNgramHashesFromTokens(col("__t"), 3))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val brute = toks
+      .as("l")
+      .join(toks.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .withColumn("jaccard", Dedup.jaccard(col("l.toks"), col("r.toks")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("l.doc_id"), col("r.doc_id"), col("jaccard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("prefixJaccardJoin: an over-shared prefix token fails loudly, never goes quadratic") {
+    val docs = (1L to 10L).map(i => (i, "same tokens in every doc here")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup
+        .prefixJaccardJoin(docs, "doc_id", "text", thresholdNum = 4, thresholdDen = 5, maxPrefixBucketRows = 5L)
+        .count()
+    }
+    assert(e.getMessage.contains("maxPrefixBucketRows"))
+  }
+
+  test("Winnow.overlapPairs: common-fingerprint drop suppresses ubiquitous grams") {
+    // Every doc shares the same text -> every fingerprint is in all 4 docs;
+    // with maxDocsPerFp = 3 nothing survives, with 4 all pairs match.
+    val docs = (1L to 4L).map(i => (i, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val none = graft.operators.Winnow
+      .overlapPairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 1, maxDocsPerFp = 3)
+    assert(none.count() == 0L)
+    val all = graft.operators.Winnow
+      .overlapPairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 1, maxDocsPerFp = 4)
+    assert(all.count() == 6L) // C(4,2)
+  }
 }

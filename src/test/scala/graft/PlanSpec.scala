@@ -251,6 +251,46 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pF).length == 1, s"funnel must be one agg exchange:\n$pF")
   }
 
+  test("statePeriods: ONE key-partitioned exchange carries windows, groupBy, and the closing lead") {
+    // The groupBy key (user, pid, state) is a superset of the windows'
+    // partitionBy(user), and the periods lead re-partitions on user — all
+    // three stages must ride the single hashpartitioning(user) exchange.
+    val ev = graft.Tables.events(spark, sf())
+    val p = plan(graft.operators.EventAnalytics.statePeriods(ev, "user_id", "event_type", "ts", "event_id"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 1 && ex.head.contains("hashpartitioning(user_id"), s"expected one user-keyed exchange:\n$p")
+  }
+
+  test("cdcMerge: both sides arrive at the join already key-partitioned; compaction is group-limited") {
+    // The latest-wins row_number windows partition on the merge key, so the
+    // full-outer join adds NO exchange of its own: exactly 2 (one per
+    // side's compaction), and WindowGroupLimit prunes each group to its
+    // top row BEFORE the shuffle (partial mode) — the exchange ships one
+    // row per (key × map partition), not the log.
+    import graft.operators.EventAnalytics
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val snap = EventAnalytics.latestWins(ev.filter(col("us") < 0L), Seq("user_id"), "us", "event_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // at-scale shape: no broadcast
+      val p = plan(EventAnalytics.cdcMerge(snap, ev, Seq("user_id"), "us", "event_id"))
+      val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(ex.size == 2, s"expected 2 key exchanges (one per compaction, none for the join), got ${ex.size}:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"compaction must prune to top-1 before the shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("winnow fingerprint summary: gram explode is a projection; ONE doc-keyed exchange") {
+    // The gram hashes are computed inside a transform BEFORE the explode
+    // (the token array is never duplicated per gram row), and the window,
+    // the distinct, and the summary groupBy all ride hashpartitioning(doc).
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Winnow.fingerprintSummary(docs, "doc_id", "text"))
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.size == 1 && ex.head.contains("hashpartitioning(doc_id"), s"expected one doc-keyed exchange:\n$p")
+  }
+
   test("assembleCorpus: the composition adds no full-corpus re-scans") {
     // Each stage's input is materialized once behind its operator's own
     // barrier (gated increment, dedup union, survivor set), so the FINAL

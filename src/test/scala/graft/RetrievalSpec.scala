@@ -155,6 +155,59 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Set((1L, 5L), (2L, 7L)))
   }
 
+  test("statePeriods: runs collapse, periods are dense, intervals abut") {
+    val log = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "a", ts("2024-01-01 11:00:00"), 2L), // same run
+      (1L, "b", ts("2024-01-01 12:00:00"), 3L), // change
+      (1L, "a", ts("2024-01-01 13:00:00"), 4L), // back to a = NEW run
+      (2L, "x", ts("2024-01-01 09:00:00"), 5L),
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics
+      .statePeriods(log, "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id", "period")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    def us(s: String) = ts(s).getTime * 1000
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", us("2024-01-01 10:00:00"), Some(us("2024-01-01 12:00:00")), 2L),
+      (1L, 2L, "b", us("2024-01-01 12:00:00"), Some(us("2024-01-01 13:00:00")), 1L),
+      (1L, 3L, "a", us("2024-01-01 13:00:00"), None, 1L),
+      (2L, 1L, "x", us("2024-01-01 09:00:00"), None, 1L),
+    ))
+  }
+
+  test("statePeriods: equal timestamps resolve by the tiebreak column") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val log = Seq((1L, "b", t0, 2L), (1L, "a", t0, 1L)).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics
+      .statePeriods(log, "user_id", "event_type", "ts", "event_id")
+      .orderBy("period").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("cdcMerge: whole-row update wins; insert/update/carry provenance") {
+    val snap = Seq(
+      (1L, "old", 10L, 100L),
+      (2L, "keep", 20L, 101L),
+    ).toDF("user_id", "state", "us", "event_id")
+    val upd = Seq(
+      (1L, "new1", 30L, 102L),
+      (1L, "new2", 40L, 103L), // later -> wins the compaction
+      (3L, "born", 50L, 104L),
+    ).toDF("user_id", "state", "us", "event_id")
+    val out = EventAnalytics
+      .cdcMerge(snap, upd, Seq("user_id"), "us", "event_id")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "update", "new2", 40L),
+      (2L, "carry", "keep", 20L),
+      (3L, "insert", "born", 50L),
+    ))
+  }
+
   test("iqrOutliers: discrete quartiles and Tukey fences, integer-exact") {
     // group g: values 1..9 plus outlier 100. disc p25 of 10 values = 3rd
     // (cume_dist 0.3 >= 0.25), p75 = 8th: p25=3, p75=8, IQR=5.
