@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Assemble, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Retrieval, Similarity, SkewJoin, Winnow}
+import graft.operators.{AsOfJoin, Assemble, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Resolve, Retrieval, Similarity, SkewJoin, Winnow}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,6 +43,11 @@ object ExtensionQueries {
   private val WinnowW = 4
   private val WinnowMaxDf = 20
   private val WinnowMinShared = 2
+  // q154's core order and peel-round budget. ONE constant feeds the Spark
+  // maxRounds and the generated chained-CTE mirror; the operator throws if
+  // unconverged within it, so the two sides can never silently diverge.
+  private val KCoreK = 4
+  private val KCoreRounds = 8
 
   /** DuckDB mirror of [[graft.operators.Winnow.fingerprints]]: zip-unnest
     * of the gram-hash list with its positions, struct-min window (same
@@ -1997,6 +2002,93 @@ object ExtensionQueries {
       Dedup
         .prefixJaccardJoin(t(s, d, "documents"), "doc_id", "text", thresholdNum = 1, thresholdDen = 2, shingleN = 3)
         .orderBy("id_a", "id_b")),
+
+    // ---- Sorted-neighborhood (SNM) near-dup pairs: global text-prefix
+    //      sort via the two-phase rank (no single-partition sort), window
+    //      of 10 neighbors, token-set Jaccard verify at 0.8 ----
+    "q150_sorted_neighborhood" -> ((s, d) =>
+      Dedup
+        .sortedNeighborhoodPairs(
+          t(s, d, "documents"),
+          "doc_id",
+          "text",
+          sortKey = substring(trim(col("text")), 1, 16),
+          windowSize = 10,
+          threshold = 0.8,
+        )
+        .orderBy("id_a", "id_b")),
+
+    // ---- Entity-resolution scoring: blocked candidate pairs over
+    //      customer with integer agreement weights (acctbal bands, name
+    //      suffix); matches at >= 4, near-miss band from 3 ----
+    "q151_entity_resolution" -> ((s, d) =>
+      Resolve
+        .scorePairs(
+          t(s, d, "customer"),
+          "c_custkey",
+          blockCols = Seq("c_nationkey", "c_mktsegment"),
+          fields = Seq(
+            (floor(col("c_acctbal") / 1000).cast("long"), 2),
+            (substring(col("c_name"), -3, 3), 3),
+            (floor(col("c_acctbal") / 100).cast("long"), 1),
+          ),
+          threshold = 4,
+          minScore = 3,
+        )
+        .orderBy("id_a", "id_b")),
+
+    // ---- Per-source linear regression (token count on n_chars) from
+    //      exact DECIMAL(38,0) sufficient statistics; slope/intercept/r²
+    //      are mirrored scalar IEEE expressions — the dataset-card
+    //      "tokens-per-char" calibration ----
+    "q152_regression_stats" -> ((s, d) =>
+      Quality
+        .regressionStats(
+          t(s, d, "documents"),
+          "source",
+          x = col("n_chars"),
+          y = size(graft.functions.TextAnalysis.wsTokens(col("text"))),
+        )
+        .orderBy("source")),
+
+    // ---- FORWARD as-of join: each click enriched with the NEXT purchase
+    //      value at or after it (q46's lookahead mirror — same single
+    //      (key, ts)-sorted union-window plan, frame reversed) ----
+    "q153_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin
+        .asOfForward(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("value").as("click_value"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("next_purchase_value"),
+        )
+        .orderBy("event_id")
+    }),
+
+    // ---- k-core decomposition (k=4) of the q89/q135 customer↔supplier
+    //      graph: iterative degree peeling to convergence ----
+    "q154_kcore" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")), "ok")
+        .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      Graph.kCore(pairs, "src", "dst", k = KCoreK, maxRounds = KCoreRounds).orderBy("node")
+    }),
+
+    // ---- Top session journeys: most common first-5-event type paths per
+    //      q44-rule session; one user exchange + a path census ----
+    "q155_session_paths" -> ((s, d) =>
+      EventAnalytics
+        .topSessionPaths(events(s, d), "user_id", "ts", "event_type", "event_id", gapMinutes = 30, maxLen = 5, topN = 20)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3737,5 +3829,123 @@ object ExtensionQueries {
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
           ORDER BY id_a, id_b"""
     },
+    // Global order = (16-char text prefix, id); in-window pairs at rank
+    // distance 1..9; q24-form double jaccard verify.
+    "q150_sorted_neighborhood" ->
+      s"""WITH t AS (SELECT doc_id AS id, substr(trim(text), 1, 16) AS skey, $sqlToksHashed AS toks
+                     FROM documents),
+              r AS (SELECT id, toks, ROW_NUMBER() OVER (ORDER BY skey, id) AS rank FROM t)
+          SELECT a.id AS id_a, b.id AS id_b, CAST(b.rank - a.rank AS BIGINT) AS rank_dist,
+                 len(list_intersect(a.toks, b.toks)) * 1.0
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+          FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 9
+          WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+          ORDER BY id_a, id_b""",
+    // Null-safe per-field agreement (IS NOT DISTINCT FROM == <=>), integer
+    // weights 2/3/1, matches at >= 4 with the >= 3 near-miss band.
+    "q151_entity_resolution" ->
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS f0,
+                      substr(c_name, -3, 3) AS f1,
+                      CAST(floor(c_acctbal / 100) AS BIGINT) AS f2
+                    FROM customer),
+              s AS (SELECT a.id AS id_a, b.id AS id_b,
+                      (CASE WHEN a.f0 IS NOT DISTINCT FROM b.f0 THEN 2 ELSE 0 END
+                       + CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN 3 ELSE 0 END
+                       + CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN 1 ELSE 0 END) AS score
+                    FROM c a JOIN c b
+                      ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+                         AND a.id < b.id)
+         SELECT id_a, id_b, CAST(score AS INT) AS score, score >= 4 AS matched
+         FROM s WHERE score >= 3 ORDER BY id_a, id_b""",
+    // Exact HUGEINT sufficient statistics cast to double, then the SAME
+    // scalar expression shapes as regressionStats (num/denx, nested
+    // division for the intercept) — bit-identical IEEE results.
+    "q152_regression_stats" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
+                    FROM documents),
+              a AS (SELECT source, COUNT(*) AS n,
+                      CAST(COUNT(*) AS DOUBLE) AS nd,
+                      CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                      CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                      CAST(SUM(y * y) AS DOUBLE) AS syy
+                    FROM t GROUP BY source),
+              d AS (SELECT source, n, nd, sx, sy,
+                      nd * sxy - sx * sy AS num,
+                      nd * sxx - sx * sx AS denx,
+                      nd * syy - sy * sy AS deny
+                    FROM a)
+         SELECT source, n,
+                CASE WHEN denx = 0 THEN NULL ELSE num / denx END AS slope,
+                CASE WHEN denx = 0 THEN NULL ELSE (sy - (num / denx) * sx) / nd END AS intercept,
+                CASE WHEN denx = 0 OR deny = 0 THEN NULL ELSE (num * num) / (denx * deny) END AS r2
+         FROM d ORDER BY source""",
+    // DuckDB native forward ASOF (dim.ts >= fact.ts, nearest wins) — the
+    // lookahead mirror of q46.
+    "q153_asof_forward" ->
+      """WITH purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ),
+         clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'click'
+         )
+         SELECT c.event_id, c.user_id, c.value AS click_value,
+                COALESCE(p.purchase_value, -1.0) AS next_purchase_value
+         FROM clicks c
+         ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.ts >= c.ts
+         ORDER BY c.event_id""",
+    // Chained peel rounds generated from the SAME KCoreRounds constant the
+    // Spark loop is bounded by (post-convergence rounds are no-ops, so any
+    // N >= the actual round count yields the identical fixpoint).
+    // AS MATERIALIZED throughout: each round references the previous edge
+    // set three times — default CTE inlining would expand the chain
+    // exponentially (3^rounds parquet scans).
+    "q154_kcore" -> {
+      def deg(e: String, d: String) =
+        s"$d AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM (SELECT a AS node FROM $e UNION ALL SELECT b FROM $e) GROUP BY 1)"
+      val rounds = (0 until KCoreRounds)
+        .map { i =>
+          s"""${deg(s"e$i", s"d$i")},
+              w$i AS MATERIALIZED (SELECT node FROM d$i WHERE c < $KCoreK),
+              e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+                            WHERE a NOT IN (SELECT node FROM w$i)
+                              AND b NOT IN (SELECT node FROM w$i))"""
+        }
+        .mkString(",\n")
+      s"""WITH pairs AS (SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM pairs WHERE s <> t),
+              $rounds,
+              ${deg(s"e$KCoreRounds", "dfin")}
+          SELECT node, CAST(c AS BIGINT) AS core_degree FROM dfin WHERE c >= $KCoreK ORDER BY node"""
+    },
+    // Ordered list() inside the session group == Spark's array_sort over
+    // (us, tiebreak, type) structs; same q44 session rule.
+    "q155_session_paths" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ),
+         sess AS (
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged
+         ),
+         paths AS (
+           SELECT user_id, sid,
+                  array_to_string((list(event_type ORDER BY us, event_id))[1:5], '>') AS path
+           FROM sess GROUP BY 1, 2
+         )
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM paths GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20""",
   )
 }

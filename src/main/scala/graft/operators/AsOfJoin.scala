@@ -32,6 +32,33 @@ object AsOfJoin {
       factTs: String,
       dimTs: String,
       valueCols: Seq[String],
+  ): DataFrame = asOfImpl(fact, dim, keyCols, factTs, dimTs, valueCols, forward = false)
+
+  /** FORWARD as-of join: the EARLIEST dimension state at or after the fact's
+    * time, per key — "next quote after the order", "first profile update
+    * following the signup", the lookahead mirror of [[asOf]]. Same single
+    * (key, ts)-sorted union-window plan, with the frame reversed
+    * (`first(value, ignoreNulls)` over current→following) and dim rows
+    * sorting AFTER facts at equal timestamps so >= stays inclusive —
+    * matching DuckDB's `ASOF JOIN ... ON dim.ts >= fact.ts`.
+    */
+  def asOfForward(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      factTs: String,
+      dimTs: String,
+      valueCols: Seq[String],
+  ): DataFrame = asOfImpl(fact, dim, keyCols, factTs, dimTs, valueCols, forward = true)
+
+  private def asOfImpl(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      factTs: String,
+      dimTs: String,
+      valueCols: Seq[String],
+      forward: Boolean,
   ): DataFrame = {
     val factCols = fact.columns.toSeq
     val reserved = Seq("__ts", "__is_dim", "__dim")
@@ -67,13 +94,23 @@ object AsOfJoin {
       "__dim",
       lit(null).cast(dimSide.schema("__dim").dataType),
     )
-    val w = Window
+    // Backward: dims sort BEFORE facts at equal ts (inclusive <=), state
+    // carried by last(ignoreNulls) over preceding→current. Forward: dims
+    // sort AFTER facts (inclusive >=), state pulled by first(ignoreNulls)
+    // over current→following.
+    val w0 = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_dim").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("__ts").asc, if (forward) col("__is_dim").asc else col("__is_dim").desc)
+    val (w, carry) =
+      if (forward)
+        (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+         first(col("__dim"), ignoreNulls = true))
+      else
+        (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         last(col("__dim"), ignoreNulls = true))
     factTagged
       .unionByName(dimSide)
-      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
+      .withColumn("__dim", carry.over(w))
       .filter(col("__is_dim") === 0)
       .select(factCols.map(col) ++ valueCols.map(v => col(s"__dim.$v").as(v)): _*)
   }

@@ -25,7 +25,7 @@ object Dedup {
     * materialized) keyed projection — the price of never discovering a B²
     * blowup from a hung stage.
     */
-  private def requireBoundedGroups(
+  private[operators] def requireBoundedGroups(
       keyed: DataFrame,
       keyCols: Seq[String],
       maxRows: Long,
@@ -466,6 +466,102 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     jaccardVerifyToks(cand, toks, threshold)
+  }
+
+  /** Exact GLOBAL row number without a single-partition sort: two-phase
+    * ranking over an order-aligned `bucket` column. Per-bucket counts (a
+    * tiny table) turn into cumulative offsets via one window over that
+    * table (its single-partition sort touches |buckets| rows, never data);
+    * within-bucket `row_number` runs on a bucket-partitioned exchange; the
+    * global rank is `offset + local`. Appends `rankCol` (1-based).
+    *
+    * CONTRACT: `bucket` must be monotone non-decreasing in the sort order —
+    * i.e. a PREFIX of the leading sort column (`substring(key, 1, 4)` under
+    * `orderBy(key, ...)`, `day` under `orderBy(ts, ...)`) — or the ranks
+    * are garbage. Boundary sampling plays no part, so the result is
+    * deterministic and engine-mirrorable (`ROW_NUMBER() OVER (ORDER BY
+    * ...)`). At larger scale, lengthen the prefix for more, smaller
+    * buckets; skew within one bucket bounds a single partition exactly
+    * like any hash-partitioned window.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], bucket: Column, rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Materialized once: the bucketed projection feeds BOTH the offset
+    // aggregation and the ranking join — the input (often a tokenization)
+    // must not compute twice.
+    val b = Lineage.truncate(df.withColumn("__b", bucket))
+    val offs = b
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn(
+        "__off",
+        coalesce(
+          sum(col("__n")).over(Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L),
+        ),
+      )
+      .select(col("__b"), col("__off"))
+    val local = row_number().over(Window.partitionBy(col("__b")).orderBy(sortCols: _*))
+    b.join(broadcast(offs), "__b")
+      .withColumn(rankCol, local + col("__off"))
+      .drop("__b", "__off")
+  }
+
+  /** Sorted-neighborhood (SNM) near-dup pairs: globally sort the corpus by
+    * a fuzzy blocking key, slide a window of `windowSize` consecutive rows,
+    * and verify every in-window pair's hashed-token-set Jaccard — the
+    * classic entity-resolution blocking scheme, complementary to LSH
+    * (catches whatever the sort key makes ADJACENT: shared openings,
+    * near-equal lengths), with cost exactly `N·(windowSize−1)` candidate
+    * pairs regardless of similarity structure — no bucket-collapse mode.
+    *
+    * Scale design: [[globalRank]] provides the total order without a
+    * global sort (bucket = `bucketPrefixLen`-char prefix of the sort key);
+    * neighbor pairing is ONE equi-join on the dense rank (the left side
+    * explodes each row into its `windowSize−1` target ranks — integers,
+    * not text); token arrays join in only for verification.
+    *
+    * Output: (id_a, id_b, rank_dist, jaccard), ids in sort order (a
+    * precedes b).
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sortKey: Column,
+      windowSize: Int = 10,
+      threshold: Double = 0.8,
+      bucketPrefixLen: Int = 4,
+  ): DataFrame = {
+    require(windowSize >= 2, s"sortedNeighborhoodPairs: windowSize must be >= 2: $windowSize")
+    val toks = Lineage.truncate(
+      globalRank(
+        df.select(
+          col(idCol).as("id"),
+          sortKey.as("__k"),
+          TextAnalysis.hashedTokenSet(col(textCol)).as("toks"),
+        ),
+        sortCols = Seq(col("__k"), col("id")),
+        bucket = substring(col("__k"), 1, bucketPrefixLen),
+      ).select(col("id"), col("rank"), col("toks"))
+    )
+    val probes = toks.select(
+      col("id").as("id_a"),
+      col("toks").as("toks_a"),
+      col("rank").as("rank_a"),
+      explode(sequence(col("rank") + 1, col("rank") + (windowSize - 1))).as("rank"),
+    )
+    probes
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("rank")), "rank")
+      .filter(sizeRatioOk(size(col("toks_a")), size(col("toks_b")), threshold))
+      .withColumn("jaccard", jaccardHashed(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("rank") - col("rank_a")).cast("long").as("rank_dist"),
+        col("jaccard"),
+      )
   }
 
   /** Lineage truncation for the iterative CC operators, always LAZY: the

@@ -467,6 +467,67 @@ object EventAnalytics {
       )
   }
 
+  /** Top session paths: the most common ordered event-type sequences per
+    * session (truncated to the first `maxLen` events) — the product-
+    * analytics "common journeys" report, and the bot-detection complement
+    * of [[sessionTransitions]] (which sees only adjacent pairs; a path
+    * sees the whole opening sequence).
+    *
+    * Sessions are the q44 rule: a new session starts after a gap >
+    * `gapMinutes` per user, events ordered by (µs, tiebreak). The path is
+    * built by sorting each session's (µs, tiebreak, type) structs inside
+    * an ARRAY (order by construction — never `collect_list` order, which
+    * is undefined post-shuffle) and joining the first `maxLen` types with
+    * '>'.
+    *
+    * Scale design: the sessionizing windows and the per-session aggregate
+    * share ONE user-keyed exchange (the groupBy key (user, session) is a
+    * superset of the windows' partitioning); the path census is a partial-
+    * aggregated groupBy on the path string, and the final top-N is
+    * TakeOrdered — no global sort. Per-session buffering is bounded by
+    * session length (cap sessions upstream if a bot emits millions of
+    * events in one session).
+    */
+  def topSessionPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tiebreakCol: String,
+      gapMinutes: Int = 30,
+      maxLen: Int = 5,
+      topN: Int = 20,
+  ): DataFrame = {
+    require(maxLen >= 1 && topN >= 1, s"topSessionPaths: maxLen/topN must be positive: $maxLen/$topN")
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(tiebreakCol))
+    val paths = events
+      .select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("__us"), col(tiebreakCol))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(
+        count(lit(1)).as("__n_events"),
+        array_join(
+          slice(
+            transform(
+              array_sort(collect_list(struct(col("__us"), col(tiebreakCol).as("__tb"), col(typeCol).as("__ty")))),
+              e => e.getField("__ty"),
+            ),
+            1,
+            maxLen,
+          ),
+          ">",
+        ).as("path"),
+      )
+    paths
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** KMV ("k minimum values") approximate distinct count per group — the
     * cross-engine-reproducible alternative to `approx_count_distinct`
     * (HLL++ registers are engine-private; a KMV sketch is an order

@@ -334,6 +334,53 @@ object Graph {
     * Output: (node, d) for every node within `maxHops` of a seed —
     * unreached nodes are absent (left-join the node list for a dense form).
     */
+  /** k-core decomposition (membership for ONE k): iteratively peel nodes of
+    * degree < k until the remaining subgraph is stable — the standard
+    * density filter (spam/bot rings, well-connected user cores, vocabulary
+    * cores in co-occurrence graphs). Returns each surviving node with its
+    * degree INSIDE the core.
+    *
+    * Per round: one degree aggregation + one anti-join of the edge set
+    * against the (typically tiny) peel set, both materialized once behind
+    * [[Lineage.truncate]] — per-round cost is proportional to the current
+    * edge set, shrinking monotonically; convergence (empty peel set) rides
+    * the degree table the round needs anyway. Rounds are data-dependent
+    * (a chain peels one layer per round), so an unconverged `maxRounds`
+    * exit throws LOUDLY — a silent partial peel would over-report the
+    * core — the [[graft.operators.Dedup.connectedComponents]] stance.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 20,
+  ): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1: $k")
+    var e = canonicalEdges(edges, srcCol, dstCol)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val deg = degreesOf(e)
+      val weak = deg.filter(col("__d") < k)
+      converged = weak.isEmpty
+      if (!converged) {
+        e = Lineage.truncate(
+          e.join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
+            .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
+        )
+      }
+      r += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: not converged after $maxRounds rounds (k=$k) — deep peeling chains need a higher maxRounds"
+      )
+    degreesOf(e)
+      .select(col("node"), col("__d").as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
   def bfsHops(
       edges: DataFrame,
       srcCol: String,

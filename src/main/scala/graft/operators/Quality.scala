@@ -710,4 +710,56 @@ object Quality {
       )
       .withColumn("kl_e6", col("kl_scaled").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Per-group simple linear regression (y on x) in CLOSED FORM from exact
+    * integer sums — slope, intercept, and r² with NO order-dependent
+    * floating accumulation: the five sufficient statistics (Σx, Σy, Σx²,
+    * Σxy, Σy²) accumulate in DECIMAL(38,0) (exact, associative — any
+    * partial-aggregation order yields identical sums), and the closed-form
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)` etc. then runs on SCALARS,
+    * one fixed IEEE expression per group that any engine reproduces
+    * bit-identically (the [[graft.operators.EventAnalytics.kmvJoinEstimate]]
+    * stance: exact integer reduction, then mirrored double arithmetic).
+    * Degenerate groups (constant x, or constant y for r²) yield NULL, not
+    * ±Inf/NaN.
+    *
+    * Inputs are cast to long; the caller quantizes non-integer features
+    * (and keeps |x·y| within long — the per-ROW products are 64-bit, only
+    * their SUMS get 128-bit headroom).
+    *
+    * Scale design: one partial-aggregated groupBy pass — five decimal
+    * accumulators per group travel, never rows; the projection after is
+    * per-group scalar math.
+    */
+  def regressionStats(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dsum38(c: Column) = sum(c.cast(d38)).cast("double")
+    val sums = df
+      .select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum38(col("__x")).as("__sx"),
+        dsum38(col("__y")).as("__sy"),
+        dsum38(col("__x") * col("__x")).as("__sxx"),
+        dsum38(col("__x") * col("__y")).as("__sxy"),
+        dsum38(col("__y") * col("__y")).as("__syy"),
+      )
+    sums
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__num", col("__nd") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__denx", col("__nd") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__deny", col("__nd") * col("__syy") - col("__sy") * col("__sy"))
+      .select(
+        col(groupCol),
+        col("n"),
+        when(col("__denx") === 0, lit(null)).otherwise(col("__num") / col("__denx")).as("slope"),
+        when(col("__denx") === 0, lit(null))
+          .otherwise((col("__sy") - (col("__num") / col("__denx")) * col("__sx")) / col("__nd"))
+          .as("intercept"),
+        when(col("__denx") === 0 || col("__deny") === 0, lit(null))
+          .otherwise((col("__num") * col("__num")) / (col("__denx") * col("__deny")))
+          .as("r2"),
+      )
+  }
 }

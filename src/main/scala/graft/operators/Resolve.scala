@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution pair scoring (Fellegi–Sunter shape with fixed integer
+  * agreement weights): enumerate candidate pairs inside blocking-key groups,
+  * score each pair as the sum of per-field agreement weights, and keep pairs
+  * at or above a match threshold. The deterministic, oracle-mirrorable core
+  * of a record-linkage pipeline — learned weights would slot into the same
+  * dataflow as a weights table.
+  *
+  * Field comparators are arbitrary Columns over the input row (bands,
+  * prefixes, phonetic codes …), compared null-safely (`<=>`): two nulls
+  * AGREE — the SQL `IS NOT DISTINCT FROM` rule — so absent fields behave
+  * identically cross-engine.
+  */
+object Resolve {
+
+  /** Score all (id_a < id_b) pairs within each block.
+    *
+    * Scale design: the comparator PROJECTION runs once per row before the
+    * self-join (never per pair — a pair evaluates `fields.size` equality
+    * checks on precomputed values); the join shuffles the block key plus
+    * one fixed-width column per field, never raw records. Inherits
+    * [[Dedup.requireBoundedGroups]]' loud pre-flight: a block larger than
+    * `maxBlockRows` fails with the B² estimate instead of running it.
+    *
+    * Output: (id_a, id_b, score, matched) for every in-block pair with
+    * `score >= minScore` — pass `minScore = threshold` to keep matches
+    * only, or a lower floor to audit the near-miss band; `matched` flags
+    * `score >= threshold` either way.
+    */
+  def scorePairs(
+      df: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[(Column, Int)],
+      threshold: Int,
+      minScore: Int,
+      maxBlockRows: Long = 10000L,
+  ): DataFrame = {
+    require(blockCols.nonEmpty, "scorePairs: need at least one blocking column")
+    require(fields.nonEmpty, "scorePairs: need at least one field comparator")
+    require(fields.forall(_._2 > 0), "scorePairs: agreement weights must be positive")
+    val projected = Lineage.truncate(
+      df.select(
+        col(idCol).as("id") +:
+          blockCols.map(col) ++:
+          fields.zipWithIndex.map { case ((c, _), i) => c.as(s"__f$i") }: _*
+      )
+    )
+    Dedup.requireBoundedGroups(
+      projected.select(blockCols.map(col): _*),
+      blockCols,
+      maxBlockRows,
+      (key, n) =>
+        s"scorePairs: block ($key) of (${blockCols.mkString(", ")}) has $n rows (> maxBlockRows=$maxBlockRows): " +
+          s"the within-block scoring would enumerate ~${n * n / 2} pairs. Tighten the blocking key or " +
+          "raise maxBlockRows deliberately.",
+    )
+    val blockEq = blockCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
+    val score = fields.zipWithIndex
+      .map { case ((_, w), i) => when(col(s"l.__f$i") <=> col(s"r.__f$i"), w).otherwise(0) }
+      .reduce(_ + _)
+    projected
+      .as("l")
+      .join(projected.as("r"), blockEq && col("l.id") < col("r.id"))
+      .withColumn("score", score)
+      .filter(col("score") >= minScore)
+      .select(
+        col("l.id").as("id_a"),
+        col("r.id").as("id_b"),
+        col("score"),
+        (col("score") >= threshold).as("matched"),
+      )
+  }
+}

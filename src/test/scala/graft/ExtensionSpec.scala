@@ -204,6 +204,31 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Map(10L -> None, 11L -> Some(100.0), 12L -> Some(100.0), 13L -> Some(200.0), 14L -> None))
   }
 
+  test("asOfForward join: NEXT dim state at/after fact time, inclusive ties, null after last") {
+    import graft.operators.AsOfJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 200.0),
+      (2L, ts("2024-01-01 11:00:00"), 999.0),
+    ).toDF("k", "ts", "state")
+    val fact = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")), // before any dim -> 100.0 (next)
+      (11L, 1L, ts("2024-01-01 12:00:00")), // tie -> inclusive (200.0)
+      (12L, 1L, ts("2024-01-01 10:01:00")), // between -> 200.0
+      (13L, 1L, ts("2024-01-01 13:00:00")), // after last -> null
+      (14L, 3L, ts("2024-01-01 13:00:00")), // key with no dim -> null
+    ).toDF("id", "k", "ts")
+    val got = AsOfJoin
+      .asOfForward(fact, dim, Seq("k"), "ts", "ts", Seq("state"))
+      .select($"id", $"state")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    assert(got == Map(10L -> Some(100.0), 11L -> Some(200.0), 12L -> Some(200.0), 13L -> None, 14L -> None))
+  }
+
   test("asOf join: SQL null semantics — null dim values win atomically, null keys/ts never match") {
     import graft.operators.AsOfJoin
     import java.sql.Timestamp
@@ -437,6 +462,66 @@ class ExtensionSpec extends SparkSpec {
         .count()
     }
     assert(e.getMessage.contains("maxPrefixBucketRows"))
+  }
+
+  test("globalRank == single-partition ROW_NUMBER over the same total order") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), substring(trim(col("text")), 1, 16).as("k"))
+    val got = graft.operators.Dedup
+      .globalRank(docs, Seq(col("k"), col("doc_id")), substring(col("k"), 1, 4))
+      .select(col("doc_id"), col("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))
+    val want = docs.withColumn("rank", row_number().over(w))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(got == want)
+  }
+
+  test("sortedNeighborhoodPairs: only rank-adjacent qualifying pairs, dist bounded by window") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val out = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", substring(trim(col("text")), 1, 16), windowSize = 5, threshold = 0.8)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    // cross-check one model invariant: every emitted pair really clears the
+    // threshold on the exact token sets
+    assert(out.forall(_.getDouble(3) >= 0.8))
+    // and the pair set is a subset of what a width-10 window finds
+    val wider = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", substring(trim(col("text")), 1, 16), windowSize = 10, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(wider))
+  }
+
+  test("Resolve.scorePairs: hand-computed weights, null-safe agreement, near-miss band") {
+    val rows = Seq(
+      (1L, "b", Some(10L), "xyz"),
+      (2L, "b", Some(10L), "xyz"), // agrees with 1 on both: 2 + 3 = 5 -> matched
+      (3L, "b", Some(10L), "abc"), // band only: 2 -> below minScore, dropped
+      (4L, "b", None, "xyz"),      // suffix only: 3 -> near-miss, not matched
+      (5L, "b", None, "qqq"),      // null band agrees with 4's null: 2 -> dropped
+    ).toDF("id", "blk", "band", "suffix")
+    val out = graft.operators.Resolve
+      .scorePairs(rows, "id", Seq("blk"), Seq((col("band"), 2), (col("suffix"), 3)), threshold = 5, minScore = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(out == Map(
+      (1L, 2L) -> ((5, true)),
+      (1L, 4L) -> ((3, false)),
+      (2L, 4L) -> ((3, false)),
+    ))
+  }
+
+  test("Resolve.scorePairs: oversized block fails loudly before pairing") {
+    val rows = (1L to 10L).map(i => (i, "same")).toDF("id", "blk")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Resolve
+        .scorePairs(rows, "id", Seq("blk"), Seq((lit(1), 1)), threshold = 1, minScore = 1, maxBlockRows = 5L)
+        .count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"))
   }
 
   test("Winnow.overlapPairs: common-fingerprint drop suppresses ubiquitous grams") {

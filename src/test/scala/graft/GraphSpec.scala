@@ -184,4 +184,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(1L -> 0, 2L -> 1))
   }
+
+  test("kCore: K4 with a pendant chain — the chain peels layer by layer, the clique survives") {
+    // K4 on {1,2,3,4} plus chain 4-5-6-7. 2-core = K4 only: 7 peels first,
+    // then 6, then 5 (three rounds of cascade).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L),
+    ).toDF("src", "dst")
+    val core2 = Graph.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 4-core of K4 is empty (each node has degree 3)
+    assert(Graph.kCore(edges, "src", "dst", k = 4).count() == 0L)
+    // k=1 keeps everything (degrees within the full graph)
+    assert(Graph.kCore(edges, "src", "dst", k = 1).count() == 7L)
+  }
+
+  test("kCore: unconverged maxRounds fails loudly instead of over-reporting the core") {
+    // 12-node chain: 2-core is empty but peeling takes 6 rounds from each
+    // end; maxRounds=2 must throw, not return a partial peel.
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(chain, "src", "dst", k = 2, maxRounds = 2).count()
+    }
+    assert(e.getMessage.contains("not converged"))
+    assert(Graph.kCore(chain, "src", "dst", k = 2, maxRounds = 10).count() == 0L)
+  }
 }

@@ -291,6 +291,20 @@ class PlanSpec extends SparkSpec {
     assert(ex.size == 1 && ex.head.contains("hashpartitioning(doc_id"), s"expected one doc-keyed exchange:\n$p")
   }
 
+  test("sortedNeighborhood: no range-partitioned global sort; offsets broadcast back") {
+    // globalRank replaces the single-partition ORDER BY with bucket-local
+    // ranks + broadcast offsets: the DATA is never range-partitioned for a
+    // global sort, and the only SinglePartition exchange feeds the tiny
+    // per-bucket counts window, not the corpus.
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(
+      graft.operators.Dedup
+        .sortedNeighborhoodPairs(docs, "doc_id", "text", substring(trim(col("text")), 1, 16))
+    )
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort of the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+  }
+
   test("assembleCorpus: the composition adds no full-corpus re-scans") {
     // Each stage's input is materialized once behind its operator's own
     // barrier (gated increment, dedup union, survivor set), so the FINAL

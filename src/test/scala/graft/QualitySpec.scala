@@ -359,4 +359,24 @@ class QualitySpec extends SparkSpec {
       .toSet
     assert(out == Set((1, "len_ge_2", 3L, 2L, 1L), (2, "len_ge_3", 2L, 1L, 1L)), out.toString)
   }
+
+  test("regressionStats: exact fit, hand-computed noisy fit, degenerate-x NULLs") {
+    val rows = Seq(
+      // g1: y = 2x + 1 exactly -> slope 2, intercept 1, r2 = 1
+      ("g1", 1L, 3L), ("g1", 2L, 5L), ("g1", 3L, 7L),
+      // g2: (0,0),(1,0),(2,3): n=3 sx=3 sy=3 sxx=5 sxy=6 syy=9
+      //     num = 18-9 = 9, denx = 15-9 = 6, deny = 27-9 = 18
+      //     slope = 1.5, intercept = (3 - 1.5*3)/3 = -0.5, r2 = 81/108 = 0.75
+      ("g2", 0L, 0L), ("g2", 1L, 0L), ("g2", 2L, 3L),
+      // g3: constant x -> slope/intercept/r2 all NULL
+      ("g3", 4L, 1L), ("g3", 4L, 9L),
+    ).toDF("g", "x", "y")
+    val out = Quality.regressionStats(rows, "g", col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out("g1") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(out("g2") == ((3L, Some(1.5), Some(-0.5), Some(0.75))))
+    assert(out("g3") == ((2L, None, None, None)))
+  }
 }

@@ -208,6 +208,28 @@ class RetrievalSpec extends SparkSpec {
     ))
   }
 
+  test("topSessionPaths: gap rule splits sessions; paths ordered and truncated") {
+    val log = Seq(
+      // user 1, session 1: view > click > purchase (+2 more beyond maxLen=3)
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:05:00"), 2L),
+      (1L, "purchase", ts("2024-01-01 10:10:00"), 3L),
+      (1L, "view", ts("2024-01-01 10:11:00"), 4L),
+      (1L, "view", ts("2024-01-01 10:12:00"), 5L),
+      // user 1, session 2 (gap > 30 min): view > click > purchase again
+      (1L, "view", ts("2024-01-01 12:00:00"), 6L),
+      (1L, "click", ts("2024-01-01 12:01:00"), 7L),
+      (1L, "purchase", ts("2024-01-01 12:02:00"), 8L),
+      // user 2: single view
+      (2L, "view", ts("2024-01-01 10:00:00"), 9L),
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics
+      .topSessionPaths(log, "user_id", "ts", "event_type", "event_id", gapMinutes = 30, maxLen = 3, topN = 10)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("view>click>purchase" -> 2L, "view" -> 1L))
+  }
+
   test("iqrOutliers: discrete quartiles and Tukey fences, integer-exact") {
     // group g: values 1..9 plus outlier 100. disc p25 of 10 values = 3rd
     // (cume_dist 0.3 >= 0.25), p75 = 8th: p25=3, p75=8, IQR=5.
