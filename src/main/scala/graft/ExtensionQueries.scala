@@ -48,6 +48,10 @@ object ExtensionQueries {
   // unconverged within it, so the two sides can never silently diverge.
   private val KCoreK = 4
   private val KCoreRounds = 8
+  // q157's Misra–Gries counter budget and threshold (1/200 = 0.5% of all
+  // tokens): k = 200 satisfies the guarantee num·(k+1) >= den.
+  private val HhK = 200
+  private val HhDen = 200
 
   /** DuckDB mirror of [[graft.operators.Winnow.fingerprints]]: zip-unnest
     * of the gram-hash list with its positions, struct-min window (same
@@ -2089,6 +2093,27 @@ object ExtensionQueries {
     "q155_session_paths" -> ((s, d) =>
       EventAnalytics
         .topSessionPaths(events(s, d), "user_id", "ts", "event_type", "event_id", gapMinutes = 30, maxLen = 5, topN = 20)),
+
+    // ---- Streaming OHLC == batch: q138's min/max-struct bars through a
+    //      real watermarked AvailableNow streaming query (memory sink) ----
+    "q156_stream_ohlc" -> ((s, d) =>
+      EventStream
+        .ohlcOneShot(s, events(s, d), "graft_q156")
+        .orderBy("event_type", "bar")),
+
+    // ---- EXACT heavy hitters via Misra–Gries sketch-then-verify: the
+    //      two-pass bounded-state answer to a full token census; tokens at
+    //      >= 0.5% of the corpus, exact counts ----
+    "q157_heavy_hitters" -> ((s, d) =>
+      Retrieval
+        .heavyHitters(
+          t(s, d, "documents").select(explode(graft.functions.TextAnalysis.wsTokens(col("text"))).as("token")),
+          col("token"),
+          k = HhK,
+          minFreqNum = 1,
+          minFreqDen = HhDen,
+        )
+        .orderBy("value")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3947,5 +3972,31 @@ object ExtensionQueries {
          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM paths GROUP BY path
          ORDER BY n_sessions DESC, path LIMIT 20""",
+    // Streaming == batch: q138's bar oracle verbatim (the streaming query
+    // emits the same integer epoch-hour bar ids).
+    "q156_stream_ohlc" ->
+      s"""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+                       epoch_us(ts) AS us, event_id, value FROM events),
+              o AS (SELECT event_type, bar, value AS open,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, bar ORDER BY us, event_id) AS rn
+                    FROM b QUALIFY rn = 1),
+              c AS (SELECT event_type, bar, value AS close,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, bar ORDER BY us DESC, event_id DESC) AS rn
+                    FROM b QUALIFY rn = 1),
+              hl AS (SELECT event_type, bar, MAX(value) AS high, MIN(value) AS low,
+                       COUNT(*) AS n_events FROM b GROUP BY 1, 2)
+          SELECT hl.event_type, hl.bar, o.open, hl.high, hl.low, c.close, hl.n_events
+          FROM hl JOIN o USING (event_type, bar) JOIN c USING (event_type, bar)
+          ORDER BY hl.event_type, hl.bar""",
+    // The sketch is invisible to the oracle: the deterministic CONTRACT is
+    // "exact counts of every token at >= num/den of the corpus".
+    "q157_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS v FROM documents),
+              n AS (SELECT COUNT(*) AS n_total FROM tok)
+          SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MAX(n_total) AS BIGINT) AS n_total
+          FROM tok CROSS JOIN n
+          GROUP BY v
+          HAVING COUNT(*) * $HhDen >= MAX(n_total) * 1
+          ORDER BY value""",
   )
 }

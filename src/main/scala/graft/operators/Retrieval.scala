@@ -330,4 +330,50 @@ object Retrieval {
       .orderBy(col("rrf_s").desc, col(idCol))
       .limit(topN)
   }
+
+  /** EXACT heavy hitters by sketch-then-verify: phase 1 runs the bounded
+    * [[graft.functions.FreqKAggregator]] Misra–Gries summary (one pass,
+    * ≤ k counters per partition) to produce a candidate superset of every
+    * value with frequency ≥ `minFreqNum/minFreqDen`; phase 2 re-counts
+    * ONLY the candidates exactly (broadcast semi-join — the second pass's
+    * aggregate touches ≤ k distinct keys) and thresholds with integer
+    * cross-multiplication. The MG candidate set is partition-order-
+    * sensitive, but it is always a SUPERSET of the true heavy hitters
+    * (guaranteed for thresholds ≥ 1/(k+1), enforced below), so the final
+    * exact-thresholded output is deterministic — the classic two-pass
+    * answer to "exact top frequencies at 100 TB without shuffling the
+    * full value census".
+    *
+    * Output: (value, cnt, n_total) for every value with
+    * `cnt/n_total >= minFreqNum/minFreqDen`.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      valueCol: Column,
+      k: Int,
+      minFreqNum: Int,
+      minFreqDen: Int,
+  ): DataFrame = {
+    require(minFreqNum > 0 && minFreqDen > 0, s"threshold must be positive: $minFreqNum/$minFreqDen")
+    require(
+      minFreqNum.toLong * (k + 1) >= minFreqDen,
+      s"heavyHitters: threshold $minFreqNum/$minFreqDen is below the MG guarantee 1/(k+1) for k=$k — " +
+        "raise k or the threshold, or the candidate set may miss true heavy hitters",
+    )
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = Lineage.truncate(df.select(valueCol.cast("string").as("v")))
+    val cands = vals
+      .as[String]
+      .select(new graft.functions.FreqKAggregator(k).toColumn.name("cands"))
+      .select(explode(col("cands")).as("v"))
+    val total = vals.agg(count(lit(1)).as("n_total"))
+    vals
+      .join(broadcast(cands), Seq("v"), "left_semi")
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * minFreqDen >= col("n_total") * minFreqNum)
+      .select(col("v").as("value"), col("cnt"), col("n_total"))
+  }
 }

@@ -246,6 +246,57 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Watermarked streaming OHLC bars per (type, hour window) — the
+    * streaming twin of [[graft.operators.EventAnalytics.ohlcBars]]: open
+    * and close ride min/max structs keyed (µs, unique id) INSIDE the
+    * windowed aggregate, so the state per (type, window) is five scalars
+    * and two small structs — no per-event state, no sort. The bar id is
+    * the window start's epoch hour, identical to the batch operator's
+    * integer bucket, so both share one oracle.
+    */
+  def ohlcBars(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn(
+        "__e",
+        struct(unix_micros(col("ts")).as("__us"), col("event_id").as("__id"), col("value").as("__v")),
+      )
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(col("__e")).getField("__v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(col("__e")).getField("__v").as("close"),
+        count(lit(1)).as("n_events"),
+      )
+      .select(
+        expr("unix_micros(window.start) div 3600000000").as("bar"),
+        col("event_type"),
+        col("open"),
+        col("high"),
+        col("low"),
+        col("close"),
+        col("n_events"),
+      )
+
+  /** Batch-parity runner for [[ohlcBars]] (the [[hourlyAggOneShot]] shape):
+    * AvailableNow one-shot into a memory sink, Complete mode.
+    */
+  def ohlcOneShot(spark: SparkSession, eventsDf: DataFrame, queryName: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .parquet(writeTemp(eventsDf, queryName))
+    val q = ohlcBars(stream)
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Batch-parity runner: stream the events table through [[hourlyAgg]] with
     * an AvailableNow-style one-shot run into a memory sink and return the
     * result — Structured Streaming's core guarantee (streaming result ==

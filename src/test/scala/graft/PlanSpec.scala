@@ -305,6 +305,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
   }
 
+  test("heavyHitters: the exact pass semi-joins broadcast candidates — no full census shuffle") {
+    // Phase 2 must aggregate only candidate-filtered rows: a broadcast
+    // LeftSemi ahead of the count aggregate, never a groupBy over every
+    // distinct value.
+    val toks = spark.read.parquet(sf() + "/documents.parquet")
+      .select(explode(graft.functions.TextAnalysis.wsTokens(col("text"))).as("token"))
+    val p = plan(graft.operators.Retrieval.heavyHitters(toks, col("token"), k = 100, minFreqNum = 1, minFreqDen = 100))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), s"candidates must broadcast semi-join:\n$p")
+  }
+
   test("assembleCorpus: the composition adds no full-corpus re-scans") {
     // Each stage's input is materialized once behind its operator's own
     // barrier (gated increment, dedup union, survivor set), so the FINAL

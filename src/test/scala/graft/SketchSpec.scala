@@ -295,4 +295,45 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((1, 70L, 7000L, 3L), (2, 20L, 2000L, 1L)))
   }
+
+  test("FreqKAggregator: MG summary keeps every item above N/(k+1) regardless of order") {
+    // Stream of 100 items: 'a' x40, 'b' x25, noise x35 distinct. k=3:
+    // guarantee covers freq > 25 -> 'a' must survive; check two orders.
+    val noise = (1 to 35).map(i => s"n$i")
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ noise
+    Seq(items, scala.util.Random.shuffle(items)).foreach { stream =>
+      val agg = new graft.functions.FreqKAggregator(3)
+      val buf = stream.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(buf).contains("a"), s"'a' (40/100 > 100/4) must survive: ${agg.finish(buf)}")
+    }
+    // merge rule: two disjoint summaries over-capacity cut to <= k keys
+    val agg = new graft.functions.FreqKAggregator(3)
+    val b1 = Seq("x", "x", "x", "y", "z").foldLeft(agg.zero)(agg.reduce)
+    val b2 = Seq("p", "p", "q", "r").foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(b1, b2)
+    assert(merged.counts.size <= 3 && merged.counts.contains("x"))
+  }
+
+  test("heavyHitters: exact equality with the full census at the same threshold") {
+    val toks = spark.read.parquet(sf() + "/documents.parquet")
+      .select(explode(graft.functions.TextAnalysis.wsTokens(col("text"))).as("token"))
+      .cache()
+    val got = graft.operators.Retrieval
+      .heavyHitters(toks, col("token"), k = 100, minFreqNum = 1, minFreqDen = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = toks.count()
+    val want = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 >= n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("heavyHitters: a sub-guarantee threshold is rejected loudly") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.heavyHitters(df, col("v"), k = 3, minFreqNum = 1, minFreqDen = 100)
+    }
+    assert(e.getMessage.contains("1/(k+1)"))
+  }
 }

@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("ohlcOneShot: streaming OHLC bars equal the batch operator on real events") {
+    val ev = graft.Tables.events(spark, sf())
+    val got = EventStream
+      .ohlcOneShot(spark, ev, "graft_ohlc_spec")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    val want = graft.operators.EventAnalytics
+      .ohlcBars(ev, "event_type", "ts", "event_id", "value", barHours = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    assert(got == want && want.nonEmpty)
+  }
+
   test("sessionizeOneShot: stateful streaming sessions equal batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables
