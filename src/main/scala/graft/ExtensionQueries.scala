@@ -2,7 +2,7 @@ package graft
 
 import graft.Tables._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{AsOfJoin, Assemble, Basket, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Resolve, Retrieval, Similarity, SkewJoin, Winnow}
+import graft.operators.{AsOfJoin, Assemble, Basket, ContentChunks, Decontaminate, Dedup, EventAnalytics, Graph, IvfIndex, Mixture, Multimodal, Quality, Resolve, Retrieval, Similarity, SkewJoin, Winnow}
 import graft.sources.Csv
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -52,6 +52,39 @@ object ExtensionQueries {
   // tokens): k = 200 satisfies the guarantee num·(k+1) >= den.
   private val HhK = 200
   private val HhDen = 200
+  // q158/q159 content-defined chunking: 8-char boundary windows, expected
+  // chunk ~32 chars (the synthetic docs are ~300 chars), boilerplate drop
+  // at 20 docs, dup report at >= 2 shared chunks.
+  private val CdcWindow = 8
+  private val CdcDivisor = 32
+  private val CdcMaxDf = 20
+  private val CdcMinShared = 2
+
+  /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
+    * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
+    * zip-unnest. Terminal relation:
+    * `cdcchunks(doc_id, chunk_idx, off, len, chunk_hash)`.
+    */
+  private def sqlCdcChunks: String = {
+    val (w, dv) = (CdcWindow, CdcDivisor)
+    s"""ct AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        cbp AS (SELECT doc_id, text, L,
+                  CASE WHEN L >= $w
+                       THEN list_filter(range(1, L - $w + 2),
+                              p -> ${sqlHash64(s"substr(text, CAST(p AS INT), $w)")} % $dv = 0)
+                       ELSE []::BIGINT[] END AS bps
+                FROM ct),
+        cse AS (SELECT doc_id, text,
+                  list_concat([1]::BIGINT[], list_transform(bps, p -> p + 1)) AS starts,
+                  list_concat(bps, [L]::BIGINT[]) AS ends
+                FROM cbp),
+        cch AS (SELECT doc_id, text, unnest(range(1, len(starts)+1)) AS ci,
+                       unnest(starts) AS s, unnest(ends) AS e FROM cse),
+        cdcchunks AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS off,
+                             CAST(e - s + 1 AS BIGINT) AS len,
+                             ${sqlHash64("substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))")} AS chunk_hash
+                      FROM cch WHERE e >= s)"""
+  }
 
   /** DuckDB mirror of [[graft.operators.Winnow.fingerprints]]: zip-unnest
     * of the gram-hash list with its positions, struct-min window (same
@@ -2114,6 +2147,37 @@ object ExtensionQueries {
           minFreqDen = HhDen,
         )
         .orderBy("value")),
+
+    // ---- Content-defined chunking (FastCDC shape): variable-size chunks
+    //      cut where the trailing 8-char window's hash ≡ 0 (mod 32) — a
+    //      pure projection, shift-resistant where fixed blocks are not ----
+    "q158_cdc_chunks" -> ((s, d) =>
+      ContentChunks
+        .chunks(t(s, d, "documents"), "doc_id", "text", CdcWindow, CdcDivisor)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ---- Shift-resistant duplicate-content pairs: docs sharing >= 2 CDC
+    //      chunk hashes after the boilerplate drop ----
+    "q159_cdc_dup_pairs" -> ((s, d) =>
+      ContentChunks
+        .dupPairs(t(s, d, "documents"), "doc_id", "text", CdcWindow, CdcDivisor, CdcMinShared, CdcMaxDf)
+        .orderBy("id_a", "id_b")),
+
+    // ---- Streaming rate limiting == batch: first event per (user, type,
+    //      10-min bucket) through dropDuplicatesWithinWatermark ----
+    "q160_stream_rate_limit" -> ((s, d) =>
+      EventStream
+        .rateLimitOneShot(s, events(s, d), "graft_q160", windowMinutes = 10)
+        .orderBy("user_id", "event_type", "bucket")),
+
+    // ---- Capstone 2 — training-sequence materialization: q70 split →
+    //      q80 stride chunks → q67 packing per (split, shard) → the pack
+    //      manifest a training loader schedules from ----
+    "q161_sequence_manifest" -> ((s, d) =>
+      Assemble
+        .materializeSequences(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 32, capacityTokens = 64, shards = PackShards)
+        .orderBy("split", "shard", "pack_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3998,5 +4062,58 @@ object ExtensionQueries {
           GROUP BY v
           HAVING COUNT(*) * $HhDen >= MAX(n_total) * 1
           ORDER BY value""",
+    "q158_cdc_chunks" ->
+      s"""WITH $sqlCdcChunks
+          SELECT doc_id, chunk_idx, off, len, chunk_hash FROM cdcchunks
+          ORDER BY doc_id, chunk_idx""",
+    // Winnow-overlap shape over the CDC chunk hashes: distinct (doc, hash),
+    // boilerplate drop, shared-count pairs.
+    "q159_cdc_dup_pairs" ->
+      s"""WITH $sqlCdcChunks,
+              ph AS (SELECT DISTINCT doc_id, chunk_hash FROM cdcchunks),
+              freq AS (SELECT chunk_hash, COUNT(*) AS ndocs FROM ph GROUP BY 1),
+              keep AS (SELECT ph.doc_id, ph.chunk_hash FROM ph JOIN freq USING (chunk_hash)
+                       WHERE ndocs <= $CdcMaxDf),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+                        FROM keep a JOIN keep b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= $CdcMinShared
+          ORDER BY id_a, id_b""",
+    // q137's first-per-bucket rule without the occurrence count (the
+    // streaming dedup emits survivors only).
+    "q160_stream_rate_limit" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) // 600000000 AS bucket,
+                      epoch_us(ts) AS us, event_id FROM events),
+              f AS (SELECT user_id, event_type, bucket, event_id, us AS kept_us,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type, bucket
+                                         ORDER BY us, event_id) AS rn
+                    FROM b QUALIFY rn = 1)
+         SELECT user_id, event_type, bucket, event_id, kept_us FROM f
+         ORDER BY user_id, event_type, bucket""",
+    // Composed from the q70 split CASE, q80's chunk CTE (overlap 0, width
+    // 32), and q67's running-sum packing rule per (split, shard).
+    "q161_sequence_manifest" ->
+      s"""WITH base AS (SELECT doc_id, text,
+                          CASE WHEN ${sqlHash64("text")} % 100 < 80 THEN 'train'
+                               WHEN ${sqlHash64("text")} % 100 < 90 THEN 'val'
+                               ELSE 'test' END AS split
+                        FROM documents),
+              tl AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS toks FROM base),
+              c AS (SELECT doc_id, split, toks,
+                      CAST(floor((greatest(len(toks), 1) + 31.0) / 32) AS INT) AS nchunks
+                    FROM tl),
+              e AS (SELECT doc_id, split, toks, unnest(range(0, nchunks)) AS i FROM c),
+              ch AS (SELECT doc_id, split, doc_id % $PackShards AS shard, CAST(i AS INT) AS chunk_id,
+                       CAST(greatest(least(len(toks) - 32 * i, 32), 0) AS INT) AS n_tokens
+                     FROM e),
+              pk AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY split, shard
+                               ORDER BY doc_id, chunk_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                     FROM ch)
+          SELECT split, shard, CAST(floor(cum_before / 64.0) AS BIGINT) AS pack_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+          FROM pk GROUP BY split, shard, pack_id
+          ORDER BY split, shard, pack_id""",
   )
 }

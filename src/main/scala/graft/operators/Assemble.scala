@@ -79,4 +79,64 @@ object Assemble {
           .as("split"),
       )
   }
+
+  /** Training-sequence materialization — the stage AFTER [[assembleCorpus]]:
+    * split-tag each document (the q70 content-hash rule), cut it into
+    * stride chunks ([[Quality.chunkDocuments]] with zero overlap), pack
+    * chunks into `capacityTokens`-budget sequences greedily per
+    * (split, shard) in (doc, chunk) order (the [[Quality.packSequences]]
+    * rule at chunk granularity — packs never span splits or shards), and
+    * return the PACK MANIFEST: per (split, shard, pack_id) the chunk
+    * count, token total, distinct-doc count, and first doc — what a
+    * training loader consumes to schedule shards.
+    *
+    * Scale design: the (id, text) projection is materialized ONCE and
+    * feeds both the chunker and the split projection (no second corpus
+    * scan); the chunk⋈split join keys on the doc id; the packing window
+    * and the manifest groupBy share one (split, shard)-keyed exchange
+    * (the groupBy key is a superset). `shards` is the packing-parallelism
+    * knob exactly as in [[Quality.packSequences]].
+    */
+  def materializeSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 32,
+      capacityTokens: Int = 64,
+      shards: Int = 8,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+  ): DataFrame = {
+    require(chunkTokens >= 1 && capacityTokens >= 1 && shards >= 1, "materializeSequences: sizes must be positive")
+    val base = Lineage.truncate(docs.select(col(idCol), col(textCol)))
+    val bucket = Hashing.hash64(col(textCol)) % 100
+    val splitTab = base.select(
+      col(idCol),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test")
+        .as("split"),
+    )
+    val chunks = Quality
+      .chunkDocuments(base, idCol, textCol, chunkTokens, overlap = 0)
+      .select(col(idCol), col("chunk_id"), col("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard"))
+      .orderBy(col(idCol), col("chunk_id"))
+    chunks
+      .join(splitTab, idCol)
+      .withColumn("shard", col(idCol) % shards)
+      .withColumn(
+        "cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)),
+      )
+      .withColumn("pack_id", floor(col("cum_before") / capacityTokens.toDouble).cast("long"))
+      .groupBy(col("split"), col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+      )
+  }
 }

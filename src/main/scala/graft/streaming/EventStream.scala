@@ -345,6 +345,52 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming rate limiting — the streaming twin of
+    * [[graft.operators.EventAnalytics.rateLimitFirst]]: the FIRST-ARRIVED
+    * event per (user, type, tumbling bucket) survives inside the watermark;
+    * later repeats drop. State per key is one row with a watermark-bounded
+    * TTL (`dropDuplicatesWithinWatermark`), so burst/bot suppression runs
+    * with O(active keys) state, never a log sort.
+    */
+  def rateLimitStream(
+      events: DataFrame,
+      windowMinutes: Int = 10,
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    val winUs = windowMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("bucket", expr(s"unix_micros(ts) div $winUs"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "bucket"))
+      .select(col("user_id"), col("event_type"), col("bucket"), col("event_id"), unix_micros(col("ts")).as("kept_us"))
+  }
+
+  /** Batch-parity runner for [[rateLimitStream]]: the input is sorted by
+    * (ts, event_id) and written as ONE file so "first arrived" equals
+    * "earliest (ts, id)" — the batch operator's min-struct survivor — and
+    * the whole run is one microbatch (the [[dedupOneShot]] stance).
+    */
+  def rateLimitOneShot(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      queryName: String,
+      windowMinutes: Int = 10,
+  ): DataFrame = {
+    val ordered = eventsDf.orderBy(col("ts"), col("event_id"))
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .parquet(writeTemp(ordered, queryName, singleFile = true))
+    val q = rateLimitStream(stream, windowMinutes)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Batch-parity runner for [[sessionize]]: drive the events table through
     * the stateful flatMapGroupsWithState query with an AvailableNow one-shot
     * run and return EVERY session — proving stream == batch for custom state,

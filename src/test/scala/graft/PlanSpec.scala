@@ -315,6 +315,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), s"candidates must broadcast semi-join:\n$p")
   }
 
+  test("ContentChunks.chunks is a pure projection — zero exchanges") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.ContentChunks.chunks(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"CDC chunking must not shuffle:\n$p")
+  }
+
   test("assembleCorpus: the composition adds no full-corpus re-scans") {
     // Each stage's input is materialized once behind its operator's own
     // barrier (gated increment, dedup union, survivor set), so the FINAL

@@ -360,6 +360,28 @@ class QualitySpec extends SparkSpec {
     assert(out == Set((1, "len_ge_2", 3L, 2L, 1L), (2, "len_ge_3", 2L, 1L, 1L)), out.toString)
   }
 
+  test("materializeSequences: hand-computed manifest — packs never span splits or shards") {
+    import graft.operators.Assemble
+    // shards=1 so only the split partitions packs; chunkTokens=2, capacity=3.
+    // doc 10: 5 tokens -> chunks (2,2,1); doc 11: 2 tokens -> chunk (2).
+    val docs = Seq(
+      (10L, "a b c d e"),
+      (11L, "p q"),
+    ).toDF("doc_id", "text")
+    val out = Assemble
+      .materializeSequences(docs, "doc_id", "text", chunkTokens = 2, capacityTokens = 3, shards = 1,
+        trainPct = 100, valPct = 0) // force one split so the packing math is deterministic
+      .orderBy("split", "shard", "pack_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // chunk stream in (doc, chunk) order: 2, 2, 1 (doc 10), 2 (doc 11);
+    // cum_before: 0, 2, 4, 5 -> packs 0, 0, 1, 1.
+    assert(out.toSeq == Seq(
+      ("train", 0L, 0L, 2L, 4L, 1L, 10L),
+      ("train", 0L, 1L, 2L, 3L, 2L, 10L),
+    ))
+  }
+
   test("regressionStats: exact fit, hand-computed noisy fit, degenerate-x NULLs") {
     val rows = Seq(
       // g1: y = 2x + 1 exactly -> slope 2, intercept 1, r2 = 1

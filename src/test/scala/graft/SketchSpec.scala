@@ -328,6 +328,41 @@ class SketchSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("ContentChunks: spans tile the doc exactly; short and empty docs behave per contract") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
+      .unionByName(Seq((90001L, "tiny", "en", "t", 4L), (90002L, "", "en", "t", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val ch = graft.operators.ContentChunks.chunks(docs, "doc_id", "text").collect()
+    val byDoc = ch.groupBy(_.getLong(0))
+    val lens = docs.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // chunks abut: off_1 = 1, off_{i+1} = off_i + len_i, and they cover L
+      assert(sorted.head.getLong(2) == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) == a.getLong(2) + a.getLong(3))
+        case _           =>
+      }
+      assert(sorted.last.getLong(2) + sorted.last.getLong(3) - 1 == lens(id).toLong)
+    }
+    assert(byDoc(90001L).length == 1 && byDoc(90001L).head.getLong(3) == 4L) // shorter than window: one chunk
+    assert(!byDoc.contains(90002L)) // empty doc emits nothing
+  }
+
+  test("ContentChunks: boundaries are content-defined — a prefix insertion preserves chunk hashes") {
+    import spark.implicits._
+    val base = spark.read.parquet(sf() + "/documents.parquet")
+      .orderBy("doc_id").limit(1).select("text").as[String].head()
+    val docs = Seq((1L, base), (2L, "PREFIXED " + base)).toDF("doc_id", "text")
+    def hashes(id: Long) = graft.operators.ContentChunks.chunks(docs, "doc_id", "text")
+      .filter(col("doc_id") === id).select("chunk_hash").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val (h1, h2) = (hashes(1L), hashes(2L))
+    // all but the first chunk (which absorbs the insertion) re-align
+    assert(h1.intersect(h2).size >= h1.size - 2, s"CDC must re-align after an insertion: ${h1.size} vs shared ${h1.intersect(h2).size}")
+  }
+
   test("heavyHitters: a sub-guarantee threshold is rejected loudly") {
     import spark.implicits._
     val df = Seq("a", "b").toDF("v")
