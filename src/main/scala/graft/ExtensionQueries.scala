@@ -52,6 +52,12 @@ object ExtensionQueries {
   // tokens): k = 200 satisfies the guarantee num·(k+1) >= den.
   private val HhK = 200
   private val HhDen = 200
+  // q162 product quantization: 4 subspaces × (64/4)-dim, 8-entry codebooks,
+  // 2 Lloyd rounds — one constant set feeds the operator call and the
+  // generated per-subspace oracle chains.
+  private val PqM = 4
+  private val PqNlist = 8
+  private val PqIters = 2
   // q158/q159 content-defined chunking: 8-char boundary windows, expected
   // chunk ~32 chars (the synthetic docs are ~300 chars), boilerplate drop
   // at 20 docs, dup report at >= 2 shared chunks.
@@ -2178,6 +2184,31 @@ object ExtensionQueries {
         .materializeSequences(t(s, d, "documents"), "doc_id", "text",
           chunkTokens = 32, capacityTokens = 64, shards = PackShards)
         .orderBy("split", "shard", "pack_id")),
+
+    // ---- Product quantization: 4 × 16-dim subspaces, 8-entry codebooks
+    //      (2 Lloyd rounds each), per-vector PQ codes — the IVF-PQ fine
+    //      quantizer over the q133 training loop ----
+    "q162_pq_codes" -> ((s, d) =>
+      IvfIndex
+        .pqCodes(t(s, d, "embeddings"), "vec_id", "embedding",
+          m = PqM, subDim = EmbDim / PqM, nlist = PqNlist, iters = PqIters)
+        .orderBy("vec_id", "subspace")),
+
+    // ---- Users-seen-to-date growth curve: one user-keyed pass, running
+    //      total over the days table only ----
+    "q163_cumulative_users" -> ((s, d) =>
+      EventAnalytics.cumulativeDistinctUsers(events(s, d), "user_id", "ts").orderBy("day")),
+
+    // ---- Zipf exponent of the token-frequency curve: globalRank (no
+    //      global sort) ∘ quantized-ln ∘ exact-sum regression ----
+    "q164_zipf_fit" -> ((s, d) => Quality.zipfFit(t(s, d, "documents"), "text").orderBy("corpus")),
+
+    // ---- Per-user inter-arrival stats: telescoping exact mean gap +
+    //      lag-window min/max — the bot/burst fingerprint ----
+    "q165_interarrival" -> ((s, d) =>
+      EventAnalytics
+        .interArrivalStats(events(s, d), "user_id", "ts", "event_id")
+        .orderBy("user_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4115,5 +4146,96 @@ object ExtensionQueries {
                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
           FROM pk GROUP BY split, shard, pack_id
           ORDER BY split, shard, pack_id""",
+    // q133's float-quantized Lloyd chain, once per PQ subspace over the
+    // sliced vectors, then the final argmax coding pass per subspace.
+    "q162_pq_codes" -> {
+      def cos(va: String, vb: String) =
+        s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      val subDim = EmbDim / PqM
+      val subs = (0 until PqM)
+        .map { sub =>
+          val lo = sub * subDim + 1
+          val hi = (sub + 1) * subDim
+          val rounds = (1 to PqIters)
+            .map { it =>
+              s"""s${sub}scored$it AS (SELECT a.vec_id, b.centroid_id, a.sv, ${cos("a.sv", "b.cen")} AS sim
+                                       FROM s${sub}v a CROSS JOIN s${sub}c${it - 1} b),
+                  s${sub}r$it AS (SELECT vec_id, centroid_id, sv,
+                                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                                  FROM s${sub}scored$it),
+                  s${sub}asg$it AS (SELECT centroid_id, sv FROM s${sub}r$it WHERE rn = 1),
+                  s${sub}m$it AS (SELECT centroid_id, pos, avg(CAST(sv[pos + 1] AS DOUBLE)) AS mu
+                                  FROM s${sub}asg$it CROSS JOIN sdims GROUP BY centroid_id, pos),
+                  s${sub}c$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
+                                  FROM s${sub}m$it GROUP BY centroid_id)"""
+            }
+            .mkString(",\n")
+          s"""s${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+              s${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
+                            FROM (SELECT vec_id, sv FROM s${sub}v ORDER BY vec_id LIMIT $PqNlist)),
+              $rounds,
+              s${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
+                            FROM s${sub}v a CROSS JOIN s${sub}c$PqIters b),
+              s${sub}out AS (SELECT vec_id, $sub AS subspace, CAST(centroid_id AS INT) AS code
+                             FROM (SELECT vec_id, centroid_id,
+                                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                                   FROM s${sub}fs) WHERE rn = 1)"""
+        }
+        .mkString(",\n")
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, $subDim)) AS INT) AS pos),
+              $subs
+          SELECT vec_id, subspace, code
+          FROM (${(0 until PqM).map(s => s"SELECT * FROM s${s}out").mkString(" UNION ALL ")})
+          ORDER BY vec_id, subspace"""
+    },
+    "q163_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
+              d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+         SELECT day, n_new,
+                CAST(SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM d ORDER BY day""",
+    // Vocab ranks under (freq DESC, token), l() = floor(ln·1e6+0.5), then
+    // the q152 regression shapes verbatim.
+    "q164_zipf_fit" -> {
+      def l(x: String) = s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH v AS (SELECT token, COUNT(*) AS freq
+                     FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+                     GROUP BY token),
+              rk AS (SELECT ${l("ROW_NUMBER() OVER (ORDER BY freq DESC, token)")} AS x, ${l("freq")} AS y FROM v),
+              a AS (SELECT 'corpus' AS corpus, COUNT(*) AS n,
+                      CAST(COUNT(*) AS DOUBLE) AS nd,
+                      CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                      CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                      CAST(SUM(y * y) AS DOUBLE) AS syy
+                    FROM rk),
+              dd AS (SELECT corpus, n, nd, sx, sy,
+                       nd * sxy - sx * sy AS num,
+                       nd * sxx - sx * sx AS denx,
+                       nd * syy - sy * sy AS deny
+                     FROM a)
+          SELECT corpus, n,
+                 CASE WHEN denx = 0 THEN NULL ELSE num / denx END AS slope,
+                 CASE WHEN denx = 0 THEN NULL ELSE (sy - (num / denx) * sx) / nd END AS intercept,
+                 CASE WHEN denx = 0 OR deny = 0 THEN NULL ELSE (num * num) / (denx * deny) END AS r2
+          FROM dd ORDER BY corpus"""
+    },
+    // Telescoping exact mean ((last-first)/n_gaps as ONE double division);
+    // min/max gaps from the lag pass; single-event users drop.
+    "q165_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+              g AS (SELECT user_id, us,
+                      us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+                    FROM e),
+              a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                      CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                      MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+                      MAX(us) - MIN(us) AS span
+                    FROM g GROUP BY user_id)
+         SELECT user_id, n_events, n_gaps,
+                CAST(span AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+                min_gap_us, max_gap_us
+         FROM a WHERE n_gaps >= 1 ORDER BY user_id""",
   )
 }

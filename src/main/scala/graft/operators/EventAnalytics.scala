@@ -528,6 +528,72 @@ object EventAnalytics {
       .limit(topN)
   }
 
+  /** Cumulative distinct users by day — "users seen to date", the classic
+    * growth metric that a naive per-day `COUNT(DISTINCT)` over expanding
+    * windows recomputes from scratch daily. Here: each user collapses to
+    * their FIRST epoch-day (one user-keyed partial aggregate), first-days
+    * collapse to per-day new-user counts, and the running total is a
+    * window over the |days|-row table — the log is scanned once and the
+    * single-partition window touches days, never events.
+    */
+  def cumulativeDistinctUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+  ): DataFrame = {
+    val firstDay = events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div 86400000000").as("__day"))
+      .groupBy(col(userCol))
+      .agg(min(col("__day")).as("day"))
+    firstDay
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn(
+        "cum_users",
+        sum(col("n_new")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+      )
+  }
+
+  /** Per-user inter-arrival statistics: event count, gap count, mean gap
+    * (exact telescoping — `(last − first) / (n−1)`, integer µs then ONE
+    * IEEE division), and exact min/max gaps from a `lag` pass. The
+    * bot/burst fingerprint feature: bots have tiny, low-variance gaps.
+    * Users with fewer than two events are excluded (no gaps).
+    *
+    * Scale design: the lag window and the per-user aggregate share one
+    * user-keyed exchange (grouping key == window partition key).
+    */
+  def interArrivalStats(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(tiebreakCol))
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(tiebreakCol))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .groupBy(col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"),
+        (max(col("__us")) - min(col("__us"))).as("__span"),
+      )
+      .filter(col("n_gaps") >= 1)
+      .select(
+        col(userCol),
+        col("n_events"),
+        col("n_gaps"),
+        (col("__span").cast("double") / col("n_gaps").cast("double")).as("mean_gap_us"),
+        col("min_gap_us"),
+        col("max_gap_us"),
+      )
+  }
+
   /** KMV ("k minimum values") approximate distinct count per group — the
     * cross-engine-reproducible alternative to `approx_count_distinct`
     * (HLL++ registers are engine-private; a KMV sketch is an order

@@ -123,6 +123,39 @@ object IvfIndex {
         )
   }
 
+  /** Product quantization codes: split each vector into `m` contiguous
+    * `subDim`-wide subvectors, train an independent `nlist`-entry codebook
+    * per subspace ([[train]]'s deterministic Lloyd on the SLICED vectors),
+    * and emit each vector's per-subspace code — the `m × log2(nlist)`-bit
+    * compressed representation ANN systems store in place of floats
+    * (IVF-PQ's fine quantizer). Output: (id, subspace, code).
+    *
+    * Scale design: per subspace, training is [[train]] (sampleable via its
+    * own knob at real scale; here the slices are cheap) and the coding
+    * pass is [[assign]]'s zero-shuffle codebook-literal argmax over the
+    * slice — the full-corpus work is `m` map-only projections. Total
+    * driver actions: `m × iters` codebook collects of `nlist` rows each.
+    */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      nlist: Int,
+      iters: Int,
+  ): DataFrame = {
+    require(m >= 1 && subDim >= 1 && nlist >= 1 && iters >= 0, "pqCodes: all sizes must be positive")
+    (0 until m)
+      .map { sub =>
+        val sliced = corpus.select(col(idCol), slice(col(vecCol), sub * subDim + 1, subDim).as("__sv"))
+        val codebook = train(sliced, idCol, "__sv", nlist, iters)
+        assign(sliced, codebook, idCol, "__sv")
+          .select(col(idCol), lit(sub).as("subspace"), col("centroid_id").as("code"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** nprobe ANN search: for each query, rerank exactly within the posting
     * lists of its `nprobe` closest centroids.
     */

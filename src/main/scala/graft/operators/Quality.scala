@@ -731,6 +731,35 @@ object Quality {
     * accumulators per group travel, never rows; the projection after is
     * per-group scalar math.
     */
+  /** Zipf power-law fit of the corpus token-frequency distribution:
+    * regress quantized `ln(freq)` on quantized `ln(rank)` over the whole
+    * vocabulary — the slope is the Zipf exponent (≈ −1 for natural text),
+    * a one-number dataset-card diagnostic for degenerate/templated corpora
+    * (synthetic boilerplate flattens the curve). Pure composition:
+    * frequency ranks come from [[Dedup.globalRank]] (order-aligned
+    * negated-frequency buckets — no single-partition sort of the vocab),
+    * the ln quantization is the corpus-wide `l(x) = floor(ln(x)·10⁶+0.5)`
+    * rule, and the fit is [[regressionStats]]' exact-sum closed form.
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val l: Column => Column = x => floor(log(x.cast("double")) * 1000000 + 0.5).cast("long")
+    val vocab = docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val ranked = Dedup.globalRank(
+      vocab.withColumn("__nf", -col("freq")),
+      sortCols = Seq(col("__nf"), col("token")),
+      bucket = expr("__nf div 16"),
+    )
+    regressionStats(
+      ranked.withColumn("corpus", lit("corpus")),
+      "corpus",
+      x = l(col("rank")),
+      y = l(col("freq")),
+    )
+  }
+
   def regressionStats(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def dsum38(c: Column) = sum(c.cast(d38)).cast("double")

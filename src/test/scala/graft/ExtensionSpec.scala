@@ -524,6 +524,22 @@ class ExtensionSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBlockRows"))
   }
 
+  test("pqCodes: m=1 degenerates to plain train+assign; full m codes every vector in range") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").cache()
+    val cb = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val direct = IvfIndex.assign(emb, cb, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pq1 = IvfIndex.pqCodes(emb, "vec_id", "embedding", m = 1, subDim = 64, nlist = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(pq1 == direct)
+    val pq4 = IvfIndex.pqCodes(emb, "vec_id", "embedding", m = 4, subDim = 16, nlist = 8, iters = 1).collect()
+    val n = emb.count()
+    assert(pq4.length == n * 4)
+    assert(pq4.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
+  }
+
   test("Winnow.overlapPairs: common-fingerprint drop suppresses ubiquitous grams") {
     // Every doc shares the same text -> every fingerprint is in all 4 docs;
     // with maxDocsPerFp = 3 nothing survives, with 4 all pairs match.

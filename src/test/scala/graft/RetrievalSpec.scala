@@ -230,6 +230,48 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq("view>click>purchase" -> 2L, "view" -> 1L))
   }
 
+  test("cumulativeDistinctUsers: first-day collapse and running total") {
+    val log = Seq(
+      (1L, ts("1970-01-01 05:00:00")), // day 0
+      (1L, ts("1970-01-03 05:00:00")), // later activity doesn't re-count
+      (2L, ts("1970-01-02 05:00:00")), // day 1
+      (3L, ts("1970-01-02 09:00:00")), // day 1
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cumulativeDistinctUsers(log, "user_id", "ts")
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1L), (1L, 2L, 3L)))
+  }
+
+  test("interArrivalStats: telescoping mean, lag min/max, single-event users drop") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:10"), 2L), // gap 10s
+      (1L, ts("2024-01-01 10:01:00"), 3L), // gap 50s
+      (2L, ts("2024-01-01 10:00:00"), 4L), // single event -> dropped
+    ).toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.interArrivalStats(log, "user_id", "ts", "event_id").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 30e6 && r.getLong(4) == 10000000L && r.getLong(5) == 50000000L)
+  }
+
+  test("zipfFit: negative slope over the vocab; a perfect power law fits exactly") {
+    // Real corpus: rank up -> freq down, so the ln-ln slope is negative
+    // (the synthetic vocab is nearly uniform, so no strength claim).
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val out = graft.operators.Quality.zipfFit(docs, "text").collect().head
+    assert(out.getDouble(2) < 0.0, s"zipf slope must be negative: $out")
+    val nVocab = docs
+      .select(explode(graft.functions.TextAnalysis.wsTokens(col("text"))).as("t"))
+      .select("t").distinct().count()
+    assert(out.getLong(1) == nVocab)
+    // Synthetic exact power law freq = floor(1024 / rank): slope ~ -1, r2 ~ 1.
+    val corpus = (1 to 64).flatMap(r => Seq.fill(1024 / r)(s"w$r")).mkString(" ")
+    val one = graft.operators.Quality.zipfFit(Seq(Tuple1(corpus)).toDF("text"), "text").collect().head
+    assert(math.abs(one.getDouble(2) + 1.0) < 0.05 && one.getDouble(4) > 0.99, s"power law must fit: $one")
+  }
+
   test("iqrOutliers: discrete quartiles and Tukey fences, integer-exact") {
     // group g: values 1..9 plus outlier 100. disc p25 of 10 values = 3rd
     // (cume_dist 0.3 >= 0.25), p75 = 8th: p25=3, p75=8, IQR=5.
