@@ -65,6 +65,23 @@ object ExtensionQueries {
   private val CdcDivisor = 32
   private val CdcMaxDf = 20
   private val CdcMinShared = 2
+  // q167's compaction target: ~12 synthetic docs (~300 chars each) per
+  // output bin (production: 128 MB–1 GB parquet targets, same rule).
+  private val CompactTarget = 4000L
+  // q168's Z-order width: 6 bits per dimension (64×64 grid → 12-bit key).
+  private val ZBits = 6
+  // q169's equi-depth bucket count (decile stats).
+  private val EdhBuckets = 10
+  // q170's blocked-Levenshtein parameters: 16-char blocking prefix,
+  // distance over 64-char prefixes, length band ±16, match at dist <= 8.
+  private val EditBlock = 16
+  private val EditCompare = 64
+  private val EditMaxLenDiff = 16
+  private val EditMaxDist = 8
+  // q171's conversion rule: a purchase with value > 90 (EVERY synthetic
+  // user has some purchase, so plain event-presence is a degenerate 100%
+  // design; the cutoff puts per-arm rates in the ~80-90% band).
+  private val AbValueCut = 90.0
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2209,6 +2226,79 @@ object ExtensionQueries {
       EventAnalytics
         .interArrivalStats(events(s, d), "user_id", "ts", "event_id")
         .orderBy("user_id")),
+
+    // ---- Per-user daily forward fill (LOCF): gap rows GENERATED from each
+    //      carrier row via lead + sequence — one user-keyed exchange, no
+    //      date-spine join ----
+    "q166_gap_fill" -> ((s, d) =>
+      EventAnalytics
+        .gapFillDaily(events(s, d), "user_id", "ts", "value", "event_id")
+        .orderBy("user_id", "day")),
+
+    // ---- Small-file compaction plan: greedy cumulative-sum bin packing of
+    //      docs into ~4 KB output bins per source ----
+    "q167_compaction_plan" -> ((s, d) =>
+      graft.ops.Lake
+        .compactionPlan(t(s, d, "documents"), "source", "doc_id", "n_chars", CompactTarget)
+        .orderBy("source", "bin")),
+
+    // ---- Z-order clustering key: Morton-interleave (user bucket × epoch
+    //      day) — the 2-D scan-locality sort key, as a pure projection ----
+    "q168_zorder_key" -> ((s, d) =>
+      events(s, d)
+        .select(
+          graft.ops.Lake
+            .zOrderKey(col("user_id") % 64, expr("(unix_micros(ts) div 86400000000) % 64"), ZBits)
+            .as("z"))
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("z")),
+
+    // ---- Equi-depth histogram (decile stats) of doc length: integer
+    //      cume_dist buckets over the distinct-value histogram ----
+    "q169_equidepth_hist" -> ((s, d) =>
+      Quality
+        .equiDepthHistogram(t(s, d, "documents"), col("n_chars"), EdhBuckets)
+        .orderBy("bucket")),
+
+    // ---- Blocked-Levenshtein near-dup pairs: typo-tolerant matching
+    //      MinHash/SimHash are blind to (character order) ----
+    "q170_edit_distance_pairs" -> ((s, d) =>
+      Resolve
+        .editDistancePairs(t(s, d, "documents"), "doc_id", "text",
+          EditBlock, EditCompare, EditMaxLenDiff, EditMaxDist)
+        .orderBy("id_a", "id_b")),
+
+    // ---- Two-proportion z-test: arm = user_id parity, conversion = a
+    //      high-value purchase — the experimentation decision gate ----
+    "q171_ab_test" -> ((s, d) =>
+      EventAnalytics
+        .abTestTwoProportion(events(s, d), "user_id", col("user_id") % 2,
+          col("event_type") === "purchase" && col("value") > AbValueCut)),
+
+    // ---- Corpus snapshot diff: added/removed/changed/unchanged between
+    //      two deterministic views of the same table (simulated crawls) ----
+    "q172_corpus_diff" -> ((s, d) => {
+      val docs   = t(s, d, "documents")
+      val oldDf  = docs.filter(col("doc_id") % 5 =!= 4)
+      val newDf  = docs
+        .filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Assemble.corpusDiff(oldDf, newDf, "doc_id", "text").orderBy("status")
+    }),
+
+    // ---- MinHash calibration: per signature-agreement count, the exact
+    //      Jaccard truth (integer per-mille) over all banding candidates ----
+    "q173_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(t(s, d, "documents"), "doc_id", "text", K, 4).orderBy("n_eq")),
+
+    // ---- Per-source quantile normalization of doc length: cross-source
+    //      comparable percentile scores, deterministic tiebreak ----
+    "q174_quantile_normalize" -> ((s, d) =>
+      Quality
+        .quantileNormalize(t(s, d, "documents").select("source", "doc_id", "n_chars"),
+          "source", col("n_chars"), col("doc_id"))
+        .orderBy("source", "doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4237,5 +4327,157 @@ object ExtensionQueries {
                 CAST(span AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
                 min_gap_us, max_gap_us
          FROM a WHERE n_gaps >= 1 ORDER BY user_id""",
+    // Daily carrier = argmax (us, event_id) per (user, day); each carrier
+    // emits its run [day, next_day) via unnest(range) — the same
+    // lead+sequence rule as the Spark side, no spine join.
+    "q166_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                      epoch_us(ts) // 86400000000 AS day, value, event_id
+                    FROM events),
+              daily AS (SELECT user_id, day, value FROM (
+                          SELECT user_id, day, value,
+                                 row_number() OVER (PARTITION BY user_id, day
+                                                    ORDER BY us DESC, event_id DESC) AS rn
+                          FROM e) WHERE rn = 1),
+              nx AS (SELECT user_id, day AS day0, value,
+                       lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+                     FROM daily),
+              g AS (SELECT user_id, day0, value,
+                      unnest(range(day0, coalesce(next_day, day0 + 1))) AS day
+                    FROM nx)
+         SELECT user_id, CAST(day AS BIGINT) AS day, value, day <> day0 AS filled
+         FROM g ORDER BY user_id, day""",
+    // Greedy streaming rule: bin = bytes-before-item div target.
+    "q167_compaction_plan" ->
+      s"""WITH c AS (SELECT source, doc_id, n_chars,
+                       CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                     FROM documents)
+          SELECT source, CAST((cum - n_chars) // $CompactTarget AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+                 MIN(doc_id) AS first_item, MAX(doc_id) AS last_item
+          FROM c GROUP BY source, bin ORDER BY source, bin""",
+    // Interleave expression generated from the SAME bit-placement rule as
+    // graft.ops.Lake.zOrderKey (one constant, two engines, no drift).
+    "q168_zorder_key" -> {
+      val z = graft.ops.Lake.zOrderKeySql("(user_id % 64)", "((epoch_us(ts) // 86400000000) % 64)", ZBits)
+      s"""SELECT CAST($z AS BIGINT) AS z, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1 ORDER BY z"""
+    },
+    // Integer cume_dist bucketing over the distinct-value histogram —
+    // (cum*B + N - 1) // N, ties collapse, no float anywhere.
+    "q169_equidepth_hist" ->
+      s"""WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS cnt FROM documents GROUP BY 1),
+               c AS (SELECT v, cnt,
+                       CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                       CAST(SUM(cnt) OVER () AS BIGINT) AS n
+                     FROM h)
+          SELECT CAST((cum * $EdhBuckets + n - 1) // n AS BIGINT) AS bucket,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 MIN(v) AS lo, MAX(v) AS hi,
+                 CAST(SUM(v * cnt) AS BIGINT) AS value_sum
+          FROM c GROUP BY 1 ORDER BY bucket""",
+    // Same block / length-band / prefix-DP rule; DuckDB's levenshtein is
+    // the same unit-cost DP as Spark's.
+    "q170_edit_distance_pairs" ->
+      s"""WITH p AS (SELECT doc_id AS id, substr(text, 1, $EditBlock) AS blk,
+                       CAST(length(text) AS BIGINT) AS len,
+                       substr(text, 1, $EditCompare) AS pfx
+                     FROM documents)
+          SELECT l.id AS id_a, r.id AS id_b, l.len AS len_a, r.len AS len_b,
+                 CAST(levenshtein(l.pfx, r.pfx) AS INT) AS dist
+          FROM p l JOIN p r
+            ON l.blk = r.blk AND l.id < r.id AND abs(l.len - r.len) <= $EditMaxLenDiff
+          WHERE levenshtein(l.pfx, r.pfx) <= $EditMaxDist
+          ORDER BY id_a, id_b""",
+    // Counts exact; p0/p1/pooled/z written in the Spark expression's exact
+    // FP order (sqrt is correctly rounded IEEE in both engines); degenerate
+    // designs (empty arm, 0%/100% pooled) guard to NULL like the operator.
+    "q171_ab_test" ->
+      s"""WITH u AS (SELECT user_id, MIN(user_id % 2) AS arm,
+                      MAX(CASE WHEN event_type = 'purchase' AND value > $AbValueCut THEN 1 ELSE 0 END) AS conv
+                    FROM events GROUP BY 1),
+              c AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                           CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+                           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+                    FROM u),
+              d AS (SELECT n0, c0, n1, c1,
+                      CASE WHEN n0 = 0 THEN NULL ELSE CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS p0,
+                      CASE WHEN n1 = 0 THEN NULL ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+                      CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                           ELSE (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                                  / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) END AS pooled
+                    FROM c)
+         SELECT n0, c0, n1, c1, p0, p1,
+                CASE WHEN pooled IS NULL OR pooled = 0.0 OR pooled = 1.0 THEN NULL
+                     ELSE (p1 - p0) / sqrt((pooled * (1.0 - pooled))
+                       * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE)))) END AS z
+         FROM d""",
+    // Same deterministic snapshot rules (old: id%5<>4; new: id%7<>0 with
+    // ' v2' appended at id%3=0); content compared by the shared md5-derived
+    // 60-bit hash.
+    "q172_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id AS id, ${sqlHash64("text")} AS ho
+                     FROM documents WHERE doc_id % 5 <> 4),
+               n AS (SELECT doc_id AS id,
+                       ${sqlHash64("CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END")} AS hn
+                     FROM documents WHERE doc_id % 7 <> 0),
+               j AS (SELECT COALESCE(o.id, n.id) AS id,
+                       CASE WHEN o.id IS NULL THEN 'added'
+                            WHEN n.id IS NULL THEN 'removed'
+                            WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
+                     FROM o FULL OUTER JOIN n ON o.id = n.id)
+          SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 MIN(id) AS min_id, MAX(id) AS max_id
+          FROM j GROUP BY status ORDER BY status""",
+    // Banding candidates (DISTINCT ≡ the Spark side's first-band-only
+    // exactly-once), signature agreement from the SAME generated minhash
+    // expressions, exact Jaccard quantized to integer per-mille BEFORE the
+    // rollup — the mean is an exact sum + one division, like the Spark side.
+    "q173_minhash_calibration" -> {
+      val bands = 4
+      val rows  = K / bands
+      val bandKeys = (0 until bands)
+        .map { b =>
+          val cols = (b * rows until (b + 1) * rows).map(i => s"CAST(mh$i AS VARCHAR)").mkString(", '_', ")
+          s"SELECT doc_id AS id, $b AS band, concat($cols) AS band_key FROM sig"
+        }
+        .mkString(" UNION ALL ")
+      val agree = (0 until K).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              hs AS (SELECT doc_id, $sqlToksHashed AS toks FROM documents),
+              sig AS (SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")} FROM toks),
+              banded AS ($bandKeys),
+              cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l
+                       JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
+              ne AS (SELECT id_a, id_b, $agree AS n_eq FROM cand
+                     JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id),
+              ex AS (SELECT ne.n_eq,
+                       len(list_intersect(a.toks, b.toks)) AS inter,
+                       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS un
+                     FROM ne JOIN hs a ON ne.id_a = a.doc_id JOIN hs b ON ne.id_b = b.doc_id),
+              g AS (SELECT n_eq, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      CAST(SUM(inter * 1000 // un) AS BIGINT) AS s,
+                      CAST(MIN(inter * 1000 // un) AS BIGINT) AS min_jaccard_permille,
+                      CAST(MAX(inter * 1000 // un) AS BIGINT) AS max_jaccard_permille
+                    FROM ex GROUP BY n_eq)
+          SELECT CAST(n_eq AS INT) AS n_eq, n_pairs,
+                 CAST(s AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean_jaccard_permille,
+                 min_jaccard_permille, max_jaccard_permille
+          FROM g ORDER BY n_eq"""
+    },
+    // row_number under (value, unique id) — deterministic percent_rank;
+    // single-row groups pin to 0.5.
+    "q174_quantile_normalize" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+                      COUNT(*) OVER (PARTITION BY source) AS n
+                    FROM documents)
+         SELECT source, doc_id, n_chars,
+                CASE WHEN n = 1 THEN 0.5
+                     ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+         FROM r ORDER BY source, doc_id""",
   )
 }

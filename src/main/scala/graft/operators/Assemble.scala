@@ -139,4 +139,39 @@ object Assemble {
         min(col(idCol)).as("first_doc"),
       )
   }
+
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * primitive ("what changed between crawl N and crawl N+1"): per doc id,
+    * `added` (new only) / `removed` (old only) / `changed` (both, content
+    * hash differs) / `unchanged`. Content compared by the 60-bit
+    * [[graft.functions.Hashing.hash64]], so the join carries two longs per
+    * id, never document text.
+    *
+    * Returns the per-status rollup (n_docs, min/max id — the audit range).
+    * Scale: one id-keyed full-outer join of (id, hash) projections + a
+    * 4-row aggregate; both sides partial-project at the scan.
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), Hashing.hash64(col(textCol)).as("__ho"))
+    val n = newDf.select(col(idCol).as("id"), Hashing.hash64(col(textCol)).as("__hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed"),
+      )
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+      )
+  }
 }

@@ -335,6 +335,60 @@ object Dedup {
     jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
+  /** MinHash estimator calibration report: for every banding candidate
+    * pair, compare the sketch's Jaccard estimate (`n_eq` of `k` signature
+    * components equal — the unbiased estimator [[minhashNearDupPairs]]'
+    * prefilter thresholds on) against the EXACT hashed-token-set Jaccard,
+    * grouped by `n_eq`. The pipeline-health check that answers "is
+    * `minAgree = m` the right knob for this corpus?" with measured
+    * per-estimate truth instead of the theoretical E[n_eq/k] = J.
+    *
+    * Determinism: exact Jaccard is quantized to integer PER MILLE
+    * (`inter·1000 div union`) before any aggregation, so the per-bucket
+    * mean is an exact integer sum followed by ONE IEEE division — no
+    * order-dependent double accumulation.
+    *
+    * Output: (n_eq, n_pairs, mean/min/max_jaccard_permille), one row per
+    * observed agreement count. Scale shape = [[minhashNearDupPairs]]':
+    * banding equi-join on signature structs, agreement as a projection on
+    * the riding signatures, token sets joined in once, then a ≤ k+1-row
+    * aggregate.
+    */
+  def minhashCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+  ): DataFrame = {
+    val agree = (0 until k)
+      .map(i => when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = bandedPairs(df, idCol, textCol, k, bands)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), agree.as("n_eq"))
+    val toks = df.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks"))
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("__union", (size(col("toks_a")) + size(col("toks_b"))).cast("long") - col("__inter"))
+      .withColumn("__permille", expr("__inter * 1000 div __union"))
+      .groupBy(col("n_eq"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__permille")).as("__sum"),
+        min(col("__permille")).as("min_jaccard_permille"),
+        max(col("__permille")).as("max_jaccard_permille"),
+      )
+      .select(
+        col("n_eq"),
+        col("n_pairs"),
+        (col("__sum").cast("double") / col("n_pairs").cast("double")).as("mean_jaccard_permille"),
+        col("min_jaccard_permille"),
+        col("max_jaccard_permille"),
+      )
+  }
+
   /** Block-scoped hashed-Jaccard pair enumeration: all (id_a < id_b) pairs
     * within the same `blockCol` whose hashed-token-set Jaccard meets
     * `threshold`. The shared pair source for q24/q45/Curate — one definition

@@ -814,4 +814,118 @@ object EventAnalytics {
           .as("est_join_keys"),
       )
   }
+
+  /** Per-key daily time-series gap fill (forward fill / LOCF): one row per
+    * key per epoch-day between the key's first and last observation, each
+    * missing day carrying the last observed value. The daily carrier value
+    * is the LATEST event that day (total order (ts, tiebreak) — ties
+    * deterministic). Output: (key, day, value, filled) where `filled` marks
+    * generated rows. Reference semantics: the reference zero-fills missing
+    * dates when combining series (parser3.py's per-date merge); LOCF is the
+    * time-series-repair sibling a feature pipeline needs.
+    *
+    * Scale design: NO date-spine join, and NO window over raw events. The
+    * daily carrier is a `max_by` AGGREGATE (map-side combine — only
+    * collapsed (key, day) rows ever shuffle, not the raw log), then
+    * `lead(day)` over the ~1000×-smaller daily table names the next
+    * observed day and `sequence(day, next_day - 1)` explodes the run each
+    * carrier covers. The fill itself is a projection; no row is revisited —
+    * vs the naive spine-outer-join + `last(ignoreNulls)` window which
+    * shuffles the raw log and scans every null slot. Run length is bounded
+    * by the key's observation span in days, so skew = max gap, not corpus
+    * size.
+    */
+  def gapFillDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tiebreakCol: String,
+  ): DataFrame = {
+    val wLead = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    events
+      .select(
+        col(keyCol),
+        unix_micros(col(tsCol)).as("__us"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("__day"),
+        col(valueCol),
+        col(tiebreakCol),
+      )
+      .groupBy(col(keyCol), col("__day"))
+      .agg(max_by(col(valueCol), struct(col("__us"), col(tiebreakCol))).as("__v"))
+      .withColumn("__next", lead(col("__day"), 1).over(wLead))
+      .select(
+        col(keyCol),
+        col("__day"),
+        col("__v"),
+        explode(sequence(col("__day"), coalesce(col("__next") - 1, col("__day")))).as("day"),
+      )
+      .select(
+        col(keyCol),
+        col("day"),
+        col("__v").as("value"),
+        (col("day") =!= col("__day")).as("filled"),
+      )
+  }
+
+  /** Two-proportion z-test between experiment arms: unit = user, arm =
+    * `armExpr` (must be constant per user — e.g. a hash bucket of the user
+    * id), conversion = the user has >= 1 event satisfying `convExpr`.
+    * Returns ONE row: per-arm user and conversion counts, rates, and the
+    * pooled-variance z statistic — the decision gate an experimentation
+    * pipeline computes over the full event log.
+    *
+    * Scale design: one user-keyed partial-aggregated exchange (the per-user
+    * collapse), then a scalar global aggregate; the z arithmetic is a
+    * driver-free projection on the single result row. Counts are exact
+    * integers; the only floating-point steps are the final divisions and
+    * one `sqrt`, written in ONE fixed expression order so any IEEE engine
+    * reproduces the statistic bit-identically.
+    */
+  def abTestTwoProportion(
+      events: DataFrame,
+      userCol: String,
+      armExpr: Column,
+      convExpr: Column,
+  ): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        min(armExpr).as("__arm"),
+        max(convExpr.cast("int")).as("__conv"),
+      )
+    val counts = perUser
+      .groupBy()
+      .agg(
+        sum(when(col("__arm") === 0, 1).otherwise(0)).as("n0"),
+        sum(when(col("__arm") === 0, col("__conv")).otherwise(0)).as("c0"),
+        sum(when(col("__arm") === 1, 1).otherwise(0)).as("n1"),
+        sum(when(col("__arm") === 1, col("__conv")).otherwise(0)).as("c1"),
+      )
+    val (n0d, c0d) = (col("n0").cast("double"), col("c0").cast("double"))
+    val (n1d, c1d) = (col("n1").cast("double"), col("c1").cast("double"))
+    val p0     = c0d / n0d
+    val p1     = c1d / n1d
+    val pooled = (c0d + c1d) / (n0d + n1d)
+    // Degenerate designs (an empty arm, or 0%/100% pooled conversion) have
+    // no defined z — guard OUTSIDE the division so the untaken branch is
+    // never evaluated (ANSI divide-by-zero). Nested so `pooled` itself is
+    // only computed when both arms are populated.
+    val z = when(
+      col("n0") === 0 || col("n1") === 0,
+      lit(null).cast("double"),
+    ).otherwise(
+      when(pooled === 0.0 || pooled === 1.0, lit(null).cast("double"))
+        .otherwise((p1 - p0) / sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / n0d + lit(1.0) / n1d)))
+    )
+    counts.select(
+      col("n0"),
+      col("c0"),
+      col("n1"),
+      col("c1"),
+      when(col("n0") === 0, lit(null).cast("double")).otherwise(p0).as("p0"),
+      when(col("n1") === 0, lit(null).cast("double")).otherwise(p1).as("p1"),
+      z.as("z"),
+    )
+  }
 }

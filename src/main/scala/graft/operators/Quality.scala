@@ -791,4 +791,73 @@ object Quality {
           .as("r2"),
       )
   }
+
+  /** Per-group quantile (percentile-rank) normalization of a score column —
+    * the feature transform that makes quality scores COMPARABLE across
+    * heterogeneous sources before mixing (a length-800 doc may be p95 in
+    * one crawl and p40 in another). `pct` = (rank − 1)/(n − 1) ∈ [0, 1]
+    * with rank = row_number under (value, tiebreak) — the unique tiebreak
+    * makes this deterministic and engine-mirrorable where SQL
+    * `percent_rank`'s tie-sharing would depend on value collisions.
+    * Single-row groups pin to 0.5 (no spread to normalize against).
+    *
+    * Scale: ONE group-keyed exchange shared by the ranking window and the
+    * count window (same partition key); skew is bounded by the largest
+    * group, like every per-source operator here.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      tiebreak: Column,
+      out: String = "pct",
+  ): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(valueCol, tiebreak)
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn(
+        out,
+        when(col("__n") === 1, lit(0.5))
+          .otherwise((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double")),
+      )
+      .drop("__rk", "__n")
+  }
+
+  /** Exact equi-depth histogram of an integer column — the optimizer-grade
+    * column statistic (equal row mass per bucket, not equal value width like
+    * q102's equi-width bins). Bucket rule, SQL-standard `cume_dist` in pure
+    * integers: a value v with `cum` = #rows <= v lands in bucket
+    * `ceil(cum·B / N)` = `(cum·B + N − 1) div N` ∈ [1, B] — tied values
+    * collapse into one bucket, so bucket counts deviate from N/B only by
+    * tie mass, never by engine float rounding. Output per bucket: row
+    * count, value lo/hi, and exact value sum.
+    *
+    * Scale design: NO global sort of the data. One aggregate collapses the
+    * input to its distinct-value histogram (|V| rows — bounded by the
+    * column's domain, e.g. ~thousands for a length column at any corpus
+    * size); the running-count window runs over THAT tiny relation (the one
+    * deliberate single-partition window in the engine, on |V| rows), and
+    * the bucket rollup aggregates value-level counts — the raw rows are
+    * touched exactly once. For unbounded-domain columns the approx path is
+    * [[EventAnalytics.quantilesByCount]] (q106).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
+    val hist = df
+      .select(valueCol.cast("long").as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy()))
+      .withColumn("bucket", expr(s"(__cum * $buckets + __n - 1) div __n"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("__cnt")).as("n_rows"),
+        min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"),
+        sum(col("__v") * col("__cnt")).as("value_sum"),
+      )
+  }
 }

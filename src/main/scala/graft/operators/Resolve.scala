@@ -75,4 +75,69 @@ object Resolve {
         (col("score") >= threshold).as("matched"),
       )
   }
+
+  /** Edit-distance near-duplicate pairs: (id_a < id_b) pairs agreeing on a
+    * blocking key (the first `blockChars` characters) whose length gap is
+    * <= `maxLenDiff` and whose `compareChars`-char prefixes are within
+    * Levenshtein distance `maxDist` — the typo-tolerant matcher MinHash
+    * (set-based) and SimHash (bit-based) can't express, since both are
+    * blind to character ORDER inside a token.
+    *
+    * Recall contract (by construction, not tuning): a pair is found iff the
+    * edits leave the first `blockChars` characters untouched — the
+    * canonical blocked-Levenshtein trade (cf. prefix blocking in
+    * sorted-neighborhood linkage). Pairs differing inside the block prefix
+    * need [[scorePairs]]' multi-key blocking or q150's sliding windows.
+    *
+    * Scale design: the O(s²) Levenshtein DP runs only on in-block,
+    * length-banded candidates over FIXED `compareChars`-char prefixes (cost
+    * per pair is a constant, not |doc|²); the length-band filter is a
+    * cheap integer predicate evaluated before the DP. The projection
+    * (id, block, len, prefix) is materialized once and shuffled by block —
+    * raw documents never move. Oversized blocks fail loudly pre-join.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockChars: Int,
+      compareChars: Int,
+      maxLenDiff: Int,
+      maxDist: Int,
+      maxBlockRows: Long = 10000L,
+  ): DataFrame = {
+    val projected = Lineage.truncate(
+      df.select(
+        col(idCol).as("id"),
+        substring(col(textCol), 1, blockChars).as("__blk"),
+        length(col(textCol)).cast("long").as("__len"),
+        substring(col(textCol), 1, compareChars).as("__pfx"),
+      )
+    )
+    Dedup.requireBoundedGroups(
+      projected.select(col("__blk")),
+      Seq("__blk"),
+      maxBlockRows,
+      (key, n) =>
+        s"editDistancePairs: prefix block ($key) has $n rows (> maxBlockRows=$maxBlockRows): " +
+          s"the within-block DP would enumerate ~${n * n / 2} pairs. Raise blockChars (more, " +
+          "smaller blocks) or raise maxBlockRows deliberately.",
+    )
+    projected
+      .as("l")
+      .join(
+        projected.as("r"),
+        col("l.__blk") === col("r.__blk") && col("l.id") < col("r.id") &&
+          abs(col("l.__len") - col("r.__len")) <= maxLenDiff,
+      )
+      .withColumn("dist", levenshtein(col("l.__pfx"), col("r.__pfx")))
+      .filter(col("dist") <= maxDist)
+      .select(
+        col("l.id").as("id_a"),
+        col("r.id").as("id_b"),
+        col("l.__len").as("len_a"),
+        col("r.__len").as("len_b"),
+        col("dist"),
+      )
+  }
 }

@@ -72,4 +72,72 @@ object Lake {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Small-file compaction PLAN: assign items (files/docs, sized by
+    * `sizeCol`) to output bins of ~`targetBytes` each, greedy in `orderCol`
+    * order within each `partCol` partition — the planning half of the
+    * small-file problem every 100 TB lake fights ([[compact]] is the
+    * execute half). An item lands in bin `floor(bytes_before_it / target)`,
+    * so bins are contiguous runs that each start before the target line:
+    * every bin except a partition's last holds >= target/max_item_fraction
+    * of its target, no bin exceeds target + one item, and the assignment is
+    * a pure streaming rule — deterministic, and computable without seeing
+    * the partition's item count up front.
+    *
+    * Returns one row per (partition, bin): item count, total bytes, and the
+    * min/max `orderCol` (the manifest range a rewrite job compacts).
+    *
+    * Scale design: one partition-keyed exchange shared by the running-sum
+    * window and the final rollup; state per key is a single cumulative sum.
+    * The output is |bins| rows ≈ total_bytes / target — the planner's
+    * output is proportional to the WORK, not the input.
+    */
+  def compactionPlan(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      sizeCol: String,
+      targetBytes: Long,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(partCol), col(orderCol), col(sizeCol))
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - $sizeCol) div $targetBytes"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col(sizeCol)).as("total_bytes"),
+        min(col(orderCol)).as("first_item"),
+        max(col(orderCol)).as("last_item"),
+      )
+  }
+
+  /** Z-order (Morton) clustering key: interleave the low `bits` bits of two
+    * dimension columns — bit i of `x` lands at position 2i+1, bit i of `y`
+    * at 2i — so sorting by the key places rows close in BOTH dimensions
+    * close on disk, and a range predicate on either dimension prunes
+    * contiguous key ranges (the multi-dimensional answer to "partition by
+    * which column?" — `repartitionByRange($"z")` + parquet min/max stats
+    * give 2-D scan pruning from a 1-D sort). Pure integer bit arithmetic,
+    * codegen-friendly, reproducible in any engine with shifts and masks.
+    */
+  def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i))
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB mirror of [[zOrderKey]], generated from the same bit-placement
+    * rule so the two sides cannot drift. */
+  def zOrderKeySql(x: String, y: String, bits: Int): String =
+    (0 until bits)
+      .map(i => s"((($x >> $i) & 1) << ${2 * i + 1}) | ((($y >> $i) & 1) << ${2 * i})")
+      .mkString("(", " | ", ")")
 }

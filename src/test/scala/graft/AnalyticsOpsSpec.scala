@@ -1,0 +1,209 @@
+package graft
+
+import graft.operators.{EventAnalytics, Quality, Resolve}
+import graft.ops.Lake
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the round-9 batch-analytics additions: LOCF gap fill,
+  * compaction planning, Z-order keys, equi-depth histograms, blocked
+  * edit-distance pairing, and the two-proportion z-test.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tsUs(day: Long, offUs: Long = 0L): java.sql.Timestamp =
+    new java.sql.Timestamp((day * 86400000000L + offUs) / 1000L)
+
+  test("gapFillDaily: generated LOCF rows carry the last observed value") {
+    // user 1: days 10 (v=1.0, then later-event v=2.0 wins), 13 (v=5.0)
+    // user 2: single day 20 (v=9.0) — no gap rows
+    val ev = Seq(
+      (1L, tsUs(10L), 1.0, 100L),
+      (1L, tsUs(10L, 5L), 2.0, 101L), // same µs? no: +5µs, later → carrier
+      (1L, tsUs(13L), 5.0, 102L),
+      (2L, tsUs(20L), 9.0, 103L),
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = EventAnalytics
+      .gapFillDaily(ev, "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "day")
+      .as[(Long, Long, Double, Boolean)]
+      .collect()
+      .toSeq
+    assert(
+      got === Seq(
+        (1L, 10L, 2.0, false),
+        (1L, 11L, 2.0, true),
+        (1L, 12L, 2.0, true),
+        (1L, 13L, 5.0, false),
+        (2L, 20L, 9.0, false),
+      )
+    )
+  }
+
+  test("gapFillDaily: same-timestamp tie broken by event_id") {
+    val ev = Seq(
+      (1L, tsUs(10L), 1.0, 200L),
+      (1L, tsUs(10L), 7.0, 201L), // same µs, higher event_id → carrier
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = EventAnalytics.gapFillDaily(ev, "user_id", "ts", "value", "event_id").collect()
+    assert(got.length === 1 && got.head.getDouble(2) === 7.0)
+  }
+
+  test("compactionPlan: greedy cumulative bins — every non-final bin starts below target") {
+    val items = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 300L), // cum 300..1200
+      ("b", 1L, 950L), ("b", 2L, 100L), // big item then small
+    ).toDF("src", "item", "bytes")
+    val got = Lake
+      .compactionPlan(items, "src", "item", "bytes", targetBytes = 1000L)
+      .orderBy("src", "bin")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    // a: items at bytes-before 0,300,600,900 → bin 0 ×4 (overshoots to 1200
+    //    — "target + one item" bound); b: 0→bin0, 950→bin0 (starts below
+    //    the line at 950 < 1000).
+    assert(got === Seq(("a", 0L, 4L, 1200L, 1L, 4L), ("b", 0L, 2L, 1050L, 1L, 2L)))
+    val two = Lake
+      .compactionPlan(items.filter(col("src") === "a"), "src", "item", "bytes", targetBytes = 600L)
+      .orderBy("bin")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(two === Seq(("a", 0L, 2L, 600L, 1L, 2L), ("a", 1L, 2L, 600L, 3L, 4L)))
+  }
+
+  test("zOrderKey: known interleave; range locality beats lexicographic on the minor dim") {
+    // x=5 (101b) lands at odd positions → 100010b; y=3 (011b) at even → 101b.
+    val got = Seq((5L, 3L))
+      .toDF("x", "y")
+      .select(Lake.zOrderKey(col("x"), col("y"), 3).as("z"))
+      .as[Long]
+      .head()
+    assert(got === (34L | 5L))
+    // Exhaustive inverse check at 3 bits: the key is a bijection on the 8×8 grid.
+    val keys = (0 until 8).flatMap(x => (0 until 8).map(y => (x.toLong, y.toLong)))
+    val zs = keys
+      .toDF("x", "y")
+      .select(Lake.zOrderKey(col("x"), col("y"), 3).as("z"))
+      .as[Long]
+      .collect()
+    assert(zs.distinct.length === 64 && zs.min === 0L && zs.max === 63L)
+  }
+
+  test("equiDepthHistogram: deciles of a uniform column are exact; ties collapse") {
+    val uniform = (1L to 100L).toDF("v")
+    val got = Quality
+      .equiDepthHistogram(uniform, col("v"), 10)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(got.map(_._2) === Seq.fill(10)(10L)) // 10 rows per decile
+    assert(got.map(_._3) === (1L to 100L by 10).toSeq) // lo = 1, 11, ...
+    assert(got.map(_._4) === (10L to 100L by 10).toSeq) // hi = 10, 20, ...
+    // Tie mass: [1,1,1,2] at B=2 — value 1's cumulative mass (3/4) crosses
+    // the 50% line, so the whole run lands in bucket 2 (cume_dist rule).
+    val tied = Seq(1L, 1L, 1L, 2L).toDF("v")
+    val t = Quality.equiDepthHistogram(tied, col("v"), 2).orderBy("bucket").collect()
+    assert(t.length === 1 && t.head.getLong(0) === 2L && t.head.getLong(1) === 4L)
+  }
+
+  test("editDistancePairs: typo pair found; differing prefixes blocked out; big block fails loudly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // 3 edits, same block
+      (3L, "a completely different document body here"),
+    ).toDF("doc_id", "text")
+    val got = Resolve
+      .editDistancePairs(docs, "doc_id", "text", blockChars = 16, compareChars = 64,
+        maxLenDiff = 8, maxDist = 4)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSeq
+    assert(got === Seq((1L, 2L, 3)))
+    val clones = (1L to 50L).map(i => (i, "identical prefix shared by every row " + i))
+    val e = intercept[IllegalStateException] {
+      Resolve.editDistancePairs(clones.toDF("doc_id", "text"), "doc_id", "text",
+        blockChars = 16, compareChars = 64, maxLenDiff = 8, maxDist = 4, maxBlockRows = 10L)
+    }
+    assert(e.getMessage.contains("maxBlockRows"))
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged partition the id universe") {
+    import graft.operators.Assemble
+    val oldDf = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newDf = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Assemble
+      .corpusDiff(oldDf, newDf, "doc_id", "text")
+      .orderBy("status")
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(
+      got === Seq(
+        ("added", 1L, 4L, 4L),
+        ("changed", 1L, 3L, 3L),
+        ("removed", 1L, 1L, 1L),
+        ("unchanged", 1L, 2L, 2L),
+      )
+    )
+  }
+
+  test("minhashCalibration: exact-duplicate pair reports n_eq = k and permille = 1000") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa"), // disjoint — never a candidate
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .minhashCalibration(docs, "doc_id", "text", k = 8, bands = 4)
+      .orderBy("n_eq")
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getInt(0) === 8 && r.getLong(1) === 1L) // all 8 components equal, one pair
+    assert(r.getDouble(2) === 1000.0 && r.getLong(3) === 1000L && r.getLong(4) === 1000L)
+  }
+
+  test("quantileNormalize: per-group percentile ranks; singleton group pins to 0.5") {
+    import graft.operators.Quality
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), // ranks 1,3,2 of 3
+      ("b", 4L, 99L), // singleton
+    ).toDF("source", "doc_id", "n_chars")
+    val got = Quality
+      .quantileNormalize(df, "source", col("n_chars"), col("doc_id"))
+      .orderBy("doc_id")
+      .select("pct")
+      .as[Double]
+      .collect()
+      .toSeq
+    assert(got === Seq(0.0, 1.0, 0.5, 0.5))
+  }
+
+  test("abTestTwoProportion: hand-computed z; degenerate 100% design yields null z") {
+    // arm 0: users 2, 4 (one converts); arm 1: users 1, 3 (both convert).
+    val ev = Seq(
+      (2L, "buy", 10.0), (2L, "view", 0.0),
+      (4L, "view", 0.0),
+      (1L, "buy", 10.0),
+      (3L, "buy", 10.0),
+    ).map { case (u, t, v) => (u, tsUs(1L), t, v) }.toDF("user_id", "ts", "event_type", "value")
+    val row = EventAnalytics
+      .abTestTwoProportion(ev, "user_id", col("user_id") % 2, col("event_type") === "buy")
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) === ((2L, 1L, 2L, 2L)))
+    val (p0, p1, pooled) = (0.5, 1.0, 0.75)
+    val expectZ = (p1 - p0) / math.sqrt(pooled * (1 - pooled) * (1.0 / 2 + 1.0 / 2))
+    assert(math.abs(row.getDouble(6) - expectZ) < 1e-12)
+    val allConv = ev.filter(col("event_type") === "buy")
+    val degenerate = EventAnalytics
+      .abTestTwoProportion(allConv, "user_id", col("user_id") % 2, col("event_type") === "buy")
+      .head()
+    assert(degenerate.isNullAt(6))
+  }
+}

@@ -406,4 +406,61 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no corpus-sized shuffle join:\n$p")
     assert("Scan parquet".r.findAllIn(p).length <= 1, s"one tokenization pass:\n$p")
   }
+
+  test("q166 gap fill: carrier collapse is a partial agg — raw events never hit a window sort") {
+    val p = plan(q("q166_gap_fill"))
+    assert(!p.contains("Join"), s"LOCF must generate gap rows, not spine-join:\n$p")
+    // The only Window runs over the collapsed daily table — the raw log is
+    // aggregated (partial max_by, map-side combined) BEFORE any exchange.
+    assert(p.contains("partial_max_by"), s"daily carrier must map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"one (key,day) agg exchange + one key-window exchange of daily rows only:\n$p")
+  }
+
+  test("q167 compaction plan: window and rollup share the partition-keyed exchange") {
+    val p = plan(q("q167_compaction_plan"))
+    assert(!p.contains("Join"), s"bin assignment is a running sum, no join:\n$p")
+    // hash(source) satisfies the (source, bin) rollup's clustering — the
+    // planner must NOT insert a second hash exchange.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"window + rollup must share ONE source-keyed exchange:\n$p")
+  }
+
+  test("q168 z-order key: the interleave is a pure projection feeding one partial agg") {
+    val p = plan(q("q168_zorder_key"))
+    assert(!p.contains("Join") && !p.contains("Window"), s"no join/window in a clustering-key projection:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"exactly the aggregate's exchange:\n$p")
+    assert(p.contains("partial"), s"map-side combine must precede the shuffle:\n$p")
+  }
+
+  test("q169 equi-depth histogram: raw rows are scanned once; windows run on the value histogram") {
+    val p = plan(q("q169_equidepth_hist"))
+    assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over the data:\n$p")
+    assert(!p.contains("Join"), s"bucketing is integer arithmetic, no join:\n$p")
+  }
+
+  test("q170 edit-distance pairs: block equi-join, never a cartesian/nested-loop surface") {
+    val p = plan(q("q170_edit_distance_pairs"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pairing must be an equi-join on the block key:\n$p")
+  }
+
+  test("q171 ab test: two aggregates, no join, no window") {
+    val p = plan(q("q171_ab_test"))
+    assert(!p.contains("Join") && !p.contains("Window"), s"per-user collapse then scalar agg only:\n$p")
+  }
+
+  test("q173 minhash calibration: banding equi-join only — no cartesian surface, text never joins") {
+    val p = plan(q("q173_minhash_calibration"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the band equi-join:\n$p")
+  }
+
+  test("q174 quantile normalize: rank and count windows share ONE source-keyed exchange") {
+    val p = plan(q("q174_quantile_normalize"))
+    assert(!p.contains("Join"), s"normalization is windows only:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"both windows must ride one source exchange:\n$p")
+  }
 }
