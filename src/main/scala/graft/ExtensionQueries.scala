@@ -78,6 +78,10 @@ object ExtensionQueries {
   private val EditCompare = 64
   private val EditMaxLenDiff = 16
   private val EditMaxDist = 8
+  // q173's calibration pair sample: 1/16 of banding candidates by an
+  // integer pair mix (the synthetic corpus is self-similar, so candidates
+  // >> true dups; calibration is statistical, the sample is deterministic).
+  private val CalibSampleDen = 16
   // q171's conversion rule: a purchase with value > 90 (EVERY synthetic
   // user has some purchase, so plain event-presence is a degenerate 100%
   // design; the cutoff puts per-arm rates in the ~80-90% band).
@@ -2290,7 +2294,9 @@ object ExtensionQueries {
     // ---- MinHash calibration: per signature-agreement count, the exact
     //      Jaccard truth (integer per-mille) over all banding candidates ----
     "q173_minhash_calibration" -> ((s, d) =>
-      Dedup.minhashCalibration(t(s, d, "documents"), "doc_id", "text", K, 4).orderBy("n_eq")),
+      Dedup
+        .minhashCalibration(t(s, d, "documents"), "doc_id", "text", K, 4, sampleDen = CalibSampleDen)
+        .orderBy("n_eq")),
 
     // ---- Per-source quantile normalization of doc length: cross-source
     //      comparable percentile scores, deterministic tiebreak ----
@@ -4452,7 +4458,9 @@ object ExtensionQueries {
               banded AS ($bandKeys),
               cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l
                        JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id),
-              ne AS (SELECT id_a, id_b, $agree AS n_eq FROM cand
+              sam AS (SELECT id_a, id_b FROM cand
+                      WHERE ((id_a % 999983) * 999979 + id_b % 999983) % $CalibSampleDen = 0),
+              ne AS (SELECT id_a, id_b, $agree AS n_eq FROM sam cand
                      JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id),
               ex AS (SELECT ne.n_eq,
                        len(list_intersect(a.toks, b.toks)) AS inter,

@@ -352,7 +352,11 @@ object Dedup {
     * observed agreement count. Scale shape = [[minhashNearDupPairs]]':
     * banding equi-join on signature structs, agreement as a projection on
     * the riding signatures, token sets joined in once, then a ≤ k+1-row
-    * aggregate.
+    * aggregate. `sampleDen > 1` keeps a deterministic 1/sampleDen of the
+    * candidate pairs (by pair-id hash, BEFORE the token join — the
+    * expensive half) — calibration is a statistical health check, so a
+    * reproducible pair sample is the right cost control on a self-similar
+    * corpus whose banding candidates vastly outnumber its true near-dups.
     */
   def minhashCalibration(
       df: DataFrame,
@@ -360,17 +364,26 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       bands: Int = 4,
+      sampleDen: Int = 1,
   ): DataFrame = {
     val agree = (0 until k)
       .map(i => when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
     val cand = bandedPairs(df, idCol, textCol, k, bands)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), agree.as("n_eq"))
+      .filter(
+        // Cheap integer pair mix (NOT md5 — this runs once per candidate):
+        // ((a mod 999983)·999979 + b mod 999983) mod den. The multiplier is
+        // not ±1 mod any small den, so the kept set is not an id-difference
+        // class; overflow-safe for ids < 2^43 under ANSI.
+        if (sampleDen <= 1) lit(true)
+        else ((col("id_a") % 999983L) * 999979L + col("id_b") % 999983L) % sampleDen === 0
+      )
     val toks = df.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks"))
     cand
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("__inter", SortedIntersectCount.sortedIntersectCount(col("toks_a"), col("toks_b")).cast("long"))
       .withColumn("__union", (size(col("toks_a")) + size(col("toks_b"))).cast("long") - col("__inter"))
       .withColumn("__permille", expr("__inter * 1000 div __union"))
       .groupBy(col("n_eq"))
