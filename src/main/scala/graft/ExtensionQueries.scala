@@ -86,6 +86,11 @@ object ExtensionQueries {
   // user has some purchase, so plain event-presence is a degenerate 100%
   // design; the cutoff puts per-arm rates in the ~80-90% band).
   private val AbValueCut = 90.0
+  // q175's corpus budget (chars) — output is bounded by the budget, not the
+  // corpus, so the same constant works at every SF.
+  private val BudgetChars = 50000L
+  // q176's trending depth.
+  private val TrendK = 3
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2305,6 +2310,31 @@ object ExtensionQueries {
         .quantileNormalize(t(s, d, "documents").select("source", "doc_id", "n_chars"),
           "source", col("n_chars"), col("doc_id"))
         .orderBy("source", "doc_id")),
+
+    // ---- Token-budget corpus selection: greedy by vocab-density, global
+    //      running sum WITHOUT a global sort (two-phase offsets) ----
+    "q175_budget_select" -> ((s, d) =>
+      Quality
+        .selectUnderBudget(t(s, d, "documents"), "doc_id",
+          size(graft.functions.TextAnalysis.tokenSet(col("text"))), col("n_chars"), BudgetChars)
+        .orderBy("cum_cost")),
+
+    // ---- Streaming trending top-k: watermarked windowed counts (stream
+    //      state) + batch rank over the sink — two-stage real-time top-k ----
+    "q176_stream_topk" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("ts"), col("event_type"), col("value").cast(DecimalType(18, 4)).as("value"))
+      EventStream
+        .trendingOneShot(s, ev, "graft_q176", k = TrendK)
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          col("n"),
+          col("rnk"),
+        )
+        .orderBy("hour", "rnk")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4487,5 +4517,31 @@ object ExtensionQueries {
                 CASE WHEN n = 1 THEN 0.5
                      ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
          FROM r ORDER BY source, doc_id""",
+    // Greedy prefix under (density DESC, id): cost cumsum is monotone, so
+    // cum <= budget IS the knapsack-greedy selection. The oracle's plain
+    // ORDER BY window equals the Spark side's two-phase offsets exactly.
+    "q175_budget_select" ->
+      s"""WITH b AS (SELECT doc_id AS id,
+                       CAST(len($sqlToks) AS BIGINT) AS s,
+                       CAST(n_chars AS BIGINT) AS c
+                     FROM documents),
+              d AS (SELECT id, s, c, s * 1000 // c AS d FROM b),
+              r AS (SELECT id, s, c, d,
+                      CAST(SUM(c) OVER (ORDER BY d DESC, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM d)
+          SELECT id, s AS score, c AS cost, CAST(d AS BIGINT) AS density_permille, cum AS cum_cost
+          FROM r WHERE cum <= $BudgetChars ORDER BY cum_cost""",
+    // The q33 hourly census + per-window rank; counts exact integers, rank
+    // tiebreak on event_type so the top-k set is total-ordered.
+    "q176_stream_topk" ->
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+              r AS (SELECT hour, event_type, n,
+                      CAST(row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS INT) AS rnk
+                    FROM h)
+          SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, rnk
+          FROM r WHERE rnk <= $TrendK ORDER BY hour, rnk""",
   )
 }

@@ -792,6 +792,60 @@ object Quality {
       )
   }
 
+  /** Greedy token-budget corpus selection: order docs by quality DENSITY
+    * (integer per-mille `score·1000 div cost` — quantized so the order is
+    * engine-exact), take the prefix whose cumulative cost fits `budget`.
+    * The knapsack-greedy that answers "which docs make the best 50 B-token
+    * corpus?" — output size is bounded by the BUDGET, not the corpus.
+    *
+    * Scale design: the global running sum needs a total order but NOT a
+    * global sort — the [[Dedup.globalRank]] two-phase trick with SUM
+    * instead of COUNT: per-density-bucket cost totals (tiny table) become
+    * broadcast cumulative offsets (the one single-partition window runs on
+    * |buckets| ≤ 1001 rows), the within-bucket running sum rides a
+    * bucket-partitioned exchange, and the global cumulative cost is
+    * `offset + local`. Since cost > 0 the cumulative sum is monotone along
+    * (density desc, id), so `cum <= budget` IS the greedy prefix.
+    */
+  def selectUnderBudget(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      cost: Column,
+      budget: Long,
+  ): DataFrame = {
+    val base = graft.operators.Lineage.truncate(
+      df.select(col(idCol).as("id"), score.cast("long").as("__s"), cost.cast("long").as("__c"))
+        .withColumn("__d", expr("__s * 1000 div __c"))
+    )
+    val offs = base
+      .groupBy(col("__d"))
+      .agg(sum(col("__c")).as("__bc"))
+      .withColumn(
+        "__off",
+        coalesce(
+          sum(col("__bc")).over(
+            Window.orderBy(col("__d").desc).rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L),
+        ),
+      )
+      .select(col("__d"), col("__off"))
+    val w = Window.partitionBy(col("__d")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offs), "__d")
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(
+        col("id"),
+        col("__s").as("score"),
+        col("__c").as("cost"),
+        col("__d").as("density_permille"),
+        col("__cum").as("cum_cost"),
+      )
+  }
+
   /** Per-group quantile (percentile-rank) normalization of a score column —
     * the feature transform that makes quality scores COMPARABLE across
     * heterogeneous sources before mixing (a length-800 doc may be p95 in

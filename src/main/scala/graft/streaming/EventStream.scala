@@ -302,6 +302,24 @@ object EventStream {
     * result — Structured Streaming's core guarantee (streaming result ==
     * batch result over the same data) made checkable by the DuckDB oracle.
     */
+  /** Streaming trending top-k: the continuously-maintained windowed counts
+    * ([[hourlyAgg]]'s watermarked state) plus a BATCH rank over the sink —
+    * the standard two-stage real-time-trending shape (per-key streaming
+    * state stays O(windows × types); the rank never holds streaming state,
+    * so k can change without a state migration). One-shot parity runner:
+    * AvailableNow into a memory sink, then row_number per window over it.
+    */
+  def trendingOneShot(spark: SparkSession, eventsDf: DataFrame, queryName: String, k: Int): DataFrame = {
+    val hourly = hourlyAggOneShot(spark, eventsDf, queryName)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour"))
+      .orderBy(col("n").desc, col("event_type"))
+    hourly
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("hour"), col("event_type"), col("n"), col("rnk"))
+  }
+
   def hourlyAggOneShot(spark: SparkSession, eventsDf: DataFrame, queryName: String): DataFrame = {
     val stream = spark.readStream
       .schema(eventsDf.schema)

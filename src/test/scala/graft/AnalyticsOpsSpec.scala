@@ -185,6 +185,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Seq(0.0, 1.0, 0.5, 0.5))
   }
 
+  test("selectUnderBudget: greedy density prefix; overflow doc and everything after excluded") {
+    import graft.operators.Quality
+    // densities (permille): id1 2000, id2 1000, id3 500, id4 500
+    val docs = Seq(
+      (1L, 20L, 10L), // d=2000
+      (2L, 10L, 10L), // d=1000
+      (3L, 10L, 20L), // d=500
+      (4L, 5L, 10L),  // d=500, same bucket as 3, later id
+    ).toDF("doc_id", "s", "c")
+    def run(budget: Long) = Quality
+      .selectUnderBudget(docs, "doc_id", col("s"), col("c"), budget)
+      .orderBy("cum_cost")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    // budget 40: 10 + 10 + 20 = 40 — id4 (cum 50) overflows and is cut.
+    assert(run(40L) === Seq((1L, 20L, 10L, 2000L, 10L), (2L, 10L, 10L, 1000L, 20L), (3L, 10L, 20L, 500L, 40L)))
+    // budget 35: id3 (cum 40) overflows — the CHEAPER id4 after it is also
+    // excluded (strict greedy prefix, not best-fit).
+    assert(run(35L).map(_._1) === Seq(1L, 2L))
+  }
+
+  test("trendingOneShot: streaming windowed counts + batch rank == batch top-k") {
+    import graft.streaming.EventStream
+    val ev = Seq(
+      // hour 0: a×3, b×2, c×1, d×1 → top3 = a, b, c (c before d alphabetically)
+      (tsUs(1L, 0L), "a", 1.0), (tsUs(1L, 1L), "a", 1.0), (tsUs(1L, 2L), "a", 1.0),
+      (tsUs(1L, 3L), "b", 1.0), (tsUs(1L, 4L), "b", 1.0),
+      (tsUs(1L, 5L), "c", 1.0), (tsUs(1L, 6L), "d", 1.0),
+      // hour 1 (3600s later): only two types
+      (tsUs(1L, 3600000000L), "x", 1.0), (tsUs(1L, 3600000001L), "y", 1.0),
+    ).toDF("ts", "event_type", "value")
+    val got = EventStream
+      .trendingOneShot(spark, ev, "graft_trend_spec", k = 3)
+      .orderBy("hour", "rnk")
+      .select("event_type", "n", "rnk")
+      .as[(String, Long, Int)]
+      .collect()
+      .toSeq
+    assert(got === Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 1L, 3), ("x", 1L, 1), ("y", 1L, 2)))
+  }
+
   test("abTestTwoProportion: hand-computed z; degenerate 100% design yields null z") {
     // arm 0: users 2, 4 (one converts); arm 1: users 1, 3 (both convert).
     val ev = Seq(

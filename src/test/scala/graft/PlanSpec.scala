@@ -463,4 +463,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
       s"both windows must ride one source exchange:\n$p")
   }
+
+  test("q175 budget select: offsets broadcast back — the global cumsum never globally sorts the data") {
+    val p = plan(q("q175_budget_select"))
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+    // the ONLY range partitioning allowed is the query's final orderBy
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1,
+      s"no range-partitioned sort of the corpus inside the operator:\n$p")
+  }
 }
