@@ -91,6 +91,8 @@ object ExtensionQueries {
   private val BudgetChars = 50000L
   // q176's trending depth.
   private val TrendK = 3
+  // q177's rolling-median frame length.
+  private val RollN = 5
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2319,6 +2321,23 @@ object ExtensionQueries {
           size(graft.functions.TextAnalysis.tokenSet(col("text"))), col("n_chars"), BudgetChars)
         .orderBy("cum_cost")),
 
+    // ---- Per-user rolling median of the last 5 values: the robust
+    //      rolling baseline, deterministic lower-median rule ----
+    "q177_rolling_median" -> ((s, d) =>
+      EventAnalytics
+        .rollingMedian(events(s, d), "user_id", "ts", "event_id", "value", RollN)
+        .orderBy("user_id", "event_id")),
+
+    // ---- Source-overlap matrix from per-source KMV sketches: every source
+    //      pair's estimated shared-vocabulary size at sketch cost ----
+    "q178_source_overlap" -> ((s, d) =>
+      EventAnalytics
+        .kmvOverlapMatrix(
+          t(s, d, "documents")
+            .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("tok")),
+          "source", col("tok"), KmvK)
+        .orderBy("src_a", "src_b")),
+
     // ---- Streaming trending top-k: watermarked windowed counts (stream
     //      state) + batch rank over the sink — two-stage real-time top-k ----
     "q176_stream_topk" -> ((s, d) => {
@@ -4543,5 +4562,43 @@ object ExtensionQueries {
                     FROM h)
           SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, rnk
           FROM r WHERE rnk <= $TrendK ORDER BY hour, rnk""",
+    // Lower median sorted[(len+1) // 2] over the same 5-row frame — a pure
+    // integer pick on an exactly-shared window.
+    "q177_rolling_median" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+              r AS (SELECT user_id, event_id, value,
+                      list_sort(list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN ${RollN - 1} PRECEDING AND CURRENT ROW)) AS w
+                    FROM e)
+         SELECT user_id, event_id, value, w[CAST((len(w) + 1) // 2 AS INT)] AS roll_med
+         FROM r ORDER BY user_id, event_id""",
+    // Per-source k-min sketch (distinct token hashes, k smallest), pair
+    // estimates in q134's exact expression order.
+    "q178_source_overlap" -> {
+      val k   = KmvK
+      val num = s"CAST(${k - 1} AS DOUBLE) * ${1L << 60}"
+      s"""WITH tok AS (SELECT DISTINCT source AS g, ${sqlHash64("tok")} AS h
+                       FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                             FROM documents)),
+              sk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM tok
+                     QUALIFY rn <= $k),
+              l AS (SELECT g, list(h ORDER BY h) AS ml FROM sk GROUP BY g),
+              p AS (SELECT a.g AS src_a, b.g AS src_b, a.ml AS ma, b.ml AS mb
+                    FROM l a JOIN l b ON a.g < b.g),
+              u AS (SELECT src_a, src_b, ma, mb,
+                      list_sort(list_distinct(list_concat(ma, mb)))[1:$k] AS un
+                    FROM p),
+              w AS (SELECT src_a, src_b, un,
+                      list_filter(un, h -> list_contains(ma, h) AND list_contains(mb, h)) AS bth
+                    FROM u)
+         SELECT src_a, src_b, CAST(len(un) AS BIGINT) AS n_sketch,
+                CASE WHEN len(un) < $k THEN CAST(len(un) AS DOUBLE)
+                     ELSE ($num) / un[-1] END AS est_union,
+                CAST(len(bth) AS DOUBLE) / CAST(len(un) AS DOUBLE) AS est_jaccard,
+                (CASE WHEN len(un) < $k THEN CAST(len(un) AS DOUBLE)
+                      ELSE ($num) / un[-1] END
+                 * (CAST(len(bth) AS DOUBLE) / CAST(len(un) AS DOUBLE))) AS est_common
+         FROM w ORDER BY src_a, src_b"""
+    },
   )
 }

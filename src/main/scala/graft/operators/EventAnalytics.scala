@@ -815,6 +815,90 @@ object EventAnalytics {
       )
   }
 
+  /** Pairwise corpus-overlap matrix via per-group KMV sketches — the
+    * "how much do my sources share?" audit (near-identical crawls, mirror
+    * sites, re-crawled domains) at sketch cost: each group collapses to its
+    * k smallest distinct key hashes (bounded [[graft.functions.MinKAggregator]]
+    * state, mergeable partials), then every group PAIR is estimated from
+    * two k-arrays — `est_jaccard = |both ∩ union-k| / |union-k|`,
+    * `est_union = (k−1)·2^60 / h_k`, `est_common = est_union · est_jaccard`
+    * (the [[kmvJoinEstimate]] estimator, G×G times). The pair join is over
+    * the G-row sketch table — G = #groups, so the quadratic surface is
+    * groups², never rows².
+    */
+  def kmvOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      key: Column,
+      k: Int = 64,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numerator = (k - 1).toDouble * (1L << 60).toDouble
+    val sk = df
+      .select(col(groupCol), graft.functions.Hashing.hash64(key).as("__h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinKAggregator(k).toColumn.name("__mins"))
+      .toDF("g", "__mins")
+    val a = sk.select(col("g").as("src_a"), col("__mins").as("__ma"))
+    val b = sk.select(col("g").as("src_b"), col("__mins").as("__mb"))
+    val estUnion = when(size(col("__u")) < k, size(col("__u")).cast("double"))
+      .otherwise(lit(numerator) / element_at(col("__u"), -1).cast("double"))
+    val estJaccard = size(col("__both")).cast("double") / size(col("__u")).cast("double")
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("__u", slice(array_sort(array_distinct(concat(col("__ma"), col("__mb")))), 1, k))
+      .withColumn(
+        "__both",
+        filter(col("__u"), h => array_contains(col("__ma"), h) && array_contains(col("__mb"), h)),
+      )
+      .select(
+        col("src_a"),
+        col("src_b"),
+        size(col("__u")).cast("long").as("n_sketch"),
+        estUnion.as("est_union"),
+        estJaccard.as("est_jaccard"),
+        (estUnion * estJaccard).as("est_common"),
+      )
+  }
+
+  /** Per-key rolling median over the last `n` observations (event order =
+    * (µs, tiebreak) — total, deterministic): the robust rolling baseline a
+    * monitoring/feature pipeline keeps per entity, immune to the single
+    * spikes that wreck a rolling MEAN. Median rule: lower median —
+    * `sorted[(len+1) div 2]` (1-based) — a pure integer pick, identical in
+    * any engine; partial windows (first n−1 rows) use the same rule over
+    * what exists.
+    *
+    * Scale: ONE key-partitioned window; state per row is an n-element list
+    * (n is a small constant), so the sort-per-row is O(n log n) on
+    * constant-size arrays — no per-group global sort beyond the window's
+    * own, and the exchange carries (key, µs, id, value) only.
+    */
+  def rollingMedian(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      n: Int,
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(idCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol), col(valueCol))
+      .withColumn("__w", sort_array(collect_list(col(valueCol)).over(w)))
+      .select(
+        col(keyCol),
+        col(idCol),
+        col(valueCol),
+        expr("element_at(__w, cast((size(__w) + 1) div 2 as int))").as("roll_med"),
+      )
+  }
+
   /** Per-key daily time-series gap fill (forward fill / LOCF): one row per
     * key per epoch-day between the key's first and last observation, each
     * missing day carrying the last observed value. The daily carrier value

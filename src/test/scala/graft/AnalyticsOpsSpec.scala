@@ -227,6 +227,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Seq(("a", 3L, 1), ("b", 2L, 2), ("c", 1L, 3), ("x", 1L, 1), ("y", 1L, 2)))
   }
 
+  test("rollingMedian: lower-median rule over partial and full 5-frames") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(5.0, 1.0, 9.0, 3.0, 7.0).zipWithIndex.map { case (v, i) =>
+      (1L, tsUs(1L, i.toLong), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = EventAnalytics
+      .rollingMedian(ev, "user_id", "ts", "event_id", "value", 5)
+      .orderBy("event_id")
+      .select("roll_med")
+      .as[Double]
+      .collect()
+      .toSeq
+    // frames: [5] [1,5] [1,5,9] [1,3,5,9] [1,3,5,7,9]; lower median picks
+    // sorted[(len+1) div 2] (1-based) = 5, 1, 5, 3, 5
+    assert(got === Seq(5.0, 1.0, 5.0, 3.0, 5.0))
+  }
+
+  test("kmvOverlapMatrix: identical groups estimate J=1, disjoint groups J=0 with exact small-set union") {
+    import graft.operators.EventAnalytics
+    val rows =
+      (1 to 20).map(i => ("a", s"tok$i")) ++ (1 to 20).map(i => ("b", s"tok$i")) ++
+        (1 to 10).map(i => ("c", s"other$i"))
+    val df  = rows.toDF("g", "tok")
+    val got = EventAnalytics
+      .kmvOverlapMatrix(df, "g", col("tok"), k = 64)
+      .orderBy("src_a", "src_b")
+      .collect()
+    val ab = got.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getDouble(4) === 1.0 && ab.getDouble(3) === 20.0 && ab.getDouble(5) === 20.0)
+    val ac = got.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getDouble(4) === 0.0 && ac.getDouble(3) === 30.0) // exact union below k
+  }
+
   test("abTestTwoProportion: hand-computed z; degenerate 100% design yields null z") {
     // arm 0: users 2, 4 (one converts); arm 1: users 1, 3 (both convert).
     val ev = Seq(
