@@ -93,6 +93,10 @@ object ExtensionQueries {
   private val TrendK = 3
   // q177's rolling-median frame length.
   private val RollN = 5
+  // q179's index-build parameters: q80's chunk shape (32 tokens, overlap 8)
+  // and q113's posting shards (df >= 2, ~8 postings/shard).
+  private val IndexMinDf = 2
+  private val IndexMaxPostings = 8L
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2320,6 +2324,18 @@ object ExtensionQueries {
         .selectUnderBudget(t(s, d, "documents"), "doc_id",
           size(graft.functions.TextAnalysis.tokenSet(col("text"))), col("n_chars"), BudgetChars)
         .orderBy("cum_cost")),
+
+    // ---- Capstone 3 — retrieval-index build: gate → chunk → sharded
+    //      posting lists → the index card a serving layer validates ----
+    "q179_search_index_card" -> ((s, d) => {
+      val toks = TextAnalysis.wsTokens(col("text"))
+      Assemble
+        .buildSearchIndex(
+          t(s, d, "documents"), "doc_id", "text",
+          gate = size(toks).between(30, 10000) && TextAnalysis.stopwordHits(toks, "en") >= 2,
+          chunkTokens = 32, overlap = 8, minDf = IndexMinDf, maxPostings = IndexMaxPostings)
+        .orderBy("stat")
+    }),
 
     // ---- Per-user rolling median of the last 5 values: the robust
     //      rolling baseline, deterministic lower-median rule ----
@@ -4562,6 +4578,40 @@ object ExtensionQueries {
                     FROM h)
           SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, rnk
           FROM r WHERE rnk <= $TrendK ORDER BY hour, rnk""",
+    // Composed from the q78 gate, q80 chunk formula (32/overlap-8/stride-24
+    // verbatim), and q113's shard rule over packed chunk keys; card stats
+    // as a UNION ALL of exact-integer aggregates.
+    "q179_search_index_card" -> {
+      val stop = TextAnalysis.Stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH tl AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              gated AS (SELECT doc_id, text, toks FROM tl
+                        WHERE len(toks) BETWEEN 30 AND 10000
+                          AND len(list_filter(toks, t -> t IN ($stop))) >= 2),
+              c AS (SELECT doc_id, toks,
+                      CAST(floor((greatest(len(toks) - 8, 1) + 23.0) / 24) AS INT) AS nchunks
+                    FROM gated),
+              e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c),
+              ck AS (SELECT doc_id * 1048576 + i AS ckey,
+                       CAST(greatest(least(len(toks) - 24 * i, 32), 0) AS INT) AS n_tokens,
+                       array_to_string(toks[24 * i + 1 : 24 * i + 32], ' ') AS chunk
+                     FROM e),
+              tok AS (SELECT ckey, unnest(list_distinct(string_split_regex(trim(chunk), '\\s+'))) AS token FROM ck),
+              dfr AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token HAVING COUNT(*) >= $IndexMinDf),
+              sh AS (SELECT t.token, dfr.df,
+                       ${sqlHash64("CAST(t.ckey AS VARCHAR)")} % ((dfr.df + ${IndexMaxPostings - 1}) // $IndexMaxPostings) AS shard
+                     FROM tok t JOIN dfr USING (token)),
+              ps AS (SELECT token, df, shard, COUNT(*) AS shard_df FROM sh GROUP BY 1, 2, 3)
+         SELECT stat, CAST(value AS BIGINT) AS value FROM (
+           SELECT 'docs_in' AS stat, COUNT(*) AS value FROM documents
+           UNION ALL SELECT 'docs_gated', COUNT(*) FROM gated
+           UNION ALL SELECT 'chunks', COUNT(*) FROM ck
+           UNION ALL SELECT 'chunk_tokens', SUM(n_tokens) FROM ck
+           UNION ALL SELECT 'terms', COUNT(DISTINCT token) FROM ps
+           UNION ALL SELECT 'postings', SUM(shard_df) FROM ps
+           UNION ALL SELECT 'sharded_terms', COUNT(DISTINCT CASE WHEN shard > 0 THEN token END) FROM ps
+           UNION ALL SELECT 'max_df', MAX(df) FROM ps)
+         ORDER BY stat"""
+    },
     // Lower median sorted[(len+1) // 2] over the same 5-row frame — a pure
     // integer pick on an exactly-shared window.
     "q177_rolling_median" ->

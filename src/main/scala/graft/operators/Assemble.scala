@@ -140,6 +140,66 @@ object Assemble {
       )
   }
 
+  /** Capstone 3 — retrieval-index build: quality gate → overlapping chunks
+    * ([[Quality.chunkDocuments]]) → sharded posting lists over the chunks
+    * ([[Retrieval.postingListsSharded]], broadcast-df, Zipf-head bounded) →
+    * the INDEX CARD a serving layer validates before swap-in: doc/chunk/
+    * token/term/posting counts, how many terms needed sharding, and the
+    * deepest posting list. Every stage is the engine's own oracled
+    * operator, materialized ONCE behind a [[Lineage.truncate]] barrier —
+    * the gate output feeds the chunker, the chunk table feeds both posting
+    * passes and the card, nothing re-scans the corpus.
+    *
+    * Chunk ids pack as `doc_id · 2^20 + chunk_id` (a doc may hold up to
+    * 2^20 chunks before colliding — ~32 M tokens at 32-token stride).
+    * Output: (stat, value) long pairs, one row per card stat.
+    */
+  def buildSearchIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gate: Column,
+      chunkTokens: Int,
+      overlap: Int,
+      minDf: Int,
+      maxPostings: Long,
+  ): DataFrame = {
+    val gated = Lineage.truncate(docs.filter(gate).select(col(idCol), col(textCol)))
+    val chunks = Lineage.truncate(
+      Quality
+        .chunkDocuments(gated, idCol, textCol, chunkTokens, overlap)
+        .withColumn("ckey", col(idCol) * (1L << 20) + col("chunk_id"))
+    )
+    val postings = Lineage.truncate(
+      Retrieval.postingListsSharded(chunks, "ckey", "chunk", minDf, maxPostings, broadcastDf = true)
+    )
+    val docStats = docs
+      .groupBy()
+      .agg(count(lit(1)).as("v"))
+      .select(lit("docs_in").as("stat"), col("v").cast("long").as("value"))
+    val gateStats = gated
+      .groupBy()
+      .agg(count(lit(1)).as("v"))
+      .select(lit("docs_gated").as("stat"), col("v").cast("long").as("value"))
+    val chunkStats = chunks
+      .groupBy()
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+      .selectExpr("stack(2, 'chunks', cast(c as long), 'chunk_tokens', cast(t as long)) as (stat, value)")
+    val postStats = postings
+      .groupBy()
+      .agg(
+        countDistinct(col("token")).as("terms"),
+        sum(col("shard_df")).as("np"),
+        countDistinct(when(col("shard") > 0, col("token"))).as("sharded"),
+        max(col("df")).as("maxdf"),
+      )
+      .selectExpr(
+        "stack(4, 'terms', cast(terms as long), 'postings', cast(np as long), " +
+          "'sharded_terms', cast(sharded as long), 'max_df', cast(maxdf as long)) as (stat, value)"
+      )
+    docStats.unionAll(gateStats).unionAll(chunkStats).unionAll(postStats)
+  }
+
   /** Snapshot diff between two corpus versions — the dataset-versioning
     * primitive ("what changed between crawl N and crawl N+1"): per doc id,
     * `added` (new only) / `removed` (old only) / `changed` (both, content

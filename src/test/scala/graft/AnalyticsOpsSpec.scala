@@ -260,6 +260,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ac.getDouble(4) === 0.0 && ac.getDouble(3) === 30.0) // exact union below k
   }
 
+  test("buildSearchIndex: hand-computed index card for a 35-token doc (2 chunks, 8 shared terms)") {
+    import graft.operators.Assemble
+    import graft.functions.TextAnalysis
+    // t1=the t2=and (en stopwords), t3..t35 unique fillers → 35 tokens.
+    // chunks (32 tokens, overlap 8, stride 24): c0 = t1..t32, c1 = t25..t35;
+    // shared distinct tokens t25..t32 → df=2 terms; minDf=2 keeps exactly those.
+    val text = (Seq("the", "and") ++ (3 to 35).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((7L, text), (8L, "too short")).toDF("doc_id", "text")
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val card = Assemble
+      .buildSearchIndex(docs, "doc_id", "text",
+        gate = size(toks).between(30, 10000) && TextAnalysis.stopwordHits(toks, "en") >= 2,
+        chunkTokens = 32, overlap = 8, minDf = 2, maxPostings = 8L)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(card === Map(
+      "docs_in" -> 2L, "docs_gated" -> 1L, "chunks" -> 2L, "chunk_tokens" -> 43L,
+      "terms" -> 8L, "postings" -> 16L, "sharded_terms" -> 0L, "max_df" -> 2L,
+    ))
+  }
+
   test("abTestTwoProportion: hand-computed z; degenerate 100% design yields null z") {
     // arm 0: users 2, 4 (one converts); arm 1: users 1, 3 (both convert).
     val ev = Seq(

@@ -464,6 +464,14 @@ class PlanSpec extends SparkSpec {
       s"both windows must ride one source exchange:\n$p")
   }
 
+  test("q179 index build: stage barriers hold — the corpus parquet is scanned at most twice") {
+    // gate pass + the docs_in count; chunks/postings/card all read the
+    // checkpointed stage outputs, never the parquet again.
+    val p = plan(q("q179_search_index_card"))
+    assert("Scan parquet".r.findAllIn(p).length <= 2, s"stage outputs must come from the barriers:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian surface:\n$p")
+  }
+
   test("q175 budget select: offsets broadcast back — the global cumsum never globally sorts the data") {
     val p = plan(q("q175_budget_select"))
     assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
