@@ -97,6 +97,8 @@ object ExtensionQueries {
   // and q113's posting shards (df >= 2, ~8 postings/shard).
   private val IndexMinDf = 2
   private val IndexMaxPostings = 8L
+  // q180's PSI bucket width over events.value (~[0,100] → 10 buckets).
+  private val PsiWidth = 10.0
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2324,6 +2326,23 @@ object ExtensionQueries {
         .selectUnderBudget(t(s, d, "documents"), "doc_id",
           size(graft.functions.TextAnalysis.tokenSet(col("text"))), col("n_chars"), BudgetChars)
         .orderBy("cum_cost")),
+
+    // ---- Per-day PSI drift of the value distribution vs all-time: exact
+    //      integer accumulation, one terminal division ----
+    "q180_psi_drift" -> ((s, d) =>
+      EventAnalytics.psiDrift(events(s, d), "ts", col("value"), PsiWidth).orderBy("day")),
+
+    // ---- LSH band attribution: which band catches each candidate pair
+    //      first — the band-count tuning readout ----
+    "q181_lsh_band_report" -> ((s, d) =>
+      Dedup.lshBandReport(t(s, d, "documents"), "doc_id", "text", K, 4).orderBy("band")),
+
+    // ---- Per-transition latency profile: exact median/p90 hop times via
+    //      rank-position picks, no quantile sketch ----
+    "q182_transition_latency" -> ((s, d) =>
+      EventAnalytics
+        .transitionLatency(events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy("type_a", "type_b")),
 
     // ---- Capstone 3 — retrieval-index build: gate → chunk → sharded
     //      posting lists → the index card a serving layer validates ----
@@ -4578,6 +4597,67 @@ object ExtensionQueries {
                     FROM h)
           SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, rnk
           FROM r WHERE rnk <= $TrendK ORDER BY hour, rnk""",
+    // Same per-micro proportions, quantized-ln factorization, exact long
+    // accumulation, ONE division by 1e12 — the zero-contribution rule for
+    // one-sided buckets falls out of the inner join (pd rows always have
+    // cd>0; cg>0 by construction).
+    "q180_psi_drift" -> {
+      def l(x: String) = s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(floor(value / $PsiWidth) AS BIGINT) AS bucket
+                     FROM events),
+              pd AS (SELECT day, bucket, COUNT(*) AS cd FROM e GROUP BY 1, 2),
+              ndt AS (SELECT day, bucket, cd,
+                        CAST(SUM(cd) OVER (PARTITION BY day) AS BIGINT) AS nd
+                      FROM pd),
+              g AS (SELECT bucket, CAST(SUM(cd) AS BIGINT) AS cg FROM pd GROUP BY 1),
+              ngt AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g),
+              t AS (SELECT day, cd,
+                      cd * 1000000 // nd AS ppd, cg * 1000000 // ng AS ppg,
+                      ${l("cd")} - ${l("nd")} - ${l("cg")} + ${l("ng")} AS lq
+                    FROM ndt JOIN g USING (bucket) CROSS JOIN ngt)
+          SELECT day, CAST(SUM(cd) AS BIGINT) AS n_events,
+                 CAST(CAST(SUM((ppd - ppg) * lq) AS BIGINT) AS DOUBLE) / 1e12 AS psi
+          FROM t GROUP BY day ORDER BY day"""
+    },
+    // First agreeing band == MIN matching band per pair (the Spark side's
+    // first-band-only filter, expressed as a group MIN).
+    "q181_lsh_band_report" -> {
+      val bands = 4
+      val rows  = K / bands
+      val bandKeys = (0 until bands)
+        .map { b =>
+          val cols = (b * rows until (b + 1) * rows).map(i => s"CAST(mh$i AS VARCHAR)").mkString(", '_', ")
+          s"SELECT doc_id AS id, $b AS band, concat($cols) AS band_key FROM sig"
+        }
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              sig AS (SELECT doc_id, ${(0 until K).map(i => s"${sqlMinhash(i)} AS mh$i").mkString(", ")} FROM toks),
+              banded AS ($bandKeys),
+              cand AS (SELECT l.id AS id_a, r.id AS id_b, MIN(l.band) AS band
+                       FROM banded l JOIN banded r
+                         ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id
+                       GROUP BY 1, 2)
+          SELECT CAST(band AS INT) AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM cand GROUP BY 1 ORDER BY band"""
+    },
+    // Rank-position picks — value-at-position is multiset-determined, so
+    // tie order inside equal gaps cannot change the answer.
+    "q182_transition_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+              h AS (SELECT event_type AS type_a,
+                      lead(event_type) OVER w AS type_b,
+                      lead(us) OVER w - us AS gap
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              f AS (SELECT type_a, type_b, gap FROM h WHERE type_b IS NOT NULL),
+              r AS (SELECT type_a, type_b, gap,
+                      row_number() OVER (PARTITION BY type_a, type_b ORDER BY gap) AS rn,
+                      COUNT(*) OVER (PARTITION BY type_a, type_b) AS n
+                    FROM f)
+         SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
+                MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap_us,
+                MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS p90_gap_us
+         FROM r GROUP BY type_a, type_b ORDER BY type_a, type_b""",
     // Composed from the q78 gate, q80 chunk formula (32/overlap-8/stride-24
     // verbatim), and q113's shard rule over packed chunk keys; card stats
     // as a UNION ALL of exact-integer aggregates.

@@ -335,6 +335,26 @@ object Dedup {
     jaccardVerify(prefiltered, df, idCol, textCol, threshold)
   }
 
+  /** LSH banding observability: how many candidate pairs each band catches
+    * FIRST (the exactly-once discipline's attribution — a pair counts for
+    * its earliest agreeing band). The tuning readout for band count: if
+    * band 0 catches ~everything the corpus is near-duplicate-heavy and
+    * bands can shrink; if the tail bands still catch pairs, recall depends
+    * on every band and dropping one loses pairs. Same banding join as
+    * [[minhashCandidates]]; the report is a |bands|-row aggregate.
+    */
+  def lshBandReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+  ): DataFrame =
+    bandedPairs(df, idCol, textCol, k, bands)
+      .select(col("l.bk.band").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** MinHash estimator calibration report: for every banding candidate
     * pair, compare the sketch's Jaccard estimate (`n_eq` of `k` signature
     * components equal — the unbiased estimator [[minhashNearDupPairs]]'

@@ -815,6 +815,98 @@ object EventAnalytics {
       )
   }
 
+  /** Per-day Population Stability Index of a bounded metric — the drift
+    * monitor that pages before a model does: bucket the value equi-width
+    * (`floor(value / width)`), compare each day's bucket distribution
+    * against the all-time distribution with
+    * `PSI = Σ_b (p_day − p_global)·ln(p_day / p_global)`.
+    *
+    * Determinism: proportions quantized to integer per-micro
+    * (`c·10^6 div n`), the ln factored through the quantized-ln trick
+    * (`l(c_d) − l(n_d) − l(c_g) + l(n_g)`, each on an integer count), the
+    * per-bucket term an exact LONG product, the per-day sum exact 64-bit —
+    * ONE IEEE division (by 10^18) at the end. Buckets empty on either side
+    * contribute 0 (the standard finite-PSI rule).
+    *
+    * Scale: one (day, bucket) partial-aggregated pass over the log; the
+    * global table is |buckets| rows (broadcast), day totals ride a window
+    * over the |days|·|buckets| table. Nothing re-scans the events.
+    */
+  def psiDrift(
+      events: DataFrame,
+      tsCol: String,
+      value: Column,
+      bucketWidth: Double,
+  ): DataFrame = {
+    val lq: Column => Column = x => floor(log(x.cast("double")) * 1000000 + 0.5).cast("long")
+    val perDay = Lineage.truncate(
+      events
+        .select(
+          expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+          floor(value / bucketWidth).cast("long").as("bucket"),
+        )
+        .groupBy(col("day"), col("bucket"))
+        .agg(count(lit(1)).as("cd"))
+    )
+    val global = perDay.groupBy(col("bucket")).agg(sum(col("cd")).as("cg"))
+    val ng     = global.agg(sum(col("cg")).as("ng"))
+    val wDay   = Window.partitionBy(col("day"))
+    perDay
+      .withColumn("nd", sum(col("cd")).over(wDay))
+      .join(broadcast(global), "bucket")
+      .crossJoin(broadcast(ng))
+      .withColumn("__pd", expr("cd * 1000000 div nd"))
+      .withColumn("__pg", expr("cg * 1000000 div ng"))
+      .withColumn("__lq", lq(col("cd")) - lq(col("nd")) - lq(col("cg")) + lq(col("ng")))
+      .groupBy(col("day"))
+      .agg(
+        sum(col("cd")).as("n_events"),
+        sum((col("__pd") - col("__pg")) * col("__lq")).as("__s"),
+      )
+      .select(
+        col("day"),
+        col("n_events"),
+        (col("__s").cast("double") / lit(1e12)).as("psi"),
+      )
+  }
+
+  /** Per-transition latency profile of consecutive events: for each ordered
+    * (type → next_type) pair, how long the hop takes — count, exact median,
+    * and exact p90 of the gap (µs). The UX/funnel-latency sibling of
+    * [[sessionTransitions]]' count matrix.
+    *
+    * Exactness without a quantile sketch: rank rows per pair (`row_number`
+    * by gap), pick positions `(n+1) div 2` and `ceil(0.9·n)` =
+    * `(9n+9) div 10` — value-at-position is multiset-determined, so tie
+    * order inside equal gaps cannot change the answer. The rank window and
+    * the conditional-pick aggregate share ONE (type, next_type) exchange;
+    * the gap projection itself rides the user-keyed lead window.
+    */
+  def transitionLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+  ): DataFrame = {
+    val wUser = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    val hops = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(idCol), col(typeCol).as("type_a"))
+      .withColumn("type_b", lead(col("type_a"), 1).over(wUser))
+      .withColumn("__gap", lead(col("__us"), 1).over(wUser) - col("__us"))
+      .filter(col("type_b").isNotNull)
+    val wPair = Window.partitionBy(col("type_a"), col("type_b"))
+    hops
+      .withColumn("__rn", row_number().over(wPair.orderBy(col("__gap"), col(userCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(wPair))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("__gap"))).as("median_gap_us"),
+        max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("__gap"))).as("p90_gap_us"),
+      )
+  }
+
   /** Pairwise corpus-overlap matrix via per-group KMV sketches — the
     * "how much do my sources share?" audit (near-identical crawls, mirror
     * sites, re-crawled domains) at sketch cost: each group collapses to its

@@ -282,6 +282,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     ))
   }
 
+  test("psiDrift: identically-distributed days score exactly 0; a shifted day scores positive") {
+    import graft.operators.EventAnalytics
+    // day 0 and day 1: same 3:1 bucket mix → pd == pg per-micro → psi = 0.
+    def day(d: Long, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) => (tsUs(d, i.toLong), v) }
+    val same = (day(0L, Seq(5.0, 5.0, 5.0, 15.0)) ++ day(1L, Seq(5.0, 5.0, 5.0, 15.0)))
+      .toDF("ts", "value")
+    val psi0 = EventAnalytics.psiDrift(same, "ts", col("value"), 10.0)
+      .select("psi").as[Double].collect().toSeq
+    assert(psi0 === Seq(0.0, 0.0))
+    val shifted = (day(0L, Seq(5.0, 5.0, 5.0, 15.0)) ++ day(1L, Seq(15.0, 15.0, 15.0, 5.0)))
+      .toDF("ts", "value")
+    val psis = EventAnalytics.psiDrift(shifted, "ts", col("value"), 10.0)
+      .orderBy("day").select("psi").as[Double].collect().toSeq
+    assert(psis.forall(_ > 0.0)) // both days deviate from the pooled mix
+  }
+
+  test("lshBandReport: exact duplicates land in band 0; attribution sums to the candidate count") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"),
+    ).toDF("doc_id", "text")
+    val rep = Dedup.lshBandReport(docs, "doc_id", "text", k = 8, bands = 4)
+      .as[(Int, Long)].collect().toMap
+    assert(rep === Map(0 -> 1L)) // the dup pair agrees on every band; first = 0
+    val nCand = Dedup.minhashCandidates(docs, "doc_id", "text", 8, 4).count()
+    assert(rep.values.sum === nCand)
+  }
+
+  test("transitionLatency: hand-computed median and p90 positions") {
+    import graft.operators.EventAnalytics
+    // one user, gaps for a->b: 10ms, 30ms, 20ms → sorted 10,20,30 (ms):
+    // n=3, median idx (3+1)/2=2 → 20ms; p90 idx (27+9)/10=3 → 30ms.
+    val ms = 1000L
+    val ev = Seq(
+      (1L, 0L * ms, "a"), (1L, 10L * ms, "b"),
+      (1L, 100L * ms, "a"), (1L, 130L * ms, "b"),
+      (1L, 200L * ms, "a"), (1L, 220L * ms, "b"),
+    ).zipWithIndex.map { case ((u, off, t), i) => (u, tsUs(1L, off), i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics
+      .transitionLatency(ev, "user_id", "ts", "event_id", "event_type")
+      .filter(col("type_a") === "a" && col("type_b") === "b")
+      .as[(String, String, Long, Long, Long)]
+      .head()
+    assert(got === (("a", "b", 3L, 20000L, 30000L)))
+  }
+
   test("abTestTwoProportion: hand-computed z; degenerate 100% design yields null z") {
     // arm 0: users 2, 4 (one converts); arm 1: users 1, 3 (both convert).
     val ev = Seq(
