@@ -99,6 +99,9 @@ object ExtensionQueries {
   private val IndexMaxPostings = 8L
   // q180's PSI bucket width over events.value (~[0,100] → 10 buckets).
   private val PsiWidth = 10.0
+  // q184's nucleus mass target: 9/10 of each source's token mass.
+  private val NucleusNum = 9
+  private val NucleusDen = 10
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2326,6 +2329,21 @@ object ExtensionQueries {
         .selectUnderBudget(t(s, d, "documents"), "doc_id",
           size(graft.functions.TextAnalysis.tokenSet(col("text"))), col("n_chars"), BudgetChars)
         .orderBy("cum_cost")),
+
+    // ---- ANALYZE-style column stats card over lineitem (one Expand pass,
+    //      per-type deterministic rendering) ----
+    "q183_analyze_table" -> ((s, d) =>
+      graft.ops.Lake
+        .analyzeColumns(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy("col_name")),
+
+    // ---- Per-source nucleus (top-90%) vocabulary: minimal head prefix
+    //      reaching p, exact cross-multiplied keep rule ----
+    "q184_nucleus_vocab" -> ((s, d) =>
+      Quality
+        .nucleusVocab(t(s, d, "documents"), "source", "text", NucleusNum, NucleusDen)
+        .orderBy("source", "cum")),
 
     // ---- Per-day PSI drift of the value distribution vs all-time: exact
     //      integer accumulation, one terminal division ----
@@ -4597,6 +4615,49 @@ object ExtensionQueries {
                     FROM h)
           SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n, rnk
           FROM r WHERE rnk <= $TrendK ORDER BY hour, rnk""",
+    // Per-type deterministic rendering: longs/strings via plain CAST,
+    // doubles through DECIMAL(18,4), timestamps through the shared
+    // strftime format — a raw double->VARCHAR cast is engine-divergent.
+    "q183_analyze_table" ->
+      """SELECT col_name, n_rows, n_nulls, ndv, min_s, max_s FROM (
+           SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+                  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+                  CAST(MIN(l_orderkey) AS VARCHAR) AS min_s, CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+                  CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+                  CAST(CAST(MIN(l_quantity) AS DECIMAL(18,4)) AS VARCHAR),
+                  CAST(CAST(MAX(l_quantity) AS DECIMAL(18,4)) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+                  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+                  MIN(l_returnflag), MAX(l_returnflag)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+                  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+                  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+                  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+           FROM lineitem)
+         ORDER BY col_name""",
+    // Same count table, same (cnt DESC, token) head order, same
+    // cross-multiplied integer keep rule.
+    "q184_nucleus_vocab" ->
+      s"""WITH c AS (SELECT source, token, COUNT(*) AS cnt
+                     FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+                           FROM documents)
+                     GROUP BY 1, 2),
+              w AS (SELECT source, token, cnt,
+                      CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS total,
+                      CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM c)
+          SELECT source, token, CAST(cnt AS BIGINT) AS cnt, cum, total
+          FROM w WHERE (cum - cnt) * $NucleusDen < total * $NucleusNum
+          ORDER BY source, cum""",
     // Same per-micro proportions, quantized-ln factorization, exact long
     // accumulation, ONE division by 1e12 — the zero-contribution rule for
     // one-sided buckets falls out of the inner join (pd rows always have

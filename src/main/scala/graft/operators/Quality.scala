@@ -792,6 +792,41 @@ object Quality {
       )
   }
 
+  /** Per-group nucleus (top-p) vocabulary: the head tokens covering
+    * `pNum/pDen` of each group's token mass — the truncation a tokenizer
+    * or mixture builder applies before the Zipf tail swamps the budget.
+    * Keep rule in exact cross-multiplied integers:
+    * `(cum − cnt)·pDen < total·pNum` — a token is kept iff the mass BEFORE
+    * it is strictly under the target, so the crossing token is included
+    * and the kept set is the minimal prefix reaching p. Head order is
+    * (count desc, token) — total and deterministic.
+    *
+    * Scale: counts partial-aggregate map-side; the rank/total windows share
+    * ONE group exchange over the (group, token) COUNT table (vocab-sized,
+    * not corpus-sized). Output is the nucleus head only — the Zipf tail
+    * never leaves the filter.
+    */
+  def nucleusVocab(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      pNum: Int,
+      pDen: Int,
+  ): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(TextAnalysis.wsTokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy(col(groupCol))
+    val wr = wg.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("total", sum(col("cnt")).over(wg))
+      .withColumn("cum", sum(col("cnt")).over(wr))
+      .filter((col("cum") - col("cnt")) * pDen < col("total") * pNum)
+      .select(col(groupCol), col("token"), col("cnt"), col("cum"), col("total"))
+  }
+
   /** Greedy token-budget corpus selection: order docs by quality DENSITY
     * (integer per-mille `score·1000 div cost` — quantized so the order is
     * engine-exact), take the prefix whose cumulative cost fits `budget`.

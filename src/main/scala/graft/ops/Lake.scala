@@ -115,6 +115,47 @@ object Lake {
       )
   }
 
+  /** ANALYZE-style column statistics — the optimizer-feed table card: per
+    * column, row count, null count, exact NDV, and min/max rendered through
+    * a per-type DETERMINISTIC formatter (longs/strings as-is, doubles via
+    * the repo's DECIMAL(18,4) money rule, timestamps via the shared
+    * `yyyy-MM-dd HH:mm:ss` format) so the card is engine-mirrorable —
+    * a raw double→string cast is NOT (scientific-notation thresholds
+    * differ between engines).
+    *
+    * One pass: every column's stats are expressions in a SINGLE aggregate
+    * (multiple COUNT DISTINCTs plan as one Expand pass — the standard
+    * ANALYZE cost; at 100 TB swap exact NDV for the KMV estimate, q129's
+    * operator, same card shape). The 1-row result `stack`s to per-column
+    * rows driver-free.
+    */
+  def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def render(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column = dt match {
+      case DoubleType                      => c.cast(DecimalType(18, 4)).cast("string")
+      case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case _                               => c.cast("string")
+    }
+    val aggs = cols.zipWithIndex.flatMap { case (name, i) =>
+      val dt = df.schema(name).dataType
+      Seq(
+        count(col(name)).as(s"__nn$i"),
+        countDistinct(col(name)).as(s"__nd$i"),
+        render(min(col(name)), dt).as(s"__mn$i"),
+        render(max(col(name)), dt).as(s"__mx$i"),
+      )
+    } :+ count(lit(1)).as("__n")
+    val one = df.groupBy().agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (name, i) => s"'$name', cast(__n - __nn$i as long), cast(__nd$i as long), __mn$i, __mx$i" }
+      .mkString(", ")
+    one.selectExpr(
+      "cast(__n as long) as n_rows",
+      s"stack(${cols.size}, $stackArgs) as (col_name, n_nulls, ndv, min_s, max_s)",
+    ).select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"), col("min_s"), col("max_s"))
+  }
+
   /** Z-order (Morton) clustering key: interleave the low `bits` bits of two
     * dimension columns — bit i of `x` lands at position 2i+1, bit i of `y`
     * at 2i — so sorting by the key places rows close in BOTH dimensions

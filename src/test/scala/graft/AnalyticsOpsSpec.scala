@@ -331,6 +331,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === (("a", "b", 3L, 20000L, 30000L)))
   }
 
+  test("analyzeColumns: exact card with nulls, double money-rendering, per-type min/max") {
+    val df = Seq(
+      (Some(3L), 1.5, "b"),
+      (Some(1L), 2.25, "a"),
+      (None, 1.5, "c"),
+    ).toDF("k", "v", "s")
+    val got = Lake
+      .analyzeColumns(df, Seq("k", "v", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)]
+      .collect()
+      .toSeq
+    assert(
+      got === Seq(
+        ("k", 3L, 1L, 2L, "1", "3"),
+        ("s", 3L, 0L, 3L, "a", "c"),
+        ("v", 3L, 0L, 2L, "1.5000", "2.2500"),
+      )
+    )
+  }
+
+  test("nucleusVocab: minimal head prefix reaching p — the crossing token is kept, the tail dropped") {
+    import graft.operators.Quality
+    // counts a:5 b:3 c:1 d:1 (total 10), p=9/10 → keep a, b, c (mass 9);
+    // d's before-mass 9 is not < 9, so the tail is cut exactly at p.
+    val docs = Seq(("g", ("a " * 5 + "b " * 3 + "c d").trim)).toDF("source", "text")
+    val got = Quality
+      .nucleusVocab(docs, "source", "text", 9, 10)
+      .orderBy("cum")
+      .as[(String, String, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(got === Seq(("g", "a", 5L, 5L, 10L), ("g", "b", 3L, 8L, 10L), ("g", "c", 1L, 9L, 10L)))
+  }
+
   test("abTestTwoProportion: hand-computed z; degenerate 100% design yields null z") {
     // arm 0: users 2, 4 (one converts); arm 1: users 1, 3 (both convert).
     val ev = Seq(
