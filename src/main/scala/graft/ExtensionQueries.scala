@@ -102,6 +102,15 @@ object ExtensionQueries {
   // q184's nucleus mass target: 9/10 of each source's token mass.
   private val NucleusNum = 9
   private val NucleusDen = 10
+  // q185's ANN grading parameters: q57's 16-cell seed codebook, probe the
+  // 2 nearest cells, recall measured at k = 3 (q29's depth, so the exact
+  // side IS q29's brute-force shape on the same query sample).
+  private val AnnNprobe = 2
+  private val AnnK = 3
+  // q188's Johnson–Lindenstrauss output width.
+  private val RpOutDim = 8
+  // q187's robust-outlier fence: |v − median| > 3·MAD.
+  private val MadCutoff = 3.0
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2407,6 +2416,36 @@ object ExtensionQueries {
         )
         .orderBy("hour", "rnk")
     }),
+
+    // ---- ANN recall@k report: IVF(nprobe) vs exact brute force per query —
+    //      the grading harness that says whether the index is tuned ----
+    "q185_ann_recall" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .recallReport(emb, queriesDf, "vec_id", "embedding", centroids, nprobe = AnnNprobe, k = AnnK)
+        .orderBy("query_id")
+    }),
+
+    // ---- Degree assortativity of the co-occurrence graph: do hubs link to
+    //      hubs? Exact integer sufficient statistics, one IEEE r ----
+    "q186_assortativity" -> ((s, d) =>
+      Graph.degreeAssortativity(cooccurrenceUserEdges(s, d, minSupport = 3), "a", "b")),
+
+    // ---- Robust per-type outlier census: median/MAD rank-position picks,
+    //      |v − med| > 3·MAD fence ----
+    "q187_mad_outliers" -> ((s, d) =>
+      EventAnalytics
+        .madOutliers(events(s, d), "event_type", "value", MadCutoff)
+        .orderBy("event_type")),
+
+    // ---- JL random projection of embeddings: ±1 hash-sign matrix over
+    //      per-micro-quantized vectors — exact integer output ----
+    "q188_random_projection" -> ((s, d) =>
+      Similarity
+        .randomProjection(t(s, d, "embeddings"), "vec_id", "embedding", EmbDim, RpOutDim)
+        .orderBy("vec_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4790,6 +4829,114 @@ object ExtensionQueries {
                       ELSE ($num) / un[-1] END
                  * (CAST(len(bth) AS DOUBLE) / CAST(len(un) AS DOUBLE))) AS est_common
          FROM w ORDER BY src_a, src_b"""
+    },
+    // The exact side is q29's brute-force CTE verbatim; the approx side is
+    // q57's seed codebook + top-1 posting assignment plus a top-nprobe
+    // probe rank — both rank with the (sim DESC, id) tie rule the Spark
+    // plan uses, so recall is an id-set intersection, never a float
+    // comparison. Every sampled query appears (LEFT JOIN), recall 0.0 when
+    // the probed cells held no true neighbor.
+    "q185_ann_recall" ->
+      s"""WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                     FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              pscored AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                          FROM embeddings a CROSS JOIN c b),
+              posting AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                 FROM pscored) WHERE rn = 1),
+              probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                 FROM pscored WHERE vec_id % 100 = 0) WHERE rn <= $AnnNprobe),
+              ascored AS (SELECT p.query_id, q.neighbor_id, $sqlCos AS sim
+                          FROM probes p JOIN posting q USING (centroid_id)
+                          JOIN embeddings a ON a.vec_id = p.query_id
+                          JOIN embeddings b ON b.vec_id = q.neighbor_id
+                          WHERE p.query_id <> q.neighbor_id),
+              approx AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM ascored) WHERE rnk <= $AnnK),
+              escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+                          FROM embeddings a JOIN embeddings b
+                            ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+              exact AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM escored) WHERE rnk <= $AnnK),
+              hits AS (SELECT query_id, COUNT(*) AS n_hit
+                       FROM approx JOIN exact USING (query_id, neighbor_id) GROUP BY 1)
+          SELECT q.vec_id AS query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST($AnnK AS DOUBLE) AS recall
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+          LEFT JOIN hits h ON h.query_id = q.vec_id
+          ORDER BY query_id""",
+    // q108's edge CTE (support >= 3 co-occurrence graph), degrees counted
+    // over both orientations, exact DECIMAL(38,0) sufficient statistics,
+    // and r in the same mirrored IEEE expression order as the Spark side.
+    "q186_assortativity" ->
+      """WITH bk AS (SELECT DISTINCT user_id, event_type,
+                            epoch_us(ts) // 3600000000 AS hr FROM events),
+              e AS (SELECT l.user_id AS a, r.user_id AS b
+                    FROM bk l JOIN bk r ON l.hr = r.hr AND l.event_type = r.event_type
+                                       AND l.user_id < r.user_id
+                    GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+              bo AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT a AS node, COUNT(*) AS d FROM bo GROUP BY 1),
+              p AS (SELECT da.d AS x, db.d AS y
+                    FROM bo JOIN deg da ON bo.a = da.node JOIN deg db ON bo.b = db.node),
+              s AS (SELECT COUNT(*) AS n,
+                      CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                      CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                      CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+                    FROM p)
+          SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                 CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) = 0
+                        OR (CAST(n AS DOUBLE) * syy - sy * sy) = 0 THEN NULL
+                      ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS assortativity
+          FROM s""",
+    // Both medians are the same rank-position pick ((n+1) div 2) the Spark
+    // side uses; the fence compares doubles both engines computed from
+    // identical inputs with identical IEEE ops.
+    "q187_mad_outliers" ->
+      s"""WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+              m AS (SELECT event_type, v,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n FROM b),
+              med AS (SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median
+                      FROM m GROUP BY 1),
+              d AS (SELECT b.event_type, v, median, abs(v - median) AS dev
+                    FROM b JOIN med USING (event_type)),
+              m2 AS (SELECT event_type, dev,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+              mad AS (SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+                      FROM m2 GROUP BY 1)
+          SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(d.median) AS median, MIN(mad.mad) AS mad,
+                 CAST(SUM(CASE WHEN d.dev > $MadCutoff * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM d JOIN mad USING (event_type)
+          GROUP BY d.event_type ORDER BY event_type""",
+    // Generated from the SAME rpSigns constant as the Spark plan: per
+    // output dim, the signed integer sum over the per-micro-quantized
+    // vector — exact LONGs on both engines, no float accumulation at all.
+    "q188_random_projection" -> {
+      val cols = Similarity
+        .rpSigns(RpOutDim, EmbDim)
+        .zipWithIndex
+        .map { case (row, i) =>
+          val sl = row.mkString("[", ", ", "]")
+          s"CAST(list_sum(list_transform(range(1, ${EmbDim + 1}), j -> ($sl)[CAST(j AS INT)] * " +
+            s"CAST(floor(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS p$i"
+        }
+        .mkString(",\n             ")
+      s"""SELECT vec_id, $cols
+          FROM embeddings ORDER BY vec_id"""
     },
   )
 }

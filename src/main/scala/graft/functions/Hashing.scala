@@ -20,6 +20,17 @@ object Hashing {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash64]] (same md5-hex-prefix construction) for
+    * deriving SMALL deterministic constant tables at plan-build time — e.g.
+    * a random-projection sign matrix — that are then inlined as literals on
+    * BOTH engines. Never used per-row.
+    */
+  def hash64Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Prime modulus for the minhash permutation family (2^31 - 1). */
   val P: Long = 2147483647L
 

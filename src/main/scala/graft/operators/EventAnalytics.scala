@@ -1104,4 +1104,54 @@ object EventAnalytics {
       z.as("z"),
     )
   }
+
+  /** Robust per-group outlier census via median absolute deviation — the
+    * heavy-tail-safe alternative to the z-score (one wild value wrecks a
+    * mean/stddev fence; the median and MAD barely move). Per group:
+    * `median` = the lower median of `value`, `mad` = the lower median of
+    * `|value − median|`, and `n_outliers` counts rows with
+    * `|value − median| > cutoff · mad`.
+    *
+    * Determinism: both medians are rank-POSITION picks
+    * (`sorted[(n+1) div 2]`, the [[transitionLatency]] rule) — the picked
+    * value is multiset-determined regardless of tie order — and the cutoff
+    * comparison is one mirrored IEEE expression over values both engines
+    * computed identically. Scale: two rank windows keyed on the SAME group
+    * column (the median join back is a broadcast of the per-group table, so
+    * the second window rides the first window's exchange — asserted in
+    * PlanSpec), then one partial-aggregating groupBy. No global sort, no
+    * quantile sketch.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cutoff: Double = 3.0,
+  ): DataFrame = {
+    val wG   = Window.partitionBy(col(groupCol))
+    val base = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val meds = base
+      .withColumn("__rn", row_number().over(wG.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(wG))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col("__v"))).as("median"))
+    val dev = base
+      .join(broadcast(meds), Seq(groupCol))
+      .withColumn("__dev", abs(col("__v") - col("median")))
+    val mads = dev
+      .withColumn("__rn", row_number().over(wG.orderBy(col("__dev"))))
+      .withColumn("__n", count(lit(1)).over(wG))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col("__dev"))).as("mad"))
+    dev
+      .join(broadcast(mads), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("median")).as("median"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(cutoff) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+      )
+  }
+
 }

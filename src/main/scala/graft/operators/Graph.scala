@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators over an edge relation. Connected components (the
@@ -379,6 +379,55 @@ object Graph {
     degreesOf(e)
       .select(col("node"), col("__d").as("core_degree"))
       .filter(col("core_degree") >= k)
+  }
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of the
+    * degrees at the two ends of every edge, computed over BOTH directed
+    * orientations of each undirected edge (the standard 2m-entry form, so r
+    * is symmetric by construction). r > 0 = hubs link to hubs (social
+    * graphs); r < 0 = hubs link to leaves (web/star topologies) — a
+    * one-number health check before trusting PageRank/community output on a
+    * co-occurrence graph.
+    *
+    * Determinism/scale: degrees are exact integers, so all five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact DECIMAL(38,0)
+    * sums — order-independent, map-side combined — and r materializes in ONE
+    * mirrored IEEE expression at the end (the [[Quality.regressionStats]]
+    * discipline). The degree table is materialized once and feeds both
+    * endpoint joins; everything after the |E|-row join is a scalar
+    * aggregate. Zero-variance graphs (regular graphs: every degree equal)
+    * return NULL rather than 0/0.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dsum38(c: Column) = sum(c.cast(d38)).cast("double")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(e)
+    val both = e
+      .select(col("a"), col("b"))
+      .unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("node").as("a"), col("__d").as("__x")), "a")
+      .join(deg.select(col("node").as("b"), col("__d").as("__y")), "b")
+    both
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        count(lit(1)).as("__n"),
+        dsum38(col("__x")).as("__sx"),
+        dsum38(col("__y")).as("__sy"),
+        dsum38(col("__x") * col("__y")).as("__sxy"),
+        dsum38(col("__x") * col("__x")).as("__sxx"),
+        dsum38(col("__y") * col("__y")).as("__syy"),
+      )
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__num", col("__nd") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__denx", col("__nd") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__deny", col("__nd") * col("__syy") - col("__sy") * col("__sy"))
+      .select(
+        col("n_edges"),
+        when(col("__denx") === 0 || col("__deny") === 0, lit(null))
+          .otherwise(col("__num") / (sqrt(col("__denx")) * sqrt(col("__deny"))))
+          .as("assortativity"),
+      )
   }
 
   def bfsHops(

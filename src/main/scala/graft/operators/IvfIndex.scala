@@ -187,4 +187,47 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Recall@k of the IVF search against exact brute force, per query — the
+    * grading harness every ANN index needs BEFORE it serves: recall is the
+    * one number that says whether `nlist`/`nprobe` are tuned or the index
+    * is silently returning near-garbage.
+    *
+    * Shape: the exact side is [[Similarity.bruteForceTopK]] over the SAME
+    * query sample the approx side answers — the expensive truth is priced
+    * per SAMPLED query (queries × corpus), never corpus × corpus; the
+    * approx side is [[topK]], the serving plan itself, so the report
+    * measures exactly what production would return. Hits = an id-level
+    * inner join of the two (query_id, neighbor_id) sets (both sides are
+    * deterministic top-k with the (sim DESC, id) tie rule), and every
+    * sampled query appears in the output — a query whose probed cells held
+    * no true neighbor shows recall 0.0 rather than vanishing.
+    */
+  def recallReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+      k: Int,
+  ): DataFrame = {
+    val exact = Similarity
+      .bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = topK(corpus, queries, idCol, vecCol, centroids, nprobe, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries
+      .select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"),
+      )
+  }
 }

@@ -53,6 +53,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** The ±1 sign matrix for [[randomProjection]], derived at PLAN-BUILD time
+    * from [[graft.functions.Hashing.hash64Jvm]] parity over the tag
+    * `"rp_<out>_<in>"` — a small constant table (outDim × dim ints) inlined
+    * as literals on both engines, so the "random" matrix exists only as this
+    * formula and can never drift between the Spark plan and the oracle SQL.
+    */
+  def rpSigns(outDim: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until outDim).map { i =>
+      (0 until dim).map { j =>
+        if (graft.functions.Hashing.hash64Jvm(s"rp_${i}_$j") % 2 == 0) 1 else -1
+      }
+    }
+
+  /** Sparse-free Johnson–Lindenstrauss random projection: embeddings are
+    * quantized to exact integer per-micro (`floor(v·1e6 + 0.5)` — float→
+    * double widening is exact, so both engines quantize identically), then
+    * each output dimension is a ±1-signed integer sum over the input dims
+    * ([[rpSigns]]): `p_i = Σ_j s(i,j)·q_j`, an exact, order-independent
+    * LONG — the cheap dimensionality-reduction front end for clustering /
+    * dedup sketches over high-dim embeddings (JL: pairwise distances are
+    * preserved within ~1/√outDim).
+    *
+    * Scale: a pure zero-shuffle projection — per row it's outDim array
+    * folds over the quantized vector, all codegen'd builtins (`transform` /
+    * `zip_with` / `aggregate`), no UDF, no matrix object shipped (the signs
+    * ride the plan as literals). At 100 TB this is a map-only pass you
+    * fuse onto the scan that reads the embeddings.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String, dim: Int, outDim: Int): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"randomProjection: bad dims $dim -> $outDim")
+    val signs = rpSigns(outDim, dim)
+    val q = transform(col(vecCol), v => floor(v.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val projCols = signs.zipWithIndex.map { case (row, i) =>
+      val sl = array(row.map(s => lit(s.toLong)): _*)
+      aggregate(zip_with(q, sl, (a, b) => a * b), lit(0L), (acc, x) => acc + x).as(s"p$i")
+    }
+    df.select(col(idCol) +: projCols: _*)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an LCG over j*dim+i mapped to [-0.5, 0.5). No RNG object — the "planes"
     * exist only as this formula, identically on every executor.

@@ -387,4 +387,16 @@ class AnalyticsOpsSpec extends SparkSpec {
       .head()
     assert(degenerate.isNullAt(6))
   }
+
+  test("madOutliers: hand-computed median/MAD, the 3x fence, and a zero-MAD constant group") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0))).toDF("grp", "v")
+    val out = EventAnalytics.madOutliers(df, "grp", "v", 3.0).orderBy("grp").collect()
+    // a: median = 3, devs sorted [0,1,1,2,97] -> mad = 1; only 97 > 3*1.
+    assert(out(0).getLong(1) == 5L && out(0).getDouble(2) == 3.0)
+    assert(out(0).getDouble(3) == 1.0 && out(0).getLong(4) == 1L)
+    // b: constant group -> mad = 0 and the strict fence flags nothing.
+    assert(out(1).getLong(1) == 3L && out(1).getDouble(2) == 5.0)
+    assert(out(1).getDouble(3) == 0.0 && out(1).getLong(4) == 0L)
+  }
 }

@@ -551,4 +551,37 @@ class ExtensionSpec extends SparkSpec {
       .overlapPairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 1, maxDocsPerFp = 4)
     assert(all.count() == 6L) // C(4,2)
   }
+
+  test("recallReport: a cross-cluster true neighbor halves recall at nprobe=1, restored at 2") {
+    import graft.operators.IvfIndex
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, Seq(1f, 0.2f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0.1f)),
+      (4L, Seq(0f, 0f, 1f, 0.2f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 0f, 1f, 0f))).toDF("centroid_id", "centroid")
+    val q1 = corpus.filter(col("vec_id") === 1)
+    // exact top-2 for query 1 = {2 (same cluster), 3 (sim-0 tie -> lowest id)};
+    // nprobe=1 only sees cell 0 -> candidates {2} -> 1 hit of 2.
+    val r1 = IvfIndex.recallReport(corpus, q1, "vec_id", "embedding", cents, nprobe = 1, k = 2).head()
+    assert(r1.getLong(1) == 1L && r1.getDouble(2) == 0.5)
+    val r2 = IvfIndex.recallReport(corpus, q1, "vec_id", "embedding", cents, nprobe = 2, k = 2).head()
+    assert(r2.getLong(1) == 2L && r2.getDouble(2) == 1.0)
+  }
+
+  test("randomProjection: exact signed integer sums over per-micro quantized vectors") {
+    val df = Seq((1L, Seq(0.5f, -0.25f, 0.125f)), (2L, Seq(1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", dim = 3, outDim = 2)
+      .orderBy("vec_id").collect()
+    val signs = Similarity.rpSigns(2, 3)
+    val quant = Seq(Seq(500000L, -250000L, 125000L), Seq(1000000L, 1000000L, 1000000L))
+    for ((row, q) <- out.zip(quant); i <- 0 until 2) {
+      val expect = q.zip(signs(i)).map { case (v, s) => v * s }.sum
+      assert(row.getLong(i + 1) == expect, s"vec ${row.getLong(0)} p$i")
+    }
+    // The hash-parity matrix is non-degenerate at production width.
+    val wide = Similarity.rpSigns(8, 64).flatten
+    assert(wide.contains(1) && wide.contains(-1))
+  }
 }

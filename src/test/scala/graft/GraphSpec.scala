@@ -211,4 +211,15 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"))
     assert(Graph.kCore(chain, "src", "dst", k = 2, maxRounds = 10).count() == 0L)
   }
+
+  test("degreeAssortativity: a star is exactly -1; a regular graph has no defined r") {
+    // K1,4: both-direction degree pairs are (4,1)x4 and (1,4)x4 -> r = -1.
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star, "src", "dst").collect().head
+    assert(r.getLong(0) == 4L && math.abs(r.getDouble(1) + 1.0) < 1e-12)
+    // Triangle: every degree 2 -> zero variance -> NULL, never 0/0.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val t = Graph.degreeAssortativity(tri, "src", "dst").collect().head
+    assert(t.getLong(0) == 3L && t.isNullAt(1))
+  }
 }
