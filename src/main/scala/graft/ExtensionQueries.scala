@@ -111,6 +111,13 @@ object ExtensionQueries {
   private val RpOutDim = 8
   // q187's robust-outlier fence: |v − median| > 3·MAD.
   private val MadCutoff = 3.0
+  // q190's landmark set (customers 1..4 in the ×2 node space) and hop
+  // budget over the q135 customer↔supplier bipartite graph.
+  private val HarmonicLm = 4
+  private val HarmonicHops = 3
+  // q192's coarse IVF cell count (PQ fine params are q162's PqM/PqNlist/
+  // PqIters — ONE constant set feeds the operator call and the oracle).
+  private val AnnIdxNlist = 8
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -414,6 +421,51 @@ object ExtensionQueries {
       bucketCols = Seq("event_type", "hr"),
       minSupport = minSupport,
     )
+
+  /** The q162/q192 per-subspace PQ chain: for each subspace, the sliced
+    * vectors, the Lloyd rounds on the slice, and the terminal coding
+    * relation `s{sub}out(vec_id, subspace, code)`. Callers prepend
+    * `sdims AS (SELECT CAST(unnest(range(0, subDim)) AS INT) AS pos)` and
+    * union the `s{sub}out`s. ONE generator feeding both oracles so the
+    * chain cannot drift from itself.
+    */
+  private def sqlPqChainCtes: String = {
+    def cos(va: String, vb: String) =
+      s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    val subDim = EmbDim / PqM
+    (0 until PqM)
+      .map { sub =>
+        val lo = sub * subDim + 1
+        val hi = (sub + 1) * subDim
+        val rounds = (1 to PqIters)
+          .map { it =>
+            s"""s${sub}scored$it AS (SELECT a.vec_id, b.centroid_id, a.sv, ${cos("a.sv", "b.cen")} AS sim
+                                     FROM s${sub}v a CROSS JOIN s${sub}c${it - 1} b),
+                s${sub}r$it AS (SELECT vec_id, centroid_id, sv,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                                FROM s${sub}scored$it),
+                s${sub}asg$it AS (SELECT centroid_id, sv FROM s${sub}r$it WHERE rn = 1),
+                s${sub}m$it AS (SELECT centroid_id, pos, avg(CAST(sv[pos + 1] AS DOUBLE)) AS mu
+                                FROM s${sub}asg$it CROSS JOIN sdims GROUP BY centroid_id, pos),
+                s${sub}c$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
+                                FROM s${sub}m$it GROUP BY centroid_id)"""
+          }
+          .mkString(",\n")
+        s"""s${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+            s${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
+                          FROM (SELECT vec_id, sv FROM s${sub}v ORDER BY vec_id LIMIT $PqNlist)),
+            $rounds,
+            s${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
+                          FROM s${sub}v a CROSS JOIN s${sub}c$PqIters b),
+            s${sub}out AS (SELECT vec_id, $sub AS subspace, CAST(centroid_id AS INT) AS code
+                           FROM (SELECT vec_id, centroid_id,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                                 FROM s${sub}fs) WHERE rn = 1)"""
+      }
+      .mkString(",\n")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Exact dedup: content-hash groups with survivor choice ----
@@ -2446,6 +2498,61 @@ object ExtensionQueries {
       Similarity
         .randomProjection(t(s, d, "embeddings"), "vec_id", "embedding", EmbDim, RpOutDim)
         .orderBy("vec_id")),
+
+    // ---- Exact covariance matrix of the embedding corpus (whitening/PCA
+    //      front end): one explode, exact DECIMAL sums per (i, j) cell ----
+    "q189_embedding_cov" -> ((s, d) =>
+      Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding", EmbDim).orderBy("i", "j")),
+
+    // ---- Landmark harmonic centrality over the q135 bipartite graph: all
+    //      landmarks advance in ONE frontier loop; scaled-integer scores ----
+    "q190_harmonic_centrality" -> ((s, d) => {
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")), "ok")
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("sup"))
+      val edges = pairs
+        .select(col("c").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      val landmarks = t(s, d, "customer")
+        .filter(col("c_custkey") <= HarmonicLm)
+        .select((col("c_custkey") * 2).as("lm"))
+      Graph
+        .harmonicCentrality(edges, "src", "dst", landmarks, "lm", maxHops = HarmonicHops)
+        .orderBy("node")
+    }),
+
+    // ---- Golden-record fusion: q151's matched pairs → transitive clusters
+    //      → one survivor row per entity cluster (first-non-null + max) ----
+    "q191_golden_record" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val matched = Resolve
+        .scorePairs(
+          cust,
+          "c_custkey",
+          blockCols = Seq("c_nationkey", "c_mktsegment"),
+          fields = Seq(
+            (floor(col("c_acctbal") / 1000).cast("long"), 2),
+            (substring(col("c_name"), -3, 3), 3),
+            (floor(col("c_acctbal") / 100).cast("long"), 1),
+          ),
+          threshold = 4,
+          minScore = 3,
+        )
+        .filter(col("matched"))
+      Resolve
+        .goldenRecords(cust, "c_custkey", matched,
+          fuseFirst = Seq("c_name", "c_mktsegment"), fuseMax = Seq("c_acctbal"))
+        .orderBy("comp")
+    }),
+
+    // ---- Capstone 4 — ANN index build: coarse IVF assign → PQ fine codes
+    //      → the index card a serving layer validates before swap-in ----
+    "q192_ann_index_card" -> ((s, d) =>
+      Assemble
+        .buildAnnIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = AnnIdxNlist, m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters)
+        .orderBy("stat")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4385,48 +4492,12 @@ object ExtensionQueries {
           ORDER BY split, shard, pack_id""",
     // q133's float-quantized Lloyd chain, once per PQ subspace over the
     // sliced vectors, then the final argmax coding pass per subspace.
-    "q162_pq_codes" -> {
-      def cos(va: String, vb: String) =
-        s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
-      val subDim = EmbDim / PqM
-      val subs = (0 until PqM)
-        .map { sub =>
-          val lo = sub * subDim + 1
-          val hi = (sub + 1) * subDim
-          val rounds = (1 to PqIters)
-            .map { it =>
-              s"""s${sub}scored$it AS (SELECT a.vec_id, b.centroid_id, a.sv, ${cos("a.sv", "b.cen")} AS sim
-                                       FROM s${sub}v a CROSS JOIN s${sub}c${it - 1} b),
-                  s${sub}r$it AS (SELECT vec_id, centroid_id, sv,
-                                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-                                  FROM s${sub}scored$it),
-                  s${sub}asg$it AS (SELECT centroid_id, sv FROM s${sub}r$it WHERE rn = 1),
-                  s${sub}m$it AS (SELECT centroid_id, pos, avg(CAST(sv[pos + 1] AS DOUBLE)) AS mu
-                                  FROM s${sub}asg$it CROSS JOIN sdims GROUP BY centroid_id, pos),
-                  s${sub}c$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
-                                  FROM s${sub}m$it GROUP BY centroid_id)"""
-            }
-            .mkString(",\n")
-          s"""s${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
-              s${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
-                            FROM (SELECT vec_id, sv FROM s${sub}v ORDER BY vec_id LIMIT $PqNlist)),
-              $rounds,
-              s${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
-                            FROM s${sub}v a CROSS JOIN s${sub}c$PqIters b),
-              s${sub}out AS (SELECT vec_id, $sub AS subspace, CAST(centroid_id AS INT) AS code
-                             FROM (SELECT vec_id, centroid_id,
-                                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-                                   FROM s${sub}fs) WHERE rn = 1)"""
-        }
-        .mkString(",\n")
-      s"""WITH sdims AS (SELECT CAST(unnest(range(0, $subDim)) AS INT) AS pos),
-              $subs
+    "q162_pq_codes" ->
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              $sqlPqChainCtes
           SELECT vec_id, subspace, code
           FROM (${(0 until PqM).map(s => s"SELECT * FROM s${s}out").mkString(" UNION ALL ")})
-          ORDER BY vec_id, subspace"""
-    },
+          ORDER BY vec_id, subspace""",
     "q163_cumulative_users" ->
       """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
               d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
@@ -4938,5 +5009,103 @@ object ExtensionQueries {
       s"""SELECT vec_id, $cols
           FROM embeddings ORDER BY vec_id"""
     },
+    // Same quantization rule as q188, mirrored sufficient statistics in
+    // DECIMAL(38,0), and the covariance in the identical IEEE expression
+    // order: ((n*sxy - sx*sy) / n^2) / 1e12.
+    "q189_embedding_cov" ->
+      s"""WITH q AS (SELECT list_transform(embedding, v ->
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+                     FROM embeddings),
+              dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS i),
+              p AS (SELECT di.i AS i, dj.i AS j, q.q[di.i + 1] AS qi, q.q[dj.i + 1] AS qj
+                    FROM q CROSS JOIN dims di CROSS JOIN dims dj WHERE dj.i >= di.i),
+              s AS (SELECT i, j, COUNT(*) AS n,
+                      CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(qj AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(qi * qj AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+                    FROM p GROUP BY 1, 2)
+          SELECT i, j, CAST(n AS BIGINT) AS n,
+                 ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e12 AS cov
+          FROM s ORDER BY i, j""",
+    // q135's graph and recursion shape with a landmark column carried
+    // through: MIN(d) per (lm, node) = first visit, then the scaled-integer
+    // harmonic sum — both sides pure integer arithmetic.
+    "q190_harmonic_centrality" ->
+      s"""WITH RECURSIVE
+              pairs AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+              e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs),
+              lms AS (SELECT DISTINCT c_custkey * 2 AS lm FROM customer WHERE c_custkey <= $HarmonicLm),
+              bfs(lm, node, d) AS (
+                SELECT lm, lm, 0 FROM lms
+                UNION
+                SELECT bfs.lm, e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+                WHERE bfs.d < $HarmonicHops),
+              md AS (SELECT lm, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                 CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_s
+          FROM md WHERE d > 0 GROUP BY node ORDER BY node""",
+    // q151's pair CTE at the match threshold, the shared recursive-CC
+    // closure, singletons via COALESCE, and the two survivorship rules:
+    // first-non-null-by-id (ROW_NUMBER pick) and MAX.
+    "q191_golden_record" ->
+      s"""WITH RECURSIVE
+              c AS (SELECT c_custkey AS id, c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS f0,
+                      substr(c_name, -3, 3) AS f1,
+                      CAST(floor(c_acctbal / 100) AS BIGINT) AS f2
+                    FROM customer),
+              sc AS (SELECT a.id AS id_a, b.id AS id_b,
+                       (CASE WHEN a.f0 IS NOT DISTINCT FROM b.f0 THEN 2 ELSE 0 END
+                        + CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN 3 ELSE 0 END
+                        + CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN 1 ELSE 0 END) AS score
+                     FROM c a JOIN c b
+                       ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+                          AND a.id < b.id),
+              mp AS (SELECT id_a AS src, id_b AS dst FROM sc WHERE score >= 4),
+              ${sqlCcFromPairs("mp")},
+              comps AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+              mem AS (SELECT COALESCE(cp.comp, cu.c_custkey) AS comp, cu.c_custkey AS id,
+                        cu.c_name, cu.c_mktsegment, cu.c_acctbal
+                      FROM customer cu LEFT JOIN comps cp ON cp.node = cu.c_custkey),
+              nameq AS (SELECT comp, c_name FROM (
+                 SELECT comp, c_name,
+                        ROW_NUMBER() OVER (PARTITION BY comp
+                          ORDER BY CASE WHEN c_name IS NULL THEN 1 ELSE 0 END, id) AS rn
+                 FROM mem) WHERE rn = 1),
+              segq AS (SELECT comp, c_mktsegment FROM (
+                 SELECT comp, c_mktsegment,
+                        ROW_NUMBER() OVER (PARTITION BY comp
+                          ORDER BY CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END, id) AS rn
+                 FROM mem) WHERE rn = 1)
+          SELECT m.comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 MIN(n.c_name) AS c_name, MIN(sg.c_mktsegment) AS c_mktsegment,
+                 MAX(m.c_acctbal) AS c_acctbal
+          FROM mem m JOIN nameq n ON n.comp = m.comp JOIN segq sg ON sg.comp = m.comp
+          GROUP BY m.comp ORDER BY m.comp""",
+    // The q57-rule coarse assignment at nlist=$AnnIdxNlist plus the SAME
+    // generated PQ chain as q162; the card is a UNION of exact-integer
+    // aggregates over those relations.
+    "q192_ann_index_card" ->
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              $sqlPqChainCtes,
+              cc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $AnnIdxNlist)),
+              csc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                      FROM embeddings a CROSS JOIN cc0 b),
+              casg AS (SELECT vec_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                 FROM csc) WHERE rn = 1),
+              cells AS (SELECT centroid_id, COUNT(*) AS n FROM casg GROUP BY 1),
+              pqall AS (${(0 until PqM).map(s => s"SELECT * FROM s${s}out").mkString(" UNION ALL ")})
+          SELECT stat, CAST(value AS BIGINT) AS value FROM (
+            SELECT 'vectors' AS stat, COUNT(*) AS value FROM casg
+            UNION ALL SELECT 'cells_nonempty', COUNT(*) FROM cells
+            UNION ALL SELECT 'max_cell_rows', MAX(n) FROM cells
+            UNION ALL SELECT 'pq_code_rows', COUNT(*) FROM pqall
+            UNION ALL SELECT 'pq_codes_used', COUNT(DISTINCT (subspace, code)) FROM pqall)
+          ORDER BY stat""",
   )
 }

@@ -234,4 +234,55 @@ object Assemble {
         max(col("id")).as("max_id"),
       )
   }
+
+  /** ANN-index build capstone — the [[buildSearchIndex]] shape for the
+    * vector side: coarse IVF quantizer ([[IvfIndex.train]] seed codebook) →
+    * full-corpus cell assignment ([[IvfIndex.assign]], a zero-shuffle
+    * codebook-literal argmax) → per-subspace PQ fine codes
+    * ([[IvfIndex.pqCodes]]) → the index CARD a serving layer validates
+    * before swapping the index in: corpus size, non-empty cell count,
+    * occupancy skew (max cell), PQ code-row count and distinct-code usage —
+    * the numbers that catch a collapsed quantizer (all mass in one cell,
+    * dead PQ codes) before it serves garbage.
+    *
+    * Scale: assignments and codes are each materialized ONCE
+    * ([[Lineage.truncate]]) and feed only tiny scalar aggregates; the
+    * corpus is scanned by the assign pass and the `m` PQ slice passes, all
+    * map-only projections. The card itself never rescans the corpus.
+    */
+  def buildAnnIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+  ): DataFrame = {
+    val centroids = IvfIndex.train(corpus, idCol, vecCol, nlist, iters = 0)
+    val assigned = Lineage.truncate(
+      IvfIndex.assign(corpus, centroids, idCol, vecCol).select(col(idCol), col("centroid_id"))
+    )
+    val codes = Lineage.truncate(IvfIndex.pqCodes(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters))
+    val cells = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+    val corpusStats = assigned
+      .groupBy()
+      .agg(count(lit(1)).as("v"))
+      .select(lit("vectors").as("stat"), col("v").cast("long").as("value"))
+    val cellStats = cells
+      .groupBy()
+      .agg(count(lit(1)).as("nc"), max(col("__n")).as("mx"))
+      .selectExpr("stack(2, 'cells_nonempty', cast(nc as long), 'max_cell_rows', cast(mx as long)) as (stat, value)")
+    val codeStats = codes
+      .groupBy()
+      .agg(
+        count(lit(1)).as("cr"),
+        countDistinct(col("subspace"), col("code")).as("dc"),
+      )
+      .selectExpr(
+        "stack(2, 'pq_code_rows', cast(cr as long), 'pq_codes_used', cast(dc as long)) as (stat, value)"
+      )
+    corpusStats.unionAll(cellStats).unionAll(codeStats)
+  }
 }

@@ -430,6 +430,60 @@ object Graph {
       )
   }
 
+  /** Landmark harmonic centrality: run BFS from a SMALL landmark set and
+    * score every reached node `Σ_lm floor(1e6 / dist(lm, node))` over the
+    * landmarks that reach it within `maxHops` — the standard sampled
+    * estimator for closeness/harmonic centrality (exact all-pairs is
+    * O(V·E), never an option at scale; landmark count is the
+    * precision dial). The scaled-integer form keeps the score exact and
+    * order-independent across engines.
+    *
+    * Scale shape: ALL landmarks advance in the SAME frontier loop — the
+    * per-hop work is one (lm, node)-keyed frontier join against the edge
+    * set, not |landmarks| separate BFS runs; visited state is fixed-width
+    * (lm, node, d) rows, first visit pins the shortest distance (the
+    * [[bfsHops]] anti-join rule per landmark). Lineage truncated per hop.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      landmarks: DataFrame,
+      lmCol: String,
+      maxHops: Int,
+  ): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30, s"harmonicCentrality: maxHops must be in [1, 30]: $maxHops")
+    val ej = Lineage.truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var dist = Lineage.truncate(
+      landmarks
+        .select(col(lmCol).as("lm"))
+        .distinct()
+        .select(col("lm"), col("lm").as("node"))
+        .withColumn("d", lit(0))
+    )
+    var frontier = dist.select(col("lm"), col("node"))
+    var r = 1
+    var exhausted = frontier.isEmpty
+    while (r <= maxHops && !exhausted) {
+      val next = Lineage.truncate(
+        ej.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("lm"), col("dst").as("node"))
+          .distinct()
+          .join(dist.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
+      )
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        frontier = next
+        dist = Lineage.truncate(dist.union(next.withColumn("d", lit(r))))
+      }
+      r += 1
+    }
+    dist
+      .filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"), sum(expr("1000000 div d")).as("harmonic_s"))
+  }
+
   def bfsHops(
       edges: DataFrame,
       srcCol: String,

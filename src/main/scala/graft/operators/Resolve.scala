@@ -140,4 +140,46 @@ object Resolve {
         col("dist"),
       )
   }
+
+  /** Golden-record fusion — the master-data step AFTER pair matching:
+    * matched pairs close transitively into clusters
+    * ([[Dedup.connectedComponents]] over the match graph, which is tiny
+    * relative to the entity table), every entity lands in a cluster
+    * (unmatched rows become singletons via `coalesce(comp, id)` — never
+    * dropped), and each cluster fuses to ONE survivor row:
+    *
+    *  - `fuseFirst` attributes take the first NON-NULL value in id order
+    *    (`min_by` over the (isnull, id) struct — deterministic because ids
+    *    are unique, and a null-heavy duplicate can't shadow a complete one);
+    *  - `fuseMax` attributes take the cluster maximum (completeness-style
+    *    survivorship for monotone fields — balances, last-seen dates).
+    *
+    * Scale: the CC runs on match edges only; the fusion is ONE
+    * cluster-keyed aggregation of the entity table after an id-keyed left
+    * join against the (node, comp) labels — AQE broadcasts the label side
+    * when the matched subset is small, and the join stays a co-partitioned
+    * shuffle when it isn't (label cardinality can approach entity count,
+    * so a forced broadcast would be wrong by construction).
+    */
+  def goldenRecords(
+      entities: DataFrame,
+      idCol: String,
+      matchedPairs: DataFrame,
+      fuseFirst: Seq[String],
+      fuseMax: Seq[String],
+  ): DataFrame = {
+    require(fuseFirst.nonEmpty || fuseMax.nonEmpty, "goldenRecords: need at least one fused attribute")
+    val comps = Dedup
+      .connectedComponents(matchedPairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as(idCol), col("comp"))
+    val members = entities
+      .join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val firstAggs = fuseFirst.map(a => min_by(col(a), struct(col(a).isNull.cast("int"), col(idCol))).as(a))
+    val maxAggs   = fuseMax.map(a => max(col(a)).as(a))
+    val aggs      = (count(lit(1)).as("n_members") +: (firstAggs ++ maxAggs))
+    members
+      .groupBy(col("comp"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -92,6 +92,63 @@ object Similarity {
     df.select(col(idCol) +: projCols: _*)
   }
 
+  /** Exact upper-triangle covariance matrix of an embedding column — the
+    * front half of whitening / PCA over a vector corpus (the eigen solve on
+    * the dim×dim result is a driver-side afterstep; THIS is the part that
+    * touches 100 TB). Vectors quantize to per-micro LONGs (the
+    * [[randomProjection]] rule), so all three sufficient statistics per
+    * (i, j) cell are exact DECIMAL(38,0) sums — order-independent,
+    * map-side combined — and the population covariance materializes in one
+    * mirrored IEEE expression: `((n·Σxy − Σx·Σy) / n²) / 1e12`.
+    *
+    * Scale shape: the (i, j, qi, qj) pair rows are built INSIDE nested
+    * array `transform`s and exploded once — no self-join, no second
+    * explode carrying the array — and the aggregation collapses to
+    * dim·(dim+1)/2 rows per partition before any shuffle. The one exchange
+    * carries ~2k rows per partition regardless of corpus size.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"covarianceMatrix: bad dim $dim")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dsum38(c: Column) = sum(c.cast(d38)).cast("double")
+    val q = df.select(
+      transform(col(vecCol), v => floor(v.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("__q")
+    )
+    val pairsArr = flatten(
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        i =>
+          transform(
+            sequence(i, lit(dim - 1)),
+            j =>
+              struct(
+                i.cast("int").as("i"),
+                j.cast("int").as("j"),
+                element_at(col("__q"), i + 1).as("qi"),
+                element_at(col("__q"), j + 1).as("qj"),
+              ),
+          ),
+      )
+    )
+    q.select(explode(pairsArr).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.qi").as("__qi"), col("p.qj").as("__qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum38(col("__qi")).as("__sx"),
+        dsum38(col("__qj")).as("__sy"),
+        dsum38(col("__qi") * col("__qj")).as("__sxy"),
+      )
+      .withColumn("__nd", col("n").cast("double"))
+      .select(
+        col("i"),
+        col("j"),
+        col("n"),
+        (((col("__nd") * col("__sxy") - col("__sx") * col("__sy")) / (col("__nd") * col("__nd"))) / lit(1.0e12))
+          .as("cov"),
+      )
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * an LCG over j*dim+i mapped to [-0.5, 0.5). No RNG object — the "planes"
     * exist only as this formula, identically on every executor.

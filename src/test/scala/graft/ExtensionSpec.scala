@@ -584,4 +584,44 @@ class ExtensionSpec extends SparkSpec {
     val wide = Similarity.rpSigns(8, 64).flatten
     assert(wide.contains(1) && wide.contains(-1))
   }
+
+  test("covarianceMatrix: 2-D one-hot closed form (exact +-0.25) and cell count") {
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val m = Similarity.covarianceMatrix(df, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(m.size == 3)
+    assert(m((0, 0)) == 0.25 && m((1, 1)) == 0.25 && m((0, 1)) == -0.25)
+  }
+
+  test("goldenRecords: transitive cluster, first-non-null survivorship, singleton carry") {
+    import graft.operators.Resolve
+    val ents = Seq(
+      (1L, null.asInstanceOf[String], 10.0),
+      (2L, "bob", 30.0),
+      (3L, "carl", 20.0),
+      (4L, "dora", 5.0),
+    ).toDF("id", "name", "bal")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Resolve.goldenRecords(ents, "id", pairs, fuseFirst = Seq("name"), fuseMax = Seq("bal"))
+      .orderBy("comp").collect()
+    // cluster {1,2,3}: name = first NON-NULL by id = "bob" (id 1 is null), bal = max.
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(out(0).getString(2) == "bob" && out(0).getDouble(3) == 30.0)
+    // unmatched id 4 survives as its own cluster.
+    assert(out(1).getLong(0) == 4L && out(1).getLong(1) == 1L && out(1).getString(2) == "dora")
+  }
+
+  test("buildAnnIndex: card invariants on the real corpus") {
+    import graft.operators.Assemble
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val n = emb.count()
+    val card = Assemble.buildAnnIndex(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, subDim = 16, pqNlist = 8, pqIters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("vectors") == n)
+    assert(card("pq_code_rows") == n * 4)
+    assert(card("cells_nonempty") >= 1 && card("cells_nonempty") <= 8)
+    assert(card("max_cell_rows") <= n)
+    assert(card("pq_codes_used") >= 4 && card("pq_codes_used") <= 32)
+  }
 }

@@ -222,4 +222,20 @@ class GraphSpec extends SparkSpec {
     val t = Graph.degreeAssortativity(tri, "src", "dst").collect().head
     assert(t.getLong(0) == 3L && t.isNullAt(1))
   }
+
+  test("harmonicCentrality: path-graph closed form, multi-landmark sums, hop cutoff") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val und  = path.union(path.select($"dst".as("src"), $"src".as("dst")))
+    val one = Graph.harmonicCentrality(und, "src", "dst", Seq(1L).toDF("lm"), "lm", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // d(2)=1, d(3)=2, d(4)=3; node 5 is beyond the hop budget; the landmark
+    // itself (d=0) is excluded.
+    assert(one == Map(2L -> (1L, 1000000L), 3L -> (1L, 500000L), 4L -> (1L, 333333L)))
+    val two = Graph.harmonicCentrality(und, "src", "dst", Seq(1L, 5L).toDF("lm"), "lm", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // node 2: 1/1 from lm1 + 1/3 from lm5; node 3: 1/2 from both.
+    assert(two(2L) == (2L, 1333333L) && two(3L) == (2L, 1000000L) && two(4L) == (2L, 1333333L))
+    // the landmarks are 4 hops apart: neither reaches the other inside the cap.
+    assert(!two.contains(1L) && !two.contains(5L))
+  }
 }
