@@ -118,6 +118,10 @@ object ExtensionQueries {
   // q192's coarse IVF cell count (PQ fine params are q162's PqM/PqNlist/
   // PqIters — ONE constant set feeds the operator call and the oracle).
   private val AnnIdxNlist = 8
+  // q193's decay half-life (1 h) and q195's lateness bucket (1 min).
+  private val DecayHalfLifeUs = 3600000000L
+  private val DecayMaxShift = 20
+  private val LateBucketUs = 60000000L
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2553,6 +2557,32 @@ object ExtensionQueries {
         .buildAnnIndex(t(s, d, "embeddings"), "vec_id", "embedding",
           nlist = AnnIdxNlist, m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters)
         .orderBy("stat")),
+    // ---- Time-decay multi-touch attribution: every in-window touch earns
+    //      1e6 >> gap_hours — exact power-of-two decay, no float pow ----
+    "q193_decay_attribution" -> ((s, d) =>
+      EventAnalytics
+        .decayAttribution(events(s, d), "user_id", "ts", "event_type",
+          touchTypes = Seq("view", "click"), convType = "purchase",
+          windowMicros = 7L * 86400L * 1000000L, halfLifeMicros = DecayHalfLifeUs,
+          maxShift = DecayMaxShift)
+        .orderBy("channel")),
+
+    // ---- IVF cell-quality report: cohesion (quantized member sims) +
+    //      separation (nearest other centroid) per non-empty cell ----
+    "q194_cluster_quality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      IvfIndex
+        .clusterQuality(emb, "vec_id", "embedding",
+          IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0))
+        .orderBy("centroid_id")
+    }),
+
+    // ---- Out-of-orderness audit: lateness histogram in arrival order —
+    //      the watermark-delay tuning readout ----
+    "q195_lateness_histogram" -> ((s, d) =>
+      EventAnalytics
+        .latenessHistogram(events(s, d), "event_type", "ts", "event_id", LateBucketUs)
+        .orderBy("event_type", "bucket")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5107,5 +5137,52 @@ object ExtensionQueries {
             UNION ALL SELECT 'pq_code_rows', COUNT(*) FROM pqall
             UNION ALL SELECT 'pq_codes_used', COUNT(DISTINCT (subspace, code)) FROM pqall)
           ORDER BY stat""",
+    // Same join predicate, the same integer shift decay (DuckDB >> on the
+    // capped integer-div gap), exact integer credit sums.
+    "q193_decay_attribution" ->
+      s"""WITH tch AS (SELECT user_id, event_type AS channel, epoch_us(ts) AS tus
+                       FROM events WHERE event_type IN ('view', 'click')),
+              cv AS (SELECT user_id, epoch_us(ts) AS cus
+                     FROM events WHERE event_type = 'purchase'),
+              j AS (SELECT channel,
+                      1000000 >> CAST(least((cus - tus) // $DecayHalfLifeUs, $DecayMaxShift) AS INT) AS credit
+                    FROM tch JOIN cv USING (user_id)
+                    WHERE tus < cus AND cus - tus <= ${7L * 86400L * 1000000L})
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+                 CAST(SUM(credit) AS BIGINT) AS credit_s
+          FROM j GROUP BY channel ORDER BY channel""",
+    // The q57 seed-codebook assignment carrying the winning sim; sims
+    // quantized to per-micro BIGINTs before any aggregation, the mean as
+    // one mirrored IEEE division; separation over the 16x16 codebook.
+    "q194_cluster_quality" ->
+      s"""WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                     FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              scored AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                         FROM embeddings a CROSS JOIN c b),
+              r AS (SELECT vec_id, centroid_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                    FROM scored),
+              casg AS (SELECT centroid_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sq
+                       FROM r WHERE rn = 1),
+              own AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(sq) AS DOUBLE) / COUNT(*) AS mean_sim,
+                        MIN(sq) AS min_sim_q
+                      FROM casg GROUP BY 1),
+              sep AS (SELECT a.centroid_id,
+                        MAX(CAST(floor(($sqlCos) * 1000000.0 + 0.5) AS BIGINT)) AS nn_sim_q
+                      FROM c a JOIN c b ON a.centroid_id <> b.centroid_id GROUP BY 1)
+          SELECT own.centroid_id, own.n, own.mean_sim, own.min_sim_q, sep.nn_sim_q
+          FROM own JOIN sep USING (centroid_id) ORDER BY centroid_id""",
+    // Running max over the same (type, arrival-id) window frame, integer
+    // subtraction and bucketing — both sides pure integer arithmetic.
+    "q195_lateness_histogram" ->
+      s"""WITH o AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+              l AS (SELECT event_type,
+                      MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late
+                    FROM o)
+          SELECT event_type, late // $LateBucketUs AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(late) AS BIGINT) AS max_late_us
+          FROM l GROUP BY 1, 2 ORDER BY event_type, bucket""",
   )
 }

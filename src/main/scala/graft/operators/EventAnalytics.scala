@@ -1154,4 +1154,78 @@ object EventAnalytics {
       )
   }
 
+  /** Time-decay multi-touch attribution: every conversion credits EVERY
+    * prior touch inside `windowMicros`, weighted by an exact halving decay
+    * `credit_s = 1000000 >> min(gap div halfLifeMicros, maxShift)` — the
+    * "recent touches matter more" model next to [[lastTouchAttribution]]'s
+    * winner-take-all, with the power-of-two decay keeping every credit an
+    * exact integer (no float pow to mirror). Returns per-channel touch
+    * counts and summed scaled credit.
+    *
+    * Scale: one user-keyed equi-join of two NARROWED projections (touches:
+    * user/channel/µs; conversions: user/µs) with the window bound as a join
+    * predicate — fan-out per user is touches×conversions inside the window,
+    * the honest cost of all-touch attribution; the rollup map-side
+    * combines. A pathological power user concentrates a key: salt via
+    * [[SkewJoin.saltedJoin]] at cluster scale.
+    */
+  def decayAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      touchTypes: Seq[String],
+      convType: String,
+      windowMicros: Long,
+      halfLifeMicros: Long,
+      maxShift: Int = 20,
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType), "touchTypes must be non-empty and exclude convType")
+    require(windowMicros > 0 && halfLifeMicros > 0 && maxShift >= 0, "window/halfLife/maxShift must be positive")
+    val touches = events
+      .filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(typeCol).as("channel"), unix_micros(col(tsCol)).as("__tus"))
+    val convs = events
+      .filter(col(typeCol) === convType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__cus"))
+    touches
+      .join(convs, Seq(userCol))
+      .filter(col("__tus") < col("__cus") && col("__cus") - col("__tus") <= windowMicros)
+      .withColumn(
+        "__credit",
+        expr(s"shiftright(1000000L, cast(least((__cus - __tus) div $halfLifeMicros, $maxShift) as int))"),
+      )
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("__credit")).as("credit_s"))
+  }
+
+  /** Out-of-orderness audit for watermark tuning: per event type, the
+    * histogram of `lateness = max-event-time-so-far − event-time` in
+    * arrival order (`idCol` — monotone ingest ids stand in for arrival
+    * when the log has no arrival column). The p99 bucket of this histogram
+    * IS the watermark delay a streaming job should declare; guessing it is
+    * how pipelines silently drop late data.
+    *
+    * Exact integers end to end: running max over one type-keyed window in
+    * arrival order, integer-µs subtraction, integer-div bucketing, then a
+    * partial-aggregating rollup on (type, bucket).
+    */
+  def latenessHistogram(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      bucketMicros: Long,
+  ): DataFrame = {
+    require(bucketMicros > 0, s"latenessHistogram: bucketMicros must be positive: $bucketMicros")
+    val w = Window
+      .partitionBy(col(typeCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col(typeCol), unix_micros(col(tsCol)).as("__us"), col(idCol))
+      .withColumn("__late", max(col("__us")).over(w) - col("__us"))
+      .groupBy(col(typeCol), expr(s"__late div $bucketMicros").as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("__late")).as("max_late_us"))
+  }
 }

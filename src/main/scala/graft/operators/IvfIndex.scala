@@ -230,4 +230,42 @@ object IvfIndex {
         (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"),
       )
   }
+
+  /** Per-cell quality report for a trained coarse quantizer — the
+    * companion diagnostic to [[recallReport]]: cohesion (mean/min cosine of
+    * members to their OWN centroid, exact via per-micro quantized sims) and
+    * separation (each centroid's similarity to its nearest OTHER centroid —
+    * high nn_sim_q means two cells split one true cluster). Only non-empty
+    * cells appear; compare `n` across rows for occupancy skew.
+    *
+    * Scale: the member pass is [[assign]] `withSim` — a zero-shuffle
+    * codebook-literal argmax projection — feeding one cell-keyed partial
+    * aggregate; the separation pass is a centroids×centroids cross join of
+    * the TINY codebook, broadcast. Sims quantize to integer per-micro
+    * before aggregation so the mean is an exact sum + one IEEE division.
+    */
+  def clusterQuality(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+  ): DataFrame = {
+    val own = assign(corpus, centroids, idCol, vecCol, withSim = true)
+      .select(col("centroid_id"), floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long").as("__sq"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("__sq")).cast("double") / count(lit(1))).as("mean_sim"),
+        min(col("__sq")).as("min_sim_q"),
+      )
+    val a = centroids.select(col("centroid_id"), col("centroid").as("__va"))
+    val b = centroids.select(col("centroid_id").as("__cb"), col("centroid").as("__vb"))
+    val sep = a
+      .crossJoin(broadcast(b))
+      .filter(col("centroid_id") =!= col("__cb"))
+      .withColumn("__nq", floor(cos(col("__va"), col("__vb")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(max(col("__nq")).as("nn_sim_q"))
+    own.join(broadcast(sep), Seq("centroid_id"))
+  }
 }

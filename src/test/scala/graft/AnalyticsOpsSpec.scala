@@ -399,4 +399,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 3L && out(1).getDouble(2) == 5.0)
     assert(out(1).getDouble(3) == 0.0 && out(1).getLong(4) == 0L)
   }
+
+  test("decayAttribution: power-of-two decay per gap hour, window and order exclusions") {
+    val h = 3600000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val ev = Seq(
+      (1L, ts(0L), "view"),            // 2h before conversion -> 1e6 >> 2
+      (1L, ts(h / 2), "click"),        // 1.5h before -> gap div h = 1 -> 1e6 >> 1
+      (1L, ts(2 * h), "purchase"),
+      (2L, ts(0L), "view"),            // 8 days before its conversion: outside window
+      (2L, ts(8L * 86400L * 1000000L), "purchase"),
+      (3L, ts(5 * h), "view"),         // AFTER the conversion: no credit
+      (3L, ts(4 * h), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics
+      .decayAttribution(ev, "user_id", "ts", "event_type",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        windowMicros = 7L * 86400L * 1000000L, halfLifeMicros = h)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("view" -> (1L, 250000L), "click" -> (1L, 500000L)))
+  }
+
+  test("latenessHistogram: hand-computed running-max lateness and bucketing") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val ev = Seq(
+      (1L, ts(10000000L), "a"), (2L, ts(5000000L), "a"),
+      (3L, ts(20000000L), "a"), (4L, ts(6000000L), "a"),
+    ).toDF("event_id", "ts", "event_type")
+    // lateness by arrival (id) order: 0, 5s, 0, 14s; 10s buckets -> {0: n=3 max=5s, 1: n=1 max=14s}
+    val out = EventAnalytics
+      .latenessHistogram(ev, "event_type", "ts", "event_id", bucketMicros = 10000000L)
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 3L && out(0).getLong(3) == 5000000L)
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L && out(1).getLong(3) == 14000000L)
+  }
 }

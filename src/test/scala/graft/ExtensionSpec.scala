@@ -624,4 +624,23 @@ class ExtensionSpec extends SparkSpec {
     assert(card("max_cell_rows") <= n)
     assert(card("pq_codes_used") >= 4 && card("pq_codes_used") <= 32)
   }
+
+  test("clusterQuality: hand-computed cohesion quantization and zero cross-cluster separation") {
+    import graft.operators.IvfIndex
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)), (2L, Seq(1f, 0.2f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0.1f)), (4L, Seq(0f, 0f, 1f, 0.2f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 0f, 1f, 0f))).toDF("centroid_id", "centroid")
+    def q(sim: Double) = math.floor(sim * 1000000.0 + 0.5).toLong
+    val s1 = q(1.0 / math.sqrt(1.0 + 0.1f * 0.1f)) // cos((1,.1,0,0),(1,0,0,0))
+    val s2 = q(1.0 / math.sqrt(1.0 + 0.2f * 0.2f))
+    val out = IvfIndex.clusterQuality(corpus, "vec_id", "embedding", cents)
+      .orderBy("centroid_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(3) == math.min(s1, s2))
+    assert(out(0).getDouble(2) == (s1 + s2).toDouble / 2)
+    // orthogonal centroids: nearest-other-centroid sim quantizes to 0.
+    assert(out(0).getLong(4) == 0L && out(1).getLong(4) == 0L)
+  }
 }

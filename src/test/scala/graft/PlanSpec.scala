@@ -479,4 +479,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1,
       s"no range-partitioned sort of the corpus inside the operator:\n$p")
   }
+
+  test("q188 random projection: a zero-exchange pure projection") {
+    val p = plan(q("q188_random_projection"))
+    assert(!p.contains("Join") && !p.contains("Window"), s"no join/window in a map-only projection:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"no shuffle before the output sort:\n$p")
+  }
+
+  test("q189 covariance matrix: one explode pass, no self-join, partial agg before the one exchange") {
+    val p = plan(q("q189_embedding_cov"))
+    assert(!p.contains("Join"), s"pair cells come from nested array transforms, never a self-join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over the embeddings:\n$p")
+    assert(p.contains("partial"), s"map-side combine must collapse cells before the shuffle:\n$p")
+  }
+
+  test("q187 MAD outliers: per-group tables come back as broadcasts, never a group shuffle join") {
+    val p = plan(q("q187_mad_outliers"))
+    assert(p.contains("BroadcastHashJoin"), s"median/mad join back via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join of the log against tiny per-group tables:\n$p")
+  }
+
+  test("q185 ANN recall: centroids and probes broadcast; the exact side broadcasts the query sample") {
+    val p = plan(q("q185_ann_recall"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the small sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian surface:\n$p")
+  }
 }
