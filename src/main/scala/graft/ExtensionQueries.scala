@@ -2583,6 +2583,22 @@ object ExtensionQueries {
       EventAnalytics
         .latenessHistogram(events(s, d), "event_type", "ts", "event_id", LateBucketUs)
         .orderBy("event_type", "bucket")),
+    // ---- Video frame-sampling manifest: every 4th 256-byte chunk as an
+    //      explicit, pruneable frame row — decode-site plumbing ----
+    "q196_frame_manifest" -> ((s, d) =>
+      Multimodal
+        .frameManifest(Multimodal.synthesizeFromDocuments(t(s, d, "documents")), everyN = 4)
+        .toDF()
+        .orderBy("media_id", "frame_idx")),
+
+    // ---- Readability grade (FK shape) in exact scaled integers: vowel-run
+    //      syllables, sentence-run floor, per-mille coefficients ----
+    "q197_readability" -> ((s, d) =>
+      Quality.readability(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // ---- Token-frequency Gini: exact corpus-balance coefficient off the
+    //      two-phase global rank (no single-partition vocab sort) ----
+    "q198_token_gini" -> ((s, d) => Quality.tokenGini(t(s, d, "documents"), "text")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5184,5 +5200,44 @@ object ExtensionQueries {
           SELECT event_type, late // $LateBucketUs AS bucket,
                  CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(late) AS BIGINT) AS max_late_us
           FROM l GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    // The synthesizeFromDocuments type rule (doc_id % 3 = 2 -> video), the
+    // Stub chunk geometry (256-byte chunks, every 4th), and a REAL byte sum
+    // — documents.text is pure ASCII at every SF (the q34 contract), so
+    // DuckDB char math equals the utf-8 byte math Spark runs.
+    "q196_frame_manifest" ->
+      """WITH v AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE doc_id % 3 = 2),
+              f AS (SELECT doc_id, CAST(unnest(list_filter(range(0, (L + 255) // 256), i -> i % 4 = 0)) AS INT) AS idx,
+                      text, L
+                    FROM v),
+              fr AS (SELECT doc_id AS media_id, idx AS frame_idx, CAST(idx * 256 AS INT) AS off,
+                       CAST(least(256, L - idx * 256) AS INT) AS n_bytes,
+                       substr(text, idx * 256 + 1, 256) AS chunk
+                     FROM f)
+          SELECT media_id, frame_idx, off, n_bytes,
+                 CAST(coalesce(list_sum(list_transform(string_split(chunk, ''), c -> ascii(c))), 0) AS BIGINT) AS byte_sum
+          FROM fr ORDER BY media_id, frame_idx""",
+    // Same three regexp-run counts, same per-mille integer closed form.
+    "q197_readability" ->
+      """WITH r AS (SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS words,
+                      CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+                      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+                    FROM documents)
+          SELECT doc_id, words, sentences, syllables,
+                 390 * words // sentences + 11800 * syllables // words - 15590 AS grade_milli
+          FROM r WHERE words >= 1 ORDER BY doc_id""",
+    // ROW_NUMBER over (freq, token) == the two-phase global rank; both sums
+    // exact DECIMAL(38,0); the closed form in one mirrored IEEE expression.
+    "q198_token_gini" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+              c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+              r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq, token) AS rank FROM c),
+              s AS (SELECT COUNT(*) AS n,
+                      CAST(SUM(CAST(freq AS DECIMAL(38,0))) AS DOUBLE) AS sf,
+                      CAST(SUM(CAST(rank * freq AS DECIMAL(38,0))) AS DOUBLE) AS srf
+                    FROM r)
+          SELECT CAST(n AS BIGINT) AS n_tokens, CAST(sf AS BIGINT) AS total_freq,
+                 (2.0 * srf - (CAST(n AS DOUBLE) + 1.0) * sf) / (CAST(n AS DOUBLE) * sf) AS gini
+          FROM s""",
   )
 }

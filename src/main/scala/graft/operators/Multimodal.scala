@@ -126,4 +126,39 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map(m => m.copy(content = m.content.take(maxBytes))))
   }
+
+  /** One sampled frame's manifest row: where it lives in the payload plus a
+    * REAL byte statistic (the stub stands in for decode only).
+    */
+  final case class FrameRow(media_id: Long, frame_idx: Int, off: Int, n_bytes: Int, byte_sum: Long)
+
+  /** Frame-sampling manifest for video payloads: every `everyN`-th 256-byte
+    * chunk becomes a frame row (the [[StubCodec.sampleFrames]] geometry,
+    * with offsets) — the table a video pipeline materializes FIRST so the
+    * expensive per-frame decode runs over an explicit, pruneable row set
+    * (decode only the frames a downstream filter keeps) instead of inside
+    * an opaque per-video loop. `byte_sum` is a real payload computation;
+    * the decode itself stays behind the [[Codec]] seam.
+    *
+    * Scale: `mapPartitions` over the typed Dataset (the Scala analog of a
+    * Pandas-batch UDF) — streamed, no per-row object churn beyond the
+    * output rows, raw bytes dropped at this boundary (the manifest carries
+    * offsets, not payloads).
+    */
+  def frameManifest(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameRow] = {
+    require(everyN >= 1, s"frameManifest: everyN must be >= 1: $everyN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(_.media_type == "video")
+      .mapPartitions(_.flatMap { m =>
+        m.content.grouped(256).zipWithIndex.collect {
+          case (b, i) if i % everyN == 0 =>
+            var s = 0L
+            var k = 0
+            while (k < b.length) { s += (b(k) & 0xff); k += 1 }
+            FrameRow(m.media_id, i, i * 256, b.length, s)
+        }
+      })
+  }
 }

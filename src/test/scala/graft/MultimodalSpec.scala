@@ -46,4 +46,23 @@ class MultimodalSpec extends SparkSpec {
     assert(n == media.filter(col("media_type") === "video").count())
     assert(features.collect().forall(_.media_type == "video"))
   }
+
+  test("frameManifest: chunk geometry, sampling stride, video-only filter, real byte sums") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val media = Seq(
+      MediaRecord(1L, "video", payload, "s"),
+      MediaRecord(2L, "image", payload, "s"), // not a video: no frames
+    ).toDS()
+    val all = Multimodal.frameManifest(media, everyN = 1).collect().sortBy(_.frame_idx)
+    assert(all.forall(_.media_id == 1L) && all.length == 3)
+    assert(all.map(f => (f.frame_idx, f.off, f.n_bytes)).toSeq ==
+      Seq((0, 0, 256), (1, 256, 256), (2, 512, 88)))
+    assert(all(0).byte_sum == payload.slice(0, 256).map(b => (b & 0xff).toLong).sum)
+    assert(all(2).byte_sum == payload.slice(512, 600).map(b => (b & 0xff).toLong).sum)
+    val sampled = Multimodal.frameManifest(media, everyN = 4).collect()
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0))
+  }
 }

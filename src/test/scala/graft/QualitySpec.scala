@@ -401,4 +401,22 @@ class QualitySpec extends SparkSpec {
     assert(out("g2") == ((3L, Some(1.5), Some(-0.5), Some(0.75))))
     assert(out("g3") == ((2L, None, None, None)))
   }
+
+  test("readability: hand-computed run counts and the per-mille closed form") {
+    val df = Seq((1L, "Go now. Stop!")).toDF("doc_id", "text")
+    val r = Quality.readability(df, "doc_id", "text").head()
+    // words 3; sentence runs '.' and '!' = 2; vowel runs o/o/o = 3.
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 390L * 3 / 2 + 11800L * 3 / 3 - 15590L)
+  }
+
+  test("tokenGini: uniform corpus scores exactly 0; hand-computed skew") {
+    val uniform = Seq("a b c").toDF("text")
+    val u = Quality.tokenGini(uniform, "text").head()
+    assert(u.getLong(0) == 3L && u.getLong(1) == 3L && u.getDouble(2) == 0.0)
+    // freqs {a: 3, b: 1}: ranks b=1, a=2 -> G = (2*7 - 3*4) / (2*4) = 0.25.
+    val skew = Seq("a a a b").toDF("text")
+    val s = Quality.tokenGini(skew, "text").head()
+    assert(s.getLong(0) == 2L && s.getLong(1) == 4L && s.getDouble(2) == 0.25)
+  }
 }
