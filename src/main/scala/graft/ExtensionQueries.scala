@@ -122,6 +122,12 @@ object ExtensionQueries {
   private val DecayHalfLifeUs = 3600000000L
   private val DecayMaxShift = 20
   private val LateBucketUs = 60000000L
+  // q200's attribution depth and boilerplate-gram fanout bound.
+  private val AttribK = 3
+  private val AttribMaxDf = 50L
+  // q201's threshold sweep grid (integer per-cents; min sets the one pair
+  // materialization's floor).
+  private val SweepPcts = Seq(50, 60, 70, 80, 90)
 
   /** DuckDB mirror of [[graft.operators.ContentChunks.chunks]]: the same
     * boundary rule (window-hash ≡ 0 mod divisor), start/end lists, and
@@ -2599,6 +2605,31 @@ object ExtensionQueries {
     // ---- Token-frequency Gini: exact corpus-balance coefficient off the
     //      two-phase global rank (no single-partition vocab sort) ----
     "q198_token_gini" -> ((s, d) => Quality.tokenGini(t(s, d, "documents"), "text")),
+    // ---- Streaming strictly-ordered funnel: per-user stage-prefix state,
+    //      advance-time emission; one-shot parity vs q83's batch oracle ----
+    "q199_stream_funnel" -> ((s, d) =>
+      EventStream
+        .funnelOneShot(s, Tables.events(s, d), FunnelStages, "graft_q199")
+        .orderBy("stage")),
+
+    // ---- Contamination attribution: which corpus docs leak which eval
+    //      items, top-k by shared n-grams, boilerplate grams dropped ----
+    "q200_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate
+        .attributionReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3, k = AttribK, maxDf = AttribMaxDf)
+        .orderBy("eval_id", "rank")
+    }),
+
+    // ---- Dedup threshold tuning curve: one pair materialization, pair and
+    //      touched-doc counts at each candidate threshold ----
+    "q201_threshold_sweep" -> ((s, d) =>
+      Dedup
+        .thresholdSweep(t(s, d, "documents"), "doc_id", "text", K, bands = 4, thresholdPcts = SweepPcts)
+        .orderBy("threshold_pct")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5239,5 +5270,47 @@ object ExtensionQueries {
           SELECT CAST(n AS BIGINT) AS n_tokens, CAST(sf AS BIGINT) AS total_freq,
                  (2.0 * srf - (CAST(n AS DOUBLE) + 1.0) * sf) / (CAST(n AS DOUBLE) * sf) AS gini
           FROM s""",
+    // The stream's greedy first-qualifying scan equals the batch stacked
+    // min-windows under one-microbatch delivery, so q83's generated oracle
+    // IS the streaming oracle.
+    "q199_stream_funnel" -> sqlFunnel(FunnelStages),
+    // Same trigram hash as q76, the same <= maxDf rare-gram rule, COUNT(*)
+    // over distinct-per-side gram joins, and the (n_shared DESC, doc_id)
+    // rank pick.
+    "q200_contamination_report" -> {
+      val gram = sqlHash64("array_to_string(toks[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              ng AS (SELECT DISTINCT doc_id, source, h
+                     FROM (SELECT doc_id, source,
+                             unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS h
+                           FROM tok)),
+              cg AS (SELECT doc_id, h FROM ng WHERE source <> 'src0'),
+              eg AS (SELECT doc_id AS eval_id, h FROM ng WHERE source = 'src0'),
+              rare AS (SELECT h FROM cg GROUP BY h HAVING COUNT(*) <= $AttribMaxDf),
+              sh AS (SELECT eg.eval_id, cg.doc_id, COUNT(*) AS n_shared
+                     FROM cg JOIN rare USING (h) JOIN eg USING (h) GROUP BY 1, 2),
+              r AS (SELECT eval_id, doc_id, n_shared,
+                      ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY n_shared DESC, doc_id) AS rank
+                    FROM sh)
+          SELECT eval_id, CAST(rank AS INT) AS rank, doc_id, CAST(n_shared AS BIGINT) AS n_shared
+          FROM r WHERE rank <= $AttribK ORDER BY eval_id, rank"""
+    },
+    // ONE lshp materialization at the grid floor (the q22/q49 CTE), then
+    // per-threshold counts; the jaccard compare is the same IEEE
+    // `>= t/100.0` over identically computed ratios.
+    "q201_threshold_sweep" ->
+      s"""WITH ${sqlLshPairs("documents", SweepPcts.min / 100.0)},
+              th AS (SELECT CAST(unnest([${SweepPcts.mkString(", ")}]) AS INT) AS threshold_pct),
+              f AS (SELECT th.threshold_pct, l.id_a, l.id_b
+                    FROM lshp l CROSS JOIN th WHERE l.jaccard >= th.threshold_pct / 100.0),
+              pc AS (SELECT threshold_pct, COUNT(*) AS n_pairs FROM f GROUP BY 1),
+              dc AS (SELECT threshold_pct, COUNT(DISTINCT doc) AS n_docs
+                     FROM (SELECT threshold_pct, id_a AS doc FROM f
+                           UNION ALL SELECT threshold_pct, id_b FROM f)
+                     GROUP BY 1)
+          SELECT th.threshold_pct, CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+                 CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
+          FROM th LEFT JOIN pc USING (threshold_pct) LEFT JOIN dc USING (threshold_pct)
+          ORDER BY threshold_pct""",
   )
 }

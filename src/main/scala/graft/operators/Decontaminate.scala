@@ -170,4 +170,56 @@ object Decontaminate {
         (coalesce(col("__n_hits"), lit(0L)) > 0).cast("int").as("is_contaminated"),
       )
   }
+
+  /** Contamination ATTRIBUTION — after [[overlaps]] says "these corpus docs
+    * touch the eval set", this says WHICH eval items each one leaks and how
+    * hard: per (eval item, corpus doc) the count of shared distinct word
+    * `n`-grams, top-`k` corpus docs per eval item. The triage artifact a
+    * human reads before deciding drop vs. rewrite vs. false-positive.
+    *
+    * Boilerplate guard = join-fanout guard: a gram present in more than
+    * `maxDf` corpus docs (licence headers, templated prefixes) is dropped
+    * BEFORE the pair join — the same ubiquitous-gram rule as
+    * [[Winnow.overlapPairs]], and the bound that keeps the (gram → docs ×
+    * evals) expansion from going quadratic on one hot key. Corpus grams
+    * materialize once and feed the df-count and the join.
+    */
+  def attributionReport(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      maxDf: Long,
+  ): DataFrame = {
+    require(n >= 1 && k >= 1 && maxDf >= 1, "attributionReport: n, k, maxDf must be positive")
+    val evalGrams = evalDf
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(col(idCol).as("eval_id"), explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
+      .distinct()
+    val corpusGrams = Lineage.truncate(
+      corpus
+        .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+        .select(col(idCol).as("doc_id"), explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
+        .distinct()
+    )
+    val rare = corpusGrams
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("h"))
+    val shared = corpusGrams
+      .join(rare, Seq("h"), "left_semi")
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_id"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+    shared
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("eval_id"), col("rank"), col("doc_id"), col("n_shared"))
+  }
 }

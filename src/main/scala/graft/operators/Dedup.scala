@@ -1250,4 +1250,46 @@ object Dedup {
       )
       .select(col("__id").as(idCol), col("n_blocks"), col("n_kept"), col("text_dedup"))
   }
+
+  /** Dedup threshold tuning curve: ONE banded-LSH pair materialization
+    * ([[minhashNearDupPairs]] at the lowest threshold of interest), then the
+    * pair and touched-doc counts the pipeline would emit at EACH candidate
+    * threshold — the "where do I set 0.8?" readout, priced at one pair pass
+    * instead of a pipeline re-run per threshold. Thresholds are integer
+    * per-cents so the sweep table is exact; the jaccard comparison itself
+    * is the same IEEE `>= t/100.0` on both engines over identically
+    * computed ratios.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      thresholdPcts: Seq[Int],
+      minAgree: Int = 4,
+  ): DataFrame = {
+    require(thresholdPcts.nonEmpty && thresholdPcts.forall(t => t >= 0 && t <= 100), "thresholds are integer percents")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val floor = thresholdPcts.min / 100.0
+    val pairs = Lineage.truncate(
+      minhashNearDupPairs(df, idCol, textCol, k, bands, threshold = floor, minAgree = minAgree)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    )
+    val th = thresholdPcts.toDF("threshold_pct")
+    val f = pairs
+      .crossJoin(broadcast(th))
+      .filter(col("jaccard") >= col("threshold_pct") / lit(100.0))
+    val pairCounts = f.groupBy(col("threshold_pct")).agg(count(lit(1)).as("n_pairs"))
+    val docCounts = f
+      .select(col("threshold_pct"), col("id_a").as("doc"))
+      .unionAll(f.select(col("threshold_pct"), col("id_b").as("doc")))
+      .groupBy(col("threshold_pct"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    th.join(pairCounts, Seq("threshold_pct"), "left")
+      .join(docCounts, Seq("threshold_pct"), "left")
+      .na
+      .fill(0L, Seq("n_pairs", "n_docs"))
+  }
 }

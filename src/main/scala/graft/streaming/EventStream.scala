@@ -44,6 +44,12 @@ object EventStream {
   final case class Frag(start: Long, end: Long, n: Long, totalScaled: Long)
   final case class FragsState(frags: List[Frag])
 
+  // [[funnelStream]] state: first-completion µs per stage reached so far (a
+  // strict prefix of the stage list); emission happens ON the advancing
+  // event, so no timeout machinery is needed.
+  final case class FunnelHit(user_id: Long, stage: Int)
+  final case class FunnelState(times: List[Long])
+
   /** Watermarked tumbling-window aggregation (event-time). */
   def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
@@ -370,6 +376,87 @@ object EventStream {
     * TTL (`dropDuplicatesWithinWatermark`), so burst/bot suppression runs
     * with O(active keys) state, never a log sort.
     */
+  /** Streaming strictly-ordered funnel — the live twin of
+    * [[graft.operators.EventAnalytics.funnel]]: per user, stage i+1 counts
+    * only on an event of its type STRICTLY after the user's first
+    * completion of stage i. State is the prefix of first-completion times
+    * (≤ &#124;stages&#124; longs per user — O(1), no event buffering); a
+    * [[FunnelHit]] row is emitted the moment a user ADVANCES a stage, so
+    * the sink accumulates each user's reached-stage set incrementally —
+    * the dashboard reads stage counts as plain sink aggregates.
+    *
+    * In-order delivery (or a single microbatch, as the one-shot harness
+    * guarantees) makes the greedy first-qualifying scan EQUAL the batch
+    * operator's stacked min-window semantics: processed in (ts, event_id)
+    * order, the first qualifying event IS the minimum qualifying time.
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String]): Dataset[FunnelHit] = {
+    require(stages.size >= 2, "funnelStream: need at least two stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def usOf(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val stageList = stages.toList
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[FunnelState],
+    ): Iterator[FunnelHit] = {
+      val evs = batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+      var times = state.getOption.map(_.times).getOrElse(Nil)
+      var hits = List.empty[FunnelHit]
+      evs.foreach { e =>
+        val k = times.length
+        if (k < stageList.length && e.event_type == stageList(k) && (k == 0 || usOf(e.ts) > times.last)) {
+          times = times :+ usOf(e.ts)
+          hits ::= FunnelHit(userId, k + 1)
+        }
+      }
+      state.update(FunnelState(times))
+      hits.reverseIterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Batch-parity runner for [[funnelStream]]: one microbatch (so greedy ==
+    * batch semantics), then the q83-shaped rollup — stage counts from the
+    * per-advance sink rows plus the same integer-div conversion ratios.
+    */
+  def funnelOneShot(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      stages: Seq[String],
+      queryName: String,
+  ): DataFrame = {
+    import spark.implicits._
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = eventsDf.select(colsInOrder.map(col): _*)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(writeTemp(ev, queryName, singleFile = true))
+    val q = funnelStream(stream.as[Event], stages)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stageDf = stages.zipWithIndex.map { case (st, i) => (i + 1, st) }.toDF("stage", "event_type")
+    val counts = spark.table(queryName).groupBy(col("stage")).agg(count(lit(1)).as("users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+    stageDf
+      .join(counts, Seq("stage"), "left")
+      .na
+      .fill(0L, Seq("users"))
+      .withColumn("prev", coalesce(lag(col("users"), 1).over(w), col("users")))
+      .withColumn("conv_scaled", when(col("prev") > 0, expr("(users * 1000000) div prev")).otherwise(lit(0L)))
+      .select(col("stage"), col("event_type"), col("users"), col("conv_scaled"))
+  }
+
   def rateLimitStream(
       events: DataFrame,
       windowMinutes: Int = 10,

@@ -643,4 +643,42 @@ class ExtensionSpec extends SparkSpec {
     // orthogonal centroids: nearest-other-centroid sim quantizes to 0.
     assert(out(0).getLong(4) == 0L && out(1).getLong(4) == 0L)
   }
+
+  test("attributionReport: shared-trigram counts, rank order, boilerplate-gram drop") {
+    import graft.operators.Decontaminate
+    val evalDf = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma epsilon"),   // shares 1 trigram (alpha beta gamma)
+      (2L, "x alpha beta gamma delta y"), // shares 2 trigrams
+      (3L, "nothing in common here"),
+    ).toDF("doc_id", "text")
+    val out = Decontaminate
+      .attributionReport(corpus, evalDf, "doc_id", "text", n = 3, k = 3, maxDf = 50L)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1, 2L, 2L), (2, 1L, 1L)))
+    // with maxDf = 1 the trigram shared by docs 1 AND 2 is boilerplate:
+    // doc 1 loses its only link; doc 2 keeps its unique gram.
+    val tight = Decontaminate
+      .attributionReport(corpus, evalDf, "doc_id", "text", n = 3, k = 3, maxDf = 1L)
+      .collect()
+    assert(tight.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((2L, 1L)))
+  }
+
+  test("thresholdSweep: counts match direct pair materializations at each threshold") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val sweep = Dedup
+      .thresholdSweep(docs, "doc_id", "text", k = 8, bands = 4, thresholdPcts = Seq(50, 80, 90))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (t <- Seq(50, 80, 90)) {
+      val direct = Dedup
+        .minhashNearDupPairs(docs, "doc_id", "text", 8, 4, threshold = t / 100.0, minAgree = 4)
+      val nPairs = direct.count()
+      val nDocs = direct.select(col("id_a").as("d")).unionAll(direct.select(col("id_b").as("d")))
+        .distinct().count()
+      assert(sweep(t) == (nPairs, nDocs), s"threshold $t")
+    }
+    // monotone: raising the threshold never adds pairs.
+    assert(sweep(50)._1 >= sweep(80)._1 && sweep(80)._1 >= sweep(90)._1)
+  }
 }

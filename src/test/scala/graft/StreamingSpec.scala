@@ -286,4 +286,39 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1).session_start == ts("2024-01-01 11:45:00"), s"start must extend backwards: ${u1(1)}")
     assert(u1(1).n_events == 2 && u1(1).total_value == 3.0)
   }
+
+  test("funnelOneShot: streaming funnel equals the batch operator on real events") {
+    val ev = Tables.events(spark, sf())
+    val stages = Seq("view", "click", "purchase")
+    val streaming = EventStream
+      .funnelOneShot(spark, ev, stages, "graft_test_funnel")
+      .as[(Int, String, Long, Long)]
+      .collect()
+      .toSet
+    val batch = graft.operators.EventAnalytics
+      .funnel(ev, "user_id", "ts", "event_type", stages)
+      .as[(Int, String, Long, Long)]
+      .collect()
+      .toSet
+    assert(streaming == batch && streaming.nonEmpty)
+  }
+
+  test("funnelStream: strict order enforced — a pre-stage click never counts") {
+    import graft.streaming.EventStream.Event
+    def ts(us: Long) = { val t = new Timestamp(us / 1000); t.setNanos((us % 1000000L).toInt * 1000); t }
+    // user 1: click BEFORE any view, then view -> reaches stage 1 only;
+    // user 2: view then click at the SAME microsecond -> strict > rejects.
+    val ev = Seq(
+      Event(1L, ts(1000000L), 1L, "click", 0.0),
+      Event(2L, ts(2000000L), 1L, "view", 0.0),
+      Event(3L, ts(5000000L), 2L, "view", 0.0),
+      Event(4L, ts(5000000L), 2L, "click", 0.0),
+    ).toDF()
+    val out = EventStream
+      .funnelOneShot(spark, ev, Seq("view", "click"), "graft_test_funnel_strict")
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(2))
+      .toMap
+    assert(out == Map(1 -> 2L, 2 -> 0L))
+  }
 }
