@@ -2630,6 +2630,16 @@ object ExtensionQueries {
       Dedup
         .thresholdSweep(t(s, d, "documents"), "doc_id", "text", K, bands = 4, thresholdPcts = SweepPcts)
         .orderBy("threshold_pct")),
+    // ---- User-lifetime survival curve: integer-day lifetimes, descending
+    //      running sum over the tiny histogram, per-mille survival ----
+    "q202_survival_curve" -> ((s, d) =>
+      EventAnalytics.survivalCurve(events(s, d), "user_id", "ts").orderBy("lifetime_days")),
+
+    // ---- Two-level mergeable stats card: per-source partials (KMV sketch
+    //      + min/max/rows) merged WITHOUT a rescan — incremental stats ----
+    "q203_stats_merge" -> ((s, d) =>
+      EventAnalytics
+        .mergeableStatsCard(t(s, d, "documents"), "source", col("text"), col("n_chars"), KmvK)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5312,5 +5322,43 @@ object ExtensionQueries {
                  CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
           FROM th LEFT JOIN pc USING (threshold_pct) LEFT JOIN dc USING (threshold_pct)
           ORDER BY threshold_pct""",
+    // Whole-day integer lifetimes, descending cumulative survivors, the
+    // same integer-div per-mille.
+    "q202_survival_curve" ->
+      """WITH life AS (SELECT user_id,
+                         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS lifetime_days
+                       FROM events GROUP BY user_id),
+              h AS (SELECT lifetime_days, COUNT(*) AS n_users FROM life GROUP BY 1),
+              c AS (SELECT lifetime_days, n_users,
+                      CAST(SUM(n_users) OVER (ORDER BY lifetime_days DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving,
+                      CAST(SUM(n_users) OVER () AS BIGINT) AS total
+                    FROM h)
+          SELECT lifetime_days, CAST(n_users AS BIGINT) AS n_users, n_surviving,
+                 n_surviving * 1000 // total AS survival_milli
+          FROM c ORDER BY lifetime_days""",
+    // Per-source k-mins (QUALIFY rank <= k on distinct hashes) merged by
+    // distinct-union + re-take-k — the KMV merge property makes this EQUAL
+    // the direct global sketch; q129's estimator formula on the result.
+    "q203_stats_merge" -> {
+      val k = KmvK
+      s"""WITH d AS (SELECT source, ${sqlHash64("text")} AS h, n_chars FROM documents),
+              basic AS (SELECT source, COUNT(*) AS n_rows, MIN(n_chars) AS min_v, MAX(n_chars) AS max_v
+                        FROM d GROUP BY source),
+              dh AS (SELECT DISTINCT source, h FROM d),
+              pm AS (SELECT source, h FROM (
+                       SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+                       FROM dh) WHERE rn <= $k),
+              merged AS (SELECT DISTINCT h FROM pm ORDER BY h LIMIT $k),
+              mk AS (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_min FROM merged),
+              mb AS (SELECT COUNT(*) AS n_parts, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                       MIN(min_v) AS min_v, MAX(max_v) AS max_v
+                     FROM basic)
+          SELECT CAST(mb.n_parts AS BIGINT) AS n_parts, mb.n_rows, mb.min_v, mb.max_v,
+                 CAST(mk.n_sketch AS BIGINT) AS n_sketch, mk.kth_min,
+                 CASE WHEN mk.n_sketch < $k THEN CAST(mk.n_sketch AS DOUBLE)
+                      ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / mk.kth_min END AS est_distinct
+          FROM mb CROSS JOIN mk"""
+    },
   )
 }

@@ -1228,4 +1228,99 @@ object EventAnalytics {
       .groupBy(col(typeCol), expr(s"__late div $bucketMicros").as("bucket"))
       .agg(count(lit(1)).as("n"), max(col("__late")).as("max_late_us"))
   }
+
+  /** User-lifetime survival curve (Kaplan–Meier shape without censoring —
+    * every user's span is fully observed in the log): lifetime = whole days
+    * between first and last event; `n_surviving(t)` = users whose lifetime
+    * is ≥ t; `survival_milli = n_surviving·1000 div total` — the retention
+    * curve product teams read before any cohort drilldown.
+    *
+    * Scale: one user-keyed partial aggregate collapses the log to a row
+    * per user, a second collapses to the ≤ span-days histogram; the
+    * descending running sum and the total run on THAT tiny table (the
+    * [[Quality.equiDepthHistogram]] stance on single-partition windows
+    * over collapsed relations). All integer arithmetic.
+    */
+  def survivalCurve(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val life = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"))
+      .groupBy(col(userCol))
+      .agg(expr("(max(__us) - min(__us)) div 86400000000").as("lifetime_days"))
+    val hist = life.groupBy(col("lifetime_days")).agg(count(lit(1)).as("n_users"))
+    val wDesc = Window
+      .orderBy(col("lifetime_days").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("n_surviving", sum(col("n_users")).over(wDesc))
+      .withColumn("__total", sum(col("n_users")).over(wAll))
+      .select(
+        col("lifetime_days"),
+        col("n_users"),
+        col("n_surviving"),
+        expr("n_surviving * 1000 div __total").as("survival_milli"),
+      )
+  }
+
+  /** Two-level MERGEABLE stats card — the incremental-maintenance
+    * demonstration: per-partition partials (rows, min/max, a bounded
+    * [[graft.functions.MinKAggregator]] KMV sketch of the key) roll up to
+    * the global card WITHOUT rescanning the data, because every statistic
+    * is mergeable — sums/min/max trivially, and the k smallest distinct
+    * hashes of a union are always contained in the union of per-part
+    * k-smallest sets (the KMV merge property). At 100 TB this is how
+    * table stats stay fresh under appends: re-card the new partition,
+    * merge.
+    *
+    * Output is ONE row: part count, merged rows/min/max, merged sketch
+    * size, kth min, and the KMV distinct estimate for the whole table.
+    */
+  def mergeableStatsCard(
+      df: DataFrame,
+      partCol: String,
+      keyExpr: Column,
+      valueCol: Column,
+      k: Int = 64,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numerator = (k - 1).toDouble * (1L << 60).toDouble
+    val basic = df
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"), min(valueCol).as("min_v"), max(valueCol).as("max_v"))
+    val sketch = df
+      .select(col(partCol), graft.functions.Hashing.hash64(keyExpr).as("__h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinKAggregator(k).toColumn.name("__mins"))
+      .toDF(partCol, "__mins")
+    val partials = Lineage.truncate(basic.join(sketch, Seq(partCol)))
+    val mergedBasic = partials
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+      )
+    val mergedMins = partials
+      .select(explode(col("__mins")).as("__h"))
+      .distinct()
+      .orderBy(col("__h"))
+      .limit(k)
+      .agg(count(lit(1)).as("n_sketch"), max(col("__h")).as("kth_min"))
+    mergedBasic
+      .crossJoin(mergedMins)
+      .select(
+        col("n_parts"),
+        col("n_rows"),
+        col("min_v"),
+        col("max_v"),
+        col("n_sketch"),
+        col("kth_min"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit(numerator) / col("kth_min").cast("double"))
+          .as("est_distinct"),
+      )
+  }
 }

@@ -434,4 +434,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 3L && out(0).getLong(3) == 5000000L)
     assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 1L && out(1).getLong(3) == 14000000L)
   }
+
+  test("survivalCurve: hand-computed lifetimes, descending survivors, per-mille") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, ts(0L)), (1L, ts(2 * day)),       // lifetime 2
+      (2L, ts(0L)), (2L, ts(2 * day + 1L)),  // lifetime 2 (floor)
+      (3L, ts(5 * day)),                     // single event: lifetime 0
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.survivalCurve(ev, "user_id", "ts").orderBy("lifetime_days").collect()
+    // day 0: 1 user, 3 surviving (all live >= 0), 1000; day 2: 2 users, 2 surviving, 666.
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 1L, 3L, 1000L), (2L, 2L, 2L, 666L)))
+  }
+
+  test("mergeableStatsCard: the merged card EQUALS the direct global sketch (KMV merge property)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val merged = EventAnalytics
+      .mergeableStatsCard(docs, "source", col("text"), col("n_chars"), k = 16)
+      .head()
+    val direct = EventAnalytics
+      .kmvDistinct(docs.withColumn("g", lit("all")), "g", col("text"), k = 16)
+      .head()
+    // merged (n_sketch, kth_min, est) must equal the one-level global sketch.
+    assert(merged.getLong(4) == direct.getLong(1))
+    assert(merged.getLong(5) == direct.getLong(2))
+    assert(merged.getDouble(6) == direct.getDouble(3))
+    // and the basic stats match direct aggregation.
+    val b = docs.agg(count(lit(1)), min(col("n_chars")), max(col("n_chars"))).head()
+    assert(merged.getLong(1) == b.getLong(0))
+  }
 }

@@ -505,4 +505,24 @@ class PlanSpec extends SparkSpec {
       s"the small sides must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian surface:\n$p")
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes the partitioned fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables
+      .events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim filter is on a NON-join column: a join-key filter would
+    // constant-propagate into a STATIC partition filter (also pruning, but
+    // not the runtime mechanism under test).
+    val dim = Tables
+      .events(spark, sf())
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 0)
+    val joined = fact.join(dim, Seq("event_type")).agg(count(lit(1)))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"the partitioned scan must carry a dynamic pruning predicate from the dim filter:\n$p")
+  }
 }
