@@ -477,6 +477,29 @@ object ExtensionQueries {
       .mkString(",\n")
   }
 
+  /** q82's BM25 mirror — ALSO the oracle of q204's index-backed scorer
+    * (shard transparency: the scored-postings answer must be bit-identical
+    * to the corpus scan).
+    */
+  private def sqlBm25: String =
+      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_len FROM tl),
+            tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tl),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf, CAST(MIN(dl) AS BIGINT) AS dl FROM tok
+                   WHERE token IN (${Bm25Query.map(w => s"'$w'").mkString(", ")})
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            idf AS (SELECT token,
+                      CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_s,
+                      n_docs, total_len
+                    FROM df CROSS JOIN stats),
+            sc AS (SELECT tf.doc_id,
+                     (idf_s * tf.tf * 22 * total_len)
+                       // (10 * tf.tf * total_len + 3 * total_len + 9 * tf.dl * n_docs) AS term_score
+                   FROM tf JOIN idf USING (token))
+          SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(term_score) AS BIGINT) AS score
+          FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Exact dedup: content-hash groups with survivor choice ----
     "q20_dedup_exact" -> ((s, d) => {
@@ -2640,6 +2663,36 @@ object ExtensionQueries {
     "q203_stats_merge" -> ((s, d) =>
       EventAnalytics
         .mergeableStatsCard(t(s, d, "documents"), "source", col("text"), col("n_chars"), KmvK)),
+    // ---- Index-backed BM25: scored sharded postings + norms answer the
+    //      query bit-identically to the corpus scan (q82's oracle) ----
+    "q204_index_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val postings = Retrieval.scoredPostings(docs, "doc_id", "text", maxPostings = IndexMaxPostings)
+      val norms = docs.select(
+        col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).as("dl"))
+      Retrieval
+        .bm25FromIndex(postings, norms, Bm25Query, k = 20)
+        .withColumnRenamed("doc", "doc_id")
+    }),
+
+    // ---- Concurrent-sessions gauge: sweep line over q44-rule session
+    //      intervals, two-phase global running sum, per-hour max ----
+    "q205_concurrent_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000000
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables
+        .events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wOrd))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      EventAnalytics.concurrentSessions(sess, "start_us", "end_us").orderBy("hr")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3345,24 +3398,9 @@ object ExtensionQueries {
     // BM25 with k1=6/5, b=3/4 multiplied out to one integer rational per
     // term (numerator and denominator scaled by 10*total_len); idf is the
     // scaled-long ln rule; `//` == Spark `div` on positive longs.
-    "q82_bm25_topk" ->
-      s"""WITH tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-            stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_len FROM tl),
-            tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tl),
-            tf AS (SELECT doc_id, token, COUNT(*) AS tf, CAST(MIN(dl) AS BIGINT) AS dl FROM tok
-                   WHERE token IN (${Bm25Query.map(w => s"'$w'").mkString(", ")})
-                   GROUP BY doc_id, token),
-            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-            idf AS (SELECT token,
-                      CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_s,
-                      n_docs, total_len
-                    FROM df CROSS JOIN stats),
-            sc AS (SELECT tf.doc_id,
-                     (idf_s * tf.tf * 22 * total_len)
-                       // (10 * tf.tf * total_len + 3 * total_len + 9 * tf.dl * n_docs) AS term_score
-                   FROM tf JOIN idf USING (token))
-          SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(term_score) AS BIGINT) AS score
-          FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+    "q82_bm25_topk" -> sqlBm25,
+    "q204_index_bm25" -> sqlBm25,
+
     // Posting lists string-rendered (content AND order pinned); DISTINCT
     // tokens per doc, so df == posting length.
     "q85_posting_lists" ->
@@ -5360,5 +5398,31 @@ object ExtensionQueries {
                       ELSE (CAST(${k - 1} AS DOUBLE) * ${1L << 60}) / mk.kth_min END AS est_distinct
           FROM mb CROSS JOIN mk"""
     },
+    // q44's session CTEs reduced to (start_us, end_us) intervals, then the
+    // sweep line as ONE global window (the mirror states semantics; the
+    // Spark side uses the two-phase offsets plan).
+    "q205_concurrent_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id,
+                  SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+                  us
+           FROM flagged),
+         iv AS (SELECT MIN(us) AS start_us, MAX(us) AS end_us FROM sess GROUP BY user_id, session_id),
+         deltas AS (SELECT start_us AS us, 1 AS d FROM iv
+                    UNION ALL SELECT end_us + 1, -1 FROM iv),
+         net AS (SELECT us, CAST(SUM(d) AS BIGINT) AS net FROM deltas GROUP BY us),
+         c AS (SELECT us // 3600000000 AS hr,
+                 SUM(net) OVER (ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM net)
+         SELECT hr, CAST(MAX(cum) AS BIGINT) AS max_concurrent
+         FROM c GROUP BY hr ORDER BY hr""",
   )
 }

@@ -1323,4 +1323,38 @@ object EventAnalytics {
           .as("est_distinct"),
       )
   }
+
+  /** Concurrency gauge from session intervals (sweep line): +1 at each
+    * session start, −1 just after its inclusive end, and the running sum IS
+    * the number of simultaneously open sessions — reported as the per-hour
+    * maximum, the load number capacity planning reads. Hours with no
+    * boundary events carry the previous level and are omitted (the gauge
+    * didn't change).
+    *
+    * Scale: the interval table collapses to one (µs, net) row per distinct
+    * boundary timestamp (partial agg), and the GLOBAL running sum is the
+    * two-phase trick — per-hour net totals → tiny offsets table (window
+    * over hours only) broadcast back → hour-local cumulative windows. No
+    * single-partition pass over the boundary table.
+    */
+  def concurrentSessions(sessions: DataFrame, startUsCol: String, endUsCol: String): DataFrame = {
+    val deltas = sessions
+      .select(col(startUsCol).as("us"), lit(1L).as("d"))
+      .unionAll(sessions.select((col(endUsCol) + 1).as("us"), lit(-1L).as("d")))
+      .groupBy(col("us"))
+      .agg(sum(col("d")).as("net"))
+      .withColumn("hr", expr("us div 3600000000"))
+    val wOff = Window.orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas
+      .groupBy(col("hr"))
+      .agg(sum(col("net")).as("__hnet"))
+      .withColumn("off", coalesce(sum(col("__hnet")).over(wOff), lit(0L)))
+      .select(col("hr"), col("off"))
+    val wHr = Window.partitionBy(col("hr")).orderBy(col("us")).rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .join(broadcast(offsets), Seq("hr"))
+      .withColumn("__cum", col("off") + sum(col("net")).over(wHr))
+      .groupBy(col("hr"))
+      .agg(max(col("__cum")).as("max_concurrent"))
+  }
 }

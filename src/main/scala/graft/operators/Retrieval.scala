@@ -376,4 +376,88 @@ object Retrieval {
       .filter(col("cnt") * minFreqDen >= col("n_total") * minFreqNum)
       .select(col("v").as("value"), col("cnt"), col("n_total"))
   }
+
+  /** Scored (payload-carrying) sharded posting lists — the REAL IR index
+    * format next to [[postingListsSharded]]'s id-only lists: each posting
+    * carries `(doc, tf, dl)`, i.e. the term frequency and the inlined
+    * length norm, so query-time BM25 needs NO join back to the corpus.
+    * Hot tokens range-shard over `ceil(df / maxPostings)` deterministic
+    * doc-hash buckets exactly like the id-only form; a (doc, token) pair
+    * lives in exactly one shard.
+    *
+    * Scale: one (doc, token) aggregation builds the tf table (map-side
+    * combined), one count-only pass learns df, and the list aggregation is
+    * keyed by (token, shard) so no reducer sees more than ~`maxPostings`
+    * payload structs.
+    */
+  def scoredPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Long,
+  ): DataFrame = {
+    require(maxPostings >= 1, s"scoredPostings: maxPostings must be >= 1: $maxPostings")
+    val tf = Lineage.truncate(
+      docs
+        .select(col(idCol).as("doc"), TextAnalysis.wsTokens(col(textCol)).as("__toks"))
+        .select(col("doc"), size(col("__toks")).as("dl"), explode(col("__toks")).as("token"))
+        .groupBy(col("doc"), col("token"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    )
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfT, Seq("token"))
+      .withColumn(
+        "shard",
+        pmod(Hashing.hash64(col("doc").cast("string")), expr(s"(df + ${maxPostings - 1}) div $maxPostings")),
+      )
+      .groupBy(col("token"), col("shard"))
+      .agg(
+        min(col("df")).as("df"),
+        sort_array(collect_list(struct(col("doc"), col("tf"), col("dl")))).as("postings"),
+      )
+  }
+
+  /** Query-time BM25 over a [[scoredPostings]] index + a norms table
+    * (doc, dl): fetch the query terms' posting rows, explode the payloads,
+    * score with the SAME integer-rational formula as [[bm25TopK]] — the
+    * index answer is bit-identical to the corpus-scan answer (the
+    * shard-transparency invariant q204 pins against q82's oracle). The
+    * corpus itself is never touched: totals are a scalar aggregate over
+    * the norms table, and everything else is query-term-sized.
+    */
+  def bm25FromIndex(
+      postings: DataFrame,
+      norms: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25FromIndex: empty query")
+    val totals = norms.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val sel = postings.filter(col("token").isin(queryTerms: _*))
+    val tfRows = sel.select(col("token"), col("df"), explode(col("postings")).as("p"))
+      .select(col("token"), col("df"), col("p.doc").as("doc"), col("p.tf").as("tf"), col("p.dl").as("dl"))
+    val idf = sel
+      .groupBy(col("token"))
+      .agg(min(col("df")).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"),
+        floor(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6 + 0.5
+        ).cast("long").as("idf_s"),
+        col("n_docs"),
+        col("total_len"),
+      )
+    tfRows
+      .join(broadcast(idf), Seq("token"))
+      .select(
+        col("doc"),
+        expr("(idf_s * tf * 22 * total_len) div (10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)")
+          .as("term_score"),
+      )
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+  }
 }

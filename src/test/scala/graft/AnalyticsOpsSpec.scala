@@ -465,4 +465,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     val b = docs.agg(count(lit(1)), min(col("n_chars")), max(col("n_chars"))).head()
     assert(merged.getLong(1) == b.getLong(0))
   }
+
+  test("concurrentSessions: sweep-line closed form and cross-hour offset carry") {
+    val hr = 3600000000L
+    val sameHour = Seq((0L, 10L), (5L, 15L), (20L, 30L)).toDF("start_us", "end_us")
+    val a = EventAnalytics.concurrentSessions(sameHour, "start_us", "end_us").collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L)))
+    // [0, 2h] overlaps [1.5h, 1.66h]: hour 1's max of 2 needs hour 0's
+    // running level carried across the bucket boundary.
+    val crossHour = Seq((0L, 2 * hr), (hr + hr / 2, hr + 2 * hr / 3)).toDF("start_us", "end_us")
+    val b = EventAnalytics.concurrentSessions(crossHour, "start_us", "end_us")
+      .orderBy("hr").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(b == Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+  }
 }

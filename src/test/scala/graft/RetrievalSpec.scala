@@ -298,4 +298,25 @@ class RetrievalSpec extends SparkSpec {
     assert(out(("a", "c"))._2 === 1098612L)
     assert(out(("b", "a"))._2 === 405465L)
   }
+
+  test("index-backed BM25 is bit-identical to the corpus scan on a fresh query") {
+    import graft.operators.Retrieval
+    import graft.functions.TextAnalysis
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val query = Seq("data", "parquet", "cluster")
+    val scan = Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val postings = Retrieval.scoredPostings(docs, "doc_id", "text", maxPostings = 8L)
+    val norms = docs.select(col("doc_id"), size(TextAnalysis.wsTokens(col("text"))).as("dl"))
+    val idx = Retrieval.bm25FromIndex(postings, norms, query, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(idx == scan && scan.nonEmpty)
+    // a (doc, token) pair lives in exactly one shard: total payload count
+    // equals the distinct (doc, token) count.
+    val payloadRows = postings.select(explode(col("postings"))).count()
+    val pairRows = docs
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(payloadRows == pairRows)
+  }
 }
