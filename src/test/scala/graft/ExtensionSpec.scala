@@ -668,9 +668,9 @@ class ExtensionSpec extends SparkSpec {
   test("thresholdSweep: counts match direct pair materializations at each threshold") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val sweep = Dedup
-      .thresholdSweep(docs, "doc_id", "text", k = 8, bands = 4, thresholdPcts = Seq(50, 80, 90))
+      .thresholdSweep(docs, "doc_id", "text", k = 8, bands = 4, thresholdPcts = Seq(70, 80, 90))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    for (t <- Seq(50, 80, 90)) {
+    for (t <- Seq(70, 80, 90)) {
       val direct = Dedup
         .minhashNearDupPairs(docs, "doc_id", "text", 8, 4, threshold = t / 100.0, minAgree = 4)
       val nPairs = direct.count()
@@ -679,6 +679,6 @@ class ExtensionSpec extends SparkSpec {
       assert(sweep(t) == (nPairs, nDocs), s"threshold $t")
     }
     // monotone: raising the threshold never adds pairs.
-    assert(sweep(50)._1 >= sweep(80)._1 && sweep(80)._1 >= sweep(90)._1)
+    assert(sweep(70)._1 >= sweep(80)._1 && sweep(80)._1 >= sweep(90)._1)
   }
 }
