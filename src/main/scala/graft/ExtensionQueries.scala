@@ -2695,6 +2695,14 @@ object ExtensionQueries {
         .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
       EventAnalytics.concurrentSessions(sess, "start_us", "end_us").orderBy("hr")
     }),
+    // ---- Capstone 5 — daily product-analytics batch: volumes, sessions,
+    //      funnel, attribution as ONE materialize-once card ----
+    "q206_events_ops_card" -> ((s, d) =>
+      EventAnalytics
+        .eventsOpsCard(Tables.events(s, d), "user_id", "ts", "event_type", "event_id",
+          gapMinutes = 30, stages = FunnelStages, touchTypes = Seq("view", "click"),
+          convType = "purchase", windowMicros = 7L * 86400L * 1000000L)
+        .orderBy("stat")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5426,5 +5434,46 @@ object ExtensionQueries {
                FROM net)
          SELECT hr, CAST(MAX(cum) AS BIGINT) AS max_concurrent
          FROM c GROUP BY hr ORDER BY hr""",
+    // Each stat is its own already-oracled rule: q44's session flags (the
+    // session COUNT is the flag sum), q83's stacked funnel windows, q123's
+    // last-touch window — composed over one narrowed event projection.
+    "q206_events_ops_card" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS i, epoch_us(ts) AS us, event_type AS t FROM events),
+           vol AS (SELECT COUNT(*) AS ne, COUNT(DISTINCT u) AS nu FROM e),
+           fl AS (SELECT CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY u ORDER BY us, i)),
+           sess AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_sessions FROM fl),
+           s0 AS (SELECT *, MIN(CASE WHEN t = 'view' THEN us END) OVER (PARTITION BY u) AS t0 FROM e),
+           s1 AS (SELECT *, MIN(CASE WHEN t = 'click' AND us > t0 THEN us END) OVER (PARTITION BY u) AS t1 FROM s0),
+           s2 AS (SELECT *, MIN(CASE WHEN t = 'purchase' AND us > t1 THEN us END) OVER (PARTITION BY u) AS t2 FROM s1),
+           pu AS (SELECT u, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM s2 GROUP BY u),
+           fc AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM pu),
+           ta AS (SELECT *,
+                    last_value(CASE WHEN t IN ('view', 'click') THEN t END IGNORE NULLS)
+                      OVER (PARTITION BY u ORDER BY us, i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+                    last_value(CASE WHEN t IN ('view', 'click') THEN us END IGNORE NULLS)
+                      OVER (PARTITION BY u ORDER BY us, i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lus
+                  FROM (SELECT * FROM e WHERE t IN ('view', 'click', 'purchase'))),
+           acr AS (SELECT COALESCE(CASE WHEN lus IS NOT NULL AND us - lus <= 604800000000 THEN lt END,
+                                   'direct') AS ch
+                   FROM ta WHERE t = 'purchase'),
+           aa AS (SELECT CAST(SUM(CASE WHEN ch = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS av,
+                    CAST(SUM(CASE WHEN ch = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS acl,
+                    CAST(SUM(CASE WHEN ch = 'direct' THEN 1 ELSE 0 END) AS BIGINT) AS ad
+                  FROM acr)
+         SELECT stat, value FROM (
+           SELECT 'n_events' AS stat, CAST(ne AS BIGINT) AS value FROM vol
+           UNION ALL SELECT 'n_users', CAST(nu AS BIGINT) FROM vol
+           UNION ALL SELECT 'n_sessions', n_sessions FROM sess
+           UNION ALL SELECT 'funnel_view', CAST(n0 AS BIGINT) FROM fc
+           UNION ALL SELECT 'funnel_click', CAST(n1 AS BIGINT) FROM fc
+           UNION ALL SELECT 'funnel_purchase', CAST(n2 AS BIGINT) FROM fc
+           UNION ALL SELECT 'attr_view', av FROM aa
+           UNION ALL SELECT 'attr_click', acl FROM aa
+           UNION ALL SELECT 'attr_direct', ad FROM aa)
+         ORDER BY stat""",
   )
 }

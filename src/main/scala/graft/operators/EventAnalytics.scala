@@ -1357,4 +1357,85 @@ object EventAnalytics {
       .groupBy(col("hr"))
       .agg(max(col("__cum")).as("max_concurrent"))
   }
+
+  /** Events-pipeline capstone — the daily product-analytics batch as ONE
+    * composition: volumes, session count, strict-funnel stage counts, and
+    * last-touch attribution conversions, emitted as a (stat, value) card.
+    * Every number is an existing operator's rule ([[funnel]]'s stacked
+    * min-windows, the q44 session-flag rule, [[lastTouchAttribution]]'s
+    * window) so the card cannot drift from the individually-oracled pieces.
+    *
+    * Scale: the log narrows to (user, id, µs, type) and materializes ONCE
+    * ([[Lineage.truncate]]); the four consumers are each one user-keyed
+    * window/aggregate pass over that fixed-width table. Session COUNT
+    * needs no per-session groupBy at all — it is the SUM of new-session
+    * flags. Output is a handful of integer rows.
+    */
+  def eventsOpsCard(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      gapMinutes: Int,
+      stages: Seq[String],
+      touchTypes: Seq[String],
+      convType: String,
+      windowMicros: Long,
+  ): DataFrame = {
+    require(stages.size >= 2 && touchTypes.nonEmpty && !touchTypes.contains(convType), "bad card config")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val e = Lineage.truncate(
+      events.select(
+        col(userCol).as("u"),
+        col(idCol).as("i"),
+        unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("t"),
+      )
+    )
+    val wOrd = Window.partitionBy(col("u")).orderBy(col("__us"), col("i"))
+    val vol = e
+      .agg(count(lit(1)).as("ne"), countDistinct(col("u")).as("nu"))
+      .selectExpr("stack(2, 'n_events', cast(ne as long), 'n_users', cast(nu as long)) as (stat, value)")
+    val sessions = e
+      .withColumn("__prev", lag(col("__us"), 1).over(wOrd))
+      .withColumn("__ns", when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .agg(sum(col("__ns")).as("v"))
+      .select(lit("n_sessions").as("stat"), col("v").cast("long").as("value"))
+    val wU = Window.partitionBy(col("u"))
+    val staged = stages.zipWithIndex.foldLeft(e) { case (df, (stage, i)) =>
+      val ordered = if (i == 0) lit(true) else col("__us") > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(col("t") === stage && ordered, col("__us"))).over(wU))
+    }
+    val funnelAggs = stages.indices.map(i => count(col(s"__t$i")).as(s"__n$i"))
+    val funnelRows = stages.zipWithIndex
+      .map { case (st, i) => s"'funnel_$st', cast(__n$i as long)" }
+      .mkString(", ")
+    val funnelCard = staged
+      .groupBy(col("u"))
+      .agg(max(col("__t0")).as("__t0"), stages.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+      .agg(funnelAggs.head, funnelAggs.tail: _*)
+      .selectExpr(s"stack(${stages.size}, $funnelRows) as (stat, value)")
+    val isTouch = col("t").isin(touchTypes: _*)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val attrRows = (touchTypes.map(c => s"'attr_$c', cast(a_$c as long)") :+ "'attr_direct', cast(a_direct as long)")
+      .mkString(", ")
+    val attrCard = e
+      .filter(isTouch || col("t") === convType)
+      .withColumn("__lt", last(when(isTouch, col("t")), ignoreNulls = true).over(wPrev))
+      .withColumn("__lus", last(when(isTouch, col("__us")), ignoreNulls = true).over(wPrev))
+      .filter(col("t") === convType)
+      .withColumn(
+        "__ch",
+        coalesce(when(col("__lus").isNotNull && col("__us") - col("__lus") <= windowMicros, col("__lt")), lit("direct")),
+      )
+      .agg(
+        (touchTypes.map(c => sum(when(col("__ch") === c, 1L).otherwise(0L)).as(s"a_$c")) :+
+          sum(when(col("__ch") === "direct", 1L).otherwise(0L)).as("a_direct")).head,
+        (touchTypes.map(c => sum(when(col("__ch") === c, 1L).otherwise(0L)).as(s"a_$c")) :+
+          sum(when(col("__ch") === "direct", 1L).otherwise(0L)).as("a_direct")).tail: _*
+      )
+      .selectExpr(s"stack(${touchTypes.size + 1}, $attrRows) as (stat, value)")
+    vol.unionAll(sessions).unionAll(funnelCard).unionAll(attrCard)
+  }
 }

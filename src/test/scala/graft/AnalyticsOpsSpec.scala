@@ -478,4 +478,28 @@ class AnalyticsOpsSpec extends SparkSpec {
       .orderBy("hr").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(b == Seq((0L, 1L), (1L, 2L), (2L, 0L)))
   }
+
+  test("eventsOpsCard: every stat equals its standalone operator on real events") {
+    val ev = graft.Tables.events(spark, sf())
+    val card = EventAnalytics
+      .eventsOpsCard(ev, "user_id", "ts", "event_type", "event_id",
+        gapMinutes = 30, stages = Seq("view", "click", "purchase"),
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        windowMicros = 7L * 86400L * 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_events") == ev.count())
+    assert(card("n_users") == ev.select("user_id").distinct().count())
+    val funnel = EventAnalytics
+      .funnel(ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(card("funnel_view") == funnel("view"))
+    assert(card("funnel_click") == funnel("click"))
+    assert(card("funnel_purchase") == funnel("purchase"))
+    val attr = EventAnalytics
+      .lastTouchAttribution(ev, "user_id", "ts", "event_type", "value", "event_id",
+        Seq("view", "click"), "purchase", 7L * 86400L * 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (ch <- Seq("view", "click", "direct"))
+      assert(card(s"attr_$ch") == attr.getOrElse(ch, 0L), ch)
+  }
 }
