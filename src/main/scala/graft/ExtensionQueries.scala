@@ -2703,6 +2703,20 @@ object ExtensionQueries {
           gapMinutes = 30, stages = FunnelStages, touchTypes = Seq("view", "click"),
           convType = "purchase", windowMicros = 7L * 86400L * 1000000L)
         .orderBy("stat")),
+    // ---- Update-mode running counters: unwatermarked per-type totals,
+    //      re-emitted each microbatch; final state == batch census ----
+    "q207_stream_counters" -> ((s, d) =>
+      EventStream
+        .runningCountersOneShot(s, Tables.events(s, d), "graft_q207")
+        .orderBy("event_type")),
+
+    // ---- Within-session funnel: q44 session boundaries as the funnel
+    //      scope — "completed the journey in ONE sitting" ----
+    "q208_session_funnel" -> ((s, d) =>
+      EventAnalytics
+        .sessionFunnel(Tables.events(s, d), "user_id", "ts", "event_type", "event_id",
+          gapMinutes = 30, stages = FunnelStages)
+        .orderBy("stage")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5475,5 +5489,29 @@ object ExtensionQueries {
            UNION ALL SELECT 'attr_click', acl FROM aa
            UNION ALL SELECT 'attr_direct', ad FROM aa)
          ORDER BY stat""",
+    // Update-mode re-emission collapses to the census: counts are monotone,
+    // so MAX-per-key over the update stream == the final total.
+    "q207_stream_counters" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // q44's session CTE as the funnel scope: the stacked min-windows run
+    // PER (user, session) instead of per user.
+    "q208_session_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS i, epoch_us(ts) AS us, event_type AS t FROM events),
+           fl AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                                 THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY u ORDER BY us, i)),
+           sess AS (SELECT *, SUM(ns) OVER (PARTITION BY u ORDER BY us, i
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                    FROM fl),
+           s0 AS (SELECT *, MIN(CASE WHEN t = 'view' THEN us END) OVER (PARTITION BY u, sid) AS t0 FROM sess),
+           s1 AS (SELECT *, MIN(CASE WHEN t = 'click' AND us > t0 THEN us END) OVER (PARTITION BY u, sid) AS t1 FROM s0),
+           s2 AS (SELECT *, MIN(CASE WHEN t = 'purchase' AND us > t1 THEN us END) OVER (PARTITION BY u, sid) AS t2 FROM s1),
+           pu AS (SELECT u, sid, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM s2 GROUP BY u, sid),
+           c AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM pu)
+         SELECT 1 AS stage, 'view' AS event_type, CAST(n0 AS BIGINT) AS sessions FROM c
+         UNION ALL SELECT 2, 'click', CAST(n1 AS BIGINT) FROM c
+         UNION ALL SELECT 3, 'purchase', CAST(n2 AS BIGINT) FROM c
+         ORDER BY stage""",
   )
 }

@@ -1438,4 +1438,46 @@ object EventAnalytics {
       .selectExpr(s"stack(${touchTypes.size + 1}, $attrRows) as (stat, value)")
     vol.unionAll(sessions).unionAll(funnelCard).unionAll(attrCard)
   }
+
+  /** Within-session strict funnel: [[funnel]]'s stacked min-windows scoped
+    * to q44-rule session boundaries — stage i+1 counts only strictly after
+    * stage i INSIDE the same sitting. The product metric "completed the
+    * journey in one session", which the per-user funnel over-counts
+    * whenever the journey spans days. Returns per-stage SESSION counts.
+    *
+    * Scale: sessionizing windows and the per-(user, session) funnel
+    * windows are all keyed by user — one exchange carries every stage.
+    */
+  def sessionFunnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      gapMinutes: Int,
+      stages: Seq[String],
+  ): DataFrame = {
+    require(stages.size >= 2, "sessionFunnel: need at least two stages")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    val sess = events
+      .select(col(userCol), col(idCol), col(typeCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(wOrd))
+      .withColumn("__ns", when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__ns")).over(wOrd))
+    val wS = Window.partitionBy(col(userCol), col("__sid"))
+    val staged = stages.zipWithIndex.foldLeft(sess) { case (df, (stage, i)) =>
+      val ordered = if (i == 0) lit(true) else col("__us") > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(col(typeCol) === stage && ordered, col("__us"))).over(wS))
+    }
+    val aggs = stages.indices.map(i => count(col(s"__t$i")).as(s"__n$i"))
+    val rows = stages.zipWithIndex
+      .map { case (st, i) => s"${i + 1}, '$st', cast(__n$i as long)" }
+      .mkString(", ")
+    staged
+      .groupBy(col(userCol), col("__sid"))
+      .agg(max(col("__t0")).as("__t0"), stages.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${stages.size}, $rows) as (stage, event_type, sessions)")
+  }
 }

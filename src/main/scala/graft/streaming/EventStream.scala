@@ -457,6 +457,48 @@ object EventStream {
       .select(col("stage"), col("event_type"), col("users"), col("conv_scaled"))
   }
 
+  /** Update-mode running counters: per-type cumulative event counts with
+    * NO watermark — state never expires, every microbatch RE-EMITS the
+    * keys it touched with their new running totals (the live-dashboard
+    * output mode, distinct from append's emit-once-when-final and
+    * complete's emit-everything). Counts are monotone, so the sink's
+    * latest value per key is simply its MAX — which is how
+    * [[runningCountersOneShot]] reads the final state deterministically
+    * regardless of how many microbatches ran.
+    */
+  def runningCounters(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** Multi-microbatch parity runner for [[runningCounters]]: the input is
+    * split in two files (`maxFilesPerTrigger=1`) so keys are UPDATED at
+    * least twice and the update-mode re-emission actually runs; the final
+    * per-key count (MAX over its updates) must equal the batch census.
+    */
+  def runningCountersOneShot(spark: SparkSession, eventsDf: DataFrame, queryName: String): DataFrame = {
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = eventsDf.select(colsInOrder.map(col): _*)
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val rest = ev.filter(col("event_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
+    writeOrderedBatches(dir, Seq(half.coalesce(1), rest.coalesce(1)))
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = runningCounters(stream)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark
+      .table(queryName)
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"))
+  }
+
   def rateLimitStream(
       events: DataFrame,
       windowMinutes: Int = 10,

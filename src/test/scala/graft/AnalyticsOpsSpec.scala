@@ -502,4 +502,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     for (ch <- Seq("view", "click", "direct"))
       assert(card(s"attr_$ch") == attr.getOrElse(ch, 0L), ch)
   }
+
+  test("sessionFunnel: a journey split across sessions does not convert") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val hour = 3600000000L
+    val ev = Seq(
+      // user 1, session 1: view -> click (converts stage 2 in-session)
+      (1L, 1L, ts(0L), "view", 0.0), (2L, 1L, ts(60000000L), "click", 0.0),
+      // user 1, session 2 (2h later): view only
+      (3L, 1L, ts(2 * hour), "view", 0.0),
+      // user 2: view, then click TWO HOURS later - a NEW session, so the
+      // per-user funnel would count it but the session funnel must not.
+      (4L, 2L, ts(0L), "view", 0.0), (5L, 2L, ts(2 * hour), "click", 0.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics
+      .sessionFunnel(ev, "user_id", "ts", "event_type", "event_id", gapMinutes = 30,
+        stages = Seq("view", "click"))
+      .orderBy("stage").collect()
+    // sessions with a view: u1s1, u1s2, u2s1 = 3 (u2's click-only session has none);
+    // sessions converting in-session: only u1s1.
+    assert(out.map(r => (r.getInt(0), r.getLong(2))).toSeq == Seq((1, 3L), (2, 1L)))
+    val userFunnel = EventAnalytics
+      .funnel(ev, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(userFunnel("click") == 2L) // the per-user funnel counts both users
+  }
 }

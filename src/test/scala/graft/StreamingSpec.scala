@@ -321,4 +321,18 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(out == Map(1 -> 2L, 2 -> 0L))
   }
+
+  test("runningCountersOneShot: update mode re-emits per microbatch; final state == census") {
+    val ev = Tables.events(spark, sf())
+    val out = EventStream
+      .runningCountersOneShot(spark, ev, "graft_test_counters")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val census = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == census)
+    // re-emission proof: the sink holds MORE update rows than keys (every
+    // type appears in both microbatches on this data).
+    val sinkRows = spark.table("graft_test_counters").count()
+    assert(sinkRows > census.size)
+  }
 }
