@@ -337,6 +337,34 @@ object ExtensionQueries {
     * by |V| (truncating) and added to every node's inflow before damping —
     * the same integer rule as the Spark side, unrolled to chained CTEs.
     */
+  /** DuckDB mirror of [[graft.operators.Graph.pageRankWeighted]] over the
+    * support-weighted user co-occurrence graph: per-edge truncating
+    * `(rank*w) // outw` contributions, unrolled to chained CTEs.
+    */
+  private def sqlPageRankWeighted(iters: Int): String = {
+    val rounds = (1 to iters)
+      .map { i =>
+        s"""c$i AS (SELECT e.dst, CAST(SUM((r.rank_s * e.w) // o.outw) AS BIGINT) AS in_s
+                    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN od o ON e.src = o.node
+                    GROUP BY e.dst),
+            r$i AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.in_s, 0) // 100 AS BIGINT) AS rank_s
+                    FROM n LEFT JOIN c$i c ON n.node = c.dst)"""
+      }
+      .mkString(",\n            ")
+    s"""WITH bk AS (SELECT DISTINCT user_id, event_type,
+                      epoch_us(ts) // 3600000000 AS hr FROM events),
+            e0 AS (SELECT l.user_id AS a, r.user_id AS b, CAST(COUNT(*) AS BIGINT) AS w
+                   FROM bk l JOIN bk r ON l.hr = r.hr AND l.event_type = r.event_type
+                                      AND l.user_id < r.user_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            e AS (SELECT a AS src, b AS dst, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+            n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+            od AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_s FROM n),
+            $rounds
+        SELECT node, rank_s FROM r$iters ORDER BY node"""
+  }
+
   private def sqlPageRankDangling(iters: Int): String = {
     val rounds = (1 to iters)
       .map { i =>
@@ -2717,6 +2745,27 @@ object ExtensionQueries {
         .sessionFunnel(Tables.events(s, d), "user_id", "ts", "event_type", "event_id",
           gapMinutes = 30, stages = FunnelStages)
         .orderBy("stage")),
+    // ---- Near-dup pair review panel: jaccard + simhash hamming + size
+    //      ratio side by side — disagreement IS the signal ----
+    "q209_pair_diagnostics" -> ((s, d) =>
+      Dedup
+        .pairDiagnostics(t(s, d, "documents"), "doc_id", "text", K, bands = 4, threshold = 0.7,
+          simBits = SimBits)
+        .orderBy("id_a", "id_b")),
+
+    // ---- Weighted PageRank on the support-weighted co-occurrence graph:
+    //      contribution proportional to edge weight, integer-exact ----
+    "q210_weighted_pagerank" -> ((s, d) => {
+      val und = Graph.cooccurrenceEdges(
+        Tables
+          .events(s, d)
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr")),
+        itemCol = "user_id", bucketCols = Seq("event_type", "hr"), minSupport = 3)
+      val directed = und
+        .select(col("a").as("src"), col("b").as("dst"), col("sup"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("sup")))
+      Graph.pageRankWeighted(directed, "src", "dst", "sup", iters = 3).orderBy("node")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5513,5 +5562,22 @@ object ExtensionQueries {
          UNION ALL SELECT 2, 'click', CAST(n1 AS BIGINT) FROM c
          UNION ALL SELECT 3, 'purchase', CAST(n2 AS BIGINT) FROM c
          ORDER BY stage""",
+    // The q22 pair CTE at 0.7 joined to per-doc q23 simhashes and distinct
+    // token counts; hamming via xor + bit_count, ratio in exact per-mille.
+    "q209_pair_diagnostics" ->
+      s"""WITH ${sqlLshPairs("documents", 0.7)},
+              shs AS (SELECT doc_id, $sqlSimhash AS sh
+                      FROM (SELECT doc_id, list_transform($sqlToks, t -> ${sqlHash64("t")}) AS hs
+                            FROM documents)
+                      WHERE len(hs) > 0),
+              nts AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS nt FROM documents)
+          SELECT l.id_a, l.id_b, l.jaccard,
+                 CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming,
+                 least(na.nt, nb.nt) * 1000 // greatest(na.nt, nb.nt) AS size_ratio_milli
+          FROM lshp l
+          JOIN shs sa ON sa.doc_id = l.id_a JOIN shs sb ON sb.doc_id = l.id_b
+          JOIN nts na ON na.doc_id = l.id_a JOIN nts nb ON nb.doc_id = l.id_b
+          ORDER BY l.id_a, l.id_b""",
+    "q210_weighted_pagerank" -> sqlPageRankWeighted(3),
   )
 }

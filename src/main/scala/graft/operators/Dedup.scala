@@ -1292,4 +1292,47 @@ object Dedup {
       .na
       .fill(0L, Seq("n_pairs", "n_docs"))
   }
+
+  /** Near-dup pair review panel: for each banded-LSH pair at or above
+    * `threshold`, the three orthogonal signals a human (or a downstream
+    * auto-labeler) wants side by side — exact Jaccard, SimHash Hamming
+    * distance (order-insensitive bag similarity), and the distinct-token
+    * size ratio in per-mille (a tiny doc inside a big one scores high
+    * Jaccard-of-the-small-side but low ratio). Disagreement between the
+    * columns IS the signal: high Jaccard + high Hamming flags hash
+    * pathologies, high Jaccard + low ratio flags containment, not
+    * duplication.
+    *
+    * Scale: one pair materialization ([[minhashNearDupPairs]]) plus a
+    * per-doc feature table (simhash, token count) materialized once and
+    * joined to both endpoints — pair-sized work after the LSH stage.
+    */
+  def pairDiagnostics(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      simBits: Int = 16,
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
+    val feats = Lineage.truncate(
+      withSimhash(docs.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), simBits)
+        .join(
+          docs.select(col(idCol), size(graft.functions.TextAnalysis.tokenSet(col(textCol))).as("nt")),
+          Seq(idCol),
+        )
+    )
+    pairs
+      .join(feats.select(col(idCol).as("id_a"), col("simhash").as("__sa"), col("nt").as("__na")), Seq("id_a"))
+      .join(feats.select(col(idCol).as("id_b"), col("simhash").as("__sb"), col("nt").as("__nb")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("jaccard"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"),
+        expr("least(__na, __nb) * 1000 div greatest(__na, __nb)").as("size_ratio_milli"),
+      )
+  }
 }

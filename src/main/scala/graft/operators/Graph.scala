@@ -484,6 +484,56 @@ object Graph {
       .agg(count(lit(1)).as("n_reached"), sum(expr("1000000 div d")).as("harmonic_s"))
   }
 
+  /** Weighted PageRank: [[pageRank]]'s integer-exact iteration with edge
+    * weights — each node's contribution splits proportionally to out-edge
+    * weight, `(rank·w) div W(src)` per edge with truncating division, so
+    * every round stays an order-independent integer sum. With all weights
+    * equal this reduces EXACTLY to [[pageRank]] (the spec pins that).
+    * Co-occurrence support, affinity scores, and edge multiplicities plug
+    * in directly as `wCol`.
+    *
+    * Scale: identical two-shuffle-per-round shape — the only new state is
+    * one long per edge; [[SkewJoin]] salting composes the same way if a
+    * hub dominates.
+    */
+  def pageRankWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iters: Int,
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"pageRankWeighted: iters must be in [1, 100]: $iters")
+    val ej = Lineage.truncate(
+      edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
+        .groupBy(col("src"), col("dst"))
+        .agg(max(col("w")).as("w"))
+    )
+    val nodes = Lineage.truncate(
+      ej.select(col("src").as("node")).union(ej.select(col("dst").as("node"))).distinct()
+    )
+    val oj = Lineage.truncate(
+      ej.groupBy(col("src")).agg(sum(col("w")).as("outw")).withColumnRenamed("src", "node")
+    )
+    var ranks = nodes.withColumn("rank_s", lit(1000000L))
+    for (i <- 1 to iters) {
+      val withW = ranks.join(oj, "node")
+      val contrib = ej
+        .join(withW, ej("src") === withW("node"))
+        .select(ej("dst").as("dst"), expr("(rank_s * w) div outw").as("c"))
+      val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_s"))
+      val next = nodes
+        .join(inflow, col("node") === col("dst"), "left_outer")
+        .select(
+          col("node"),
+          (lit(150000L) + expr("85 * coalesce(in_s, CAST(0 AS BIGINT)) div 100")).as("rank_s"),
+        )
+      ranks = if (i == iters) next else Lineage.truncate(next, eager = false)
+    }
+    ranks
+  }
+
   def bfsHops(
       edges: DataFrame,
       srcCol: String,

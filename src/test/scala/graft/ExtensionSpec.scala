@@ -681,4 +681,18 @@ class ExtensionSpec extends SparkSpec {
     // monotone: raising the threshold never adds pairs.
     assert(sweep(70)._1 >= sweep(80)._1 && sweep(80)._1 >= sweep(90)._1)
   }
+
+  test("pairDiagnostics: identical docs score (1.0, hamming 0, ratio 1000); containment scores low ratio") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.pairDiagnostics(docs, "doc_id", "text", k = 8, bands = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3), r.getLong(4))).toMap
+    val dup = out((1L, 2L))
+    assert(dup._1 == 1.0 && dup._2 == 0 && dup._3 == 1000L)
+    // 1 ⊂ 3: jaccard 8/16 = 0.5, ratio 8*1000 div 16 = 500.
+    out.get((1L, 3L)).foreach { c => assert(c._1 == 0.5 && c._3 == 500L) }
+  }
 }

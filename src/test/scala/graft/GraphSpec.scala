@@ -238,4 +238,19 @@ class GraphSpec extends SparkSpec {
     // the landmarks are 4 hops apart: neither reaches the other inside the cap.
     assert(!two.contains(1L) && !two.contains(5L))
   }
+
+  test("pageRankWeighted: uniform weights reduce exactly to pageRank; weight skews the split") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val weighted = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(edges.drop("w"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted == plain)
+    // 1 -> {2 (w=3), 3 (w=1)}: node 2 gets (1e6*3) div 4 = 750000 in round 1.
+    val skew = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(skew, "src", "dst", "w", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) == 150000L + 85L * 750000L / 100L)
+    assert(r(3L) == 150000L + 85L * 250000L / 100L)
+  }
 }
