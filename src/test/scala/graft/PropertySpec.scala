@@ -380,4 +380,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("survivalCurve: survivors are non-increasing in lifetime and anchor at the user count") {
+    import graft.operators.EventAnalytics
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val ev = (1 to 400).map { i =>
+      val u = rnd.nextInt(60).toLong
+      (u, new java.sql.Timestamp(rnd.nextInt(20) * 86400000L + rnd.nextInt(1000)))
+    }.toDF("user_id", "ts")
+    val rows = EventAnalytics.survivalCurve(ev, "user_id", "ts")
+      .orderBy("lifetime_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.head._3 == nUsers) // smallest lifetime row sees every user surviving >= it? no: head is min day
+    // survivors strictly follow the histogram suffix sums and never increase.
+    assert(rows.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(rows.map(_._2).sum == nUsers)
+    // the minimum-lifetime row's survivors count equals the total user count
+    assert(rows.head._3 == rows.map(_._2).sum)
+  }
+
+  test("madOutliers: invariant under row order and group-preserving shuffles") {
+    import graft.operators.EventAnalytics
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 300).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextGaussian() * 10 + rnd.nextInt(3) * 100))
+    val a = EventAnalytics.madOutliers(data.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val b = EventAnalytics.madOutliers(scala.util.Random.shuffle(data).toDF("grp", "v").repartition(7), "grp", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(a == b)
+  }
+
+  test("randomProjection: additive in the quantized domain (JL linearity)") {
+    import graft.operators.Similarity
+    // p(v) for the one-hot sum equals the sum of one-hot projections:
+    // integer exactness means linearity holds EXACTLY, not approximately.
+    val dim = 8
+    val oneHots = (0 until dim).map(j => (j.toLong, Seq.tabulate(dim)(i => if (i == j) 1f else 0f)))
+    val full = (99L, Seq.fill(dim)(1f))
+    val df = (oneHots :+ full).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", dim, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i)).toSeq).toMap
+    val summed = (0 until dim).map(j => out(j.toLong)).transpose.map(_.sum)
+    assert(out(99L) == summed)
+  }
 }
