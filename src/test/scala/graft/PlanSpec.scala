@@ -525,4 +525,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"),
       s"the partitioned scan must carry a dynamic pruning predicate from the dim filter:\n$p")
   }
+
+  test("q193 decay attribution: narrowed projections meet in ONE join, rollup map-side combines") {
+    val p = plan(q("q193_decay_attribution"))
+    assert(!p.contains("Window"), s"no windows in the all-touch join plan:\n$p")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length === 1,
+      s"exactly one touch-conversion join:\n$p")
+    assert(p.contains("partial"), s"channel rollup must map-side combine:\n$p")
+  }
+
+  test("q198 token gini: no single-partition sort of the vocabulary") {
+    val p = plan(q("q198_token_gini"))
+    assert(!p.contains("rangepartitioning"), s"globalRank must not range-sort the vocab:\n$p")
+  }
+
+  test("q202 survival curve: windows run on the collapsed histogram, never the log") {
+    val p = plan(q("q202_survival_curve"))
+    // the only exchanges: user collapse, histogram collapse, single-partition
+    // tiny-table window; the log itself is aggregated before any window.
+    assert(p.contains("partial"), s"the user collapse must partial-aggregate:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over the log:\n$p")
+  }
+
+  test("q204 index-backed BM25: query-term pruning reaches the posting build; totals broadcast") {
+    val p = plan(q("q204_index_bm25"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"idf/totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian surface:\n$p")
+  }
+
+  test("q205 concurrent sessions: per-hour offsets broadcast back, no global range sort") {
+    val p = plan(q("q205_concurrent_sessions"))
+    assert(p.contains("BroadcastHashJoin"), s"the tiny offsets table must broadcast:\n$p")
+  }
 }
