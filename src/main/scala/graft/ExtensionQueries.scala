@@ -122,6 +122,10 @@ object ExtensionQueries {
   private val DecayHalfLifeUs = 3600000000L
   private val DecayMaxShift = 20
   private val LateBucketUs = 60000000L
+  // q209's panel depth: the N most suspicious pairs (highest simhash
+  // hamming among LSH-confirmed near-dups) — a review panel is read by
+  // humans, so its output is bounded by construction.
+  private val PairPanelN = 1000
   // q200's attribution depth and boilerplate-gram fanout bound.
   private val AttribK = 3
   private val AttribMaxDf = 50L
@@ -2751,7 +2755,8 @@ object ExtensionQueries {
       Dedup
         .pairDiagnostics(t(s, d, "documents"), "doc_id", "text", K, bands = 4, threshold = 0.7,
           simBits = SimBits)
-        .orderBy("id_a", "id_b")),
+        .orderBy(col("hamming").desc, col("id_a"), col("id_b"))
+        .limit(PairPanelN)),
 
     // ---- Weighted PageRank on the support-weighted co-occurrence graph:
     //      contribution proportional to edge weight, integer-exact ----
@@ -5577,7 +5582,7 @@ object ExtensionQueries {
           FROM lshp l
           JOIN shs sa ON sa.doc_id = l.id_a JOIN shs sb ON sb.doc_id = l.id_b
           JOIN nts na ON na.doc_id = l.id_a JOIN nts nb ON nb.doc_id = l.id_b
-          ORDER BY l.id_a, l.id_b""",
+          ORDER BY hamming DESC, l.id_a, l.id_b LIMIT $PairPanelN""",
     "q210_weighted_pagerank" -> sqlPageRankWeighted(3),
   )
 }
