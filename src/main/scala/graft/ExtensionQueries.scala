@@ -126,6 +126,9 @@ object ExtensionQueries {
   // hamming among LSH-confirmed near-dups) — a review panel is read by
   // humans, so its output is bounded by construction.
   private val PairPanelN = 1000
+  // q211's OOD fence: members below cos 0.9 (per-micro quantized) to
+  // their own centroid are out-of-distribution for that cell.
+  private val OodThresholdQ = 900000L
   // q200's attribution depth and boilerplate-gram fanout bound.
   private val AttribK = 3
   private val AttribMaxDf = 50L
@@ -2771,6 +2774,20 @@ object ExtensionQueries {
         .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("sup")))
       Graph.pageRankWeighted(directed, "src", "dst", "sup", iters = 3).orderBy("node")
     }),
+    // ---- Embedding OOD census: per-cell share of members below the
+    //      own-centroid similarity fence — the embedding-side data filter ----
+    "q211_ood_census" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      IvfIndex
+        .oodCensus(emb, "vec_id", "embedding",
+          IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0), OodThresholdQ)
+        .orderBy("centroid_id")
+    }),
+
+    // ---- Embedding norm-hygiene report: exact per-micro² squared-norm
+    //      stats per label — catches zero vectors and scale mixing ----
+    "q212_embedding_norms" -> ((s, d) =>
+      Similarity.normReport(t(s, d, "embeddings"), "label", "embedding").orderBy("label")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5584,5 +5601,35 @@ object ExtensionQueries {
           JOIN nts na ON na.doc_id = l.id_a JOIN nts nb ON nb.doc_id = l.id_b
           ORDER BY hamming DESC, l.id_a, l.id_b LIMIT $PairPanelN""",
     "q210_weighted_pagerank" -> sqlPageRankWeighted(3),
+    // q194's assignment CTE with the fence applied to the quantized sim;
+    // the share is an exact integer per-mille.
+    "q211_ood_census" ->
+      s"""WITH c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                     FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              scored AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                         FROM embeddings a CROSS JOIN c b),
+              r AS (SELECT vec_id, centroid_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                    FROM scored),
+              casg AS (SELECT centroid_id, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sq
+                       FROM r WHERE rn = 1)
+          SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN sq < $OodThresholdQ THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+                 CAST(SUM(CASE WHEN sq < $OodThresholdQ THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ood_milli
+          FROM casg GROUP BY centroid_id ORDER BY centroid_id""",
+    // Same per-micro quantization; norms as exact integer sums of squares;
+    // the mean via DECIMAL sum + one IEEE division.
+    "q212_embedding_norms" ->
+      """WITH q AS (SELECT label,
+                      list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+                    FROM embeddings),
+              n2 AS (SELECT label,
+                       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+                     FROM q)
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                 MIN(n2) AS min_norm2_q, MAX(n2) AS max_norm2_q,
+                 CAST(SUM(CAST(n2 AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean_norm2_q
+          FROM n2 GROUP BY label ORDER BY label""",
   )
 }

@@ -268,4 +268,30 @@ object IvfIndex {
       .agg(max(col("__nq")).as("nn_sim_q"))
     own.join(broadcast(sep), Seq("centroid_id"))
   }
+
+  /** Out-of-distribution census over a coarse quantizer: per cell, how many
+    * members sit BELOW `thresholdQ` (per-micro quantized cosine to their
+    * own centroid) — the embedding-side training-data filter ("drop or
+    * re-embed the stragglers") and the drift tripwire (a growing OOD share
+    * in a cell means the corpus moved and the codebook didn't).
+    *
+    * Same zero-shuffle [[assign]] `withSim` projection as
+    * [[clusterQuality]]; one cell-keyed partial aggregate; the share is an
+    * exact per-mille integer.
+    */
+  def oodCensus(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      thresholdQ: Long,
+  ): DataFrame =
+    assign(corpus, centroids, idCol, vecCol, withSim = true)
+      .select(col("centroid_id"), floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long").as("__sq"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__sq") < thresholdQ, 1L).otherwise(0L)).as("n_ood"),
+      )
+      .withColumn("ood_milli", expr("n_ood * 1000 div n"))
 }

@@ -459,4 +459,30 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Embedding norm-hygiene report: per label, the distribution of squared
+    * L2 norms in exact per-micro-squared integers (`Σ q_i²` over the
+    * [[randomProjection]] quantization) — the 30-second check that catches
+    * zero vectors, unnormalized rows, and mixed-scale batches BEFORE any
+    * cosine-based operator silently misbehaves on them. `n_zero` counts
+    * exactly-zero vectors (cosine against them is undefined); min/max/mean
+    * localize scale mixing to a label.
+    *
+    * A zero-shuffle projection into one partial-aggregating groupBy; the
+    * mean is an exact integer sum with one final division.
+    */
+  def normReport(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = transform(col(vecCol), v => floor(v.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val n2 = aggregate(q, lit(0L), (acc, x) => acc + x * x)
+    df.select(col(labelCol), n2.as("__n2"))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("__n2")).as("min_norm2_q"),
+        max(col("__n2")).as("max_norm2_q"),
+        (sum(col("__n2").cast(d38)).cast("double") / count(lit(1))).as("mean_norm2_q"),
+      )
+  }
 }

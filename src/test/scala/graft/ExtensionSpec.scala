@@ -695,4 +695,22 @@ class ExtensionSpec extends SparkSpec {
     // 1 ⊂ 3: jaccard 8/16 = 0.5, ratio 8*1000 div 16 = 500.
     out.get((1L, 3L)).foreach { c => assert(c._1 == 0.5 && c._3 == 500L) }
   }
+
+  test("oodCensus and normReport: zero vectors and far members are flagged exactly") {
+    import graft.operators.IvfIndex
+    val corpus = Seq(
+      (1L, 0, Seq(1f, 0f, 0f, 0f)),      // on-centroid
+      (2L, 0, Seq(1f, 0.1f, 0f, 0f)),    // near
+      (3L, 0, Seq(1f, 1f, 1f, 1f)),      // cos to e1 = 0.5 < 0.9 -> OOD
+      (4L, 1, Seq(0f, 0f, 0f, 0f)),      // zero vector
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 0f, 1f, 0f))).toDF("centroid_id", "centroid")
+    val ood = IvfIndex.oodCensus(corpus.filter(col("vec_id") =!= 4), "vec_id", "embedding", cents, 900000L)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ood(0) == (3L, 1L, 333L)) // only vec 3 below the fence
+    val norms = graft.operators.Similarity.normReport(corpus, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(norms(1) == (1L, 1L, 0L))  // label 1: the zero vector, flagged
+    assert(norms(0)._2 == 0L)          // label 0: no zero vectors
+  }
 }
