@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: times representative operators at 1×/2×/4×/8× the input
+  * scale factor and prints one JSON line per (operator, factor) — the
+  * measured counterpart to ARCHITECTURE.md's per-operator scale rationale.
+  * Replication is workload-preserving, not degenerate:
+  *
+  *  - events tile with OFFSET user/event ids → k× independent users, so
+  *    sessionization/funnel state and shuffle grow linearly (a naive copy
+  *    would multiply per-user event counts instead — a different workload);
+  *  - documents tile with a per-copy CHARACTER ROTATION (`translate` over
+  *    the lowercase alphabet) → copies are mutually dissimilar while each
+  *    copy preserves the base corpus's internal near-dup structure, so the
+  *    TRUE pair count grows linearly and an output-sensitive LSH must
+  *    scale with it (an appended-token perturbation was measured to leave
+  *    copies ~identical: candidates grew quadratically because the true
+  *    answer did);
+  *  - embeddings tile with offset ids → the IVF assign pass (map-only) must
+  *    scale embarrassingly.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench
+  */
+object ScaleBench {
+
+  private def time[T](f: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r  = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val factors = Seq(1, 2, 4, 8)
+    val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(k: Int): String = alpha.drop(k % 26) + alpha.take(k % 26)
+    def tile(base: DataFrame, factor: Int, shift: Seq[(String, Long)], rotCol: Option[String]): DataFrame =
+      (0 until factor)
+        .map { k =>
+          val shifted = shift.foldLeft(base) { case (df, (c, unit)) =>
+            df.withColumn(c, col(c) + lit(k * unit))
+          }
+          rotCol.fold(shifted)(tc => shifted.withColumn(tc, translate(col(tc), alpha, rot(k))))
+        }
+        .reduce(_ unionAll _)
+
+    // Materialize each factor's inputs as parquet so the timed operator
+    // reads real files (scan + shuffle), not an in-memory union plan.
+    for (f <- factors) {
+      tile(Tables.events(spark, sfDir), f, Seq("event_id" -> 1000000000L, "user_id" -> 1000000L), None)
+        .write.mode("overwrite").parquet(s"$tmp/events_$f")
+      tile(Tables.t(spark, sfDir, "documents"), f, Seq("doc_id" -> 1000000L), Some("text"))
+        .write.mode("overwrite").parquet(s"$tmp/documents_$f")
+      tile(Tables.t(spark, sfDir, "embeddings"), f, Seq("vec_id" -> 1000000L), None)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings_$f")
+    }
+
+    def report(op: String, factor: Int, sec: Double, rows: Long): Unit =
+      println(s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
+
+    for (f <- factors) {
+      val ev   = spark.read.parquet(s"$tmp/events_$f")
+      val docs = spark.read.parquet(s"$tmp/documents_$f")
+      val emb  = spark.read.parquet(s"$tmp/embeddings_$f")
+
+      val (t1, r1) = time(
+        operators.EventAnalytics
+          .eventsOpsCard(ev, "user_id", "ts", "event_type", "event_id", 30,
+            Seq("view", "click", "purchase"), Seq("view", "click"), "purchase", 7L * 86400L * 1000000L)
+          .count()
+      )
+      report("events_ops_card", f, t1, r1)
+
+      val (t2, r2) = time(
+        operators.EventAnalytics.sessionFunnel(ev, "user_id", "ts", "event_type", "event_id", 30,
+          Seq("view", "click", "purchase")).count()
+      )
+      report("session_funnel", f, t2, r2)
+
+      val (t3, r3) = time(
+        operators.Dedup.exactDedup(docs, col("text"), col("doc_id")).count()
+      )
+      report("exact_dedup", f, t3, r3)
+
+      val (t4, r4) = time(
+        operators.Dedup.minhashCandidates(docs, "doc_id", "text", 8, 4).count()
+      )
+      report("lsh_candidates", f, t4, r4)
+
+      val (t5, r5) = time {
+        val cents = operators.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+        operators.IvfIndex.assign(emb, cents, "vec_id", "embedding").count()
+      }
+      report("ivf_assign", f, t5, r5)
+    }
+    spark.stop()
+  }
+}
