@@ -129,6 +129,8 @@ object ExtensionQueries {
   // q211's OOD fence: members below cos 0.9 (per-micro quantized) to
   // their own centroid are out-of-distribution for that cell.
   private val OodThresholdQ = 900000L
+  // q213's replay split: the last 12 hours arrive first, older data late.
+  private val LateHoursBack = 12
   // q200's attribution depth and boilerplate-gram fanout bound.
   private val AttribK = 3
   private val AttribMaxDf = 50L
@@ -2788,6 +2790,28 @@ object ExtensionQueries {
     //      stats per label — catches zero vectors and scale mixing ----
     "q212_embedding_norms" -> ((s, d) =>
       Similarity.normReport(t(s, d, "embeddings"), "label", "embedding").orderBy("label")),
+    // ---- Late-data drop audit: pre-cutoff windows close before their
+    //      data arrives; append mode drops it ALL, sink == recent census ----
+    "q213_stream_late_audit" -> ((s, d) =>
+      EventStream
+        .lateDropOneShot(s, Tables.events(s, d), "graft_q213", hoursBack = LateHoursBack)
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          col("n"),
+          col("total_value").cast("double").as("total_value"),
+        )
+        .orderBy("hour", "event_type")),
+
+    // ---- Bloom sizing report: measured false-positive rate of the
+    //      decontamination prefilter in exact parts-per-million ----
+    "q214_bloom_fpp" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.bloomFppReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5631,5 +5655,47 @@ object ExtensionQueries {
                  MIN(n2) AS min_norm2_q, MAX(n2) AS max_norm2_q,
                  CAST(SUM(CAST(n2 AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean_norm2_q
           FROM n2 GROUP BY label ORDER BY label""",
+    // The drop set is exact: the hour-aligned cutoff means no window
+    // straddles it, so the surviving sink IS the census of the last 12 h.
+    "q213_stream_late_audit" ->
+      s"""WITH m AS (SELECT (epoch_us(MAX(ts)) // 3600000000 - $LateHoursBack) * 3600000000 AS cutoff
+                     FROM events)
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+          FROM events, m WHERE epoch_us(ts) >= m.cutoff
+          GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // The same double-hash bit rule ((h + j*((h>>29)|1)) & (bits-1)) over
+    // the eval grams' bit set, evaluated per distinct corpus gram via a
+    // LEFT JOIN membership test; counts all exact integers.
+    "q214_bloom_fpp" -> {
+      val bits = 1 << 16
+      val probes = 3
+      val gram = sqlHash64("array_to_string(toks[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              ng AS (SELECT DISTINCT source, h
+                     FROM (SELECT doc_id, source,
+                             unnest(list_transform(range(1, len(toks) - 1), i -> $gram)) AS h
+                           FROM tok)),
+              ev AS (SELECT DISTINCT h FROM ng WHERE source = 'src0'),
+              cg AS (SELECT DISTINCT h FROM ng WHERE source <> 'src0'),
+              pr AS (SELECT CAST(unnest(range(0, $probes)) AS BIGINT) AS j),
+              bitsrel AS (SELECT DISTINCT (ev.h + pr.j * ((ev.h >> 29) | 1)) & ${bits - 1} AS b
+                          FROM ev CROSS JOIN pr),
+              cb AS (SELECT cg.h, (cg.h + pr.j * ((cg.h >> 29) | 1)) & ${bits - 1} AS b
+                     FROM cg CROSS JOIN pr),
+              hf AS (SELECT cb.h, bool_and(br.b IS NOT NULL) AS pass
+                     FROM cb LEFT JOIN bitsrel br ON cb.b = br.b GROUP BY cb.h),
+              tj AS (SELECT hf.h, hf.pass, CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END AS t
+                     FROM hf LEFT JOIN ev ON hf.h = ev.h),
+              agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+                        CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+                        CAST(SUM(t) AS BIGINT) AS n_true
+                      FROM tj)
+          SELECT n_grams, n_bloom_pass, n_true,
+                 n_bloom_pass - n_true AS n_false_pos,
+                 (n_bloom_pass - n_true) * 1000000 // (n_grams - n_true) AS fpp_micro
+          FROM agg"""
+    },
   )
 }

@@ -114,6 +114,41 @@ object Decontaminate {
     * literal — codebook-sized by construction (default 2^16 bits = 1 KiB
     * word array), the same policy as the stopword-list literals.
     */
+  /** Probe j of hash h in a `bits`-wide array: double hashing off the
+    * hash's own high bits (odd step ⇒ probes distinct mod 2^b). Shared by
+    * [[overlapsBloom]] and [[bloomFppReport]] so the filter under test is
+    * the filter in production.
+    */
+  private def bloomBitIndex(h: Column, j: Column, bits: Int): Column =
+    (h + j * (shiftright(h, 29).bitwiseOR(lit(1L)))).bitwiseAND(lit((bits - 1).toLong))
+
+  /** Build the bit array from the eval grams (driver-side, bounded by
+    * `bits`) and return the `mightContain` predicate over it.
+    */
+  private def bloomPredicate(evalGrams: DataFrame, bits: Int, probes: Int): Column => Column = {
+    val words: Array[Long] = {
+      val built = evalGrams
+        .select(explode(sequence(lit(0L), lit(probes - 1L))).as("j"), col("h"))
+        .select(bloomBitIndex(col("h"), col("j"), bits).as("bit"))
+        .groupBy((col("bit") / 64).cast("long").as("word"))
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("bit").cast("int") % 64)).as("mask"))
+        .collect()
+      val arr = new Array[Long](bits / 64)
+      built.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val wordsLit = typedlit(words.toSeq)
+    (h: Column) =>
+      forall(
+        sequence(lit(0L), lit(probes - 1L)),
+        j => {
+          val bit = bloomBitIndex(h, j, bits)
+          element_at(wordsLit, (bit / 64).cast("int") + 1)
+            .bitwiseAND(call_function("shiftleft", lit(1L), bit.cast("int") % 64)) =!= 0L
+        },
+      )
+  }
+
   def overlapsBloom(
       corpus: DataFrame,
       eval: DataFrame,
@@ -129,31 +164,7 @@ object Decontaminate {
       .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
       .select(explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
       .distinct()
-    // Probe j of hash h: (h + j·(h >> 29 | 1)) & (bits-1) — double hashing
-    // off the hash's own high bits (odd step ⇒ probes distinct mod 2^b).
-    def bitIndex(h: Column, j: Column): Column =
-      (h + j * (shiftright(h, 29).bitwiseOR(lit(1L)))).bitwiseAND(lit((bits - 1).toLong))
-    val words: Array[Long] = {
-      val built = evalGrams
-        .select(explode(sequence(lit(0L), lit(probes - 1L))).as("j"), col("h"))
-        .select(bitIndex(col("h"), col("j")).as("bit"))
-        .groupBy((col("bit") / 64).cast("long").as("word"))
-        .agg(bit_or(call_function("shiftleft", lit(1L), col("bit").cast("int") % 64)).as("mask"))
-        .collect()
-      val arr = new Array[Long](bits / 64)
-      built.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-      arr
-    }
-    val wordsLit = typedlit(words.toSeq)
-    def mightContain(h: Column): Column =
-      forall(
-        sequence(lit(0L), lit(probes - 1L)),
-        j => {
-          val bit = bitIndex(h, j)
-          element_at(wordsLit, (bit / 64).cast("int") + 1)
-            .bitwiseAND(call_function("shiftleft", lit(1L), bit.cast("int") % 64)) =!= 0L
-        },
-      )
+    val mightContain = bloomPredicate(evalGrams, bits, probes)
     val hits = corpus
       .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
       .select(col(idCol).as("__id"), explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
@@ -221,5 +232,51 @@ object Decontaminate {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("eval_id"), col("rank"), col("doc_id"), col("n_shared"))
+  }
+
+  /** Bloom sizing report — the empirical answer to "are `bits`/`probes`
+    * right for THIS eval set?": build the same filter [[overlapsBloom]]
+    * uses, stream the corpus's distinct n-grams through it once, and count
+    * bloom passes vs true members. `n_false_pos = n_bloom_pass − n_true`
+    * (a Bloom filter has no false negatives, so every true member passes)
+    * and `fpp_micro` is the measured false-positive rate over true
+    * negatives in exact parts-per-million. A fpp far above the design
+    * point means an under-sized array (wasted exact-join work); ~zero
+    * false positives means the array could shrink.
+    */
+  def bloomFppReport(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bits: Int = 1 << 16,
+      probes: Int = 3,
+  ): DataFrame = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, s"bits must be a power of two: $bits")
+    require(probes > 0, s"probes must be positive: $probes")
+    val evalGrams = evalDf
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
+      .distinct()
+    val mightContain = bloomPredicate(evalGrams, bits, probes)
+    corpus
+      .withColumn("__toks", TextAnalysis.wsTokens(col(textCol)))
+      .select(explode(TextAnalysis.wordNgramHashesFromTokens(col("__toks"), n)).as("h"))
+      .distinct()
+      .join(broadcast(evalGrams.withColumn("__t", lit(1L))), Seq("h"), "left")
+      .select(mightContain(col("h")).cast("long").as("__pass"), coalesce(col("__t"), lit(0L)).as("__t"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("__pass")).as("n_bloom_pass"),
+        sum(col("__t")).as("n_true"),
+      )
+      .select(
+        col("n_grams"),
+        col("n_bloom_pass"),
+        col("n_true"),
+        (col("n_bloom_pass") - col("n_true")).as("n_false_pos"),
+        expr("(n_bloom_pass - n_true) * 1000000 div (n_grams - n_true)").as("fpp_micro"),
+      )
   }
 }

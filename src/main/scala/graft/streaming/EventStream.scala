@@ -499,6 +499,66 @@ object EventStream {
       .agg(max(col("n")).as("n"))
   }
 
+  /** Late-data drop audit, end to end: replay the log with the LAST
+    * `hoursBack` hours first, then everything older as one late batch —
+    * under `hourlyAgg`'s 2-hour watermark every pre-cutoff window has
+    * closed before its data arrives, so append mode must drop ALL of it
+    * and the sink equals the post-cutoff census EXACTLY. This is the
+    * operational proof behind [[graft.operators.EventAnalytics
+    * .latenessHistogram]]'s advice: data later than the declared watermark
+    * doesn't trickle in, it VANISHES — measure the lateness distribution
+    * first, then declare the delay.
+    *
+    * Batch choreography (measured on Spark 4.1, which splits the watermark
+    * in two): LATE-EVENT filtering in batch N uses batch N−1's EVICTION
+    * watermark, so the late batch must arrive two batch-boundaries after
+    * the recent data — a carrier sentinel sits between them (without it
+    * the "late" rows merge into still-open state and emit; the first cut
+    * of this harness measured exactly that: the full census came back).
+    * A final sentinel then flushes the surviving recent windows.
+    */
+  def lateDropOneShot(
+      spark: SparkSession,
+      eventsDf: DataFrame,
+      queryName: String,
+      hoursBack: Int = 12,
+  ): DataFrame = {
+    import spark.implicits._
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val ev = eventsDf.select(colsInOrder.map(col): _*).withColumn("value", col("value").cast(dec))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val hourUs = 3600000000L
+    val maxUs = maxTs.getTime / 1000L * 1000000L + maxTs.getNanos / 1000L
+    // hour-aligned cutoff: no window straddles it, so the drop set is exact
+    val cutoffUs = (maxUs / hourUs - hoursBack) * hourUs
+    val recent = ev.filter(unix_micros(col("ts")) >= cutoffUs)
+    val late = ev.filter(unix_micros(col("ts")) < cutoffUs)
+    def sentinel(id: Long, plusHours: Int) =
+      Seq(Event(id, new Timestamp(maxTs.getTime + plusHours * 3600 * 1000L), -1L, "sentinel", 0.0))
+        .toDF()
+        .select(colsInOrder.map(col): _*)
+        .withColumn("value", col("value").cast(dec))
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
+    writeOrderedBatches(
+      dir,
+      Seq(recent.coalesce(1), sentinel(-1L, 3), late.coalesce(1), sentinel(-2L, 4)),
+    )
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = hourlyAgg(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).filter(col("event_type") =!= "sentinel")
+  }
+
   def rateLimitStream(
       events: DataFrame,
       windowMinutes: Int = 10,

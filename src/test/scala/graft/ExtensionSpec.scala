@@ -713,4 +713,18 @@ class ExtensionSpec extends SparkSpec {
     assert(norms(1) == (1L, 1L, 0L))  // label 1: the zero vector, flagged
     assert(norms(0)._2 == 0L)          // label 0: no zero vectors
   }
+
+  test("bloomFppReport: no false negatives by construction; tiny array forces measurable fpp") {
+    import graft.operators.Decontaminate
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val ev = docs.filter(col("source") === "src0")
+    val r = Decontaminate.bloomFppReport(corpus, ev, "doc_id", "text", n = 3).head()
+    val (nGrams, nPass, nTrue, nFp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nPass >= nTrue && nFp == nPass - nTrue) // every true member passes
+    assert(nGrams > nTrue)
+    // a 64-bit array saturates: nearly everything passes -> fpp ~ 1e6.
+    val tiny = Decontaminate.bloomFppReport(corpus, ev, "doc_id", "text", n = 3, bits = 64, probes = 3).head()
+    assert(tiny.getLong(4) > r.getLong(4))
+  }
 }

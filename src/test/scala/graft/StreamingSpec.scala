@@ -335,4 +335,22 @@ class StreamingSpec extends SparkSpec {
     val sinkRows = spark.table("graft_test_counters").count()
     assert(sinkRows > census.size)
   }
+
+  test("lateDropOneShot: everything older than the cutoff vanishes; survivors equal the batch census") {
+    val ev = Tables.events(spark, sf())
+    val out = EventStream.lateDropOneShot(spark, ev, "graft_test_latedrop", hoursBack = 12)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = (maxUs / 3600000000L - 12) * 3600000000L
+    val expect = ev
+      .filter(unix_micros(col("ts")) >= cutoff)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    val got = out.select(col("hour"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    // and the drop is real: the full census is strictly larger.
+    val full = ev.groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+    assert(full > got.size)
+  }
 }
