@@ -131,6 +131,8 @@ object ExtensionQueries {
   private val OodThresholdQ = 900000L
   // q213's replay split: the last 12 hours arrive first, older data late.
   private val LateHoursBack = 12
+  // q215's staleness bound: a purchase older than 24 h does not enrich.
+  private val AsOfTolUs = 24L * 3600L * 1000000L
   // q200's attribution depth and boilerplate-gram fanout bound.
   private val AttribK = 3
   private val AttribMaxDf = 50L
@@ -2811,6 +2813,40 @@ object ExtensionQueries {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 3)
+    }),
+    // ---- Staleness-bounded as-of join: last purchase within 24 h or
+    //      nothing — "a quote from last week is not a quote" ----
+    "q215_asof_within" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin
+        .asOfWithin(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"), AsOfTolUs)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("value").as("click_value"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("recent_purchase_value"),
+        )
+        .orderBy("event_id")
+    }),
+
+    // ---- Multimodal resize roundtrip: the binary→binary transform's byte
+    //      math oracled (truncation geometry + real byte sums) ----
+    "q216_media_resize" -> ((s, d) => {
+      val media = Multimodal.synthesizeFromDocuments(t(s, d, "documents"))
+      val spark = s
+      import spark.implicits._
+      Multimodal
+        .resize(media, maxBytes = 256)
+        .map(m => (m.media_id, m.media_type, m.content.length, m.content.map(b => (b & 0xff).toLong).sum))
+        .toDF("media_id", "media_type", "n_bytes", "byte_sum")
+        .orderBy("media_id")
     }),
   )
 
@@ -5697,5 +5733,30 @@ object ExtensionQueries {
                  (n_bloom_pass - n_true) * 1000000 // (n_grams - n_true) AS fpp_micro
           FROM agg"""
     },
+    // q46's native ASOF LEFT JOIN plus the staleness bound as a post-filter
+    // on the matched dim timestamp — the mirror of the carried-__dts rule.
+    "q215_asof_within" ->
+      s"""WITH purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          clicks AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click')
+          SELECT c.event_id, c.user_id, c.value AS click_value,
+                 COALESCE(CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= $AsOfTolUs
+                               THEN p.purchase_value END, -1.0) AS recent_purchase_value
+          FROM clicks c
+          ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.ts <= c.ts
+          ORDER BY c.event_id""",
+    // The stub resize is take(maxBytes): length and byte sum over the
+    // 256-char prefix (documents.text is pure ASCII — the q34 contract).
+    "q216_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                      substr(text, 1, 256) AS c
+                    FROM documents)
+          SELECT media_id, media_type, CAST(length(c) AS INT) AS n_bytes,
+                 CAST(coalesce(list_sum(list_transform(string_split(c, ''), ch -> ascii(ch))), 0) AS BIGINT) AS byte_sum
+          FROM m ORDER BY media_id""",
   )
 }

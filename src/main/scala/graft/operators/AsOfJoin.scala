@@ -51,6 +51,27 @@ object AsOfJoin {
       valueCols: Seq[String],
   ): DataFrame = asOfImpl(fact, dim, keyCols, factTs, dimTs, valueCols, forward = true)
 
+  /** Backward as-of join with a STALENESS BOUND: the most recent dimension
+    * state at or before the fact's time — but only if it is at most
+    * `toleranceMicros` old; staler state enriches as NULL ("a quote from
+    * last week is not a quote"). Same single union-window plan: the carried
+    * struct already holds the dim row's own timestamp, so the bound is one
+    * projection-level comparison after the carry — no second join, no extra
+    * shuffle.
+    */
+  def asOfWithin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      factTs: String,
+      dimTs: String,
+      valueCols: Seq[String],
+      toleranceMicros: Long,
+  ): DataFrame = {
+    require(toleranceMicros > 0, s"asOfWithin: tolerance must be positive: $toleranceMicros")
+    asOfImpl(fact, dim, keyCols, factTs, dimTs, valueCols, forward = false, tolerance = Some(toleranceMicros))
+  }
+
   private def asOfImpl(
       fact: DataFrame,
       dim: DataFrame,
@@ -59,9 +80,10 @@ object AsOfJoin {
       dimTs: String,
       valueCols: Seq[String],
       forward: Boolean,
+      tolerance: Option[Long] = None,
   ): DataFrame = {
     val factCols = fact.columns.toSeq
-    val reserved = Seq("__ts", "__is_dim", "__dim")
+    val reserved = Seq("__ts", "__is_dim", "__dim", "__dts")
     require(keyCols.nonEmpty, "asOf: at least one key column is required")
     require(
       valueCols.intersect(factCols).isEmpty && reserved.intersect(factCols ++ dim.columns).isEmpty,
@@ -81,7 +103,9 @@ object AsOfJoin {
         Seq(
           col(dimTs).as("__ts"),
           lit(1).as("__is_dim"),
-          struct(valueCols.map(col): _*).as("__dim"),
+          // the dim row's own timestamp rides in the struct so a staleness
+          // bound is a post-carry projection, not a second join
+          struct((col(dimTs).as("__dts") +: valueCols.map(col)): _*).as("__dim"),
         ) ++
         factCols.filterNot(c => keyCols.contains(c)).map(c => lit(null).cast(fact.schema(c).dataType).as(c)): _*
     )
@@ -108,10 +132,17 @@ object AsOfJoin {
       else
         (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
          last(col("__dim"), ignoreNulls = true))
+    val fresh = tolerance.fold(lit(true)) { tol =>
+      if (forward) unix_micros(col("__dim.__dts")) - unix_micros(col("__ts")) <= tol
+      else unix_micros(col("__ts")) - unix_micros(col("__dim.__dts")) <= tol
+    }
     factTagged
       .unionByName(dimSide)
       .withColumn("__dim", carry.over(w))
       .filter(col("__is_dim") === 0)
-      .select(factCols.map(col) ++ valueCols.map(v => col(s"__dim.$v").as(v)): _*)
+      .select(
+        factCols.map(col) ++
+          valueCols.map(v => when(fresh, col(s"__dim.$v")).otherwise(lit(null)).as(v)): _*
+      )
   }
 }

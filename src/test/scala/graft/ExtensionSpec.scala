@@ -727,4 +727,23 @@ class ExtensionSpec extends SparkSpec {
     val tiny = Decontaminate.bloomFppReport(corpus, ev, "doc_id", "text", n = 3, bits = 64, probes = 3).head()
     assert(tiny.getLong(4) > r.getLong(4))
   }
+
+  test("asOfWithin: fresh state enriches, stale state nulls - and never falls back further") {
+    import graft.operators.AsOfJoin
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val fact = Seq((1L, 1L, ts(100)), (2L, 2L, ts(100)), (3L, 3L, ts(100)))
+      .toDF("fid", "k", "fts")
+    val dim = Seq(
+      (1L, ts(90), 9.0),   // 10 s old: fresh at tol 20 s
+      (2L, ts(50), 5.0),   // 50 s old: stale
+      (2L, ts(40), 4.0),   // even older: must NOT be used as fallback
+    ).toDF("k", "dts", "v")
+    val out = AsOfJoin
+      .asOfWithin(fact, dim, Seq("k"), "fts", "dts", Seq("v"), toleranceMicros = 20L * 1000000L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) == Some(9.0))
+    assert(out(2L) == None) // the as-of match (t=50) is stale; no fallback search
+    assert(out(3L) == None) // no dim at all
+  }
 }
