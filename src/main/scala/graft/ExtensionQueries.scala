@@ -2848,6 +2848,19 @@ object ExtensionQueries {
         .toDF("media_id", "media_type", "n_bytes", "byte_sum")
         .orderBy("media_id")
     }),
+    // ---- Funnel by acquisition cohort: per first-week cohort, users
+    //      reaching each strict stage — growth accounting ----
+    "q217_funnel_by_cohort" -> ((s, d) =>
+      EventAnalytics
+        .funnelByCohort(events(s, d), "user_id", "ts", "event_type", FunnelStages)
+        .orderBy("cohort_week", "stage")),
+
+    // ---- Dedup cluster tightness: per CC cluster, member count and
+    //      min/mean within-cluster jaccard — transitive-glue detector ----
+    "q218_cluster_tightness" -> ((s, d) =>
+      Dedup
+        .clusterTightness(t(s, d, "documents"), "doc_id", "text", K, bands = 4, threshold = 0.8)
+        .orderBy("cluster_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5758,5 +5771,36 @@ object ExtensionQueries {
           SELECT media_id, media_type, CAST(length(c) AS INT) AS n_bytes,
                  CAST(coalesce(list_sum(list_transform(string_split(c, ''), ch -> ascii(ch))), 0) AS BIGINT) AS byte_sum
           FROM m ORDER BY media_id""",
+    // q83's stacked windows with the first-week cohort carried through the
+    // same per-user partition; counts per (cohort, stage).
+    "q217_funnel_by_cohort" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
+           b AS (SELECT *, MIN(us) OVER (PARTITION BY u) // 604800000000 AS cohort FROM e),
+           s0 AS (SELECT *, MIN(CASE WHEN t = 'view' THEN us END) OVER (PARTITION BY u) AS t0 FROM b),
+           s1 AS (SELECT *, MIN(CASE WHEN t = 'click' AND us > t0 THEN us END) OVER (PARTITION BY u) AS t1 FROM s0),
+           s2 AS (SELECT *, MIN(CASE WHEN t = 'purchase' AND us > t1 THEN us END) OVER (PARTITION BY u) AS t2 FROM s1),
+           pu AS (SELECT u, cohort, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2 FROM s2 GROUP BY u, cohort),
+           c AS (SELECT cohort, COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM pu GROUP BY cohort)
+         SELECT cohort AS cohort_week, stage, event_type, users FROM (
+           SELECT cohort, 1 AS stage, 'view' AS event_type, CAST(n0 AS BIGINT) AS users FROM c
+           UNION ALL SELECT cohort, 2, 'click', CAST(n1 AS BIGINT) FROM c
+           UNION ALL SELECT cohort, 3, 'purchase', CAST(n2 AS BIGINT) FROM c)
+         ORDER BY cohort_week, stage""",
+    // The q22 pair CTE at 0.8, the shared recursive-CC closure, and exact
+    // per-mille jaccard aggregation per cluster.
+    "q218_cluster_tightness" ->
+      s"""WITH RECURSIVE ${sqlLshPairs("documents", 0.8)},
+              lp AS (SELECT id_a AS src, id_b AS dst FROM lshp),
+              ${sqlCcFromPairs("lp")},
+              comps AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+              sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members FROM comps GROUP BY comp),
+              pj AS (SELECT c.comp, CAST(floor(l.jaccard * 1000 + 0.5) AS BIGINT) AS jq
+                     FROM lshp l JOIN comps c ON c.node = l.id_a),
+              agg AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(jq) AS min_jaccard_milli,
+                        CAST(SUM(jq) AS DOUBLE) / COUNT(*) AS mean_jaccard_milli
+                      FROM pj GROUP BY comp)
+          SELECT agg.comp AS cluster_id, sizes.n_members, agg.n_pairs,
+                 agg.min_jaccard_milli, agg.mean_jaccard_milli
+          FROM agg JOIN sizes ON sizes.comp = agg.comp ORDER BY cluster_id""",
   )
 }

@@ -1335,4 +1335,52 @@ object Dedup {
         expr("least(__na, __nb) * 1000 div greatest(__na, __nb)").as("size_ratio_milli"),
       )
   }
+
+  /** Cluster-tightness report for near-dup clusters: close the qualifying
+    * pair graph ([[connectedComponents]] over [[minhashNearDupPairs]]),
+    * then per cluster the member count and the min/mean of the WITHIN-
+    * cluster qualifying-pair jaccards — tight clusters (min ≈ mean ≈ 1) are
+    * exact-dup families safe to collapse to one survivor; loose ones
+    * (low min) are chains glued by transitivity and deserve a human look
+    * before deletion. The dedup-side sibling of [[graft.operators
+    * .IvfIndex.clusterQuality]].
+    *
+    * Scale: CC runs on the (small) qualifying pair graph; the report joins
+    * pairs to labels (two id-keyed joins of fixed-width rows) and
+    * aggregates per cluster. Jaccards quantize to per-mille BEFORE
+    * aggregation so the mean is an exact sum + one IEEE division.
+    */
+  def clusterTightness(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    val pairs = Lineage.truncate(
+      minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
+        .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000 + lit(0.5)).cast("long").as("__jq"))
+    )
+    val comps = Lineage.truncate(
+      connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    )
+    val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    pairs
+      .join(comps.select(col("id").as("id_a"), col("comp")), Seq("id_a"))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("__jq")).as("min_jaccard_milli"),
+        (sum(col("__jq")).cast("double") / count(lit(1))).as("mean_jaccard_milli"),
+      )
+      .join(sizes, Seq("comp"))
+      .select(
+        col("comp").as("cluster_id"),
+        col("n_members"),
+        col("n_pairs"),
+        col("min_jaccard_milli"),
+        col("mean_jaccard_milli"),
+      )
+  }
 }

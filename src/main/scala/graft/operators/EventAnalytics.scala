@@ -1480,4 +1480,43 @@ object EventAnalytics {
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${stages.size}, $rows) as (stage, event_type, sessions)")
   }
+
+  /** Funnel stage counts PER ACQUISITION COHORT: every user belongs to the
+    * epoch-week of their first event, and each cohort reports how many of
+    * its users reached each strict-funnel stage — the growth-accounting
+    * readout ("is conversion improving for newer cohorts?") that a global
+    * funnel averages away.
+    *
+    * One user-keyed exchange carries everything: the first-event window,
+    * the stacked stage min-windows, and the per-user collapse all share
+    * `partitionBy(user)`; the final (cohort, stage) rollup is tiny.
+    */
+  def funnelByCohort(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+  ): DataFrame = {
+    require(stages.size >= 2, "funnelByCohort: need at least two stages")
+    val wU = Window.partitionBy(col(userCol))
+    val base = events
+      .select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__first", min(col("__us")).over(wU))
+      .withColumn("__cohort", expr("__first div 604800000000"))
+    val staged = stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val ordered = if (i == 0) lit(true) else col("__us") > col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(col(typeCol) === stage && ordered, col("__us"))).over(wU))
+    }
+    val stageAggs = stages.indices.map(i => count(col(s"__t$i")).as(s"__n$i"))
+    val rows = stages.zipWithIndex
+      .map { case (st, i) => s"${i + 1}, '$st', cast(__n$i as long)" }
+      .mkString(", ")
+    staged
+      .groupBy(col(userCol), col("__cohort"))
+      .agg(max(col("__t0")).as("__t0"), stages.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+      .groupBy(col("__cohort").as("cohort_week"))
+      .agg(stageAggs.head, stageAggs.tail: _*)
+      .selectExpr("cohort_week", s"stack(${stages.size}, $rows) as (stage, event_type, users)")
+  }
 }

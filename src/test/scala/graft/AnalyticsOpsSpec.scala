@@ -527,4 +527,22 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(userFunnel("click") == 2L) // the per-user funnel counts both users
   }
+
+  test("funnelByCohort: cohorts split the funnel; per-cohort counts match per-user logic") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val wk = 604800000000L
+    val ev = Seq(
+      // cohort 0 user: full journey
+      (1L, ts(0L), "view", 0.0), (1L, ts(1000000L), "click", 0.0), (1L, ts(2000000L), "purchase", 0.0),
+      // cohort 1 user: view only (first event in week 1)
+      (2L, ts(wk + 5), "view", 0.0),
+      // cohort 0 user: view then click
+      (3L, ts(10000000L), "view", 0.0), (3L, ts(20000000L), "click", 0.0),
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = EventAnalytics
+      .funnelByCohort(ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out((0L, 1)) == 2L && out((0L, 2)) == 2L && out((0L, 3)) == 1L)
+    assert(out((1L, 1)) == 1L && out((1L, 2)) == 0L && out((1L, 3)) == 0L)
+  }
 }

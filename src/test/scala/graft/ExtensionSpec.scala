@@ -746,4 +746,19 @@ class ExtensionSpec extends SparkSpec {
     assert(out(2L) == None) // the as-of match (t=50) is stale; no fallback search
     assert(out(3L) == None) // no dim at all
   }
+
+  test("clusterTightness: a transitive chain scores loose, exact dups score 1000-tight") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),        // exact dup of 1
+      (3L, "a b c d e f g h i k"),        // near 1/2, bridges
+      (4L, "completely different text here now one two"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterTightness(docs, "doc_id", "text", k = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    val (members, minJ, meanJ) = out(1L)
+    assert(members == 3L)
+    assert(minJ < 1000L && meanJ < 1000.0) // the bridge pair drags tightness down
+    assert(!out.contains(4L))              // singletons have no pairs, no row
+  }
 }
