@@ -2861,6 +2861,18 @@ object ExtensionQueries {
       Dedup
         .clusterTightness(t(s, d, "documents"), "doc_id", "text", K, bands = 4, threshold = 0.8)
         .orderBy("cluster_id")),
+    // ---- b-bit MinHash calibration: 2-bit signatures' corrected estimate
+    //      next to exact jaccard for every candidate pair ----
+    "q219_bbit_minhash" -> ((s, d) =>
+      Dedup
+        .bbitCalibration(t(s, d, "documents"), "doc_id", "text", K, bands = 4, b = 2, threshold = 0.5,
+          sampleDen = CalibSampleDen)
+        .orderBy("id_a", "id_b")),
+
+    // ---- Hapax report per source: vocabulary size, once-only tokens, and
+    //      the hapax share — the OCR-noise / templating gauge ----
+    "q220_hapax_report" -> ((s, d) =>
+      Quality.hapaxReport(t(s, d, "documents"), "source", "text").orderBy("source")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5802,5 +5814,30 @@ object ExtensionQueries {
           SELECT agg.comp AS cluster_id, sizes.n_members, agg.n_pairs,
                  agg.min_jaccard_milli, agg.mean_jaccard_milli
           FROM agg JOIN sizes ON sizes.comp = agg.comp ORDER BY cluster_id""",
+    // The b-bit signatures reuse the SAME sig CTE as the pair build; the
+    // corrected estimate is the exact cross-multiplied integer rule.
+    "q219_bbit_minhash" -> {
+      val b = 2
+      val mask = (1L << b) - 1
+      val pow = 1L << b
+      val agree = (0 until K).map(i => s"(CASE WHEN a.mh$i & $mask = b.mh$i & $mask THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${sqlLshPairs("documents", 0.5)},
+              lshs AS (SELECT * FROM lshp
+                       WHERE ((id_a % 999983) * 999979 + id_b % 999983) % $CalibSampleDen = 0),
+              j AS (SELECT l.id_a, l.id_b, l.jaccard, CAST($agree AS BIGINT) AS ag
+                    FROM lshs l JOIN sig a ON a.doc_id = l.id_a JOIN sig b ON b.doc_id = l.id_b)
+          SELECT id_a, id_b, CAST(floor(jaccard * 1000 + 0.5) AS BIGINT) AS jaccard_milli,
+                 greatest(((ag * $pow - $K) * 1000) // ($K * ${pow - 1}), 0) AS bbit_est_milli
+          FROM j ORDER BY id_a, id_b"""
+    },
+    // One (source, token) census, then an integer rollup.
+    "q220_hapax_report" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+              c AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                 CAST(SUM(n) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS hapax_milli
+          FROM c GROUP BY source ORDER BY source""",
   )
 }

@@ -1383,4 +1383,58 @@ object Dedup {
         col("mean_jaccard_milli"),
       )
   }
+
+  /** b-bit MinHash calibration (Li–König): store only the LOW `b` bits of
+    * each minhash (a 64× storage cut at b=1 for k longs), estimate Jaccard
+    * from b-bit agreement with the collision correction
+    * `Ĵ = (â − 2^-b) / (1 − 2^-b)`, and report the estimate NEXT TO the
+    * exact Jaccard for every banding candidate — the "can I afford the
+    * compressed signatures?" readout, the storage-side sibling of
+    * [[minhashCalibration]]. The estimate is an exact cross-multiplied
+    * integer per-mille: `((a·2^b − k)·1000) div (k·(2^b − 1))`, clamped at
+    * 0 (chance-level agreement can dip below the correction).
+    *
+    * Scale: the b-bit signatures ride the SAME banding pair table —
+    * one projection on each join side, no extra pass over the corpus.
+    */
+  def bbitCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      b: Int = 2,
+      threshold: Double = 0.5,
+      sampleDen: Int = 1,
+  ): DataFrame = {
+    require(b >= 1 && b <= 16, s"bbitCalibration: b must be in [1, 16]: $b")
+    require(sampleDen >= 1, s"bbitCalibration: sampleDen must be >= 1: $sampleDen")
+    // Calibration is statistical — the [[minhashCalibration]] deterministic
+    // pair-mix sample bounds the report without biasing it.
+    val keep =
+      if (sampleDen <= 1) lit(true)
+      else ((col("id_a") % 999983L) * 999979L + col("id_b") % 999983L) % sampleDen === 0
+    val pairs = Lineage.truncate(
+      minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
+        .filter(keep)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    )
+    val mask = (1L << b) - 1
+    val sig = Lineage.truncate(
+      withMinhash(docs.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
+        .select(col(idCol) +: (0 until k).map(i => (col(s"mh$i").bitwiseAND(lit(mask))).as(s"bb$i")): _*)
+    )
+    val agree = (0 until k).map(i => when(col(s"a_bb$i") === col(s"b_bb$i"), 1).otherwise(0)).reduce(_ + _)
+    val pow = 1L << b
+    pairs
+      .join(sig.select(col(idCol).as("id_a") +: (0 until k).map(i => col(s"bb$i").as(s"a_bb$i")): _*), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b") +: (0 until k).map(i => col(s"bb$i").as(s"b_bb$i")): _*), Seq("id_b"))
+      .withColumn("__a", agree.cast("long"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        floor(col("jaccard") * 1000 + lit(0.5)).cast("long").as("jaccard_milli"),
+        greatest(expr(s"((__a * $pow - $k) * 1000) div ($k * ${pow - 1})"), lit(0L)).as("bbit_est_milli"),
+      )
+  }
 }

@@ -1004,4 +1004,26 @@ object Quality {
           / (col("n_tokens").cast("double") * col("__sf"))).as("gini"),
       )
   }
+
+  /** Hapax-legomena report per group: vocabulary size, hapax count (tokens
+    * occurring exactly once in the group), and the hapax share in exact
+    * per-mille. A healthy natural-language source sits near half its
+    * vocabulary hapax; far above flags OCR noise / random suffixes, far
+    * below flags templated or deduplicated-to-death text — a one-row-per-
+    * source corpus-health gauge next to [[zipfFit]].
+    *
+    * One (group, token) partial-aggregating pass, then a group rollup of
+    * the vocab-sized count table. All integers.
+    */
+  def hapaxReport(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), explode(TextAnalysis.wsTokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("__n")).as("total_tokens"),
+      )
+      .withColumn("hapax_milli", expr("n_hapax * 1000 div vocab"))
 }

@@ -761,4 +761,29 @@ class ExtensionSpec extends SparkSpec {
     assert(minJ < 1000L && meanJ < 1000.0) // the bridge pair drags tightness down
     assert(!out.contains(4L))              // singletons have no pairs, no row
   }
+
+  test("bbitCalibration: exact dups estimate 1000; the correction floors chance agreement at 0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t u"),
+      (4L, "k l m n o p q r s t u"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.bbitCalibration(docs, "doc_id", "text", k = 8, bands = 4, b = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // exact dups: all 8 two-bit sigs agree -> est = ((8*4-8)*1000) div (8*3) = 1000.
+    assert(out((1L, 2L)) == (1000L, 1000L))
+    assert(out((3L, 4L)) == (1000L, 1000L))
+    assert(out.values.forall { case (_, est) => est >= 0L && est <= 1000L })
+  }
+
+  test("hapaxReport: hand-computed vocab, hapax share, totals") {
+    import graft.operators.Quality
+    val df = Seq(("s1", "a a b c"), ("s1", "c d"), ("s2", "x x x")).toDF("source", "text")
+    val out = Quality.hapaxReport(df, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: vocab {a,b,c,d}; hapax {b,d}; 6 tokens; 2*1000 div 4 = 500.
+    assert(out("s1") == (4L, 2L, 6L, 500L))
+    assert(out("s2") == (1L, 0L, 3L, 0L))
+  }
 }
