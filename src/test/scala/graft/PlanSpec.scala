@@ -558,4 +558,32 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("q205_concurrent_sessions"))
     assert(p.contains("BroadcastHashJoin"), s"the tiny offsets table must broadcast:\n$p")
   }
+
+  test("q212 embedding norms: zero-shuffle projection into one partial aggregate") {
+    val p = plan(q("q212_embedding_norms"))
+    assert(!p.contains("Join") && !p.contains("Window"), s"pure projection + aggregate:\n$p")
+    assert(p.contains("partial"), s"map-side combine before the group exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over the embeddings:\n$p")
+  }
+
+  test("q215 as-of within: ONE sort-shuffle union-window plan, no range join") {
+    val p = plan(q("q215_asof_within"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the staleness bound must not degrade the plan to a range join:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1, s"the carry is a window:\n$p")
+  }
+
+  test("q217 funnel by cohort: cohort and stage windows share the user exchange") {
+    val p = plan(q("q217_funnel_by_cohort"))
+    assert(!p.contains("Join"), s"no self-join of the log:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"one user exchange + the tiny cohort rollup:\n$p")
+  }
+
+  test("q220 hapax report: one scan, two partial-aggregating collapses, no window") {
+    val p = plan(q("q220_hapax_report"))
+    assert(!p.contains("Join") && !p.contains("Window"), s"census + rollup only:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over the docs:\n$p")
+    assert(p.contains("partial"), s"map-side combine:\n$p")
+  }
 }
