@@ -2873,6 +2873,17 @@ object ExtensionQueries {
     //      the hapax share — the OCR-noise / templating gauge ----
     "q220_hapax_report" -> ((s, d) =>
       Quality.hapaxReport(t(s, d, "documents"), "source", "text").orderBy("source")),
+    // ---- Daily value timeline: exact p50/p90 per (type, day) as rank
+    //      position picks — the dashboard time-series ----
+    "q221_value_timeline" -> ((s, d) =>
+      EventAnalytics
+        .dailyValueTimeline(events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    // ---- Weekday activity profile: integer day-of-week counts and exact
+    //      per-mille shares — no calendar semantics to mirror ----
+    "q222_weekday_profile" -> ((s, d) =>
+      EventAnalytics.weekdayProfile(events(s, d), "event_type", "ts").orderBy("event_type", "dow")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5839,5 +5850,24 @@ object ExtensionQueries {
                  CAST(SUM(n) AS BIGINT) AS total_tokens,
                  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS hapax_milli
           FROM c GROUP BY source ORDER BY source""",
+    // The same (n+1) div 2 / (9n+9) div 10 position picks per (type, day).
+    "q221_value_timeline" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                      CAST(value AS DOUBLE) AS v FROM events),
+              r AS (SELECT event_type, day, v,
+                      ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY v) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type, day) AS n
+                    FROM b)
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+                 MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+                 MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90
+          FROM r GROUP BY 1, 2 ORDER BY event_type, day""",
+    // Integer epoch-day mod 7 (a label, not calendar), exact per-mille.
+    "q222_weekday_profile" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 % 7 AS dow, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2)
+          SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+                 CAST(n * 1000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_milli
+          FROM c ORDER BY event_type, dow""",
   )
 }

@@ -1519,4 +1519,51 @@ object EventAnalytics {
       .agg(stageAggs.head, stageAggs.tail: _*)
       .selectExpr("cohort_week", s"stack(${stages.size}, $rows) as (stage, event_type, users)")
   }
+
+  /** Daily metric timeline: per (type, epoch-day) the event count and the
+    * exact p50/p90 of `valueCol` as rank-position picks — the dashboard
+    * time-series behind every "did yesterday look weird" question, built
+    * on the same multiset-determined quantile rule as [[transitionLatency]]
+    * (no sketch, no interpolation ambiguity to mirror).
+    *
+    * One (type, day) exchange shared by the rank window, the count window,
+    * and the final collapse.
+    */
+  def dailyValueTimeline(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+  ): DataFrame = {
+    val base = events.select(
+      col(typeCol),
+      expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+      col(valueCol).cast("double").as("__v"),
+    )
+    val wG = Window.partitionBy(col(typeCol), col("day"))
+    base
+      .withColumn("__rn", row_number().over(wG.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(wG))
+      .groupBy(col(typeCol), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("__v"))).as("p50"),
+        max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("__v"))).as("p90"),
+      )
+  }
+
+  /** Weekday activity profile: per (type, epoch-day mod 7) counts and the
+    * per-mille share of the type's volume — integer day-of-week (day 0 =
+    * the epoch's Thursday; a LABEL, not calendar semantics, so there is no
+    * timezone/locale behavior to mirror). The staffing/batch-window shape
+    * readout.
+    */
+  def weekdayProfile(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val wT = Window.partitionBy(col(typeCol))
+    events
+      .select(col(typeCol), expr(s"unix_micros($tsCol) div 86400000000 % 7").as("dow"))
+      .groupBy(col(typeCol), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_milli", expr("n * 1000 div sum(n) over (partition by " + typeCol + ")"))
+  }
 }

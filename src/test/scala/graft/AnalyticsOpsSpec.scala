@@ -545,4 +545,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out((0L, 1)) == 2L && out((0L, 2)) == 2L && out((0L, 3)) == 1L)
     assert(out((1L, 1)) == 1L && out((1L, 2)) == 0L && out((1L, 3)) == 0L)
   }
+
+  test("dailyValueTimeline and weekdayProfile: hand-computed picks and shares") {
+    def ts(day: Long, off: Long) = new java.sql.Timestamp(day * 86400000L + off)
+    val ev = Seq(
+      ("a", ts(0, 1), 1.0), ("a", ts(0, 2), 5.0), ("a", ts(0, 3), 3.0),
+      ("a", ts(1, 1), 7.0),
+      ("b", ts(0, 1), 2.0),
+    ).toDF("event_type", "ts", "value")
+    val tl = EventAnalytics.dailyValueTimeline(ev, "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // a/day0: sorted [1,3,5]: p50 = pos (3+1)/2 = 2 -> 3.0; p90 = pos (27+9)/10 = 3 -> 5.0.
+    assert(tl(("a", 0L)) == (3L, 3.0, 5.0))
+    assert(tl(("a", 1L)) == (1L, 7.0, 7.0))
+    val wp = EventAnalytics.weekdayProfile(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // a: 3 events on dow 0, 1 on dow 1 -> shares 750 / 250.
+    assert(wp(("a", 0L)) == (3L, 750L) && wp(("a", 1L)) == (1L, 250L))
+    assert(wp(("b", 0L)) == (1L, 1000L))
+  }
 }
