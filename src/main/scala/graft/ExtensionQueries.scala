@@ -2884,6 +2884,19 @@ object ExtensionQueries {
     //      per-mille shares — no calendar semantics to mirror ----
     "q222_weekday_profile" -> ((s, d) =>
       EventAnalytics.weekdayProfile(events(s, d), "event_type", "ts").orderBy("event_type", "dow")),
+    // ---- Day-over-day change report: per type, count vs previous observed
+    //      day with an exact per-mille delta — "what moved since yesterday" ----
+    "q223_daily_change" -> ((s, d) =>
+      EventAnalytics
+        .dailyChangeReport(events(s, d), "event_type", "ts")
+        .orderBy("event_type", "day")),
+
+    // ---- D1/D7 retention KPI per signup day: exact per-mille rates off
+    //      the distinct (user, day) collapse ----
+    "q224_dn_retention" -> ((s, d) =>
+      EventAnalytics
+        .dayNRetention(events(s, d), "user_id", "ts", offsets = Seq(1, 7))
+        .orderBy("signup_day")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5869,5 +5882,27 @@ object ExtensionQueries {
           SELECT event_type, dow, CAST(n AS BIGINT) AS n,
                  CAST(n * 1000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_milli
           FROM c ORDER BY event_type, dow""",
+    // lag over OBSERVED days; DuckDB's // floors, matching the Spark
+    // side's pmod-floor rule on the (possibly negative) delta.
+    "q223_daily_change" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, day, n, lag(n) OVER w AS prev_n
+                    FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day))
+          SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+                 CAST((n - prev_n) * 1000 // prev_n AS BIGINT) AS change_milli
+          FROM l ORDER BY event_type, day""",
+    "q224_dn_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+              f AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first FROM ud),
+              pu AS (SELECT user_id, first,
+                       MAX(CASE WHEN day = first + 1 THEN 1 ELSE 0 END) AS r1,
+                       MAX(CASE WHEN day = first + 7 THEN 1 ELSE 0 END) AS r7
+                     FROM f GROUP BY user_id, first)
+          SELECT first AS signup_day, CAST(COUNT(*) AS BIGINT) AS cohort_users,
+                 CAST(SUM(r1) AS BIGINT) AS d1_retained, CAST(SUM(r7) AS BIGINT) AS d7_retained,
+                 CAST(SUM(r1) * 1000 // COUNT(*) AS BIGINT) AS d1_milli,
+                 CAST(SUM(r7) * 1000 // COUNT(*) AS BIGINT) AS d7_milli
+          FROM pu GROUP BY first ORDER BY signup_day""",
   )
 }

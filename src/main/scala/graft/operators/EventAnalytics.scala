@@ -1566,4 +1566,65 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
       .withColumn("share_milli", expr("n * 1000 div sum(n) over (partition by " + typeCol + ")"))
   }
+
+  /** Day-over-day volume change per type: each (type, day) with its count,
+    * the previous OBSERVED day's count, and the signed per-mille change —
+    * the "what moved since yesterday" report. `lag` is over observed days
+    * (a silent zero-volume day shows as a larger gap on the next observed
+    * day, which is exactly when a human should look). Change is an exact
+    * cross-multiplied integer; the first observed day reports NULL.
+    */
+  def dailyChangeReport(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val wT = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+    events
+      .select(col(typeCol), expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy(col(typeCol), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(wT))
+      // Spark `div` and DuckDB `//` BOTH truncate toward zero (verified on
+      // negative deltas: -7000 // 9 = -777 in each) — plain integer
+      // division mirrors exactly even though the delta can be negative.
+      .withColumn("change_milli", expr("(n - prev_n) * 1000 div prev_n"))
+  }
+
+  /** Day-N retention KPI: per signup day (each user's first active day),
+    * cohort size and the users active EXACTLY N days later for N in
+    * `offsets`, as counts plus exact per-mille rates — the D1/D7/D30
+    * numbers a growth dashboard leads with (the daily-granularity KPI
+    * beside [[retentionCohorts]]' weekly matrix).
+    *
+    * Scale: the log collapses to DISTINCT (user, day) first; the
+    * first-day window rides the user exchange of that collapsed table;
+    * the offset flags are per-user aggregates over it (no join against
+    * the log), and the final rollup is days-sized.
+    */
+  def dayNRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      offsets: Seq[Int],
+  ): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1), "dayNRetention: offsets must be >= 1")
+    val wU = Window.partitionBy(col(userCol))
+    val ud = events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div 86400000000").as("__day"))
+      .distinct()
+      .withColumn("__first", min(col("__day")).over(wU))
+    val flagAggs = offsets.map(o => max(when(col("__day") === col("__first") + o, 1L).otherwise(0L)).as(s"__r$o"))
+    val perUser = ud
+      .groupBy(col(userCol), col("__first"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+    val rateAggs = offsets.flatMap(o =>
+      Seq(
+        sum(col(s"__r$o")).as(s"d${o}_retained"),
+      )
+    )
+    val out = perUser
+      .groupBy(col("__first").as("signup_day"))
+      .agg((count(lit(1)).as("cohort_users") +: rateAggs).head,
+           (count(lit(1)).as("cohort_users") +: rateAggs).tail: _*)
+    offsets.foldLeft(out) { (df, o) =>
+      df.withColumn(s"d${o}_milli", expr(s"d${o}_retained * 1000 div cohort_users"))
+    }
+  }
 }

@@ -564,4 +564,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(wp(("a", 0L)) == (3L, 750L) && wp(("a", 1L)) == (1L, 250L))
     assert(wp(("b", 0L)) == (1L, 1000L))
   }
+
+  test("dailyChangeReport and dayNRetention: deltas (incl. negative) and per-mille KPIs") {
+    def ts(day: Long, off: Long) = new java.sql.Timestamp(day * 86400000L + off)
+    val ev = (1 to 9).map(i => (100L + i, ts(0, i), "a")) ++ Seq((200L, ts(1, 1), "a"), (201L, ts(1, 2), "a"))
+    val chg = EventAnalytics.dailyChangeReport(ev.toDF("user_id", "ts", "event_type"), "event_type", "ts")
+      .orderBy("day").collect()
+    // day0: 9 events, prev null; day1: 2 events -> (2-9)*1000 div 9 = -777 (truncating).
+    assert(chg(0).isNullAt(3) && chg(0).isNullAt(4))
+    assert(chg(1).getLong(2) == 2L && chg(1).getLong(3) == 9L && chg(1).getLong(4) == -777L)
+    val ret = Seq(
+      (1L, ts(0, 1)), (1L, ts(1, 1)),              // D1-retained
+      (2L, ts(0, 2)), (2L, ts(7, 1)),              // D7-retained
+      (3L, ts(0, 3)),                              // churned
+      (4L, ts(1, 1)), (4L, ts(2, 1)), (4L, ts(8, 1)), // cohort day1: D1 and D7
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.dayNRetention(ret, "user_id", "ts", Seq(1, 7))
+      .orderBy("signup_day").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == (3L, 1L, 1L, 333L, 333L))
+    assert(out(1L) == (1L, 1L, 1L, 1000L, 1000L))
+  }
 }
