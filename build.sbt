@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench artifact. Two sbt behaviors have broken that for five
+// rounds (BENCH_r0{5..9}.json parsed:null):
+//   1. forked-process stdout is re-logged with an "[info] " prefix,
+//      so the JSON line is not bare JSON;
+//   2. sbt appends "[success] Total time: ..." AFTER the program's
+//      final line, so a parse-the-last-line driver sees the epilogue.
+// StdoutOutput passes the forked JVM's stdout through verbatim (no
+// prefix); showSuccess/showTiming=false drop the epilogue entirely.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -119,7 +119,11 @@ object Bench {
       "SPARK_GRAFT_BENCH_OUT",
       s"/tmp/graft_bench_${ProcessHandle.current().pid()}.json",
     )
-    for (p <- Seq(outPath, "/tmp/graft_bench_last.json").distinct) {
+    // BENCH_SUMMARY.json in the repo root is the stdout-independent copy:
+    // a driver (or a human) that misses the stdout line can always read
+    // the full per-query artifact from the repo itself.
+    for (p <- Seq(outPath, "/tmp/graft_bench_last.json",
+                  "/root/repo/BENCH_SUMMARY.json").distinct) {
       try {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
         System.err.println(s"[bench] artifact written to $p")

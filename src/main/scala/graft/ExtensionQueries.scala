@@ -5144,7 +5144,8 @@ object ExtensionQueries {
     // Rank-position picks — value-at-position is multiset-determined, so
     // tie order inside equal gaps cannot change the answer.
     "q182_transition_latency" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+                    WHERE ts IS NOT NULL),
               h AS (SELECT event_type AS type_a,
                       lead(event_type) OVER w AS type_b,
                       lead(us) OVER w - us AS gap
@@ -5304,7 +5305,8 @@ object ExtensionQueries {
     // side uses; the fence compares doubles both engines computed from
     // identical inputs with identical IEEE ops.
     "q187_mad_outliers" ->
-      s"""WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+      s"""WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+                     WHERE value IS NOT NULL),
               m AS (SELECT event_type, v,
                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
                       COUNT(*) OVER (PARTITION BY event_type) AS n FROM b),
@@ -5779,7 +5781,9 @@ object ExtensionQueries {
                       FROM tj)
           SELECT n_grams, n_bloom_pass, n_true,
                  n_bloom_pass - n_true AS n_false_pos,
-                 (n_bloom_pass - n_true) * 1000000 // (n_grams - n_true) AS fpp_micro
+                 CASE WHEN n_grams = n_true THEN NULL
+                      ELSE (n_bloom_pass - n_true) * 1000000 // (n_grams - n_true)
+                 END AS fpp_micro
           FROM agg"""
     },
     // q46's native ASOF LEFT JOIN plus the staleness bound as a post-filter
@@ -5866,7 +5870,8 @@ object ExtensionQueries {
     // The same (n+1) div 2 / (9n+9) div 10 position picks per (type, day).
     "q221_value_timeline" ->
       """WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-                      CAST(value AS DOUBLE) AS v FROM events),
+                      CAST(value AS DOUBLE) AS v FROM events
+                    WHERE value IS NOT NULL),
               r AS (SELECT event_type, day, v,
                       ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY v) AS rn,
                       COUNT(*) OVER (PARTITION BY event_type, day) AS n
@@ -5882,8 +5887,9 @@ object ExtensionQueries {
           SELECT event_type, dow, CAST(n AS BIGINT) AS n,
                  CAST(n * 1000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_milli
           FROM c ORDER BY event_type, dow""",
-    // lag over OBSERVED days; DuckDB's // floors, matching the Spark
-    // side's pmod-floor rule on the (possibly negative) delta.
+    // lag over OBSERVED days; on the (possibly negative) delta both
+    // engines truncate toward zero (DuckDB // and Spark div alike:
+    // -7000//9 = -777 on both), which is why the mirror matches.
     "q223_daily_change" ->
       """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
                     FROM events GROUP BY 1, 2),

@@ -276,7 +276,13 @@ object Decontaminate {
         col("n_bloom_pass"),
         col("n_true"),
         (col("n_bloom_pass") - col("n_true")).as("n_false_pos"),
-        expr("(n_bloom_pass - n_true) * 1000000 div (n_grams - n_true)").as("fpp_micro"),
+        // Full-overlap inputs (every distinct corpus n-gram also an eval
+        // gram) leave zero negatives to misclassify: fpp is undefined, so
+        // return NULL rather than an ANSI divide-by-zero (oracle mirrors
+        // with CASE WHEN).
+        when(col("n_grams") === col("n_true"), lit(null).cast("long"))
+          .otherwise(expr("(n_bloom_pass - n_true) * 1000000 div (n_grams - n_true)"))
+          .as("fpp_micro"),
       )
   }
 }

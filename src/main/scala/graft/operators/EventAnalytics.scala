@@ -825,7 +825,8 @@ object EventAnalytics {
     * (`c·10^6 div n`), the ln factored through the quantized-ln trick
     * (`l(c_d) − l(n_d) − l(c_g) + l(n_g)`, each on an integer count), the
     * per-bucket term an exact LONG product, the per-day sum exact 64-bit —
-    * ONE IEEE division (by 10^18) at the end. Buckets empty on either side
+    * ONE IEEE division (by 10^12: per-micro proportions × per-micro ln
+    * scale the summed term by 10^6·10^6) at the end. Buckets empty on either side
     * contribute 0 (the standard finite-PSI rule).
     *
     * Scale: one (day, bucket) partial-aggregated pass over the log; the
@@ -892,6 +893,10 @@ object EventAnalytics {
     val wUser = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
     val hops = events
       .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(idCol), col(typeCol).as("type_a"))
+      // A NULL timestamp would both corrupt the per-user ordering and make
+      // the gap-rank median engine-dependent (NULLS FIRST vs LAST) — drop
+      // such rows before any window sees them.
+      .filter(col("__us").isNotNull)
       .withColumn("type_b", lead(col("type_a"), 1).over(wUser))
       .withColumn("__gap", lead(col("__us"), 1).over(wUser) - col("__us"))
       .filter(col("type_b").isNotNull)
@@ -1129,7 +1134,13 @@ object EventAnalytics {
       cutoff: Double = 3.0,
   ): DataFrame = {
     val wG   = Window.partitionBy(col(groupCol))
-    val base = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    // NULL values are excluded up front: the rank-position median would
+    // otherwise be engine-dependent (Spark windows sort NULLS FIRST,
+    // DuckDB NULLS LAST), silently shifting the pick. The census is over
+    // non-null values; `n` counts the same.
+    val base = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
     val meds = base
       .withColumn("__rn", row_number().over(wG.orderBy(col("__v"))))
       .withColumn("__n", count(lit(1)).over(wG))
@@ -1535,11 +1546,15 @@ object EventAnalytics {
       tsCol: String,
       valueCol: String,
   ): DataFrame = {
-    val base = events.select(
-      col(typeCol),
-      expr(s"unix_micros($tsCol) div 86400000000").as("day"),
-      col(valueCol).cast("double").as("__v"),
-    )
+    // NULL values excluded for the same engine-dependent-NULL-ordering
+    // reason as [[madOutliers]]; `n` counts non-null values per cell.
+    val base = events
+      .select(
+        col(typeCol),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+        col(valueCol).cast("double").as("__v"),
+      )
+      .filter(col("__v").isNotNull)
     val wG = Window.partitionBy(col(typeCol), col("day"))
     base
       .withColumn("__rn", row_number().over(wG.orderBy(col("__v"))))
@@ -1559,12 +1574,16 @@ object EventAnalytics {
     * readout.
     */
   def weekdayProfile(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    // Column-API window (not a spliced SQL string, which would break for
+    // names needing backticks); the share stays an exact integer div.
     val wT = Window.partitionBy(col(typeCol))
     events
       .select(col(typeCol), expr(s"unix_micros($tsCol) div 86400000000 % 7").as("dow"))
       .groupBy(col(typeCol), col("dow"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("share_milli", expr("n * 1000 div sum(n) over (partition by " + typeCol + ")"))
+      .withColumn("__tot", sum(col("n")).over(wT))
+      .withColumn("share_milli", expr("n * 1000 div __tot"))
+      .drop("__tot")
   }
 
   /** Day-over-day volume change per type: each (type, day) with its count,

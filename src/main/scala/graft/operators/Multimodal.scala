@@ -64,6 +64,52 @@ object Multimodal {
       bytes.grouped(256).zipWithIndex.collect { case (b, i) if i % everyN == 0 => b }.toSeq
   }
 
+  /** Real image codec over the JDK's `javax.imageio` — no extra
+    * dependencies. `dimensions` decodes ONLY the header (an `ImageReader`
+    * answers width/height without rasterizing pixels), which is the right
+    * cost model at scale: a dimension census over a billion images must not
+    * pay full pixel decode. Payloads no installed reader recognizes (the
+    * synthetic utf-8 corpus, truncated files, unsupported formats) fall
+    * back to [[StubCodec]] so the operator stays total — production callers
+    * that need strictness can pre-filter on [[isDecodable]].
+    *
+    * `sampleFrames` keeps the stub's chunk geometry: `javax.imageio` has no
+    * video demuxer, and the frame-manifest contract (offsets into the
+    * payload) is codec-independent.
+    */
+  object ImageIoCodec extends Codec {
+    def dimensions(bytes: Array[Byte]): (Int, Int) =
+      decodeDimensions(bytes).getOrElse(StubCodec.dimensions(bytes))
+
+    /** Header-only width/height, or None when no installed reader claims the
+      * format. One reader instance per call; `mapPartitions` callers amortize
+      * nothing JVM-global (ImageIO's registry is static and thread-safe).
+      */
+    def decodeDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } catch {
+            // A recognized magic number but a corrupt/truncated header —
+            // undecodable, same contract as an unrecognized format.
+            case scala.util.control.NonFatal(_) => None
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+
+    def isDecodable(bytes: Array[Byte]): Boolean = decodeDimensions(bytes).isDefined
+
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(bytes, everyN)
+  }
+
   /** Synthesize a media table from `documents` (deterministic — the payload
     * is the utf-8 text, typed by doc_id). Stands in for a real binary column
     * scan; the operators downstream don't know the difference.

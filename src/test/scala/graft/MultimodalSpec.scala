@@ -65,4 +65,48 @@ class MultimodalSpec extends SparkSpec {
     val sampled = Multimodal.frameManifest(media, everyN = 4).collect()
     assert(sampled.map(_.frame_idx).toSeq == Seq(0))
   }
+
+  private def resourceBytes(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    assert(in != null, s"missing test resource $path")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  test("ImageIoCodec decodes real PNG and JPEG dimensions exactly (header-only fixtures)") {
+    val png = resourceBytes("/graft/fixture_123x45.png")
+    val jpg = resourceBytes("/graft/fixture_64x32.jpg")
+    assert(Multimodal.ImageIoCodec.dimensions(png) == ((123, 45)))
+    assert(Multimodal.ImageIoCodec.dimensions(jpg) == ((64, 32)))
+    assert(Multimodal.ImageIoCodec.isDecodable(png) && Multimodal.ImageIoCodec.isDecodable(jpg))
+  }
+
+  test("ImageIoCodec falls back to the stub for undecodable payloads") {
+    val text = "not an image at all".getBytes("utf-8")
+    assert(!Multimodal.ImageIoCodec.isDecodable(text))
+    assert(Multimodal.ImageIoCodec.dimensions(text) == Multimodal.StubCodec.dimensions(text))
+    // a truncated PNG header: recognized magic, corrupt body → still total
+    val png = resourceBytes("/graft/fixture_123x45.png")
+    val truncated = png.take(12)
+    assert(Multimodal.ImageIoCodec.dimensions(truncated) == Multimodal.StubCodec.dimensions(truncated))
+  }
+
+  test("extractFeatures with ImageIoCodec decodes real images on the distributed path") {
+    import graft.operators.Multimodal.MediaRecord
+    val png = resourceBytes("/graft/fixture_123x45.png")
+    val jpg = resourceBytes("/graft/fixture_64x32.jpg")
+    val ds = Seq(
+      MediaRecord(1L, "image", png, "s"),
+      MediaRecord(2L, "image", jpg, "s"),
+      MediaRecord(3L, "image", "plain text payload".getBytes("utf-8"), "s"),
+    ).toDS().repartition(2)
+    val f = Multimodal.extractFeatures(ds, Multimodal.ImageIoCodec).collect().sortBy(_.media_id)
+    assert((f(0).width, f(0).height) == ((123, 45)))
+    assert((f(1).width, f(1).height) == ((64, 32)))
+    // undecodable row rode the stub fallback, not an exception
+    val stub = Multimodal.StubCodec.dimensions("plain text payload".getBytes("utf-8"))
+    assert((f(2).width, f(2).height) == stub)
+    // byte statistics stay real regardless of codec
+    assert(f.forall(r => r.n_bytes > 0 && r.byte_entropy > 0))
+  }
 }
