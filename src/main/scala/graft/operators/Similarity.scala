@@ -101,13 +101,39 @@ object Similarity {
     * map-side combined — and the population covariance materializes in one
     * mirrored IEEE expression: `((n·Σxy − Σx·Σy) / n²) / 1e12`.
     *
-    * Scale shape: the (i, j, qi, qj) pair rows are built INSIDE nested
-    * array `transform`s and exploded once — no self-join, no second
-    * explode carrying the array — and the aggregation collapses to
-    * dim·(dim+1)/2 rows per partition before any shuffle. The one exchange
-    * carries ~2k rows per partition regardless of corpus size.
+    * Scale shape: one pass, no self-join, and NO per-row cell explosion —
+    * a [[graft.functions.GramMatrixAggregator]] accumulates all
+    * dim·(dim+1)/2 cells in a primitive-array buffer per partition
+    * (128-bit exact sums), so the only exchange carries one ~dim²/2-long
+    * buffer per partition regardless of corpus size, and per-row cost is a
+    * tight array loop instead of dim²/2 Tungsten rows.
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"covarianceMatrix: bad dim $dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df
+      .select(
+        transform(col(vecCol), v => floor(v.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("__q")
+      )
+      // the explode plan dropped null-vector rows (explode(null) emits
+      // nothing); mirror that before the typed aggregate sees them
+      .filter(col("__q").isNotNull)
+      .as[Array[Long]]
+    q.select(new graft.functions.GramMatrixAggregator(dim).toColumn.name("__cells"))
+      .toDF("__cells")
+      .select(explode(col("__cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"), col("c.cov").as("cov"))
+  }
+
+  /** The previous explode-based covariance plan, kept as the equivalence
+    * reference for [[covarianceMatrix]]'s Gram aggregator (PropertySpec
+    * proves cell-for-cell identity, including the IEEE expression order).
+    * Correct and scale-safe, but materializes dim·(dim+1)/2 struct rows
+    * per input row — the constant factor the aggregator removes.
+    */
+  private[graft] def covarianceMatrixExploded(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"covarianceMatrix: bad dim $dim")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def dsum38(c: Column) = sum(c.cast(d38)).cast("double")

@@ -425,4 +425,43 @@ class PropertySpec extends SparkSpec {
     val summed = (0 until dim).map(j => out(j.toLong)).transpose.map(_.sum)
     assert(out(99L) == summed)
   }
+
+  test("covarianceMatrix: Gram aggregator is cell-for-cell identical to the explode plan") {
+    import graft.operators.Similarity
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(5, Gen.choose(-2.0f, 2.0f)).map(_.toSeq)
+    val corpusGen: Gen[List[Seq[Float]]] = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, vecGen))
+    forAll(corpusGen, 12) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+        .repartition(3) // force a real partial-merge path through the buffer
+      def key(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getInt(1))
+      val got = Similarity.covarianceMatrix(df, "embedding", 5).collect()
+        .map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+      val want = Similarity.covarianceMatrixExploded(df, "embedding", 5).collect()
+        .map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == want.keySet)
+      // exact bit equality, not tolerance: same sums, same IEEE order
+      want.foreach { case (k, (n, cov)) =>
+        assert(got(k)._1 == n && java.lang.Double.doubleToLongBits(got(k)._2) ==
+          java.lang.Double.doubleToLongBits(cov), s"cell $k: got ${got(k)}, want ($n, $cov)")
+      }
+    }
+  }
+
+  test("GramMatrixAggregator: 128-bit accumulators survive products beyond long range") {
+    import graft.operators.Similarity
+    // values of ~3e3 quantize to ~3e9; one product is ~9e18 (at the long
+    // edge), and 40 rows of them overflow any 64-bit Σxy — the 128-bit
+    // path must agree with the DECIMAL(38,0) explode plan exactly.
+    val big = Seq.fill(40)((1L, Seq(3000.0f, -3000.0f)))
+    val df = big.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      .repartition(4)
+    val got = Similarity.covarianceMatrix(df, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val want = Similarity.covarianceMatrixExploded(df, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 3)
+    want.foreach { case (k, cov) =>
+      assert(java.lang.Double.doubleToLongBits(got(k)) == java.lang.Double.doubleToLongBits(cov))
+    }
+  }
 }
