@@ -213,6 +213,40 @@ object ExtensionQueries {
     * `pairsRel(src, dst)` — the DuckDB mirror of
     * [[graft.operators.Dedup.connectedComponents]].
     */
+  /** Bounded connected-components mirror: `depth` rounds of min-label
+    * propagation, each round relaxing along edges AND pointer-jumping
+    * through the current labeling (`l ∘ l`), so convergence needs only
+    * O(log diameter) rounds — depth 12 covers diameters into the
+    * thousands. Unlike the recursive closure in [[sqlCcFromPairs]] (which
+    * materializes every (node, smaller-reachable-label) pair — quadratic
+    * per near-clique, the q218 sf0.1 timeout), each round here is one
+    * |E|+|V| join-and-groupby over MATERIALIZED CTEs (three references per
+    * level would otherwise re-inline exponentially).
+    *
+    * Terminal relations: `comps(node, comp)` plus `conv(n_changed)`; the
+    * consumer MUST splice a poison row gated on `n_changed > 0` into its
+    * final SELECT so a non-converged run hash-mismatches loudly instead of
+    * silently passing with split components.
+    */
+  private def sqlCcBoundedFromPairs(pairsRel: String, depth: Int = 12): String = {
+    val steps = (1 to depth)
+      .map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS MATERIALIZED (SELECT node, MIN(comp) AS comp FROM (
+              SELECT node, comp FROM $prev
+              UNION ALL SELECT e.dst AS node, $prev.comp FROM $prev JOIN e ON e.src = $prev.node
+              UNION ALL SELECT a.node, b.comp FROM $prev a JOIN $prev b ON b.node = a.comp
+            ) GROUP BY node)"""
+      }
+      .mkString(",\n        ")
+    s"""e AS MATERIALIZED (SELECT src, dst FROM $pairsRel UNION SELECT dst, src FROM $pairsRel),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM e),
+        $steps,
+        conv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_changed
+                 FROM l$depth a JOIN l${depth - 1} b USING (node) WHERE a.comp <> b.comp),
+        comps AS (SELECT node, comp FROM l$depth)"""
+  }
+
   private def sqlCcFromPairs(pairsRel: String): String =
     s"""e AS (SELECT src, dst FROM $pairsRel UNION SELECT dst, src FROM $pairsRel),
         nodes AS (SELECT DISTINCT src AS id FROM e),
@@ -5826,22 +5860,30 @@ object ExtensionQueries {
            UNION ALL SELECT cohort, 2, 'click', CAST(n1 AS BIGINT) FROM c
            UNION ALL SELECT cohort, 3, 'purchase', CAST(n2 AS BIGINT) FROM c)
          ORDER BY cohort_week, stage""",
-    // The q22 pair CTE at 0.8, the shared recursive-CC closure, and exact
-    // per-mille jaccard aggregation per cluster.
+    // The q22 pair CTE at 0.8, then BOUNDED min-label CC (pointer-jumping,
+    // 12 rounds, convergence-poisoned) instead of the recursive closure —
+    // the closure materializes quadratic (node, label) pairs per
+    // near-clique and timed out (>120 s) at sf0.1; this mirror completes
+    // at every SF and CANNOT silently under-merge (see sqlCcBoundedFromPairs).
     "q218_cluster_tightness" ->
-      s"""WITH RECURSIVE ${sqlLshPairs("documents", 0.8)},
-              lp AS (SELECT id_a AS src, id_b AS dst FROM lshp),
-              ${sqlCcFromPairs("lp")},
-              comps AS (SELECT node, MIN(comp) AS comp FROM cc GROUP BY node),
+      s"""WITH ${sqlLshPairs("documents", 0.8)},
+              lp AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM lshp),
+              ${sqlCcBoundedFromPairs("lp")},
               sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members FROM comps GROUP BY comp),
               pj AS (SELECT c.comp, CAST(floor(l.jaccard * 1000 + 0.5) AS BIGINT) AS jq
                      FROM lshp l JOIN comps c ON c.node = l.id_a),
               agg AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(jq) AS min_jaccard_milli,
                         CAST(SUM(jq) AS DOUBLE) / COUNT(*) AS mean_jaccard_milli
                       FROM pj GROUP BY comp)
-          SELECT agg.comp AS cluster_id, sizes.n_members, agg.n_pairs,
-                 agg.min_jaccard_milli, agg.mean_jaccard_milli
-          FROM agg JOIN sizes ON sizes.comp = agg.comp ORDER BY cluster_id""",
+          SELECT cluster_id, n_members, n_pairs, min_jaccard_milli, mean_jaccard_milli FROM (
+            SELECT agg.comp AS cluster_id, sizes.n_members, agg.n_pairs,
+                   agg.min_jaccard_milli, agg.mean_jaccard_milli
+            FROM agg JOIN sizes ON sizes.comp = agg.comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), conv.n_changed,
+                   CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
     // The b-bit signatures reuse the SAME sig CTE as the pair build; the
     // corrected estimate is the exact cross-multiplied integer rule.
     "q219_bbit_minhash" -> {
