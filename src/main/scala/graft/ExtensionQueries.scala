@@ -806,7 +806,7 @@ object ExtensionQueries {
         .jaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", threshold = 0.9)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       Dedup
-        .connectedComponents(pairs)
+        .connectedComponentsStar(pairs)
         .select(
           col("id").as("doc_id"),
           col("comp").as("cluster_id"),
@@ -1783,7 +1783,7 @@ object ExtensionQueries {
     "q111_dup_report" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", threshold = 0.8)
-      val cc = Dedup.connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val cc = Dedup.connectedComponentsStar(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       val sizes = docs
         .join(cc, docs("doc_id") === cc("id"), "left_outer")
         .select(coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -2931,6 +2931,54 @@ object ExtensionQueries {
       EventAnalytics
         .dayNRetention(events(s, d), "user_id", "ts", offsets = Seq(1, 7))
         .orderBy("signup_day")),
+
+    // ---- Star-contraction CC oracled end-to-end: the O(log n)-round
+    //      variant labels the same clusters as min-label propagation ----
+    "q225_star_clusters" -> ((s, d) => {
+      val pairs = Dedup
+        .minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", K, 4, 0.8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      Dedup
+        .connectedComponentsStar(pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("comp").as("cluster_id"), col("n_members"))
+        .orderBy("cluster_id")
+    }),
+
+    // ---- Pearson correlation matrix: one Gram pass + broadcast diagonal;
+    //      the feature-redundancy screen over embedding dimensions ----
+    "q226_embedding_corr" -> ((s, d) =>
+      Similarity.correlationMatrix(t(s, d, "embeddings"), "embedding", EmbDim).orderBy("i", "j")),
+
+    // ---- 3-step navigation paths: trigram census off each user's
+    //      total-ordered stream — one window, one bounded groupBy ----
+    "q227_path_trigrams" -> ((s, d) =>
+      EventAnalytics
+        .pathTrigrams(events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy("t1", "t2", "t3")),
+
+    // ---- DAU / trailing-7-day AU stickiness per observed day: distinct
+    //      (user, day) collapse first, bounded ×7 fan-out after ----
+    "q228_stickiness" -> ((s, d) =>
+      EventAnalytics.stickinessReport(events(s, d), "user_id", "ts", window = 7).orderBy("day")),
+
+    // ---- Per-type Gini concentration of user activity: exact integer
+    //      rank form, no IEEE anywhere ----
+    "q229_activity_gini" -> ((s, d) =>
+      EventAnalytics.activityGini(events(s, d), "event_type", "user_id").orderBy("event_type")),
+
+    // ---- Shuffle-bucket skew audit over the events join key: per-bucket
+    //      load vs the perfect split — the pre-salt readout ----
+    "q230_skew_audit" -> ((s, d) =>
+      SkewJoin
+        .keyHashSkewAudit(events(s, d), col("user_id").cast("string"), buckets = 32)
+        .orderBy("bucket")),
+
+    // ---- Cluster canonicalization: keep-longest representative per
+    //      near-dup cluster (doc-id tie-break), dropped-count census ----
+    "q231_neardup_keep_best" -> ((s, d) =>
+      Dedup.neardupKeepBest(t(s, d, "documents"), "doc_id", "text", K, 4, 0.8).orderBy("cluster_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5952,5 +6000,113 @@ object ExtensionQueries {
                  CAST(SUM(r1) * 1000 // COUNT(*) AS BIGINT) AS d1_milli,
                  CAST(SUM(r7) * 1000 // COUNT(*) AS BIGINT) AS d7_milli
           FROM pu GROUP BY first ORDER BY signup_day""",
+    // Star contraction and min-label propagation share the (id, comp = min
+    // id) contract, so ONE bounded mirror oracles both; poison row on
+    // non-convergence (the q218 rule).
+    "q225_star_clusters" ->
+      s"""WITH ${sqlLshPairs("documents", 0.8)},
+              lp AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM lshp),
+              ${sqlCcBoundedFromPairs("lp")}
+          SELECT cluster_id, n_members FROM (
+            SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM comps GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), conv.n_changed FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
+    // The q189 sufficient statistics extended one step: broadcast-shaped
+    // diagonal join and the identical IEEE corr expression; zero-variance
+    // dimensions mirror the NULL guard.
+    "q226_embedding_corr" ->
+      s"""WITH q AS (SELECT list_transform(embedding, v ->
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+                     FROM embeddings),
+              dims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS i),
+              p AS (SELECT di.i AS i, dj.i AS j, q.q[di.i + 1] AS qi, q.q[dj.i + 1] AS qj
+                    FROM q CROSS JOIN dims di CROSS JOIN dims dj WHERE dj.i >= di.i),
+              s AS (SELECT i, j, COUNT(*) AS n,
+                      CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(qj AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(qi * qj AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+                    FROM p GROUP BY 1, 2),
+              c AS (SELECT i, j, CAST(n AS BIGINT) AS n,
+                      ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e12 AS cov
+                    FROM s),
+              d AS (SELECT i AS k, cov AS v FROM c WHERE i = j)
+          SELECT c.i, c.j, c.n,
+                 CASE WHEN di.v > 0.0 AND dj.v > 0.0
+                      THEN c.cov / (sqrt(di.v) * sqrt(dj.v)) ELSE NULL END AS corr
+          FROM c JOIN d di ON di.k = c.i JOIN d dj ON dj.k = c.j
+          ORDER BY c.i, c.j""",
+    // Two leads over the same (user, ts, id) window, NULL timestamps
+    // dropped (the q182 rule).
+    "q227_path_trigrams" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+                    WHERE ts IS NOT NULL),
+              h AS (SELECT event_type AS t1,
+                      lead(event_type, 1) OVER w AS t2,
+                      lead(event_type, 2) OVER w AS t3
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+          SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+          FROM h WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY t1, t2, t3""",
+    // range(day, day+7) is end-exclusive = the 7 trailing-window ends a
+    // user-day supports; WAU joined back only onto observed days.
+    "q228_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day FROM events),
+              dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+              wx AS (SELECT DISTINCT u, unnest(range(day, day + 7)) AS d FROM ud),
+              wau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS wau FROM wx GROUP BY d)
+          SELECT dau.day, dau.dau, wau.wau,
+                 CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_milli
+          FROM dau JOIN wau USING (day) ORDER BY day""",
+    // rank ascending by (count, user) — unique tie-break — then the exact
+    // integer rank form of Gini in per-micro; both sides pure integers.
+    "q229_activity_gini" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, c,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, user_id) AS r
+                    FROM c),
+              a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+                      CAST(SUM(c) AS BIGINT) AS total_events,
+                      CAST(SUM(r * c) AS BIGINT) AS rc
+                    FROM r GROUP BY event_type)
+          SELECT event_type, n_users, total_events,
+                 CAST((2 * rc - (n_users + 1) * total_events) * 1000000
+                      // (n_users * total_events) AS BIGINT) AS gini_micro
+          FROM a ORDER BY event_type""",
+    // The same md5-prefix hash both engines share (sqlHash64); hash is
+    // non-negative so % mirrors pmod.
+    "q230_skew_audit" -> {
+      val h = sqlHash64("CAST(user_id AS VARCHAR)")
+      s"""WITH b AS (SELECT $h % 32 AS bucket FROM events),
+              c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket)
+          SELECT bucket, n,
+                 CAST(n * 32 * 1000 // (SELECT SUM(n) FROM c) AS BIGINT) AS load_milli
+          FROM c ORDER BY bucket"""
+    },
+    // Bounded-CC comps (q218 rule), token counts ONLY for clustered docs,
+    // keep-longest representative with doc-id tie-break.
+    "q231_neardup_keep_best" ->
+      s"""WITH ${sqlLshPairs("documents", 0.8)},
+              lp AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM lshp),
+              ${sqlCcBoundedFromPairs("lp")},
+              m AS (SELECT c.comp, d.doc_id,
+                      CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INT) AS toks
+                    FROM comps c JOIN documents d ON d.doc_id = c.node),
+              r AS (SELECT comp, doc_id, toks,
+                      ROW_NUMBER() OVER (PARTITION BY comp ORDER BY toks DESC, doc_id) AS rn
+                    FROM m)
+          SELECT cluster_id, rep_doc_id, rep_tokens, n_members, n_dropped FROM (
+            SELECT comp AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN toks END) AS INT) AS rep_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM r GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS INT),
+                   conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
   )
 }

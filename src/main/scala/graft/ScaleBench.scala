@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *  - embeddings tile with offset ids → the IVF assign pass (map-only) must
   *    scale embarrassingly.
   *
+  * The pair/CC family additionally probes 16×/32× (override with
+  * SPARK_GRAFT_SCALE_CC_FACTORS): the LSH pair build must stay linear in
+  * the true pair count, and the two connected-components variants
+  * (min-label propagation vs alternating star contraction) are compared on
+  * wall time AND rounds-to-converge over the same physical pair set, with
+  * a component-census equality tripwire.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench
   */
 object ScaleBench {
@@ -43,6 +50,13 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val factors = Seq(1, 2, 4, 8)
+    // The pair/CC family probes deeper (16×/32×): component structure —
+    // rounds-to-converge, not per-round cost — is its scale risk, and that
+    // only shows at factors where the pair graph is properly large.
+    val ccFactors = sys.env
+      .get("SPARK_GRAFT_SCALE_CC_FACTORS")
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 16, 32))
     val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -62,11 +76,12 @@ object ScaleBench {
     for (f <- factors) {
       tile(Tables.events(spark, sfDir), f, Seq("event_id" -> 1000000000L, "user_id" -> 1000000L), None)
         .write.mode("overwrite").parquet(s"$tmp/events_$f")
-      tile(Tables.t(spark, sfDir, "documents"), f, Seq("doc_id" -> 1000000L), Some("text"))
-        .write.mode("overwrite").parquet(s"$tmp/documents_$f")
       tile(Tables.t(spark, sfDir, "embeddings"), f, Seq("vec_id" -> 1000000L), None)
         .write.mode("overwrite").parquet(s"$tmp/embeddings_$f")
     }
+    for (f <- (factors ++ ccFactors).distinct.sorted)
+      tile(Tables.t(spark, sfDir, "documents"), f, Seq("doc_id" -> 1000000L), Some("text"))
+        .write.mode("overwrite").parquet(s"$tmp/documents_$f")
 
     def report(op: String, factor: Int, sec: Double, rows: Long): Unit =
       println(s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
@@ -105,6 +120,38 @@ object ScaleBench {
         operators.IvfIndex.assign(emb, cents, "vec_id", "embedding").count()
       }
       report("ivf_assign", f, t5, r5)
+    }
+
+    // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants
+    //     on the same physical pair set. Reported per factor: pair build
+    //     time, each variant's wall time AND rounds-to-converge, and the
+    //     component census (must agree between variants — a cheap
+    //     correctness tripwire riding the probe).
+    def reportCc(op: String, factor: Int, sec: Double, rows: Long, rounds: Int): Unit =
+      println(
+        s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,"rounds":$rounds}"""
+      )
+    for (f <- ccFactors) {
+      val docs = spark.read.parquet(s"$tmp/documents_$f")
+      val (tp, _) = time {
+        operators.Dedup
+          .minhashNearDupPairs(docs, "doc_id", "text", 8, 4, 0.8)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .write.mode("overwrite").parquet(s"$tmp/pairs_$f")
+      }
+      val pairs = spark.read.parquet(s"$tmp/pairs_$f")
+      report("lsh_pairs_t08", f, tp, pairs.count())
+      val (tl, (lp, lr)) = time {
+        val (df, r) = operators.Dedup.connectedComponentsCounted(pairs)
+        (df.groupBy(col("comp")).count().count(), r)
+      }
+      reportCc("cc_labelprop", f, tl, lp, lr)
+      val (ts, (sp, sr)) = time {
+        val (df, r) = operators.Dedup.connectedComponentsStarCounted(pairs)
+        (df.groupBy(col("comp")).count().count(), r)
+      }
+      reportCc("cc_star", f, ts, sp, sr)
+      require(lp == sp, s"CC variants disagree at factor $f: labelprop=$lp star=$sp components")
     }
     spark.stop()
   }

@@ -677,7 +677,18 @@ object Dedup {
     * O(diameter), so hitting the cap means the graph is a long chain —
     * fail loudly and point at the fix rather than looping for hours.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame =
+    connectedComponentsCounted(edges, maxRounds, reliable)._1
+
+  /** [[connectedComponents]] plus its rounds-to-converge — the scale probe
+    * ([[graft.ScaleBench]]) reports the round count because it, not the
+    * per-round cost, is what grows with component diameter.
+    */
+  private[graft] def connectedComponentsCounted(
+      edges: DataFrame,
+      maxRounds: Int = 100,
+      reliable: Boolean = false,
+  ): (DataFrame, Int) = {
     val und = truncateLineage(
       edges
         .select(col("src"), col("dst"))
@@ -709,7 +720,7 @@ object Dedup {
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select(col("id"), col("comp"))
     }
-    labels
+    (labels, rounds)
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (the large-star /
@@ -732,7 +743,17 @@ object Dedup {
     * action that materializes it, and it runs every SECOND round, so two
     * rounds of contraction plus the convergence check ride one job.
     */
-  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): DataFrame = {
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): DataFrame =
+    connectedComponentsStarCounted(edges, maxRounds, reliable)._1
+
+  /** [[connectedComponentsStar]] plus its rounds-to-converge (see
+    * [[connectedComponentsCounted]]).
+    */
+  private[graft] def connectedComponentsStarCounted(
+      edges: DataFrame,
+      maxRounds: Int = 50,
+      reliable: Boolean = false,
+  ): (DataFrame, Int) = {
     val nodes = truncateLineage(
       edges
         .select(col("src").as("id"))
@@ -806,9 +827,10 @@ object Dedup {
       e = ssc
     }
     // fixpoint edges are child -> component-min stars; roots label themselves
-    nodes
+    val labeled = nodes
       .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+    (labeled, rounds)
   }
 
   /** SimHash near-dup pairs: bucket by the TOP `prefixBits` bits (so
@@ -1316,11 +1338,21 @@ object Dedup {
       threshold: Double,
       simBits: Int = 16,
   ): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
+    val pairs = Lineage.truncate(
+      minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
+    )
+    // Feature the PAIR-INVOLVED docs only: the inner joins below prune to
+    // them anyway, so simhashing/tokenizing the whole corpus first is pure
+    // waste — at scale the pair node set is orders of magnitude smaller
+    // than the corpus. The semi-join runs before the tokenizer ever does.
+    val ids = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val involved = docs.join(ids, Seq(idCol), "left_semi")
     val feats = Lineage.truncate(
-      withSimhash(docs.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), simBits)
+      withSimhash(involved.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), simBits)
         .join(
-          docs.select(col(idCol), size(graft.functions.TextAnalysis.tokenSet(col(textCol))).as("nt")),
+          involved.select(col(idCol), size(graft.functions.TextAnalysis.tokenSet(col(textCol))).as("nt")),
           Seq(idCol),
         )
     )
@@ -1363,7 +1395,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000 + lit(0.5)).cast("long").as("__jq"))
     )
     val comps = Lineage.truncate(
-      connectedComponents(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      connectedComponentsStar(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     )
     val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
     pairs
@@ -1381,6 +1413,54 @@ object Dedup {
         col("n_pairs"),
         col("min_jaccard_milli"),
         col("mean_jaccard_milli"),
+      )
+  }
+
+  /** Near-dup cluster canonicalization: pick ONE representative per cluster
+    * — the longest member (whitespace token count), doc-id ascending on
+    * ties — and report what keeping it drops. The "which copy survives
+    * dedup" policy step that follows clustering in every curation pipeline
+    * (keep-longest beats keep-first when near-dups are truncations of each
+    * other).
+    *
+    * Scale: pairs ride ONE banded-LSH materialization (never all-pairs),
+    * CC runs on the qualifying pair graph only, and the token count is
+    * computed ONLY for clustered docs (the comps join prunes the corpus
+    * before the tokenizer runs). The representative pick is one window
+    * over cluster members — cluster-bounded, not corpus-bounded.
+    */
+  def neardupKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    val pairs = Lineage.truncate(
+      minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    )
+    val comps = connectedComponentsStar(pairs)
+    val members = docs
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+      .select(col(idCol), col("comp"), size(TextAnalysis.wsTokens(col(textCol))).as("__toks"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp")).orderBy(col("__toks").desc, col(idCol))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col(idCol))).as("rep_doc_id"),
+        max(when(col("__rn") === 1, col("__toks"))).as("rep_tokens"),
+      )
+      .select(
+        col("comp").as("cluster_id"),
+        col("rep_doc_id"),
+        col("rep_tokens").cast("int").as("rep_tokens"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
       )
   }
 

@@ -1646,4 +1646,103 @@ object EventAnalytics {
       df.withColumn(s"d${o}_milli", expr(s"d${o}_retained * 1000 div cohort_users"))
     }
   }
+
+  /** Per-user event-type trigram census — the 3-step navigation-path mining
+    * behind "what do users do next" dashboards (the 3-gram sibling of the
+    * bigram transition table). Paths are read off each user's total-ordered
+    * stream (`(ts, id)` — the [[transitionLatency]] ordering rule, so ties
+    * are deterministic); NULL timestamps are dropped for the same
+    * engine-dependent-NULL-ordering reason.
+    *
+    * Scale: one user-partitioned window (two `lead`s ride the same sort)
+    * then a partial-aggregating groupBy over a |types|³-bounded key space —
+    * no self-joins, nothing quadratic in events.
+    */
+  def pathTrigrams(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(idCol), col(typeCol).as("t1"))
+      .filter(col("__us").isNotNull)
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Daily stickiness (DAU / trailing-`window`-day AU): the engagement KPI
+    * that distinguishes "many users daily" from "the same users daily".
+    * Exact integer per-mille, reported for every OBSERVED day.
+    *
+    * Scale shape: the log collapses to distinct (user, day) FIRST (the
+    * [[dayNRetention]] rule — nothing downstream ever re-touches events),
+    * then each user-day fans out to the `window` trailing-window ends it
+    * supports (a bounded ×7 explode of the already-collapsed table, not of
+    * the log), and both aggregations are partial-combining counts. No
+    * self-joins, no per-day rescans.
+    */
+  def stickinessReport(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      window: Int = 7,
+  ): DataFrame = {
+    require(window >= 1, s"stickinessReport: bad window $window")
+    val ud = Lineage.truncate(
+      events
+        .select(col(userCol).as("__u"), expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+        .distinct()
+    )
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("__d", explode(sequence(col("day"), col("day") + lit(window - 1))))
+      .select(col("__u"), col("__d"))
+      .distinct()
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau.withColumnRenamed("__d", "day"), Seq("day"))
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_milli"),
+      )
+  }
+
+  /** Per-group Gini concentration of user activity — "is the volume a broad
+    * base or a few whales?" (mixture weighting and abuse triage both read
+    * this). Users rank ascending by (count, user) — the unique-key
+    * tie-break makes the rank multiset-determined on any engine — and the
+    * coefficient is the exact integer rank form
+    * `G = (2·Σ r·c − (n+1)·Σc) / (n·Σc)`, reported in per-micro with NO
+    * IEEE arithmetic anywhere.
+    *
+    * Scale: one (group, user) partial-aggregating count, one rank window
+    * keyed on the group, one collapse. Events are touched once.
+    */
+  def activityGini(events: DataFrame, groupCol: String, userCol: String): DataFrame = {
+    val c = events.groupBy(col(groupCol), col(userCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__c"), col(userCol))
+    c.withColumn("__r", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("__c")).as("total_events"),
+        sum(col("__r") * col("__c")).as("__rc"),
+      )
+      .select(
+        col(groupCol),
+        col("n_users"),
+        col("total_events"),
+        expr("(2 * __rc - (n_users + 1) * total_events) * 1000000 div (n_users * total_events)")
+          .as("gini_micro"),
+      )
+  }
 }

@@ -127,6 +127,36 @@ object Similarity {
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"), col("c.cov").as("cov"))
   }
 
+  /** Pearson correlation matrix of an embedding column — the scale-free
+    * readout of [[covarianceMatrix]] (feature redundancy screening: |corr|
+    * near 1 marks dimensions a projection can drop). One Gram-aggregator
+    * pass produces the covariance cells; the diagonal (the per-dimension
+    * variances) joins back onto every (i, j) cell by BROADCAST — the cell
+    * table is dim·(dim+1)/2 rows regardless of corpus size — and
+    * `corr = cov / (√var_i · √var_j)` is one mirrored IEEE expression over
+    * values both engines already computed identically. Constant dimensions
+    * (zero variance) report NULL rather than a divide-by-zero.
+    *
+    * The covariance cells are materialized once ([[Lineage.truncate]]):
+    * the diagonal filter and the cell scan are two consumers, and without
+    * the barrier each would re-run the full corpus aggregation.
+    */
+  def correlationMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val cov  = Lineage.truncate(covarianceMatrix(df, vecCol, dim))
+    val diag = cov.filter(col("i") === col("j")).select(col("i").as("__k"), col("cov").as("__v"))
+    cov
+      .join(broadcast(diag.select(col("__k").as("i"), col("__v").as("__vi"))), Seq("i"))
+      .join(broadcast(diag.select(col("__k").as("j"), col("__v").as("__vj"))), Seq("j"))
+      .select(
+        col("i"),
+        col("j"),
+        col("n"),
+        when(col("__vi") > 0.0 && col("__vj") > 0.0, col("cov") / (sqrt(col("__vi")) * sqrt(col("__vj"))))
+          .otherwise(lit(null).cast("double"))
+          .as("corr"),
+      )
+  }
+
   /** The previous explode-based covariance plan, kept as the equivalence
     * reference for [[covarianceMatrix]]'s Gram aggregator (PropertySpec
     * proves cell-for-cell identity, including the IEEE expression order).

@@ -94,4 +94,28 @@ object SkewJoin {
         expr(s"(cnt + ${targetRowsPerTask - 1}) div $targetRowsPerTask").as("salt_buckets"),
       )
   }
+
+  /** Shuffle-bucket skew audit: hash the join/partition key the way an
+    * exchange would ([[graft.functions.Hashing.hash64]] mod `buckets` — a
+    * deterministic, engine-mirrorable stand-in for the engine's
+    * partitioner) and report each bucket's row count plus its load relative
+    * to the perfect split in per-mille (`1000` = exactly fair; the max row
+    * answers "what does the slowest reducer carry?"). The pre-flight a
+    * planner reads before picking salt factors for a 100 TB shuffle.
+    *
+    * Scale: one partial-aggregating groupBy into exactly `buckets` rows;
+    * the fairness window runs over those `buckets` rows, not the input.
+    */
+  def keyHashSkewAudit(df: DataFrame, key: Column, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"keyHashSkewAudit: bad buckets $buckets")
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(pmod(graft.functions.Hashing.hash64(key), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
+      .select(
+        col("bucket"),
+        col("n"),
+        expr(s"n * $buckets * 1000 div __tot").as("load_milli"),
+      )
+  }
 }

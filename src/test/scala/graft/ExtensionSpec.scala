@@ -786,4 +786,82 @@ class ExtensionSpec extends SparkSpec {
     assert(out("s1") == (4L, 2L, 6L, 500L))
     assert(out("s2") == (1L, 0L, 3L, 0L))
   }
+
+  test("activityGini: equal counts give 0; whale distribution matches the hand-computed rank form") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def rows(tpe: String, u: Long, n: Int) =
+      Seq.fill(n)((tpe, u, Timestamp.valueOf("2024-01-01 00:00:00")))
+    // flat: 3 users x 2 events -> gini 0; whale: counts 1/1/98 ->
+    // ranks 1,2,3; num = 2*(1+2+294) - 4*100 = 194; 194e6 div 300 = 646666.
+    val df = (rows("flat", 1, 2) ++ rows("flat", 2, 2) ++ rows("flat", 3, 2) ++
+      rows("whale", 1, 1) ++ rows("whale", 2, 1) ++ rows("whale", 3, 98))
+      .toDF("event_type", "user_id", "ts")
+    val out = EventAnalytics.activityGini(df, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("flat") == (3L, 6L, 0L))
+    assert(out("whale") == (3L, 100L, 646666L))
+  }
+
+  test("stickinessReport: hand-computed DAU/WAU on a two-user timeline") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    // u1 active day0 and day3, u2 active day0 only (days are epoch-based;
+    // any fixed date works since only day deltas matter).
+    def t(day: Int) = Timestamp.valueOf(s"2024-01-0${day + 1} 12:00:00")
+    val df = Seq((1L, t(0)), (1L, t(3)), (2L, t(0))).toDF("user_id", "ts")
+    val out = EventAnalytics.stickinessReport(df, "user_id", "ts", window = 7)
+      .orderBy("day")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // day0: dau 2, wau 2 (both users' day-0 activity covers day 0) -> 1000
+    // day3: dau 1, wau 2 (u2's day-0 activity still covers day 3) -> 500
+    assert(out.toSeq == Seq((2L, 2L, 1000L), (1L, 2L, 500L)))
+  }
+
+  test("pathTrigrams: trigrams read off the (ts, id)-ordered stream per user") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, t(0), 10L, "a"), (1L, t(1), 11L, "b"), (1L, t(2), 12L, "c"), (1L, t(3), 13L, "a"),
+      (2L, t(0), 20L, "a"), (2L, t(1), 21L, "b"), (2L, t(2), 22L, "c"),
+      (3L, t(0), 30L, "x"), (3L, t(1), 31L, "y"), // too short: no trigram
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.pathTrigrams(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(out == Map(("a", "b", "c") -> 2L, ("b", "c", "a") -> 1L))
+  }
+
+  test("correlationMatrix: one-hot 2-D closed form (off-diagonal exactly -1) and diagonal ~1") {
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val m = Similarity.correlationMatrix(df, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // var = 0.25 each -> sqrt exact 0.5, product exact 0.25: corr hits -1 exactly
+    assert(m((0, 1)) == -1.0)
+    assert(math.abs(m((0, 0)) - 1.0) < 1e-12 && math.abs(m((1, 1)) - 1.0) < 1e-12)
+  }
+
+  test("keyHashSkewAudit: buckets partition the rows and fair loads read 1000-ish per-mille") {
+    import graft.operators.SkewJoin
+    val df = (1L to 1000L).map(i => (i, s"u$i")).toDF("id", "k")
+    val out = SkewJoin.keyHashSkewAudit(df, col("k"), buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sum == 1000L)
+    // md5 is uniform: every bucket within 3x of fair on 1000 rows
+    assert(out.forall { case (_, _, load) => load > 333 && load < 3000 })
+  }
+
+  test("neardupKeepBest: longest member survives, doc-id breaks ties, dropped census") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // longest of cluster
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "completely different text about unrelated matters entirely here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.neardupKeepBest(docs, "doc_id", "text", 8, 4, 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // one cluster {1,2,3} labeled by min id 1; doc 2 has 9 tokens, wins
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == (2L, 9, 3L, 2L))
+  }
 }
