@@ -23,6 +23,8 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// the two keys are read by sbt's command loop, not by tasks — lint can't see that
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,6 +58,9 @@ object ExtensionQueries {
   private val PqM = 4
   private val PqNlist = 8
   private val PqIters = 2
+  // q232's fixed power-iteration count: ONE constant feeds the driver-side
+  // loop and the generated chained-CTE mirror (the PqIters rule).
+  private val PcaIters = 12
   // q158/q159 content-defined chunking: 8-char boundary windows, expected
   // chunk ~32 chars (the synthetic docs are ~300 chars), boilerplate drop
   // at 20 docs, dup report at >= 2 shared chunks.
@@ -2979,6 +2982,11 @@ object ExtensionQueries {
     //      near-dup cluster (doc-id tie-break), dropped-count census ----
     "q231_neardup_keep_best" -> ((s, d) =>
       Dedup.neardupKeepBest(t(s, d, "documents"), "doc_id", "text", K, 4, 0.8).orderBy("cluster_id")),
+
+    // ---- PC1 by quantized power iteration: every iteration exact integer
+    //      arithmetic, so the eigen step itself is oracled bit-for-bit ----
+    "q232_pca_top_component" -> ((s, d) =>
+      Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding", EmbDim, PcaIters).orderBy("i")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6108,5 +6116,59 @@ object ExtensionQueries {
                    conv.n_changed, CAST(-1 AS BIGINT)
             FROM conv WHERE conv.n_changed > 0
           ) ORDER BY cluster_id""",
+    // The q189 cov cells quantized to per-1e-8 LONGs, then PcaIters chained
+    // CTE levels of the SAME integer power iteration the driver loop runs:
+    // exact BIGINT mat-vec, exact HUGEINT norm², one mirrored IEEE
+    // divide+floor per requantization, zero-norm fallback keeps the
+    // previous iterate. Only the final eigenvalue division is float.
+    "q232_pca_top_component" -> {
+      val dd = EmbDim
+      val s0 = dd.toLong * (dd + 1) * (2L * dd + 1) / 6
+      def matvec(vRel: String, outName: String) =
+        s"""$outName AS (SELECT list_transform(range(1, ${dd + 1}), i ->
+              list_sum(list_transform(range(1, ${dd + 1}), j ->
+                mm[CAST(i AS INT)][CAST(j AS INT)] * v[CAST(j AS INT)]))) AS w, v
+            FROM m, $vRel)"""
+      val norm2 = "list_sum(list_transform(w, y -> CAST(y AS HUGEINT) * y))"
+      val steps = (1 to PcaIters)
+        .map { t =>
+          s"""${matvec(s"v${t - 1}", s"w$t")},
+              v$t AS (SELECT CASE WHEN $norm2 = 0 THEN v
+                        ELSE list_transform(w, x -> CAST(floor(CAST(x AS DOUBLE)
+                               / sqrt(CAST($norm2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                      END AS v FROM w$t)"""
+        }
+        .mkString(",\n              ")
+      s"""WITH q AS (SELECT list_transform(embedding, v ->
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+                     FROM embeddings),
+              dims AS (SELECT CAST(unnest(range(0, $dd)) AS INT) AS i),
+              p AS (SELECT di.i AS i, dj.i AS j, q.q[di.i + 1] AS qi, q.q[dj.i + 1] AS qj
+                    FROM q CROSS JOIN dims di CROSS JOIN dims dj WHERE dj.i >= di.i),
+              s AS (SELECT i, j, COUNT(*) AS n,
+                      CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(qj AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(qi * qj AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+                    FROM p GROUP BY 1, 2),
+              c AS (SELECT i, j,
+                      ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e12 AS cov
+                    FROM s),
+              cf AS (SELECT i, j, CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT) AS cq FROM c
+                     UNION ALL
+                     SELECT j, i, CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT) FROM c WHERE i <> j),
+              crow AS (SELECT i, list(cq ORDER BY j) AS r FROM cf GROUP BY i),
+              m AS (SELECT list(r ORDER BY i) AS mm FROM crow),
+              v0 AS (SELECT list_transform(range(1, ${dd + 1}), j ->
+                       CAST(floor(CAST(j AS DOUBLE) / sqrt(CAST($s0 AS DOUBLE)) * 1000000.0 + 0.5)
+                            AS BIGINT)) AS v),
+              $steps,
+              ${matvec(s"v$PcaIters", "wf")},
+              lam AS (SELECT CAST(list_sum(list_transform(range(1, ${dd + 1}), i ->
+                        CAST(v[CAST(i AS INT)] AS HUGEINT) * w[CAST(i AS INT)])) AS DOUBLE)
+                        / 1e20 AS ev FROM wf)
+          SELECT d.i, CAST(vf.v[d.i + 1] AS BIGINT) AS loading_micro, lam.ev AS eigenvalue
+          FROM dims d, v$PcaIters vf, lam ORDER BY d.i"""
+    },
   )
 }

@@ -157,6 +157,69 @@ object Similarity {
       )
   }
 
+  /** Top principal component by QUANTIZED power iteration — the eigen step
+    * that turns [[covarianceMatrix]] into an actionable projection (PC1
+    * loadings + the dominant eigenvalue), kept cross-engine deterministic
+    * by a rule the float textbook version can't offer: every iteration is
+    * exact integer arithmetic.
+    *
+    *  - covariance cells quantize to per-1e-8 LONGs (from doubles both
+    *    engines already computed bit-identically in q189);
+    *  - the iterate is a per-micro LONG vector; the mat-vec is an exact
+    *    integer sum, its norm² an exact 128-bit sum, and the renormalized
+    *    iterate re-quantizes to per-micro through ONE mirrored IEEE
+    *    divide+floor (the int→double casts need only IDENTICAL rounding on
+    *    both engines, which round-to-nearest guarantees — no order-
+    *    sensitive float accumulation exists anywhere in the loop);
+    *  - the start vector is ∝ (1, 2, …, dim) — deterministic and generic
+    *    (an all-ones start is exactly orthogonal to the top eigenvector of
+    *    any ± symmetric matrix, a real degeneracy);
+    *  - a zero mat-vec (start ⊥ everything reachable) keeps the previous
+    *    iterate instead of dividing by zero, identically on both engines.
+    *
+    * The dim×dim matrix is a bounded driver-side afterstep (the IVF
+    * codebook stance): dim ≤ 1024 is enforced loudly, the corpus-side work
+    * is exactly one Gram-aggregator pass, and the per-iteration cost is
+    * driver-local dim² integer ops. Output: one row per dimension with the
+    * per-micro PC1 loading (an exact integer) and the eigenvalue estimate
+    * `v·Cv` (one mirrored IEEE division at the very end).
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int, iters: Int = 12): DataFrame = {
+    require(dim >= 1 && dim <= 1024, s"pcaTopComponent: dim must be in [1, 1024]: $dim (dim² driver cells)")
+    require(iters >= 1 && iters <= 64, s"pcaTopComponent: bad iters $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = covarianceMatrix(df, vecCol, dim).select(col("i"), col("j"), col("cov")).collect()
+    val cq = Array.ofDim[Long](dim, dim)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val q = math.floor(r.getDouble(2) * 1.0e8 + 0.5).toLong
+      cq(i)(j) = q; cq(j)(i) = q
+    }
+    // start ∝ (1..dim): norm² = dim(dim+1)(2dim+1)/6 exact, one sqrt
+    val s0 = math.sqrt((dim.toLong * (dim + 1) * (2L * dim + 1) / 6).toDouble)
+    var vq = Array.tabulate(dim)(j => math.floor((j + 1).toDouble / s0 * 1.0e6 + 0.5).toLong)
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(dim) { i =>
+        var s = 0L; var j = 0
+        while (j < dim) { s += cq(i)(j) * v(j); j += 1 }
+        s
+      }
+    for (_ <- 0 until iters) {
+      val w = matvec(vq)
+      val n2 = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      if (n2 != 0) {
+        val nd = math.sqrt(n2.doubleValue)
+        vq = w.map(x => math.floor(x.toDouble / nd * 1.0e6 + 0.5).toLong)
+      }
+    }
+    val wf = matvec(vq)
+    val lam = vq.indices.foldLeft(BigInt(0))((acc, i) => acc + BigInt(vq(i)) * BigInt(wf(i)))
+    val eigen = lam.doubleValue / 1.0e20
+    vq.zipWithIndex.map { case (l, i) => (i, l, eigen) }.toSeq
+      .toDF("i", "loading_micro", "eigenvalue")
+  }
+
   /** The previous explode-based covariance plan, kept as the equivalence
     * reference for [[covarianceMatrix]]'s Gram aggregator (PropertySpec
     * proves cell-for-cell identity, including the IEEE expression order).

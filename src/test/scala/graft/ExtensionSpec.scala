@@ -851,6 +851,18 @@ class ExtensionSpec extends SparkSpec {
     assert(out.forall { case (_, _, load) => load > 333 && load < 3000 })
   }
 
+  test("pcaTopComponent: 2-D anti-correlated closed form (eigenvalue 1/2, loadings +-1/sqrt(2))") {
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponent(df, "embedding", 2, iters = 12)
+      .orderBy("i").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // C = [[.25,-.25],[-.25,.25]]: top eigenvector (1,-1)/sqrt(2), lambda .5
+    assert(out.length == 2)
+    val Array((_, l0, ev), (_, l1, _)) = out
+    assert(math.abs(math.abs(l0) - 707107L) <= 2 && math.abs(math.abs(l1) - 707107L) <= 2)
+    assert(l0.sign == -l1.sign && l0 != 0)
+    assert(math.abs(ev - 0.5) < 1e-3)
+  }
+
   test("neardupKeepBest: longest member survives, doc-id breaks ties, dropped census") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
