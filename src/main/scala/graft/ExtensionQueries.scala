@@ -2987,6 +2987,13 @@ object ExtensionQueries {
     //      arithmetic, so the eigen step itself is oracled bit-for-bit ----
     "q232_pca_top_component" -> ((s, d) =>
       Similarity.pcaTopComponent(t(s, d, "embeddings"), "embedding", EmbDim, PcaIters).orderBy("i")),
+
+    // ---- PC1 projection census per label: eigen then project (two corpus
+    //      passes), exact integer scores, one final mean division ----
+    "q233_pc1_label_census" -> ((s, d) =>
+      Similarity
+        .pcaProjectionCensus(t(s, d, "embeddings"), "embedding", "label", EmbDim, PcaIters)
+        .orderBy("label")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6121,54 +6128,78 @@ object ExtensionQueries {
     // exact BIGINT mat-vec, exact HUGEINT norm², one mirrored IEEE
     // divide+floor per requantization, zero-norm fallback keeps the
     // previous iterate. Only the final eigenvalue division is float.
-    "q232_pca_top_component" -> {
-      val dd = EmbDim
-      val s0 = dd.toLong * (dd + 1) * (2L * dd + 1) / 6
-      def matvec(vRel: String, outName: String) =
-        s"""$outName AS (SELECT list_transform(range(1, ${dd + 1}), i ->
-              list_sum(list_transform(range(1, ${dd + 1}), j ->
-                mm[CAST(i AS INT)][CAST(j AS INT)] * v[CAST(j AS INT)]))) AS w, v
-            FROM m, $vRel)"""
-      val norm2 = "list_sum(list_transform(w, y -> CAST(y AS HUGEINT) * y))"
-      val steps = (1 to PcaIters)
-        .map { t =>
-          s"""${matvec(s"v${t - 1}", s"w$t")},
-              v$t AS (SELECT CASE WHEN $norm2 = 0 THEN v
-                        ELSE list_transform(w, x -> CAST(floor(CAST(x AS DOUBLE)
-                               / sqrt(CAST($norm2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
-                      END AS v FROM w$t)"""
-        }
-        .mkString(",\n              ")
-      s"""WITH q AS (SELECT list_transform(embedding, v ->
-                       CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
-                     FROM embeddings),
-              dims AS (SELECT CAST(unnest(range(0, $dd)) AS INT) AS i),
-              p AS (SELECT di.i AS i, dj.i AS j, q.q[di.i + 1] AS qi, q.q[dj.i + 1] AS qj
-                    FROM q CROSS JOIN dims di CROSS JOIN dims dj WHERE dj.i >= di.i),
-              s AS (SELECT i, j, COUNT(*) AS n,
-                      CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-                      CAST(SUM(CAST(qj AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-                      CAST(SUM(CAST(qi * qj AS DECIMAL(38,0))) AS DOUBLE) AS sxy
-                    FROM p GROUP BY 1, 2),
-              c AS (SELECT i, j,
-                      ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e12 AS cov
-                    FROM s),
-              cf AS (SELECT i, j, CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT) AS cq FROM c
-                     UNION ALL
-                     SELECT j, i, CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT) FROM c WHERE i <> j),
-              crow AS (SELECT i, list(cq ORDER BY j) AS r FROM cf GROUP BY i),
-              m AS (SELECT list(r ORDER BY i) AS mm FROM crow),
-              v0 AS (SELECT list_transform(range(1, ${dd + 1}), j ->
-                       CAST(floor(CAST(j AS DOUBLE) / sqrt(CAST($s0 AS DOUBLE)) * 1000000.0 + 0.5)
-                            AS BIGINT)) AS v),
-              $steps,
-              ${matvec(s"v$PcaIters", "wf")},
-              lam AS (SELECT CAST(list_sum(list_transform(range(1, ${dd + 1}), i ->
+    "q232_pca_top_component" ->
+      s"""WITH $sqlPcaChain,
+              ${sqlPcaMatvec(s"v$PcaIters", "wf")},
+              lam AS (SELECT CAST(list_sum(list_transform(range(1, ${EmbDim + 1}), i ->
                         CAST(v[CAST(i AS INT)] AS HUGEINT) * w[CAST(i AS INT)])) AS DOUBLE)
                         / 1e20 AS ev FROM wf)
           SELECT d.i, CAST(vf.v[d.i + 1] AS BIGINT) AS loading_micro, lam.ev AS eigenvalue
-          FROM dims d, v$PcaIters vf, lam ORDER BY d.i"""
-    },
+          FROM dims d, v$PcaIters vf, lam ORDER BY d.i""",
+    // The same chain, then one projection pass: exact integer dot of the
+    // final per-micro iterate with each per-micro vector, per-label agg,
+    // one mean division (per-micro² = 1e12 scale).
+    "q233_pc1_label_census" ->
+      s"""WITH $sqlPcaChain,
+              proj AS (SELECT q.label,
+                         list_sum(list_transform(range(1, ${EmbDim + 1}), j ->
+                           vf.v[CAST(j AS INT)] * q.q[CAST(j AS INT)])) AS score
+                       FROM q CROSS JOIN v$PcaIters vf)
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MIN(score) AS BIGINT) AS min_score_q,
+                 CAST(MAX(score) AS BIGINT) AS max_score_q,
+                 (CAST(SUM(CAST(score AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 1e12 AS mean_score
+          FROM proj GROUP BY label ORDER BY label""",
   )
+
+  /** One mat-vec CTE level of the quantized power loop (q232/q233). */
+  private def sqlPcaMatvec(vRel: String, outName: String): String =
+    s"""$outName AS (SELECT list_transform(range(1, ${EmbDim + 1}), i ->
+          list_sum(list_transform(range(1, ${EmbDim + 1}), j ->
+            mm[CAST(i AS INT)][CAST(j AS INT)] * v[CAST(j AS INT)]))) AS w, v
+        FROM m, $vRel)"""
+
+  /** Shared CTE chain for the PCA family: per-micro quantization (label
+    * carried), the q189 covariance cells, per-1e-8 matrix quantization,
+    * and `PcaIters` exact-integer power-iteration levels. Terminal
+    * relations: `q(label, q)`, `dims(i)`, `m(mm)`, `v$PcaIters(v)`.
+    */
+  private lazy val sqlPcaChain: String = {
+    val dd = EmbDim
+    val s0 = dd.toLong * (dd + 1) * (2L * dd + 1) / 6
+    val norm2 = "list_sum(list_transform(w, y -> CAST(y AS HUGEINT) * y))"
+    val steps = (1 to PcaIters)
+      .map { t =>
+        s"""${sqlPcaMatvec(s"v${t - 1}", s"w$t")},
+            v$t AS (SELECT CASE WHEN $norm2 = 0 THEN v
+                      ELSE list_transform(w, x -> CAST(floor(CAST(x AS DOUBLE)
+                             / sqrt(CAST($norm2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                    END AS v FROM w$t)"""
+      }
+      .mkString(",\n              ")
+    s"""q AS (SELECT label, list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+               FROM embeddings),
+        dims AS (SELECT CAST(unnest(range(0, $dd)) AS INT) AS i),
+        p AS (SELECT di.i AS i, dj.i AS j, q.q[di.i + 1] AS qi, q.q[dj.i + 1] AS qj
+              FROM q CROSS JOIN dims di CROSS JOIN dims dj WHERE dj.i >= di.i),
+        s AS (SELECT i, j, COUNT(*) AS n,
+                CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(qj AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(qi * qj AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+              FROM p GROUP BY 1, 2),
+        c AS (SELECT i, j,
+                ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e12 AS cov
+              FROM s),
+        cf AS (SELECT i, j, CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT) AS cq FROM c
+               UNION ALL
+               SELECT j, i, CAST(floor(cov * 100000000.0 + 0.5) AS BIGINT) FROM c WHERE i <> j),
+        crow AS (SELECT i, list(cq ORDER BY j) AS r FROM cf GROUP BY i),
+        m AS (SELECT list(r ORDER BY i) AS mm FROM crow),
+        v0 AS (SELECT list_transform(range(1, ${dd + 1}), j ->
+                 CAST(floor(CAST(j AS DOUBLE) / sqrt(CAST($s0 AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS v),
+        $steps"""
+  }
 }

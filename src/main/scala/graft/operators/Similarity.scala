@@ -185,10 +185,26 @@ object Similarity {
     * `v·Cv` (one mirrored IEEE division at the very end).
     */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int, iters: Int = 12): DataFrame = {
-    require(dim >= 1 && dim <= 1024, s"pcaTopComponent: dim must be in [1, 1024]: $dim (dim² driver cells)")
-    require(iters >= 1 && iters <= 64, s"pcaTopComponent: bad iters $iters")
     val spark = df.sparkSession
     import spark.implicits._
+    val (vq, eigen) = pcaLoadingsDriver(df, vecCol, dim, iters)
+    vq.zipWithIndex.map { case (l, i) => (i, l, eigen) }.toSeq
+      .toDF("i", "loading_micro", "eigenvalue")
+  }
+
+  /** The driver-side quantized power loop shared by [[pcaTopComponent]] and
+    * [[pcaProjectionCensus]]: returns (per-micro PC1 loadings, eigenvalue).
+    * One Gram-aggregator corpus pass; everything after is bounded dim²
+    * integer work on the driver (the IVF-codebook stance).
+    */
+  private[graft] def pcaLoadingsDriver(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int,
+  ): (Array[Long], Double) = {
+    require(dim >= 1 && dim <= 1024, s"pcaTopComponent: dim must be in [1, 1024]: $dim (dim² driver cells)")
+    require(iters >= 1 && iters <= 64, s"pcaTopComponent: bad iters $iters")
     val cells = covarianceMatrix(df, vecCol, dim).select(col("i"), col("j"), col("cov")).collect()
     val cq = Array.ofDim[Long](dim, dim)
     cells.foreach { r =>
@@ -215,9 +231,41 @@ object Similarity {
     }
     val wf = matvec(vq)
     val lam = vq.indices.foldLeft(BigInt(0))((acc, i) => acc + BigInt(vq(i)) * BigInt(wf(i)))
-    val eigen = lam.doubleValue / 1.0e20
-    vq.zipWithIndex.map { case (l, i) => (i, l, eigen) }.toSeq
-      .toDF("i", "loading_micro", "eigenvalue")
+    (vq, lam.doubleValue / 1.0e20)
+  }
+
+  /** Per-label census of the corpus projected onto PC1 — "does the dominant
+    * axis separate the labels?" (embedding-drift and class-collapse
+    * screening). The projection score is an EXACT integer: per-micro PC1
+    * loadings ([[pcaLoadingsDriver]]) dotted with the per-micro-quantized
+    * vector, inlined as a literal array so the second corpus pass is one
+    * codegen'd projection + partial-aggregating groupBy (no join, no
+    * shuffle of vectors). The only float op is the final mean division
+    * (score scale: per-micro² = 1e12).
+    *
+    * Two corpus passes total — one for the Gram matrix, one for the
+    * projection — which is the honest minimum for "eigen then project".
+    */
+  def pcaProjectionCensus(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      dim: Int,
+      iters: Int = 12,
+  ): DataFrame = {
+    val (vq, _) = pcaLoadingsDriver(df, vecCol, dim, iters)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lits = typedLit(vq.toSeq)
+    val q = transform(col(vecCol), v => floor(v.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val score = aggregate(zip_with(q, lits, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    df.select(col(labelCol), score.as("__s"))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__s")).as("min_score_q"),
+        max(col("__s")).as("max_score_q"),
+        ((sum(col("__s").cast(d38)).cast("double") / count(lit(1))) / lit(1.0e12)).as("mean_score"),
+      )
   }
 
   /** The previous explode-based covariance plan, kept as the equivalence

@@ -863,6 +863,20 @@ class ExtensionSpec extends SparkSpec {
     assert(math.abs(ev - 0.5) < 1e-3)
   }
 
+  test("pcaProjectionCensus: PC1 separates the two one-hot labels with mirrored-sign means") {
+    val df = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1), (3L, Seq(1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaProjectionCensus(df, "embedding", "label", 2, iters = 12)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length == 2)
+    val (l0, l1) = (out(0), out(1))
+    assert(l0._2 == 2 && l1._2 == 1)
+    // opposite sides of the dominant axis; per-label min == max (identical vectors)
+    assert(l0._5.sign == -l1._5.sign && l0._5 != 0.0)
+    assert(l0._3 == l0._4 && l1._3 == l1._4)
+  }
+
   test("neardupKeepBest: longest member survives, doc-id breaks ties, dropped census") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
