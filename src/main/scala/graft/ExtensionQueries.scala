@@ -809,7 +809,7 @@ object ExtensionQueries {
         .jaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", threshold = 0.9)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       Dedup
-        .connectedComponentsStar(pairs)
+        .connectedComponentsAdaptive(pairs)
         .select(
           col("id").as("doc_id"),
           col("comp").as("cluster_id"),
@@ -1786,7 +1786,7 @@ object ExtensionQueries {
     "q111_dup_report" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", threshold = 0.8)
-      val cc = Dedup.connectedComponentsStar(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val cc = Dedup.connectedComponentsAdaptive(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       val sizes = docs
         .join(cc, docs("doc_id") === cc("id"), "left_outer")
         .select(coalesce(col("comp"), col("doc_id")).as("cluster_id"))

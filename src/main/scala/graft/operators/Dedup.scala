@@ -677,6 +677,35 @@ object Dedup {
     * O(diameter), so hitting the cap means the graph is a long chain —
     * fail loudly and point at the fix rather than looping for hours.
     */
+  /** Size-adaptive connected components — the default at every near-dup /
+    * entity pair-graph site. Both variants share the `comp = min id`
+    * contract, so the choice is a PLAN decision, not a semantic one (the
+    * same size-based dispatch Spark applies to join strategies):
+    *
+    *  - below `starThreshold` edges, min-label propagation wins — star's
+    *    two joins + distinct per round cost more than the extra label
+    *    rounds on small graphs (ScaleBench: 14 s vs 17 s at 2.9M pairs,
+    *    25 s vs 34 s at 11.7M);
+    *  - above it, star contraction wins and keeps winning — flat 175 s at
+    *    both 47M and 129M pairs while label propagation doubles
+    *    (196 s → 408 s), and star is immune to the O(diameter) failure
+    *    mode outright.
+    *
+    * The threshold sits in the measured 11.7M–47M crossover bracket. The
+    * edge set is materialized once (lazy checkpoint forced by the count)
+    * and the chosen variant re-reads that checkpoint, so the dispatch adds
+    * one count on data the iteration needed materialized anyway.
+    */
+  def connectedComponentsAdaptive(
+      edges: DataFrame,
+      starThreshold: Long = 20000000L,
+      reliable: Boolean = false,
+  ): DataFrame = {
+    val mat = truncateLineage(edges.select(col("src"), col("dst")), reliable)
+    if (mat.count() >= starThreshold) connectedComponentsStar(mat, reliable = reliable)
+    else connectedComponents(mat, reliable = reliable)
+  }
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame =
     connectedComponentsCounted(edges, maxRounds, reliable)._1
 
@@ -1395,7 +1424,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"), floor(col("jaccard") * 1000 + lit(0.5)).cast("long").as("__jq"))
     )
     val comps = Lineage.truncate(
-      connectedComponentsStar(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      connectedComponentsAdaptive(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     )
     val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
     pairs
@@ -1441,7 +1470,7 @@ object Dedup {
       minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
     )
-    val comps = connectedComponentsStar(pairs)
+    val comps = connectedComponentsAdaptive(pairs)
     val members = docs
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol))
       .select(col(idCol), col("comp"), size(TextAnalysis.wsTokens(col(textCol))).as("__toks"))
