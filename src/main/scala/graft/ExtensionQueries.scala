@@ -2994,6 +2994,63 @@ object ExtensionQueries {
       Similarity
         .pcaProjectionCensus(t(s, d, "embeddings"), "embedding", "label", EmbDim, PcaIters)
         .orderBy("label")),
+
+    // ---- Shipping-priority top-10 (TPC-H Q3 shape): two fact filters
+    //      pushed to the scans, customer dim joined WITHOUT a forced
+    //      broadcast (a segment filter keeps 1/5 of customers — at 100 TB
+    //      that side is not broadcastable; AQE picks broadcast when the
+    //      post-filter stats allow). Exact-decimal revenue, unique-key
+    //      tie-break before the LIMIT ----
+    "q234_shipping_priority" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(
+          sum(
+            (col("l_extendedprice").cast(DecimalType(18, 4)) *
+              (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+              .cast(DecimalType(18, 4))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- Local-supplier volume (TPC-H Q5 shape): the 6-way join with the
+    //      same-nation constraint; dims chain as broadcasts, facts shuffle
+    //      on their keys once each. Exact-decimal revenue per nation ----
+    "q235_region_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+        )
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(
+            (col("l_extendedprice").cast(DecimalType(18, 4)) *
+              (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+              .cast(DecimalType(18, 4))
+          ).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy(col("n_name"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6028,6 +6085,38 @@ object ExtensionQueries {
             UNION ALL
             SELECT CAST(-1 AS BIGINT), conv.n_changed FROM conv WHERE conv.n_changed > 0
           ) ORDER BY cluster_id""",
+    // The q02 exact-decimal revenue rule inside the Q3 join shape; the
+    // revenue tie-break is the unique l_orderkey so the LIMIT is
+    // deterministic on both engines.
+    "q234_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    // Q5's same-nation constraint (customer and supplier share a nation)
+    // with the exact-decimal revenue rule, revenue per ASIA nation.
+    "q235_region_revenue" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY n_name""",
     // The q189 sufficient statistics extended one step: broadcast-shaped
     // diagonal join and the identical IEEE corr expression; zero-variance
     // dimensions mirror the NULL guard.

@@ -586,4 +586,41 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over the docs:\n$p")
     assert(p.contains("partial"), s"map-side combine:\n$p")
   }
+
+  test("q234 shipping priority: fact filters pushed to both scans, no cartesian, bounded sort") {
+    val p = plan(q("q234_shipping_priority"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter must reach the scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders date filter must reach the scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter pushed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
+  test("q235 region revenue: nation/region dims broadcast; facts never nested-loop") {
+    val p = plan(q("q235_region_revenue"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"nation+region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter pushed:\n$p")
+  }
+
+  test("q226 correlation: diagonal joins back as broadcasts over the materialized cells") {
+    val p = plan(q("q226_embedding_corr"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, s"two broadcast diagonal joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"2080-row cell table must never shuffle-join:\n$p")
+  }
+
+  test("q233 PC1 census: the projection pass is join-free — loadings ride as literals") {
+    val p = plan(q("q233_pc1_label_census"))
+    assert(!p.contains("Join"), s"no join in the projection pass:\n$p")
+    assert(p.contains("partial"), s"map-side combine on the label rollup:\n$p")
+  }
+
+  test("q230 skew audit: one scan into a buckets-sized aggregate") {
+    val p = plan(q("q230_skew_audit"))
+    assert("Scan parquet".r.findAllIn(p).length === 1, s"one pass over events:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), s"map-side combine:\n$p")
+  }
 }
