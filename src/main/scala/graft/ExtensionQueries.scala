@@ -2995,6 +2995,18 @@ object ExtensionQueries {
         .pcaProjectionCensus(t(s, d, "embeddings"), "embedding", "label", EmbDim, PcaIters)
         .orderBy("label")),
 
+    // ---- REAL PNG encode→decode round trip on the distributed path:
+    //      ImageIO-encoded payloads per doc, ImageIoCodec header decode,
+    //      decoded dims oracled as pure id arithmetic ----
+    "q236_media_decode_census" -> ((s, d) => {
+      val media = Multimodal.synthesizePng(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .extractFeatures(media, Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
     // ---- Shipping-priority top-10 (TPC-H Q3 shape): two fact filters
     //      pushed to the scans, customer dim joined WITHOUT a forced
     //      broadcast (a segment filter keeps 1/5 of customers — at 100 TB
@@ -6085,6 +6097,14 @@ object ExtensionQueries {
             UNION ALL
             SELECT CAST(-1 AS BIGINT), conv.n_changed FROM conv WHERE conv.n_changed > 0
           ) ORDER BY cluster_id""",
+    // The decode contract is id arithmetic: a mismatch means the REAL
+    // PNG round trip (ImageIO encode on executors → header-only decode)
+    // produced wrong dimensions somewhere in the distributed path.
+    "q236_media_decode_census" ->
+      """SELECT doc_id AS media_id,
+                CAST(8 + doc_id % 32 AS INT) AS width,
+                CAST(8 + doc_id % 16 AS INT) AS height
+         FROM documents ORDER BY media_id""",
     // The q02 exact-decimal revenue rule inside the Q3 join shape; the
     // revenue tie-break is the unique l_orderkey so the LIMIT is
     // deterministic on both engines.

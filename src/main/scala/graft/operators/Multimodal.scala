@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is REAL — schema, partition-balanced batch
   * processing (`mapPartitions` over a typed Dataset, the Scala analog of a
-  * Pandas-batch UDF), deterministic output schema — while the codec itself is
-  * a clearly-marked STUB (`StubCodec`): this container has no image/audio
-  * libraries, so the stub derives deterministic pseudo-features from the
-  * bytes. Swapping in a real codec is a one-object change; nothing in the
-  * plan shape moves.
+  * Pandas-batch UDF), deterministic output schema — and so is the image
+  * decode: [[ImageIoCodec]] reads PNG/JPEG headers via the JDK's
+  * `javax.imageio` (no extra dependencies), verified end-to-end by an
+  * oracled encode→decode round trip ([[synthesizePng]] + q236).
+  * [[StubCodec]] remains for payloads that are not real media (the
+  * synthetic utf-8 corpus) and for the formats the JDK cannot demux
+  * (audio/video frames) — swapping codecs changes no plan shape.
   *
   * Scale design: decode is the most expensive per-row op in a multimodal
   * pipeline, so it must (a) run post-filter (decode only surviving rows),
@@ -126,6 +128,42 @@ object Multimodal {
         col("source"),
       )
       .as[MediaRecord]
+  }
+
+  /** Synthesize REAL PNG payloads (one per document, dimensions a pure
+    * function of the id: `width = 8 + id % 32`, `height = 8 + id % 16`) —
+    * encoded with the JDK's `ImageIO` on the executors, so a downstream
+    * [[ImageIoCodec]] decode exercises the full binary round trip on the
+    * distributed path. The ORACLE contract is the decoded dimensions (id
+    * arithmetic any engine can mirror), never the payload bytes (PNG
+    * encoder output is JDK-version-dependent; dimensions are not).
+    *
+    * Scale: `mapPartitions`, one encoder per row, no shuffle; payloads are
+    * small on purpose (≤40×24 px) — the query family exists to verify decode,
+    * not to benchmark encoders.
+    */
+  def synthesizePng(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 32).toInt
+          val h = (8 + id % 16).toInt
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, ((x * 31 + y * 7 + id) & 0xffffff).toInt); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray, "synthetic")
+        }
+      }
   }
 
   /** Batch decode + feature extraction. Partition-parallel `mapPartitions`
