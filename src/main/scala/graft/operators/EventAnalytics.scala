@@ -1741,8 +1741,14 @@ object EventAnalytics {
         col(groupCol),
         col("n_users"),
         col("total_events"),
-        expr("(2 * __rc - (n_users + 1) * total_events) * 1000000 div (n_users * total_events)")
-          .as("gini_micro"),
+        // DECIMAL(38,0) promotion before the per-micro scaling: the raw
+        // LONG form wraps once n_users·total_events exceeds ~9.2e18-ish
+        // products (1M users × 10M events), and Spark wraps silently
+        // while the oracle errors — the dsum38 stance applies here too.
+        expr(
+          "CAST((2 * CAST(__rc AS DECIMAL(38,0)) - (n_users + 1) * CAST(total_events AS DECIMAL(38,0))) * 1000000" +
+            " div (CAST(n_users AS DECIMAL(38,0)) * total_events) AS BIGINT)"
+        ).as("gini_micro"),
       )
   }
 }

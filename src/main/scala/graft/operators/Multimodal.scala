@@ -108,8 +108,62 @@ object Multimodal {
 
     def isDecodable(bytes: Array[Byte]): Boolean = decodeDimensions(bytes).isDefined
 
-    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
-      StubCodec.sampleFrames(bytes, everyN)
+    /** REAL frame count for the multi-image formats the JDK can demux
+      * (animated GIF; single-image formats answer 1), or None when no
+      * installed reader claims the payload. `getNumImages(true)` needs a
+      * seekable input (`seekForwardOnly = false`) — it walks the image
+      * blocks without rasterizing pixels, so a frame census stays
+      * header-cost-shaped like [[decodeDimensions]].
+      */
+    def frameCount(bytes: Array[Byte]): Option[Int] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            Some(r.getNumImages(true))
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+
+    /** Every `everyN`-th frame, REALLY decoded, for payloads an installed
+      * reader can demux into multiple images (animated GIF — the one
+      * multi-frame format the dependency-free JDK ships a reader for);
+      * each sampled frame rasterizes via `reader.read(i)` and re-encodes
+      * as PNG, so downstream per-frame operators see a self-contained
+      * image payload. Single-image and unrecognized payloads keep the
+      * stub chunk geometry ([[StubCodec.sampleFrames]]) — audio/video
+      * still have no public-dependency-free demuxer.
+      */
+    override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) StubCodec.sampleFrames(bytes, everyN)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            val n = r.getNumImages(true)
+            if (n <= 1) StubCodec.sampleFrames(bytes, everyN)
+            else
+              (0 until n by math.max(everyN, 1)).map { i =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(r.read(i), "png", bos)
+                bos.toByteArray
+              }
+          } catch {
+            case scala.util.control.NonFatal(_) => StubCodec.sampleFrames(bytes, everyN)
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
   }
 
   /** Synthesize a media table from `documents` (deterministic — the payload
@@ -166,6 +220,47 @@ object Multimodal {
       }
   }
 
+  /** Synthesize REAL multi-frame animated-GIF payloads (one per document,
+    * frame count a pure function of the id: `frames = 1 + id % 4`) — the
+    * GIF89a container is assembled byte-by-byte on the executors (header +
+    * logical screen descriptor + 2-color global palette + per frame a
+    * graphics-control extension, image descriptor and the canonical
+    * 5-byte LZW block for a single pixel of color 0), so a downstream
+    * [[ImageIoCodec.frameCount]] demux exercises the full multi-image
+    * binary path. Like [[synthesizePng]], the ORACLE contract is the
+    * DECODED frame count (id arithmetic any engine can mirror), never the
+    * payload bytes.
+    *
+    * Scale: `mapPartitions`, no shuffle, ~(14 + 25·frames + 6)-byte
+    * payloads — the family verifies demux, not encoder throughput.
+    */
+  def synthesizeGif(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        val frameBlock = Array[Byte](
+          0x21.toByte, 0xF9.toByte, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00, // GCE, delay 10
+          0x2C, 0, 0, 0, 0, 0x01, 0x00, 0x01, 0x00, 0x00,               // image descriptor 1×1
+          0x02, 0x02, 0x44, 0x01, 0x00,                                 // LZW: one pixel, color 0
+        )
+        it.map { id =>
+          val frames = (1 + id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write("GIF89a".getBytes("US-ASCII"))
+          bos.write(Array[Byte](0x01, 0x00, 0x01, 0x00))                // logical screen 1×1
+          bos.write(Array[Byte](0xF0.toByte, 0x00, 0x00))               // GCT present, 2 colors
+          bos.write(Array[Byte](0, 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+          var i = 0
+          while (i < frames) { bos.write(frameBlock); i += 1 }
+          bos.write(0x3B)                                               // trailer
+          MediaRecord(id, "video", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
   /** Batch decode + feature extraction. Partition-parallel `mapPartitions`
     * (one codec instance per partition, streamed iterator — the Scala analog
     * of `mapInPandas` batches); output is a narrow, columnar-friendly
@@ -209,6 +304,23 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map(m => m.copy(content = m.content.take(maxBytes))))
+  }
+
+  final case class FrameCountRow(media_id: Long, frames: Int)
+
+  /** Per-payload REAL frame count via [[ImageIoCodec.frameCount]] (−1 for
+    * payloads no installed reader recognizes — kept total, like
+    * [[extractFeatures]]). The demux walks image blocks without
+    * rasterizing, so this is the header-cost census shape that survives a
+    * billion-payload corpus; `mapPartitions`, no shuffle, bytes dropped at
+    * this boundary.
+    */
+  def frameCounts(media: Dataset[MediaRecord]): Dataset[FrameCountRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(
+      _.map(m => FrameCountRow(m.media_id, ImageIoCodec.frameCount(m.content).getOrElse(-1)))
+    )
   }
 
   /** One sampled frame's manifest row: where it lives in the payload plus a

@@ -120,6 +120,20 @@ object Similarity {
       // the explode plan dropped null-vector rows (explode(null) emits
       // nothing); mirror that before the typed aggregate sees them
       .filter(col("__q").isNotNull)
+      // ragged or null-element vectors would silently skew n / truncate
+      // cells (the explode plan null-skipped them instead) — fail loudly
+      // with the offending shape rather than diverge from the oracle
+      .select(
+        when(
+          size(col("__q")) =!= lit(dim) || exists(col("__q"), e => e.isNull),
+          raise_error(
+            concat(
+              lit(s"covarianceMatrix: every vector must be length-$dim with no null elements; got size="),
+              size(col("__q")).cast("string"),
+            )
+          ),
+        ).otherwise(col("__q")).as("__q")
+      )
       .as[Array[Long]]
     q.select(new graft.functions.GramMatrixAggregator(dim).toColumn.name("__cells"))
       .toDF("__cells")
@@ -215,22 +229,25 @@ object Similarity {
     // start ∝ (1..dim): norm² = dim(dim+1)(2dim+1)/6 exact, one sqrt
     val s0 = math.sqrt((dim.toLong * (dim + 1) * (2L * dim + 1) / 6).toDouble)
     var vq = Array.tabulate(dim)(j => math.floor((j + 1).toDouble / s0 * 1.0e6 + 0.5).toLong)
-    def matvec(v: Array[Long]): Array[Long] =
+    // mat-vec accumulates in BigInt: a plain Long wraps silently around
+    // cov ~9e9 × v ~1e6 × 1024 terms while the oracle's HUGEINT list_sum
+    // does not — exactness here costs only bounded driver-side dim² work
+    def matvec(v: Array[Long]): Array[BigInt] =
       Array.tabulate(dim) { i =>
-        var s = 0L; var j = 0
-        while (j < dim) { s += cq(i)(j) * v(j); j += 1 }
+        var s = BigInt(0); var j = 0
+        while (j < dim) { s += BigInt(cq(i)(j)) * v(j); j += 1 }
         s
       }
     for (_ <- 0 until iters) {
       val w = matvec(vq)
-      val n2 = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      val n2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
       if (n2 != 0) {
         val nd = math.sqrt(n2.doubleValue)
-        vq = w.map(x => math.floor(x.toDouble / nd * 1.0e6 + 0.5).toLong)
+        vq = w.map(x => math.floor(x.doubleValue / nd * 1.0e6 + 0.5).toLong)
       }
     }
     val wf = matvec(vq)
-    val lam = vq.indices.foldLeft(BigInt(0))((acc, i) => acc + BigInt(vq(i)) * BigInt(wf(i)))
+    val lam = vq.indices.foldLeft(BigInt(0))((acc, i) => acc + BigInt(vq(i)) * wf(i))
     (vq, lam.doubleValue / 1.0e20)
   }
 

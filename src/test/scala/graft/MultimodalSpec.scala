@@ -91,6 +91,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.dimensions(truncated) == Multimodal.StubCodec.dimensions(truncated))
   }
 
+  test("ImageIoCodec demuxes a real animated GIF: frame count and per-frame reads") {
+    val gif = resourceBytes("/graft/fixture_1x1x3.gif")
+    assert(Multimodal.ImageIoCodec.frameCount(gif).contains(3))
+    // single-image formats answer 1, unrecognized payloads None
+    val png = resourceBytes("/graft/fixture_123x45.png")
+    assert(Multimodal.ImageIoCodec.frameCount(png).contains(1))
+    assert(Multimodal.ImageIoCodec.frameCount("text".getBytes("utf-8")).isEmpty)
+    // real per-frame reads: each sampled frame is a self-contained PNG
+    val all = Multimodal.ImageIoCodec.sampleFrames(gif, everyN = 1)
+    assert(all.length == 3)
+    assert(all.forall(f => Multimodal.ImageIoCodec.dimensions(f) == ((1, 1))))
+    assert(Multimodal.ImageIoCodec.sampleFrames(gif, everyN = 2).length == 2) // frames 0, 2
+    // single-image payloads keep the stub chunk geometry
+    assert(
+      Multimodal.ImageIoCodec.sampleFrames(png, 1).map(_.toSeq) ==
+        Multimodal.StubCodec.sampleFrames(png, 1).map(_.toSeq)
+    )
+  }
+
+  test("synthesizeGif round-trips frame counts through real demux on the distributed path") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeGif(docs, "doc_id").repartition(2)
+    val got = Multimodal.frameCounts(media).collect().map(r => r.media_id -> r.frames).toMap
+    assert(got == Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 4, 7L -> 4))
+  }
+
   test("extractFeatures with ImageIoCodec decodes real images on the distributed path") {
     import graft.operators.Multimodal.MediaRecord
     val png = resourceBytes("/graft/fixture_123x45.png")

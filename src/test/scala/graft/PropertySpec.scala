@@ -447,6 +447,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("covarianceMatrix: ragged and null-element vectors fail loudly, null vectors are skipped") {
+    import graft.operators.Similarity
+    // a short vector would silently skew n / truncate cells in the Gram
+    // buffer (the explode plan instead null-skipped) — the guard must name
+    // the contract instead of diverging from the oracle
+    val ragged = Seq((0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception](Similarity.covarianceMatrix(ragged, "embedding", 3).collect())
+    assert(e1.getMessage != null && e1.getMessage.contains("length-3"))
+    val withNullElem = Seq((0L, Seq[java.lang.Float](1f, 2f)), (1L, Seq[java.lang.Float](1f, null)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception](Similarity.covarianceMatrix(withNullElem, "embedding", 2).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("no null elements"))
+    // whole-null vectors keep the explode plan's behavior: dropped, not fatal
+    val withNullVec = Seq((0L, Seq(1f, 2f)), (1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.covarianceMatrix(withNullVec, "embedding", 2).collect()
+    assert(cells.nonEmpty && cells.forall(_.getLong(2) == 1L))
+  }
+
   test("GramMatrixAggregator: 128-bit accumulators survive products beyond long range") {
     import graft.operators.Similarity
     // values of ~3e3 quantize to ~3e9; one product is ~9e18 (at the long
