@@ -191,6 +191,52 @@ object ScaleBench {
         s"""{"op":"cc_adaptive","factor":$f,"sec":${math.round(ta * 1000) / 1000.0},"edges":$nPairs,"branch":"$branch"}"""
       )
     }
+
+    // --- streaming family: the stateful operators (sessionizeExact's
+    //     multi-fragment state, the interval join's two-sided state store)
+    //     at 1×..8× events tiling. Tiling offsets user ids, so state must
+    //     grow LINEARLY in the factor (k× independent users, same per-user
+    //     horizon) — superlinear state_rows here means watermark eviction
+    //     broke. Peaks are read from StreamingQueryProgress via a listener
+    //     (max over microbatches of Σ stateOperators.numRowsTotal/
+    //     memoryUsedBytes), which is exactly what an operator would report
+    //     on a real cluster's metrics sink.
+    val streamFactors = sys.env
+      .get("SPARK_GRAFT_SCALE_STREAM_FACTORS")
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 4, 8))
+    val statePeaks = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.name != null) {
+          val rows  = p.stateOperators.map(_.numRowsTotal).sum
+          val bytes = p.stateOperators.map(_.memoryUsedBytes).sum
+          val prev  = statePeaks.getOrElse(p.name, (0L, 0L))
+          statePeaks(p.name) = (math.max(prev._1, rows), math.max(prev._2, bytes))
+        }
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    })
+    def reportStream(op: String, factor: Int, sec: Double, rows: Long, qn: String): Unit = {
+      val (sr, sb) = statePeaks.getOrElse(qn, (0L, 0L))
+      println(
+        s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,"state_rows":$sr,"state_bytes":$sb}"""
+      )
+    }
+    for (f <- streamFactors) {
+      val ev = spark.read.parquet(s"$tmp/events_$f")
+      val (t1, r1) =
+        time(streaming.EventStream.sessionizeExactOneShot(spark, ev, s"scale_sess_$f").count())
+      reportStream("stream_sessionize_exact", f, t1, r1, s"scale_sess_$f")
+      val (t2, r2) =
+        time(streaming.EventStream.intervalJoinOneShot(spark, ev, s"scale_ij_$f").count())
+      reportStream("stream_interval_join", f, t2, r2, s"scale_ij_$f")
+      spark.sql(s"DROP TABLE IF EXISTS scale_sess_$f")
+      spark.sql(s"DROP TABLE IF EXISTS scale_ij_$f")
+    }
     spark.stop()
   }
 }
