@@ -3020,6 +3020,19 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // ---- Audio header census: REAL RIFF/WAVE containers assembled on the
+    //      executors, parsed back by the JDK's INDEPENDENT javax.sound
+    //      header reader (frame count / rate / channels without touching
+    //      the PCM body) — the q236/q237 round-trip contract for audio ----
+    "q238_wav_audio_census" -> ((s, d) => {
+      val media = Multimodal.synthesizeWav(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .audioCensus(media)
+        .toDF()
+        .select(col("media_id"), col("frames"), col("sample_rate"), col("channels"))
+        .orderBy("media_id")
+    }),
+
     // ---- Shipping-priority top-10 (TPC-H Q3 shape): two fact filters
     //      pushed to the scans, customer dim joined WITHOUT a forced
     //      broadcast (a segment filter keeps 1/5 of customers — at 100 TB
@@ -6124,6 +6137,15 @@ object ExtensionQueries {
     "q237_gif_frame_census" ->
       """SELECT doc_id AS media_id,
                 CAST(1 + doc_id % 4 AS INT) AS frames
+         FROM documents ORDER BY media_id""",
+    // The audio contract: what javax.sound's header parser reads back
+    // from the executor-assembled RIFF/WAVE container must reproduce the
+    // id arithmetic (frames BIGINT to match getFrameLength's long).
+    "q238_wav_audio_census" ->
+      """SELECT doc_id AS media_id,
+                CAST(8 + doc_id % 64 AS BIGINT) AS frames,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS INT) AS channels
          FROM documents ORDER BY media_id""",
     // The q02 exact-decimal revenue rule inside the Q3 join shape; the
     // revenue tie-break is the unique l_orderkey so the LIMIT is

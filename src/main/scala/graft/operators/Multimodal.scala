@@ -166,6 +166,88 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(frames: Long, sample_rate: Int, channels: Int, bits: Int)
+
+  /** Real audio header parsing over the JDK's `javax.sound.sampled` — the
+    * audio analog of [[ImageIoCodec]], no extra dependencies.
+    * `AudioSystem.getAudioFileFormat` reads ONLY the header (WAV/AIFF/AU —
+    * the formats the JDK ships parsers for), answering frame count, sample
+    * rate, channel count and sample width without touching the PCM body:
+    * the right cost model for a duration census over a billion clips.
+    * Unrecognized or corrupt payloads answer None (same total-function
+    * contract as [[ImageIoCodec.decodeDimensions]]).
+    */
+  object JavaSoundCodec extends Serializable {
+    def audioMeta(bytes: Array[Byte]): Option[AudioMeta] =
+      try {
+        val f  = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        val fm = f.getFormat
+        Some(AudioMeta(f.getFrameLength.toLong, fm.getSampleRate.toInt, fm.getChannels, fm.getSampleSizeInBits))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case scala.util.control.NonFatal(_)                       => None
+      }
+
+    def isDecodable(bytes: Array[Byte]): Boolean = audioMeta(bytes).isDefined
+  }
+
+  /** Synthesize REAL PCM WAV payloads (one per document, geometry a pure
+    * function of the id: `frames = 8 + id % 64`, `rate ∈ {8000, 16000,
+    * 44100}` by `id % 3`, `channels = 1 + id % 2`, 16-bit) — the RIFF/WAVE
+    * container is assembled byte-by-byte on the executors, and the ORACLE
+    * contract is what the JDK's INDEPENDENT parser ([[JavaSoundCodec]])
+    * reads back: id arithmetic any engine can mirror, never payload bytes.
+    * The deterministic PCM body makes payloads reproducible without RNG.
+    *
+    * Scale: `mapPartitions`, no shuffle, ≤ 44+256-byte payloads — the
+    * family verifies header decode, not codec throughput.
+    */
+  def synthesizeWav(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = (8 + id % 64).toInt
+          val rate   = Array(8000, 16000, 44100)((id % 3).toInt)
+          val ch     = (1 + id % 2).toInt
+          val bits   = 16
+          val dataLen = frames * ch * bits / 8
+          val bos = new java.io.ByteArrayOutputStream()
+          val d   = new java.io.DataOutputStream(bos)
+          def u32(v: Int): Unit = d.writeInt(Integer.reverseBytes(v))
+          def u16(v: Int): Unit = d.writeShort(java.lang.Short.reverseBytes(v.toShort))
+          d.writeBytes("RIFF"); u32(36 + dataLen); d.writeBytes("WAVE")
+          d.writeBytes("fmt "); u32(16)
+          u16(1); u16(ch); u32(rate); u32(rate * ch * bits / 8); u16(ch * bits / 8); u16(bits)
+          d.writeBytes("data"); u32(dataLen)
+          var i = 0
+          while (i < dataLen) { d.writeByte(((i * 7 + id) & 0xff).toInt); i += 1 }
+          MediaRecord(id, "audio", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  final case class AudioCensusRow(media_id: Long, frames: Long, sample_rate: Int, channels: Int)
+
+  /** Per-payload REAL audio header census via [[JavaSoundCodec]] (−1/−1/−1
+    * for unrecognized payloads — total, like [[frameCounts]]); header-cost
+    * shape, bytes dropped at this boundary.
+    */
+  def audioCensus(media: Dataset[MediaRecord]): Dataset[AudioCensusRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      JavaSoundCodec.audioMeta(m.content) match {
+        case Some(a) => AudioCensusRow(m.media_id, a.frames, a.sample_rate, a.channels)
+        case None    => AudioCensusRow(m.media_id, -1L, -1, -1)
+      }
+    })
+  }
+
   /** Synthesize a media table from `documents` (deterministic — the payload
     * is the utf-8 text, typed by doc_id). Stands in for a real binary column
     * scan; the operators downstream don't know the difference.

@@ -118,6 +118,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 4, 7L -> 4))
   }
 
+  test("JavaSoundCodec parses real WAV headers; unrecognized payloads answer None") {
+    val docs = Seq((0L, "a")).toDF("doc_id", "text")
+    val wav = Multimodal.synthesizeWav(docs, "doc_id").collect().head.content
+    // id 0: frames = 8, rate = 8000, channels = 1, 16-bit
+    assert(Multimodal.JavaSoundCodec.audioMeta(wav)
+      .contains(Multimodal.AudioMeta(8L, 8000, 1, 16)))
+    assert(Multimodal.JavaSoundCodec.isDecodable(wav))
+    assert(Multimodal.JavaSoundCodec.audioMeta("not audio".getBytes("utf-8")).isEmpty)
+    // truncated header: recognized magic, corrupt body — still total
+    assert(Multimodal.JavaSoundCodec.audioMeta(wav.take(10)).isEmpty)
+  }
+
+  test("synthesizeWav round-trips header geometry through javax.sound on the distributed path") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (5L, "d"), (70L, "e"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeWav(docs, "doc_id").repartition(2)
+    val got = Multimodal.audioCensus(media).collect()
+      .map(r => r.media_id -> ((r.frames, r.sample_rate, r.channels))).toMap
+    assert(got == Map(
+      0L -> ((8L, 8000, 1)), 1L -> ((9L, 16000, 2)), 2L -> ((10L, 44100, 1)),
+      5L -> ((13L, 44100, 2)), 70L -> ((14L, 16000, 1)),
+    ))
+  }
+
   test("extractFeatures with ImageIoCodec decodes real images on the distributed path") {
     import graft.operators.Multimodal.MediaRecord
     val png = resourceBytes("/graft/fixture_123x45.png")
