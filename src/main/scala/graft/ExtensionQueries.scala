@@ -3020,6 +3020,19 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // ---- Video container census: RIFF/AVI walk (our parser, public
+    //      layout — the JDK ships no AVI reader) reporting TWO
+    //      independently-derived frame counts: the avih header field and
+    //      the counted movi chunks; the oracle asserts they agree ----
+    "q239_avi_video_census" -> ((s, d) => {
+      val media = Multimodal.synthesizeAvi(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .videoCensus(media)
+        .toDF()
+        .select(col("media_id"), col("total_frames"), col("movi_frames"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
     // ---- Audio header census: REAL RIFF/WAVE containers assembled on the
     //      executors, parsed back by the JDK's INDEPENDENT javax.sound
     //      header reader (frame count / rate / channels without touching
@@ -6137,6 +6150,17 @@ object ExtensionQueries {
     "q237_gif_frame_census" ->
       """SELECT doc_id AS media_id,
                 CAST(1 + doc_id % 4 AS INT) AS frames
+         FROM documents ORDER BY media_id""",
+    // The video contract: the avih field AND the independently counted
+    // movi chunks must BOTH reproduce the id arithmetic — if the walker
+    // ever miscounts chunks or misreads the header, the two columns
+    // diverge from the shared mirror expression and the hash breaks.
+    "q239_avi_video_census" ->
+      """SELECT doc_id AS media_id,
+                CAST(2 + doc_id % 8 AS INT) AS total_frames,
+                CAST(2 + doc_id % 8 AS INT) AS movi_frames,
+                CAST(16 + doc_id % 32 AS INT) AS width,
+                CAST(16 + doc_id % 16 AS INT) AS height
          FROM documents ORDER BY media_id""",
     // The audio contract: what javax.sound's header parser reads back
     // from the executor-assembled RIFF/WAVE container must reproduce the

@@ -248,6 +248,136 @@ object Multimodal {
     })
   }
 
+  final case class AviMeta(total_frames: Int, width: Int, height: Int, movi_frames: Int)
+
+  /** RIFF/AVI container walker — OUR parser over the public RIFF layout
+    * (fourcc + u32-le size chunks, LIST containers; `avih` carries
+    * dwTotalFrames/dwWidth/dwHeight at fixed offsets, `movi` holds one
+    * `##dc`/`##db` chunk per video frame). The JDK ships no AVI reader, so
+    * unlike [[ImageIoCodec]]/[[JavaSoundCodec]] both writer and reader are
+    * in-repo; the census therefore reports TWO independently-derived frame
+    * counts — the `avih` header field AND the counted `movi` chunks — so
+    * the oracle can assert structural agreement, not just echo one field.
+    * Header+index walk only, frame payloads skipped by size: the
+    * billion-video census cost model. None on any structural violation.
+    */
+  object RiffAviCodec extends Serializable {
+    private def fourcc(b: Array[Byte], off: Int): String =
+      if (off + 4 > b.length) "" else new String(b, off, 4, "US-ASCII")
+    private def u32(b: Array[Byte], off: Int): Long =
+      if (off + 4 > b.length) -1L
+      else ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) |
+        ((b(off + 3) & 0xffL) << 24)
+
+    def aviMeta(b: Array[Byte]): Option[AviMeta] = {
+      if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+      val riffEnd = math.min(8 + u32(b, 4), b.length.toLong)
+      var totalFrames, width, height = -1
+      var moviFrames = 0
+      var off = 12L
+      while (off + 8 <= riffEnd) {
+        val id   = fourcc(b, off.toInt)
+        val size = u32(b, off.toInt + 4)
+        if (size < 0) return None
+        if (id == "LIST") {
+          val listType = fourcc(b, off.toInt + 8)
+          if (listType == "hdrl" || listType == "movi") {
+            val end = math.min(off + 8 + size, riffEnd)
+            var c = off + 12
+            while (c + 8 <= end) {
+              val cid   = fourcc(b, c.toInt)
+              val csize = u32(b, c.toInt + 4)
+              if (csize < 0) return None
+              if (listType == "hdrl" && cid == "avih" && csize >= 40) {
+                totalFrames = u32(b, c.toInt + 8 + 16).toInt
+                width = u32(b, c.toInt + 8 + 32).toInt
+                height = u32(b, c.toInt + 8 + 36).toInt
+              }
+              if (listType == "movi" && cid.length == 4 &&
+                  (cid.endsWith("dc") || cid.endsWith("db")))
+                moviFrames += 1
+              c += 8 + csize + (csize & 1) // chunks pad to even
+            }
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (totalFrames < 0) None else Some(AviMeta(totalFrames, width, height, moviFrames))
+    }
+
+    def isDecodable(b: Array[Byte]): Boolean = aviMeta(b).isDefined
+  }
+
+  /** Synthesize REAL (minimal spec-shaped) AVI payloads: RIFF('AVI ') with
+    * LIST hdrl{avih} and LIST movi{one `00dc` chunk per frame}, geometry a
+    * pure function of the id (`frames = 2 + id % 8`, `width = 16 + id %
+    * 32`, `height = 16 + id % 16`). A player-grade file would add a strl
+    * stream-header list; the subset written here follows the public RIFF
+    * layout the [[RiffAviCodec]] walker parses, and the round trip checks
+    * the avih field against the INDEPENDENTLY counted movi chunks.
+    */
+  def synthesizeAvi(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = (2 + id % 8).toInt
+          val w      = (16 + id % 32).toInt
+          val h      = (16 + id % 16).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val d   = new java.io.DataOutputStream(bos)
+          def u32(v: Int): Unit = d.writeInt(Integer.reverseBytes(v))
+          val avih = {
+            val a = new java.io.ByteArrayOutputStream()
+            val ad = new java.io.DataOutputStream(a)
+            def au32(v: Int): Unit = ad.writeInt(Integer.reverseBytes(v))
+            au32(33333); au32(0); au32(0); au32(0)      // usec/frame, maxbytes, pad, flags
+            au32(frames); au32(0); au32(1); au32(0)     // dwTotalFrames, initial, streams, bufsize
+            au32(w); au32(h); au32(0); au32(0); au32(0); au32(0) // width, height, reserved[4]
+            a.toByteArray
+          }
+          val frameData = Array.tabulate[Byte](8)(i => ((i * 13 + id) & 0xff).toByte)
+          val hdrlSize = 4 + 8 + avih.length                    // 'hdrl' + avih chunk
+          val moviSize = 4 + frames * (8 + frameData.length)    // 'movi' + frame chunks
+          d.writeBytes("RIFF")
+          val riffBody = 4 + (8 + hdrlSize) + (8 + moviSize)     // 'AVI ' + two LISTs
+          u32(riffBody)
+          d.writeBytes("AVI ")
+          d.writeBytes("LIST"); u32(hdrlSize); d.writeBytes("hdrl")
+          d.writeBytes("avih"); u32(avih.length); d.write(avih)
+          d.writeBytes("LIST"); u32(moviSize); d.writeBytes("movi")
+          var i = 0
+          while (i < frames) { d.writeBytes("00dc"); u32(frameData.length); d.write(frameData); i += 1 }
+          MediaRecord(id, "video", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  final case class VideoCensusRow(
+      media_id: Long,
+      total_frames: Int,
+      movi_frames: Int,
+      width: Int,
+      height: Int,
+  )
+
+  /** Per-payload AVI census via [[RiffAviCodec]] (−1s for unparseable
+    * payloads — total); header+index walk, frame bytes skipped by size.
+    */
+  def videoCensus(media: Dataset[MediaRecord]): Dataset[VideoCensusRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      RiffAviCodec.aviMeta(m.content) match {
+        case Some(a) => VideoCensusRow(m.media_id, a.total_frames, a.movi_frames, a.width, a.height)
+        case None    => VideoCensusRow(m.media_id, -1, -1, -1, -1)
+      }
+    })
+  }
+
   /** Synthesize a media table from `documents` (deterministic — the payload
     * is the utf-8 text, typed by doc_id). Stands in for a real binary column
     * scan; the operators downstream don't know the difference.

@@ -142,6 +142,30 @@ class MultimodalSpec extends SparkSpec {
     ))
   }
 
+  test("RiffAviCodec walks the container: header fields, counted movi chunks, rejection") {
+    val docs = Seq((0L, "a")).toDF("doc_id", "text")
+    val avi = Multimodal.synthesizeAvi(docs, "doc_id").collect().head.content
+    // id 0: frames = 2, width = 16, height = 16; chunk count must agree
+    assert(Multimodal.RiffAviCodec.aviMeta(avi).contains(Multimodal.AviMeta(2, 16, 16, 2)))
+    assert(Multimodal.RiffAviCodec.isDecodable(avi))
+    // not RIFF / RIFF-but-not-AVI / truncated: all None, never a throw
+    assert(Multimodal.RiffAviCodec.aviMeta("not a container".getBytes("utf-8")).isEmpty)
+    val wav = Multimodal.synthesizeWav(docs, "doc_id").collect().head.content
+    assert(Multimodal.RiffAviCodec.aviMeta(wav).isEmpty) // RIFF/WAVE, not RIFF/AVI
+    assert(Multimodal.RiffAviCodec.aviMeta(avi.take(30)).isEmpty)
+  }
+
+  test("synthesizeAvi round-trips geometry through the RIFF walker on the distributed path") {
+    val docs = Seq((0L, "a"), (3L, "b"), (7L, "c"), (33L, "d")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeAvi(docs, "doc_id").repartition(2)
+    val got = Multimodal.videoCensus(media).collect()
+      .map(r => r.media_id -> ((r.total_frames, r.movi_frames, r.width, r.height))).toMap
+    assert(got == Map(
+      0L -> ((2, 2, 16, 16)), 3L -> ((5, 5, 19, 19)),
+      7L -> ((9, 9, 23, 23)), 33L -> ((3, 3, 17, 17)),
+    ))
+  }
+
   test("extractFeatures with ImageIoCodec decodes real images on the distributed path") {
     import graft.operators.Multimodal.MediaRecord
     val png = resourceBytes("/graft/fixture_123x45.png")

@@ -156,6 +156,23 @@ class ScaleSpec extends SparkSpec {
     assert(star == label, s"star=$star label=$label")
   }
 
+  test("adaptive CC dispatches on edge count and both branches label identically") {
+    import graft.operators.Dedup
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("src", "dst")
+    // threshold above the edge count -> label-prop branch; below -> star
+    // branch; the (id, comp = min id) contract must make both labelings
+    // identical, and equal to the hand-computed min labels
+    val viaLabel = Dedup.connectedComponentsAdaptive(edges, starThreshold = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponentsAdaptive(edges, starThreshold = 1L)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(viaLabel == want, s"label branch: $viaLabel")
+    assert(viaStar == want, s"star branch: $viaStar")
+  }
+
   test("jaccardPairs: oversized block fails loudly instead of running N² silently") {
     import graft.operators.Dedup
     val docs = Seq((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s")).toDF("doc_id", "text", "source")
