@@ -120,6 +120,31 @@ object ScaleBench {
         operators.IvfIndex.assign(emb, cents, "vec_id", "embedding").count()
       }
       report("ivf_assign", f, t5, r5)
+
+      // as-of enrich (ONE sort-shuffle on (key, time)): must scale with the
+      // event volume, never with pairs of events
+      val (t6, r6) = time {
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        operators.AsOfJoin
+          .asOf(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+          .count()
+      }
+      report("asof_join", f, t6, r6)
+
+      // BM25 top-k (integer-exact posting path): corpus stats + postings
+      // for 3 query terms — linear in docs, bounded by the top-k heap
+      val (t7, r7) = time(
+        operators.Retrieval
+          .bm25TopK(docs, "doc_id", "text", Seq("spark", "join", "shuffle"), k = 20)
+          .count()
+      )
+      report("bm25_topk", f, t7, r7)
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants

@@ -1515,30 +1515,44 @@ object Dedup {
       b: Int = 2,
       threshold: Double = 0.5,
       sampleDen: Int = 1,
+      minAgree: Int = 4,
   ): DataFrame = {
     require(b >= 1 && b <= 16, s"bbitCalibration: b must be in [1, 16]: $b")
     require(sampleDen >= 1, s"bbitCalibration: sampleDen must be >= 1: $sampleDen")
+    val mask = (1L << b) - 1
+    // Both agreements are PROJECTIONS on the signatures riding the banding
+    // join (bb_i is a pure function of mh_i) — one corpus minhash pass,
+    // no signature re-computation, no join-back by id. (An earlier version
+    // recomputed signatures and joined them onto the verified pairs: two
+    // extra shuffles and a second corpus pass for values already present.)
+    val fullAgree = (0 until k)
+      .map(i => when(col(s"l.mh$i") === col(s"r.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val bbAgree = (0 until k)
+      .map(i =>
+        when(col(s"l.mh$i").bitwiseAND(lit(mask)) === col(s"r.mh$i").bitwiseAND(lit(mask)), 1)
+          .otherwise(0)
+      )
+      .reduce(_ + _)
     // Calibration is statistical — the [[minhashCalibration]] deterministic
-    // pair-mix sample bounds the report without biasing it.
+    // pair-mix sample bounds the report without biasing it; applied BEFORE
+    // the token join (the expensive half), it commutes with the verify.
     val keep =
       if (sampleDen <= 1) lit(true)
       else ((col("id_a") % 999983L) * 999979L + col("id_b") % 999983L) % sampleDen === 0
-    val pairs = Lineage.truncate(
-      minhashNearDupPairs(docs, idCol, textCol, k, bands, threshold)
-        .filter(keep)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-    )
-    val mask = (1L << b) - 1
-    val sig = Lineage.truncate(
-      withMinhash(docs.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k)
-        .select(col(idCol) +: (0 until k).map(i => (col(s"mh$i").bitwiseAND(lit(mask))).as(s"bb$i")): _*)
-    )
-    val agree = (0 until k).map(i => when(col(s"a_bb$i") === col(s"b_bb$i"), 1).otherwise(0)).reduce(_ + _)
+    val cand = bandedPairs(docs, idCol, textCol, k, bands)
+      .filter(fullAgree >= minAgree)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), bbAgree.cast("long").as("__a"))
+      .filter(keep)
+    val toks =
+      docs.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks"))
     val pow = 1L << b
-    pairs
-      .join(sig.select(col(idCol).as("id_a") +: (0 until k).map(i => col(s"bb$i").as(s"a_bb$i")): _*), Seq("id_a"))
-      .join(sig.select(col(idCol).as("id_b") +: (0 until k).map(i => col(s"bb$i").as(s"b_bb$i")): _*), Seq("id_b"))
-      .withColumn("__a", agree.cast("long"))
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .filter(sizeRatioOk(size(col("toks_a")), size(col("toks_b")), threshold))
+      .withColumn("jaccard", jaccardHashed(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
       .select(
         col("id_a"),
         col("id_b"),
