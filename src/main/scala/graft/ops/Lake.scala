@@ -73,6 +73,40 @@ object Lake {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Parquet BLOOM-FILTER write for point-lookup / join-key pruning — the
+    * stats gap Z-order can't close: min/max row-group stats prune RANGE
+    * predicates, but an equality probe on a high-cardinality key (doc_id,
+    * user_id, content hash) hits every row group whose range straddles the
+    * value, which at 100 TB is most of them. A per-column bloom filter
+    * lets the reader skip row groups that definitely lack the key — the
+    * standard parquet answer (parquet-hadoop's `parquet.bloom.filter.*`
+    * write options, readable by any parquet implementation) to "probe a
+    * petabyte lake for one id without an index service".
+    *
+    * `ndvPerColumn` sizes each filter (bits ∝ ndv for the target fpp);
+    * oversizing wastes footer bytes, undersizing inflates false positives
+    * — feed it [[analyzeColumns]]' measured `ndv`, per the lake-maintenance
+    * loop. Spark's vectorized reader consults the filters automatically
+    * when `spark.sql.parquet.filterPushdown` is on (default).
+    */
+  def writeBloomFiltered(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      ndvPerColumn: Map[String, Long],
+  ): Unit = {
+    require(ndvPerColumn.nonEmpty, "writeBloomFiltered: need at least one (column, ndv)")
+    ndvPerColumn.keys.foreach(c =>
+      require(df.columns.contains(c), s"writeBloomFiltered: no such column '$c'")
+    )
+    val writer = df.write.mode("overwrite")
+    val withOpts = ndvPerColumn.foldLeft(writer) { case (w, (c, ndv)) =>
+      require(ndv >= 1, s"writeBloomFiltered: ndv for '$c' must be >= 1: $ndv")
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    withOpts.parquet(path)
+  }
+
   /** Small-file compaction PLAN: assign items (files/docs, sized by
     * `sizeCol`) to output bins of ~`targetBytes` each, greedy in `orderCol`
     * order within each `partCol` partition — the planning half of the

@@ -156,6 +156,37 @@ class ScaleSpec extends SparkSpec {
     assert(star == label, s"star=$star label=$label")
   }
 
+  test("writeBloomFiltered: footer carries a bloom filter for the keyed column only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val docs = spark.read.parquet(sf() + "/documents.parquet").select($"doc_id", $"source", $"text")
+    Lake.writeBloomFiltered(docs, dir, Map("doc_id" -> 500L))
+    // footer-level proof, not just a round trip: the column chunk metadata
+    // must record a bloom filter for doc_id and none for source
+    import scala.jdk.CollectionConverters._
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration(),
+      )
+    )
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val byName = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("doc_id").getBloomFilterOffset >= 0, "doc_id must carry a bloom filter")
+      assert(reader.readBloomFilter(byName("doc_id")) != null)
+      assert(byName("source").getBloomFilterOffset < 0, "source must not carry one")
+    } finally reader.close()
+    // read-back correctness under an equality probe (the pruning consumer)
+    val probe = docs.select($"doc_id").as[Long].head()
+    val got = spark.read.parquet(dir).filter($"doc_id" === probe).count()
+    val want = docs.filter($"doc_id" === probe).count()
+    assert(got == want && want >= 1)
+    // guards: unknown column and bad ndv fail loudly
+    intercept[IllegalArgumentException](Lake.writeBloomFiltered(docs, dir, Map("nope" -> 10L)))
+    intercept[IllegalArgumentException](Lake.writeBloomFiltered(docs, dir, Map("doc_id" -> 0L)))
+  }
+
   test("adaptive CC dispatches on edge count and both branches label identically") {
     import graft.operators.Dedup
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
