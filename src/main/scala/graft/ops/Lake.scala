@@ -88,17 +88,22 @@ object Lake {
     * — feed it [[analyzeColumns]]' measured `ndv`, per the lake-maintenance
     * loop. Spark's vectorized reader consults the filters automatically
     * when `spark.sql.parquet.filterPushdown` is on (default).
+    *
+    * `writeOptions` passes extra parquet writer knobs through (e.g.
+    * `parquet.block.size` — row-group size is the pruning granularity, so
+    * lake maintenance tunes it together with the filters).
     */
   def writeBloomFiltered(
       df: org.apache.spark.sql.DataFrame,
       path: String,
       ndvPerColumn: Map[String, Long],
+      writeOptions: Map[String, String] = Map.empty,
   ): Unit = {
     require(ndvPerColumn.nonEmpty, "writeBloomFiltered: need at least one (column, ndv)")
     ndvPerColumn.keys.foreach(c =>
       require(df.columns.contains(c), s"writeBloomFiltered: no such column '$c'")
     )
-    val writer = df.write.mode("overwrite")
+    val writer = df.write.mode("overwrite").options(writeOptions)
     val withOpts = ndvPerColumn.foldLeft(writer) { case (w, (c, ndv)) =>
       require(ndv >= 1, s"writeBloomFiltered: ndv for '$c' must be >= 1: $ndv")
       w.option(s"parquet.bloom.filter.enabled#$c", "true")

@@ -187,6 +187,64 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](Lake.writeBloomFiltered(docs, dir, Map("doc_id" -> 0L)))
   }
 
+  test("writeBloomFiltered: blooms skip most row groups where min/max stats cannot") {
+    // the pruning claim, MEASURED at the parquet level (no scheduler noise):
+    // scramble doc_id order so every row group's min/max straddles nearly the
+    // whole key range (min/max prunes nothing), force many small row groups,
+    // then count row groups whose bloom filter admits a probe key — the
+    // exact set a footer-reading scan visits.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_skip").toString
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select($"doc_id", $"text")
+      .orderBy(xxhash64($"doc_id")) // deterministic scramble, kills range pruning
+      .coalesce(1)                  // one file => row groups split by block size only
+    Lake.writeBloomFiltered(
+      docs, dir, Map("doc_id" -> 10000L),
+      writeOptions = Map(
+        "parquet.block.size" -> (16 * 1024).toString,
+        // the writer only checks accumulated size every so many records;
+        // tighten it so tiny blocks actually close at the requested size
+        "parquet.block.size.row.check.min" -> "20",
+        "parquet.block.size.row.check.max" -> "20",
+      ),
+    )
+    import scala.jdk.CollectionConverters._
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration(),
+      )
+    )
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      assert(blocks.size >= 4, s"need multiple row groups to measure pruning, got ${blocks.size}")
+      // probe mid-range (doc_ids are dense 1..N): an extreme key would let
+      // min/max prune trivially; the middle is where range stats are blind
+      val probe = docs.agg(max($"doc_id")).as[Long].head() / 2
+      var rangeHits = 0
+      var bloomHits = 0
+      blocks.foreach { b =>
+        val col = b.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+        val stats = col.getStatistics
+        val lo = stats.genericGetMin.asInstanceOf[java.lang.Long]
+        val hi = stats.genericGetMax.asInstanceOf[java.lang.Long]
+        if (lo <= probe && probe <= hi) rangeHits += 1
+        val bf = reader.readBloomFilter(col)
+        assert(bf != null, "every row group must carry the doc_id bloom")
+        if (bf.findHash(bf.hash(probe))) bloomHits += 1
+      }
+      // min/max is blind on the scrambled layout; the bloom admits at most a
+      // small minority (exactly the groups that might hold the key + fpp)
+      assert(rangeHits == blocks.size, s"scramble failed: range pruned ${blocks.size - rangeHits}")
+      assert(bloomHits >= 1, "the true row group must be admitted")
+      assert(
+        bloomHits * 2 <= blocks.size,
+        s"bloom should skip at least half the row groups: $bloomHits of ${blocks.size}",
+      )
+    } finally reader.close()
+  }
+
   test("adaptive CC dispatches on edge count and both branches label identically") {
     import graft.operators.Dedup
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
