@@ -3046,6 +3046,38 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // ---- Perceptual image-dedup census: REAL pixel decode (ImageIO
+    //      rasterize, not the q236 header walk), integer-exact 8×8 aHash,
+    //      group by hash = the exact-perceptual-duplicate clusters. The
+    //      oracle recomputes the hash from the closed-form pixel values —
+    //      a mismatch means the decoded PIXELS diverged somewhere in the
+    //      distributed encode→decode→hash path ----
+    "q240_image_phash_census" -> ((s, d) => {
+      val media = Multimodal.synthesizePng(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .imageAHash(media)
+        .toDF()
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+          count(lit(1)).as("n_images"),
+          min(col("media_id")).as("keeper"),
+        )
+        .orderBy("ahash_hi", "ahash_lo")
+    }),
+
+    // ---- PCM-level audio features: the JDK's javax.sound decode streams
+    //      the sample bytes (its own data-chunk location, not our writer's
+    //      offsets); energy Σs² and zero-crossings in exact integers — the
+    //      q238 header contract extended to the payload ----
+    "q241_audio_energy_census" -> ((s, d) => {
+      val media = Multimodal.synthesizeWav(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .audioFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("n_samples"), col("energy"), col("zero_crossings"))
+        .orderBy("media_id")
+    }),
+
     // ---- Shipping-priority top-10 (TPC-H Q3 shape): two fact filters
     //      pushed to the scans, customer dim joined WITHOUT a forced
     //      broadcast (a segment filter keeps 1/5 of customers — at 100 TB
@@ -6171,6 +6203,64 @@ object ExtensionQueries {
                 CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
                 CAST(1 + doc_id % 2 AS INT) AS channels
          FROM documents ORDER BY media_id""",
+    // The pixel contract: the mirror REGENERATES every pixel from the
+    // closed form (synthesizePng's `(x·31 + y·7 + id) mod 2^24`), applies
+    // the same integer luma / 8×8 pooling / cross-multiplied threshold,
+    // and must land in the same census buckets as the hash Spark computed
+    // from REALLY DECODED pixels — a mismatch means rasterization broke.
+    "q240_image_phash_census" ->
+      """WITH d AS (SELECT doc_id AS id,
+                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
+                           CAST(8 + doc_id % 16 AS BIGINT) AS h
+                    FROM documents),
+              px AS (SELECT id, w, h,
+                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
+                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
+                     FROM d,
+                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
+                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
+                     WHERE gx.x < w AND gy.y < h),
+              lum AS (SELECT id, w, h, cell,
+                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
+                      FROM px),
+              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
+                        FROM lum GROUP BY id, w, h, cell),
+              bits AS (SELECT id, cell,
+                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
+                                   THEN 1 ELSE 0 END AS bit
+                       FROM cells),
+              hashes AS (SELECT id,
+                                SUM(CASE WHEN bit = 1 AND cell >= 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS ahash_hi,
+                                SUM(CASE WHEN bit = 1 AND cell < 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS ahash_lo
+                         FROM bits GROUP BY id)
+          SELECT CAST(ahash_hi AS BIGINT) AS ahash_hi, CAST(ahash_lo AS BIGINT) AS ahash_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_images, CAST(MIN(id) AS BIGINT) AS keeper
+          FROM hashes GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""",
+    // The sample contract: the mirror regenerates the 16-bit LE samples
+    // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
+    // bytes 2k, 2k+1), so energy and zero-crossings must agree with what
+    // javax.sound's INDEPENDENT decode streamed back on the executors.
+    "q241_audio_energy_census" ->
+      """WITH d AS (SELECT doc_id AS id,
+                           CAST((8 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n
+                    FROM documents),
+              smp AS (SELECT id, n, gk.k AS k,
+                             ((14 * gk.k + id) % 256) + 256 * ((14 * gk.k + 7 + id) % 256) AS u
+                      FROM d, generate_series(CAST(0 AS BIGINT), CAST(141 AS BIGINT)) gk(k)
+                      WHERE gk.k < n),
+              sg AS (SELECT id, n, k,
+                            u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+                     FROM smp),
+              lg AS (SELECT id, n, s,
+                            lag(s) OVER (PARTITION BY id ORDER BY k) AS prev
+                     FROM sg)
+          SELECT id AS media_id, n AS n_samples,
+                 CAST(SUM(s * s) AS BIGINT) AS energy,
+                 CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s < 0) != (prev < 0))
+                               THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          FROM lg GROUP BY id, n ORDER BY media_id""",
     // The q02 exact-decimal revenue rule inside the Q3 join shape; the
     // revenue tie-break is the unique l_orderkey so the LIMIT is
     // deterministic on both engines.

@@ -978,6 +978,61 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
   }
 
+  /** Generic Hamming near-neighbor pairing over a PRECOMPUTED bit
+    * signature column — the [[simhashPairs]] shape decoupled from text:
+    * callers bring their own 64-bit (or narrower) signature (a perceptual
+    * image hash from [[Multimodal.imageAHash]], an audio fingerprint, any
+    * locality-preserving bit sketch) and get the same bucketed-equi-join
+    * plan: prefix bucket (the top `prefixBits` under an UNSIGNED shift —
+    * bit-63 signatures must not land in a sign-smeared bucket), loud
+    * [[requireBoundedGroups]] pre-flight, within-bucket equi-join, exact
+    * popcount Hamming filter. Recall: a true pair is missed only when a
+    * differing bit falls inside the prefix — for tighter recall at the
+    * same cost model, rotate upstream (the [[simhashPairsRotated]]
+    * pattern) or band the signature into `64/prefixBits` keys.
+    *
+    * Scale: shuffles (id, sig) only — payloads were dropped at the
+    * signature boundary; the join is bucket-local; output is
+    * candidate-sized, never all-pairs.
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bits: Int = 64,
+      prefixBits: Int = 12,
+      maxDist: Int = 5,
+      maxBucketRows: Long = 100000L,
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"hammingPairs: bits must be in [1, 64]: $bits")
+    require(
+      prefixBits >= 1 && prefixBits < bits,
+      s"hammingPairs: prefixBits must be in [1, $bits): $prefixBits",
+    )
+    val bucketed = Lineage.truncate(
+      sigs.select(
+        col(idCol).as("id"),
+        col(sigCol).cast("long").as("sim"),
+        shiftrightunsigned(col(sigCol).cast("long"), bits - prefixBits).as("bucket"),
+      )
+    )
+    requireBoundedGroups(
+      bucketed,
+      Seq("bucket"),
+      maxBucketRows,
+      (bucket, n) =>
+        s"hammingPairs: prefix bucket $bucket has $n rows (> maxBucketRows=$maxBucketRows): " +
+          s"the within-bucket pairing would enumerate ~${n * n / 2} pairs. Raise prefixBits " +
+          "(more, smaller buckets) or raise maxBucketRows deliberately.",
+    )
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
+  }
+
   /** The dedup signature index of a corpus: per doc `(id, __h, toks,
     * mh0..mh{k-1})` — content hash for the exact path, hashed token set for
     * the Jaccard verify, MinHash signature for the LSH banding. One

@@ -509,6 +509,135 @@ object Multimodal {
     }
   }
 
+  final case class ImageHashRow(media_id: Long, ahash_hi: Long, ahash_lo: Long, width: Int, height: Int)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * canonical first stage of image dedup: rasterize (here `ImageIO.read`,
+    * the full pixel decode, unlike the header-only census ops), integer
+    * luma per pixel (`299r + 587g + 114b`, per-mille weights, no division),
+    * pool into an 8×8 grid (pixel → cell by `(x·8) div w` — every pixel
+    * lands in exactly one cell, cells may be uneven), then one bit per cell
+    * by exact cross-multiplication against the global mean
+    * (`cellSum·totalN > totalSum·cellN` — no IEEE division anywhere, the
+    * house integer-exactness rule). The 64-bit hash ships as two unsigned
+    * 32-bit halves (`ahash_hi` = bits 32–63, `ahash_lo` = bits 0–31) so an
+    * oracle never has to reason about two's-complement sign conventions.
+    *
+    * Exact-equal hashes are resized/re-encoded/brightness-shifted
+    * duplicates (aHash is invariant to any transform preserving the
+    * luma-vs-mean pattern — in particular ADDITIVE brightness shifts, since
+    * cell and global means shift together); NEAR-duplicates are Hamming
+    * neighbors — pair them with [[graft.operators.Dedup.hammingPairs]] on
+    * `ahash_hi<<32 | ahash_lo` (the banded SimHash shape, same guard).
+    *
+    * Scale: `mapPartitions`, one decode per row, bytes dropped at this
+    * boundary, no shuffle; a census downstream groups by (hi, lo). Decode
+    * is the expensive step — run it post-filter (the [[extractFeatures]]
+    * rule). Unrecognized payloads answer (−1, −1, −1, −1) — total, callers
+    * needing strictness pre-filter on [[ImageIoCodec.isDecodable]].
+    */
+  def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null || img.getWidth < 1 || img.getHeight < 1)
+        ImageHashRow(m.media_id, -1L, -1L, -1, -1)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val cellSum = new Array[Long](64)
+        val cellCnt = new Array[Long](64)
+        var totalSum = 0L
+        var y = 0
+        while (y < h) {
+          val rj = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y) & 0xffffff
+            val luma = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+            val c = rj * 8 + x * 8 / w
+            cellSum(c) += luma
+            cellCnt(c) += 1
+            totalSum += luma
+            x += 1
+          }
+          y += 1
+        }
+        val totalN = w.toLong * h
+        var hash = 0L
+        var c = 0
+        while (c < 64) {
+          if (cellSum(c) * totalN > totalSum * cellCnt(c)) hash |= 1L << c
+          c += 1
+        }
+        ImageHashRow(m.media_id, hash >>> 32, hash & 0xffffffffL, w, h)
+      }
+    })
+  }
+
+  final case class AudioFeatureRow(
+      media_id: Long,
+      n_samples: Long,
+      energy: Long, // Σ s² over 16-bit samples — exact, no normalization
+      zero_crossings: Long,
+  )
+
+  /** PCM-level audio features via a REAL `javax.sound` decode — the JDK's
+    * parser locates the `data` chunk and streams the sample bytes (not our
+    * writer's offsets), so this extends the q238 header contract to the
+    * payload: energy (Σ s², the silence/clipping gauge) and zero-crossing
+    * count (the cheap voicing/noise discriminator) over 16-bit
+    * little-endian samples, both exact integers — the two features a
+    * curation pipeline thresholds on before paying for a real ASR/codec
+    * pass. Multi-channel payloads are processed as interleaved samples
+    * (channel-agnostic energy; ZCR over the interleaved stream — a LABEL
+    * for filtering, mirrored exactly, not a per-channel DSP claim).
+    * Non-PCM-16 or unrecognized payloads answer (−1, −1, −1) — total.
+    *
+    * Scale: `mapPartitions`, one streaming decode per row, no shuffle,
+    * bytes dropped at this boundary.
+    */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      try {
+        val in  = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
+        try {
+          val fm = in.getFormat
+          if (fm.getSampleSizeInBits != 16 || fm.isBigEndian)
+            AudioFeatureRow(m.media_id, -1L, -1L, -1L)
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2
+            var energy = 0L
+            var zc = 0L
+            var prevNeg = false
+            var k = 0
+            while (k < n) {
+              val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
+              energy += s * s
+              val neg = s < 0
+              if (k > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              k += 1
+            }
+            AudioFeatureRow(m.media_id, n.toLong, energy, zc)
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          AudioFeatureRow(m.media_id, -1L, -1L, -1L)
+        case scala.util.control.NonFatal(_) =>
+          AudioFeatureRow(m.media_id, -1L, -1L, -1L)
+      }
+    })
+  }
+
   /** "Resize" (stub): re-chunk payloads to a fixed-size thumbnail payload —
     * demonstrates a binary→binary transform keeping the typed schema.
     */

@@ -184,4 +184,107 @@ class MultimodalSpec extends SparkSpec {
     // byte statistics stay real regardless of codec
     assert(f.forall(r => r.n_bytes > 0 && r.byte_entropy > 0))
   }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def halfImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    img
+  }
+
+  test("imageAHash: closed-form half-black/half-white hash, undecodable totality") {
+    import graft.operators.Multimodal.MediaRecord
+    val ds = Seq(
+      MediaRecord(1L, "image", pngBytes(halfImage(8, 8)), "s"),
+      MediaRecord(2L, "image", "not an image".getBytes("utf-8"), "s"),
+    ).toDS().repartition(2)
+    val rows = Multimodal.imageAHash(ds).collect().sortBy(_.media_id).toSeq
+    // 8×8 image → one pixel per cell; bits set exactly on the white half
+    // (columns 4–7 of every row) → each hash byte is 0xF0
+    assert(rows.head.ahash_hi == 0xf0f0f0f0L && rows.head.ahash_lo == 0xf0f0f0f0L, rows.head)
+    assert((rows.head.width, rows.head.height) == ((8, 8)))
+    assert(rows(1) == Multimodal.ImageHashRow(2L, -1L, -1L, -1, -1), "total on garbage")
+  }
+
+  test("imageAHash is invariant to resize and brightness shift; hammingPairs finds the near-dup") {
+    import graft.operators.Dedup
+    import graft.operators.Multimodal.MediaRecord
+    // B = A resized 8×8 → 16×16 (each cell averages a uniform block — the
+    // hash is scale-invariant by construction); C = A brightened +48 per
+    // channel (cell and global means shift together); D = B with ONE 2×2
+    // cell blacked out (a single-bit near-dup); E = A inverted (far).
+    val a = halfImage(8, 8)
+    val b = halfImage(16, 16)
+    val c = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0x303030 else 0xffffff)
+      img
+    }
+    val d = {
+      val img = halfImage(16, 16)
+      for (y <- 0 until 2; x <- 8 until 10) img.setRGB(x, y, 0x000000)
+      img
+    }
+    val e = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0xffffff else 0x000000)
+      img
+    }
+    val ds = Seq(
+      MediaRecord(1L, "image", pngBytes(a), "s"),
+      MediaRecord(2L, "image", pngBytes(b), "s"),
+      MediaRecord(3L, "image", pngBytes(c), "s"),
+      MediaRecord(4L, "image", pngBytes(d), "s"),
+      MediaRecord(5L, "image", pngBytes(e), "s"),
+    ).toDS().repartition(2)
+    val hashed = Multimodal.imageAHash(ds).toDF()
+    val byId = hashed.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) == byId(2L), "resize-invariant")
+    assert(byId(1L) == byId(3L), "brightness-shift-invariant")
+    assert(byId(1L) != byId(4L) && byId(1L) != byId(5L))
+    val sigs = hashed.select(
+      col("media_id"),
+      (shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))).as("sig"),
+    )
+    val pairs = Dedup
+      .hammingPairs(sigs, "media_id", "sig", bits = 64, prefixBits = 8, maxDist = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // the three exact-equal images pair at dist 0, D joins each at dist 1;
+    // E (inverted, Hamming 64) must not pair with anything
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0), (1L, 4L, 1), (2L, 4L, 1), (3L, 4L, 1)), pairs)
+  }
+
+  test("audioFeatures: known samples give exact energy and zero-crossings; totality") {
+    import graft.operators.Multimodal.MediaRecord
+    // hand-assembled PCM-16 mono WAV with samples [100, -100, 50, 0]:
+    // energy = 100² + 100² + 50² + 0² = 22500; crossings at +100→−100 and
+    // −100→+50 (0 counts as non-negative) = 2
+    val samples = Seq[Short](100, -100, 50, 0)
+    val dataLen = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    val dd = new java.io.DataOutputStream(bos)
+    def u32(v: Int): Unit = dd.writeInt(Integer.reverseBytes(v))
+    def u16(v: Int): Unit = dd.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    dd.writeBytes("RIFF"); u32(36 + dataLen); dd.writeBytes("WAVE")
+    dd.writeBytes("fmt "); u32(16); u16(1); u16(1); u32(8000); u32(16000); u16(2); u16(16)
+    dd.writeBytes("data"); u32(dataLen)
+    samples.foreach(s => u16(s.toInt & 0xffff))
+    val ds = Seq(
+      MediaRecord(1L, "audio", bos.toByteArray, "s"),
+      MediaRecord(2L, "audio", "not audio".getBytes("utf-8"), "s"),
+    ).toDS().repartition(2)
+    val rows = Multimodal.audioFeatures(ds).collect().sortBy(_.media_id).toSeq
+    assert(rows.head == Multimodal.AudioFeatureRow(1L, 4L, 22500L, 2L), rows.head)
+    assert(rows(1) == Multimodal.AudioFeatureRow(2L, -1L, -1L, -1L), "total on garbage")
+  }
 }
