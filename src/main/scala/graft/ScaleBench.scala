@@ -57,6 +57,12 @@ object ScaleBench {
       .get("SPARK_GRAFT_SCALE_CC_FACTORS")
       .map(_.split(',').map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16, 32))
+    // Family subset for targeted re-runs (full run is ~40 min):
+    // comma-separated from {ops, media, cc, stream}; default all.
+    val families = sys.env
+      .get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(',').map(_.trim).toSet)
+      .getOrElse(Set("ops", "media", "cc", "stream"))
     val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -86,7 +92,7 @@ object ScaleBench {
     def report(op: String, factor: Int, sec: Double, rows: Long): Unit =
       println(s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
 
-    for (f <- factors) {
+    for (f <- factors if families("ops")) {
       val ev   = spark.read.parquet(s"$tmp/events_$f")
       val docs = spark.read.parquet(s"$tmp/documents_$f")
       val emb  = spark.read.parquet(s"$tmp/embeddings_$f")
@@ -147,6 +153,30 @@ object ScaleBench {
       report("bm25_topk", f, t7, r7)
     }
 
+    // --- content-level media family: REAL encode→decode→feature per
+    //     payload (ImageIO rasterize + aHash; javax.sound PCM read) —
+    //     embarrassingly parallel mapPartitions, zero shuffle before the
+    //     census, so wall time must scale ~linearly in documents and the
+    //     distinct-hash census must scale with CONTENT diversity, not rows.
+    for (f <- factors if families("media")) {
+      val docs = spark.read.parquet(s"$tmp/documents_$f")
+      val (t8, r8) = time {
+        val media = operators.Multimodal.synthesizePng(docs, "doc_id")
+        operators.Multimodal
+          .imageAHash(media)
+          .toDF()
+          .groupBy("ahash_hi", "ahash_lo")
+          .count()
+          .count()
+      }
+      report("image_ahash_census", f, t8, r8)
+      val (t9, r9) = time {
+        val media = operators.Multimodal.synthesizeWav(docs, "doc_id")
+        operators.Multimodal.audioFeatures(media).count()
+      }
+      report("audio_features", f, t9, r9)
+    }
+
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants
     //     on the same physical pair set. Reported per factor: pair build
     //     time, each variant's wall time AND rounds-to-converge, and the
@@ -156,7 +186,7 @@ object ScaleBench {
       println(
         s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,"rounds":$rounds}"""
       )
-    for (f <- ccFactors) {
+    for (f <- ccFactors if families("cc")) {
       val docs = spark.read.parquet(s"$tmp/documents_$f")
       val (tp, _) = time {
         operators.Dedup
@@ -251,7 +281,7 @@ object ScaleBench {
         s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,"state_rows":$sr,"state_bytes":$sb}"""
       )
     }
-    for (f <- streamFactors) {
+    for (f <- streamFactors if families("stream")) {
       val ev = spark.read.parquet(s"$tmp/events_$f")
       val (t1, r1) =
         time(streaming.EventStream.sessionizeExactOneShot(spark, ev, s"scale_sess_$f").count())
