@@ -3065,6 +3065,25 @@ object ExtensionQueries {
         .orderBy("ahash_hi", "ahash_lo")
     }),
 
+    // ---- Image near-dup PAIRS through the generic Hamming banding:
+    //      aHash signatures → prefix-bucket candidates → exact popcount
+    //      filter. The oracle mirrors the CANDIDATE SEMANTICS (same
+    //      12-bit prefix bucket, same dist ≤ 3), not an all-pairs ideal —
+    //      what ships is what's verified ----
+    "q242_image_neardup_pairs" -> ((s, d) => {
+      val media = Multimodal.synthesizePng(t(s, d, "documents"), "doc_id")
+      val sigs = Multimodal
+        .imageAHash(media)
+        .toDF()
+        .select(
+          col("media_id"),
+          shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"),
+        )
+      Dedup
+        .hammingPairs(sigs, "media_id", "sig", bits = 64, prefixBits = 12, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
     //      the sample bytes (its own data-chunk location, not our writer's
     //      offsets); energy Σs² and zero-crossings in exact integers — the
@@ -6238,6 +6257,43 @@ object ExtensionQueries {
           SELECT CAST(ahash_hi AS BIGINT) AS ahash_hi, CAST(ahash_lo AS BIGINT) AS ahash_lo,
                  CAST(COUNT(*) AS BIGINT) AS n_images, CAST(MIN(id) AS BIGINT) AS keeper
           FROM hashes GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""",
+    // The pairing contract: the SAME candidate semantics as hammingPairs —
+    // equal 12-bit prefix bucket of the 64-bit signature (= top 12 bits of
+    // the unsigned hi half), id_a < id_b, popcount distance ≤ 3 — over
+    // hashes regenerated pixel-for-pixel from the closed form.
+    "q242_image_neardup_pairs" ->
+      """WITH d AS (SELECT doc_id AS id,
+                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
+                           CAST(8 + doc_id % 16 AS BIGINT) AS h
+                    FROM documents),
+              px AS (SELECT id, w, h,
+                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
+                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
+                     FROM d,
+                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
+                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
+                     WHERE gx.x < w AND gy.y < h),
+              lum AS (SELECT id, w, h, cell,
+                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
+                      FROM px),
+              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
+                        FROM lum GROUP BY id, w, h, cell),
+              bits AS (SELECT id, cell,
+                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
+                                   THEN 1 ELSE 0 END AS bit
+                       FROM cells),
+              hashes AS (SELECT id,
+                                CAST(SUM(CASE WHEN bit = 1 AND cell >= 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi,
+                                CAST(SUM(CASE WHEN bit = 1 AND cell < 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS lo
+                         FROM bits GROUP BY id)
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+          FROM hashes a JOIN hashes b
+            ON (a.hi // 1048576) = (b.hi // 1048576) AND a.id < b.id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+          ORDER BY id_a, id_b""",
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what
