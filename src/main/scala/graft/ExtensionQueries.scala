@@ -3084,6 +3084,27 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Streaming content decode: the SAME real rasterize→aHash pass
+    //      running INSIDE a Structured Streaming microbatch (AvailableNow
+    //      over a real file source — the continuous-media-ingest shape);
+    //      stateless, so stream == batch row-for-row and the q240
+    //      per-image closed form oracles the streaming path directly ----
+    "q243_stream_media_census" -> ((s, d) => {
+      val media = Multimodal.synthesizePng(t(s, d, "documents"), "doc_id").toDF()
+      EventStream
+        .statelessOneShot(
+          s,
+          media,
+          "q243_media",
+          df => {
+            import s.implicits._
+            Multimodal.imageAHash(df.as[Multimodal.MediaRecord]).toDF()
+          },
+        )
+        .select(col("media_id"), col("ahash_hi"), col("ahash_lo"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
     //      the sample bytes (its own data-chunk location, not our writer's
     //      offsets); energy Σs² and zero-crossings in exact integers — the
@@ -6257,6 +6278,41 @@ object ExtensionQueries {
           SELECT CAST(ahash_hi AS BIGINT) AS ahash_hi, CAST(ahash_lo AS BIGINT) AS ahash_lo,
                  CAST(COUNT(*) AS BIGINT) AS n_images, CAST(MIN(id) AS BIGINT) AS keeper
           FROM hashes GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""",
+    // The streaming contract: per-image hashes from the microbatch run
+    // must equal the closed form — the q240 pipeline minus the census
+    // (stateless stream == batch, verified against arithmetic, not
+    // against another Spark run).
+    "q243_stream_media_census" ->
+      """WITH d AS (SELECT doc_id AS id,
+                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
+                           CAST(8 + doc_id % 16 AS BIGINT) AS h
+                    FROM documents),
+              px AS (SELECT id, w, h,
+                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
+                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
+                     FROM d,
+                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
+                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
+                     WHERE gx.x < w AND gy.y < h),
+              lum AS (SELECT id, w, h, cell,
+                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
+                      FROM px),
+              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
+                        FROM lum GROUP BY id, w, h, cell),
+              bits AS (SELECT id, cell,
+                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
+                                   THEN 1 ELSE 0 END AS bit
+                       FROM cells),
+              hashes AS (SELECT id,
+                                CAST(SUM(CASE WHEN bit = 1 AND cell >= 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS ahash_hi,
+                                CAST(SUM(CASE WHEN bit = 1 AND cell < 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS ahash_lo
+                         FROM bits GROUP BY id)
+          SELECT id AS media_id, ahash_hi, ahash_lo,
+                 CAST(8 + id % 32 AS INT) AS width,
+                 CAST(8 + id % 16 AS INT) AS height
+          FROM hashes ORDER BY media_id""",
     // The pairing contract: the SAME candidate semantics as hammingPairs —
     // equal 12-bit prefix bucket of the 64-bit signature (= top 12 bits of
     // the unsigned hi half), id_a < id_b, popcount distance ≤ 3 — over
