@@ -231,6 +231,42 @@ object ExtensionQueries {
     * final SELECT so a non-converged run hash-mismatches loudly instead of
     * silently passing with split components.
     */
+  /** Shared CTE block: per-image aHash halves REGENERATED from
+    * [[graft.operators.Multimodal.synthesizePng]]'s closed-form pixels
+    * (`(x·31 + y·7 + id) mod 2^24`, integer luma, 8×8 pooling,
+    * cross-multiplied threshold). Ends with `hashes(id, hi, lo)` — hi/lo
+    * are the unsigned 32-bit halves of the 64-bit aHash. Fixed
+    * generate_series bounds + filter because DuckDB rejects lateral
+    * column bounds on table functions.
+    */
+  private val sqlImageHashes: String =
+    """d AS (SELECT doc_id AS id,
+                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
+                           CAST(8 + doc_id % 16 AS BIGINT) AS h
+                    FROM documents),
+              px AS (SELECT id, w, h,
+                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
+                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
+                     FROM d,
+                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
+                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
+                     WHERE gx.x < w AND gy.y < h),
+              lum AS (SELECT id, w, h, cell,
+                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
+                      FROM px),
+              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
+                        FROM lum GROUP BY id, w, h, cell),
+              bits AS (SELECT id, cell,
+                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
+                                   THEN 1 ELSE 0 END AS bit
+                       FROM cells),
+              hashes AS (SELECT id,
+                                CAST(SUM(CASE WHEN bit = 1 AND cell >= 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi,
+                                CAST(SUM(CASE WHEN bit = 1 AND cell < 32
+                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS lo
+                         FROM bits GROUP BY id)"""
+
   private def sqlCcBoundedFromPairs(pairsRel: String, depth: Int = 12): String = {
     val steps = (1 to depth)
       .map { i =>
@@ -3103,6 +3139,15 @@ object ExtensionQueries {
         )
         .select(col("media_id"), col("ahash_hi"), col("ahash_lo"), col("width"), col("height"))
         .orderBy("media_id")
+    }),
+
+    // ---- End-to-end perceptual image dedup: aHash → Hamming candidates →
+    //      adaptive CC → keep the LARGEST image per cluster (the q231
+    //      shape for images). The whole chain — pixels to canonical
+    //      representatives — verifies against one mirror ----
+    "q244_image_dedup_keep_best" -> ((s, d) => {
+      val media = Multimodal.synthesizePng(t(s, d, "documents"), "doc_id")
+      Multimodal.imageDedupKeepBest(media, prefixBits = 12, maxDist = 3).orderBy("cluster_id")
     }),
 
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
@@ -6249,33 +6294,8 @@ object ExtensionQueries {
     // and must land in the same census buckets as the hash Spark computed
     // from REALLY DECODED pixels — a mismatch means rasterization broke.
     "q240_image_phash_census" ->
-      """WITH d AS (SELECT doc_id AS id,
-                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
-                           CAST(8 + doc_id % 16 AS BIGINT) AS h
-                    FROM documents),
-              px AS (SELECT id, w, h,
-                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
-                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
-                     FROM d,
-                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
-                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
-                     WHERE gx.x < w AND gy.y < h),
-              lum AS (SELECT id, w, h, cell,
-                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
-                      FROM px),
-              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
-                        FROM lum GROUP BY id, w, h, cell),
-              bits AS (SELECT id, cell,
-                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
-                                   THEN 1 ELSE 0 END AS bit
-                       FROM cells),
-              hashes AS (SELECT id,
-                                SUM(CASE WHEN bit = 1 AND cell >= 32
-                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS ahash_hi,
-                                SUM(CASE WHEN bit = 1 AND cell < 32
-                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS ahash_lo
-                         FROM bits GROUP BY id)
-          SELECT CAST(ahash_hi AS BIGINT) AS ahash_hi, CAST(ahash_lo AS BIGINT) AS ahash_lo,
+      s"""WITH $sqlImageHashes
+          SELECT CAST(hi AS BIGINT) AS ahash_hi, CAST(lo AS BIGINT) AS ahash_lo,
                  CAST(COUNT(*) AS BIGINT) AS n_images, CAST(MIN(id) AS BIGINT) AS keeper
           FROM hashes GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""",
     // The streaming contract: per-image hashes from the microbatch run
@@ -6283,33 +6303,8 @@ object ExtensionQueries {
     // (stateless stream == batch, verified against arithmetic, not
     // against another Spark run).
     "q243_stream_media_census" ->
-      """WITH d AS (SELECT doc_id AS id,
-                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
-                           CAST(8 + doc_id % 16 AS BIGINT) AS h
-                    FROM documents),
-              px AS (SELECT id, w, h,
-                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
-                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
-                     FROM d,
-                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
-                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
-                     WHERE gx.x < w AND gy.y < h),
-              lum AS (SELECT id, w, h, cell,
-                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
-                      FROM px),
-              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
-                        FROM lum GROUP BY id, w, h, cell),
-              bits AS (SELECT id, cell,
-                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
-                                   THEN 1 ELSE 0 END AS bit
-                       FROM cells),
-              hashes AS (SELECT id,
-                                CAST(SUM(CASE WHEN bit = 1 AND cell >= 32
-                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS ahash_hi,
-                                CAST(SUM(CASE WHEN bit = 1 AND cell < 32
-                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS ahash_lo
-                         FROM bits GROUP BY id)
-          SELECT id AS media_id, ahash_hi, ahash_lo,
+      s"""WITH $sqlImageHashes
+          SELECT id AS media_id, hi AS ahash_hi, lo AS ahash_lo,
                  CAST(8 + id % 32 AS INT) AS width,
                  CAST(8 + id % 16 AS INT) AS height
           FROM hashes ORDER BY media_id""",
@@ -6318,38 +6313,43 @@ object ExtensionQueries {
     // the unsigned hi half), id_a < id_b, popcount distance ≤ 3 — over
     // hashes regenerated pixel-for-pixel from the closed form.
     "q242_image_neardup_pairs" ->
-      """WITH d AS (SELECT doc_id AS id,
-                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
-                           CAST(8 + doc_id % 16 AS BIGINT) AS h
-                    FROM documents),
-              px AS (SELECT id, w, h,
-                            (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
-                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
-                     FROM d,
-                          generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
-                          generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
-                     WHERE gx.x < w AND gy.y < h),
-              lum AS (SELECT id, w, h, cell,
-                             299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256) AS l
-                      FROM px),
-              cells AS (SELECT id, w, h, cell, SUM(l) AS cs, COUNT(*) AS cn
-                        FROM lum GROUP BY id, w, h, cell),
-              bits AS (SELECT id, cell,
-                              CASE WHEN cs * (w * h) > SUM(cs) OVER (PARTITION BY id) * cn
-                                   THEN 1 ELSE 0 END AS bit
-                       FROM cells),
-              hashes AS (SELECT id,
-                                CAST(SUM(CASE WHEN bit = 1 AND cell >= 32
-                                         THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi,
-                                CAST(SUM(CASE WHEN bit = 1 AND cell < 32
-                                         THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS lo
-                         FROM bits GROUP BY id)
+      s"""WITH $sqlImageHashes
           SELECT a.id AS id_a, b.id AS id_b,
                  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
           FROM hashes a JOIN hashes b
             ON (a.hi // 1048576) = (b.hi // 1048576) AND a.id < b.id
           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
           ORDER BY id_a, id_b""",
+    // The whole image-dedup chain against ONE mirror: closed-form hashes →
+    // the q242 candidate semantics → bounded min-label CC with pointer
+    // jumping (the q218 rule, convergence poison included) → largest-image
+    // keep-best with media-id tie-break.
+    "q244_image_dedup_keep_best" ->
+      s"""WITH $sqlImageHashes,
+              ip AS MATERIALIZED (
+                SELECT a.id AS src, b.id AS dst
+                FROM hashes a JOIN hashes b
+                  ON (a.hi // 1048576) = (b.hi // 1048576) AND a.id < b.id
+                WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+              ${sqlCcBoundedFromPairs("ip")},
+              m AS (SELECT c.comp, h.id,
+                           CAST((8 + h.id % 32) * (8 + h.id % 16) AS BIGINT) AS px
+                    FROM comps c JOIN hashes h ON h.id = c.node),
+              r AS (SELECT comp, id, px,
+                           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY px DESC, id) AS rn
+                    FROM m)
+          SELECT cluster_id, rep_media_id, rep_pixels, n_members, n_dropped FROM (
+            SELECT comp AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN px END) AS BIGINT) AS rep_pixels,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM r GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what

@@ -578,6 +578,57 @@ object Multimodal {
     })
   }
 
+  /** End-to-end perceptual image dedup with canonicalization: aHash over
+    * REAL decoded pixels → [[Dedup.hammingPairs]] (banded candidates, loud
+    * bucket guard) → [[Dedup.connectedComponentsAdaptive]] (label-prop or
+    * star by measured edge count) → keep the LARGEST image per cluster
+    * (pixel count, media-id tie-break) — the image sibling of
+    * [[Dedup.neardupKeepBest]]. One pair materialization, token-free;
+    * only clustered images pay the join; singletons (nothing paired)
+    * are absent, as in the text variant.
+    *
+    * Scale: the pair set is candidate-sized (banding), CC is O(log n)
+    * rounds worst case via the adaptive dispatch, the keep-best window
+    * partitions by cluster — nothing touches pixels after the hash pass.
+    */
+  def imageDedupKeepBest(
+      media: Dataset[MediaRecord],
+      prefixBits: Int = 12,
+      maxDist: Int = 3,
+  ): DataFrame = {
+    val hashed = imageAHash(media).toDF()
+    val sigs = hashed.select(
+      col("media_id"),
+      shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"),
+    )
+    val pairs = Lineage.truncate(
+      Dedup
+        .hammingPairs(sigs, "media_id", "sig", bits = 64, prefixBits = prefixBits, maxDist = maxDist)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    )
+    val comps = Dedup.connectedComponentsAdaptive(pairs)
+    val members = hashed
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"))
+      .select(col("media_id"), col("comp"), (col("width").cast("long") * col("height")).as("__px"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp")).orderBy(col("__px").desc, col("media_id"))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col("media_id"))).as("rep_media_id"),
+        max(when(col("__rn") === 1, col("__px"))).as("rep_pixels"),
+      )
+      .select(
+        col("comp").as("cluster_id"),
+        col("rep_media_id"),
+        col("rep_pixels"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
+      )
+  }
+
   final case class AudioFeatureRow(
       media_id: Long,
       n_samples: Long,
