@@ -3150,6 +3150,24 @@ object ExtensionQueries {
       Multimodal.imageDedupKeepBest(media, prefixBits = 12, maxDist = 3).orderBy("cluster_id")
     }),
 
+    // ---- Audio fingerprint census: energy-window signature over the
+    //      REAL PCM decode (the audio analog of q240's aHash — pooling by
+    //      (k·64) div n, cross-multiplied threshold, amplitude-invariant);
+    //      group by fingerprint = the perceptual-duplicate clusters for
+    //      audio, same hi/lo unsigned-halves convention ----
+    "q245_audio_fingerprint_census" -> ((s, d) => {
+      val media = Multimodal.synthesizeWav(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .audioFingerprint(media)
+        .toDF()
+        .groupBy("fp_hi", "fp_lo")
+        .agg(
+          count(lit(1)).as("n_clips"),
+          min(col("media_id")).as("keeper"),
+        )
+        .orderBy("fp_hi", "fp_lo")
+    }),
+
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
     //      the sample bytes (its own data-chunk location, not our writer's
     //      offsets); energy Σs² and zero-crossings in exact integers — the
@@ -6350,6 +6368,37 @@ object ExtensionQueries {
                    conv.n_changed, CAST(-1 AS BIGINT)
             FROM conv WHERE conv.n_changed > 0
           ) ORDER BY cluster_id""",
+    // The fingerprint contract: samples regenerated from the byte formula
+    // (the q241 chain), pooled into 64 energy windows by (k·64) div n,
+    // one bit per window by HUGEINT cross-multiply vs the global mean —
+    // must land in the same census buckets as the fingerprints computed
+    // from javax.sound's real decode on the executors.
+    "q245_audio_fingerprint_census" ->
+      """WITH d AS (SELECT doc_id AS id,
+                           CAST((8 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n
+                    FROM documents),
+              smp AS (SELECT id, n, gk.k AS k,
+                             ((14 * gk.k + id) % 256) + 256 * ((14 * gk.k + 7 + id) % 256) AS u
+                      FROM d, generate_series(CAST(0 AS BIGINT), CAST(141 AS BIGINT)) gk(k)
+                      WHERE gk.k < n),
+              sg AS (SELECT id, n, (k * 64) // n AS w,
+                            u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+                     FROM smp),
+              wins AS (SELECT id, n, w, SUM(s * s) AS es, COUNT(*) AS cnt
+                       FROM sg GROUP BY id, n, w),
+              bits AS (SELECT id, w,
+                              CASE WHEN es * n > SUM(es) OVER (PARTITION BY id) * cnt
+                                   THEN 1 ELSE 0 END AS bit
+                       FROM wins),
+              fps AS (SELECT id,
+                             CAST(SUM(CASE WHEN bit = 1 AND w >= 32
+                                      THEN CAST(1 AS BIGINT) << CAST(w - 32 AS INT) ELSE 0 END) AS BIGINT) AS fp_hi,
+                             CAST(SUM(CASE WHEN bit = 1 AND w < 32
+                                      THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS fp_lo
+                      FROM bits GROUP BY id)
+          SELECT fp_hi, fp_lo, CAST(COUNT(*) AS BIGINT) AS n_clips,
+                 CAST(MIN(id) AS BIGINT) AS keeper
+          FROM fps GROUP BY 1, 2 ORDER BY fp_hi, fp_lo""",
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what

@@ -570,7 +570,9 @@ object Multimodal {
         var hash = 0L
         var c = 0
         while (c < 64) {
-          if (cellSum(c) * totalN > totalSum * cellCnt(c)) hash |= 1L << c
+          // 128-bit cross-multiply (BigInt = DuckDB's HUGEINT): a
+          // 100-megapixel image pushes Σluma·n past a Long
+          if (BigInt(cellSum(c)) * totalN > BigInt(totalSum) * cellCnt(c)) hash |= 1L << c
           c += 1
         }
         ImageHashRow(m.media_id, hash >>> 32, hash & 0xffffffffL, w, h)
@@ -685,6 +687,74 @@ object Multimodal {
           AudioFeatureRow(m.media_id, -1L, -1L, -1L)
         case scala.util.control.NonFatal(_) =>
           AudioFeatureRow(m.media_id, -1L, -1L, -1L)
+      }
+    })
+  }
+
+  final case class AudioFingerprintRow(media_id: Long, fp_hi: Long, fp_lo: Long, n_samples: Long)
+
+  /** Energy-window audio fingerprint — the audio analog of [[imageAHash]]:
+    * the PCM stream (real `javax.sound` decode, as [[audioFeatures]]) is
+    * pooled into 64 windows by `(k·64) div n` (every sample lands in
+    * exactly one window), each window's energy Σs² accumulated exactly,
+    * and one bit per window by cross-multiplication against the global
+    * mean energy (`windowEnergy·N > totalEnergy·windowCount` — no IEEE
+    * division). AMPLITUDE-INVARIANT by construction: scaling every sample
+    * by c scales all energies by c², which cancels in the cross-multiply —
+    * the audio counterpart of aHash's brightness invariance. Exact-equal
+    * fingerprints are re-encoded/re-gained duplicates; near-dups are
+    * Hamming neighbors via [[Dedup.hammingPairs]] on `fp_hi<<32 | fp_lo`.
+    * Non-PCM-16 or unrecognized payloads answer (−1, −1, −1) — total.
+    *
+    * Scale: `mapPartitions`, one streaming decode per row, 64 longs of
+    * state per payload, bytes dropped at this boundary, no shuffle.
+    */
+  def audioFingerprint(media: Dataset[MediaRecord]): Dataset[AudioFingerprintRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      try {
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
+        try {
+          val fm = in.getFormat
+          if (fm.getSampleSizeInBits != 16 || fm.isBigEndian)
+            AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2
+            if (n < 1) AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
+            else {
+              val es  = new Array[Long](64)
+              val cnt = new Array[Long](64)
+              var total = 0L
+              var k = 0
+              while (k < n) {
+                val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
+                val w = (k * 64 / n).toInt
+                es(w) += s * s
+                cnt(w) += 1
+                total += s * s
+                k += 1
+              }
+              var hash = 0L
+              var w = 0
+              while (w < 64) {
+                // 128-bit cross-multiply (BigInt = DuckDB's HUGEINT): at
+                // production audio lengths energy·n exceeds a Long
+                // (n ~ 10⁷ samples → Σs²·n ~ 10²³)
+                if (BigInt(es(w)) * n > BigInt(total) * cnt(w)) hash |= 1L << w
+                w += 1
+              }
+              AudioFingerprintRow(m.media_id, hash >>> 32, hash & 0xffffffffL, n.toLong)
+            }
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
+        case scala.util.control.NonFatal(_) =>
+          AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
       }
     })
   }

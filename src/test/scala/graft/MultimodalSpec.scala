@@ -264,12 +264,7 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0), (1L, 4L, 1), (2L, 4L, 1), (3L, 4L, 1)), pairs)
   }
 
-  test("audioFeatures: known samples give exact energy and zero-crossings; totality") {
-    import graft.operators.Multimodal.MediaRecord
-    // hand-assembled PCM-16 mono WAV with samples [100, -100, 50, 0]:
-    // energy = 100² + 100² + 50² + 0² = 22500; crossings at +100→−100 and
-    // −100→+50 (0 counts as non-negative) = 2
-    val samples = Seq[Short](100, -100, 50, 0)
+  private def wavBytes(samples: Seq[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val bos = new java.io.ByteArrayOutputStream()
     val dd = new java.io.DataOutputStream(bos)
@@ -279,12 +274,42 @@ class MultimodalSpec extends SparkSpec {
     dd.writeBytes("fmt "); u32(16); u16(1); u16(1); u32(8000); u32(16000); u16(2); u16(16)
     dd.writeBytes("data"); u32(dataLen)
     samples.foreach(s => u16(s.toInt & 0xffff))
+    bos.toByteArray
+  }
+
+  test("audioFeatures: known samples give exact energy and zero-crossings; totality") {
+    import graft.operators.Multimodal.MediaRecord
+    // hand-assembled PCM-16 mono WAV with samples [100, -100, 50, 0]:
+    // energy = 100² + 100² + 50² + 0² = 22500; crossings at +100→−100 and
+    // −100→+50 (0 counts as non-negative) = 2
     val ds = Seq(
-      MediaRecord(1L, "audio", bos.toByteArray, "s"),
+      MediaRecord(1L, "audio", wavBytes(Seq[Short](100, -100, 50, 0)), "s"),
       MediaRecord(2L, "audio", "not audio".getBytes("utf-8"), "s"),
     ).toDS().repartition(2)
     val rows = Multimodal.audioFeatures(ds).collect().sortBy(_.media_id).toSeq
     assert(rows.head == Multimodal.AudioFeatureRow(1L, 4L, 22500L, 2L), rows.head)
     assert(rows(1) == Multimodal.AudioFeatureRow(2L, -1L, -1L, -1L), "total on garbage")
+  }
+
+  test("audioFingerprint: closed form, amplitude invariance, totality") {
+    import graft.operators.Multimodal.MediaRecord
+    // samples [100, -100, 50, 0] → windows (k·64 div 4 = 16k): energies
+    // 10000/10000/2500/0 at windows 0/16/32/48, total 22500; bit set where
+    // es·4 > 22500·1, i.e. windows 0 and 16 → lo = 1 | 1<<16 = 65537, hi = 0
+    val base = Seq[Short](100, -100, 50, 0)
+    val ds = Seq(
+      MediaRecord(1L, "audio", wavBytes(base), "s"),
+      MediaRecord(2L, "audio", wavBytes(base.map(s => (s * 3).toShort)), "s"), // re-gained copy
+      MediaRecord(3L, "audio", wavBytes(Seq[Short](0, 0, 100, 0)), "s"),       // different content
+      MediaRecord(4L, "audio", "not audio".getBytes("utf-8"), "s"),
+    ).toDS().repartition(2)
+    val rows = Multimodal.audioFingerprint(ds).collect().sortBy(_.media_id).toSeq
+    assert((rows(0).fp_hi, rows(0).fp_lo, rows(0).n_samples) == ((0L, 65537L, 4L)), rows(0))
+    assert(
+      (rows(1).fp_hi, rows(1).fp_lo) == ((rows(0).fp_hi, rows(0).fp_lo)),
+      "amplitude-scaled copy must fingerprint identically",
+    )
+    assert((rows(2).fp_hi, rows(2).fp_lo) == ((1L, 0L)), rows(2)) // only window 32 above mean
+    assert(rows(3) == Multimodal.AudioFingerprintRow(4L, -1L, -1L, -1L), "total on garbage")
   }
 }
