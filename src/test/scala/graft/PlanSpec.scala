@@ -623,4 +623,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("partial"), s"map-side combine:\n$p")
   }
+
+  test("q240 image hash census: decode pass shuffles nothing but the census keys") {
+    val p = plan(q("q240_image_phash_census"))
+    // the synthesize→decode→hash chain is mapPartitions over the scan;
+    // the only exchange the plan may carry is the hash-census groupBy
+    // (plus AQE's final ordering) — never payload bytes
+    assert(!p.contains("Join"), s"no join anywhere in the census:\n$p")
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size === 1, s"exactly the census exchange:\n$p")
+    assert(
+      hashEx.forall(l => !l.contains("content")),
+      s"payload bytes must not reach a shuffle:\n$p",
+    )
+    assert(p.contains("partial"), s"map-side combine on the census:\n$p")
+  }
+
+  test("q242 image near-dup pairs: bucket equi-join, no cartesian, bytes dropped pre-shuffle") {
+    val p = plan(q("q242_image_neardup_pairs"))
+    assert(!p.contains("CartesianProduct"), s"banding must keep the pairing an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop fallback:\n$p")
+    assert(
+      p.linesIterator.filter(_.contains("Exchange")).forall(l => !l.contains("content")),
+      s"payload bytes must not reach a shuffle:\n$p",
+    )
+  }
 }
