@@ -267,6 +267,31 @@ object ExtensionQueries {
                                          THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS lo
                          FROM bits GROUP BY id)"""
 
+  /** Shared CTE block: per-video-frame aHash halves REGENERATED from
+    * [[graft.operators.Multimodal.synthesizeMjpegAvi]]'s closed form
+    * (`Q = (g·2654435761 + p·97003999) mod 2³²`, cell c white iff bit c/2
+    * of Q for even c / its complement for odd c — the encode is pixel-exact
+    * by construction, so the decoded hash IS the pattern). Ends with
+    * `vfh(id, k, hi, lo)` — the q240 `sqlImageHashes` contract at frame
+    * granularity.
+    */
+  private val sqlVideoFrameHashes: String =
+    """vv AS (SELECT doc_id AS id, CAST(4 + doc_id % 4 AS BIGINT) AS frames FROM documents),
+              vf AS (SELECT id, gk.k AS k,
+                            ((id // 4) * 2654435761 + (gk.k + id % 4) * 97003999) % 4294967296 AS q
+                     FROM vv, generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT)) gk(k)
+                     WHERE gk.k < frames),
+              vb AS (SELECT id, k, gc.c AS c,
+                            CASE WHEN gc.c % 2 = 0 THEN (q >> CAST(gc.c // 2 AS INT)) & 1
+                                 ELSE 1 - ((q >> CAST(gc.c // 2 AS INT)) & 1) END AS bit
+                     FROM vf, generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT)) gc(c)),
+              vfh AS (SELECT id, k,
+                             CAST(SUM(CASE WHEN bit = 1 AND c >= 32
+                                      THEN CAST(1 AS BIGINT) << CAST(c - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi,
+                             CAST(SUM(CASE WHEN bit = 1 AND c < 32
+                                      THEN CAST(1 AS BIGINT) << CAST(c AS INT) ELSE 0 END) AS BIGINT) AS lo
+                      FROM vb GROUP BY id, k)"""
+
   private def sqlCcBoundedFromPairs(pairsRel: String, depth: Int = 12): String = {
     val steps = (1 to depth)
       .map { i =>
@@ -3166,6 +3191,39 @@ object ExtensionQueries {
           min(col("media_id")).as("keeper"),
         )
         .orderBy("fp_hi", "fp_lo")
+    }),
+
+    // ---- Per-frame video content census: MJPEG-in-AVI payloads (REAL
+    //      ImageIO-encoded JPEG frames in the movi chunks) demuxed and
+    //      rasterized back frame by frame, aHash per frame — the q240
+    //      pixel contract at frame granularity; the oracle regenerates
+    //      every frame hash from the synthesis closed form ----
+    "q246_video_frame_census" -> ((s, d) => {
+      val media = Multimodal.synthesizeMjpegAvi(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .videoFrameHashes(media)
+        .toDF()
+        .select(
+          col("media_id"),
+          col("frame_idx"),
+          col("ahash_hi"),
+          col("ahash_lo"),
+          col("frame_w"),
+          col("frame_h"),
+        )
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- Video near-dup pairs by frame-signature overlap: videos in one
+    //      timeline group share 1–5 frames by construction; pairs need
+    //      >= 2 shared per-frame aHashes after the ubiquitous-signature
+    //      drop — the Winnow.overlapPairs shape at frame granularity, the
+    //      q244 image-dedup sibling for video ----
+    "q247_video_neardup_pairs" -> ((s, d) => {
+      val media = Multimodal.synthesizeMjpegAvi(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .videoNearDupPairs(media, minShared = 2, maxVideosPerSig = 8)
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
@@ -6399,6 +6457,32 @@ object ExtensionQueries {
           SELECT fp_hi, fp_lo, CAST(COUNT(*) AS BIGINT) AS n_clips,
                  CAST(MIN(id) AS BIGINT) AS keeper
           FROM fps GROUP BY 1, 2 ORDER BY fp_hi, fp_lo""",
+    // The frame contract: per-frame aHashes REGENERATED from the MJPEG
+    // synthesis closed form must equal what Spark computed from REALLY
+    // demuxed and rasterized JPEG frames — a mismatch means the demux,
+    // the JPEG round trip, or the per-frame hash diverged.
+    "q246_video_frame_census" ->
+      s"""WITH $sqlVideoFrameHashes
+          SELECT id AS media_id, CAST(k AS INT) AS frame_idx,
+                 hi AS ahash_hi, lo AS ahash_lo,
+                 CAST(64 * (1 + id % 2) AS INT) AS frame_w, CAST(64 AS INT) AS frame_h
+          FROM vfh ORDER BY media_id, frame_idx""",
+    // The pairing contract: the SAME pipeline semantics as
+    // videoNearDupPairs — distinct (video, frame-signature), signatures in
+    // more than 8 videos dropped as boilerplate, equi-join on the
+    // signature (= equality of both unsigned halves), >= 2 shared frames —
+    // over hashes regenerated from the closed form.
+    "q247_video_neardup_pairs" ->
+      s"""WITH $sqlVideoFrameHashes,
+              vs AS (SELECT DISTINCT id, hi, lo FROM vfh),
+              vfreq AS (SELECT hi, lo, COUNT(*) AS nv FROM vs GROUP BY hi, lo),
+              vkeep AS (SELECT vs.id, vs.hi, vs.lo
+                        FROM vs JOIN vfreq ON vs.hi = vfreq.hi AND vs.lo = vfreq.lo
+                        WHERE vfreq.nv <= 8)
+          SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
+          GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+          ORDER BY id_a, id_b""",
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what

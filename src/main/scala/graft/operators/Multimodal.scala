@@ -89,6 +89,9 @@ object Multimodal {
       */
     def decodeDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      // createImageInputStream can answer null (no applicable SPI / cache
+      // trouble) — that is "undecodable", not an exception.
+      if (iis == null) return None
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -117,6 +120,7 @@ object Multimodal {
       */
     def frameCount(bytes: Array[Byte]): Option[Int] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -142,7 +146,15 @@ object Multimodal {
       * still have no public-dependency-free demuxer.
       */
     override def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
+      // RIFF/AVI payloads demux through the real container walker: each
+      // sampled frame is the actual `##dc`/`##db` chunk payload (an
+      // MJPEG-style self-contained image), not the stub's 256-byte groups.
+      if (RiffAviCodec.isDecodable(bytes)) {
+        val fp = RiffAviCodec.framePayloads(bytes)
+        return fp.indices.collect { case i if i % math.max(everyN, 1) == 0 => fp(i) }
+      }
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return StubCodec.sampleFrames(bytes, everyN)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) StubCodec.sampleFrames(bytes, everyN)
@@ -306,6 +318,40 @@ object Multimodal {
     }
 
     def isDecodable(b: Array[Byte]): Boolean = aviMeta(b).isDefined
+
+    /** Demux the movi frame payloads in container order: each `##dc`/`##db`
+      * chunk's bytes, copied out (for MJPEG-in-AVI each payload is a
+      * self-contained JPEG an [[ImageIoCodec]]-style reader decodes
+      * directly). Same walk as [[aviMeta]] — header+index traversal, a
+      * payload is only touched when the caller keeps it. Empty on any
+      * structural violation (total, like the census).
+      */
+    def framePayloads(b: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return out.toIndexedSeq
+      val riffEnd = math.min(8 + u32(b, 4), b.length.toLong)
+      var off = 12L
+      while (off + 8 <= riffEnd) {
+        val id   = fourcc(b, off.toInt)
+        val size = u32(b, off.toInt + 4)
+        if (size < 0) return IndexedSeq.empty
+        if (id == "LIST" && fourcc(b, off.toInt + 8) == "movi") {
+          val end = math.min(off + 8 + size, riffEnd)
+          var c = off + 12
+          while (c + 8 <= end) {
+            val cid   = fourcc(b, c.toInt)
+            val csize = u32(b, c.toInt + 4)
+            if (csize < 0) return IndexedSeq.empty
+            if (cid.length == 4 && (cid.endsWith("dc") || cid.endsWith("db")) &&
+                c + 8 + csize <= end)
+              out += java.util.Arrays.copyOfRange(b, (c + 8).toInt, (c + 8 + csize).toInt)
+            c += 8 + csize + (csize & 1)
+          }
+        }
+        off += 8 + size + (size & 1)
+      }
+      out.toIndexedSeq
+    }
   }
 
   /** Synthesize REAL (minimal spec-shaped) AVI payloads: RIFF('AVI ') with
@@ -376,6 +422,194 @@ object Multimodal {
         case None    => VideoCensusRow(m.media_id, -1, -1, -1, -1)
       }
     })
+  }
+
+  /** Synthesize MJPEG-in-AVI payloads with REAL ImageIO-encoded JPEG
+    * frames in the `00dc` movi chunks — the content-level video sibling of
+    * [[synthesizePng]]: the container is the [[synthesizeAvi]] RIFF layout,
+    * but every frame payload is a self-contained grayscale JPEG a reader
+    * decodes back to exact pixels.
+    *
+    * Geometry is a pure function of the id: `frames = 4 + id % 4`,
+    * `w = 64·(1 + id % 2)`, `h = 64`. Frame content models re-encoded /
+    * trimmed copies of a shared clip: videos in group `g = id / 4` draw
+    * frames from one timeline at position `p = k + id % 4`, so group
+    * members overlap on 1–5 frames — the ground truth the near-dup family
+    * pairs on. Each frame is an 8×8 grid of solid black/white cells from
+    * the 32-bit mix `Q = (g·2654435761 + p·97003999) mod 2³²`: cell `c`
+    * white iff bit `c/2` of `Q` (even `c`) or its complement (odd `c`) —
+    * adjacent cells complementary, so every frame is exactly half white
+    * and the aHash threshold has maximal margin.
+    *
+    * The ORACLE contract is the decoded per-frame aHash regenerated from
+    * this closed form (the q240 pixel contract at frame granularity). That
+    * works because the encode is chosen to be pixel-exact: grayscale (one
+    * JPEG component, 8×8 MCUs, no chroma subsampling), cells aligned to
+    * the MCU grid (`w`, `h` multiples of 64 → cell dims multiples of 8),
+    * and explicit quality 1.0 (all-ones quantization tables) — a solid
+    * 8×8 block is a DC-only DCT that survives quantize→dequantize→IDCT
+    * exactly, so decoded luma is exactly 0/255 per cell.
+    *
+    * Scale: `mapPartitions`, one encoder per frame, no shuffle; payloads
+    * ≤ ~8 KB — the family verifies frame decode, not codec throughput.
+    */
+  def synthesizeMjpegAvi(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = (4 + id % 4).toInt
+          val w      = (64 * (1 + id % 2)).toInt
+          val h      = 64
+          val g      = id / 4
+          val o      = (id % 4).toInt
+          val frameBytes: IndexedSeq[Array[Byte]] = (0 until frames).map { k =>
+            val p = k + o
+            val q = (g * 2654435761L + p * 97003999L) & 0xffffffffL
+            val img =
+              new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              val rj = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val c = rj * 8 + x * 8 / w
+                val qbit = (q >>> (c / 2)) & 1L
+                val white = if (c % 2 == 0) qbit == 1L else qbit == 0L
+                raster.setSample(x, y, 0, if (white) 255 else 0)
+                x += 1
+              }
+              y += 1
+            }
+            val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+            val prm = writer.getDefaultWriteParam
+            prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            prm.setCompressionQuality(1.0f)
+            val fbos = new java.io.ByteArrayOutputStream()
+            val ios  = javax.imageio.ImageIO.createImageOutputStream(fbos)
+            try {
+              writer.setOutput(ios)
+              writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+            } finally {
+              writer.dispose()
+              ios.close()
+            }
+            fbos.toByteArray
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val d   = new java.io.DataOutputStream(bos)
+          def u32(v: Int): Unit = d.writeInt(Integer.reverseBytes(v))
+          val avih = {
+            val a  = new java.io.ByteArrayOutputStream()
+            val ad = new java.io.DataOutputStream(a)
+            def au32(v: Int): Unit = ad.writeInt(Integer.reverseBytes(v))
+            au32(33333); au32(0); au32(0); au32(0)
+            au32(frames); au32(0); au32(1); au32(0)
+            au32(w); au32(h); au32(0); au32(0); au32(0); au32(0)
+            a.toByteArray
+          }
+          val hdrlSize = 4 + 8 + avih.length
+          // chunks pad to even — sizes must account for the pad byte
+          val moviSize = 4 + frameBytes.map(fb => 8 + fb.length + (fb.length & 1)).sum
+          d.writeBytes("RIFF")
+          u32(4 + (8 + hdrlSize) + (8 + moviSize))
+          d.writeBytes("AVI ")
+          d.writeBytes("LIST"); u32(hdrlSize); d.writeBytes("hdrl")
+          d.writeBytes("avih"); u32(avih.length); d.write(avih)
+          d.writeBytes("LIST"); u32(moviSize); d.writeBytes("movi")
+          frameBytes.foreach { fb =>
+            d.writeBytes("00dc"); u32(fb.length); d.write(fb)
+            if ((fb.length & 1) == 1) d.writeByte(0)
+          }
+          MediaRecord(id, "video", bos.toByteArray, "synthetic")
+        }
+      }
+  }
+
+  final case class VideoFrameHashRow(
+      media_id: Long,
+      frame_idx: Int,
+      ahash_hi: Long,
+      ahash_lo: Long,
+      frame_w: Int,
+      frame_h: Int,
+  )
+
+  /** Per-frame perceptual hashes over REAL video content: demux the movi
+    * chunks ([[RiffAviCodec.framePayloads]]), `ImageIO.read` each frame
+    * payload (full pixel rasterize — MJPEG-style AVI carries a
+    * self-contained image per chunk), and [[aHashBits]] each frame — the
+    * q240 image contract at frame granularity. Unparseable containers and
+    * undecodable frames answer a single/per-frame (−1, −1) sentinel row —
+    * total, callers pairing on signatures filter `ahash_hi >= 0` (the
+    * [[imageDedupKeepBest]] pre-filter contract).
+    *
+    * Scale: `mapPartitions`, one decode per frame, payload bytes dropped
+    * at this boundary — only (id, frame, 64-bit hash) rows shuffle, and a
+    * billion-video corpus decodes in one partition-parallel pass with no
+    * per-video driver loop.
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord]): Dataset[VideoFrameHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val payloads = RiffAviCodec.framePayloads(m.content)
+      if (payloads.isEmpty) Iterator.single(VideoFrameHashRow(m.media_id, -1, -1L, -1L, -1, -1))
+      else
+        payloads.iterator.zipWithIndex.map { case (fb, i) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1)
+            VideoFrameHashRow(m.media_id, i, -1L, -1L, -1, -1)
+          else {
+            val hash = aHashBits(img)
+            VideoFrameHashRow(m.media_id, i, hash >>> 32, hash & 0xffffffffL, img.getWidth, img.getHeight)
+          }
+        }
+    })
+  }
+
+  /** Video near-duplicate pairs by frame-signature overlap — the
+    * [[graft.operators.Winnow.overlapPairs]] shape at frame granularity:
+    * per-frame aHashes ([[videoFrameHashes]], sentinel rows dropped),
+    * distinct (video, signature), UBIQUITOUS-signature drop (a signature
+    * in more than `maxVideosPerSig` videos is intro/outro boilerplate, the
+    * fingerprint stop-word rule), then an equi-join on the signature and a
+    * pair count thresholded at `minShared` shared frames.
+    *
+    * Scale: never all-pairs — the join is signature-local and the drop
+    * bounds per-signature fan-out at `maxVideosPerSig²` BY CONSTRUCTION
+    * (the same guard-by-filter contract as `overlapPairs`' `maxDocsPerFp`);
+    * only (id, 64-bit sig) rows shuffle, pixels were dropped at the hash
+    * boundary.
+    */
+  def videoNearDupPairs(
+      media: Dataset[MediaRecord],
+      minShared: Int = 2,
+      maxVideosPerSig: Int = 8,
+  ): DataFrame = {
+    val sigs = videoFrameHashes(media)
+      .toDF()
+      .where(col("ahash_hi") >= 0)
+      .select(
+        col("media_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"),
+      )
+      .distinct()
+    val freq = sigs.groupBy(col("sig")).agg(count(lit(1)).as("__nvids"))
+    val keep = sigs.join(freq.filter(col("__nvids") <= maxVideosPerSig), "sig")
+    val a = keep.select(col("sig"), col("media_id").as("id_a"))
+    val b = keep.select(col("sig"), col("media_id").as("id_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Synthesize a media table from `documents` (deterministic — the payload
@@ -536,6 +770,44 @@ object Multimodal {
     * rule). Unrecognized payloads answer (−1, −1, −1, −1) — total, callers
     * needing strictness pre-filter on [[ImageIoCodec.isDecodable]].
     */
+  /** The aHash core over a rasterized image: integer luma, 8×8 pooling,
+    * one bit per cell by exact cross-multiplication against the global
+    * mean (see [[imageAHash]] for the full contract). Shared by the image
+    * and per-video-frame paths so the two families cannot drift.
+    */
+  private[operators] def aHashBits(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      val rj = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y) & 0xffffff
+        val luma = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+        val c = rj * 8 + x * 8 / w
+        cellSum(c) += luma
+        cellCnt(c) += 1
+        totalSum += luma
+        x += 1
+      }
+      y += 1
+    }
+    val totalN = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      // 128-bit cross-multiply (BigInt = DuckDB's HUGEINT): a
+      // 100-megapixel image pushes Σluma·n past a Long
+      if (BigInt(cellSum(c)) * totalN > BigInt(totalSum) * cellCnt(c)) hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
   def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageHashRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -546,36 +818,8 @@ object Multimodal {
       if (img == null || img.getWidth < 1 || img.getHeight < 1)
         ImageHashRow(m.media_id, -1L, -1L, -1, -1)
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val cellSum = new Array[Long](64)
-        val cellCnt = new Array[Long](64)
-        var totalSum = 0L
-        var y = 0
-        while (y < h) {
-          val rj = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val v = img.getRGB(x, y) & 0xffffff
-            val luma = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
-            val c = rj * 8 + x * 8 / w
-            cellSum(c) += luma
-            cellCnt(c) += 1
-            totalSum += luma
-            x += 1
-          }
-          y += 1
-        }
-        val totalN = w.toLong * h
-        var hash = 0L
-        var c = 0
-        while (c < 64) {
-          // 128-bit cross-multiply (BigInt = DuckDB's HUGEINT): a
-          // 100-megapixel image pushes Σluma·n past a Long
-          if (BigInt(cellSum(c)) * totalN > BigInt(totalSum) * cellCnt(c)) hash |= 1L << c
-          c += 1
-        }
-        ImageHashRow(m.media_id, hash >>> 32, hash & 0xffffffffL, w, h)
+        val hash = aHashBits(img)
+        ImageHashRow(m.media_id, hash >>> 32, hash & 0xffffffffL, img.getWidth, img.getHeight)
       }
     })
   }
@@ -598,7 +842,12 @@ object Multimodal {
       prefixBits: Int = 12,
       maxDist: Int = 3,
   ): DataFrame = {
-    val hashed = imageAHash(media).toDF()
+    // Drop imageAHash's (−1, −1) undecodable sentinel BEFORE pairing: on a
+    // real corpus every unreadable image shares the sentinel signature, so
+    // without this filter they all pair at Hamming distance 0, merge into
+    // one cluster, and keep-best silently drops all but one (or the bucket
+    // guard aborts). Undecodables are not duplicates of each other.
+    val hashed = imageAHash(media).toDF().where(col("ahash_hi") >= 0)
     val sigs = hashed.select(
       col("media_id"),
       shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"),
@@ -683,9 +932,10 @@ object Multimodal {
           }
         } finally in.close()
       } catch {
+        // Decode failures only — see the audioFingerprint catch note.
         case _: javax.sound.sampled.UnsupportedAudioFileException =>
           AudioFeatureRow(m.media_id, -1L, -1L, -1L)
-        case scala.util.control.NonFatal(_) =>
+        case _: java.io.IOException =>
           AudioFeatureRow(m.media_id, -1L, -1L, -1L)
       }
     })
@@ -731,7 +981,10 @@ object Multimodal {
               var k = 0
               while (k < n) {
                 val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
-                val w = (k * 64 / n).toInt
+                // k·64 in Long: with Int arithmetic a clip past ~33.5M
+                // interleaved samples (~6 min stereo @ 44.1 kHz) overflows
+                // negative. Mirrors the oracle's BIGINT (k*64)//n.
+                val w = (k.toLong * 64 / n).toInt
                 es(w) += s * s
                 cnt(w) += 1
                 total += s * s
@@ -751,9 +1004,11 @@ object Multimodal {
           }
         } finally in.close()
       } catch {
+        // Only DECODE failures map to the undecodable sentinel; anything
+        // else (e.g. an index bug) must fail loudly, not alias as (−1,−1,−1).
         case _: javax.sound.sampled.UnsupportedAudioFileException =>
           AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
-        case scala.util.control.NonFatal(_) =>
+        case _: java.io.IOException =>
           AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
       }
     })

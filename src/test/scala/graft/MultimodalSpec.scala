@@ -291,6 +291,77 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1) == Multimodal.AudioFeatureRow(2L, -1L, -1L, -1L), "total on garbage")
   }
 
+  /** The closed-form per-frame aHash synthesizeMjpegAvi is built to
+    * guarantee: cell c white iff bit c/2 of Q (even c) / its complement
+    * (odd c), Q = (g·2654435761 + p·97003999) mod 2³², p = k + id%4.
+    */
+  private def mjpegFrameHash(id: Long, k: Int): Long = {
+    val q = ((id / 4) * 2654435761L + (k + id % 4) * 97003999L) & 0xffffffffL
+    var pat = 0L
+    var c = 0
+    while (c < 64) {
+      val qbit = (q >>> (c / 2)) & 1L
+      if (if (c % 2 == 0) qbit == 1L else qbit == 0L) pat |= 1L << c
+      c += 1
+    }
+    pat
+  }
+
+  test("synthesizeMjpegAvi: real JPEG frames decode to the exact closed-form aHash") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (7L, "e"), (42L, "f"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMjpegAvi(docs, "doc_id").repartition(2)
+    val rows = Multimodal.videoFrameHashes(media).collect()
+    val byKey = rows.map(r => (r.media_id, r.frame_idx) -> r).toMap
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 42L)) {
+      val frames = (4 + id % 4).toInt
+      assert(rows.count(_.media_id == id) == frames, s"id=$id frame count")
+      for (k <- 0 until frames) {
+        val r = byKey((id, k))
+        val expect = mjpegFrameHash(id, k)
+        assert(r.ahash_hi == (expect >>> 32) && r.ahash_lo == (expect & 0xffffffffL),
+          s"id=$id k=$k: decoded aHash diverged from the closed form — the JPEG " +
+            "round trip is no longer pixel-exact")
+        assert((r.frame_w, r.frame_h) == (((64 * (1 + id % 2)).toInt, 64)))
+      }
+    }
+  }
+
+  test("videoFrameHashes is total: non-AVI payloads answer one sentinel row") {
+    import graft.operators.Multimodal.MediaRecord
+    val ds = Seq(MediaRecord(9L, "video", "not a container".getBytes("utf-8"), "s")).toDS()
+    val rows = Multimodal.videoFrameHashes(ds).collect().toSeq
+    assert(rows == Seq(Multimodal.VideoFrameHashRow(9L, -1, -1L, -1L, -1, -1)))
+  }
+
+  test("ImageIoCodec.sampleFrames demuxes AVI movi chunks into decodable JPEG frames") {
+    val docs = Seq((5L, "a")).toDF("doc_id", "text")
+    val avi = Multimodal.synthesizeMjpegAvi(docs, "doc_id").collect().head.content
+    // id 5: frames = 5, w = 128, h = 64
+    val all = Multimodal.ImageIoCodec.sampleFrames(avi, everyN = 1)
+    assert(all.length == 5)
+    assert(all.forall(f => Multimodal.ImageIoCodec.dimensions(f) == ((128, 64))))
+    assert(Multimodal.ImageIoCodec.sampleFrames(avi, everyN = 2).length == 3) // frames 0, 2, 4
+  }
+
+  test("videoNearDupPairs: shared-timeline ground truth, ubiquitous-signature drop") {
+    // group g = 0: ids 0..3 draw frames from one timeline at p = k + id%4 —
+    // range overlaps are the ground-truth shared-frame counts:
+    // (0,1)→{1,2,3}=3, (0,2)→{2,3}=2, (0,3)→{3}=1 (below minShared),
+    // (1,2)→{2..5}=4, (1,3)→{3,4,5}=3, (2,3)→{3..7}=5
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMjpegAvi(docs, "doc_id").repartition(2)
+    val pairs = Multimodal.videoNearDupPairs(media, minShared = 2, maxVideosPerSig = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((0L, 1L) -> 3L, (0L, 2L) -> 2L, (1L, 2L) -> 4L,
+      (1L, 3L) -> 3L, (2L, 3L) -> 5L), pairs)
+    // p = 3 is shared by ALL four videos; maxVideosPerSig = 3 drops it as
+    // boilerplate: (0,2) falls to 1 (filtered), (2,3) to 4, (0,3) to 0
+    val dropped = Multimodal.videoNearDupPairs(media, minShared = 2, maxVideosPerSig = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dropped == Map((0L, 1L) -> 2L, (1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 4L), dropped)
+  }
+
   test("audioFingerprint: closed form, amplitude invariance, totality") {
     import graft.operators.Multimodal.MediaRecord
     // samples [100, -100, 50, 0] → windows (k·64 div 4 = 16k): energies

@@ -648,4 +648,15 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must not reach a shuffle:\n$p",
     )
   }
+
+  test("q247 video near-dup pairs: signature equi-join, no cartesian, frame bytes dropped pre-shuffle") {
+    val p = plan(q("q247_video_neardup_pairs"))
+    assert(!p.contains("CartesianProduct"),
+      s"the signature overlap must stay an equi-join, never all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop fallback:\n$p")
+    assert(
+      p.linesIterator.filter(_.contains("Exchange")).forall(l => !l.contains("content")),
+      s"payload bytes must not reach a shuffle — frames hash at the decode boundary:\n$p",
+    )
+  }
 }
