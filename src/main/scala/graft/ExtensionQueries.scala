@@ -121,6 +121,11 @@ object ExtensionQueries {
   // q192's coarse IVF cell count (PQ fine params are q162's PqM/PqNlist/
   // PqIters — ONE constant set feeds the operator call and the oracle).
   private val AnnIdxNlist = 8
+  // q248/q250 ADC candidate depth: survivors per query before the exact
+  // rerank (>= AnnK by the adcTopK contract; 8 ≈ 2.7× the final k — the
+  // ADC stage over-fetches so PQ quantization error rarely evicts a true
+  // neighbor before the rerank can restore it).
+  private val AdcCandK = 8
   // q193's decay half-life (1 h) and q195's lateness bucket (1 min).
   private val DecayHalfLifeUs = 3600000000L
   private val DecayMaxShift = 20
@@ -614,6 +619,72 @@ object ExtensionQueries {
                                  FROM s${sub}fs) WHERE rn = 1)"""
       }
       .mkString(",\n")
+  }
+
+  /** The q248/q250 IVF-PQ ADC pipeline mirror. Callers prepend `sdims` and
+    * [[sqlPqChainCtes]] (codebooks `s{sub}c{PqIters}` + codes `s{sub}out`);
+    * this block adds the q185 coarse-IVF mirror (first-16 codebook,
+    * posting lists, nprobe probes), the per-query integer ADC tables (dot
+    * of the query subvector against every codebook entry, per-micro
+    * quantized), the table-lookup candidate scoring, the candK ADC cut and
+    * the exact rerank. Terminal relation:
+    * `adcfinal(query_id, rnk, neighbor_id, sim_q, adc)`. ONE generator
+    * feeding both oracles so the pipeline cannot drift from itself.
+    */
+  private def sqlAdcCtes: String = {
+    val subDim = EmbDim / PqM
+    val adctArms = (0 until PqM)
+      .map { sub =>
+        val lo = sub * subDim + 1
+        s"""SELECT q.vec_id AS query_id, $sub AS subspace, b.centroid_id AS code,
+                   CAST(floor(list_sum(list_transform(range(1, $subDim + 1),
+                          i -> CAST(q.embedding[$lo + i - 1] AS DOUBLE) * CAST(b.cen[i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+            FROM aqv q CROSS JOIN s${sub}c$PqIters b"""
+      }
+      .mkString("\n UNION ALL ")
+    val codeCols = (0 until PqM).map(s => s"MAX(CASE WHEN subspace = $s THEN code END) AS c$s").mkString(", ")
+    val cuArms = (0 until PqM)
+      .map(s => s"SELECT query_id, neighbor_id, $s AS subspace, c$s AS code FROM acand")
+      .mkString("\n UNION ALL ")
+    s"""ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                 FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        ipsc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                 FROM embeddings a CROSS JOIN ivfc b),
+        aposting AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+           SELECT vec_id, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM ipsc) WHERE rn = 1),
+        aprobes AS (SELECT vec_id AS query_id, centroid_id FROM (
+           SELECT vec_id, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM ipsc WHERE vec_id % 100 = 0) WHERE rn <= $AnnNprobe),
+        aqv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+        pqcodes AS MATERIALIZED (SELECT vec_id, $codeCols
+                   FROM (${(0 until PqM).map(s => s"SELECT * FROM s${s}out").mkString(" UNION ALL ")})
+                   GROUP BY vec_id),
+        adct AS MATERIALIZED ($adctArms),
+        acand AS (SELECT p.query_id, po.neighbor_id, ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
+                  FROM aprobes p JOIN aposting po USING (centroid_id)
+                  JOIN pqcodes k2 ON k2.vec_id = po.neighbor_id
+                  WHERE p.query_id <> po.neighbor_id),
+        acu AS ($cuArms),
+        adcs AS (SELECT query_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS adc
+                 FROM acu JOIN adct USING (query_id, subspace, code)
+                 GROUP BY query_id, neighbor_id),
+        asurv AS (SELECT query_id, neighbor_id, adc FROM (
+           SELECT query_id, neighbor_id, adc,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+           FROM adcs) WHERE rn <= $AdcCandK),
+        arer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
+                 FROM asurv s
+                 JOIN embeddings a ON a.vec_id = s.query_id
+                 JOIN embeddings b ON b.vec_id = s.neighbor_id),
+        adcfinal AS (SELECT query_id, rnk, neighbor_id,
+                            CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
+           SELECT query_id, neighbor_id, adc, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM arer) WHERE rnk <= $AnnK)"""
   }
 
   /** q82's BM25 mirror — ALSO the oracle of q204's index-backed scorer
@@ -3224,6 +3295,35 @@ object ExtensionQueries {
       Multimodal
         .videoNearDupPairs(media, minShared = 2, maxVideosPerSig = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- IVF-PQ ADC search: candidates scored from m-byte PQ codes via
+    //      per-query integer lookup tables (Jégou et al. 2011 / the FAISS
+    //      serving shape — full vectors never join the candidate pass),
+    //      exact cosine rerank on the candK survivors only ----
+    "q248_ann_adc_topk" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .adcTopK(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
+          nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ADC recall@k vs exact brute force — the q185 grading harness
+    //      over the IVF-PQ ADC pipeline: the number that says whether
+    //      nprobe/candK and the PQ resolution are tuned before serving ----
+    "q250_ann_adc_recall" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .adcRecallReport(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
+          nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id")
     }),
 
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
@@ -6483,6 +6583,38 @@ object ExtensionQueries {
           FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
           GROUP BY a.id, b.id HAVING COUNT(*) >= 2
           ORDER BY id_a, id_b""",
+    // The ADC contract: the q162 PQ chain (codebooks + codes) + the q185
+    // coarse-IVF mirror + integer ADC tables + table-lookup scoring + the
+    // exact rerank, regenerated end to end — the per-subspace dots are
+    // per-micro quantized BEFORE summing so the candidate cut is integer
+    // arithmetic on both engines.
+    "q248_ann_adc_topk" ->
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              $sqlPqChainCtes,
+              $sqlAdcCtes
+          SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+          FROM adcfinal ORDER BY query_id, rank""",
+    // The grading contract: adcfinal (the SAME generated pipeline as q248)
+    // joined against the q185 exact brute-force side — every sampled query
+    // appears, zero-recall included.
+    "q250_ann_adc_recall" ->
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              $sqlPqChainCtes,
+              $sqlAdcCtes,
+              escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+                          FROM embeddings a JOIN embeddings b
+                            ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+              exact AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM escored) WHERE rnk <= $AnnK),
+              hits AS (SELECT query_id, COUNT(*) AS n_hit
+                       FROM adcfinal JOIN exact USING (query_id, neighbor_id) GROUP BY 1)
+          SELECT q.vec_id AS query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST($AnnK AS DOUBLE) AS recall
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+          LEFT JOIN hits h ON h.query_id = q.vec_id
+          ORDER BY query_id""",
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what

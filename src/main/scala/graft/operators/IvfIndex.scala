@@ -188,6 +188,177 @@ object IvfIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Sequential-double dot product of two float arrays — the DuckDB
+    * `list_sum(list_transform(...))` order, so quantized values agree
+    * across engines. Builtin composition, not a custom Expression: the ADC
+    * table build is queries × nlist × m (tiny), never the corpus hot path.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  private def q6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** IVF-PQ search with asymmetric-distance (ADC) candidate scoring — the
+    * 100 TB memory story for ANN (public knowledge: Jégou, Douze, Schmid,
+    * "Product quantization for nearest neighbor search", TPAMI 2011; the
+    * FAISS IVF-PQ serving shape): the candidate pass never touches full
+    * vectors, only `m`-byte PQ codes and per-query lookup tables.
+    *
+    *  1. **Train + encode** (corpus side): coarse cell via [[assign]] and
+    *     the `m` per-subspace PQ codes in ONE map-only projection per row —
+    *     two codebook-literal argmaxes inside whole-stage codegen; full
+    *     vectors are dropped at this boundary. (Same deterministic Lloyd
+    *     as [[pqCodes]]; same cosine-argmax coding rule, ties to the
+    *     lowest code.)
+    *  2. **Tables** (query side): for each query and subspace, the dot
+    *     product of the query's subvector against every codebook entry,
+    *     per-micro quantized to a Long — an `m × nlist` integer table per
+    *     query, broadcast with its probes (32 longs per probe row at the
+    *     q162 constants).
+    *  3. **ADC scoring**: candidates = posting-list rows of the `nprobe`
+    *     probed cells; approximate similarity = Σ_s table[s][code_s] — an
+    *     integer table-lookup sum in a projection, no vectors, no
+    *     per-subspace fan-out. Top `candK` per query survive.
+    *  4. **Exact rerank**: only the survivors join their full vectors back
+    *     (broadcast — `candK` rows per query), exact cosine, top `k`.
+    *
+    * Output: (query_id, rank, neighbor_id, sim_q, adc) — the exact cosine
+    * per-micro quantized, plus the integer ADC score that selected the
+    * candidate (the diagnostic for "was ADC ranking close to exact?").
+    *
+    * Scale: the corpus is scanned twice (encode; survivor vector fetch),
+    * shuffled never — candidates shuffle as (query, neighbor, codes, adc)
+    * rows for the two bounded windows. Approximation is two-stage by
+    * design: ADC ranks by reconstructed inner product (additive per
+    * subspace; cosine is not), the rerank restores the true metric —
+    * grade recall with [[adcRecallReport]] before serving, the q185 rule.
+    */
+  def adcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
+    require(m >= 1 && subDim >= 1 && pqNlist >= 1 && pqIters >= 0, "adcTopK: all sizes must be positive")
+    require(candK >= k, s"adcTopK: candK ($candK) must be >= k ($k) — the rerank can only drop")
+    // Per-subspace codebooks: [[train]]'s deterministic Lloyd on the sliced
+    // vectors, collected once (m × pqNlist tiny rows — the assign rule).
+    val cbs: IndexedSeq[Seq[(Int, Seq[Float])]] = (0 until m).map { sub =>
+      val sliced = corpus.select(col(idCol), slice(col(vecCol), sub * subDim + 1, subDim).as("__sv"))
+      train(sliced, idCol, "__sv", pqNlist, pqIters)
+        .orderBy(col("centroid_id"))
+        .collect()
+        .toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    }
+    // Corpus pass: coarse cell + m PQ codes in one projection, vectors
+    // dropped here — nothing downstream of this select carries floats.
+    val codeExprs: Seq[Column] = (0 until m).map { sub =>
+      val sv = slice(col(vecCol), sub * subDim + 1, subDim)
+      val best = array_max(
+        transform(
+          typedLit(cbs(sub)),
+          c => struct(cos(sv, c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")),
+        )
+      )
+      (-best.getField("negid")).cast("int")
+    }
+    val encoded = assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"), array(codeExprs: _*).as("codes"))
+    // Query pass: nprobe cells + the m × nlist quantized ADC table, query
+    // vectors dropped here.
+    val wq = Window.partitionBy(col("query_id")).orderBy(cos(col("qvec"), col("centroid")).desc, col("centroid_id"))
+    val tableExpr = array((0 until m).map { sub =>
+      val qsv = slice(col("qvec"), sub * subDim + 1, subDim)
+      transform(typedLit(cbs(sub).map(_._2)), cen => q6(dot(qsv, cen)))
+    }: _*)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), tableExpr.as("tables"))
+    // ADC scoring: integer table-lookup sum per candidate, no vectors.
+    val adcExpr = aggregate(
+      sequence(lit(0), lit(m - 1)),
+      lit(0L),
+      (acc, s) => acc + element_at(element_at(col("tables"), s + 1), element_at(col("codes"), s + 1) + 1),
+    )
+    val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val survivors = encoded
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
+      .withColumn("arank", row_number().over(wadc))
+      .filter(col("arank") <= candK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    // Exact rerank: survivors only rejoin their vectors. The survivor set
+    // (candK × queries rows) broadcasts; the corpus streams past it with
+    // no shuffle — at 100 TB the rerank must never repartition the corpus.
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(survivors), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"),
+      )
+      .withColumn("sim", cos(col("__qv"), col("__nv")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), q6(col("sim")).as("sim_q"), col("adc"))
+  }
+
+  /** Recall@k of [[adcTopK]] against exact brute force — the q185
+    * [[recallReport]] shape with the ADC pipeline as the approx side: the
+    * one number that says whether `nprobe`/`candK` (and PQ resolution
+    * `m × log2(nlist)` bits) are tuned before the index serves.
+    */
+  def adcRecallReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
+    val exact = Similarity
+      .bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = adcTopK(corpus, queries, idCol, vecCol, centroids, m, subDim, pqNlist, pqIters, nprobe, candK, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries
+      .select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"),
+      )
+  }
+
   /** Recall@k of the IVF search against exact brute force, per query — the
     * grading harness every ANN index needs BEFORE it serves: recall is the
     * one number that says whether `nlist`/`nprobe` are tuned or the index

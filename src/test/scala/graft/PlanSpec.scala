@@ -649,6 +649,24 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q248 ADC search: candidate pass joins codes never vectors; corpus never repartitions") {
+    val p = plan(q("q248_ann_adc_topk"))
+    // all real joins broadcast (codebooks are plan literals; the 16-row
+    // centroid cross join is a deliberate broadcast); the corpus itself is
+    // never sort-merge-joined or repartitioned
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian surface:\n$p")
+    // the only hash exchanges are the query-keyed candidate/rerank windows —
+    // candidate-sized rows, never corpus partitioning, never vectors
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("query_id")),
+      s"every shuffle must be the query-keyed top-k, never the corpus:\n$p")
+    assert(ex.forall(l => !l.contains("embedding") && !l.contains("__nv") && !l.contains("qvec")),
+      s"full vectors must never reach an exchange — ADC scores codes only:\n$p")
+    // top-k windows push partial group limits below the shuffle
+    assert(p.contains("WindowGroupLimit"), s"rank cuts must pre-aggregate before the exchange:\n$p")
+  }
+
   test("q247 video near-dup pairs: signature equi-join, no cartesian, frame bytes dropped pre-shuffle") {
     val p = plan(q("q247_video_neardup_pairs"))
     assert(!p.contains("CartesianProduct"),
