@@ -244,14 +244,21 @@ object ExtensionQueries {
     * generate_series bounds + filter because DuckDB rejects lateral
     * column bounds on table functions.
     */
-  private val sqlImageHashes: String =
-    """d AS (SELECT doc_id AS id,
-                           CAST(8 + doc_id % 32 AS BIGINT) AS w,
-                           CAST(8 + doc_id % 16 AS BIGINT) AS h
+  private val sqlImageHashes: String = sqlImageHashesBy("doc_id")
+
+  /** [[sqlImageHashes]] parameterized by the CONTENT id expression
+    * (mirrors [[graft.operators.Multimodal.synthesizePng]]'s
+    * `contentIdCol`): rows sharing `cidExpr` regenerate identical pixels —
+    * the exact-duplicate ground truth of the q249 streaming dedup.
+    */
+  private def sqlImageHashesBy(cidExpr: String): String =
+    s"""d AS (SELECT doc_id AS id, CAST($cidExpr AS BIGINT) AS cid,
+                           CAST(8 + ($cidExpr) % 32 AS BIGINT) AS w,
+                           CAST(8 + ($cidExpr) % 16 AS BIGINT) AS h
                     FROM documents),
               px AS (SELECT id, w, h,
                             (gy.y * 8) // h * 8 + (gx.x * 8) // w AS cell,
-                            (gx.x * 31 + gy.y * 7 + id) % 16777216 AS v
+                            (gx.x * 31 + gy.y * 7 + cid) % 16777216 AS v
                      FROM d,
                           generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
                           generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
@@ -3295,6 +3302,22 @@ object ExtensionQueries {
       Multimodal
         .videoNearDupPairs(media, minShared = 2, maxVideosPerSig = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Continuous-ingest image dedup: real rasterize→aHash inside the
+    //      microbatch (q243), then dropDuplicatesWithinWatermark on the
+    //      perceptual signature (q118's state shape) — every third doc id
+    //      shares pixel content, so the stream drops ~2/3 as re-uploads;
+    //      survivors must equal the batch min-id-per-hash closed form ----
+    "q249_stream_image_dedup" -> ((s, d) => {
+      val base  = t(s, d, "documents").withColumn("cid", col("doc_id") - col("doc_id") % 3)
+      val media = Multimodal
+        .synthesizePng(base, "doc_id", contentIdCol = Some("cid"))
+        .toDF()
+        .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("media_id") * 1000000L))
+      EventStream
+        .imageDedupOneShot(s, media, "graft_q249")
+        .orderBy("media_id")
     }),
 
     // ---- IVF-PQ ADC search: candidates scored from m-byte PQ codes via
@@ -6583,6 +6606,17 @@ object ExtensionQueries {
           FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
           GROUP BY a.id, b.id HAVING COUNT(*) >= 2
           ORDER BY id_a, id_b""",
+    // The streaming-dedup contract: pixels regenerated from the SHARED
+    // content id (doc_id − doc_id % 3 — exact-duplicate images under
+    // distinct media ids), hashed by the same closed form, one survivor
+    // per signature = MIN id (the ordered single-file microbatch makes
+    // "first arrived" the min-(ts, id) row). Stream must equal this batch
+    // form row for row.
+    "q249_stream_image_dedup" ->
+      s"""WITH ${sqlImageHashesBy("doc_id - doc_id % 3")}
+          SELECT CAST(MIN(id) AS BIGINT) AS media_id,
+                 hi AS ahash_hi, lo AS ahash_lo
+          FROM hashes GROUP BY hi, lo ORDER BY media_id""",
     // The ADC contract: the q162 PQ chain (codebooks + codes) + the q185
     // coarse-IVF mirror + integer ADC tables + table-lookup scoring + the
     // exact rerank, regenerated end to end — the per-subspace dots are

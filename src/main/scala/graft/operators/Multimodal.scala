@@ -642,21 +642,32 @@ object Multimodal {
     * small on purpose (≤40×24 px) — the query family exists to verify decode,
     * not to benchmark encoders.
     */
-  def synthesizePng(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+  def synthesizePng(
+      docs: DataFrame,
+      idCol: String,
+      contentIdCol: Option[String] = None,
+  ): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(col(idCol).cast("long").as("id"))
-      .as[Long]
+      .select(
+        col(idCol).cast("long").as("id"),
+        // contentIdCol decouples record identity from pixel content: rows
+        // sharing a content id are EXACT duplicate images under distinct
+        // media ids — the ground truth a dedup family needs (default: one
+        // image per id, the original contract).
+        col(contentIdCol.getOrElse(idCol)).cast("long").as("cid"),
+      )
+      .as[(Long, Long)]
       .mapPartitions { it =>
-        it.map { id =>
-          val w = (8 + id % 32).toInt
-          val h = (8 + id % 16).toInt
+        it.map { case (id, cid) =>
+          val w = (8 + cid % 32).toInt
+          val h = (8 + cid % 16).toInt
           val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { img.setRGB(x, y, ((x * 31 + y * 7 + id) & 0xffffff).toInt); x += 1 }
+            while (x < w) { img.setRGB(x, y, ((x * 31 + y * 7 + cid) & 0xffffff).toInt); x += 1 }
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -775,7 +786,7 @@ object Multimodal {
     * mean (see [[imageAHash]] for the full contract). Shared by the image
     * and per-video-frame paths so the two families cannot drift.
     */
-  private[operators] def aHashBits(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def aHashBits(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     val cellSum = new Array[Long](64)

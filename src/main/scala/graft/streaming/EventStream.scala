@@ -822,6 +822,65 @@ object EventStream {
     * through the actual microbatch machinery, so the batch quality gates
     * drop into an incremental ingestion pipeline unchanged.
     */
+  /** Continuous-ingest image dedup — the composition a production
+    * training-data intake runs: REAL pixel decode + perceptual aHash
+    * INSIDE the microbatch (the q243 stateless pass), then
+    * `dropDuplicatesWithinWatermark` on the 64-bit hash (the [[dedupStream]]
+    * state shape) — the first-arrived image per perceptual signature
+    * survives, later re-encodes/re-uploads drop, and state is bounded by
+    * the watermark horizon (O(distinct signatures in the horizon), never
+    * the corpus).
+    *
+    * Batch-parity stance ([[rateLimitOneShot]]): input sorted by
+    * (ts, media_id) and written as ONE file, so "first arrived" equals the
+    * min-(ts, id) survivor the batch closed form picks, and the whole run
+    * is one microbatch. `media` must carry (media_id, content, ts).
+    *
+    * Undecodable payloads are dropped BEFORE the dedup state (they share
+    * one sentinel signature and would otherwise dedup against each other —
+    * the [[graft.operators.Multimodal.imageDedupKeepBest]] pre-filter
+    * contract applied to the stream).
+    */
+  def imageDedupOneShot(
+      spark: SparkSession,
+      media: DataFrame,
+      queryName: String,
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    import spark.implicits._
+    val ordered = media.orderBy(col("ts"), col("media_id"))
+    val stream = spark.readStream
+      .schema(ordered.schema)
+      .parquet(writeTemp(ordered, queryName, singleFile = true))
+    val hashed = stream
+      .select(col("media_id"), col("content"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(_.map { case (id, bytes, ts) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth < 1 || img.getHeight < 1) (id, -1L, -1L, ts)
+        else {
+          val h = graft.operators.Multimodal.aHashBits(img)
+          (id, h >>> 32, h & 0xffffffffL, ts)
+        }
+      })
+      .toDF("media_id", "ahash_hi", "ahash_lo", "ts")
+    val q = hashed
+      .filter(col("ahash_hi") >= 0)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("ahash_hi", "ahash_lo"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def statelessOneShot(
       spark: SparkSession,
       df: DataFrame,

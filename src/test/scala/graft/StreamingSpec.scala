@@ -354,6 +354,30 @@ class StreamingSpec extends SparkSpec {
     assert(full > got.size)
   }
 
+  test("imageDedupOneShot: first-arrived survivor per perceptual signature, undecodables dropped") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions._
+    // ids 0,1,2 share content id 0 (exact duplicate pixels), 3,4,5 share 3;
+    // id 99 is garbage (undecodable) and must vanish, never dedup-collide
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+      .withColumn("cid", col("doc_id") - col("doc_id") % 3)
+    val media = Multimodal
+      .synthesizePng(docs, "doc_id", contentIdCol = Some("cid"))
+      .toDF()
+      .union(
+        Seq((99L, "image", "not an image".getBytes("utf-8"), "s"))
+          .toDF("media_id", "media_type", "content", "source")
+      )
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("media_id") * 1000000L))
+    val got = EventStream
+      .imageDedupOneShot(spark, media, "graft_spec_imgdedup")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+      .toSeq
+    assert(got == Seq(0L, 3L), s"one survivor per content group, min id, no sentinel rows: $got")
+  }
+
   test("checkpoint recovery: crash between sink write and commit replays the batch exactly once") {
     // The semantics a daily production one-shot depends on after a crash:
     // restart from the SAME checkpoint must (a) not reprocess committed
