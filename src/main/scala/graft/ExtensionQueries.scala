@@ -694,6 +694,32 @@ object ExtensionQueries {
            FROM arer) WHERE rnk <= $AnnK)"""
   }
 
+  /** The q66/q251 batch-sessionization mirror: ONE definition for the heap
+    * and RocksDB state-store runs, so a provider-dependent divergence can
+    * only surface as a hash mismatch, never as drift between two mirrors.
+    */
+  private val sqlSessionizeExact: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       ),
+       sessions AS (
+         SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM flagged
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM sessions GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
   /** q82's BM25 mirror — ALSO the oracle of q204's index-backed scorer
     * (shard transparency: the scored-postings answer must be bit-identical
     * to the corpus scan).
@@ -3304,6 +3330,59 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Bloom-filtered lake round trip + keyed lookup: the table is
+    //      written in a SCRAMBLED key order (row-group min/max straddle the
+    //      whole range — range stats prune nothing) with small row groups
+    //      and a doc_id bloom per group; the point lookup's IN-filter
+    //      pushdown consults the blooms and visits only admitting groups
+    //      (skips measured at the parquet footer in ScaleSpec/BENCHNOTES).
+    //      The correctness contract is q32's: what was written is what the
+    //      probe reads back ----
+    "q252_bloom_lookup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloom_lake").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("n_chars"))
+        .orderBy(xxhash64(col("doc_id")))
+        .coalesce(1)
+      graft.ops.Lake.writeBloomFiltered(
+        docs,
+        dir,
+        Map("doc_id" -> 10000L),
+        writeOptions = Map(
+          "parquet.block.size" -> (16 * 1024).toString,
+          "parquet.block.size.row.check.min" -> "20",
+          "parquet.block.size.row.check.max" -> "20",
+        ),
+      )
+      s.read
+        .parquet(dir)
+        .filter(col("doc_id").isin(0L, 7L, 123L, 444L))
+        .orderBy("doc_id")
+    }),
+
+    // ---- The q66 custom-state pipeline on the RocksDB state store — the
+    //      100 TB state configuration (off-heap/on-disk state, heap-free
+    //      scaling): adversarial arrival order, multi-fragment
+    //      flatMapGroupsWithState sessions, SAME oracle as q66 — the
+    //      provider swap must be invisible to results ----
+    "q251_stream_rocksdb_sessions" -> ((s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      EventStream.withRocksDbStateStore(s) {
+        EventStream
+          .sessionizeExactOneShot(s, ev, "graft_q251", gapMinutes = 30)
+          .select(
+            col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"),
+            col("total_value"),
+          )
+          .orderBy("user_id", "session_start")
+      }
+    }),
+
     // ---- Continuous-ingest image dedup: real rasterize→aHash inside the
     //      microbatch (q243), then dropDuplicatesWithinWatermark on the
     //      perceptual signature (q118's state shape) — every third doc id
@@ -3926,27 +4005,10 @@ object ExtensionQueries {
     // order, the oracle is PLAIN batch sessionization (q44 semantics), with
     // the total as an order-independent exact decimal sum — the stream's
     // scaled-long accumulator produces the identical double.
-    "q66_stream_sessionize_exact" ->
-      """WITH flagged AS (
-           SELECT user_id, event_id, ts, value,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-         ),
-         sessions AS (
-           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           FROM flagged
-         )
-         SELECT user_id,
-                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-                COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-         FROM sessions GROUP BY user_id, sid
-         ORDER BY user_id, session_start""",
+    "q66_stream_sessionize_exact" -> sqlSessionizeExact,
+    // State-store transparency: the RocksDB provider must reproduce the
+    // heap provider's result bit for bit — SAME mirror as q66.
+    "q251_stream_rocksdb_sessions" -> sqlSessionizeExact,
     "q67_pack_sequences" ->
       s"""WITH tk AS (SELECT doc_id, doc_id % $PackShards AS shard,
                        CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
@@ -6606,6 +6668,12 @@ object ExtensionQueries {
           FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
           GROUP BY a.id, b.id HAVING COUNT(*) >= 2
           ORDER BY id_a, id_b""",
+    // The lake round-trip contract (q32's rule): the bloom-filtered,
+    // scramble-ordered parquet must read back exactly the source rows the
+    // probe keys select — pruning may skip row groups, never rows.
+    "q252_bloom_lookup" ->
+      """SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+         FROM documents WHERE doc_id IN (0, 7, 123, 444) ORDER BY doc_id""",
     // The streaming-dedup contract: pixels regenerated from the SHARED
     // content id (doc_id − doc_id % 3 — exact-duplicate images under
     // distinct media ids), hashed by the same closed form, one survivor

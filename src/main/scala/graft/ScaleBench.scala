@@ -57,12 +57,12 @@ object ScaleBench {
       .get("SPARK_GRAFT_SCALE_CC_FACTORS")
       .map(_.split(',').map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16, 32))
-    // Family subset for targeted re-runs (full run is ~40 min):
-    // comma-separated from {ops, media, cc, stream}; default all.
+    // Family subset for targeted re-runs (full run is ~45 min):
+    // comma-separated from {ops, media, cc, stream, rocksdb}; default all.
     val families = sys.env
       .get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("ops", "media", "cc", "stream"))
+      .getOrElse(Set("ops", "media", "cc", "stream", "rocksdb"))
     val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -291,6 +291,27 @@ object ScaleBench {
       reportStream("stream_interval_join", f, t2, r2, s"scale_ij_$f")
       spark.sql(s"DROP TABLE IF EXISTS scale_sess_$f")
       spark.sql(s"DROP TABLE IF EXISTS scale_ij_$f")
+    }
+
+    // --- rocksdb family: the SAME two stateful operators on the RocksDB
+    //     state store — the 100 TB state configuration (state off-heap/
+    //     on-disk, heap-free scaling). state_rows must reproduce the heap
+    //     provider's bit-exact linearity (same watermark, same eviction);
+    //     state_bytes is the provider's own memory accounting (RocksDB
+    //     reports its working set, the heap provider reports row bytes),
+    //     so compare it WITHIN the family, not across providers.
+    for (f <- streamFactors if families("rocksdb")) {
+      val ev = spark.read.parquet(s"$tmp/events_$f")
+      streaming.EventStream.withRocksDbStateStore(spark) {
+        val (t1, r1) =
+          time(streaming.EventStream.sessionizeExactOneShot(spark, ev, s"scale_sess_rdb_$f").count())
+        reportStream("stream_sessionize_exact_rocksdb", f, t1, r1, s"scale_sess_rdb_$f")
+        val (t2, r2) =
+          time(streaming.EventStream.intervalJoinOneShot(spark, ev, s"scale_ij_rdb_$f").count())
+        reportStream("stream_interval_join_rocksdb", f, t2, r2, s"scale_ij_rdb_$f")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS scale_sess_rdb_$f")
+      spark.sql(s"DROP TABLE IF EXISTS scale_ij_rdb_$f")
     }
     spark.stop()
   }

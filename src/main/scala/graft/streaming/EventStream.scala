@@ -224,6 +224,29 @@ object EventStream {
     * output is plain BATCH sessionization: the multi-fragment state makes
     * arrival order irrelevant, which is exactly what q66's oracle checks.
     */
+  /** Run `body` with Spark's RocksDB state store provider and restore the
+    * previous provider after — the 100 TB configuration for stateful
+    * streaming: the HDFS-backed default keeps every state row ON-HEAP, so
+    * state is capped by executor heap and large-state queries OOM; RocksDB
+    * keeps state off-heap/on-disk with an in-memory working set, so state
+    * scales to disk size. Semantics are identical by contract (same
+    * StateStore API); q251 verifies hash-identical results and the
+    * ScaleBench `rocksdb` family re-measures the state-linearity table on
+    * it. The conf is read at streaming-query START, so it must wrap the
+    * eager one-shot run, not the lazy DataFrame.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf
+      .set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def sessionizeExactOneShot(
       spark: SparkSession,
       eventsDf: DataFrame,

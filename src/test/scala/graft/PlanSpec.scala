@@ -649,6 +649,13 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q252 bloom lookup: the IN probe pushes to the scan (the pushdown that consults blooms)") {
+    val p = plan(q("q252_bloom_lookup"))
+    assert(p.contains("PushedFilters: [In(doc_id"),
+      s"the point lookup must reach the parquet reader as an IN pushdown:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"a 4-key probe must not shuffle:\n$p")
+  }
+
   test("q248 ADC search: candidate pass joins codes never vectors; corpus never repartitions") {
     val p = plan(q("q248_ann_adc_topk"))
     // all real joins broadcast (codebooks are plan literals; the 16-row
