@@ -1429,6 +1429,12 @@ object Dedup {
     // them anyway, so simhashing/tokenizing the whole corpus first is pure
     // waste — at scale the pair node set is orders of magnitude smaller
     // than the corpus. The semi-join runs before the tokenizer ever does.
+    // (Measured cost of this machinery at sf0.1, where ~every doc IS
+    // pair-involved and the pre-filter can't prune: ~0.7 s of q209's
+    // ~12 s — the r10→ plan change behind the q209 level shift, priced
+    // and accepted in BENCHNOTES_r12; at the corpus scales this operator
+    // exists for, the semi-join is the difference between featuring the
+    // pair node set and featuring the corpus.)
     val ids = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
