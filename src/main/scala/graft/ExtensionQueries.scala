@@ -3428,6 +3428,17 @@ object ExtensionQueries {
         .orderBy("query_id")
     }),
 
+    // ---- End-to-end video dedup: one per-frame decode pass → frame-
+    //      signature overlap pairs → adaptive CC → keep the LONGEST video
+    //      per cluster (most frames, id tie-break) — the q244 image-dedup
+    //      chain at video granularity, whole pipeline against one mirror ----
+    "q253_video_dedup_keep_best" -> ((s, d) => {
+      val media = Multimodal.synthesizeMjpegAvi(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .videoDedupKeepBest(media, minShared = 2, maxVideosPerSig = 8)
+        .orderBy("cluster_id")
+    }),
+
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
     //      the sample bytes (its own data-chunk location, not our writer's
     //      offsets); energy Σs² and zero-crossings in exact integers — the
@@ -6717,6 +6728,40 @@ object ExtensionQueries {
           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
           LEFT JOIN hits h ON h.query_id = q.vec_id
           ORDER BY query_id""",
+    // The whole video-dedup chain against ONE mirror: closed-form frame
+    // hashes → the q247 overlap-pair semantics → bounded min-label CC with
+    // pointer jumping (the q218 rule, convergence poison included) →
+    // longest-video keep-best with media-id tie-break.
+    "q253_video_dedup_keep_best" ->
+      s"""WITH $sqlVideoFrameHashes,
+              vs AS (SELECT DISTINCT id, hi, lo FROM vfh),
+              vfreq AS (SELECT hi, lo, COUNT(*) AS nv FROM vs GROUP BY hi, lo),
+              vkeep AS (SELECT vs.id, vs.hi, vs.lo
+                        FROM vs JOIN vfreq ON vs.hi = vfreq.hi AND vs.lo = vfreq.lo
+                        WHERE vfreq.nv <= 8),
+              vp AS MATERIALIZED (
+                 SELECT a.id AS src, b.id AS dst
+                 FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
+                 GROUP BY a.id, b.id HAVING COUNT(*) >= 2),
+              ${sqlCcBoundedFromPairs("vp")},
+              vfr AS (SELECT id, COUNT(*) AS nf FROM vfh GROUP BY id),
+              vm AS (SELECT c.comp, c.node AS id, vfr.nf
+                     FROM comps c JOIN vfr ON vfr.id = c.node),
+              vr AS (SELECT comp, id, nf,
+                            ROW_NUMBER() OVER (PARTITION BY comp ORDER BY nf DESC, id) AS rn
+                     FROM vm)
+          SELECT cluster_id, rep_media_id, rep_frames, n_members, n_dropped FROM (
+            SELECT comp AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN nf END) AS BIGINT) AS rep_frames,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM vr GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what

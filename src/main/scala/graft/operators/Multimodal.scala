@@ -592,10 +592,25 @@ object Multimodal {
       media: Dataset[MediaRecord],
       minShared: Int = 2,
       maxVideosPerSig: Int = 8,
+  ): DataFrame =
+    sigOverlapPairs(
+      videoFrameHashes(media).toDF().where(col("ahash_hi") >= 0),
+      minShared,
+      maxVideosPerSig,
+    )
+
+  /** The signature-overlap pairing core shared by [[videoNearDupPairs]] and
+    * [[videoDedupKeepBest]]: distinct (video, 64-bit frame signature) →
+    * ubiquitous drop → signature equi-join → `minShared` cut. Input is the
+    * sentinel-filtered [[videoFrameHashes]] frame table so a composed
+    * caller pays the decode pass ONCE.
+    */
+  private def sigOverlapPairs(
+      frameHashes: DataFrame,
+      minShared: Int,
+      maxVideosPerSig: Int,
   ): DataFrame = {
-    val sigs = videoFrameHashes(media)
-      .toDF()
-      .where(col("ahash_hi") >= 0)
+    val sigs = frameHashes
       .select(
         col("media_id"),
         shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"),
@@ -610,6 +625,52 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** End-to-end video dedup with canonicalization — the video sibling of
+    * [[imageDedupKeepBest]] / `Dedup.neardupKeepBest`: ONE per-frame decode
+    * pass ([[videoFrameHashes]], truncated and reused), frame-signature
+    * overlap pairs ([[sigOverlapPairs]]), adaptive connected components,
+    * then keep the LONGEST video per cluster (most decoded frames,
+    * media-id tie-break). Singletons (nothing paired) are absent, as in
+    * the image and text variants.
+    *
+    * Scale: pixels are touched exactly once (the hash pass); the pair set
+    * is signature-local and bounded by the ubiquitous drop; CC is
+    * O(log n) rounds via the adaptive dispatch; the keep-best window
+    * partitions by cluster over fixed-width rows.
+    */
+  def videoDedupKeepBest(
+      media: Dataset[MediaRecord],
+      minShared: Int = 2,
+      maxVideosPerSig: Int = 8,
+  ): DataFrame = {
+    val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("ahash_hi") >= 0))
+    val pairs = Lineage.truncate(
+      sigOverlapPairs(fh, minShared, maxVideosPerSig)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    )
+    val comps = Dedup.connectedComponentsAdaptive(pairs)
+    val frames = fh.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+    val members = frames
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp")).orderBy(col("__nf").desc, col("media_id"))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col("media_id"))).as("rep_media_id"),
+        max(when(col("__rn") === 1, col("__nf"))).as("rep_frames"),
+      )
+      .select(
+        col("comp").as("cluster_id"),
+        col("rep_media_id"),
+        col("rep_frames"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
+      )
   }
 
   /** Synthesize a media table from `documents` (deterministic — the payload

@@ -362,6 +362,17 @@ class MultimodalSpec extends SparkSpec {
     assert(dropped == Map((0L, 1L) -> 2L, (1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 4L), dropped)
   }
 
+  test("videoDedupKeepBest: the timeline group collapses to one longest-video representative") {
+    // ids 0..3 form one shared-timeline group: pairs chain them into a
+    // single cluster (min-id label 0); frames = 4/5/6/7, so the keeper is
+    // id 3 with 7 frames and the other three drop
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMjpegAvi(docs, "doc_id").repartition(2)
+    val rows = Multimodal.videoDedupKeepBest(media, minShared = 2, maxVideosPerSig = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((0L, 3L, 7L, 4L, 3L)), rows.toSeq)
+  }
+
   test("audioFingerprint: closed form, amplitude invariance, totality") {
     import graft.operators.Multimodal.MediaRecord
     // samples [100, -100, 50, 0] → windows (k·64 div 4 = 16k): energies
