@@ -3439,6 +3439,18 @@ object ExtensionQueries {
         .orderBy("cluster_id")
     }),
 
+    // ---- End-to-end audio dedup: EXACT fingerprint collapse first (the
+    //      corpus-scale ordering — re-uploads vanish before pairing), then
+    //      Hamming merge over DISTINCT fingerprints, adaptive CC, keep the
+    //      LONGEST clip per merged cluster; singleton fingerprint groups
+    //      kept (exact-dup-only groups are clusters too) ----
+    "q254_audio_dedup_keep_best" -> ((s, d) => {
+      val media = Multimodal.synthesizeWav(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .audioDedupKeepBest(media, prefixBits = 12, maxDist = 3)
+        .orderBy("cluster_id")
+    }),
+
     // ---- PCM-level audio features: the JDK's javax.sound decode streams
     //      the sample bytes (its own data-chunk location, not our writer's
     //      offsets); energy Σs² and zero-crossings in exact integers — the
@@ -6760,6 +6772,62 @@ object ExtensionQueries {
             UNION ALL
             SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                    conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
+    // The whole audio-dedup chain against ONE mirror: sample-regenerated
+    // fingerprints (the q245 chain, n carried through) → exact collapse to
+    // one node per distinct fingerprint → the q242 Hamming candidate
+    // semantics over the nodes → bounded CC + convergence poison →
+    // longest-clip keep-best with singleton groups kept.
+    "q254_audio_dedup_keep_best" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+                           CAST((8 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n
+                    FROM documents),
+              smp AS (SELECT id, n, gk.k AS k,
+                             ((14 * gk.k + id) % 256) + 256 * ((14 * gk.k + 7 + id) % 256) AS u
+                      FROM d, generate_series(CAST(0 AS BIGINT), CAST(141 AS BIGINT)) gk(k)
+                      WHERE gk.k < n),
+              sg AS (SELECT id, n, (k * 64) // n AS w,
+                            u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+                     FROM smp),
+              wins AS (SELECT id, n, w, SUM(s * s) AS es, COUNT(*) AS cnt
+                       FROM sg GROUP BY id, n, w),
+              abits AS (SELECT id, n, w,
+                               CASE WHEN es * n > SUM(es) OVER (PARTITION BY id) * cnt
+                                    THEN 1 ELSE 0 END AS bit
+                        FROM wins),
+              afp AS (SELECT id, MIN(n) AS n,
+                             CAST(SUM(CASE WHEN bit = 1 AND w >= 32
+                                      THEN CAST(1 AS BIGINT) << CAST(w - 32 AS INT) ELSE 0 END) AS BIGINT) AS fp_hi,
+                             CAST(SUM(CASE WHEN bit = 1 AND w < 32
+                                      THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS fp_lo
+                      FROM abits GROUP BY id),
+              agrp AS (SELECT fp_hi, fp_lo, MIN(id) AS node FROM afp GROUP BY 1, 2),
+              ap AS MATERIALIZED (
+                 SELECT a.node AS src, b.node AS dst
+                 FROM agrp a JOIN agrp b
+                   ON (a.fp_hi // 1048576) = (b.fp_hi // 1048576) AND a.node < b.node
+                 WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
+              ${sqlCcBoundedFromPairs("ap")},
+              amem AS (SELECT f.id, f.n, f.fp_hi, f.fp_lo,
+                              COALESCE(c.comp, g.node) AS cluster
+                       FROM afp f
+                       JOIN agrp g ON f.fp_hi = g.fp_hi AND f.fp_lo = g.fp_lo
+                       LEFT JOIN comps c ON c.node = g.node),
+              ar AS (SELECT cluster, id, n, fp_hi, fp_lo,
+                            ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, id) AS rn
+                     FROM amem)
+          SELECT cluster_id, rep_media_id, rep_samples, n_fps, n_members, n_dropped FROM (
+            SELECT cluster AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS rep_samples,
+                   CAST(COUNT(DISTINCT [fp_hi, fp_lo]) AS BIGINT) AS n_fps,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM ar GROUP BY cluster
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   CAST(-1 AS BIGINT), conv.n_changed, CAST(-1 AS BIGINT)
             FROM conv WHERE conv.n_changed > 0
           ) ORDER BY cluster_id""",
     // The sample contract: the mirror regenerates the 16-bit LE samples

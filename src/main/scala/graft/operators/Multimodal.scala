@@ -1086,6 +1086,67 @@ object Multimodal {
     })
   }
 
+  /** End-to-end audio dedup with canonicalization — the audio member of
+    * the keep-best trio ([[imageDedupKeepBest]] q244, [[videoDedupKeepBest]]
+    * q253), composed the way a production pipeline orders the work:
+    * EXACT-duplicate collapse FIRST (group by [[audioFingerprint]] — at
+    * corpus scale most duplicates are byte-level re-uploads and the
+    * distinct-fingerprint table is orders of magnitude smaller), then
+    * Hamming near-dup pairing over the DISTINCT fingerprints only
+    * ([[Dedup.hammingPairs]] on one node per fingerprint — the pairing
+    * never sees per-clip fan-out, so a 20-copy fingerprint costs one node,
+    * not 190 pairs), adaptive CC over the fingerprint graph, and one
+    * keep-best window: the LONGEST clip (sample count, media-id tie-break)
+    * across each merged cluster survives. Unlike q244/q253, singleton
+    * fingerprint groups are kept (n_members ≥ 1): an exact-dup-only group
+    * IS a dedup cluster even when its fingerprint pairs with nothing.
+    *
+    * Scale: PCM is decoded exactly once; the pair stage is
+    * |distinct fps|-sized; membership maps clips back through two id-keyed
+    * joins of fixed-width rows.
+    */
+  def audioDedupKeepBest(
+      media: Dataset[MediaRecord],
+      prefixBits: Int = 12,
+      maxDist: Int = 3,
+  ): DataFrame = {
+    val fp = Lineage.truncate(audioFingerprint(media).toDF().where(col("fp_hi") >= 0))
+    val groups = fp
+      .groupBy(col("fp_hi"), col("fp_lo"))
+      .agg(min(col("media_id")).as("node"))
+    val nodes = groups
+      .select(col("node"), shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")).as("sig"))
+    val pairs = Lineage.truncate(
+      Dedup
+        .hammingPairs(nodes, "node", "sig", bits = 64, prefixBits = prefixBits, maxDist = maxDist)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    )
+    val comps = Dedup.connectedComponentsAdaptive(pairs)
+    val membership = fp
+      .join(groups, Seq("fp_hi", "fp_lo"))
+      .join(comps.withColumnRenamed("id", "node"), Seq("node"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("node")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster")).orderBy(col("n_samples").desc, col("media_id"))
+    membership
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("fp_hi"), col("fp_lo")).as("n_fps"),
+        max(when(col("__rn") === 1, col("media_id"))).as("rep_media_id"),
+        max(when(col("__rn") === 1, col("n_samples"))).as("rep_samples"),
+      )
+      .select(
+        col("cluster").as("cluster_id"),
+        col("rep_media_id"),
+        col("rep_samples"),
+        col("n_fps"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
+      )
+  }
+
   /** "Resize" (stub): re-chunk payloads to a fixed-size thumbnail payload —
     * demonstrates a binary→binary transform keeping the typed schema.
     */

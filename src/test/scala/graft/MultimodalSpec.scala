@@ -373,6 +373,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0L, 3L, 7L, 4L, 3L)), rows.toSeq)
   }
 
+  test("audioDedupKeepBest: exact-collapse-first clusters cover all clips; gain-dup collapses") {
+    import graft.operators.Multimodal.MediaRecord
+    // ids 0..7 via the synthetic WAV geometry, plus 101 = a re-gained copy
+    // of 100 (amplitude-invariant fingerprint ⇒ identical ⇒ exact collapse:
+    // one cluster, equal length, min-id representative) and a garbage
+    // payload that must vanish before the dedup ever sees it
+    val base = Seq[Short](100, -100, 50, 0, 30, -80, 90, -10)
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val media = Multimodal.synthesizeWav(docs, "doc_id").toDF()
+      .union(Seq(
+        (100L, "audio", wavBytes(base), "s"),
+        (101L, "audio", wavBytes(base.map(s => (s * 2).toShort)), "s"),
+        (999L, "audio", "not audio".getBytes("utf-8"), "s"),
+      ).toDF("media_id", "media_type", "content", "source"))
+      .as[MediaRecord]
+    val rows = Multimodal.audioDedupKeepBest(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // disjoint cover of all 10 decodable clips, garbage absent
+    assert(rows.map(_._5).sum == 10L, s"every decodable clip in exactly one cluster: ${rows.toSeq}")
+    assert(rows.forall(r => r._6 == r._5 - 1), "n_dropped = n_members - 1")
+    assert(rows.forall(r => r._4 <= r._5), "merged fingerprints never exceed members")
+    // the re-gained pair collapsed: 100 and 101 share a cluster whose
+    // representative is the min id (equal sample counts)
+    val pairCluster = rows.filter(r => r._2 == 100L)
+    assert(pairCluster.length == 1 && pairCluster.head._5 >= 2 && pairCluster.head._3 == 8L,
+      s"gain-duplicate must fold into 100's cluster: ${rows.toSeq}")
+    assert(!rows.exists(_._2 == 101L), "101 must not survive as a representative")
+  }
+
   test("audioFingerprint: closed form, amplitude invariance, totality") {
     import graft.operators.Multimodal.MediaRecord
     // samples [100, -100, 50, 0] → windows (k·64 div 4 = 16k): energies
