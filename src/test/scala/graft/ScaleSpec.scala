@@ -236,6 +236,7 @@ class ScaleSpec extends SparkSpec {
       }
       // min/max is blind on the scrambled layout; the bloom admits at most a
       // small minority (exactly the groups that might hold the key + fpp)
+      info(s"bloom pruning measured: ${blocks.size} row groups, range admits $rangeHits, bloom admits $bloomHits")
       assert(rangeHits == blocks.size, s"scramble failed: range pruned ${blocks.size - rangeHits}")
       assert(bloomHits >= 1, "the true row group must be admitted")
       assert(
