@@ -3354,6 +3354,10 @@ object ExtensionQueries {
           "parquet.block.size.row.check.max" -> "20",
         ),
       )
+      // Harness scratch, same cleanup rule as the streaming temp parquet:
+      // registered for exit-time deletion so repeated correctness/bench
+      // runs don't leak a lake per invocation in the JVM temp dir.
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       s.read
         .parquet(dir)
         .filter(col("doc_id").isin(0L, 7L, 123L, 444L))

@@ -156,6 +156,74 @@ object IvfIndex {
       .reduce(_ unionAll _)
   }
 
+  /** All `m` per-subspace PQ codebooks trained in CORPUS-SCAN-BOUNDED
+    * passes: instead of one [[train]] per subspace (m × (iters+1) corpus
+    * scans — each per-subspace Lloyd collect re-reads every row to slice
+    * out its own subvector), the corpus explodes ONCE into an
+    * (id, subspace, slice) table and every Lloyd round trains all m
+    * codebooks in one scan — a per-(subspace, centroid, dim) mean keyed by
+    * subspace, collected as m·nlist tiny rows. Total scans: `iters + 1`
+    * (seed + one per round), independent of m.
+    *
+    * Numerically IDENTICAL to the per-subspace [[train]] path: same seed
+    * (first `nlist` vectors by id, per subspace), same argmax rule
+    * (max cosine, ties to the LOWEST centroid id — ids carried through the
+    * literal, so a centroid that empties keeps its id like [[assign]]
+    * does), same per-(centroid, pos) mean → float cast. Verified by the
+    * q248/q250 oracle hashes, which pin the whole downstream pipeline.
+    */
+  private[graft] def pqTrainAll(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      nlist: Int,
+      iters: Int,
+  ): IndexedSeq[Seq[(Int, Seq[Float])]] = {
+    require(m >= 1 && subDim >= 1 && nlist >= 1 && iters >= 0, "pqTrainAll: all sizes must be positive")
+    val sliced = corpus
+      .select(
+        col(idCol).as("__id"),
+        explode(
+          array((0 until m).map(sub => struct(lit(sub).as("sub"), slice(col(vecCol), sub * subDim + 1, subDim).as("sv"))): _*)
+        ).as("e"),
+      )
+      .select(col("__id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    def collectCodebooks(df: DataFrame): IndexedSeq[Seq[(Int, Seq[Float])]] = {
+      val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      (0 until m).map(sub => rows.filter(_._1 == sub).sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+    }
+    val wseed = Window.partitionBy(col("sub")).orderBy(col("__id"))
+    var cbs = collectCodebooks(
+      sliced
+        .withColumn("rn", row_number().over(wseed))
+        .filter(col("rn") <= nlist)
+        .select(col("sub"), (col("rn") - 1).cast("int").as("centroid_id"), col("sv"))
+    )
+    for (_ <- 0 until iters) {
+      // The full m-codebook set is one tiny literal; each row scores only
+      // its OWN subspace's entries via element_at — the assign argmax rule.
+      val myCb = element_at(typedLit(cbs.map(_.toIndexedSeq).toIndexedSeq), col("sub") + 1)
+      val best = array_max(
+        transform(myCb, c => struct(cos(col("sv"), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
+      )
+      cbs = collectCodebooks(
+        sliced
+          .select(col("sub"), (-best.getField("negid")).cast("int").as("centroid_id"), col("sv"))
+          .select(col("sub"), col("centroid_id"), posexplode(col("sv")))
+          .groupBy(col("sub"), col("centroid_id"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("sub"), col("centroid_id"))
+          .agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
+              .as("sv")
+          )
+      )
+    }
+    cbs
+  }
+
   /** nprobe ANN search: for each query, rerank exactly within the posting
     * lists of its `nprobe` closest centroids.
     */
@@ -253,16 +321,9 @@ object IvfIndex {
   ): DataFrame = {
     require(m >= 1 && subDim >= 1 && pqNlist >= 1 && pqIters >= 0, "adcTopK: all sizes must be positive")
     require(candK >= k, s"adcTopK: candK ($candK) must be >= k ($k) — the rerank can only drop")
-    // Per-subspace codebooks: [[train]]'s deterministic Lloyd on the sliced
-    // vectors, collected once (m × pqNlist tiny rows — the assign rule).
-    val cbs: IndexedSeq[Seq[(Int, Seq[Float])]] = (0 until m).map { sub =>
-      val sliced = corpus.select(col(idCol), slice(col(vecCol), sub * subDim + 1, subDim).as("__sv"))
-      train(sliced, idCol, "__sv", pqNlist, pqIters)
-        .orderBy(col("centroid_id"))
-        .collect()
-        .toSeq
-        .map(r => (r.getInt(0), r.getSeq[Float](1)))
-    }
+    // Per-subspace codebooks in ONE exploded pass per Lloyd round
+    // ([[pqTrainAll]] — iters+1 corpus scans total, independent of m).
+    val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
     // Corpus pass: coarse cell + m PQ codes in one projection, vectors
     // dropped here — nothing downstream of this select carries floats.
     val codeExprs: Seq[Column] = (0 until m).map { sub =>
@@ -277,11 +338,15 @@ object IvfIndex {
     }
     val encoded = assign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"), array(codeExprs: _*).as("codes"))
-    // Query pass: nprobe cells + the m × nlist quantized ADC table, query
-    // vectors dropped here.
+    // Query pass: nprobe cells per query, and — SEPARATELY — the m × nlist
+    // quantized ADC table, ONE row per query. Embedding the table in each
+    // probe row would inflate the broadcast by a factor of nprobe (it grows
+    // as nprobe·m·nlist per query at serving-scale parameters); instead the
+    // tables broadcast once, keyed by query_id, and join the candidates
+    // AFTER the centroid match. Query vectors are dropped at both exits.
     val wq = Window.partitionBy(col("query_id")).orderBy(cos(col("qvec"), col("centroid")).desc, col("centroid_id"))
     val tableExpr = array((0 until m).map { sub =>
-      val qsv = slice(col("qvec"), sub * subDim + 1, subDim)
+      val qsv = slice(col(vecCol), sub * subDim + 1, subDim)
       transform(typedLit(cbs(sub).map(_._2)), cen => q6(dot(qsv, cen)))
     }: _*)
     val probes = queries
@@ -289,8 +354,11 @@ object IvfIndex {
       .crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("centroid_id"), tableExpr.as("tables"))
-    // ADC scoring: integer table-lookup sum per candidate, no vectors.
+      .select(col("query_id"), col("centroid_id"))
+    val qtables = queries.select(col(idCol).as("query_id"), tableExpr.as("tables"))
+    // ADC scoring: integer table-lookup sum per candidate, no vectors. The
+    // tables join is a broadcast hash join in the SAME stage as the score
+    // projection — tables reach candidate rows but never an Exchange.
     val adcExpr = aggregate(
       sequence(lit(0), lit(m - 1)),
       lit(0L),
@@ -300,6 +368,7 @@ object IvfIndex {
     val survivors = encoded
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtables), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
       .withColumn("arank", row_number().over(wadc))
       .filter(col("arank") <= candK)

@@ -959,6 +959,28 @@ object Multimodal {
       zero_crossings: Long,
   )
 
+  /** PCM-16LE payload bytes via the JDK's `javax.sound` parser, or None when
+    * the parser rejects — or CRASHES on — the payload. The catch wraps ONLY
+    * the JDK decode calls and is deliberately NonFatal: crafted or truncated
+    * WAV/AIFF headers can make `AudioSystem` internals throw
+    * RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize), and the
+    * totality contract ([[audioFeatures]]/[[audioFingerprint]] answer the
+    * (−1,−1,−1) sentinel on ANY undecodable payload, SCALE.md) requires
+    * those to land on the sentinel rather than kill a corpus scan. Graft's
+    * own feature/fingerprint arithmetic runs OUTSIDE this catch, so a bug in
+    * our loops still fails loudly instead of aliasing as "undecodable".
+    */
+  private def pcm16leBytes(content: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val fm = in.getFormat
+        if (fm.getSampleSizeInBits != 16 || fm.isBigEndian) None
+        else Some(in.readAllBytes())
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** PCM-level audio features via a REAL `javax.sound` decode — the JDK's
     * parser locates the `data` chunk and streams the sample bytes (not our
     * writer's offsets), so this extends the q238 header contract to the
@@ -978,37 +1000,23 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      try {
-        val in  = javax.sound.sampled.AudioSystem
-          .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
-        try {
-          val fm = in.getFormat
-          if (fm.getSampleSizeInBits != 16 || fm.isBigEndian)
-            AudioFeatureRow(m.media_id, -1L, -1L, -1L)
-          else {
-            val bytes = in.readAllBytes()
-            val n = bytes.length / 2
-            var energy = 0L
-            var zc = 0L
-            var prevNeg = false
-            var k = 0
-            while (k < n) {
-              val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
-              energy += s * s
-              val neg = s < 0
-              if (k > 0 && neg != prevNeg) zc += 1
-              prevNeg = neg
-              k += 1
-            }
-            AudioFeatureRow(m.media_id, n.toLong, energy, zc)
+      pcm16leBytes(m.content) match {
+        case None => AudioFeatureRow(m.media_id, -1L, -1L, -1L)
+        case Some(bytes) =>
+          val n = bytes.length / 2
+          var energy = 0L
+          var zc = 0L
+          var prevNeg = false
+          var k = 0
+          while (k < n) {
+            val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
+            energy += s * s
+            val neg = s < 0
+            if (k > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            k += 1
           }
-        } finally in.close()
-      } catch {
-        // Decode failures only — see the audioFingerprint catch note.
-        case _: javax.sound.sampled.UnsupportedAudioFileException =>
-          AudioFeatureRow(m.media_id, -1L, -1L, -1L)
-        case _: java.io.IOException =>
-          AudioFeatureRow(m.media_id, -1L, -1L, -1L)
+          AudioFeatureRow(m.media_id, n.toLong, energy, zc)
       }
     })
   }
@@ -1035,53 +1043,38 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      try {
-        val in = javax.sound.sampled.AudioSystem
-          .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
-        try {
-          val fm = in.getFormat
-          if (fm.getSampleSizeInBits != 16 || fm.isBigEndian)
-            AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
+      pcm16leBytes(m.content) match {
+        case None => AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
+        case Some(bytes) =>
+          val n = bytes.length / 2
+          if (n < 1) AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
           else {
-            val bytes = in.readAllBytes()
-            val n = bytes.length / 2
-            if (n < 1) AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
-            else {
-              val es  = new Array[Long](64)
-              val cnt = new Array[Long](64)
-              var total = 0L
-              var k = 0
-              while (k < n) {
-                val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
-                // k·64 in Long: with Int arithmetic a clip past ~33.5M
-                // interleaved samples (~6 min stereo @ 44.1 kHz) overflows
-                // negative. Mirrors the oracle's BIGINT (k*64)//n.
-                val w = (k.toLong * 64 / n).toInt
-                es(w) += s * s
-                cnt(w) += 1
-                total += s * s
-                k += 1
-              }
-              var hash = 0L
-              var w = 0
-              while (w < 64) {
-                // 128-bit cross-multiply (BigInt = DuckDB's HUGEINT): at
-                // production audio lengths energy·n exceeds a Long
-                // (n ~ 10⁷ samples → Σs²·n ~ 10²³)
-                if (BigInt(es(w)) * n > BigInt(total) * cnt(w)) hash |= 1L << w
-                w += 1
-              }
-              AudioFingerprintRow(m.media_id, hash >>> 32, hash & 0xffffffffL, n.toLong)
+            val es  = new Array[Long](64)
+            val cnt = new Array[Long](64)
+            var total = 0L
+            var k = 0
+            while (k < n) {
+              val s = ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toLong
+              // k·64 in Long: with Int arithmetic a clip past ~33.5M
+              // interleaved samples (~6 min stereo @ 44.1 kHz) overflows
+              // negative. Mirrors the oracle's BIGINT (k*64)//n.
+              val w = (k.toLong * 64 / n).toInt
+              es(w) += s * s
+              cnt(w) += 1
+              total += s * s
+              k += 1
             }
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              // 128-bit cross-multiply (BigInt = DuckDB's HUGEINT): at
+              // production audio lengths energy·n exceeds a Long
+              // (n ~ 10⁷ samples → Σs²·n ~ 10²³)
+              if (BigInt(es(w)) * n > BigInt(total) * cnt(w)) hash |= 1L << w
+              w += 1
+            }
+            AudioFingerprintRow(m.media_id, hash >>> 32, hash & 0xffffffffL, n.toLong)
           }
-        } finally in.close()
-      } catch {
-        // Only DECODE failures map to the undecodable sentinel; anything
-        // else (e.g. an index bug) must fail loudly, not alias as (−1,−1,−1).
-        case _: javax.sound.sampled.UnsupportedAudioFileException =>
-          AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
-        case _: java.io.IOException =>
-          AudioFingerprintRow(m.media_id, -1L, -1L, -1L)
       }
     })
   }

@@ -829,9 +829,11 @@ object EventStream {
 
   /** deleteOnExit runs in REVERSE registration order, so registering the dir
     * before its (current and future-at-exit) children deletes files first,
-    * then the emptied dir.
+    * then the emptied dir. `private[graft]`: every harness temp path
+    * (streaming scratch here, the q252 bloom-lake round trip) registers
+    * through this one helper so none of them leak across repeated runs.
     */
-  private def registerDeleteOnExit(dir: java.io.File): Unit = {
+  private[graft] def registerDeleteOnExit(dir: java.io.File): Unit = {
     dir.deleteOnExit()
     Option(dir.listFiles()).foreach(_.foreach { f =>
       if (f.isDirectory) registerDeleteOnExit(f) else f.deleteOnExit()
@@ -872,9 +874,32 @@ object EventStream {
   ): DataFrame = {
     import spark.implicits._
     val ordered = media.orderBy(col("ts"), col("media_id"))
+    val dir = writeTemp(ordered, queryName, singleFile = true)
+    // Parity guard: the min-(ts, id)-survivor contract above holds only
+    // while the single temp file is read as ONE input split — past
+    // `spark.sql.files.maxPartitionBytes` the file-source splits it across
+    // row groups and shuffle interleaving makes the first-arrival survivor
+    // nondeterministic. Fail LOUDLY at that boundary instead of silently
+    // breaking the batch-parity oracle at a larger corpus. (A production
+    // continuous stream has no batch-parity claim to protect — this guard
+    // is about the one-shot harness semantics, not a scale limit of the
+    // dedup itself, whose state stays O(signatures in the horizon).)
+    val fileBytes = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length())
+      .sum
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    require(
+      fileBytes <= maxSplit,
+      s"imageDedupOneShot: temp corpus is $fileBytes bytes > spark.sql.files.maxPartitionBytes=$maxSplit — " +
+        "the source would split into multiple partitions and the first-arrived (min-(ts,id)) survivor " +
+        "becomes nondeterministic. Raise maxPartitionBytes for the one-shot run or shrink the batch.",
+    )
     val stream = spark.readStream
       .schema(ordered.schema)
-      .parquet(writeTemp(ordered, queryName, singleFile = true))
+      .parquet(dir)
     val hashed = stream
       .select(col("media_id"), col("content"), col("ts"))
       .as[(Long, Array[Byte], Timestamp)]
