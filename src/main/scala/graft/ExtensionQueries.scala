@@ -126,6 +126,12 @@ object ExtensionQueries {
   // ADC stage over-fetches so PQ quantization error rarely evicts a true
   // neighbor before the rerank can restore it).
   private val AdcCandK = 8
+  // q255's operating-curve grid: (pqNlist, nprobe, candK) — the nprobe knee
+  // at the demo candK, the candK knee at the demo nprobe, and one coarser
+  // (4 = 8-bit codes) and one finer (16 = 16-bit codes) code size at the
+  // center point. ONE constant feeds the operator call and the oracle.
+  private val AdcSweepArms =
+    Seq((PqNlist, 1, 8), (PqNlist, 2, 4), (PqNlist, 2, 8), (PqNlist, 2, 16), (PqNlist, 4, 8), (4, 2, 8), (16, 2, 8))
   // q193's decay half-life (1 h) and q195's lateness bucket (1 min).
   private val DecayHalfLifeUs = 3600000000L
   private val DecayMaxShift = 20
@@ -585,12 +591,14 @@ object ExtensionQueries {
 
   /** The q162/q192 per-subspace PQ chain: for each subspace, the sliced
     * vectors, the Lloyd rounds on the slice, and the terminal coding
-    * relation `s{sub}out(vec_id, subspace, code)`. Callers prepend
+    * relation `{p}{sub}out(vec_id, subspace, code)`. Callers prepend
     * `sdims AS (SELECT CAST(unnest(range(0, subDim)) AS INT) AS pos)` and
-    * union the `s{sub}out`s. ONE generator feeding both oracles so the
-    * chain cannot drift from itself.
+    * union the `{p}{sub}out`s. ONE generator feeding every oracle that
+    * needs a PQ chain (q162/q192/q248/q250 at the default `PqNlist`, the
+    * q255 sweep at coarser/finer code sizes under distinct prefixes) so
+    * the chain cannot drift from itself.
     */
-  private def sqlPqChainCtes: String = {
+  private def sqlPqChainCtesFor(p: String, pqNlist: Int): String = {
     def cos(va: String, vb: String) =
       s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -602,31 +610,33 @@ object ExtensionQueries {
         val hi = (sub + 1) * subDim
         val rounds = (1 to PqIters)
           .map { it =>
-            s"""s${sub}scored$it AS (SELECT a.vec_id, b.centroid_id, a.sv, ${cos("a.sv", "b.cen")} AS sim
-                                     FROM s${sub}v a CROSS JOIN s${sub}c${it - 1} b),
-                s${sub}r$it AS (SELECT vec_id, centroid_id, sv,
+            s"""$p${sub}scored$it AS (SELECT a.vec_id, b.centroid_id, a.sv, ${cos("a.sv", "b.cen")} AS sim
+                                     FROM $p${sub}v a CROSS JOIN $p${sub}c${it - 1} b),
+                $p${sub}r$it AS (SELECT vec_id, centroid_id, sv,
                                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-                                FROM s${sub}scored$it),
-                s${sub}asg$it AS (SELECT centroid_id, sv FROM s${sub}r$it WHERE rn = 1),
-                s${sub}m$it AS (SELECT centroid_id, pos, avg(CAST(sv[pos + 1] AS DOUBLE)) AS mu
-                                FROM s${sub}asg$it CROSS JOIN sdims GROUP BY centroid_id, pos),
-                s${sub}c$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
-                                FROM s${sub}m$it GROUP BY centroid_id)"""
+                                FROM $p${sub}scored$it),
+                $p${sub}asg$it AS (SELECT centroid_id, sv FROM $p${sub}r$it WHERE rn = 1),
+                $p${sub}m$it AS (SELECT centroid_id, pos, avg(CAST(sv[pos + 1] AS DOUBLE)) AS mu
+                                FROM $p${sub}asg$it CROSS JOIN sdims GROUP BY centroid_id, pos),
+                $p${sub}c$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
+                                FROM $p${sub}m$it GROUP BY centroid_id)"""
           }
           .mkString(",\n")
-        s"""s${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
-            s${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
-                          FROM (SELECT vec_id, sv FROM s${sub}v ORDER BY vec_id LIMIT $PqNlist)),
+        s"""$p${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+            $p${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
+                          FROM (SELECT vec_id, sv FROM $p${sub}v ORDER BY vec_id LIMIT $pqNlist)),
             $rounds,
-            s${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
-                          FROM s${sub}v a CROSS JOIN s${sub}c$PqIters b),
-            s${sub}out AS (SELECT vec_id, $sub AS subspace, CAST(centroid_id AS INT) AS code
+            $p${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
+                          FROM $p${sub}v a CROSS JOIN $p${sub}c$PqIters b),
+            $p${sub}out AS (SELECT vec_id, $sub AS subspace, CAST(centroid_id AS INT) AS code
                            FROM (SELECT vec_id, centroid_id,
                                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-                                 FROM s${sub}fs) WHERE rn = 1)"""
+                                 FROM $p${sub}fs) WHERE rn = 1)"""
       }
       .mkString(",\n")
   }
+
+  private def sqlPqChainCtes: String = sqlPqChainCtesFor("s", PqNlist)
 
   /** The q248/q250 IVF-PQ ADC pipeline mirror. Callers prepend `sdims` and
     * [[sqlPqChainCtes]] (codebooks `s{sub}c{PqIters}` + codes `s{sub}out`);
@@ -638,22 +648,11 @@ object ExtensionQueries {
     * `adcfinal(query_id, rnk, neighbor_id, sim_q, adc)`. ONE generator
     * feeding both oracles so the pipeline cannot drift from itself.
     */
-  private def sqlAdcCtes: String = {
-    val subDim = EmbDim / PqM
-    val adctArms = (0 until PqM)
-      .map { sub =>
-        val lo = sub * subDim + 1
-        s"""SELECT q.vec_id AS query_id, $sub AS subspace, b.centroid_id AS code,
-                   CAST(floor(list_sum(list_transform(range(1, $subDim + 1),
-                          i -> CAST(q.embedding[$lo + i - 1] AS DOUBLE) * CAST(b.cen[i] AS DOUBLE)))
-                        * 1000000 + 0.5) AS BIGINT) AS dq
-            FROM aqv q CROSS JOIN s${sub}c$PqIters b"""
-      }
-      .mkString("\n UNION ALL ")
-    val codeCols = (0 until PqM).map(s => s"MAX(CASE WHEN subspace = $s THEN code END) AS c$s").mkString(", ")
-    val cuArms = (0 until PqM)
-      .map(s => s"SELECT query_id, neighbor_id, $s AS subspace, c$s AS code FROM acand")
-      .mkString("\n UNION ALL ")
+  /** The coarse-IVF side shared by every ADC pipeline: first-16 codebook,
+    * posting lists, the RANKED probe relation `aprank` (rn kept, so arms
+    * at any nprobe filter it), and the query sample `aqv`.
+    */
+  private def sqlAdcIvfCtes: String =
     s"""ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
                  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
         ipsc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
@@ -662,37 +661,73 @@ object ExtensionQueries {
            SELECT vec_id, centroid_id,
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
            FROM ipsc) WHERE rn = 1),
-        aprobes AS (SELECT vec_id AS query_id, centroid_id FROM (
+        aprank AS (SELECT vec_id AS query_id, centroid_id, rn FROM (
            SELECT vec_id, centroid_id,
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-           FROM ipsc WHERE vec_id % 100 = 0) WHERE rn <= $AnnNprobe),
-        aqv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
-        pqcodes AS MATERIALIZED (SELECT vec_id, $codeCols
-                   FROM (${(0 until PqM).map(s => s"SELECT * FROM s${s}out").mkString(" UNION ALL ")})
+           FROM ipsc WHERE vec_id % 100 = 0)),
+        aqv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0)"""
+
+  /** Per-code-size ADC tables over a PQ chain with prefix `chainP`: the
+    * pivoted code table `{tp}pqcodes(vec_id, c0..c{m-1})` and the
+    * per-(query, subspace, code) quantized dot table `{tp}adct`.
+    */
+  private def sqlAdcChainTables(tp: String, chainP: String): String = {
+    val subDim = EmbDim / PqM
+    val adctArms = (0 until PqM)
+      .map { sub =>
+        val lo = sub * subDim + 1
+        s"""SELECT q.vec_id AS query_id, $sub AS subspace, b.centroid_id AS code,
+                   CAST(floor(list_sum(list_transform(range(1, $subDim + 1),
+                          i -> CAST(q.embedding[$lo + i - 1] AS DOUBLE) * CAST(b.cen[i] AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+            FROM aqv q CROSS JOIN $chainP${sub}c$PqIters b"""
+      }
+      .mkString("\n UNION ALL ")
+    val codeCols = (0 until PqM).map(s => s"MAX(CASE WHEN subspace = $s THEN code END) AS c$s").mkString(", ")
+    s"""${tp}pqcodes AS MATERIALIZED (SELECT vec_id, $codeCols
+                   FROM (${(0 until PqM).map(s => s"SELECT * FROM $chainP${s}out").mkString(" UNION ALL ")})
                    GROUP BY vec_id),
-        adct AS MATERIALIZED ($adctArms),
-        acand AS (SELECT p.query_id, po.neighbor_id, ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
-                  FROM aprobes p JOIN aposting po USING (centroid_id)
-                  JOIN pqcodes k2 ON k2.vec_id = po.neighbor_id
+        ${tp}adct AS MATERIALIZED ($adctArms)"""
+  }
+
+  /** One ADC search arm over prebuilt `{tp}pqcodes`/`{tp}adct`: probes at
+    * `nprobe`, table-lookup candidate scoring, the `candK` cut, the exact
+    * rerank, the `AnnK` final — terminal relation `{a}final(query_id, rnk,
+    * neighbor_id, sim_q, adc)`. q248/q250 run ONE arm at the demo
+    * constants; the q255 sweep runs a grid of them off shared chains.
+    */
+  private def sqlAdcArmCtes(a: String, tp: String, nprobe: Int, candK: Int): String = {
+    val cuArms = (0 until PqM)
+      .map(s => s"SELECT query_id, neighbor_id, $s AS subspace, c$s AS code FROM ${a}cand")
+      .mkString("\n UNION ALL ")
+    s"""${a}probes AS (SELECT query_id, centroid_id FROM aprank WHERE rn <= $nprobe),
+        ${a}cand AS (SELECT p.query_id, po.neighbor_id, ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
+                  FROM ${a}probes p JOIN aposting po USING (centroid_id)
+                  JOIN ${tp}pqcodes k2 ON k2.vec_id = po.neighbor_id
                   WHERE p.query_id <> po.neighbor_id),
-        acu AS ($cuArms),
-        adcs AS (SELECT query_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS adc
-                 FROM acu JOIN adct USING (query_id, subspace, code)
+        ${a}cu AS ($cuArms),
+        ${a}adcs AS (SELECT query_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS adc
+                 FROM ${a}cu JOIN ${tp}adct USING (query_id, subspace, code)
                  GROUP BY query_id, neighbor_id),
-        asurv AS (SELECT query_id, neighbor_id, adc FROM (
+        ${a}surv AS (SELECT query_id, neighbor_id, adc FROM (
            SELECT query_id, neighbor_id, adc,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
-           FROM adcs) WHERE rn <= $AdcCandK),
-        arer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
-                 FROM asurv s
+           FROM ${a}adcs) WHERE rn <= $candK),
+        ${a}rer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
+                 FROM ${a}surv s
                  JOIN embeddings a ON a.vec_id = s.query_id
                  JOIN embeddings b ON b.vec_id = s.neighbor_id),
-        adcfinal AS (SELECT query_id, rnk, neighbor_id,
+        ${a}final AS (SELECT query_id, rnk, neighbor_id,
                             CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
            SELECT query_id, neighbor_id, adc, sim,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-           FROM arer) WHERE rnk <= $AnnK)"""
+           FROM ${a}rer) WHERE rnk <= $AnnK)"""
   }
+
+  private def sqlAdcCtes: String =
+    s"""$sqlAdcIvfCtes,
+        ${sqlAdcChainTables("", "s")},
+        ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}"""
 
   /** The q66/q251 batch-sessionization mirror: ONE definition for the heap
     * and RocksDB state-store runs, so a provider-dependent divergence can
@@ -3430,6 +3465,20 @@ object ExtensionQueries {
           m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
           nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id")
+    }),
+
+    // ---- ADC operating curve: recall@k vs candidate volume over a grid of
+    //      (code size, nprobe, candK) arms — one encode per code size, one
+    //      scored table per nprobe, the candK arms re-cut it; the table
+    //      that turns q248's demo constants into a tunable ----
+    "q255_adc_sweep" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK)
+        .orderBy("pq_nlist", "nprobe", "cand_k")
     }),
 
     // ---- End-to-end video dedup: one per-frame decode pass → frame-
@@ -6744,6 +6793,51 @@ object ExtensionQueries {
           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
           LEFT JOIN hits h ON h.query_id = q.vec_id
           ORDER BY query_id""",
+    // The sweep contract: the SAME generated chain/table/arm CTEs as
+    // q248/q250 instantiated per grid point (three PQ chains under
+    // distinct prefixes, one arm pipeline per (nprobe, candK)), each arm
+    // reduced to (n_cand, n_hit) against the q250 exact side — recall in
+    // exact integer per-mille on both engines.
+    "q255_adc_sweep" -> {
+      val armDefs = Seq(
+        ("a1", "t", 4, 2, 8),
+        ("a2", "", PqNlist, 1, 8),
+        ("a3", "", PqNlist, 2, 4),
+        ("a4", "", PqNlist, 2, 8),
+        ("a5", "", PqNlist, 2, 16),
+        ("a6", "u", 16, 2, 8),
+        ("a7", "", PqNlist, 4, 8),
+      )
+      val armCtes = armDefs.map { case (a, tp, _, np, ck) => sqlAdcArmCtes(a, tp, np, ck) }.mkString(",\n")
+      val rows = armDefs
+        .map { case (a, _, nl, np, ck) =>
+          s"""SELECT CAST($nl AS INT) AS pq_nlist, CAST($np AS INT) AS nprobe, CAST($ck AS INT) AS cand_k,
+                   CAST((SELECT COUNT(*) FROM ${a}cand) AS BIGINT) AS n_cand,
+                   CAST((SELECT COUNT(*) FROM ${a}final f JOIN exact e
+                         ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit"""
+        }
+        .mkString("\n UNION ALL ")
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              ${sqlPqChainCtesFor("s", PqNlist)},
+              ${sqlPqChainCtesFor("t", 4)},
+              ${sqlPqChainCtesFor("u", 16)},
+              $sqlAdcIvfCtes,
+              ${sqlAdcChainTables("", "s")},
+              ${sqlAdcChainTables("t", "t")},
+              ${sqlAdcChainTables("u", "u")},
+              $armCtes,
+              escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+                          FROM embeddings a JOIN embeddings b
+                            ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+              exact AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM escored) WHERE rnk <= $AnnK),
+              armrows AS ($rows)
+          SELECT pq_nlist, nprobe, cand_k, n_cand, n_hit,
+                 CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli
+          FROM armrows ORDER BY pq_nlist, nprobe, cand_k"""
+    },
     // The whole video-dedup chain against ONE mirror: closed-form frame
     // hashes → the q247 overlap-pair semantics → bounded min-label CC with
     // pointer jumping (the q218 rule, convergence poison included) →

@@ -324,8 +324,28 @@ object IvfIndex {
     // Per-subspace codebooks in ONE exploded pass per Lloyd round
     // ([[pqTrainAll]] — iters+1 corpus scans total, independent of m).
     val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
-    // Corpus pass: coarse cell + m PQ codes in one projection, vectors
-    // dropped here — nothing downstream of this select carries floats.
+    val encoded = adcEncode(corpus, idCol, vecCol, centroids, cbs, m, subDim)
+    val probes = adcProbes(queries, idCol, vecCol, centroids, nprobe)
+    val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+    adcSearch(encoded, probes, qtables, corpus, queries, idCol, vecCol, m, candK, k)
+  }
+
+  /** Corpus encode pass for the ADC pipeline: coarse cell + m PQ codes in
+    * ONE projection, vectors dropped here — nothing downstream of this
+    * select carries floats. Output: (neighbor_id, centroid_id, codes).
+    * This is the persistable index payload ([[adcTopK]] step 1): write it
+    * (plus the centroids and `cbs` codebooks) and a later session serves
+    * [[adcSearch]] from the stored table without re-training.
+    */
+  private[graft] def adcEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      cbs: IndexedSeq[Seq[(Int, Seq[Float])]],
+      m: Int,
+      subDim: Int,
+  ): DataFrame = {
     val codeExprs: Seq[Column] = (0 until m).map { sub =>
       val sv = slice(col(vecCol), sub * subDim + 1, subDim)
       val best = array_max(
@@ -336,40 +356,87 @@ object IvfIndex {
       )
       (-best.getField("negid")).cast("int")
     }
-    val encoded = assign(corpus, centroids, idCol, vecCol)
+    assign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"), array(codeExprs: _*).as("codes"))
-    // Query pass: nprobe cells per query, and — SEPARATELY — the m × nlist
-    // quantized ADC table, ONE row per query. Embedding the table in each
-    // probe row would inflate the broadcast by a factor of nprobe (it grows
-    // as nprobe·m·nlist per query at serving-scale parameters); instead the
-    // tables broadcast once, keyed by query_id, and join the candidates
-    // AFTER the centroid match. Query vectors are dropped at both exits.
+  }
+
+  /** Query probe pass: each query's `nprobe` nearest coarse cells, query
+    * vectors dropped at the exit. Output: (query_id, centroid_id).
+    */
+  private[graft] def adcProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+  ): DataFrame = {
     val wq = Window.partitionBy(col("query_id")).orderBy(cos(col("qvec"), col("centroid")).desc, col("centroid_id"))
-    val tableExpr = array((0 until m).map { sub =>
-      val qsv = slice(col(vecCol), sub * subDim + 1, subDim)
-      transform(typedLit(cbs(sub).map(_._2)), cen => q6(dot(qsv, cen)))
-    }: _*)
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("centroid_id"))
-    val qtables = queries.select(col(idCol).as("query_id"), tableExpr.as("tables"))
-    // ADC scoring: integer table-lookup sum per candidate, no vectors. The
-    // tables join is a broadcast hash join in the SAME stage as the score
-    // projection — tables reach candidate rows but never an Exchange.
+  }
+
+  /** Per-query quantized ADC lookup tables, ONE row per query — broadcast
+    * separately from the probes: embedding the m × nlist table in each
+    * probe row would inflate the broadcast by a factor of nprobe (it grows
+    * as nprobe·m·nlist per query at serving-scale parameters); keyed by
+    * query_id it joins the candidates AFTER the centroid match instead.
+    */
+  private[graft] def adcTables(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cbs: IndexedSeq[Seq[(Int, Seq[Float])]],
+      m: Int,
+      subDim: Int,
+  ): DataFrame = {
+    val tableExpr = array((0 until m).map { sub =>
+      val qsv = slice(col(vecCol), sub * subDim + 1, subDim)
+      transform(typedLit(cbs(sub).map(_._2)), cen => q6(dot(qsv, cen)))
+    }: _*)
+    queries.select(col(idCol).as("query_id"), tableExpr.as("tables"))
+  }
+
+  /** ADC candidate rows for a probe set: posting-list rows of the probed
+    * cells with the integer table-lookup similarity attached — no vectors,
+    * no per-subspace fan-out. The tables join is a broadcast hash join in
+    * the SAME stage as the score projection, so tables reach candidate
+    * rows but never an Exchange. Output: (query_id, neighbor_id, adc).
+    */
+  private def adcScored(encoded: DataFrame, probes: DataFrame, qtables: DataFrame, m: Int): DataFrame = {
     val adcExpr = aggregate(
       sequence(lit(0), lit(m - 1)),
       lit(0L),
       (acc, s) => acc + element_at(element_at(col("tables"), s + 1), element_at(col("codes"), s + 1) + 1),
     )
-    val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
-    val survivors = encoded
+    encoded
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(qtables), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
+  }
+
+  /** ADC scoring + candK cut + exact rerank over a pre-built index
+    * ([[adcEncode]] output — in-lineage or read back from a persisted
+    * lake table). See [[adcTopK]] for the full pipeline contract.
+    */
+  private[graft] def adcSearch(
+      encoded: DataFrame,
+      probes: DataFrame,
+      qtables: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
+    val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val survivors = adcScored(encoded, probes, qtables, m)
       .withColumn("arank", row_number().over(wadc))
       .filter(col("arank") <= candK)
       .select(col("query_id"), col("neighbor_id"), col("adc"))
@@ -388,6 +455,94 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), q6(col("sim")).as("sim_q"), col("adc"))
+  }
+
+  /** The ADC operating curve — the table that turns [[adcTopK]]'s demo
+    * constants into a TUNABLE: for each arm (pqNlist, nprobe, candK),
+    * recall@k against exact brute force and the candidate volume the arm
+    * paid for it. One encoded corpus per DISTINCT code size (the encode is
+    * the expensive pass — arms share it); within a code size, one scored
+    * candidate table per distinct nprobe (checkpointed — the candK arms
+    * re-cut it); the exact side is computed once for every arm.
+    *
+    * Output, one row per arm:
+    * (pq_nlist, nprobe, cand_k, n_cand, n_hit, recall_milli) where
+    * `n_cand` = ADC-scored candidate rows (the serving cost driver),
+    * `n_hit` = exact-top-k hits summed over queries, and `recall_milli` =
+    * n_hit·1000 div (n_queries·k) — exact integers on both engines.
+    *
+    * Scale: the sweep exists to be run on a SAMPLE of queries before an
+    * index serves (the [[adcRecallReport]]/q185 rule, widened to a grid);
+    * every per-arm stage is the serving plan itself, so the knee it finds
+    * is the knee production would see.
+    */
+  def adcOperatingCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int,
+      subDim: Int,
+      pqIters: Int,
+      arms: Seq[(Int, Int, Int)],
+      k: Int,
+  ): DataFrame = {
+    require(arms.nonEmpty, "adcOperatingCurve: at least one (pqNlist, nprobe, candK) arm")
+    require(arms.forall(_._3 >= k), s"adcOperatingCurve: every candK must be >= k ($k)")
+    val nQueries = queries.count()
+    require(nQueries > 0, "adcOperatingCurve: empty query sample")
+    val exact = Lineage.truncate(
+      Similarity
+        .bruteForceTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+    )
+    val perArm: Seq[DataFrame] = arms.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (pqNlist, sizeArms) =>
+      val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
+      val encoded = Lineage.truncate(adcEncode(corpus, idCol, vecCol, centroids, cbs, m, subDim))
+      val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+      sizeArms.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (nprobe, probeArms) =>
+        val probes = adcProbes(queries, idCol, vecCol, centroids, nprobe)
+        val scored = Lineage.truncate(adcScored(encoded, probes, qtables, m))
+        val nCand = scored.agg(count(lit(1)).as("n_cand"))
+        val maxC = probeArms.map(_._3).max
+        val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+        // ONE vector rerank join at the widest candK; narrower arms re-cut
+        // by arank — the rerank sim of a candidate does not depend on candK.
+        val reranked = Lineage.truncate(
+          corpus
+            .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+            .join(
+              broadcast(
+                scored.withColumn("arank", row_number().over(wadc)).filter(col("arank") <= maxC)
+              ),
+              Seq("neighbor_id"),
+            )
+            .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))), Seq("query_id"))
+            .select(col("query_id"), col("neighbor_id"), col("arank"), cos(col("__qv"), col("__nv")).as("sim"))
+        )
+        probeArms.sortBy(_._3).map { case (_, _, candK) =>
+          val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+          val topk = reranked
+            .filter(col("arank") <= candK)
+            .withColumn("rank", row_number().over(wk))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("neighbor_id"))
+          val nHit = topk.join(exact, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hit"))
+          nCand
+            .crossJoin(nHit)
+            .select(
+              lit(pqNlist).cast("int").as("pq_nlist"),
+              lit(nprobe).cast("int").as("nprobe"),
+              lit(candK).cast("int").as("cand_k"),
+              col("n_cand"),
+              col("n_hit"),
+              expr(s"n_hit * 1000 div (${nQueries}L * ${k}L)").as("recall_milli"),
+            )
+        }
+      }
+    }
+    perArm.reduce(_ unionAll _)
   }
 
   /** Recall@k of [[adcTopK]] against exact brute force — the q185
