@@ -126,6 +126,10 @@ object ExtensionQueries {
   // ADC stage over-fetches so PQ quantization error rarely evicts a true
   // neighbor before the rerank can restore it).
   private val AdcCandK = 8
+  // q256's pHash near-dup radius: re-encode noise moves ≤1 DCT sign on the
+  // block fixture (measured); 4 leaves headroom for the real-JPEG spec
+  // ground truth without admitting cross-content pairs.
+  private val PhashMaxDist = 4
   // q255's operating-curve grid: (pqNlist, nprobe, candK) — the nprobe knee
   // at the demo candK, the candK knee at the demo nprobe, and one coarser
   // (4 = 8-bit codes) and one finer (16 = 16-bit codes) code size at the
@@ -284,6 +288,67 @@ object ExtensionQueries {
                                 CAST(SUM(CASE WHEN bit = 1 AND cell < 32
                                          THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS lo
                          FROM bits GROUP BY id)"""
+
+  /** Shared CTE block: per-media aHash AND DCT-pHash halves REGENERATED
+    * from [[graft.operators.Multimodal.synthesizePngReencodePair]]'s
+    * closed form — block-level pixels
+    * (`v₀ = (id·64+cell+1)·2654435761 mod 2^32`, `Q = v₀ xor (v₀ >> 13)`,
+    * `L = 40 + 88·(Q mod 3)`, gray pack `v = L·65793`), the variant's
+    * `(x·13+y·17+id) mod 23` re-encode noise, the q240 aHash pooling, and
+    * the integer DCT-II of
+    * the 8×8 floor-mean grid through the SAME quantized cosine table the
+    * Scala side uses ([[graft.operators.Multimodal.PhashCosTable]] —
+    * embedded verbatim, zero libm parity risk). Ends with
+    * `phash(media_id, phi, plo, ahi, alo)`.
+    */
+  private def sqlPhashCtes: String = {
+    val ctRows =
+      (for { k <- 0 until 8; n <- 0 until 8 } yield s"($k,$n,${Multimodal.PhashCosTable(k)(n)})").mkString(",")
+    s"""d AS (SELECT doc_id AS id, CAST(8 + doc_id % 32 AS BIGINT) AS w, CAST(8 + doc_id % 16 AS BIGINT) AS h
+              FROM documents),
+        pm AS (SELECT id, w, h, 2*id + gv.v AS media_id, gv.v AS var FROM d, (VALUES (0),(1)) gv(v)),
+        ppx AS (SELECT media_id, id, var, gx.x AS x, gy.y AS y, (gy.y*8)//h AS cy, (gx.x*8)//w AS cx
+                FROM pm, generate_series(CAST(0 AS BIGINT), CAST(38 AS BIGINT)) gx(x),
+                         generate_series(CAST(0 AS BIGINT), CAST(22 AS BIGINT)) gy(y)
+                WHERE gx.x < w AND gy.y < h),
+        pvq AS (SELECT media_id, id, var, x, y, cy, cx,
+                       ((id*64 + cy*8 + cx + 1) * 2654435761) % 4294967296 AS qv
+                FROM ppx),
+        pv AS (SELECT media_id, cy, cx,
+                      (40 + 88*((xor(qv, qv // 8192)) % 3)) * 65793
+                      + CASE WHEN var = 0 THEN 0 ELSE (x*13 + y*17 + id) % 23 END AS v
+               FROM pvq),
+        plum AS (SELECT media_id, cy, cx, 299*(v//65536) + 587*((v//256)%256) + 114*(v%256) AS l FROM pv),
+        pcells AS (SELECT media_id, cy, cx, SUM(l) AS cs, COUNT(*) AS cn FROM plum GROUP BY 1, 2, 3),
+        ptot AS (SELECT media_id, SUM(cs) AS ts, SUM(cn) AS tn FROM pcells GROUP BY 1),
+        pab AS (SELECT pcells.media_id, cy*8 + cx AS cell,
+                       CASE WHEN cs * tn > ts * cn THEN 1 ELSE 0 END AS bit
+                FROM pcells JOIN ptot ON ptot.media_id = pcells.media_id),
+        pah AS (SELECT media_id,
+                       CAST(SUM(CASE WHEN bit=1 AND cell >= 32
+                                THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS ahi,
+                       CAST(SUM(CASE WHEN bit=1 AND cell < 32
+                                THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS alo
+                FROM pab GROUP BY 1),
+        pgrid AS (SELECT media_id, cy, cx, CAST(SUM(l) // COUNT(*) AS BIGINT) AS g FROM plum GROUP BY 1, 2, 3),
+        pct(k, n, cv) AS (VALUES $ctRows),
+        prowd AS (SELECT media_id, pct.k AS kx, cy, SUM(g * pct.cv) AS r
+                  FROM pgrid JOIN pct ON pct.n = pgrid.cx GROUP BY 1, 2, 3),
+        pcoef AS (SELECT media_id, kx, pct.k AS ky, SUM(r * pct.cv) AS c
+                  FROM prowd JOIN pct ON pct.n = prowd.cy GROUP BY 1, 2, 3),
+        pacs AS (SELECT media_id, SUM(CASE WHEN kx=0 AND ky=0 THEN 0 ELSE c END) AS sac FROM pcoef GROUP BY 1),
+        pbits AS (SELECT pcoef.media_id, 63 - (ky*8 + kx) AS p,
+                         CASE WHEN (kx=0 AND ky=0) THEN 0 WHEN c*63 > sac THEN 1 ELSE 0 END AS bit
+                  FROM pcoef JOIN pacs ON pacs.media_id = pcoef.media_id),
+        pph AS (SELECT media_id,
+                       CAST(SUM(CASE WHEN bit=1 AND p >= 32
+                                THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END) AS BIGINT) AS phi,
+                       CAST(SUM(CASE WHEN bit=1 AND p < 32
+                                THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS plo
+                FROM pbits GROUP BY 1),
+        phash AS (SELECT pph.media_id, phi, plo, ahi, alo
+                  FROM pph JOIN pah ON pah.media_id = pph.media_id)"""
+  }
 
   /** Shared CTE block: per-video-frame aHash halves REGENERATED from
     * [[graft.operators.Multimodal.synthesizeMjpegAvi]]'s closed form
@@ -3479,6 +3544,39 @@ object ExtensionQueries {
         .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
           m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK)
         .orderBy("pq_nlist", "nprobe", "cand_k")
+    }),
+
+    // ---- DCT pHash near-dup under lossy re-encode: per doc an original
+    //      and a noise-perturbed "re-encode" variant; pairing on pHash
+    //      Hamming ≤ t must catch variants whose EXACT aHash differs
+    //      (the ahash_equal=false rows — what exact-signature dedup
+    //      misses and the DCT family exists to pair) ----
+    "q256_phash_neardup" -> ((s, d) => {
+      val media = Multimodal.synthesizePngReencodePair(t(s, d, "documents"), "doc_id")
+      val hashes = graft.operators.Lineage.truncate(
+        Multimodal.imagePHash(media).toDF().where(col("phash_hi") >= 0)
+      )
+      val sigs = hashes.select(
+        col("media_id"),
+        shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo")).as("sig"),
+      )
+      Dedup
+        .hammingPairs(sigs, "media_id", "sig", bits = 64, prefixBits = 12, maxDist = PhashMaxDist)
+        .join(
+          hashes.select(col("media_id").as("id_a"), col("ahash_hi").as("__ha"), col("ahash_lo").as("__la")),
+          Seq("id_a"),
+        )
+        .join(
+          hashes.select(col("media_id").as("id_b"), col("ahash_hi").as("__hb"), col("ahash_lo").as("__lb")),
+          Seq("id_b"),
+        )
+        .select(
+          col("id_a"),
+          col("id_b"),
+          col("dist"),
+          (col("__ha") === col("__hb") && col("__la") === col("__lb")).as("ahash_equal"),
+        )
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- End-to-end video dedup: one per-frame decode pass → frame-
@@ -6838,6 +6936,20 @@ object ExtensionQueries {
                  CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli
           FROM armrows ORDER BY pq_nlist, nprobe, cand_k"""
     },
+    // The pHash contract: both hashes regenerated from the closed form
+    // (block pixels + deterministic re-encode noise, integer DCT through
+    // the EMBEDDED cosine table), the q242 prefix-bucket pair semantics on
+    // the pHash, the aHash equality carried as the "what exact dedup would
+    // have missed" flag.
+    "q256_phash_neardup" ->
+      s"""WITH $sqlPhashCtes
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 CAST(bit_count(xor(a.phi, b.phi)) + bit_count(xor(a.plo, b.plo)) AS INT) AS dist,
+                 (a.ahi = b.ahi AND a.alo = b.alo) AS ahash_equal
+          FROM phash a JOIN phash b
+            ON (a.phi // 1048576) = (b.phi // 1048576) AND a.media_id < b.media_id
+          WHERE bit_count(xor(a.phi, b.phi)) + bit_count(xor(a.plo, b.plo)) <= $PhashMaxDist
+          ORDER BY id_a, id_b""",
     // The whole video-dedup chain against ONE mirror: closed-form frame
     // hashes → the q247 overlap-pair semantics → bounded min-label CC with
     // pointer jumping (the q218 rule, convergence poison included) →

@@ -880,6 +880,183 @@ object Multimodal {
     hash
   }
 
+  /** Quantized DCT-II cosine basis for [[pHashBits]]:
+    * `CT(k)(n) = round(cos(π·(2n+1)·k / 16) · 2^14)`, k,n ∈ 0..7 — ONE
+    * integer table, computed here and EMBEDDED verbatim into the q256
+    * oracle SQL, so both engines run identical integer arithmetic with no
+    * libm-rounding parity risk. The DCT perceptual hash is public
+    * knowledge (pHash; e.g. Zauner 2010, "Implementation and benchmarking
+    * of perceptual image hash functions").
+    */
+  private[graft] val PhashScale: Long = 1L << 14
+  private[graft] val PhashCosTable: Array[Array[Long]] =
+    Array.tabulate(8, 8)((k, n) => Math.round(Math.cos(Math.PI * (2 * n + 1) * k / 16.0) * PhashScale.toDouble))
+
+  /** DCT perceptual hash over a rasterized image — the lossy-re-encode-
+    * robust sibling of [[aHashBits]], integer end to end:
+    *
+    *  1. the SAME 8×8 box pooling as aHash, but floor-MEAN per cell
+    *     (`Σluma div n` — exact on both engines);
+    *  2. separable integer DCT-II of the 8×8 grid through
+    *     [[PhashCosTable]] (rows then columns; magnitudes stay < 2^53,
+    *     Long/BIGINT-safe);
+    *  3. one bit per NON-DC coefficient by exact cross-multiplication
+    *     against the mean of the 63 AC coefficients
+    *     (`coef·63 > Σ_AC coef` — signed integers, no IEEE division).
+    *
+    * Bit layout: coefficient (kx, ky) lands at position `63 − (ky·8+kx)`,
+    * so the LOW-frequency coefficients (the ones re-encode noise moves
+    * least) occupy the TOP bits — [[Dedup.hammingPairs]]' prefix bucket
+    * then keys on the most stable bits. The DC slot (position 63) is
+    * always 0: DC is brightness, which aHash already thresholds away and
+    * pHash must ignore.
+    *
+    * Why it pairs what aHash misses: aHash thresholds each cell against
+    * the GLOBAL mean, so a cell sitting near that mean flips under a
+    * quality-level of re-encode noise; a DCT sign flips only when a whole
+    * basis-pattern correlation crosses zero, which per-pixel noise of a
+    * few luma counts cannot move on an image with real structure.
+    */
+  private[graft] def pHashBits(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y) & 0xffffff
+        val luma = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+        cellSum(cy * 8 + x * 8 / w) += luma
+        cellCnt(cy * 8 + x * 8 / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = Array.tabulate(8, 8)((cy, cx) => cellSum(cy * 8 + cx) / cellCnt(cy * 8 + cx))
+    // separable DCT-II: rows (over cx) then columns (over cy)
+    val r = Array.tabulate(8, 8) { (kx, cy) =>
+      var s = 0L; var cx = 0
+      while (cx < 8) { s += g(cy)(cx) * PhashCosTable(kx)(cx); cx += 1 }
+      s
+    }
+    val coef = Array.tabulate(8, 8) { (kx, ky) =>
+      var s = 0L; var cy = 0
+      while (cy < 8) { s += r(kx)(cy) * PhashCosTable(ky)(cy); cy += 1 }
+      s
+    }
+    var sac = 0L
+    var kx = 0
+    while (kx < 8) {
+      var ky = 0
+      while (ky < 8) { if (kx != 0 || ky != 0) sac += coef(kx)(ky); ky += 1 }
+      kx += 1
+    }
+    var hash = 0L
+    kx = 0
+    while (kx < 8) {
+      var ky = 0
+      while (ky < 8) {
+        if ((kx != 0 || ky != 0) && coef(kx)(ky) * 63L > sac) hash |= 1L << (63 - (ky * 8 + kx))
+        ky += 1
+      }
+      kx += 1
+    }
+    hash
+  }
+
+  final case class PHashRow(
+      media_id: Long,
+      phash_hi: Long,
+      phash_lo: Long,
+      ahash_hi: Long,
+      ahash_lo: Long,
+  )
+
+  /** Both perceptual hashes — DCT [[pHashBits]] and mean [[aHashBits]] —
+    * from ONE decode pass (decode dominates; a second pass for the second
+    * hash would double the scan cost for arithmetic that is ~free next to
+    * it). Undecodables answer all-(−1); bytes dropped at this boundary.
+    */
+  def imagePHash(media: Dataset[MediaRecord]): Dataset[PHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null || img.getWidth < 1 || img.getHeight < 1)
+        PHashRow(m.media_id, -1L, -1L, -1L, -1L)
+      else {
+        val p = pHashBits(img)
+        val a = aHashBits(img)
+        PHashRow(m.media_id, p >>> 32, p & 0xffffffffL, a >>> 32, a & 0xffffffffL)
+      }
+    })
+  }
+
+  /** Per document, a block-pattern PNG (media_id = 2·id) plus a LOSSY-
+    * RE-ENCODE STAND-IN variant (media_id = 2·id + 1) — the q256 fixture:
+    *
+    *  - base: gray level per 8×8-pool cell from an XORSHIFT-mixed cell
+    *    hash — `v₀ = (id·64 + cell + 1)·2654435761 mod 2^32`,
+    *    `Q = v₀ xor (v₀ >> 13)`, `L = 40 + 88·(Q mod 3)`, pixel
+    *    `v = L·65793` (0x010101·L). The xorshift is LOAD-BEARING: an
+    *    affine-only `Q = id·C₁ + cell·C₂` shifts by a per-doc CONSTANT
+    *    across all cells, so docs at certain id deltas get level-ROTATED
+    *    twins with identical DCT signs — measured: 194 distinct pHashes
+    *    per 1000 media and ~354k quadratic cross-content pairs at sf0.1;
+    *    with the mixer, max hash cluster = 2 (the orig/variant pair) and
+    *    pair count grows linearly in docs.
+    *  - variant: `v + (x·13 + y·17 + id) mod 23` — a couple dozen counts
+    *    of deterministic per-pixel "quality loss" (blue stays < 256 at
+    *    these levels: no channel carry, so the mirror is one addition).
+    *    Cells whose level sits near the global mean flip their aHash bit
+    *    under it (~2% of variants at sf0.1); no DCT sign moves more than
+    *    2 bits.
+    *
+    * This is the closed-form MODEL of re-encode noise — real lossy JPEG
+    * noise cannot be regenerated arithmetically by an oracle. The REAL
+    * re-encode ground truth lives in `MultimodalSpec`, which runs an
+    * actual ImageIO JPEG re-encode through the same pairing contract.
+    */
+  def synthesizePngReencodePair(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 32).toInt
+          val h = (8 + id % 16).toInt
+          Seq(0, 1).map { variant =>
+            val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val cell = cy * 8 + x * 8 / w
+                val v0 = ((id * 64 + cell + 1) * 2654435761L) & 0xffffffffL
+                val q = v0 ^ (v0 >> 13)
+                val base = (40L + 88L * (q % 3)) * 65793L
+                val v = if (variant == 0) base else base + (x * 13L + y * 17L + id) % 23
+                img.setRGB(x, y, (v & 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRecord(2 * id + variant, "image", bos.toByteArray, "synthetic")
+          }
+        }
+      }
+  }
+
   def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageHashRow] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -423,4 +423,78 @@ class MultimodalSpec extends SparkSpec {
     assert((rows(2).fp_hi, rows(2).fp_lo) == ((1L, 0L)), rows(2)) // only window 32 above mean
     assert(rows(3) == Multimodal.AudioFingerprintRow(4L, -1L, -1L, -1L), "total on garbage")
   }
+
+  test("pHashBits: DC slot empty, brightness-shift stability, structure sensitivity") {
+    // block image (the q256 fixture shape) and its uniformly brightened twin
+    def block(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val cell = (y * 8 / 16) * 8 + x * 8 / 32
+        val v0 = ((7L * 64 + cell + 1) * 2654435761L) & 0xffffffffL
+        val l = (40L + 88L * ((v0 ^ (v0 >> 13)) % 3) + shift).toInt
+        img.setRGB(x, y, l << 16 | l << 8 | l)
+      }
+      img
+    }
+    val p = Multimodal.pHashBits(block(0))
+    assert((p & (1L << 63)) == 0L, "DC slot (bit 63) must stay empty")
+    // +32 per channel: only the DC coefficient moves (AC basis rows sum to
+    // ~0; the quantized table leaves a sub-sign rounding residue)
+    assert(Multimodal.pHashBits(block(32)) == p, "uniform brightness shift must not move AC signs")
+    // inverted structure flips (nearly) every AC sign
+    val inv = {
+      val img = block(0)
+      for (y <- 0 until 16; x <- 0 until 32) {
+        val l = 255 - (img.getRGB(x, y) & 0xff)
+        img.setRGB(x, y, l << 16 | l << 8 | l)
+      }
+      img
+    }
+    assert(java.lang.Long.bitCount(Multimodal.pHashBits(inv) ^ p) > 16, "inversion must be far")
+  }
+
+  test("pHash pairs a REAL lossy JPEG re-encode that exact aHash misses (the q256 ground truth)") {
+    // The oracled q256 uses a closed-form noise model (a JPEG quantizer
+    // can't be mirrored in SQL); THIS is the real-world ground truth: the
+    // q256 block pattern at a fixed 40×24 (each 8×8-pool cell averages
+    // 5×3 real pixels — the regime pHash is built for; the oracle corpus
+    // keeps the tiny variable sizes) re-encoded through the JDK JPEG
+    // writer at quality 0.5 must pair within PhashMaxDist=4 while a
+    // substantial minority of re-encodes flip the exact aHash.
+    def block(id: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 40) {
+        val cell = (y * 8 / 24) * 8 + x * 8 / 40
+        val v0 = ((id * 64 + cell + 1) * 2654435761L) & 0xffffffffL
+        val l = (40L + 88L * ((v0 ^ (v0 >> 13)) % 3)).toInt
+        img.setRGB(x, y, l << 16 | l << 8 | l)
+      }
+      img
+    }
+    var ahashFlips = 0
+    var pixelDiffs = 0
+    (0 until 150).foreach { id =>
+      val img = block(id.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.5f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      ios.close()
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+      val pd = java.lang.Long.bitCount(Multimodal.pHashBits(img) ^ Multimodal.pHashBits(dec))
+      assert(pd <= 4, s"fixture $id: pHash dist $pd > 4 under a real JPEG re-encode")
+      if (Multimodal.aHashBits(img) != Multimodal.aHashBits(dec)) ahashFlips += 1
+      var diff = false
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        if ((img.getRGB(x, y) & 0xffffff) != (dec.getRGB(x, y) & 0xffffff)) diff = true
+      if (diff) pixelDiffs += 1
+    }
+    assert(pixelDiffs > 100, s"the re-encode must actually be lossy (got $pixelDiffs/150 changed)")
+    assert(ahashFlips > 0, s"ground truth must include re-encodes that flip the exact aHash")
+  }
 }
