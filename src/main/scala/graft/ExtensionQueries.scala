@@ -289,6 +289,122 @@ object ExtensionQueries {
                                          THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS lo
                          FROM bits GROUP BY id)"""
 
+  /** The q244/q253/q254 keep-best mirrors as ONE definition each —
+    * referenced verbatim by their own oracle entries AND wrapped as
+    * modality arms by the q257 mixed-corpus oracle (affine media-id
+    * remap 4·doc_id + tag on top; poison rows pass through unscaled),
+    * so the mixed pipeline can never drift from the per-family ones.
+    */
+  private def sqlImageKeepBest: String =
+    s"""WITH $sqlImageHashes,
+              ip AS MATERIALIZED (
+                SELECT a.id AS src, b.id AS dst
+                FROM hashes a JOIN hashes b
+                  ON (a.hi // 1048576) = (b.hi // 1048576) AND a.id < b.id
+                WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+              ${sqlCcBoundedFromPairs("ip")},
+              m AS (SELECT c.comp, h.id,
+                           CAST((8 + h.id % 32) * (8 + h.id % 16) AS BIGINT) AS px
+                    FROM comps c JOIN hashes h ON h.id = c.node),
+              r AS (SELECT comp, id, px,
+                           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY px DESC, id) AS rn
+                    FROM m)
+          SELECT cluster_id, rep_media_id, rep_pixels, n_members, n_dropped FROM (
+            SELECT comp AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN px END) AS BIGINT) AS rep_pixels,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM r GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id"""
+
+  private def sqlVideoKeepBest: String =
+    s"""WITH $sqlVideoFrameHashes,
+              vs AS (SELECT DISTINCT id, hi, lo FROM vfh),
+              vfreq AS (SELECT hi, lo, COUNT(*) AS nv FROM vs GROUP BY hi, lo),
+              vkeep AS (SELECT vs.id, vs.hi, vs.lo
+                        FROM vs JOIN vfreq ON vs.hi = vfreq.hi AND vs.lo = vfreq.lo
+                        WHERE vfreq.nv <= 8),
+              vp AS MATERIALIZED (
+                 SELECT a.id AS src, b.id AS dst
+                 FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
+                 GROUP BY a.id, b.id HAVING COUNT(*) >= 2),
+              ${sqlCcBoundedFromPairs("vp")},
+              vfr AS (SELECT id, COUNT(*) AS nf FROM vfh GROUP BY id),
+              vm AS (SELECT c.comp, c.node AS id, vfr.nf
+                     FROM comps c JOIN vfr ON vfr.id = c.node),
+              vr AS (SELECT comp, id, nf,
+                            ROW_NUMBER() OVER (PARTITION BY comp ORDER BY nf DESC, id) AS rn
+                     FROM vm)
+          SELECT cluster_id, rep_media_id, rep_frames, n_members, n_dropped FROM (
+            SELECT comp AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN nf END) AS BIGINT) AS rep_frames,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM vr GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id"""
+
+  private def sqlAudioKeepBest: String =
+    s"""WITH d AS (SELECT doc_id AS id,
+                           CAST((8 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n
+                    FROM documents),
+              smp AS (SELECT id, n, gk.k AS k,
+                             ((14 * gk.k + id) % 256) + 256 * ((14 * gk.k + 7 + id) % 256) AS u
+                      FROM d, generate_series(CAST(0 AS BIGINT), CAST(141 AS BIGINT)) gk(k)
+                      WHERE gk.k < n),
+              sg AS (SELECT id, n, (k * 64) // n AS w,
+                            u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+                     FROM smp),
+              wins AS (SELECT id, n, w, SUM(s * s) AS es, COUNT(*) AS cnt
+                       FROM sg GROUP BY id, n, w),
+              abits AS (SELECT id, n, w,
+                               CASE WHEN es * n > SUM(es) OVER (PARTITION BY id) * cnt
+                                    THEN 1 ELSE 0 END AS bit
+                        FROM wins),
+              afp AS (SELECT id, MIN(n) AS n,
+                             CAST(SUM(CASE WHEN bit = 1 AND w >= 32
+                                      THEN CAST(1 AS BIGINT) << CAST(w - 32 AS INT) ELSE 0 END) AS BIGINT) AS fp_hi,
+                             CAST(SUM(CASE WHEN bit = 1 AND w < 32
+                                      THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS fp_lo
+                      FROM abits GROUP BY id),
+              agrp AS (SELECT fp_hi, fp_lo, MIN(id) AS node FROM afp GROUP BY 1, 2),
+              ap AS MATERIALIZED (
+                 SELECT a.node AS src, b.node AS dst
+                 FROM agrp a JOIN agrp b
+                   ON (a.fp_hi // 1048576) = (b.fp_hi // 1048576) AND a.node < b.node
+                 WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
+              ${sqlCcBoundedFromPairs("ap")},
+              amem AS (SELECT f.id, f.n, f.fp_hi, f.fp_lo,
+                              COALESCE(c.comp, g.node) AS cluster
+                       FROM afp f
+                       JOIN agrp g ON f.fp_hi = g.fp_hi AND f.fp_lo = g.fp_lo
+                       LEFT JOIN comps c ON c.node = g.node),
+              ar AS (SELECT cluster, id, n, fp_hi, fp_lo,
+                            ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, id) AS rn
+                     FROM amem)
+          SELECT cluster_id, rep_media_id, rep_samples, n_fps, n_members, n_dropped FROM (
+            SELECT cluster AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS rep_samples,
+                   CAST(COUNT(DISTINCT [fp_hi, fp_lo]) AS BIGINT) AS n_fps,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM ar GROUP BY cluster
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   CAST(-1 AS BIGINT), conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id"""
+
   /** Shared CTE block: per-media aHash AND DCT-pHash halves REGENERATED
     * from [[graft.operators.Multimodal.synthesizePngReencodePair]]'s
     * closed form — block-level pixels
@@ -3590,6 +3706,22 @@ object ExtensionQueries {
         .orderBy("cluster_id")
     }),
 
+    // ---- Mixed-modality corpus dedup in ONE pass: one media table with
+    //      images + videos + audio (ids 4·doc + {0,1,2}), each payload
+    //      routed by container SNIFF (magic bytes, codegen'd — no type
+    //      column trusted) to its keep-best chain; one canonicalized
+    //      output partitioned by modality ----
+    "q257_media_dedup_mixed" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val imgs = Multimodal.synthesizePng(docs, "doc_id").map(m => m.copy(media_id = m.media_id * 4))
+      val vids = Multimodal.synthesizeMjpegAvi(docs, "doc_id").map(m => m.copy(media_id = m.media_id * 4 + 1))
+      val auds = Multimodal.synthesizeWav(docs, "doc_id").map(m => m.copy(media_id = m.media_id * 4 + 2))
+      Multimodal
+        .mediaDedupMixed(imgs.union(vids).union(auds))
+        .orderBy("modality", "cluster_id")
+    }),
+
     // ---- End-to-end audio dedup: EXACT fingerprint collapse first (the
     //      corpus-scale ordering — re-uploads vanish before pairing), then
     //      Hamming merge over DISTINCT fingerprints, adaptive CC, keep the
@@ -6760,31 +6892,7 @@ object ExtensionQueries {
     // jumping (the q218 rule, convergence poison included) → largest-image
     // keep-best with media-id tie-break.
     "q244_image_dedup_keep_best" ->
-      s"""WITH $sqlImageHashes,
-              ip AS MATERIALIZED (
-                SELECT a.id AS src, b.id AS dst
-                FROM hashes a JOIN hashes b
-                  ON (a.hi // 1048576) = (b.hi // 1048576) AND a.id < b.id
-                WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-              ${sqlCcBoundedFromPairs("ip")},
-              m AS (SELECT c.comp, h.id,
-                           CAST((8 + h.id % 32) * (8 + h.id % 16) AS BIGINT) AS px
-                    FROM comps c JOIN hashes h ON h.id = c.node),
-              r AS (SELECT comp, id, px,
-                           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY px DESC, id) AS rn
-                    FROM m)
-          SELECT cluster_id, rep_media_id, rep_pixels, n_members, n_dropped FROM (
-            SELECT comp AS cluster_id,
-                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
-                   CAST(MAX(CASE WHEN rn = 1 THEN px END) AS BIGINT) AS rep_pixels,
-                   CAST(COUNT(*) AS BIGINT) AS n_members,
-                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-            FROM r GROUP BY comp
-            UNION ALL
-            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-                   conv.n_changed, CAST(-1 AS BIGINT)
-            FROM conv WHERE conv.n_changed > 0
-          ) ORDER BY cluster_id""",
+      sqlImageKeepBest,
     // The fingerprint contract: samples regenerated from the byte formula
     // (the q241 chain), pooled into 64 energy windows by (k·64) div n,
     // one bit per window by HUGEINT cross-multiply vs the global mean —
@@ -6955,91 +7063,34 @@ object ExtensionQueries {
     // pointer jumping (the q218 rule, convergence poison included) →
     // longest-video keep-best with media-id tie-break.
     "q253_video_dedup_keep_best" ->
-      s"""WITH $sqlVideoFrameHashes,
-              vs AS (SELECT DISTINCT id, hi, lo FROM vfh),
-              vfreq AS (SELECT hi, lo, COUNT(*) AS nv FROM vs GROUP BY hi, lo),
-              vkeep AS (SELECT vs.id, vs.hi, vs.lo
-                        FROM vs JOIN vfreq ON vs.hi = vfreq.hi AND vs.lo = vfreq.lo
-                        WHERE vfreq.nv <= 8),
-              vp AS MATERIALIZED (
-                 SELECT a.id AS src, b.id AS dst
-                 FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
-                 GROUP BY a.id, b.id HAVING COUNT(*) >= 2),
-              ${sqlCcBoundedFromPairs("vp")},
-              vfr AS (SELECT id, COUNT(*) AS nf FROM vfh GROUP BY id),
-              vm AS (SELECT c.comp, c.node AS id, vfr.nf
-                     FROM comps c JOIN vfr ON vfr.id = c.node),
-              vr AS (SELECT comp, id, nf,
-                            ROW_NUMBER() OVER (PARTITION BY comp ORDER BY nf DESC, id) AS rn
-                     FROM vm)
-          SELECT cluster_id, rep_media_id, rep_frames, n_members, n_dropped FROM (
-            SELECT comp AS cluster_id,
-                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
-                   CAST(MAX(CASE WHEN rn = 1 THEN nf END) AS BIGINT) AS rep_frames,
-                   CAST(COUNT(*) AS BIGINT) AS n_members,
-                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-            FROM vr GROUP BY comp
-            UNION ALL
-            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-                   conv.n_changed, CAST(-1 AS BIGINT)
-            FROM conv WHERE conv.n_changed > 0
-          ) ORDER BY cluster_id""",
+      sqlVideoKeepBest,
     // The whole audio-dedup chain against ONE mirror: sample-regenerated
     // fingerprints (the q245 chain, n carried through) → exact collapse to
     // one node per distinct fingerprint → the q242 Hamming candidate
     // semantics over the nodes → bounded CC + convergence poison →
     // longest-clip keep-best with singleton groups kept.
     "q254_audio_dedup_keep_best" ->
-      s"""WITH d AS (SELECT doc_id AS id,
-                           CAST((8 + doc_id % 64) * (1 + doc_id % 2) AS BIGINT) AS n
-                    FROM documents),
-              smp AS (SELECT id, n, gk.k AS k,
-                             ((14 * gk.k + id) % 256) + 256 * ((14 * gk.k + 7 + id) % 256) AS u
-                      FROM d, generate_series(CAST(0 AS BIGINT), CAST(141 AS BIGINT)) gk(k)
-                      WHERE gk.k < n),
-              sg AS (SELECT id, n, (k * 64) // n AS w,
-                            u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
-                     FROM smp),
-              wins AS (SELECT id, n, w, SUM(s * s) AS es, COUNT(*) AS cnt
-                       FROM sg GROUP BY id, n, w),
-              abits AS (SELECT id, n, w,
-                               CASE WHEN es * n > SUM(es) OVER (PARTITION BY id) * cnt
-                                    THEN 1 ELSE 0 END AS bit
-                        FROM wins),
-              afp AS (SELECT id, MIN(n) AS n,
-                             CAST(SUM(CASE WHEN bit = 1 AND w >= 32
-                                      THEN CAST(1 AS BIGINT) << CAST(w - 32 AS INT) ELSE 0 END) AS BIGINT) AS fp_hi,
-                             CAST(SUM(CASE WHEN bit = 1 AND w < 32
-                                      THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS fp_lo
-                      FROM abits GROUP BY id),
-              agrp AS (SELECT fp_hi, fp_lo, MIN(id) AS node FROM afp GROUP BY 1, 2),
-              ap AS MATERIALIZED (
-                 SELECT a.node AS src, b.node AS dst
-                 FROM agrp a JOIN agrp b
-                   ON (a.fp_hi // 1048576) = (b.fp_hi // 1048576) AND a.node < b.node
-                 WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
-              ${sqlCcBoundedFromPairs("ap")},
-              amem AS (SELECT f.id, f.n, f.fp_hi, f.fp_lo,
-                              COALESCE(c.comp, g.node) AS cluster
-                       FROM afp f
-                       JOIN agrp g ON f.fp_hi = g.fp_hi AND f.fp_lo = g.fp_lo
-                       LEFT JOIN comps c ON c.node = g.node),
-              ar AS (SELECT cluster, id, n, fp_hi, fp_lo,
-                            ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, id) AS rn
-                     FROM amem)
-          SELECT cluster_id, rep_media_id, rep_samples, n_fps, n_members, n_dropped FROM (
-            SELECT cluster AS cluster_id,
-                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
-                   CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS rep_samples,
-                   CAST(COUNT(DISTINCT [fp_hi, fp_lo]) AS BIGINT) AS n_fps,
-                   CAST(COUNT(*) AS BIGINT) AS n_members,
-                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-            FROM ar GROUP BY cluster
+      sqlAudioKeepBest,
+    // The mixed contract: the SAME three keep-best mirrors, each wrapped
+    // as a modality arm with the affine media-id remap (4·doc_id + tag —
+    // min-label clusters and keep-best tie-breaks are order-preserved
+    // under it, so every per-family number carries over verbatim); poison
+    // rows pass through unscaled so a non-converged CC still mismatches.
+    "q257_media_dedup_mixed" -> {
+      def arm(modality: String, tag: Int, inner: String, repCol: String): String =
+        s"""SELECT '$modality' AS modality,
+                   CASE WHEN cluster_id < 0 THEN cluster_id ELSE 4*cluster_id + $tag END AS cluster_id,
+                   CASE WHEN rep_media_id < 0 THEN rep_media_id ELSE 4*rep_media_id + $tag END AS rep_media_id,
+                   CAST($repCol AS BIGINT) AS rep_size, n_members, n_dropped
+            FROM ($inner)"""
+      s"""SELECT * FROM (
+            ${arm("image", 0, sqlImageKeepBest, "rep_pixels")}
             UNION ALL
-            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-                   CAST(-1 AS BIGINT), conv.n_changed, CAST(-1 AS BIGINT)
-            FROM conv WHERE conv.n_changed > 0
-          ) ORDER BY cluster_id""",
+            ${arm("video", 1, sqlVideoKeepBest, "rep_frames")}
+            UNION ALL
+            ${arm("audio", 2, sqlAudioKeepBest, "rep_samples")}
+          ) ORDER BY modality, cluster_id"""
+    },
     // The sample contract: the mirror regenerates the 16-bit LE samples
     // from synthesizeWav's byte formula `(i·7 + id) mod 256` (sample k →
     // bytes 2k, 2k+1), so energy and zero-crossings must agree with what

@@ -1129,6 +1129,80 @@ object Multimodal {
       )
   }
 
+  /** Mixed-modality corpus dedup in one pass — the composition a real
+    * training-data intake runs: ONE media table carrying images, videos
+    * and audio, each payload routed by CONTAINER SNIFF (magic bytes, not a
+    * caller-provided type column — intake metadata lies; the first 12
+    * bytes don't) to its modality's keep-best chain, one canonicalized
+    * output partitioned by modality:
+    *
+    *  - `89 50 4E 47 0D 0A 1A 0A` → PNG → [[imageDedupKeepBest]]
+    *    (aHash → Hamming pairs → CC → largest image survives);
+    *  - `RIFF····AVI ` → [[videoDedupKeepBest]] (frame signatures →
+    *    overlap pairs → CC → longest video survives);
+    *  - `RIFF····WAVE` → [[audioDedupKeepBest]] (exact fingerprint
+    *    collapse → Hamming merge → CC → longest clip survives).
+    *
+    * The sniff is pure column arithmetic (`hex(substring(content, …))`
+    * equality — codegen'd, no UDF), and the input plan is checkpointed
+    * ONCE so the three modality filters re-read the materialized corpus
+    * instead of re-running the upstream synthesis/scan three times.
+    * Payloads unmatched by every sniff (corrupt uploads) are dropped by
+    * construction — they match no filter. Output:
+    * (modality, cluster_id, rep_media_id, rep_size, n_members, n_dropped)
+    * where rep_size is pixels / frames / samples by modality. Each
+    * family keeps its own membership semantics (audio keeps singleton
+    * exact-dup groups; image/video report paired clusters only).
+    *
+    * Scale: the added cost over running the three chains separately is
+    * zero — same decode passes, same bounded pairings — while the corpus
+    * is scanned once; payload bytes reach no Exchange in any branch (the
+    * per-family contracts, asserted in PlanSpec for this composed plan).
+    */
+  def mediaDedupMixed(
+      media: Dataset[MediaRecord],
+      prefixBits: Int = 12,
+      maxDist: Int = 3,
+      minShared: Int = 2,
+      maxVideosPerSig: Int = 8,
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val mat = Lineage.truncate(media.toDF()).as[MediaRecord]
+    val isPng  = hex(substring(col("content"), 1, 8)) === lit("89504E470D0A1A0A")
+    val isRiff = hex(substring(col("content"), 1, 4)) === lit("52494646")
+    val isAvi  = isRiff && hex(substring(col("content"), 9, 4)) === lit("41564920")
+    val isWav  = isRiff && hex(substring(col("content"), 9, 4)) === lit("57415645")
+    val img = imageDedupKeepBest(mat.filter(isPng), prefixBits, maxDist)
+      .select(
+        lit("image").as("modality"),
+        col("cluster_id"),
+        col("rep_media_id"),
+        col("rep_pixels").cast("long").as("rep_size"),
+        col("n_members"),
+        col("n_dropped"),
+      )
+    val vid = videoDedupKeepBest(mat.filter(isAvi), minShared, maxVideosPerSig)
+      .select(
+        lit("video").as("modality"),
+        col("cluster_id"),
+        col("rep_media_id"),
+        col("rep_frames").cast("long").as("rep_size"),
+        col("n_members"),
+        col("n_dropped"),
+      )
+    val aud = audioDedupKeepBest(mat.filter(isWav), prefixBits, maxDist)
+      .select(
+        lit("audio").as("modality"),
+        col("cluster_id"),
+        col("rep_media_id"),
+        col("rep_samples").cast("long").as("rep_size"),
+        col("n_members"),
+        col("n_dropped"),
+      )
+    img.unionAll(vid).unionAll(aud)
+  }
+
   final case class AudioFeatureRow(
       media_id: Long,
       n_samples: Long,

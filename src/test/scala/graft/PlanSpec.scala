@@ -684,4 +684,26 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must not reach a shuffle — frames hash at the decode boundary:\n$p",
     )
   }
+
+  test("q257 mixed-modality dedup: payloads reach no Exchange in any branch; pairings stay equi-joins") {
+    val p = plan(q("q257_media_dedup_mixed"))
+    // the per-family contracts (q242/q247/q254) must survive the composition:
+    // every pairing an equi-join, and payload bytes never shuffle — the three
+    // chains hash at their decode boundaries before anything wide happens
+    assert(!p.contains("CartesianProduct"), s"no all-pairs surface in any branch:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop fallback in any branch:\n$p")
+    assert(
+      p.linesIterator.filter(_.contains("Exchange")).forall(l => !l.contains("content")),
+      s"payload bytes must not reach a shuffle in ANY modality branch:\n$p",
+    )
+  }
+
+  test("q256 pHash near-dup: prefix-bucket equi-join, bytes dropped pre-shuffle") {
+    val p = plan(q("q256_phash_neardup"))
+    assert(!p.contains("CartesianProduct"), s"the pHash pairing must stay an equi-join:\n$p")
+    assert(
+      p.linesIterator.filter(_.contains("Exchange")).forall(l => !l.contains("content")),
+      s"payload bytes must not reach a shuffle — hashes leave the decode boundary:\n$p",
+    )
+  }
 }
