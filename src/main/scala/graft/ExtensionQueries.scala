@@ -910,6 +910,17 @@ object ExtensionQueries {
         ${sqlAdcChainTables("", "s")},
         ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}"""
 
+  /** The full ADC top-k mirror — ONE definition shared verbatim by q248
+    * (in-memory pipeline) and q258 (persisted-index round trip): the
+    * round trip's whole contract is that the storage hop is invisible.
+    */
+  private def sqlAdcTopKOracle: String =
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            $sqlPqChainCtes,
+            $sqlAdcCtes
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+        FROM adcfinal ORDER BY query_id, rank"""
+
   /** The q66/q251 batch-sessionization mirror: ONE definition for the heap
     * and RocksDB state-store runs, so a provider-dependent divergence can
     * only surface as a hash mismatch, never as drift between two mirrors.
@@ -3631,6 +3642,25 @@ object ExtensionQueries {
         .adcTopK(emb, queriesDf, "vec_id", "embedding", centroids,
           m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
           nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN index persistence round trip: train + encode ONCE, write
+    //      the artifacts (codes PARTITIONED BY coarse cell — the on-disk
+    //      posting-list layout; centroids; PQ codebooks), read them back
+    //      in a fresh plan and serve the identical ADC search — SAME
+    //      oracle as q248, so the round trip must be hash-invisible ----
+    "q258_ann_index_roundtrip" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+      IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id", "rank")
     }),
 
@@ -6972,12 +7002,12 @@ object ExtensionQueries {
     // exact rerank, regenerated end to end — the per-subspace dots are
     // per-micro quantized BEFORE summing so the candidate cut is integer
     // arithmetic on both engines.
-    "q248_ann_adc_topk" ->
-      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
-              $sqlPqChainCtes,
-              $sqlAdcCtes
-          SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
-          FROM adcfinal ORDER BY query_id, rank""",
+    "q248_ann_adc_topk" -> sqlAdcTopKOracle,
+    // The round-trip contract (q32's rule at index scale): what was
+    // trained+encoded+WRITTEN is what the serving read answers from —
+    // the persisted-index path must be hash-identical to q248's
+    // in-memory pipeline, so it shares q248's oracle verbatim.
+    "q258_ann_index_roundtrip" -> sqlAdcTopKOracle,
     // The grading contract: adcfinal (the SAME generated pipeline as q248)
     // joined against the q185 exact brute-force side — every sampled query
     // appears, zero-recall included.

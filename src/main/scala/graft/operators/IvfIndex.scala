@@ -457,6 +457,89 @@ object IvfIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"), q6(col("sim")).as("sim_q"), col("adc"))
   }
 
+  /** Persist the ADC serving index — the q105/q124 incremental-index rule
+    * applied to ANN: train + encode ONCE, write the artifacts, and every
+    * later serving session queries the stored index without re-training or
+    * re-encoding (at 100 TB the encode pass IS the cost; queries are not).
+    * Layout under `dir`:
+    *
+    *  - `codes/centroid_id=<cell>/…` — the [[adcEncode]] output
+    *    (neighbor_id, codes), PARTITIONED BY the coarse cell: a serving
+    *    read joins the broadcast probe set on the partition column, so
+    *    Spark's dynamic partition pruning visits only the probed cells'
+    *    directories — the on-disk analog of an inverted file's posting
+    *    lists (nprobe/nlist of the index read per query batch, never all
+    *    of it);
+    *  - `centroids/` — the coarse codebook (centroid_id, centroid);
+    *  - `codebooks/` — the PQ codebooks (subspace, centroid_id, centroid).
+    */
+  def saveAdcIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+      dir: String,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
+    adcEncode(corpus, idCol, vecCol, centroids, cbs, m, subDim)
+      .write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(s"$dir/codes")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    cbs.zipWithIndex
+      .flatMap { case (cb, sub) => cb.map { case (cid, cen) => (sub, cid, cen) } }
+      .toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/codebooks")
+  }
+
+  /** Serve [[adcTopK]] from a PERSISTED index ([[saveAdcIndex]] layout):
+    * read back the coarse codebook, the PQ codebooks (tiny — collected to
+    * the driver like every codebook literal), and the partitioned codes
+    * table, then run the identical [[adcSearch]] pipeline. Results are
+    * hash-identical to the in-memory path by construction (same integer
+    * ADC math, same tie rules; floats round-trip parquet exactly) — q258
+    * pins that against q248's oracle.
+    */
+  def adcTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
+    require(candK >= k, s"adcTopKFromIndex: candK ($candK) must be >= k ($k)")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cbRows = spark.read
+      .parquet(s"$dir/codebooks")
+      .orderBy(col("subspace"), col("centroid_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val cbs: IndexedSeq[Seq[(Int, Seq[Float])]] =
+      (0 until m).map(sub => cbRows.filter(_._1 == sub).map(t => (t._2, t._3)).toSeq)
+    require(cbs.forall(_.nonEmpty), s"adcTopKFromIndex: $dir/codebooks is missing subspaces (m=$m)")
+    val encoded = spark.read
+      .parquet(s"$dir/codes")
+      .select(col("neighbor_id"), col("centroid_id"), col("codes"))
+    val probes = adcProbes(queries, idCol, vecCol, centroids, nprobe)
+    val qtables = adcTables(queries, idCol, vecCol, cbs, m, cbs.head.head._2.length)
+    adcSearch(encoded, probes, qtables, corpus, queries, idCol, vecCol, m, candK, k)
+  }
+
   /** The ADC operating curve — the table that turns [[adcTopK]]'s demo
     * constants into a TUNABLE: for each arm (pqNlist, nprobe, candK),
     * recall@k against exact brute force and the candidate volume the arm

@@ -698,6 +698,20 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q258 persisted ANN index: the codes scan is DYNAMICALLY PRUNED to the probed cells") {
+    val p = plan(q("q258_ann_index_roundtrip"))
+    // the on-disk posting-list claim, asserted at the plan level: the codes
+    // table is partitioned by coarse cell and the probe join produces a
+    // dynamic-pruning subquery, so a serving read visits nprobe directories
+    // per query batch — never the whole index
+    assert(p.contains("dynamicpruning"),
+      s"the probed-cell join must dynamically prune the codes partitions:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the persisted index must never shuffle for a join:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(l => !l.contains("embedding") && !l.contains("__nv")),
+      s"vectors must stay out of every exchange on the serving path:\n$p")
+  }
+
   test("q256 pHash near-dup: prefix-bucket equi-join, bytes dropped pre-shuffle") {
     val p = plan(q("q256_phash_neardup"))
     assert(!p.contains("CartesianProduct"), s"the pHash pairing must stay an equi-join:\n$p")
