@@ -779,7 +779,12 @@ object ExtensionQueries {
     * q255 sweep at coarser/finer code sizes under distinct prefixes) so
     * the chain cannot drift from itself.
     */
-  private def sqlPqChainCtesFor(p: String, pqNlist: Int): String = {
+  private def sqlPqChainCtesFor(
+      p: String,
+      pqNlist: Int,
+      trainSrc: String = "embeddings",
+      codeSrc: String = "embeddings",
+  ): String = {
     def cos(va: String, vb: String) =
       s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -803,12 +808,16 @@ object ExtensionQueries {
                                 FROM $p${sub}m$it GROUP BY centroid_id)"""
           }
           .mkString(",\n")
-        s"""$p${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+        // TRAINING slices come from trainSrc; the terminal CODING pass runs
+        // over codeSrc — equal by default, split by the q259 append mirror
+        // (codebooks frozen on the base corpus, every vector coded).
+        s"""$p${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM $trainSrc),
+            $p${sub}cv AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM $codeSrc),
             $p${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
                           FROM (SELECT vec_id, sv FROM $p${sub}v ORDER BY vec_id LIMIT $pqNlist)),
             $rounds,
             $p${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
-                          FROM $p${sub}v a CROSS JOIN $p${sub}c$PqIters b),
+                          FROM $p${sub}cv a CROSS JOIN $p${sub}c$PqIters b),
             $p${sub}out AS (SELECT vec_id, $sub AS subspace, CAST(centroid_id AS INT) AS code
                            FROM (SELECT vec_id, centroid_id,
                                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
@@ -829,13 +838,15 @@ object ExtensionQueries {
     * `adcfinal(query_id, rnk, neighbor_id, sim_q, adc)`. ONE generator
     * feeding both oracles so the pipeline cannot drift from itself.
     */
-  /** The coarse-IVF side shared by every ADC pipeline: first-16 codebook,
-    * posting lists, the RANKED probe relation `aprank` (rn kept, so arms
-    * at any nprobe filter it), and the query sample `aqv`.
+  /** The coarse-IVF side shared by every ADC pipeline: first-16 codebook
+    * (seeded from `trainSrc` — `embeddings` by default, the BASE half for
+    * the q259 append mirror), posting lists over ALL vectors, the RANKED
+    * probe relation `aprank` (rn kept, so arms at any nprobe filter it),
+    * and the query sample `aqv`.
     */
-  private def sqlAdcIvfCtes: String =
+  private def sqlAdcIvfCtesFor(trainSrc: String): String =
     s"""ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
-                 FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+                 FROM (SELECT vec_id, embedding FROM $trainSrc ORDER BY vec_id LIMIT 16)),
         ipsc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
                  FROM embeddings a CROSS JOIN ivfc b),
         aposting AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
@@ -847,6 +858,8 @@ object ExtensionQueries {
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
            FROM ipsc WHERE vec_id % 100 = 0)),
         aqv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0)"""
+
+  private def sqlAdcIvfCtes: String = sqlAdcIvfCtesFor("embeddings")
 
   /** Per-code-size ADC tables over a PQ chain with prefix `chainP`: the
     * pivoted code table `{tp}pqcodes(vec_id, c0..c{m-1})` and the
@@ -3657,6 +3670,27 @@ object ExtensionQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
       IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
         m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Incremental index append (the q105/q124 rule for ANN): index
+    //      built on the BASE half, a new batch appended with the FROZEN
+    //      centroids + codebooks (no retraining — the increment pays only
+    //      its own encode pass), one serving query over the merged index ----
+    "q259_ann_index_append" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc       = emb.filter(col("vec_id") % 2 === 1)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_append").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.appendToAdcIndex(s, dir, inc, "vec_id", "embedding", m = PqM)
       graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       IvfIndex
         .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
@@ -7008,6 +7042,20 @@ object ExtensionQueries {
     // the persisted-index path must be hash-identical to q248's
     // in-memory pipeline, so it shares q248's oracle verbatim.
     "q258_ann_index_roundtrip" -> sqlAdcTopKOracle,
+    // The append contract: training sources (coarse seed + PQ Lloyd) come
+    // from the BASE half only; the coding pass and posting lists cover ALL
+    // vectors — exactly what freeze-codebooks-and-encode-the-increment
+    // produces. Same generators, split train/code sources.
+    "q259_ann_index_append" -> {
+      val baseSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              ${sqlPqChainCtesFor("s", PqNlist, trainSrc = baseSrc, codeSrc = "embeddings")},
+              ${sqlAdcIvfCtesFor(baseSrc)},
+              ${sqlAdcChainTables("", "s")},
+              ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}
+          SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+          FROM adcfinal ORDER BY query_id, rank"""
+    },
     // The grading contract: adcfinal (the SAME generated pipeline as q248)
     // joined against the q185 exact brute-force side — every sampled query
     // appears, zero-recall included.

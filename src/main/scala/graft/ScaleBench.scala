@@ -58,11 +58,11 @@ object ScaleBench {
       .map(_.split(',').map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16, 32))
     // Family subset for targeted re-runs (full run is ~45 min):
-    // comma-separated from {ops, media, cc, stream, rocksdb}; default all.
+    // comma-separated from {ops, media, cc, stream, rocksdb, ann}; default all.
     val families = sys.env
       .get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("ops", "media", "cc", "stream", "rocksdb"))
+      .getOrElse(Set("ops", "media", "cc", "stream", "rocksdb", "ann"))
     val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -175,6 +175,40 @@ object ScaleBench {
         operators.Multimodal.audioFeatures(media).count()
       }
       report("audio_features", f, t9, r9)
+    }
+
+    // --- ANN serving family (q248/q258-shaped): per embeddings tiling,
+    //     (1) single-pass PQ training (pqTrainAll — iters+1 corpus scans
+    //     regardless of m; the cost must scale linearly in corpus rows),
+    //     (2) full index build + persist (train + encode + partitioned
+    //     write — the once-per-corpus cost), and (3) serving a FIXED query
+    //     sample against the growing persisted index (dynamic partition
+    //     pruning reads the probed cells only; expected slope ≈
+    //     nprobe/nlist of a full scan, not 1.0).
+    for (f <- factors if families("ann")) {
+      val emb = spark.read.parquet(s"$tmp/embeddings_$f")
+      val nEmb = emb.count()
+      val (tTrain, _) = time {
+        operators.IvfIndex.pqTrainAll(emb, "vec_id", "embedding", m = 4, subDim = 16, nlist = 8, iters = 2)
+      }
+      report("ann_pq_train_single_pass", f, tTrain, nEmb)
+      val centroids = operators.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      val idxDir = s"$tmp/annidx_$f"
+      val (tBuild, _) = time {
+        operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
+          m = 4, subDim = 16, pqNlist = 8, pqIters = 2, dir = idxDir)
+      }
+      report("ann_index_build_persist", f, tBuild, nEmb)
+      val queries = spark.read
+        .parquet(s"$tmp/embeddings_1")
+        .filter(col("vec_id") % 100 === 0)
+      val (tServe, r3) = time(
+        operators.IvfIndex
+          .adcTopKFromIndex(spark, idxDir, emb, queries, "vec_id", "embedding",
+            m = 4, nprobe = 2, candK = 8, k = 3)
+          .count()
+      )
+      report("ann_index_serve_pruned", f, tServe, r3)
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants

@@ -502,6 +502,53 @@ object IvfIndex {
       .parquet(s"$dir/codebooks")
   }
 
+  /** The PQ codebooks of a persisted index, read back for the driver-side
+    * literal (m × nlist tiny rows — the [[assign]] collect rule).
+    */
+  private def loadCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      m: Int,
+  ): IndexedSeq[Seq[(Int, Seq[Float])]] = {
+    val rows = spark.read
+      .parquet(s"$dir/codebooks")
+      .orderBy(col("subspace"), col("centroid_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val cbs = (0 until m).map(sub => rows.filter(_._1 == sub).map(t => (t._2, t._3)).toSeq)
+    require(cbs.forall(_.nonEmpty), s"loadCodebooks: $dir/codebooks is missing subspaces (m=$m)")
+    cbs
+  }
+
+  /** Append a NEW batch of vectors to a persisted index WITHOUT
+    * retraining — the q105/q124 incremental rule applied to ANN: the
+    * coarse centroids and PQ codebooks are FROZEN artifacts of the base
+    * corpus (retraining per batch would re-encode the world and silently
+    * move every stored code); the increment pays exactly its own
+    * [[adcEncode]] map-only pass and appends into the same
+    * cell-partitioned layout. At 100 TB this is the difference between a
+    * nightly index rebuild and a nightly increment. The drift tripwire
+    * for WHEN the frozen codebooks have gone stale is [[oodCensus]]/
+    * [[adcRecallReport]] over a fresh sample — quantization quality is
+    * graded, not assumed.
+    */
+  def appendToAdcIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+  ): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cbs = loadCodebooks(spark, dir, m)
+    adcEncode(increment, idCol, vecCol, centroids, cbs, m, cbs.head.head._2.length)
+      .write
+      .mode("append")
+      .partitionBy("centroid_id")
+      .parquet(s"$dir/codes")
+  }
+
   /** Serve [[adcTopK]] from a PERSISTED index ([[saveAdcIndex]] layout):
     * read back the coarse codebook, the PQ codebooks (tiny — collected to
     * the driver like every codebook literal), and the partitioned codes
@@ -524,14 +571,7 @@ object IvfIndex {
   ): DataFrame = {
     require(candK >= k, s"adcTopKFromIndex: candK ($candK) must be >= k ($k)")
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val cbRows = spark.read
-      .parquet(s"$dir/codebooks")
-      .orderBy(col("subspace"), col("centroid_id"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
-    val cbs: IndexedSeq[Seq[(Int, Seq[Float])]] =
-      (0 until m).map(sub => cbRows.filter(_._1 == sub).map(t => (t._2, t._3)).toSeq)
-    require(cbs.forall(_.nonEmpty), s"adcTopKFromIndex: $dir/codebooks is missing subspaces (m=$m)")
+    val cbs = loadCodebooks(spark, dir, m)
     val encoded = spark.read
       .parquet(s"$dir/codes")
       .select(col("neighbor_id"), col("centroid_id"), col("codes"))
