@@ -784,11 +784,22 @@ object ExtensionQueries {
       pqNlist: Int,
       trainSrc: String = "embeddings",
       codeSrc: String = "embeddings",
+      metric: String = "cos",
+      seedNonZero: Boolean = false,
   ): String = {
-    def cos(va: String, vb: String) =
+    def cosScore(va: String, vb: String) =
       s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    // l2: max(-||a−b||²) — the PQ-native assignment, same DESC/lowest-id
+    // tie shape as cosine (mirrors IvfIndex.negL2's sequential-double sum).
+    def l2Score(va: String, vb: String) =
+      s"""-(list_sum(list_transform(range(1, len($va)+1),
+            i -> (CAST($va[i] AS DOUBLE) - CAST($vb[i] AS DOUBLE)) * (CAST($va[i] AS DOUBLE) - CAST($vb[i] AS DOUBLE)))))"""
+    def cos(va: String, vb: String) = if (metric == "cos") cosScore(va, vb) else l2Score(va, vb)
+    val seedW =
+      if (!seedNonZero) ""
+      else "WHERE list_sum(list_transform(sv, x -> abs(CAST(x AS DOUBLE)))) > 0"
     val subDim = EmbDim / PqM
     (0 until PqM)
       .map { sub =>
@@ -814,7 +825,7 @@ object ExtensionQueries {
         s"""$p${sub}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM $trainSrc),
             $p${sub}cv AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM $codeSrc),
             $p${sub}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, sv AS cen
-                          FROM (SELECT vec_id, sv FROM $p${sub}v ORDER BY vec_id LIMIT $pqNlist)),
+                          FROM (SELECT vec_id, sv FROM $p${sub}v $seedW ORDER BY vec_id LIMIT $pqNlist)),
             $rounds,
             $p${sub}fs AS (SELECT a.vec_id, b.centroid_id, ${cos("a.sv", "b.cen")} AS sim
                           FROM $p${sub}cv a CROSS JOIN $p${sub}c$PqIters b),
@@ -922,6 +933,62 @@ object ExtensionQueries {
     s"""$sqlAdcIvfCtes,
         ${sqlAdcChainTables("", "s")},
         ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}"""
+
+  /** The residual-ADC mirror (q260/q261): residual table off the coarse
+    * assignment (float-exact: the difference is CAST to FLOAT, which
+    * equals the JVM's binary32 subtraction), the PQ chain trained AND
+    * coded on `rsd`, then the inner-product decomposition
+    * `IP(q, c + r̂) = IP(q, c) + IP(q, r̂)` — `rprobe` carries the
+    * quantized per-probe scalar, [[sqlAdcChainTables]]' `adct` (raw query
+    * subvectors against the RESIDUAL-chain codebooks) provides the
+    * per-query lookups, and `radcf` sums them per candidate. candK cut,
+    * exact rerank on the ORIGINAL vectors. Terminal relation: `rfinal`.
+    */
+  private def sqlAdcResidualCtes: String = {
+    val cuArms = (0 until PqM)
+      .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM rcand")
+      .mkString("\n UNION ALL ")
+    s"""rsd AS (SELECT po.neighbor_id AS vec_id,
+                       list_transform(range(1, $EmbDim + 1),
+                                      i -> CAST(e.embedding[i] - c.embedding[i] AS FLOAT)) AS embedding
+                FROM aposting po
+                JOIN embeddings e ON e.vec_id = po.neighbor_id
+                JOIN ivfc c ON c.centroid_id = po.centroid_id),
+        ${sqlPqChainCtesFor("s", PqNlist, trainSrc = "rsd", codeSrc = "rsd", metric = "l2", seedNonZero = true)},
+        ${sqlAdcChainTables("", "s")},
+        rprobe AS (SELECT pr.query_id, pr.centroid_id,
+                          CAST(floor(list_sum(list_transform(range(1, $EmbDim + 1),
+                                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                               * 1000000 + 0.5) AS BIGINT) AS ipc
+                   FROM aprank pr
+                   JOIN aqv q ON q.vec_id = pr.query_id
+                   JOIN ivfc c ON c.centroid_id = pr.centroid_id
+                   WHERE pr.rn <= $AnnNprobe),
+        rcand AS (SELECT pr.query_id, pr.centroid_id, po.neighbor_id,
+                         ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
+                  FROM aprank pr JOIN aposting po USING (centroid_id)
+                  JOIN pqcodes k2 ON k2.vec_id = po.neighbor_id
+                  WHERE pr.rn <= $AnnNprobe AND pr.query_id <> po.neighbor_id),
+        rcu AS ($cuArms),
+        radcs AS (SELECT query_id, centroid_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS tsum
+                  FROM rcu JOIN adct USING (query_id, subspace, code)
+                  GROUP BY query_id, centroid_id, neighbor_id),
+        radcf AS (SELECT r.query_id, r.neighbor_id, CAST(r.tsum + p.ipc AS BIGINT) AS adc
+                  FROM radcs r JOIN rprobe p USING (query_id, centroid_id)),
+        rsurv AS (SELECT query_id, neighbor_id, adc FROM (
+           SELECT query_id, neighbor_id, adc,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+           FROM radcf) WHERE rn <= $AdcCandK),
+        rrer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
+                 FROM rsurv s
+                 JOIN embeddings a ON a.vec_id = s.query_id
+                 JOIN embeddings b ON b.vec_id = s.neighbor_id),
+        rfinal AS (SELECT query_id, rnk, neighbor_id,
+                          CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
+           SELECT query_id, neighbor_id, adc, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM rrer) WHERE rnk <= $AnnK)"""
+  }
 
   /** The full ADC top-k mirror — ONE definition shared verbatim by q248
     * (in-memory pipeline) and q258 (persisted-index round trip): the
@@ -3675,6 +3742,34 @@ object ExtensionQueries {
         .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
           m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- Residual IVF-PQ ADC (the full FAISS-IVFPQ shape): PQ quantizes
+    //      v − centroid(cell), codes describe the cell-local ball; per-
+    //      probe lookup tables (the residual semantics); exact rerank on
+    //      the originals ----
+    "q260_ann_adc_residual" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .adcTopKResidual(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
+          nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Residual-ADC recall vs brute force at the SAME constants as
+    //      q250 — the grading row that justifies the residual encode ----
+    "q261_ann_residual_recall" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex
+        .adcResidualRecallReport(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
+          nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id")
     }),
 
     // ---- Incremental index append (the q105/q124 rule for ANN): index
@@ -7042,6 +7137,35 @@ object ExtensionQueries {
     // the persisted-index path must be hash-identical to q248's
     // in-memory pipeline, so it shares q248's oracle verbatim.
     "q258_ann_index_roundtrip" -> sqlAdcTopKOracle,
+    // The residual contract: the PQ chain trains AND codes on the residual
+    // table (float-exact subtraction), per-(query, cell) tables, exact
+    // rerank on originals — the generated mirror regenerates all of it.
+    "q260_ann_adc_residual" ->
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              $sqlAdcIvfCtes,
+              $sqlAdcResidualCtes
+          SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+          FROM rfinal ORDER BY query_id, rank""",
+    // The residual grading contract: rfinal joined against the q250 exact
+    // side, every sampled query present, zero-recall included.
+    "q261_ann_residual_recall" ->
+      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+              $sqlAdcIvfCtes,
+              $sqlAdcResidualCtes,
+              escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+                          FROM embeddings a JOIN embeddings b
+                            ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+              exact AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM escored) WHERE rnk <= $AnnK),
+              hits AS (SELECT query_id, COUNT(*) AS n_hit
+                       FROM rfinal JOIN exact USING (query_id, neighbor_id) GROUP BY 1)
+          SELECT q.vec_id AS query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST($AnnK AS DOUBLE) AS recall
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+          LEFT JOIN hits h ON h.query_id = q.vec_id
+          ORDER BY query_id""",
     // The append contract: training sources (coarse seed + PQ Lloyd) come
     // from the BASE half only; the coding pass and posting lists cover ALL
     // vectors — exactly what freeze-codebooks-and-encode-the-increment

@@ -172,6 +172,18 @@ object IvfIndex {
     * does), same per-(centroid, pos) mean → float cast. Verified by the
     * q248/q250 oracle hashes, which pin the whole downstream pipeline.
     */
+  /** Negative squared L2 distance (sequential-double sum, the mirror's
+    * order) — the PQ-native assignment score ([[pqTrainAll]] `metric =
+    * "l2"`): max(-||a−b||²) = argmin distance, and the tie rule stays
+    * "max score, lowest id" in the same struct-max shape as cosine.
+    */
+  private def negL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v,
+    ) * lit(-1.0)
+
   private[graft] def pqTrainAll(
       corpus: DataFrame,
       idCol: String,
@@ -180,8 +192,12 @@ object IvfIndex {
       subDim: Int,
       nlist: Int,
       iters: Int,
+      metric: String = "cos",
+      seedNonZero: Boolean = false,
   ): IndexedSeq[Seq[(Int, Seq[Float])]] = {
     require(m >= 1 && subDim >= 1 && nlist >= 1 && iters >= 0, "pqTrainAll: all sizes must be positive")
+    require(metric == "cos" || metric == "l2", s"pqTrainAll: metric must be cos|l2: $metric")
+    def score(a: Column, b: Column): Column = if (metric == "cos") cos(a, b) else negL2(a, b)
     val sliced = corpus
       .select(
         col(idCol).as("__id"),
@@ -194,9 +210,17 @@ object IvfIndex {
       val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
       (0 until m).map(sub => rows.filter(_._1 == sub).sortBy(_._2).map(t => (t._2, t._3)).toSeq)
     }
+    // seedNonZero skips zero slices when seeding: a RESIDUAL corpus has
+    // identically-zero rows for every vector that IS a coarse centroid
+    // (v − c = 0), and an all-zero seed set is degenerate — every score
+    // ties, Lloyd assigns everything to centroid 0 and the codebook
+    // collapses to one entry (measured: recall → 0).
+    val seedPool =
+      if (!seedNonZero) sliced
+      else sliced.filter(aggregate(col("sv"), lit(0.0), (acc, x) => acc + abs(x.cast("double"))) > 0)
     val wseed = Window.partitionBy(col("sub")).orderBy(col("__id"))
     var cbs = collectCodebooks(
-      sliced
+      seedPool
         .withColumn("rn", row_number().over(wseed))
         .filter(col("rn") <= nlist)
         .select(col("sub"), (col("rn") - 1).cast("int").as("centroid_id"), col("sv"))
@@ -206,7 +230,7 @@ object IvfIndex {
       // its OWN subspace's entries via element_at — the assign argmax rule.
       val myCb = element_at(typedLit(cbs.map(_.toIndexedSeq).toIndexedSeq), col("sub") + 1)
       val best = array_max(
-        transform(myCb, c => struct(cos(col("sv"), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
+        transform(myCb, c => struct(score(col("sv"), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
       )
       cbs = collectCodebooks(
         sliced
@@ -434,9 +458,23 @@ object IvfIndex {
       m: Int,
       candK: Int,
       k: Int,
+  ): DataFrame =
+    adcCutAndRerank(adcScored(encoded, probes, qtables, m), corpus, queries, idCol, vecCol, candK, k)
+
+  /** candK cut + exact rerank over an ADC-scored candidate set — shared by
+    * the plain ([[adcSearch]]) and residual ([[adcTopKResidual]]) pipelines.
+    */
+  private def adcCutAndRerank(
+      scored: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candK: Int,
+      k: Int,
   ): DataFrame = {
     val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
-    val survivors = adcScored(encoded, probes, qtables, m)
+    val survivors = scored
       .withColumn("arank", row_number().over(wadc))
       .filter(col("arank") <= candK)
       .select(col("query_id"), col("neighbor_id"), col("adc"))
@@ -666,6 +704,149 @@ object IvfIndex {
       }
     }
     perArm.reduce(_ unionAll _)
+  }
+
+  /** IVF-PQ ADC search on RESIDUALS — the full FAISS-IVFPQ shape
+    * (Jégou et al. 2011 §IV): PQ quantizes `r = v − centroid(cell)`
+    * instead of `v` itself. Residuals concentrate around the origin, so
+    * the same `m × log2(nlist)` bits describe a much smaller ball —
+    * the code budget buys resolution where the cell's vectors actually
+    * live (q261 grades the gain against [[adcTopK]] at identical
+    * constants).
+    *
+    * Scoring uses the inner-product decomposition
+    * `IP(q, c + r̂) = IP(q, c) + IP(q, r̂)`: the candidate's reconstructed
+    * similarity splits into a per-PROBE scalar (the query against the
+    * cell centroid — one quantized long per probe row, constant across
+    * that cell's candidates) plus per-QUERY table lookups (the query's
+    * raw subvectors against the RESIDUAL codebooks — so the r13
+    * "broadcast tables once per query" layout still applies). Getting
+    * this decomposition right matters: scoring `IP(q−c, v−c)` instead —
+    * the superficially symmetric choice — is NOT monotone with
+    * `IP(q, v)` (it differs by an `IP(c, v)` term that varies per
+    * candidate) and measured recall collapses to zero.
+    *
+    * Plan differences vs [[adcTopK]], both semantic, not accidental:
+    *
+    *  - **corpus**: cell assignment and residual happen in ONE projection
+    *    (the cell is known when the residual is computed — no re-assign);
+    *    PQ codebooks train on the residual table ([[pqTrainAll]], same
+    *    iters+1 scan bound); codes come from residual slices. Vectors and
+    *    residuals are both dropped at the encode boundary.
+    *  - **queries**: probes carry the quantized `IP(q, c)` scalar; the
+    *    tables stay one row per query.
+    *
+    * Residual arithmetic is float-exact cross-engine: `v − c` rounds to
+    * binary32 identically on the JVM and in the mirror (which casts the
+    * difference to FLOAT before the double-precision dot).
+    */
+  def adcTopKResidual(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
+    require(m >= 1 && subDim >= 1 && pqNlist >= 1 && pqIters >= 0, "adcTopKResidual: all sizes must be positive")
+    require(candK >= k, s"adcTopKResidual: candK ($candK) must be >= k ($k)")
+    val cents = Lineage
+      .truncate(centroids)
+      .orderBy(col("centroid_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    require(
+      cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "adcTopKResidual: centroid ids must be contiguous 0..n-1 (the residual literal indexes by id)",
+    )
+    val cvecs = typedLit(cents.map(_._2).toIndexedSeq)
+    def residual(vec: Column, cellId: Column): Column =
+      zip_with(vec, element_at(cvecs, cellId + 1), (a, b) => a - b)
+    val rsd = assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"), residual(col(vecCol), col("centroid_id")).as("__rv"))
+    // Residual PQ is an L2 quantizer (Jégou et al. §IV — reconstruction
+    // error, not direction, is what ADC sums), with zero-slice seeds
+    // skipped: every vector that IS a coarse centroid has residual 0.
+    val cbs =
+      pqTrainAll(rsd.select(col(idCol), col("__rv")), idCol, "__rv", m, subDim, pqNlist, pqIters,
+        metric = "l2", seedNonZero = true)
+    val codeExprs: Seq[Column] = (0 until m).map { sub =>
+      val sv = slice(col("__rv"), sub * subDim + 1, subDim)
+      val best = array_max(
+        transform(
+          typedLit(cbs(sub)),
+          c => struct(negL2(sv, c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")),
+        )
+      )
+      (-best.getField("negid")).cast("int")
+    }
+    val encoded = rsd.select(col(idCol).as("neighbor_id"), col("centroid_id"), array(codeExprs: _*).as("codes"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(cos(col("qvec"), col("centroid")).desc, col("centroid_id"))
+    // Probes carry the per-cell scalar IP(q, c); tables stay one row per
+    // query (raw query subvectors vs the RESIDUAL codebooks).
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), q6(dot(col("qvec"), col("centroid"))).as("ipc"))
+    val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+    val adcExpr = aggregate(
+      sequence(lit(0), lit(m - 1)),
+      col("ipc"),
+      (acc, s) => acc + element_at(element_at(col("tables"), s + 1), element_at(col("codes"), s + 1) + 1),
+    )
+    val scored = encoded
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtables), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
+    adcCutAndRerank(scored, corpus, queries, idCol, vecCol, candK, k)
+  }
+
+  /** Recall@k of [[adcTopKResidual]] against exact brute force — the
+    * grading row that justifies the residual encode: compared with q250's
+    * plain-ADC recall at IDENTICAL constants, the residual codes must buy
+    * recall or they aren't worth the per-probe table cost.
+    */
+  def adcResidualRecallReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
+    val exact = Similarity
+      .bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx =
+      adcTopKResidual(corpus, queries, idCol, vecCol, centroids, m, subDim, pqNlist, pqIters, nprobe, candK, k)
+        .select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries
+      .select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"),
+      )
   }
 
   /** Recall@k of [[adcTopK]] against exact brute force — the q185
