@@ -1001,6 +1001,21 @@ object ExtensionQueries {
         SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
         FROM adcfinal ORDER BY query_id, rank"""
 
+  /** The frozen-codebook append mirror — ONE definition shared verbatim
+    * by q259 (batch append) and q262 (streaming microbatch ingest): both
+    * must land the persisted index in the identical state.
+    */
+  private def sqlAdcAppendOracle: String = {
+    val baseSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            ${sqlPqChainCtesFor("s", PqNlist, trainSrc = baseSrc, codeSrc = "embeddings")},
+            ${sqlAdcIvfCtesFor(baseSrc)},
+            ${sqlAdcChainTables("", "s")},
+            ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+        FROM adcfinal ORDER BY query_id, rank"""
+  }
+
   /** The q66/q251 batch-sessionization mirror: ONE definition for the heap
     * and RocksDB state-store runs, so a provider-dependent divergence can
     * only surface as a hash mismatch, never as drift between two mirrors.
@@ -3737,6 +3752,29 @@ object ExtensionQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
       IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
         m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Continuous index ingest: the increment arrives as a STREAM,
+    //      each microbatch encodes with the persisted index's frozen
+    //      centroids + codebooks and appends posting-list partitions
+    //      (foreachBatch + batch lake writer — a streaming file sink's
+    //      _spark_metadata would shadow the base index); serving result
+    //      must be hash-identical to q259's batch append ----
+    "q262_stream_index_ingest" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc       = emb.filter(col("vec_id") % 2 === 1)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      EventStream.indexIngestOneShot(s, inc, dir, "vec_id", "embedding", m = PqM, "graft_q262")
       graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       IvfIndex
         .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
@@ -7170,16 +7208,11 @@ object ExtensionQueries {
     // from the BASE half only; the coding pass and posting lists cover ALL
     // vectors — exactly what freeze-codebooks-and-encode-the-increment
     // produces. Same generators, split train/code sources.
-    "q259_ann_index_append" -> {
-      val baseSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
-      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
-              ${sqlPqChainCtesFor("s", PqNlist, trainSrc = baseSrc, codeSrc = "embeddings")},
-              ${sqlAdcIvfCtesFor(baseSrc)},
-              ${sqlAdcChainTables("", "s")},
-              ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}
-          SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
-          FROM adcfinal ORDER BY query_id, rank"""
-    },
+    "q259_ann_index_append" -> sqlAdcAppendOracle,
+    // The streaming-ingest contract: the microbatch encode with frozen
+    // artifacts must land the index in the SAME state as the batch append
+    // — q262 shares q259's oracle verbatim.
+    "q262_stream_index_ingest" -> sqlAdcAppendOracle,
     // The grading contract: adcfinal (the SAME generated pipeline as q248)
     // joined against the q185 exact brute-force side — every sampled query
     // appears, zero-recall included.

@@ -929,6 +929,39 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Continuous ANN index ingest — the streaming half of the
+    * [[graft.operators.IvfIndex.appendToAdcIndex]] workflow: new vectors
+    * arrive on a stream and each microbatch encodes them with the
+    * persisted index's FROZEN centroids + codebooks (a map-only pass —
+    * no state, no watermark) and appends posting-list partitions via
+    * `foreachBatch` + the BATCH lake writer. foreachBatch (not a
+    * streaming file sink) is deliberate: a streaming parquet sink plants
+    * a `_spark_metadata` log at the path root, and a later batch read of
+    * the codes table would then see ONLY the log's files — silently
+    * dropping the base index. The batch-appended layout keeps the q258
+    * dynamic-partition-pruned serving read working unchanged, and the
+    * result is hash-identical to the batch append (q262 shares q259's
+    * oracle verbatim).
+    */
+  def indexIngestOneShot(
+      spark: SparkSession,
+      increment: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      queryName: String,
+  ): Unit = {
+    val stream = spark.readStream.schema(increment.schema).parquet(writeTemp(increment, queryName))
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.IvfIndex.appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def statelessOneShot(
       spark: SparkSession,
       df: DataFrame,
