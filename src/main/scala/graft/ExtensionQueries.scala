@@ -944,19 +944,21 @@ object ExtensionQueries {
     * per-query lookups, and `radcf` sums them per candidate. candK cut,
     * exact rerank on the ORIGINAL vectors. Terminal relation: `rfinal`.
     */
-  private def sqlAdcResidualCtes: String = {
+  private def sqlAdcResidualCtes: String = sqlAdcResidualCtesFor("s", "")
+
+  private def sqlAdcResidualCtesFor(chainP: String, tp: String): String = {
     val cuArms = (0 until PqM)
-      .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM rcand")
+      .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM ${tp}rcand")
       .mkString("\n UNION ALL ")
-    s"""rsd AS (SELECT po.neighbor_id AS vec_id,
+    s"""${tp}rsd AS (SELECT po.neighbor_id AS vec_id,
                        list_transform(range(1, $EmbDim + 1),
                                       i -> CAST(e.embedding[i] - c.embedding[i] AS FLOAT)) AS embedding
                 FROM aposting po
                 JOIN embeddings e ON e.vec_id = po.neighbor_id
                 JOIN ivfc c ON c.centroid_id = po.centroid_id),
-        ${sqlPqChainCtesFor("s", PqNlist, trainSrc = "rsd", codeSrc = "rsd", metric = "l2", seedNonZero = true)},
-        ${sqlAdcChainTables("", "s")},
-        rprobe AS (SELECT pr.query_id, pr.centroid_id,
+        ${sqlPqChainCtesFor(chainP, PqNlist, trainSrc = s"${tp}rsd", codeSrc = s"${tp}rsd", metric = "l2", seedNonZero = true)},
+        ${sqlAdcChainTables(tp, chainP)},
+        ${tp}rprobe AS (SELECT pr.query_id, pr.centroid_id,
                           CAST(floor(list_sum(list_transform(range(1, $EmbDim + 1),
                                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                                * 1000000 + 0.5) AS BIGINT) AS ipc
@@ -964,30 +966,30 @@ object ExtensionQueries {
                    JOIN aqv q ON q.vec_id = pr.query_id
                    JOIN ivfc c ON c.centroid_id = pr.centroid_id
                    WHERE pr.rn <= $AnnNprobe),
-        rcand AS (SELECT pr.query_id, pr.centroid_id, po.neighbor_id,
+        ${tp}rcand AS (SELECT pr.query_id, pr.centroid_id, po.neighbor_id,
                          ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
                   FROM aprank pr JOIN aposting po USING (centroid_id)
-                  JOIN pqcodes k2 ON k2.vec_id = po.neighbor_id
+                  JOIN ${tp}pqcodes k2 ON k2.vec_id = po.neighbor_id
                   WHERE pr.rn <= $AnnNprobe AND pr.query_id <> po.neighbor_id),
-        rcu AS ($cuArms),
-        radcs AS (SELECT query_id, centroid_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS tsum
-                  FROM rcu JOIN adct USING (query_id, subspace, code)
+        ${tp}rcu AS ($cuArms),
+        ${tp}radcs AS (SELECT query_id, centroid_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS tsum
+                  FROM ${tp}rcu JOIN ${tp}adct USING (query_id, subspace, code)
                   GROUP BY query_id, centroid_id, neighbor_id),
-        radcf AS (SELECT r.query_id, r.neighbor_id, CAST(r.tsum + p.ipc AS BIGINT) AS adc
-                  FROM radcs r JOIN rprobe p USING (query_id, centroid_id)),
-        rsurv AS (SELECT query_id, neighbor_id, adc FROM (
+        ${tp}radcf AS (SELECT r.query_id, r.neighbor_id, CAST(r.tsum + p.ipc AS BIGINT) AS adc
+                  FROM ${tp}radcs r JOIN ${tp}rprobe p USING (query_id, centroid_id)),
+        ${tp}rsurv AS (SELECT query_id, neighbor_id, adc FROM (
            SELECT query_id, neighbor_id, adc,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
-           FROM radcf) WHERE rn <= $AdcCandK),
-        rrer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
-                 FROM rsurv s
+           FROM ${tp}radcf) WHERE rn <= $AdcCandK),
+        ${tp}rrer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
+                 FROM ${tp}rsurv s
                  JOIN embeddings a ON a.vec_id = s.query_id
                  JOIN embeddings b ON b.vec_id = s.neighbor_id),
-        rfinal AS (SELECT query_id, rnk, neighbor_id,
+        ${tp}rfinal AS (SELECT query_id, rnk, neighbor_id,
                           CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
            SELECT query_id, neighbor_id, adc, sim,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-           FROM rrer) WHERE rnk <= $AnnK)"""
+           FROM ${tp}rrer) WHERE rnk <= $AnnK)"""
   }
 
   /** The full ADC top-k mirror — ONE definition shared verbatim by q248
@@ -3853,10 +3855,46 @@ object ExtensionQueries {
       val emb       = t(s, d, "embeddings")
       val queriesDf = emb.filter(col("vec_id") % 100 === 0)
       val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
-      IvfIndex
+      val plain = IvfIndex
         .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
           m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK)
-        .orderBy("pq_nlist", "nprobe", "cand_k")
+        .withColumn("variant", lit("plain"))
+      // The residual arm at the center point: SAME candidate volume (same
+      // coarse probes and posting lists), the resolution bought by the
+      // residual encode instead of more bits — the knee's cheapest lever.
+      val residual = {
+        val topk = IvfIndex
+          .adcTopKResidual(emb, queriesDf, "vec_id", "embedding", centroids,
+            m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
+            nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity
+          .bruteForceTopK(emb, queriesDf, "vec_id", "embedding", AnnK)
+          .select(col("query_id"), col("neighbor_id"))
+        val nHit = topk.join(exact, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hit"))
+        val nCand = IvfIndex
+          .assign(emb, centroids, "vec_id", "embedding")
+          .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+          .join(
+            broadcast(IvfIndex.adcProbes(queriesDf, "vec_id", "embedding", centroids, AnnNprobe)),
+            Seq("centroid_id"),
+          )
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        val nq = queriesDf.count()
+        nCand
+          .crossJoin(nHit)
+          .select(
+            lit(PqNlist).cast("int").as("pq_nlist"),
+            lit(AnnNprobe).cast("int").as("nprobe"),
+            lit(AdcCandK).cast("int").as("cand_k"),
+            col("n_cand"),
+            col("n_hit"),
+            expr(s"n_hit * 1000 div (${nq}L * ${AnnK}L)").as("recall_milli"),
+            lit("residual").as("variant"),
+          )
+      }
+      plain.unionAll(residual).orderBy("pq_nlist", "nprobe", "cand_k", "variant")
     }),
 
     // ---- DCT pHash near-dup under lossy re-encode: per doc an original
@@ -7255,9 +7293,17 @@ object ExtensionQueries {
           s"""SELECT CAST($nl AS INT) AS pq_nlist, CAST($np AS INT) AS nprobe, CAST($ck AS INT) AS cand_k,
                    CAST((SELECT COUNT(*) FROM ${a}cand) AS BIGINT) AS n_cand,
                    CAST((SELECT COUNT(*) FROM ${a}final f JOIN exact e
-                         ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit"""
+                         ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
+                   'plain' AS variant"""
         }
         .mkString("\n UNION ALL ")
+      val residualRow =
+        s"""SELECT CAST($PqNlist AS INT) AS pq_nlist, CAST($AnnNprobe AS INT) AS nprobe,
+                   CAST($AdcCandK AS INT) AS cand_k,
+                   CAST((SELECT COUNT(*) FROM rrcand) AS BIGINT) AS n_cand,
+                   CAST((SELECT COUNT(*) FROM rrfinal f JOIN exact e
+                         ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
+                   'residual' AS variant"""
       s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
               ${sqlPqChainCtesFor("s", PqNlist)},
               ${sqlPqChainCtesFor("t", 4)},
@@ -7266,6 +7312,7 @@ object ExtensionQueries {
               ${sqlAdcChainTables("", "s")},
               ${sqlAdcChainTables("t", "t")},
               ${sqlAdcChainTables("u", "u")},
+              ${sqlAdcResidualCtesFor("r", "r")},
               $armCtes,
               escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
                           FROM embeddings a JOIN embeddings b
@@ -7274,10 +7321,13 @@ object ExtensionQueries {
                  SELECT query_id, neighbor_id,
                         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
                  FROM escored) WHERE rnk <= $AnnK),
-              armrows AS ($rows)
+              armrows AS ($rows
+                 UNION ALL
+                 $residualRow)
           SELECT pq_nlist, nprobe, cand_k, n_cand, n_hit,
-                 CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli
-          FROM armrows ORDER BY pq_nlist, nprobe, cand_k"""
+                 CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli,
+                 variant
+          FROM armrows ORDER BY pq_nlist, nprobe, cand_k, variant"""
     },
     // The pHash contract: both hashes regenerated from the closed form
     // (block pixels + deterministic re-encode noise, integer DCT through
