@@ -1144,10 +1144,16 @@ object Multimodal {
     *    collapse → Hamming merge → CC → longest clip survives).
     *
     * The sniff is pure column arithmetic (`hex(substring(content, …))`
-    * equality — codegen'd, no UDF), and the input plan is checkpointed
-    * ONCE so the three modality filters re-read the materialized corpus
-    * instead of re-running the upstream synthesis/scan three times.
-    * Payloads unmatched by every sniff (corrupt uploads) are dropped by
+    * equality — codegen'd, no UDF). `materializeInput` picks who pays for
+    * the three modality branches reading the corpus: `true` (default)
+    * checkpoints the input plan ONCE so the branches re-read the
+    * materialized corpus — right when the input is COMPUTED (a synthesis,
+    * an upstream decode, a join); `false` lets each branch re-scan the
+    * source — right when the input is a raw lake scan, where three reads
+    * of immutable parquet are cheaper than first writing a corpus-sized
+    * copy to checkpoint storage (at 100 TB the checkpoint write IS the
+    * cost; the sniff can't push down, so the reads cost the same either
+    * way). Payloads unmatched by every sniff (corrupt uploads) are dropped by
     * construction — they match no filter. Output:
     * (modality, cluster_id, rep_media_id, rep_size, n_members, n_dropped)
     * where rep_size is pixels / frames / samples by modality. Each
@@ -1165,10 +1171,11 @@ object Multimodal {
       maxDist: Int = 3,
       minShared: Int = 2,
       maxVideosPerSig: Int = 8,
+      materializeInput: Boolean = true,
   ): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val mat = Lineage.truncate(media.toDF()).as[MediaRecord]
+    val mat = if (materializeInput) Lineage.truncate(media.toDF()).as[MediaRecord] else media
     val isPng  = hex(substring(col("content"), 1, 8)) === lit("89504E470D0A1A0A")
     val isRiff = hex(substring(col("content"), 1, 4)) === lit("52494646")
     val isAvi  = isRiff && hex(substring(col("content"), 9, 4)) === lit("41564920")

@@ -540,6 +540,51 @@ class ExtensionSpec extends SparkSpec {
     assert(pq4.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
   }
 
+  test("pqTrainAll: the single-pass trainer is VALUE-identical to per-subspace train") {
+    // the refactor contract behind the iters+1 scan bound (q248/q250 pin it
+    // through the oracle; this pins it directly, codebook by codebook)
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val single = IvfIndex.pqTrainAll(emb, "vec_id", "embedding", m = 4, subDim = 16, nlist = 8, iters = 2)
+    val perSub = (0 until 4).map { sub =>
+      IvfIndex
+        .train(
+          emb.select(col("vec_id"), slice(col("embedding"), sub * 16 + 1, 16).as("__sv")),
+          "vec_id", "__sv", nlist = 8, iters = 2,
+        )
+        .orderBy(col("centroid_id"))
+        .as[(Int, Seq[Float])]
+        .collect()
+        .toSeq
+    }
+    assert(single == perSub, "single-pass and per-subspace Lloyd must agree exactly")
+  }
+
+  test("appendToAdcIndex: two frozen-codebook appends equal one encode of the union") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val a = emb.filter(col("vec_id") % 3 === 0)
+    val b = emb.filter(col("vec_id") % 3 === 1)
+    val c = emb.filter(col("vec_id") % 3 === 2)
+    val centroids = IvfIndex.train(a, "vec_id", "embedding", nlist = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_spec").toString
+    IvfIndex.saveAdcIndex(a, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.appendToAdcIndex(spark, dir, b, "vec_id", "embedding", m = 4)
+    IvfIndex.appendToAdcIndex(spark, dir, c, "vec_id", "embedding", m = 4)
+    val stored = spark.read.parquet(s"$dir/codes")
+      .select(col("neighbor_id"), col("centroid_id"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    // expected: one encode pass over the union with the SAME frozen artifacts
+    val cbs = IvfIndex.pqTrainAll(a, "vec_id", "embedding", m = 4, subDim = 16, nlist = 4, iters = 1)
+    val expected = IvfIndex
+      .adcEncode(emb, "vec_id", "embedding", centroids, cbs, m = 4, subDim = 16)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(stored == expected, "incremental appends must land the exact union encode")
+    assert(stored.size == emb.count(), "every vector present exactly once")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("Winnow.overlapPairs: common-fingerprint drop suppresses ubiquitous grams") {
     // Every doc shares the same text -> every fingerprint is in all 4 docs;
     // with maxDocsPerFp = 3 nothing survives, with 4 all pairs match.

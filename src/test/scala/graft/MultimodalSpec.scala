@@ -424,6 +424,54 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3) == Multimodal.AudioFingerprintRow(4L, -1L, -1L, -1L), "total on garbage")
   }
 
+  test("mediaDedupMixed: sniff routes by BYTES (labels lie), garbage dropped, equals the per-family union") {
+    import graft.operators.Multimodal.MediaRecord
+    val docs = spark.range(0, 9).toDF("doc_id")
+    val base = docs.withColumn("cid", col("doc_id") - col("doc_id") % 3)
+    // every media_type label is WRONG on purpose — the router must believe
+    // the magic bytes, not the column a lying intake wrote
+    val imgs = Multimodal
+      .synthesizePng(base, "doc_id", contentIdCol = Some("cid"))
+      .map(m => m.copy(media_id = m.media_id * 4, media_type = "video"))
+    val vids = Multimodal
+      .synthesizeMjpegAvi(docs, "doc_id")
+      .map(m => m.copy(media_id = m.media_id * 4 + 1, media_type = "audio"))
+    val auds = Multimodal
+      .synthesizeWav(docs, "doc_id")
+      .map(m => m.copy(media_id = m.media_id * 4 + 2, media_type = "image"))
+    val junk = Seq(MediaRecord(999L, "image", Array.tabulate(64)(i => (i * 7).toByte), "s")).toDS()
+    val all = imgs.union(vids).union(auds).union(junk)
+    def rows(df: org.apache.spark.sql.DataFrame, modality: String, repCol: String) =
+      df.select(
+        lit(modality),
+        col("cluster_id"),
+        col("rep_media_id"),
+        col(repCol).cast("long"),
+        col("n_members").cast("long"),
+        col("n_dropped").cast("long"),
+      ).as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val expected =
+      rows(Multimodal.imageDedupKeepBest(imgs, 12, 3), "image", "rep_pixels") ++
+        rows(Multimodal.videoDedupKeepBest(vids, 2, 8), "video", "rep_frames") ++
+        rows(Multimodal.audioDedupKeepBest(auds, 12, 3), "audio", "rep_samples")
+    // materializeInput = false also exercises the re-scan branch
+    val mixed = Multimodal
+      .mediaDedupMixed(all, materializeInput = false)
+      .select(
+        col("modality"),
+        col("cluster_id"),
+        col("rep_media_id"),
+        col("rep_size"),
+        col("n_members").cast("long"),
+        col("n_dropped").cast("long"),
+      ).as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(mixed == expected, s"mixed output must equal the per-family union:\n$mixed\nvs\n$expected")
+    // the exact-dup image groups guarantee the image branch is non-trivial,
+    // audio keeps singletons, and the junk payload matched no sniff
+    assert(expected.exists(_._1 == "image") && expected.exists(_._1 == "audio"))
+    assert(!mixed.exists(_._3 == 999L), "garbage must be dropped by construction")
+  }
+
   test("pHashBits: DC slot empty, brightness-shift stability, structure sensitivity") {
     // block image (the q256 fixture shape) and its uniformly brightened twin
     def block(shift: Int): java.awt.image.BufferedImage = {
