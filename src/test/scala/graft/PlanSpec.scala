@@ -698,6 +698,17 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q260 residual ADC: vectors and residuals never reach an exchange; corpus never repartitions") {
+    val p = plan(q("q260_ann_adc_residual"))
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian surface:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("query_id")),
+      s"every shuffle must be the query-keyed top-k, never the corpus:\n$p")
+    assert(ex.forall(l => !l.contains("embedding") && !l.contains("__rv") && !l.contains("__nv")),
+      s"neither vectors nor residuals may reach an exchange — ADC scores codes only:\n$p")
+  }
+
   test("q258 persisted ANN index: the codes scan is DYNAMICALLY PRUNED to the probed cells") {
     val p = plan(q("q258_ann_index_roundtrip"))
     // the on-disk posting-list claim, asserted at the plan level: the codes
