@@ -935,7 +935,15 @@ object Multimodal {
       }
       y += 1
     }
-    val g = Array.tabulate(8, 8)((cy, cx) => cellSum(cy * 8 + cx) / cellCnt(cy * 8 + cx))
+    // An image narrower/shorter than 8 px leaves pool cells EMPTY (the
+    // `y*8/h` map skips grid rows) — treat an empty cell's mean as 0 so
+    // the hash stays TOTAL (a 1×1 tracking pixel must not throw and kill
+    // the corpus scan; aHashBits is total for the same inputs via its
+    // cross-multiply, which never divides).
+    val g = Array.tabulate(8, 8) { (cy, cx) =>
+      val c = cy * 8 + cx
+      if (cellCnt(c) == 0) 0L else cellSum(c) / cellCnt(c)
+    }
     // separable DCT-II: rows (over cx) then columns (over cy)
     val r = Array.tabulate(8, 8) { (kx, cy) =>
       var s = 0L; var cx = 0

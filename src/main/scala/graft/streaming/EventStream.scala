@@ -889,13 +889,32 @@ object EventStream {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length())
       .sum
+    // Spark's EFFECTIVE max split is NOT maxPartitionBytes alone: the file
+    // source (FilePartition.maxSplitBytes) takes
+    // min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)) where
+    // bytesPerCore = (Σ file bytes + openCost per file) / minPartitionNum —
+    // a file between openCost (4 MB default) and maxPartitionBytes (128 MB)
+    // still splits across cores. Guarding only against maxPartitionBytes
+    // would pass such a file and silently break the min-(ts,id) survivor
+    // contract; mirror the real formula instead.
     val maxSplit = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    val openCost = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    val minPartitionNum = spark.conf
+      .getOption("spark.sql.files.minPartitionNum")
+      .map(_.toLong)
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+      .max(1L)
+    val bytesPerCore = (fileBytes + openCost) / minPartitionNum
+    val effectiveSplit = math.min(maxSplit, math.max(openCost, bytesPerCore))
     require(
-      fileBytes <= maxSplit,
-      s"imageDedupOneShot: temp corpus is $fileBytes bytes > spark.sql.files.maxPartitionBytes=$maxSplit — " +
+      fileBytes <= effectiveSplit,
+      s"imageDedupOneShot: temp corpus is $fileBytes bytes > the effective max split $effectiveSplit " +
+        s"(min(maxPartitionBytes=$maxSplit, max(openCostInBytes=$openCost, bytesPerCore=$bytesPerCore))) — " +
         "the source would split into multiple partitions and the first-arrived (min-(ts,id)) survivor " +
-        "becomes nondeterministic. Raise maxPartitionBytes for the one-shot run or shrink the batch.",
+        "becomes nondeterministic. Raise maxPartitionBytes AND openCostInBytes (or minPartitionNum=1) " +
+        "for the one-shot run, or shrink the batch.",
     )
     val stream = spark.readStream
       .schema(ordered.schema)
@@ -942,6 +961,19 @@ object EventStream {
     * dynamic-partition-pruned serving read working unchanged, and the
     * result is hash-identical to the batch append (q262 shares q259's
     * oracle verbatim).
+    *
+    * Delivery is AT-LEAST-ONCE, stated plainly: `foreachBatch` +
+    * `mode("append")` is not transactional, so a microbatch that fails
+    * AFTER its parquet append but BEFORE the checkpoint commit is replayed
+    * on restart and its code rows land TWICE in the served posting lists
+    * (a duplicate neighbor shows twice in top-k until k pushes it out).
+    * The one-shot harness never restarts, so the caveat is moot here; for
+    * real continuous ingest pass `checkpointDir` (restartability needs a
+    * DURABLE checkpoint — the default is a temp one that dies with the
+    * session) and make the append idempotent downstream: either write each
+    * batch under a `batch_id=<id>` subdir and let a replay OVERWRITE its
+    * own subdir, or dedupe by `neighbor_id` at serving/compaction time
+    * (the q265 compaction pass is the natural place).
     */
   def indexIngestOneShot(
       spark: SparkSession,
@@ -951,14 +983,15 @@ object EventStream {
       vecCol: String,
       m: Int,
       queryName: String,
+      checkpointDir: Option[String] = None,
   ): Unit = {
     val stream = spark.readStream.schema(increment.schema).parquet(writeTemp(increment, queryName))
-    val q = stream.writeStream
+    val writer = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.IvfIndex.appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
     q.awaitTermination()
   }
 

@@ -501,6 +501,32 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(Multimodal.pHashBits(inv) ^ p) > 16, "inversion must be far")
   }
 
+  test("pHashBits is total on sub-8px images (empty pool cells answer mean 0, no throw)") {
+    // 1×1 tracking pixels and other sub-8px images leave most 8×8 pool
+    // cells EMPTY — real corpora are full of them, and the hash pass is
+    // documented total (the aHashBits contract). A divide on an empty cell
+    // would kill the whole corpus scan.
+    def tiny(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, ((x + y) % 2) * 0xffffff)
+      img
+    }
+    for ((w, h) <- Seq((1, 1), (3, 5), (7, 8), (8, 3))) {
+      val p1 = Multimodal.pHashBits(tiny(w, h))
+      assert(p1 == Multimodal.pHashBits(tiny(w, h)), s"${w}x$h: hash must be deterministic")
+      assert((p1 & (1L << 63)) == 0L, s"${w}x$h: DC slot must stay empty")
+    }
+    // the distributed path stays total too: a 1×1 PNG flows through
+    // imagePHash without a sentinel (it decodes fine — it is just small)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny(1, 1), "png", bos)
+    val media = spark.createDataset(
+      Seq(Multimodal.MediaRecord(1L, "image", bos.toByteArray, "spec"))
+    )(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val row = Multimodal.imagePHash(media).collect().head
+    assert(row.phash_hi >= 0 && row.ahash_hi >= 0, "a decodable 1x1 image must hash, not sentinel")
+  }
+
   test("pHash pairs a REAL lossy JPEG re-encode that exact aHash misses (the q256 ground truth)") {
     // The oracled q256 uses a closed-form noise model (a JPEG quantizer
     // can't be mirrored in SQL); THIS is the real-world ground truth: the
