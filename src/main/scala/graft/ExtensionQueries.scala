@@ -3855,46 +3855,15 @@ object ExtensionQueries {
       val emb       = t(s, d, "embeddings")
       val queriesDf = emb.filter(col("vec_id") % 100 === 0)
       val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
-      val plain = IvfIndex
+      // The residual arm at the center point rides the SAME curve: same
+      // exact side, same candidate volume (same coarse probes and posting
+      // lists) — the resolution bought by the residual encode instead of
+      // more bits, priced in one table (the knee's cheapest lever).
+      IvfIndex
         .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
-          m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK)
-        .withColumn("variant", lit("plain"))
-      // The residual arm at the center point: SAME candidate volume (same
-      // coarse probes and posting lists), the resolution bought by the
-      // residual encode instead of more bits — the knee's cheapest lever.
-      val residual = {
-        val topk = IvfIndex
-          .adcTopKResidual(emb, queriesDf, "vec_id", "embedding", centroids,
-            m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
-            nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
-          .select(col("query_id"), col("neighbor_id"))
-        val exact = Similarity
-          .bruteForceTopK(emb, queriesDf, "vec_id", "embedding", AnnK)
-          .select(col("query_id"), col("neighbor_id"))
-        val nHit = topk.join(exact, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hit"))
-        val nCand = IvfIndex
-          .assign(emb, centroids, "vec_id", "embedding")
-          .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
-          .join(
-            broadcast(IvfIndex.adcProbes(queriesDf, "vec_id", "embedding", centroids, AnnNprobe)),
-            Seq("centroid_id"),
-          )
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .agg(count(lit(1)).as("n_cand"))
-        val nq = queriesDf.count()
-        nCand
-          .crossJoin(nHit)
-          .select(
-            lit(PqNlist).cast("int").as("pq_nlist"),
-            lit(AnnNprobe).cast("int").as("nprobe"),
-            lit(AdcCandK).cast("int").as("cand_k"),
-            col("n_cand"),
-            col("n_hit"),
-            expr(s"n_hit * 1000 div (${nq}L * ${AnnK}L)").as("recall_milli"),
-            lit("residual").as("variant"),
-          )
-      }
-      plain.unionAll(residual).orderBy("pq_nlist", "nprobe", "cand_k", "variant")
+          m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK,
+          residualArms = Seq((PqNlist, AnnNprobe, AdcCandK)))
+        .orderBy("pq_nlist", "nprobe", "cand_k", "variant")
     }),
 
     // ---- DCT pHash near-dup under lossy re-encode: per doc an original

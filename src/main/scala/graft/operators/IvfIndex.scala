@@ -627,10 +627,18 @@ object IvfIndex {
     * re-cut it); the exact side is computed once for every arm.
     *
     * Output, one row per arm:
-    * (pq_nlist, nprobe, cand_k, n_cand, n_hit, recall_milli) where
+    * (pq_nlist, nprobe, cand_k, n_cand, n_hit, recall_milli, variant) where
     * `n_cand` = ADC-scored candidate rows (the serving cost driver),
     * `n_hit` = exact-top-k hits summed over queries, and `recall_milli` =
     * n_hit·1000 div (n_queries·k) — exact integers on both engines.
+    *
+    * `residualArms` adds [[adcTopKResidual]] arms (variant = "residual")
+    * to the same table: they share the ONE exact brute-force side, the
+    * candidate count, and the shared-rerank cut machinery with the plain
+    * arms — only the encode (residual codes, L2 codebooks) and the scoring
+    * seed (the per-probe `IP(q, c)` scalar) differ, which is exactly the
+    * claim the curve exists to price ("the residual encode buys recall at
+    * IDENTICAL candidate volume").
     *
     * Scale: the sweep exists to be run on a SAMPLE of queries before an
     * index serves (the [[adcRecallReport]]/q185 rule, widened to a grid);
@@ -648,62 +656,89 @@ object IvfIndex {
       pqIters: Int,
       arms: Seq[(Int, Int, Int)],
       k: Int,
+      residualArms: Seq[(Int, Int, Int)] = Nil,
   ): DataFrame = {
     require(arms.nonEmpty, "adcOperatingCurve: at least one (pqNlist, nprobe, candK) arm")
-    require(arms.forall(_._3 >= k), s"adcOperatingCurve: every candK must be >= k ($k)")
+    require((arms ++ residualArms).forall(_._3 >= k), s"adcOperatingCurve: every candK must be >= k ($k)")
     val nQueries = queries.count()
     require(nQueries > 0, "adcOperatingCurve: empty query sample")
+    // ONE exact brute-force side for every arm of every variant — the
+    // expensive truth is priced once per sweep, never per arm.
     val exact = Lineage.truncate(
       Similarity
         .bruteForceTopK(corpus, queries, idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id"))
     )
-    val perArm: Seq[DataFrame] = arms.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (pqNlist, sizeArms) =>
+    // The per-nprobe machinery is variant-blind once candidates are ADC
+    // scored: checkpoint the scored table, count candidates once, rerank
+    // vectors ONCE at the widest candK (a candidate's rerank sim does not
+    // depend on candK), and let the candK arms re-cut by arank.
+    def rowsFor(variant: String, pqNlist: Int, nprobe: Int, scoredRaw: DataFrame, probeArms: Seq[(Int, Int, Int)]) = {
+      val scored = Lineage.truncate(scoredRaw)
+      val nCand = scored.agg(count(lit(1)).as("n_cand"))
+      val maxC = probeArms.map(_._3).max
+      val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+      val reranked = Lineage.truncate(
+        corpus
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+          .join(
+            broadcast(
+              scored.withColumn("arank", row_number().over(wadc)).filter(col("arank") <= maxC)
+            ),
+            Seq("neighbor_id"),
+          )
+          .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"), col("arank"), cos(col("__qv"), col("__nv")).as("sim"))
+      )
+      probeArms.sortBy(_._3).map { case (_, _, candK) =>
+        val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+        val topk = reranked
+          .filter(col("arank") <= candK)
+          .withColumn("rank", row_number().over(wk))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+        val nHit = topk.join(exact, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hit"))
+        nCand
+          .crossJoin(nHit)
+          .select(
+            lit(pqNlist).cast("int").as("pq_nlist"),
+            lit(nprobe).cast("int").as("nprobe"),
+            lit(candK).cast("int").as("cand_k"),
+            col("n_cand"),
+            col("n_hit"),
+            expr(s"n_hit * 1000 div (${nQueries}L * ${k}L)").as("recall_milli"),
+            lit(variant).as("variant"),
+          )
+      }
+    }
+    val plainRows: Seq[DataFrame] = arms.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (pqNlist, sizeArms) =>
       val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
       val encoded = Lineage.truncate(adcEncode(corpus, idCol, vecCol, centroids, cbs, m, subDim))
       val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
       sizeArms.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (nprobe, probeArms) =>
         val probes = adcProbes(queries, idCol, vecCol, centroids, nprobe)
-        val scored = Lineage.truncate(adcScored(encoded, probes, qtables, m))
-        val nCand = scored.agg(count(lit(1)).as("n_cand"))
-        val maxC = probeArms.map(_._3).max
-        val wadc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
-        // ONE vector rerank join at the widest candK; narrower arms re-cut
-        // by arank — the rerank sim of a candidate does not depend on candK.
-        val reranked = Lineage.truncate(
-          corpus
-            .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
-            .join(
-              broadcast(
-                scored.withColumn("arank", row_number().over(wadc)).filter(col("arank") <= maxC)
-              ),
-              Seq("neighbor_id"),
-            )
-            .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))), Seq("query_id"))
-            .select(col("query_id"), col("neighbor_id"), col("arank"), cos(col("__qv"), col("__nv")).as("sim"))
-        )
-        probeArms.sortBy(_._3).map { case (_, _, candK) =>
-          val wk = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-          val topk = reranked
-            .filter(col("arank") <= candK)
-            .withColumn("rank", row_number().over(wk))
-            .filter(col("rank") <= k)
-            .select(col("query_id"), col("neighbor_id"))
-          val nHit = topk.join(exact, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hit"))
-          nCand
-            .crossJoin(nHit)
-            .select(
-              lit(pqNlist).cast("int").as("pq_nlist"),
-              lit(nprobe).cast("int").as("nprobe"),
-              lit(candK).cast("int").as("cand_k"),
-              col("n_cand"),
-              col("n_hit"),
-              expr(s"n_hit * 1000 div (${nQueries}L * ${k}L)").as("recall_milli"),
-            )
-        }
+        rowsFor("plain", pqNlist, nprobe, adcScored(encoded, probes, qtables, m), probeArms)
       }
     }
-    perArm.reduce(_ unionAll _)
+    // Residual arms share the exact side and the whole per-nprobe cut/
+    // rerank machinery; what differs is the encode (residual codes, L2
+    // codebooks) and the scoring seed (the per-probe IP(q, c) scalar).
+    // The residual table itself is code-size-independent — computed once.
+    val residualRows: Seq[DataFrame] =
+      if (residualArms.isEmpty) Nil
+      else {
+        val rsd = Lineage.truncate(residualTable(corpus, idCol, vecCol, centroids))
+        residualArms.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (pqNlist, sizeArms) =>
+          val cbs = residualCodebooks(rsd, idCol, m, subDim, pqNlist, pqIters)
+          val encoded = Lineage.truncate(residualEncodeFromRsd(rsd, idCol, cbs, m, subDim))
+          val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+          sizeArms.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (nprobe, probeArms) =>
+            val probes = residualProbes(queries, idCol, vecCol, centroids, nprobe)
+            rowsFor("residual", pqNlist, nprobe, residualScored(encoded, probes, qtables, m), probeArms)
+          }
+        }
+      }
+    (plainRows ++ residualRows).reduce(_ unionAll _)
   }
 
   /** IVF-PQ ADC search on RESIDUALS — the full FAISS-IVFPQ shape
@@ -756,6 +791,27 @@ object IvfIndex {
   ): DataFrame = {
     require(m >= 1 && subDim >= 1 && pqNlist >= 1 && pqIters >= 0, "adcTopKResidual: all sizes must be positive")
     require(candK >= k, s"adcTopKResidual: candK ($candK) must be >= k ($k)")
+    val rsd = residualTable(corpus, idCol, vecCol, centroids)
+    val cbs = residualCodebooks(rsd, idCol, m, subDim, pqNlist, pqIters)
+    val encoded = residualEncodeFromRsd(rsd, idCol, cbs, m, subDim)
+    val probes = residualProbes(queries, idCol, vecCol, centroids, nprobe)
+    val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+    adcCutAndRerank(residualScored(encoded, probes, qtables, m), corpus, queries, idCol, vecCol, candK, k)
+  }
+
+  /** The residual table `r = v − centroid(cell)` with its cell id — the
+    * corpus-side entry of every residual pipeline ([[adcTopKResidual]],
+    * the curve's residual arms, the persisted residual index). Cell
+    * assignment and the residual happen in ONE projection (the cell is
+    * known when the residual is computed — no re-assign); output:
+    * (idCol, centroid_id, __rv).
+    */
+  private[graft] def residualTable(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+  ): DataFrame = {
     val cents = Lineage
       .truncate(centroids)
       .orderBy(col("centroid_id"))
@@ -763,19 +819,43 @@ object IvfIndex {
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     require(
       cents.zipWithIndex.forall { case ((id, _), i) => id == i },
-      "adcTopKResidual: centroid ids must be contiguous 0..n-1 (the residual literal indexes by id)",
+      "residualTable: centroid ids must be contiguous 0..n-1 (the residual literal indexes by id)",
     )
     val cvecs = typedLit(cents.map(_._2).toIndexedSeq)
     def residual(vec: Column, cellId: Column): Column =
       zip_with(vec, element_at(cvecs, cellId + 1), (a, b) => a - b)
-    val rsd = assign(corpus, centroids, idCol, vecCol)
+    assign(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"), residual(col(vecCol), col("centroid_id")).as("__rv"))
-    // Residual PQ is an L2 quantizer (Jégou et al. §IV — reconstruction
-    // error, not direction, is what ADC sums), with zero-slice seeds
-    // skipped: every vector that IS a coarse centroid has residual 0.
-    val cbs =
-      pqTrainAll(rsd.select(col(idCol), col("__rv")), idCol, "__rv", m, subDim, pqNlist, pqIters,
-        metric = "l2", seedNonZero = true)
+  }
+
+  /** Residual PQ codebooks — an L2 quantizer (Jégou et al. §IV:
+    * reconstruction error, not direction, is what ADC sums), with
+    * zero-slice seeds skipped: every vector that IS a coarse centroid has
+    * residual 0, and an all-zero seed set collapses Lloyd to one entry.
+    */
+  private[graft] def residualCodebooks(
+      rsd: DataFrame,
+      idCol: String,
+      m: Int,
+      subDim: Int,
+      pqNlist: Int,
+      pqIters: Int,
+  ): IndexedSeq[Seq[(Int, Seq[Float])]] =
+    pqTrainAll(rsd.select(col(idCol), col("__rv")), idCol, "__rv", m, subDim, pqNlist, pqIters,
+      metric = "l2", seedNonZero = true)
+
+  /** Residual PQ codes from a prebuilt residual table: negL2 argmax per
+    * subspace (the L2 coding rule, ties to the lowest code), residuals
+    * dropped at the exit. Output: (neighbor_id, centroid_id, codes) — the
+    * same shape as [[adcEncode]], so storage and serving are shared.
+    */
+  private[graft] def residualEncodeFromRsd(
+      rsd: DataFrame,
+      idCol: String,
+      cbs: IndexedSeq[Seq[(Int, Seq[Float])]],
+      m: Int,
+      subDim: Int,
+  ): DataFrame = {
     val codeExprs: Seq[Column] = (0 until m).map { sub =>
       val sv = slice(col("__rv"), sub * subDim + 1, subDim)
       val best = array_max(
@@ -786,28 +866,52 @@ object IvfIndex {
       )
       (-best.getField("negid")).cast("int")
     }
-    val encoded = rsd.select(col(idCol).as("neighbor_id"), col("centroid_id"), array(codeExprs: _*).as("codes"))
+    rsd.select(col(idCol).as("neighbor_id"), col("centroid_id"), array(codeExprs: _*).as("codes"))
+  }
+
+  /** Residual probe pass: the plain [[adcProbes]] plus the per-cell scalar
+    * `IP(q, c)` (quantized) that the IP-decomposition scoring adds to the
+    * table sum — one long per probe row, constant across that cell's
+    * candidates. Tables stay one row per query ([[adcTables]] on the raw
+    * query subvectors vs the RESIDUAL codebooks).
+    */
+  private[graft] def residualProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+  ): DataFrame = {
     val wq = Window.partitionBy(col("query_id")).orderBy(cos(col("qvec"), col("centroid")).desc, col("centroid_id"))
-    // Probes carry the per-cell scalar IP(q, c); tables stay one row per
-    // query (raw query subvectors vs the RESIDUAL codebooks).
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(centroids))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("centroid_id"), q6(dot(col("qvec"), col("centroid"))).as("ipc"))
-    val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+  }
+
+  /** Residual ADC candidate scoring: `IP(q, c + r̂) = IP(q, c) + IP(q, r̂)`
+    * — the probe scalar seeds the fold, the residual-codebook table
+    * lookups accumulate onto it. Same broadcast shape as [[adcScored]]:
+    * tables reach candidate rows but never an Exchange.
+    */
+  private[graft] def residualScored(
+      encoded: DataFrame,
+      probes: DataFrame,
+      qtables: DataFrame,
+      m: Int,
+  ): DataFrame = {
     val adcExpr = aggregate(
       sequence(lit(0), lit(m - 1)),
       col("ipc"),
       (acc, s) => acc + element_at(element_at(col("tables"), s + 1), element_at(col("codes"), s + 1) + 1),
     )
-    val scored = encoded
+    encoded
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(qtables), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc"))
-    adcCutAndRerank(scored, corpus, queries, idCol, vecCol, candK, k)
   }
 
   /** Recall@k of [[adcTopKResidual]] against exact brute force — the
