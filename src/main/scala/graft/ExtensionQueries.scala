@@ -946,7 +946,12 @@ object ExtensionQueries {
     */
   private def sqlAdcResidualCtes: String = sqlAdcResidualCtesFor("s", "")
 
-  private def sqlAdcResidualCtesFor(chainP: String, tp: String): String = {
+  /** `trainFilter` narrows the residual-chain TRAINING source (seed + Lloyd)
+    * to a subset of the residual table while the coding pass still covers
+    * all of it — the frozen-codebook append contract (q268): codebooks
+    * learned on the BASE half's residuals, every vector coded.
+    */
+  private def sqlAdcResidualCtesFor(chainP: String, tp: String, trainFilter: String = ""): String = {
     val cuArms = (0 until PqM)
       .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM ${tp}rcand")
       .mkString("\n UNION ALL ")
@@ -956,7 +961,14 @@ object ExtensionQueries {
                 FROM aposting po
                 JOIN embeddings e ON e.vec_id = po.neighbor_id
                 JOIN ivfc c ON c.centroid_id = po.centroid_id),
-        ${sqlPqChainCtesFor(chainP, PqNlist, trainSrc = s"${tp}rsd", codeSrc = s"${tp}rsd", metric = "l2", seedNonZero = true)},
+        ${sqlPqChainCtesFor(
+        chainP,
+        PqNlist,
+        trainSrc = if (trainFilter.isEmpty) s"${tp}rsd" else s"(SELECT * FROM ${tp}rsd $trainFilter)",
+        codeSrc = s"${tp}rsd",
+        metric = "l2",
+        seedNonZero = true,
+      )},
         ${sqlAdcChainTables(tp, chainP)},
         ${tp}rprobe AS (SELECT pr.query_id, pr.centroid_id,
                           CAST(floor(list_sum(list_transform(range(1, $EmbDim + 1),
@@ -1002,6 +1014,33 @@ object ExtensionQueries {
             $sqlAdcCtes
         SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
         FROM adcfinal ORDER BY query_id, rank"""
+
+  /** The residual ADC top-k mirror — ONE definition shared verbatim by
+    * q260 (in-lineage residual pipeline) and q264 (persisted residual
+    * index round trip): the q258 rule applied to the residual variant —
+    * the storage hop must be hash-invisible.
+    */
+  private def sqlAdcResidualTopKOracle: String =
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            $sqlAdcIvfCtes,
+            $sqlAdcResidualCtes
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+        FROM rfinal ORDER BY query_id, rank"""
+
+  /** The residual frozen-codebook append mirror (q268): coarse seed AND
+    * residual-chain Lloyd train on the BASE half's residuals only; the
+    * coding pass and posting lists cover ALL vectors — what
+    * freeze-codebooks-and-encode-the-increment produces for the residual
+    * layout.
+    */
+  private def sqlAdcResidualAppendOracle: String = {
+    val baseSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            ${sqlAdcIvfCtesFor(baseSrc)},
+            ${sqlAdcResidualCtesFor("s", "", trainFilter = "WHERE vec_id % 2 = 0")}
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+        FROM rfinal ORDER BY query_id, rank"""
+  }
 
   /** The frozen-codebook append mirror — ONE definition shared verbatim
     * by q259 (batch append) and q262 (streaming microbatch ingest): both
@@ -3796,6 +3835,49 @@ object ExtensionQueries {
         .adcTopKResidual(emb, queriesDf, "vec_id", "embedding", centroids,
           m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters,
           nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Residual index persistence round trip: the q258 rule for the
+    //      residual variant — save the residual codes/codebooks/meta once,
+    //      read them back in a fresh plan, serve the identical residual
+    //      ADC search (the layout's meta row drives the dispatch); SAME
+    //      oracle as q260, so the storage hop must be hash-invisible ----
+    "q264_residual_index_roundtrip" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_res_index").toString
+      IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir,
+        variant = "residual")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Residual frozen append (q259's rule for the residual layout):
+    //      index built on the BASE half (residual codebooks learned on
+    //      base residuals), the increment appended with FROZEN centroids +
+    //      codebooks — the append dispatches on the layout's meta row, so
+    //      a residual index can never be extended with plain codes ----
+    "q268_residual_index_append" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc       = emb.filter(col("vec_id") % 2 === 1)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_res_append").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir,
+        variant = "residual")
+      IvfIndex.appendToAdcIndex(s, dir, inc, "vec_id", "embedding", m = PqM)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id", "rank")
     }),
 
@@ -7185,12 +7267,13 @@ object ExtensionQueries {
     // The residual contract: the PQ chain trains AND codes on the residual
     // table (float-exact subtraction), per-(query, cell) tables, exact
     // rerank on originals — the generated mirror regenerates all of it.
-    "q260_ann_adc_residual" ->
-      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
-              $sqlAdcIvfCtes,
-              $sqlAdcResidualCtes
-          SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
-          FROM rfinal ORDER BY query_id, rank""",
+    "q260_ann_adc_residual" -> sqlAdcResidualTopKOracle,
+    // The persisted-residual-index round trip must be hash-identical to
+    // q260's in-lineage pipeline — q264 shares q260's oracle verbatim.
+    "q264_residual_index_roundtrip" -> sqlAdcResidualTopKOracle,
+    // The residual frozen-append contract: coarse + residual codebooks
+    // trained on the BASE half only, every vector coded and served.
+    "q268_residual_index_append" -> sqlAdcResidualAppendOracle,
     // The residual grading contract: rfinal joined against the q250 exact
     // side, every sampled query present, zero-recall included.
     "q261_ann_residual_recall" ->

@@ -509,7 +509,16 @@ object IvfIndex {
     *    lists (nprobe/nlist of the index read per query batch, never all
     *    of it);
     *  - `centroids/` — the coarse codebook (centroid_id, centroid);
-    *  - `codebooks/` — the PQ codebooks (subspace, centroid_id, centroid).
+    *  - `codebooks/` — the PQ codebooks (subspace, centroid_id, centroid);
+    *  - `meta/` — one row (variant, metric, m, sub_dim): the layout's
+    *    self-description, so append and serving DISPATCH on what the index
+    *    is instead of trusting the caller to remember how it was built.
+    *
+    * `variant = "residual"` stores the full FAISS-IVFPQ shape instead:
+    * codes quantize `v − centroid(cell)` through L2-trained residual
+    * codebooks ([[adcTopKResidual]]'s encode — the curve's cheapest recall
+    * lever made durable); same three artifacts, same cell partitioning,
+    * same dynamic-pruned serving read.
     */
   def saveAdcIndex(
       corpus: DataFrame,
@@ -521,12 +530,21 @@ object IvfIndex {
       pqNlist: Int,
       pqIters: Int,
       dir: String,
+      variant: String = "plain",
   ): Unit = {
+    require(variant == "plain" || variant == "residual", s"saveAdcIndex: variant must be plain|residual: $variant")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
-    adcEncode(corpus, idCol, vecCol, centroids, cbs, m, subDim)
-      .write
+    val (cbs, encoded) =
+      if (variant == "plain") {
+        val cbs = pqTrainAll(corpus, idCol, vecCol, m, subDim, pqNlist, pqIters)
+        (cbs, adcEncode(corpus, idCol, vecCol, centroids, cbs, m, subDim))
+      } else {
+        val rsd = Lineage.truncate(residualTable(corpus, idCol, vecCol, centroids))
+        val cbs = residualCodebooks(rsd, idCol, m, subDim, pqNlist, pqIters)
+        (cbs, residualEncodeFromRsd(rsd, idCol, cbs, m, subDim))
+      }
+    encoded.write
       .mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$dir/codes")
@@ -538,6 +556,30 @@ object IvfIndex {
       .write
       .mode("overwrite")
       .parquet(s"$dir/codebooks")
+    val metric = if (variant == "plain") "cos" else "l2"
+    Seq((variant, metric, m, subDim))
+      .toDF("variant", "metric", "m", "sub_dim")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  /** The layout self-description of a persisted index — "plain" for
+    * layouts written before `meta/` existed (every pre-residual index was
+    * plain, so the default is also the correct back-reading).
+    */
+  private[graft] def loadVariant(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    // Hadoop FS, not java.io — the index lives on whatever filesystem the
+    // lake does (HDFS/object store at scale; local in tests).
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "plain"
+    else {
+      val v = spark.read.parquet(s"$dir/meta").select(col("variant")).collect().head.getString(0)
+      require(v == "plain" || v == "residual", s"loadVariant: unknown index variant '$v' at $dir")
+      v
+    }
   }
 
   /** The PQ codebooks of a persisted index, read back for the driver-side
@@ -580,8 +622,17 @@ object IvfIndex {
   ): Unit = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cbs = loadCodebooks(spark, dir, m)
-    adcEncode(increment, idCol, vecCol, centroids, cbs, m, cbs.head.head._2.length)
-      .write
+    val subDim = cbs.head.head._2.length
+    // Dispatch on the LAYOUT's variant, not a caller flag: encoding an
+    // increment with the wrong quantizer family would silently corrupt
+    // every posting list it touches.
+    val encoded = loadVariant(spark, dir) match {
+      case "residual" =>
+        residualEncodeFromRsd(residualTable(increment, idCol, vecCol, centroids), idCol, cbs, m, subDim)
+      case _ =>
+        adcEncode(increment, idCol, vecCol, centroids, cbs, m, subDim)
+    }
+    encoded.write
       .mode("append")
       .partitionBy("centroid_id")
       .parquet(s"$dir/codes")
@@ -610,12 +661,22 @@ object IvfIndex {
     require(candK >= k, s"adcTopKFromIndex: candK ($candK) must be >= k ($k)")
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cbs = loadCodebooks(spark, dir, m)
+    val subDim = cbs.head.head._2.length
     val encoded = spark.read
       .parquet(s"$dir/codes")
       .select(col("neighbor_id"), col("centroid_id"), col("codes"))
-    val probes = adcProbes(queries, idCol, vecCol, centroids, nprobe)
-    val qtables = adcTables(queries, idCol, vecCol, cbs, m, cbs.head.head._2.length)
-    adcSearch(encoded, probes, qtables, corpus, queries, idCol, vecCol, m, candK, k)
+    val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
+    // Same dispatch as the append: serving math follows the layout. Both
+    // branches keep the dynamic-partition-pruned codes scan (the probe
+    // join is on the partition column either way).
+    loadVariant(spark, dir) match {
+      case "residual" =>
+        val probes = residualProbes(queries, idCol, vecCol, centroids, nprobe)
+        adcCutAndRerank(residualScored(encoded, probes, qtables, m), corpus, queries, idCol, vecCol, candK, k)
+      case _ =>
+        val probes = adcProbes(queries, idCol, vecCol, centroids, nprobe)
+        adcSearch(encoded, probes, qtables, corpus, queries, idCol, vecCol, m, candK, k)
+    }
   }
 
   /** The ADC operating curve — the table that turns [[adcTopK]]'s demo

@@ -723,6 +723,19 @@ class PlanSpec extends SparkSpec {
       s"vectors must stay out of every exchange on the serving path:\n$p")
   }
 
+  test("q264 persisted RESIDUAL index: dynamically pruned codes scan, vector-free exchanges") {
+    val p = plan(q("q264_residual_index_roundtrip"))
+    // the q258 serving contract must survive the variant dispatch: the
+    // residual layout partitions codes by the same coarse cell, the
+    // residual probe join (now carrying the IP(q,c) scalar) still prunes
+    assert(p.contains("dynamicpruning"),
+      s"the residual probe join must dynamically prune the codes partitions:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the persisted residual index must never shuffle for a join:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(l => !l.contains("embedding") && !l.contains("__nv") && !l.contains("__rv")),
+      s"neither vectors nor residuals may reach an exchange on the serving path:\n$p")
+  }
+
   test("q256 pHash near-dup: prefix-bucket equi-join, bytes dropped pre-shuffle") {
     val p = plan(q("q256_phash_neardup"))
     assert(!p.contains("CartesianProduct"), s"the pHash pairing must stay an equi-join:\n$p")
