@@ -136,6 +136,13 @@ object ExtensionQueries {
   // center point. ONE constant feeds the operator call and the oracle.
   private val AdcSweepArms =
     Seq((PqNlist, 1, 8), (PqNlist, 2, 4), (PqNlist, 2, 8), (PqNlist, 2, 16), (PqNlist, 4, 8), (4, 2, 8), (16, 2, 8))
+  // q263's trained-coarse-quantizer parameters: 2 Lloyd rounds over a 1/2
+  // deterministic hash sample — BOTH knobs non-degenerate (iters > 0,
+  // sampleFraction < 1: the actual 100 TB training path, where Lloyd scans
+  // the sample and only the posting-list assign touches the corpus). ONE
+  // constant pair feeds IvfIndex.train and the sampled-Lloyd-chain mirror.
+  private val TrainedIters = 2
+  private val TrainedSampleMicro = 500000L
   // q193's decay half-life (1 h) and q195's lateness bucket (1 min).
   private val DecayHalfLifeUs = 3600000000L
   private val DecayMaxShift = 20
@@ -855,10 +862,13 @@ object ExtensionQueries {
     * probe relation `aprank` (rn kept, so arms at any nprobe filter it),
     * and the query sample `aqv`.
     */
-  private def sqlAdcIvfCtesFor(trainSrc: String): String =
-    s"""ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
-                 FROM (SELECT vec_id, embedding FROM $trainSrc ORDER BY vec_id LIMIT 16)),
-        ipsc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+  /** Everything downstream of `ivfc` — posting lists over ALL vectors, the
+    * RANKED probe relation, the query sample — shared by the first-16 and
+    * the TRAINED coarse mirrors, so a quantizer swap can only change the
+    * codebook, never the serving semantics.
+    */
+  private def sqlAdcIvfPostCtes: String =
+    s"""ipsc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
                  FROM embeddings a CROSS JOIN ivfc b),
         aposting AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
            SELECT vec_id, centroid_id,
@@ -870,7 +880,51 @@ object ExtensionQueries {
            FROM ipsc WHERE vec_id % 100 = 0)),
         aqv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0)"""
 
+  private def sqlAdcIvfCtesFor(trainSrc: String): String =
+    s"""ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                 FROM (SELECT vec_id, embedding FROM $trainSrc ORDER BY vec_id LIMIT 16)),
+        $sqlAdcIvfPostCtes"""
+
   private def sqlAdcIvfCtes: String = sqlAdcIvfCtesFor("embeddings")
+
+  /** The TRAINED coarse quantizer mirror (q263): `ivfc` comes from the
+    * sampled Lloyd chain instead of the first-16 seed —
+    * [[graft.operators.IvfIndex.train]] with `iters` rounds over the
+    * deterministic hash sample (`hash64(id) % 1e6 < sampleMicro`, the
+    * md5-prefix hash both engines share). Seed = first `nlist` SAMPLED
+    * vectors by id; every round assigns the SAMPLE against the previous
+    * float-quantized codebook (cos argmax, ties to the lowest id — the
+    * q133 chain) and re-averages per (centroid, dim); emptied cells drop.
+    * Ends by rebinding `ivfc` and reusing [[sqlAdcIvfPostCtes]] verbatim.
+    */
+  private def sqlAdcIvfCtesTrained(nlist: Int, iters: Int, sampleMicro: Long): String = {
+    def cos(va: String, vb: String) =
+      s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    val rounds = (1 to iters)
+      .map { it =>
+        s"""tqscored$it AS (SELECT a.vec_id, b.centroid_id, a.embedding AS emb, ${cos("a.embedding", "b.cen")} AS sim
+                            FROM tqsam a CROSS JOIN tqc${it - 1} b),
+            tqr$it AS (SELECT vec_id, centroid_id, emb,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                       FROM tqscored$it),
+            tqasg$it AS (SELECT centroid_id, emb FROM tqr$it WHERE rn = 1),
+            tqm$it AS (SELECT centroid_id, pos, avg(CAST(emb[pos + 1] AS DOUBLE)) AS mu
+                       FROM tqasg$it CROSS JOIN tqdims GROUP BY centroid_id, pos),
+            tqc$it AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS cen
+                       FROM tqm$it GROUP BY centroid_id)"""
+      }
+      .mkString(",\n")
+    s"""tqsam AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE ${sqlHash64("CAST(vec_id AS VARCHAR)")} % 1000000 < $sampleMicro),
+        tqdims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+        tqc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding AS cen
+                 FROM (SELECT vec_id, embedding FROM tqsam ORDER BY vec_id LIMIT $nlist)),
+        $rounds,
+        ivfc AS (SELECT centroid_id, cen AS embedding FROM tqc$iters),
+        $sqlAdcIvfPostCtes"""
+  }
 
   /** Per-code-size ADC tables over a PQ chain with prefix `chainP`: the
     * pivoted code table `{tp}pqcodes(vec_id, c0..c{m-1})` and the
@@ -1014,6 +1068,65 @@ object ExtensionQueries {
             $sqlAdcCtes
         SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
         FROM adcfinal ORDER BY query_id, rank"""
+
+  /** The operating-curve sweep mirror, parameterized by the coarse-IVF
+    * block (first-16 for q255, the sampled Lloyd chain for q263): three PQ
+    * chains under distinct prefixes, one arm pipeline per (nprobe, candK),
+    * the residual center-point arm, each arm reduced to (n_cand, n_hit)
+    * against the one exact side — recall in exact integer per-mille.
+    */
+  private def sqlAdcSweepOracleWith(ivfcBlock: String): String = {
+    val armDefs = Seq(
+      ("a1", "t", 4, 2, 8),
+      ("a2", "", PqNlist, 1, 8),
+      ("a3", "", PqNlist, 2, 4),
+      ("a4", "", PqNlist, 2, 8),
+      ("a5", "", PqNlist, 2, 16),
+      ("a6", "u", 16, 2, 8),
+      ("a7", "", PqNlist, 4, 8),
+    )
+    val armCtes = armDefs.map { case (a, tp, _, np, ck) => sqlAdcArmCtes(a, tp, np, ck) }.mkString(",\n")
+    val rows = armDefs
+      .map { case (a, _, nl, np, ck) =>
+        s"""SELECT CAST($nl AS INT) AS pq_nlist, CAST($np AS INT) AS nprobe, CAST($ck AS INT) AS cand_k,
+                 CAST((SELECT COUNT(*) FROM ${a}cand) AS BIGINT) AS n_cand,
+                 CAST((SELECT COUNT(*) FROM ${a}final f JOIN exact e
+                       ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
+                 'plain' AS variant"""
+      }
+      .mkString("\n UNION ALL ")
+    val residualRow =
+      s"""SELECT CAST($PqNlist AS INT) AS pq_nlist, CAST($AnnNprobe AS INT) AS nprobe,
+                 CAST($AdcCandK AS INT) AS cand_k,
+                 CAST((SELECT COUNT(*) FROM rrcand) AS BIGINT) AS n_cand,
+                 CAST((SELECT COUNT(*) FROM rrfinal f JOIN exact e
+                       ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
+                 'residual' AS variant"""
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            ${sqlPqChainCtesFor("s", PqNlist)},
+            ${sqlPqChainCtesFor("t", 4)},
+            ${sqlPqChainCtesFor("u", 16)},
+            $ivfcBlock,
+            ${sqlAdcChainTables("", "s")},
+            ${sqlAdcChainTables("t", "t")},
+            ${sqlAdcChainTables("u", "u")},
+            ${sqlAdcResidualCtesFor("r", "r")},
+            $armCtes,
+            escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+                        FROM embeddings a JOIN embeddings b
+                          ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+            exact AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM escored) WHERE rnk <= $AnnK),
+            armrows AS ($rows
+               UNION ALL
+               $residualRow)
+        SELECT pq_nlist, nprobe, cand_k, n_cand, n_hit,
+               CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli,
+               variant
+        FROM armrows ORDER BY pq_nlist, nprobe, cand_k, variant"""
+  }
 
   /** The residual ADC top-k mirror — ONE definition shared verbatim by
     * q260 (in-lineage residual pipeline) and q264 (persisted residual
@@ -3941,6 +4054,25 @@ object ExtensionQueries {
       // exact side, same candidate volume (same coarse probes and posting
       // lists) — the resolution bought by the residual encode instead of
       // more bits, priced in one table (the knee's cheapest lever).
+      IvfIndex
+        .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK,
+          residualArms = Seq((PqNlist, AnnNprobe, AdcCandK)))
+        .orderBy("pq_nlist", "nprobe", "cand_k", "variant")
+    }),
+
+    // ---- The q255 operating curve against a TRAINED coarse quantizer:
+    //      Lloyd iters > 0 over a sampleFraction < 1 hash sample — the
+    //      actual 100 TB training path (q255 grades the degenerate
+    //      first-16 seed; every published recall ceiling was capped by
+    //      it). Same grid, same residual arm, trained cells ----
+    "q263_trained_adc_sweep" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = graft.operators.Lineage.truncate(
+        IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = TrainedIters,
+          sampleFraction = TrainedSampleMicro / 1e6)
+      )
       IvfIndex
         .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
           m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK,
@@ -7329,58 +7461,13 @@ object ExtensionQueries {
     // distinct prefixes, one arm pipeline per (nprobe, candK)), each arm
     // reduced to (n_cand, n_hit) against the q250 exact side — recall in
     // exact integer per-mille on both engines.
-    "q255_adc_sweep" -> {
-      val armDefs = Seq(
-        ("a1", "t", 4, 2, 8),
-        ("a2", "", PqNlist, 1, 8),
-        ("a3", "", PqNlist, 2, 4),
-        ("a4", "", PqNlist, 2, 8),
-        ("a5", "", PqNlist, 2, 16),
-        ("a6", "u", 16, 2, 8),
-        ("a7", "", PqNlist, 4, 8),
-      )
-      val armCtes = armDefs.map { case (a, tp, _, np, ck) => sqlAdcArmCtes(a, tp, np, ck) }.mkString(",\n")
-      val rows = armDefs
-        .map { case (a, _, nl, np, ck) =>
-          s"""SELECT CAST($nl AS INT) AS pq_nlist, CAST($np AS INT) AS nprobe, CAST($ck AS INT) AS cand_k,
-                   CAST((SELECT COUNT(*) FROM ${a}cand) AS BIGINT) AS n_cand,
-                   CAST((SELECT COUNT(*) FROM ${a}final f JOIN exact e
-                         ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
-                   'plain' AS variant"""
-        }
-        .mkString("\n UNION ALL ")
-      val residualRow =
-        s"""SELECT CAST($PqNlist AS INT) AS pq_nlist, CAST($AnnNprobe AS INT) AS nprobe,
-                   CAST($AdcCandK AS INT) AS cand_k,
-                   CAST((SELECT COUNT(*) FROM rrcand) AS BIGINT) AS n_cand,
-                   CAST((SELECT COUNT(*) FROM rrfinal f JOIN exact e
-                         ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
-                   'residual' AS variant"""
-      s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
-              ${sqlPqChainCtesFor("s", PqNlist)},
-              ${sqlPqChainCtesFor("t", 4)},
-              ${sqlPqChainCtesFor("u", 16)},
-              $sqlAdcIvfCtes,
-              ${sqlAdcChainTables("", "s")},
-              ${sqlAdcChainTables("t", "t")},
-              ${sqlAdcChainTables("u", "u")},
-              ${sqlAdcResidualCtesFor("r", "r")},
-              $armCtes,
-              escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
-                          FROM embeddings a JOIN embeddings b
-                            ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
-              exact AS (SELECT query_id, neighbor_id FROM (
-                 SELECT query_id, neighbor_id,
-                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-                 FROM escored) WHERE rnk <= $AnnK),
-              armrows AS ($rows
-                 UNION ALL
-                 $residualRow)
-          SELECT pq_nlist, nprobe, cand_k, n_cand, n_hit,
-                 CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli,
-                 variant
-          FROM armrows ORDER BY pq_nlist, nprobe, cand_k, variant"""
-    },
+    "q255_adc_sweep" -> sqlAdcSweepOracleWith(sqlAdcIvfCtes),
+    // The trained-quantizer sweep contract: the IDENTICAL generated sweep
+    // mirror with `ivfc` swapped for the sampled Lloyd chain — the coarse
+    // quantizer is the ONLY difference between q255 and q263, in the query
+    // and in the oracle alike.
+    "q263_trained_adc_sweep" ->
+      sqlAdcSweepOracleWith(sqlAdcIvfCtesTrained(16, TrainedIters, TrainedSampleMicro)),
     // The pHash contract: both hashes regenerated from the closed form
     // (block pixels + deterministic re-encode noise, integer DCT through
     // the EMBEDDED cosine table), the q242 prefix-bucket pair semantics on
