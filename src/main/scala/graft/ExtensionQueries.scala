@@ -4028,6 +4028,38 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Codes-table compaction (the q167 small-file rule for the ANN
+    //      index): TWO frozen appends splinter the posting-list
+    //      directories into per-increment files, compaction rewrites the
+    //      victim cells to one-file-per-bin, and serving AFTER compaction
+    //      must be hash-identical to the uncompacted append (q259's oracle
+    //      verbatim — compaction moves bytes, never content) ----
+    "q265_codes_compaction" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc1      = emb.filter(col("vec_id") % 4 === 1)
+      val inc2      = emb.filter(col("vec_id") % 4 === 3)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_compact").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM)
+      IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM)
+      val census = IvfIndex.compactAdcIndexCodes(s, dir, targetBytes = 128L << 20)
+      // Loud in-query gate: the appends must have actually splintered the
+      // layout and the compaction must have repaired it — a census that
+      // shows nothing to do means the fixture stopped testing compaction.
+      val worst = census.agg(max(col("files_before")), max(col("files_after"))).head()
+      require(worst.getLong(0) > 1L, s"q265: expected multi-file cells after two appends, got ${worst.getLong(0)}")
+      require(worst.getLong(1) == 1L, s"q265: compaction left ${worst.getLong(1)} files in a cell")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ADC recall@k vs exact brute force — the q185 grading harness
     //      over the IVF-PQ ADC pipeline: the number that says whether
     //      nprobe/candK and the PQ resolution are tuned before serving ----
@@ -7435,6 +7467,10 @@ object ExtensionQueries {
     // artifacts must land the index in the SAME state as the batch append
     // — q262 shares q259's oracle verbatim.
     "q262_stream_index_ingest" -> sqlAdcAppendOracle,
+    // The compaction contract: base + two quarter-increments = q259's
+    // merged content, and the rewrite moves bytes, never content — q265
+    // shares q259's oracle verbatim.
+    "q265_codes_compaction" -> sqlAdcAppendOracle,
     // The grading contract: adcfinal (the SAME generated pipeline as q248)
     // joined against the q185 exact brute-force side — every sampled query
     // appears, zero-recall included.

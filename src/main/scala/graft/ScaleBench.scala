@@ -209,6 +209,32 @@ object ScaleBench {
           .count()
       )
       report("ann_index_serve_pruned", f, tServe, r3)
+      // (4) the increment lifecycle: two fixed-size frozen appends splinter
+      // the posting-list directories (>= 1 file per touched cell per
+      // append), then compaction rewrites the victim cells to one file per
+      // bin. files_before/files_after IS the measurement — the serving
+      // read pays one parquet footer per file per probed cell.
+      val inc = spark.read
+        .parquet(s"$tmp/embeddings_1")
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      val (tApp, nInc) = time {
+        operators.IvfIndex.appendToAdcIndex(spark, idxDir, inc, "vec_id", "embedding", m = 4)
+        operators.IvfIndex.appendToAdcIndex(
+          spark, idxDir, inc.withColumn("vec_id", col("vec_id") + lit(10000000L)), "vec_id", "embedding", m = 4)
+        inc.count() * 2
+      }
+      report("ann_index_append_x2", f, tApp, nInc)
+      val (tComp, filesBA) = time {
+        val c = operators.IvfIndex
+          .compactAdcIndexCodes(spark, idxDir, targetBytes = 128L << 20)
+          .agg(sum(col("files_before")), sum(col("files_after")))
+          .head()
+        (c.getLong(0), c.getLong(1))
+      }
+      println(
+        s"""{"op":"ann_codes_compact","factor":$f,"sec":${math.round(tComp * 1000) / 1000.0},""" +
+          s""""files_before":${filesBA._1},"files_after":${filesBA._2}}"""
+      )
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants

@@ -638,6 +638,125 @@ object IvfIndex {
       .parquet(s"$dir/codes")
   }
 
+  /** Compact the cell-partitioned codes table of a persisted index — the
+    * q167 small-file rule wired to the `codes/centroid_id=<cell>/` layout:
+    * every [[appendToAdcIndex]]/streaming-ingest microbatch appends at
+    * least one parquet file per touched cell, so N increments turn each
+    * posting-list directory into N tiny files and the dynamically pruned
+    * serving read pays N footers per probed cell. Compaction restores
+    * one-file-per-bin without touching the index's CONTENT: serving
+    * results are hash-identical before and after (q265 pins that against
+    * the q259 append oracle).
+    *
+    * Shape (the standard lake-compactor loop):
+    *  1. FILE CENSUS from the filesystem manifest — metadata-scale, never
+    *     a data read;
+    *  2. per-file bin by [[graft.ops.Lake.compactionPlan]]'s streaming
+    *     rule (`bytes_before div target`, greedy in file-name order within
+    *     the cell); a cell whose files already match its bins is left
+    *     UNTOUCHED — re-writing compacted cells every night is how
+    *     compactors turn into full rebuilds;
+    *  3. ONE distributed pass over the victim cells only (the read is
+    *     partition-pruned to their directories), repartitioned by
+    *     (cell, bin) so each bin lands as one file;
+    *  4. a LOUD row-count gate before the swap — a compactor must never
+    *     trade files for rows — then a per-cell directory swap (crash
+    *     mid-swap leaves some cells compacted and none corrupt, since
+    *     content is identical by construction).
+    *
+    * Returns the per-cell census (centroid_id, files_before, files_after,
+    * bytes_before, bytes_after) — the observability row a maintenance job
+    * logs and the number the q265 ScaleBench row reports.
+    */
+  def compactAdcIndexCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long,
+  ): DataFrame = {
+    require(targetBytes >= 1, s"compactAdcIndexCodes: targetBytes must be positive: $targetBytes")
+    import spark.implicits._
+    val codes = s"$dir/codes"
+    val root = new org.apache.hadoop.fs.Path(codes)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def census(): Seq[(Int, String, Long)] =
+      fs.listStatus(root)
+        .toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .flatMap { d =>
+          val cell = d.getPath.getName.stripPrefix("centroid_id=").toInt
+          fs.listStatus(d.getPath)
+            .toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (cell, f.getPath.getName, f.getLen))
+        }
+    val before = census()
+    require(before.nonEmpty, s"compactAdcIndexCodes: no code files under $codes")
+    val binned: Seq[(Int, String, Long, Long)] = before
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (cell, cellFiles) =>
+        var cum = 0L
+        cellFiles.sortBy(_._2).map { case (_, name, bytes) =>
+          val bin = cum / targetBytes
+          cum += bytes
+          (cell, name, bytes, bin)
+        }
+      }
+    val victims = binned.groupBy(_._1).filter { case (_, cf) => cf.map(_._4).distinct.size < cf.size }
+    if (victims.nonEmpty) {
+      val victimCells = victims.keys.toSeq.sorted
+      val victimDirs = victimCells.map(c => s"$codes/centroid_id=$c")
+      // file-NAME join (part names are UUID-unique) — input_file_name()'s
+      // URI rendering and the Hadoop listing disagree on scheme slashes
+      val fileBin = victims.values.flatten.toSeq
+        .map { case (cell, name, _, bin) => (cell, name, bin) }
+        .toDF("centroid_id", "__fname", "__bin")
+      val nIn = victims.values.map(_.size).sum
+      val tmp = s"$dir/codes_compact_tmp"
+      val rows = spark.read
+        .option("basePath", codes)
+        .parquet(victimDirs: _*)
+        .withColumn("__fname", substring_index(input_file_name(), "/", -1))
+        .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
+        .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
+      val nBins = victims.values.flatten.map(t => (t._1, t._4)).toSeq.distinct.size
+      rows
+        .repartition(nBins, col("centroid_id"), col("__bin"))
+        .drop("__bin")
+        .write
+        .mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+      // The loud gate: rows out == rows in, verified BEFORE anything is
+      // deleted. A file the name-join missed would silently drop its rows
+      // into the void — this turns that bug into a failed job.
+      val inRows = spark.read.option("basePath", codes).parquet(victimDirs: _*).count()
+      val outRows = spark.read.parquet(tmp).count()
+      require(
+        outRows == inRows,
+        s"compactAdcIndexCodes: rewrite row count $outRows != input $inRows over ${nIn} files — " +
+          "aborting before the swap; the codes table is untouched.",
+      )
+      victimCells.foreach { cell =>
+        val oldDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
+        val newDir = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cell")
+        fs.delete(oldDir, true)
+        require(fs.rename(newDir, oldDir), s"compactAdcIndexCodes: rename failed for cell $cell")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val after = census()
+    val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
+    val aAgg = after.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
+    bAgg.keys.toSeq.sorted
+      .map { c =>
+        val (nb, sb) = bAgg(c)
+        val (na, sa) = aAgg.getOrElse(c, (0L, 0L))
+        (c, nb, na, sb, sa)
+      }
+      .toDF("centroid_id", "files_before", "files_after", "bytes_before", "bytes_after")
+  }
+
   /** Serve [[adcTopK]] from a PERSISTED index ([[saveAdcIndex]] layout):
     * read back the coarse codebook, the PQ codebooks (tiny — collected to
     * the driver like every codebook literal), and the partitioned codes

@@ -112,6 +112,40 @@ class ExtensionSpec extends SparkSpec {
     assert(c1 != full, "0.5 sample should train a (slightly) different codebook")
   }
 
+  test("compactAdcIndexCodes: appends splinter cells, compaction repairs files, serving content unchanged") {
+    import graft.operators.IvfIndex
+    val centroids = IvfIndex.train(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_compact").toString
+    IvfIndex.saveAdcIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.appendToAdcIndex(spark, dir, emb.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", m = 4)
+    IvfIndex.appendToAdcIndex(spark, dir, emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", m = 4)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def serve() = IvfIndex
+      .adcTopKFromIndex(spark, dir, emb, queries, "vec_id", "embedding", m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    val beforeServe = serve()
+    val census = IvfIndex
+      .compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20)
+      .as[(Int, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    // two appends over a base write → at least one cell holds >= 3 files;
+    // a 128 MB target bins every tiny cell to ONE file
+    assert(census.map(_._2).max >= 3, s"appends must splinter some cell: $census")
+    assert(census.forall(_._3 == 1L), s"every cell must compact to one file: $census")
+    assert(census.forall(c => c._5 > 0), "compacted cells keep their bytes")
+    assert(serve() == beforeServe, "compaction must not change served content")
+    // idempotence: a second pass finds nothing to do (no cell re-written)
+    val again = IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(again.forall(c => c._2 == 1L && c._3 == 1L && c._4 == c._5),
+      s"an already-compacted layout must be left untouched: $again")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("cosineNearDupPairsLsh: exactly-once pairs, subset of exhaustive, sims exact") {
     val lsh = Similarity
       .cosineNearDupPairsLsh(emb, "vec_id", "embedding", dim = 64, planes = 4, threshold = 0.35, tables = 2)
