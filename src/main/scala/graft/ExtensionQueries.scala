@@ -154,6 +154,16 @@ object ExtensionQueries {
   // q211's OOD fence: members below cos 0.9 (per-micro quantized) to
   // their own centroid are out-of-distribution for that cell.
   private val OodThresholdQ = 900000L
+  // q267's drift fixture and gate: the increment shifts every dimension by
+  // +0.5 (EXACTLY representable in binary32 — 0.1 would round differently
+  // through DuckDB's double arithmetic than through the JVM's float add);
+  // the OOD fence sits at quantized cos 0.2 (measured: base cells ~380
+  // milli, shifted members push merged cells past 900), and the gate fires
+  // on a >= 150-milli RISE over the cell's own base level — drift is a
+  // delta, not an absolute (q211's fixed fence would flag the whole base).
+  private val DriftShift = "0.5"
+  private val DriftThresholdQ = 200000L
+  private val DriftGateMilli = 150L
   // q213's replay split: the last 12 hours arrive first, older data late.
   private val LateHoursBack = 12
   // q215's staleness bound: a purchase older than 24 h does not enrich.
@@ -4060,6 +4070,24 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- The drift loop CLOSED (the staleness tripwire appendToAdcIndex's
+    //      frozen-codebook contract names): a SHIFTED increment arrives,
+    //      ONE flagged assign pass computes each cell's OOD share before
+    //      vs after, and the per-cell gate decides which cells the frozen
+    //      quantizer has gone stale for — re-encode is gated on measured
+    //      drift, never assumed ----
+    "q267_ood_drift_gate" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val inc = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(DriftShift.toFloat)).as("embedding"),
+      )
+      IvfIndex
+        .oodDriftGate(base, inc, "vec_id", "embedding", centroids, DriftThresholdQ, DriftGateMilli)
+        .orderBy("centroid_id")
+    }),
+
     // ---- ADC recall@k vs exact brute force — the q185 grading harness
     //      over the IVF-PQ ADC pipeline: the number that says whether
     //      nprobe/candK and the PQ resolution are tuned before serving ----
@@ -7471,6 +7499,38 @@ object ExtensionQueries {
     // merged content, and the rewrite moves bytes, never content — q265
     // shares q259's oracle verbatim.
     "q265_codes_compaction" -> sqlAdcAppendOracle,
+    // The drift-gate contract: the shifted increment regenerated in closed
+    // form (float-exact +shift per dim), both censuses from ONE assignment
+    // relation, milli shares and the >= gate as exact integer arithmetic.
+    "q267_ood_drift_gate" ->
+      s"""WITH ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+              allv AS (SELECT vec_id, embedding, 0 AS inc FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + 1000000,
+                              list_transform(embedding, x -> CAST(x + $DriftShift AS FLOAT)), 1
+                       FROM embeddings),
+              msc AS (SELECT a.vec_id, a.inc, b.centroid_id, $sqlCos AS sim
+                      FROM allv a CROSS JOIN ivfc b),
+              mown AS (SELECT vec_id, inc, centroid_id,
+                              CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sq FROM (
+                 SELECT vec_id, inc, centroid_id, sim,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+                 FROM msc) WHERE rn = 1),
+              cen AS (SELECT centroid_id,
+                             CAST(SUM(CASE WHEN inc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                             CAST(SUM(CASE WHEN inc = 0 AND sq < $DriftThresholdQ THEN 1 ELSE 0 END) AS BIGINT) AS ob,
+                             CAST(COUNT(*) AS BIGINT) AS n_merged,
+                             CAST(SUM(CASE WHEN sq < $DriftThresholdQ THEN 1 ELSE 0 END) AS BIGINT) AS om
+                      FROM mown GROUP BY 1),
+              milli AS (SELECT centroid_id, n_base,
+                               CAST(CASE WHEN n_base = 0 THEN 0 ELSE ob * 1000 // n_base END AS BIGINT) AS ood_base_milli,
+                               n_merged,
+                               CAST(om * 1000 // n_merged AS BIGINT) AS ood_merged_milli
+                        FROM cen)
+          SELECT centroid_id, n_base, ood_base_milli, n_merged, ood_merged_milli,
+                 (ood_merged_milli - ood_base_milli) >= $DriftGateMilli AS reencode
+          FROM milli ORDER BY centroid_id""",
     // The grading contract: adcfinal (the SAME generated pipeline as q248)
     // joined against the q185 exact brute-force side — every sampled query
     // appears, zero-recall included.

@@ -82,8 +82,20 @@ object IvfIndex {
     * struct's other field, free in the same projection (callers that need
     * "how close to my centroid", e.g. [[Similarity.semDedup]]'s
     * representative policy, must not pay a centroid re-join for it).
+    *
+    * `keep` carries extra input columns through the projection unchanged
+    * (appended after the standard output) — callers that tag rows (e.g.
+    * [[oodDriftGate]]'s base/increment flag) must not pay a self-join to
+    * get their tag back.
     */
-  def assign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String, withSim: Boolean = false): DataFrame = {
+  def assign(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      withSim: Boolean = false,
+      keep: Seq[String] = Nil,
+  ): DataFrame = {
     // Pre-flight BEFORE collect(): probing limit(max+1) costs one tiny job,
     // whereas a corpus-sized `centroids` would OOM the driver inside
     // collect() and the loud error below would never fire. The codebook plan
@@ -108,18 +120,22 @@ object IvfIndex {
     val best = array_max(
       transform(codebook, c => struct(cos(col(vecCol), c.getField("_2")).as("sim"), (-c.getField("_1")).as("negid")))
     )
-    if (!withSim) df.select(col(idCol), (-best.getField("negid")).as("centroid_id"), col(vecCol))
+    val kept = keep.map(col)
+    if (!withSim)
+      df.select(Seq(col(idCol), (-best.getField("negid")).as("centroid_id"), col(vecCol)) ++ kept: _*)
     else
       // Two-step projection: `best` (the full codebook cosine scan) is
       // referenced twice below, and Catalyst inlines duplicated non-cheap
       // expressions when collapsing projections (the withMinhash trap) —
       // naming it in an inner projection keeps it computed once per row.
-      df.select(col(idCol), col(vecCol), best.as("__best"))
+      df.select(Seq(col(idCol), col(vecCol), best.as("__best")) ++ kept: _*)
         .select(
-          col(idCol),
-          (-col("__best").getField("negid")).as("centroid_id"),
-          col(vecCol),
-          col("__best").getField("sim").as("sim"),
+          Seq(
+            col(idCol),
+            (-col("__best").getField("negid")).as("centroid_id"),
+            col(vecCol),
+            col("__best").getField("sim").as("sim"),
+          ) ++ kept: _*
         )
   }
 
@@ -1277,4 +1293,60 @@ object IvfIndex {
         sum(when(col("__sq") < thresholdQ, 1L).otherwise(0L)).as("n_ood"),
       )
       .withColumn("ood_milli", expr("n_ood * 1000 div n"))
+
+  /** The drift tripwire CLOSED into a gate — the staleness check
+    * [[appendToAdcIndex]]'s frozen-codebook contract depends on, as one
+    * operator: given the index's FROZEN coarse centroids, compare each
+    * cell's out-of-distribution share before vs after an increment and
+    * decide, per cell, whether the quantizer has gone stale for it
+    * (`reencode` fires when the OOD share rose >= `gateMilli` per-mille
+    * over the base level; a cell the increment newly occupies compares
+    * against 0 — fresh occupancy from a drifted batch IS staleness).
+    *
+    * Output, one row per occupied cell: (centroid_id, n_base,
+    * ood_base_milli, n_merged, ood_merged_milli, reencode) — exact
+    * integers plus one boolean on both engines.
+    *
+    * Scale: ONE pass over base ∪ increment — the zero-shuffle [[assign]]
+    * projection with the base/increment tag carried through (`keep`), then
+    * a single cell-keyed partial aggregate computing BOTH censuses as
+    * conditional sums. Running [[oodCensus]] twice would scan the base
+    * corpus twice for the same answer.
+    */
+  def oodDriftGate(
+      base: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      thresholdQ: Long,
+      gateMilli: Long,
+  ): DataFrame = {
+    val flagged = base
+      .select(col(idCol), col(vecCol), lit(0L).as("__inc"))
+      .unionAll(increment.select(col(idCol), col(vecCol), lit(1L).as("__inc")))
+    assign(flagged, centroids, idCol, vecCol, withSim = true, keep = Seq("__inc"))
+      .select(
+        col("centroid_id"),
+        col("__inc"),
+        floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long").as("__sq"),
+      )
+      .groupBy(col("centroid_id"))
+      .agg(
+        sum(when(col("__inc") === 0L, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__inc") === 0L && col("__sq") < thresholdQ, 1L).otherwise(0L)).as("__ood_base"),
+        count(lit(1)).as("n_merged"),
+        sum(when(col("__sq") < thresholdQ, 1L).otherwise(0L)).as("__ood_merged"),
+      )
+      .withColumn("ood_base_milli", expr("CASE WHEN n_base = 0 THEN 0L ELSE __ood_base * 1000 div n_base END"))
+      .withColumn("ood_merged_milli", expr("__ood_merged * 1000 div n_merged"))
+      .select(
+        col("centroid_id"),
+        col("n_base"),
+        col("ood_base_milli"),
+        col("n_merged"),
+        col("ood_merged_milli"),
+        (col("ood_merged_milli") - col("ood_base_milli") >= gateMilli).as("reencode"),
+      )
+  }
 }
