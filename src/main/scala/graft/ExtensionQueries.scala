@@ -508,6 +508,65 @@ object ExtensionQueries {
                                       THEN CAST(1 AS BIGINT) << CAST(c AS INT) ELSE 0 END) AS BIGINT) AS lo
                       FROM vb GROUP BY id, k)"""
 
+  /** Shared CTE block for the q266 re-encode video fixture
+    * ([[graft.operators.Multimodal.synthesizeMjpegReencodePair]]): per
+    * (clip, frame) the 64 cell LEVELS regenerated in closed form (xorshift
+    * mix, 3 levels, the variant's cell-level mod-7 drift), mapped through
+    * the EMBEDDED gray→sRGB lookup
+    * ([[graft.operators.Multimodal.GraySrgbLut]] — `getRGB` on a decoded
+    * grayscale JPEG sees `1000·lut(level)`, not `1000·level`), then BOTH
+    * per-frame hashes — exact-mean aHash (solid cells reduce the
+    * cross-multiply to `lut·64 > Σlut`) and the integer DCT pHash over the
+    * `1000·lut` gray grid through the embedded cosine table (the q256
+    * `sqlPhashCtes` machinery at frame granularity). Ends with
+    * `vpah(media_id, k, ahi, alo)` and `vpph(media_id, k, phi, plo)`.
+    */
+  private def sqlVideoPhashCtes: String = {
+    val ctRows =
+      (for { k <- 0 until 8; n <- 0 until 8 } yield s"($k,$n,${Multimodal.PhashCosTable(k)(n)})").mkString(",")
+    val lutRows = Multimodal.GraySrgbLut.zipWithIndex.map { case (s, l) => s"($l,$s)" }.mkString(",")
+    s"""mrd AS (SELECT doc_id AS id, CAST(4 + doc_id % 4 AS BIGINT) AS frames FROM documents),
+        mrv AS (SELECT id, 2*id + gv.v AS media_id, gv.v AS var, frames FROM mrd, (VALUES (0),(1)) gv(v)),
+        mrc AS (SELECT media_id, id, var, gk.k AS k, gc.c AS c,
+                       ((id*512 + gk.k*64 + gc.c + 1) * 2654435761) % 4294967296 AS v0
+                FROM mrv, generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT)) gk(k),
+                          generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT)) gc(c)
+                WHERE gk.k < frames),
+        vlut(lv, sl) AS (VALUES $lutRows),
+        mrl0 AS (SELECT media_id, k, c,
+                        40 + 88*((xor(v0, v0 // 8192)) % 3)
+                        + CASE WHEN var = 0 THEN 0 ELSE 25 + (id + 3*k + 13*c) % 17 - 8 END AS lvl
+                 FROM mrc),
+        mrl AS (SELECT media_id, k, c, CAST(sl AS BIGINT) AS lvl
+                FROM mrl0 JOIN vlut ON vlut.lv = mrl0.lvl),
+        vpab AS (SELECT media_id, k, c,
+                        CASE WHEN lvl * 64 > SUM(lvl) OVER (PARTITION BY media_id, k) THEN 1 ELSE 0 END AS bit
+                 FROM mrl),
+        vpah AS (SELECT media_id, k,
+                        CAST(SUM(CASE WHEN bit=1 AND c >= 32
+                                 THEN CAST(1 AS BIGINT) << CAST(c - 32 AS INT) ELSE 0 END) AS BIGINT) AS ahi,
+                        CAST(SUM(CASE WHEN bit=1 AND c < 32
+                                 THEN CAST(1 AS BIGINT) << CAST(c AS INT) ELSE 0 END) AS BIGINT) AS alo
+                 FROM vpab GROUP BY 1, 2),
+        vpg AS (SELECT media_id, k, c // 8 AS cy, c % 8 AS cx, 1000 * lvl AS g FROM mrl),
+        vpct(ck, cn, cv) AS (VALUES $ctRows),
+        vprow AS (SELECT media_id, k, vpct.ck AS kx, cy, SUM(g * vpct.cv) AS r
+                  FROM vpg JOIN vpct ON vpct.cn = vpg.cx GROUP BY 1, 2, 3, 4),
+        vpcoef AS (SELECT media_id, k, kx, vpct.ck AS ky, SUM(r * vpct.cv) AS cf
+                   FROM vprow JOIN vpct ON vpct.cn = vprow.cy GROUP BY 1, 2, 3, 4),
+        vpacs AS (SELECT media_id, k, SUM(CASE WHEN kx=0 AND ky=0 THEN 0 ELSE cf END) AS sac
+                  FROM vpcoef GROUP BY 1, 2),
+        vpbits AS (SELECT vpcoef.media_id, vpcoef.k, 63 - (ky*8 + kx) AS p,
+                          CASE WHEN (kx=0 AND ky=0) THEN 0 WHEN cf*63 > sac THEN 1 ELSE 0 END AS bit
+                   FROM vpcoef JOIN vpacs ON vpacs.media_id = vpcoef.media_id AND vpacs.k = vpcoef.k),
+        vpph AS (SELECT media_id, k,
+                        CAST(SUM(CASE WHEN bit=1 AND p >= 32
+                                 THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END) AS BIGINT) AS phi,
+                        CAST(SUM(CASE WHEN bit=1 AND p < 32
+                                 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS plo
+                 FROM vpbits GROUP BY 1, 2)"""
+  }
+
   private def sqlCcBoundedFromPairs(pairsRel: String, depth: Int = 12): String = {
     val steps = (1 to depth)
       .map { i =>
@@ -3813,6 +3872,20 @@ object ExtensionQueries {
       val media = Multimodal.synthesizeMjpegAvi(t(s, d, "documents"), "doc_id")
       Multimodal
         .videoNearDupPairs(media, minShared = 2, maxVideosPerSig = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Video near-dup under lossy re-encode (q256's contract at video
+    //      granularity): each clip plus a STRONGLY drifted re-encode
+    //      stand-in — past the exact-signature breaking point; pairing on
+    //      per-frame pHash HAMMING distance must still find every pair,
+    //      while the exact-aHash census rides along as the diagnostic
+    //      (n_shared_ahash < 2 rows are pairs q247's exact pipeline
+    //      misses outright) ----
+    "q266_video_phash_neardup" -> ((s, d) => {
+      val media = Multimodal.synthesizeMjpegReencodePair(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .videoNearDupPairsPHash(media, minShared = 2, maxDist = PhashMaxDist, maxVideosPerSig = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -7428,6 +7501,35 @@ object ExtensionQueries {
           FROM vkeep a JOIN vkeep b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
           GROUP BY a.id, b.id HAVING COUNT(*) >= 2
           ORDER BY id_a, id_b""",
+    // The video-re-encode contract: both per-frame hashes regenerated from
+    // the closed form (solid cells through the embedded gray→sRGB lookup —
+    // the JPEG encode is pixel-exact, so the decoded hashes ARE the
+    // pattern), frame-level Hamming pairing (prefix bucket on the hi
+    // half's top 12 bits, popcount radius, frame keys ordered) aggregated
+    // to video pairs, the exact-aHash overlap count joined as the "what
+    // q247 would have seen" diagnostic.
+    "q266_video_phash_neardup" ->
+      s"""WITH $sqlVideoPhashCtes,
+              vpp AS (SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_matched
+                      FROM vpph a JOIN vpph b
+                        ON (a.phi // 1048576) = (b.phi // 1048576)
+                       AND (a.media_id * 64 + a.k) < (b.media_id * 64 + b.k)
+                       AND a.media_id <> b.media_id
+                      WHERE bit_count(xor(a.phi, b.phi)) + bit_count(xor(a.plo, b.plo)) <= $PhashMaxDist
+                      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              vas AS (SELECT DISTINCT media_id, ahi, alo FROM vpah),
+              vafreq AS (SELECT ahi, alo, COUNT(*) AS nv FROM vas GROUP BY 1, 2),
+              vakeep AS (SELECT vas.media_id, vas.ahi, vas.alo
+                         FROM vas JOIN vafreq ON vas.ahi = vafreq.ahi AND vas.alo = vafreq.alo
+                         WHERE vafreq.nv <= 8),
+              vap AS (SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_ahash
+                      FROM vakeep a JOIN vakeep b
+                        ON a.ahi = b.ahi AND a.alo = b.alo AND a.media_id < b.media_id
+                      GROUP BY 1, 2)
+          SELECT vpp.id_a, vpp.id_b, vpp.n_matched,
+                 CAST(COALESCE(vap.n_shared_ahash, 0) AS BIGINT) AS n_shared_ahash
+          FROM vpp LEFT JOIN vap ON vap.id_a = vpp.id_a AND vap.id_b = vpp.id_b
+          ORDER BY vpp.id_a, vpp.id_b""",
     // The lake round-trip contract (q32's rule): the bloom-filtered,
     // scramble-ordered parquet must read back exactly the source rows the
     // probe keys select — pruning may skip row groups, never rows.

@@ -530,11 +530,46 @@ object Multimodal {
       }
   }
 
+  /** Pack per-frame payloads into the minimal RIFF/AVI container the
+    * [[RiffAviCodec]] walker reads (avih header + one `00dc` movi chunk
+    * per frame, even-padded) — the builder shared by [[synthesizeAvi]]'s
+    * siblings and the re-encode ground-truth specs.
+    */
+  private[graft] def packMjpegAvi(frameBytes: IndexedSeq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d   = new java.io.DataOutputStream(bos)
+    def u32(v: Int): Unit = d.writeInt(Integer.reverseBytes(v))
+    val avih = {
+      val a  = new java.io.ByteArrayOutputStream()
+      val ad = new java.io.DataOutputStream(a)
+      def au32(v: Int): Unit = ad.writeInt(Integer.reverseBytes(v))
+      au32(33333); au32(0); au32(0); au32(0)
+      au32(frameBytes.length); au32(0); au32(1); au32(0)
+      au32(w); au32(h); au32(0); au32(0); au32(0); au32(0)
+      a.toByteArray
+    }
+    val hdrlSize = 4 + 8 + avih.length
+    val moviSize = 4 + frameBytes.map(fb => 8 + fb.length + (fb.length & 1)).sum
+    d.writeBytes("RIFF")
+    u32(4 + (8 + hdrlSize) + (8 + moviSize))
+    d.writeBytes("AVI ")
+    d.writeBytes("LIST"); u32(hdrlSize); d.writeBytes("hdrl")
+    d.writeBytes("avih"); u32(avih.length); d.write(avih)
+    d.writeBytes("LIST"); u32(moviSize); d.writeBytes("movi")
+    frameBytes.foreach { fb =>
+      d.writeBytes("00dc"); u32(fb.length); d.write(fb)
+      if ((fb.length & 1) == 1) d.writeByte(0)
+    }
+    bos.toByteArray
+  }
+
   final case class VideoFrameHashRow(
       media_id: Long,
       frame_idx: Int,
       ahash_hi: Long,
       ahash_lo: Long,
+      phash_hi: Long,
+      phash_lo: Long,
       frame_w: Int,
       frame_h: Int,
   )
@@ -542,33 +577,41 @@ object Multimodal {
   /** Per-frame perceptual hashes over REAL video content: demux the movi
     * chunks ([[RiffAviCodec.framePayloads]]), `ImageIO.read` each frame
     * payload (full pixel rasterize — MJPEG-style AVI carries a
-    * self-contained image per chunk), and [[aHashBits]] each frame — the
-    * q240 image contract at frame granularity. Unparseable containers and
-    * undecodable frames answer a single/per-frame (−1, −1) sentinel row —
-    * total, callers pairing on signatures filter `ahash_hi >= 0` (the
-    * [[imageDedupKeepBest]] pre-filter contract).
+    * self-contained image per chunk), and hash each frame BOTH ways from
+    * the one decode — exact-mean [[aHashBits]] and DCT [[pHashBits]] (the
+    * [[imagePHash]] one-pass rule at frame granularity: decode dominates,
+    * the second hash is ~free next to it). Unparseable containers and
+    * undecodable frames answer a single/per-frame all-(−1) sentinel row —
+    * total, callers pairing on signatures filter `ahash_hi >= 0` /
+    * `phash_hi >= 0` (the [[imageDedupKeepBest]] pre-filter contract).
     *
     * Scale: `mapPartitions`, one decode per frame, payload bytes dropped
-    * at this boundary — only (id, frame, 64-bit hash) rows shuffle, and a
-    * billion-video corpus decodes in one partition-parallel pass with no
-    * per-video driver loop.
+    * at this boundary — only (id, frame, two 64-bit hashes) rows shuffle,
+    * and a billion-video corpus decodes in one partition-parallel pass
+    * with no per-video driver loop.
     */
   def videoFrameHashes(media: Dataset[MediaRecord]): Dataset[VideoFrameHashRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.flatMap { m =>
       val payloads = RiffAviCodec.framePayloads(m.content)
-      if (payloads.isEmpty) Iterator.single(VideoFrameHashRow(m.media_id, -1, -1L, -1L, -1, -1))
+      if (payloads.isEmpty) Iterator.single(VideoFrameHashRow(m.media_id, -1, -1L, -1L, -1L, -1L, -1, -1))
       else
         payloads.iterator.zipWithIndex.map { case (fb, i) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null || img.getWidth < 1 || img.getHeight < 1)
-            VideoFrameHashRow(m.media_id, i, -1L, -1L, -1, -1)
+            VideoFrameHashRow(m.media_id, i, -1L, -1L, -1L, -1L, -1, -1)
           else {
             val hash = aHashBits(img)
-            VideoFrameHashRow(m.media_id, i, hash >>> 32, hash & 0xffffffffL, img.getWidth, img.getHeight)
+            val ph = pHashBits(img)
+            VideoFrameHashRow(
+              m.media_id, i,
+              hash >>> 32, hash & 0xffffffffL,
+              ph >>> 32, ph & 0xffffffffL,
+              img.getWidth, img.getHeight,
+            )
           }
         }
     })
@@ -609,11 +652,13 @@ object Multimodal {
       frameHashes: DataFrame,
       minShared: Int,
       maxVideosPerSig: Int,
+      hiCol: String = "ahash_hi",
+      loCol: String = "ahash_lo",
   ): DataFrame = {
     val sigs = frameHashes
       .select(
         col("media_id"),
-        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"),
+        shiftleft(col(hiCol), 32).bitwiseOR(col(loCol)).as("sig"),
       )
       .distinct()
     val freq = sigs.groupBy(col("sig")).agg(count(lit(1)).as("__nvids"))
@@ -625,6 +670,131 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Video near-duplicate pairs on FRAME pHASH HAMMING distance — the
+    * lossy-re-encode-robust sibling of [[videoNearDupPairs]], and the q256
+    * contract at video granularity: a re-encoded copy's frames keep their
+    * DCT signs WITHIN A SMALL RADIUS (exact pHash equality breaks too —
+    * measured: over half the fixture pairs lose exact-sig overlap), so
+    * the pairing is [[Dedup.hammingPairs]] at frame granularity — frames
+    * keyed `media_id·64 + frame_idx`, prefix-bucketed on the stable
+    * low-frequency top bits, popcount-filtered at `maxDist` — aggregated
+    * to video pairs by matched-frame count. The exact-aHash overlap count
+    * rides along as the "what exact-signature dedup ([[videoNearDupPairs]])
+    * would have seen" diagnostic: rows with `n_shared_ahash < minShared`
+    * are pairs the q247 pipeline misses outright.
+    *
+    * ONE decode pass ([[videoFrameHashes]] emits both hashes); the frame
+    * pairing is bucket-local with the loud bound guard (never all-pairs);
+    * the aHash arm is the same signature-local equi-join; pixels are
+    * touched once.
+    */
+  def videoNearDupPairsPHash(
+      media: Dataset[MediaRecord],
+      minShared: Int = 2,
+      maxDist: Int = 4,
+      maxVideosPerSig: Int = 8,
+  ): DataFrame = {
+    val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("phash_hi") >= 0))
+    // fid packing needs frame_idx < 64 — fail loudly, not with silently
+    // colliding frame keys (fh is checkpointed; the probe is one tiny job)
+    val maxIdx = fh.agg(max(col("frame_idx"))).head().getInt(0)
+    require(maxIdx < 64, s"videoNearDupPairsPHash: frame_idx $maxIdx >= 64 breaks the fid packing")
+    val sigs = fh.select(
+      (col("media_id") * 64 + col("frame_idx")).as("fid"),
+      shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo")).as("sig"),
+    )
+    val p = Dedup
+      .hammingPairs(sigs, "fid", "sig", bits = 64, prefixBits = 12, maxDist = maxDist)
+      .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minShared)
+    val a = sigOverlapPairs(fh, minShared = 1, maxVideosPerSig = maxVideosPerSig)
+      .withColumnRenamed("n_shared", "n_shared_ahash")
+    p.join(a, Seq("id_a", "id_b"), "left")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_matched"),
+        coalesce(col("n_shared_ahash"), lit(0L)).as("n_shared_ahash"),
+      )
+  }
+
+  /** Per document, an MJPEG-in-AVI clip (media_id = 2·id) plus a LOSSY-
+    * RE-ENCODE STAND-IN variant (media_id = 2·id + 1) — the
+    * [[synthesizePngReencodePair]] fixture at video granularity, shaped so
+    * the JPEG encode stays PIXEL-EXACT (the [[synthesizeMjpegAvi]]
+    * argument: solid 8×8-aligned cells are DC-only blocks that survive
+    * quality-1.0 quantize→dequantize→IDCT exactly, for ANY integer level):
+    *
+    *  - geometry: `frames = 4 + id % 4`, `w = 64·(1 + id % 2)`, `h = 64`;
+    *  - base: cell level `L = 40 + 88·(Q mod 3)` from the xorshift mix
+    *    `v₀ = (id·512 + k·64 + c + 1)·2654435761 mod 2^32`,
+    *    `Q = v₀ xor (v₀ >> 13)` (the q256 mixer rule — affine-only cell
+    *    hashes make level-rotated twins);
+    *  - variant: `L + 25 + ((id + 3k + 13c) mod 17 − 8)` — a STRONG
+    *    cell-level "re-encode drift" (17–33 levels; per-pixel noise would
+    *    break the DC-only exactness the oracle's closed form depends on),
+    *    deliberately past the exact-signature breaking point: measured at
+    *    this amplitude, ~31% of frames flip at least one aHash bit, over
+    *    half the clip pairs lose exact pHash-sig overlap too, yet
+    *    per-frame pHash Hamming distance stays ≤ 4 against a ≥ 14
+    *    cross-content floor — the regime where ONLY Hamming pairing
+    *    ([[videoNearDupPairsPHash]]) still finds the pairs.
+    */
+  def synthesizeMjpegReencodePair(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val frames = (4 + id % 4).toInt
+          val w      = (64 * (1 + id % 2)).toInt
+          val h      = 64
+          Seq(0, 1).map { variant =>
+            val frameBytes: IndexedSeq[Array[Byte]] = (0 until frames).map { k =>
+              val img =
+                new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                val cy = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val c = cy * 8 + x * 8 / w
+                  val v0 = ((id * 512 + k * 64 + c + 1) * 2654435761L) & 0xffffffffL
+                  val q = v0 ^ (v0 >> 13)
+                  val base = (40L + 88L * (q % 3)).toInt
+                  val lvl = if (variant == 0) base else base + 25 + (((id + 3L * k + 13L * c) % 17) - 8).toInt
+                  raster.setSample(x, y, 0, lvl)
+                  x += 1
+                }
+                y += 1
+              }
+              val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+              val prm = writer.getDefaultWriteParam
+              prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+              prm.setCompressionQuality(1.0f)
+              val fbos = new java.io.ByteArrayOutputStream()
+              val ios  = javax.imageio.ImageIO.createImageOutputStream(fbos)
+              try {
+                writer.setOutput(ios)
+                writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+              } finally {
+                writer.dispose()
+                ios.close()
+              }
+              fbos.toByteArray
+            }
+            MediaRecord(2 * id + variant, "video", packMjpegAvi(frameBytes, w, h), "synthetic")
+          }
+        }
+      }
   }
 
   /** End-to-end video dedup with canonicalization — the video sibling of
@@ -888,6 +1058,24 @@ object Multimodal {
     * knowledge (pHash; e.g. Zauner 2010, "Implementation and benchmarking
     * of perceptual image hash functions").
     */
+  /** The JDK's TYPE_BYTE_GRAY → sRGB pixel conversion as a 256-entry
+    * lookup table: [[aHashBits]]/[[pHashBits]] read pixels through
+    * `getRGB`, which maps a stored gray sample through the built-in
+    * gray→sRGB color transform (the sRGB transfer curve, IEC 61966-2-1 —
+    * public knowledge) — so the luma the hash SAW for a decoded grayscale
+    * JPEG is `1000·lut(level)`, not `1000·level`. Materialized once
+    * driver-side (256 one-pixel conversions) and embedded verbatim into
+    * the q266 oracle, the [[PhashCosTable]] rule: both engines run the
+    * identical integer table, zero color-management parity risk. (The
+    * 0/255-only fixtures never noticed: the endpoints are fixed points of
+    * any transfer curve.)
+    */
+  private[graft] lazy val GraySrgbLut: IndexedSeq[Int] = (0 to 255).map { l =>
+    val img = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, l)
+    img.getRGB(0, 0) & 0xff
+  }
+
   private[graft] val PhashScale: Long = 1L << 14
   private[graft] val PhashCosTable: Array[Array[Long]] =
     Array.tabulate(8, 8)((k, n) => Math.round(Math.cos(Math.PI * (2 * n + 1) * k / 16.0) * PhashScale.toDouble))

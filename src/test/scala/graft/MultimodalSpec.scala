@@ -331,7 +331,7 @@ class MultimodalSpec extends SparkSpec {
     import graft.operators.Multimodal.MediaRecord
     val ds = Seq(MediaRecord(9L, "video", "not a container".getBytes("utf-8"), "s")).toDS()
     val rows = Multimodal.videoFrameHashes(ds).collect().toSeq
-    assert(rows == Seq(Multimodal.VideoFrameHashRow(9L, -1, -1L, -1L, -1, -1)))
+    assert(rows == Seq(Multimodal.VideoFrameHashRow(9L, -1, -1L, -1L, -1L, -1L, -1, -1)))
   }
 
   test("ImageIoCodec.sampleFrames demuxes AVI movi chunks into decodable JPEG frames") {
@@ -570,5 +570,62 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(pixelDiffs > 100, s"the re-encode must actually be lossy (got $pixelDiffs/150 changed)")
     assert(ahashFlips > 0, s"ground truth must include re-encodes that flip the exact aHash")
+  }
+
+  test("video pHash pairs REAL lossy MJPEG re-encodes that drift the exact aHash census (q266 ground truth)") {
+    // The oracled q266 uses cell-level drift (a JPEG quantizer cannot be
+    // mirrored in SQL); THIS is the real-world ground truth: clips of
+    // q256-regime frames (40×24 — pool cells average 5×3 real pixels, the
+    // off-MCU regime where JPEG is genuinely lossy), each clip re-encoded
+    // frame-by-frame through the JDK JPEG writer at quality 0.5 and
+    // re-packed as MJPEG AVI. The Hamming frame pairing must find EVERY
+    // (original, re-encode) pair and nothing else, while the exact
+    // per-frame aHash census drifts (measured at the pattern level: ~37%
+    // of frames flip at least one aHash bit under this chain).
+    import graft.operators.Multimodal.MediaRecord
+    def frame(id: Long, k: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 40) {
+        val cell = (y * 8 / 24) * 8 + x * 8 / 40
+        val v0 = ((id * 512 + k * 64 + cell + 1) * 2654435761L) & 0xffffffffL
+        val l = (40L + 88L * ((v0 ^ (v0 >> 13)) % 3)).toInt
+        img.setRGB(x, y, l << 16 | l << 8 | l)
+      }
+      img
+    }
+    def jpeg(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val nClips = 60L
+    val records = (0L until nClips).flatMap { id =>
+      val frames = (4 + id % 4).toInt
+      val orig = (0 until frames).map(k => jpeg(frame(id, k), 1.0f)).toIndexedSeq
+      val reenc = orig
+        .map(b => javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        .map(img => jpeg(img, 0.5f))
+      Seq(
+        MediaRecord(2 * id, "video", Multimodal.packMjpegAvi(orig, 40, 24), "spec"),
+        MediaRecord(2 * id + 1, "video", Multimodal.packMjpegAvi(reenc, 40, 24), "spec"),
+      )
+    }
+    val media = spark.createDataset(records)(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val pairs = Multimodal
+      .videoNearDupPairsPHash(media, minShared = 2, maxDist = 4, maxVideosPerSig = 8)
+      .collect()
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until nClips).map(id => (2 * id, 2 * id + 1)).toSet
+    assert(got == expected, s"every re-encode pair and nothing else: missing=${expected -- got}, extra=${got -- expected}")
+    val drifted = pairs.count(r => r.getLong(3) < r.getLong(2))
+    assert(drifted > 0, "the re-encode must drift the exact aHash census on some clips")
   }
 }
