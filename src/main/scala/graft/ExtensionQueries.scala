@@ -4143,6 +4143,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- End-to-end video dedup that SURVIVES lossy re-encode: the q253
+    //      keep-best chain with q266's Hamming frame pairing as the
+    //      pairing stage — exact-signature dedup under-clusters a
+    //      re-encoded corpus (q266's measured contract); equal-length
+    //      copies tie-break to the LOWEST media id, i.e. the original ----
+    "q269_video_dedup_reencode" -> ((s, d) => {
+      val media = Multimodal.synthesizeMjpegReencodePair(t(s, d, "documents"), "doc_id")
+      Multimodal
+        .videoDedupKeepBestPHash(media, minShared = 2, maxDist = PhashMaxDist)
+        .orderBy("cluster_id")
+    }),
+
     // ---- The drift loop CLOSED (the staleness tripwire appendToAdcIndex's
     //      frozen-codebook contract names): a SHIFTED increment arrives,
     //      ONE flagged assign pass computes each cell's OOD share before
@@ -7530,6 +7542,43 @@ object ExtensionQueries {
                  CAST(COALESCE(vap.n_shared_ahash, 0) AS BIGINT) AS n_shared_ahash
           FROM vpp LEFT JOIN vap ON vap.id_a = vpp.id_a AND vap.id_b = vpp.id_b
           ORDER BY vpp.id_a, vpp.id_b""",
+    // The re-encode dedup contract: q266's Hamming pairing feeding the
+    // q253 keep-best tail against ONE mirror. Bounded-CC depth is 3, not
+    // the usual 12: every CC level RE-INLINES the pHash-chain upstream
+    // (the sqlCcBoundedFromPairs re-inlining rule), the fixture's
+    // components have diameter 1 (orig/variant pairs), and the
+    // convergence-poison row turns an insufficient depth into a loud
+    // hash mismatch rather than a silent wrong answer. Frame counts come
+    // from the synthesis closed form (mrv), not a re-inlined hash chain.
+    "q269_video_dedup_reencode" ->
+      s"""WITH $sqlVideoPhashCtes,
+              vpp AS (SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_matched
+                      FROM vpph a JOIN vpph b
+                        ON (a.phi // 1048576) = (b.phi // 1048576)
+                       AND (a.media_id * 64 + a.k) < (b.media_id * 64 + b.k)
+                       AND a.media_id <> b.media_id
+                      WHERE bit_count(xor(a.phi, b.phi)) + bit_count(xor(a.plo, b.plo)) <= $PhashMaxDist
+                      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              vq AS (SELECT id_a AS src, id_b AS dst FROM vpp),
+              ${sqlCcBoundedFromPairs("vq", depth = 3)},
+              vfr AS (SELECT media_id AS id, CAST(frames AS BIGINT) AS nf FROM mrv),
+              vm AS (SELECT c.comp, c.node AS id, vfr.nf
+                     FROM comps c JOIN vfr ON vfr.id = c.node),
+              vr AS (SELECT comp, id, nf,
+                            ROW_NUMBER() OVER (PARTITION BY comp ORDER BY nf DESC, id) AS rn
+                     FROM vm)
+          SELECT cluster_id, rep_media_id, rep_frames, n_members, n_dropped FROM (
+            SELECT comp AS cluster_id,
+                   MAX(CASE WHEN rn = 1 THEN id END) AS rep_media_id,
+                   CAST(MAX(CASE WHEN rn = 1 THEN nf END) AS BIGINT) AS rep_frames,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM vr GROUP BY comp
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   conv.n_changed, CAST(-1 AS BIGINT)
+            FROM conv WHERE conv.n_changed > 0
+          ) ORDER BY cluster_id""",
     // The lake round-trip contract (q32's rule): the bloom-filtered,
     // scramble-ordered parquet must read back exactly the source rows the
     // probe keys select — pruning may skip row groups, never rows.

@@ -697,21 +697,7 @@ object Multimodal {
       maxVideosPerSig: Int = 8,
   ): DataFrame = {
     val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("phash_hi") >= 0))
-    // fid packing needs frame_idx < 64 — fail loudly, not with silently
-    // colliding frame keys (fh is checkpointed; the probe is one tiny job)
-    val maxIdx = fh.agg(max(col("frame_idx"))).head().getInt(0)
-    require(maxIdx < 64, s"videoNearDupPairsPHash: frame_idx $maxIdx >= 64 breaks the fid packing")
-    val sigs = fh.select(
-      (col("media_id") * 64 + col("frame_idx")).as("fid"),
-      shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo")).as("sig"),
-    )
-    val p = Dedup
-      .hammingPairs(sigs, "fid", "sig", bits = 64, prefixBits = 12, maxDist = maxDist)
-      .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_matched"))
-      .filter(col("n_matched") >= minShared)
+    val p = phashFramePairs(fh, minShared, maxDist)
     val a = sigOverlapPairs(fh, minShared = 1, maxVideosPerSig = maxVideosPerSig)
       .withColumnRenamed("n_shared", "n_shared_ahash")
     p.join(a, Seq("id_a", "id_b"), "left")
@@ -720,6 +706,81 @@ object Multimodal {
         col("id_b"),
         col("n_matched"),
         coalesce(col("n_shared_ahash"), lit(0L)).as("n_shared_ahash"),
+      )
+  }
+
+  /** The frame-level Hamming pairing core shared by
+    * [[videoNearDupPairsPHash]] and [[videoDedupKeepBestPHash]]: frames
+    * keyed `media_id·64 + frame_idx` (loudly guarded), prefix-bucketed
+    * [[Dedup.hammingPairs]] at `maxDist`, aggregated to video pairs by
+    * matched-frame count with the `minShared` cut. Input is the
+    * sentinel-filtered, checkpointed [[videoFrameHashes]] table so a
+    * composed caller pays the decode pass ONCE. Output:
+    * (id_a, id_b, n_matched) with id_a < id_b.
+    */
+  private def phashFramePairs(fh: DataFrame, minShared: Int, maxDist: Int): DataFrame = {
+    // fid packing needs frame_idx < 64 — fail loudly, not with silently
+    // colliding frame keys (fh is checkpointed; the probe is one tiny job)
+    val maxIdx = fh.agg(max(col("frame_idx"))).head().getInt(0)
+    require(maxIdx < 64, s"phashFramePairs: frame_idx $maxIdx >= 64 breaks the fid packing")
+    val sigs = fh.select(
+      (col("media_id") * 64 + col("frame_idx")).as("fid"),
+      shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo")).as("sig"),
+    )
+    Dedup
+      .hammingPairs(sigs, "fid", "sig", bits = 64, prefixBits = 12, maxDist = maxDist)
+      .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minShared)
+  }
+
+  /** End-to-end video dedup that SURVIVES lossy re-encode — the
+    * [[videoDedupKeepBest]] chain with [[phashFramePairs]] as the pairing
+    * stage: ONE per-frame decode pass (checkpointed, reused by pairing
+    * AND frame counts), Hamming frame pairs → adaptive connected
+    * components → keep the LONGEST video per cluster (most decoded
+    * frames, media-id tie-break — on a re-encode fixture both copies have
+    * equal frames, so the tie-break keeps the LOWEST id: the original).
+    * Exact-signature dedup ([[videoDedupKeepBest]]) under-clusters a
+    * re-encoded corpus (q266's measured contract); this is the variant a
+    * crawl pipeline actually wants.
+    *
+    * Scale: the same bounds as the exact chain — pixels touched once,
+    * bucket-local pairing with the loud guard, O(log n) CC rounds,
+    * cluster-partitioned keep-best window.
+    */
+  def videoDedupKeepBestPHash(
+      media: Dataset[MediaRecord],
+      minShared: Int = 2,
+      maxDist: Int = 4,
+  ): DataFrame = {
+    val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("phash_hi") >= 0))
+    val pairs = Lineage.truncate(
+      phashFramePairs(fh, minShared, maxDist)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    )
+    val comps = Dedup.connectedComponentsAdaptive(pairs)
+    val frames = fh.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+    val members = frames
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp")).orderBy(col("__nf").desc, col("media_id"))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col("media_id"))).as("rep_media_id"),
+        max(when(col("__rn") === 1, col("__nf"))).as("rep_frames"),
+      )
+      .select(
+        col("comp").as("cluster_id"),
+        col("rep_media_id"),
+        col("rep_frames"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
       )
   }
 
