@@ -112,6 +112,35 @@ class ExtensionSpec extends SparkSpec {
     assert(c1 != full, "0.5 sample should train a (slightly) different codebook")
   }
 
+  test("oodDriftGate: newly-occupied cells compare against 0; quiet cells stay ungated") {
+    import graft.operators.IvfIndex
+    // three explicit centroids; base occupies cells 0 and 1 tightly, the
+    // increment lands in cell 2 (which has NO base members — the
+    // n_base = 0 division guard) far from its centroid (OOD), plus one
+    // well-aligned vector into cell 0 (must NOT gate it)
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val centroids = Seq((0, v(1, 0, 0)), (1, v(0, 1, 0)), (2, v(0, 0, 1)))
+      .toDF("centroid_id", "centroid")
+    val base = Seq((1L, v(1, 0.01, 0)), (2L, v(0.99, 0, 0.01)), (3L, v(0.01, 1, 0))).toDF("id", "vec")
+    // (0.2, 0.2, 1) is cell 2's closest but only cos ≈ 0.962 — the
+    // 990000 threshold marks it OOD
+    val inc = Seq((10L, v(0.2, 0.2, 1.0)), (11L, v(1, 0, 0.005))).toDF("id", "vec")
+    val gate = IvfIndex
+      .oodDriftGate(base, inc, "id", "vec", centroids, thresholdQ = 990000L, gateMilli = 150L)
+      .orderBy("centroid_id")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    val byCell = gate.map(t => t._1 -> t).toMap
+    // cell 2: no base members → base milli 0; its one (OOD) increment
+    // member → merged 1000 → gated
+    assert(byCell(2) == (2, 0L, 0L, 1L, 1000L, true), s"new-cell staleness must gate: $gate")
+    // cell 0: base 2 members, one aligned increment — no rise, no gate
+    val c0 = byCell(0)
+    assert(c0._2 == 2L && c0._4 == 3L && !c0._6, s"a quiet cell must not gate: $gate")
+    assert(!byCell(1)._6, s"untouched cell must not gate: $gate")
+  }
+
   test("compactAdcIndexCodes: appends splinter cells, compaction repairs files, serving content unchanged") {
     import graft.operators.IvfIndex
     val centroids = IvfIndex.train(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4, iters = 0)

@@ -736,6 +736,27 @@ class PlanSpec extends SparkSpec {
       s"neither vectors nor residuals may reach an exchange on the serving path:\n$p")
   }
 
+  test("q267 drift gate: ONE flagged pass — two scans, one cell-keyed partial aggregate, no join") {
+    val p = plan(q("q267_ood_drift_gate"))
+    // the operator's whole claim: both censuses from one assignment pass
+    // over base ∪ increment. Two parquet scans (the base branch and the
+    // shifted-increment branch of the union — NOT four, which the naive
+    // two-oodCensus implementation would cost), zero joins (the codebook
+    // is a collected literal), and a map-side partial aggregate.
+    assert("Scan parquet".r.findAllIn(p).length === 2, s"one pass over base ∪ increment:\n$p")
+    assert(!p.contains("Join"), s"the codebook must be a literal, never a join:\n$p")
+    assert(p.contains("partial"), s"the cell census must map-side combine:\n$p")
+  }
+
+  test("q269 re-encode video dedup: payload bytes never reach an exchange") {
+    val p = plan(q("q269_video_dedup_reencode"))
+    assert(!p.contains("CartesianProduct"), s"frame pairing must stay bucket-local:\n$p")
+    assert(
+      p.linesIterator.filter(_.contains("Exchange")).forall(l => !l.contains("content")),
+      s"pixels leave the pipeline at the hash boundary:\n$p",
+    )
+  }
+
   test("q256 pHash near-dup: prefix-bucket equi-join, bytes dropped pre-shuffle") {
     val p = plan(q("q256_phash_neardup"))
     assert(!p.contains("CartesianProduct"), s"the pHash pairing must stay an equi-join:\n$p")
