@@ -7516,15 +7516,18 @@ object ExtensionQueries {
     // The video-re-encode contract: both per-frame hashes regenerated from
     // the closed form (solid cells through the embedded gray→sRGB lookup —
     // the JPEG encode is pixel-exact, so the decoded hashes ARE the
-    // pattern), frame-level Hamming pairing (prefix bucket on the hi
-    // half's top 12 bits, popcount radius, frame keys ordered) aggregated
+    // pattern), frame-level Hamming pairing with TWO rotated prefix bands
+    // (hi-half top 12 bits OR lo-half top 12 bits — rotl-32 of the 64-bit
+    // sig IS the half swap; one band measurably lost 5/500 pairs to a
+    // prefix-bit flip), popcount radius, ordered frame keys, aggregated
     // to video pairs, the exact-aHash overlap count joined as the "what
     // q247 would have seen" diagnostic.
     "q266_video_phash_neardup" ->
       s"""WITH $sqlVideoPhashCtes,
               vpp AS (SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_matched
                       FROM vpph a JOIN vpph b
-                        ON (a.phi // 1048576) = (b.phi // 1048576)
+                        ON ((a.phi // 1048576) = (b.phi // 1048576)
+                            OR (a.plo // 1048576) = (b.plo // 1048576))
                        AND (a.media_id * 64 + a.k) < (b.media_id * 64 + b.k)
                        AND a.media_id <> b.media_id
                       WHERE bit_count(xor(a.phi, b.phi)) + bit_count(xor(a.plo, b.plo)) <= $PhashMaxDist
@@ -7554,7 +7557,8 @@ object ExtensionQueries {
       s"""WITH $sqlVideoPhashCtes,
               vpp AS (SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_matched
                       FROM vpph a JOIN vpph b
-                        ON (a.phi // 1048576) = (b.phi // 1048576)
+                        ON ((a.phi // 1048576) = (b.phi // 1048576)
+                            OR (a.plo // 1048576) = (b.plo // 1048576))
                        AND (a.media_id * 64 + a.k) < (b.media_id * 64 + b.k)
                        AND a.media_id <> b.media_id
                       WHERE bit_count(xor(a.phi, b.phi)) + bit_count(xor(a.plo, b.plo)) <= $PhashMaxDist

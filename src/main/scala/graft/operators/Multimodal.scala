@@ -711,9 +711,12 @@ object Multimodal {
 
   /** The frame-level Hamming pairing core shared by
     * [[videoNearDupPairsPHash]] and [[videoDedupKeepBestPHash]]: frames
-    * keyed `media_id·64 + frame_idx` (loudly guarded), prefix-bucketed
-    * [[Dedup.hammingPairs]] at `maxDist`, aggregated to video pairs by
-    * matched-frame count with the `minShared` cut. Input is the
+    * keyed `media_id·64 + frame_idx` (loudly guarded), TWO-band rotated
+    * prefix pairing ([[Dedup.hammingPairsRotated]] — a single band
+    * measurably loses ~1% of true re-encode pairs to a prefix-bit flip;
+    * the second band re-buckets on the lo half's prefix and recovers
+    * them all on the q266 fixture) at `maxDist`, aggregated to video
+    * pairs by matched-frame count with the `minShared` cut. Input is the
     * sentinel-filtered, checkpointed [[videoFrameHashes]] table so a
     * composed caller pays the decode pass ONCE. Output:
     * (id_a, id_b, n_matched) with id_a < id_b.
@@ -728,7 +731,7 @@ object Multimodal {
       shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo")).as("sig"),
     )
     Dedup
-      .hammingPairs(sigs, "fid", "sig", bits = 64, prefixBits = 12, maxDist = maxDist)
+      .hammingPairsRotated(sigs, "fid", "sig", prefixBits = 12, maxDist = maxDist, rotations = 2)
       .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
