@@ -217,6 +217,33 @@ class ExtensionSpec extends SparkSpec {
     assert(groups == Set((3L, 1L), (2L, 3L)))
   }
 
+  test("hammingPairsRotated: recovers prefix-flipped pairs a single band misses, exactly once") {
+    import graft.operators.Dedup
+    // sig A and B differ in ONE bit inside the hi-half's 12-bit prefix
+    // (bit 62) — the single-band blind spot; C and D differ in one bit
+    // inside the SECOND band's window (bit 30, the lo half's prefix);
+    // E is far from everything.
+    val a = 0x7000000000000001L
+    val b = a ^ (1L << 62)
+    val c = 0x0123456712345678L
+    val d = c ^ (1L << 30)
+    val e = -1L ^ a // far in many bits
+    val sigs = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, e)).toDF("id", "sig")
+    def pairs(rotations: Int) = Dedup
+      .hammingPairsRotated(sigs, "id", "sig", prefixBits = 12, maxDist = 2, rotations = rotations)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    // one band: (1,2) lost to the prefix flip, (3,4) found (flip is
+    // outside band 0's window)
+    assert(pairs(1) == Seq((3L, 4L)), s"single band must miss the prefix-flipped pair: ${pairs(1)}")
+    // two bands: both found, each exactly once — (3,4) matches BOTH
+    // bands (band 0's window is clean) and must not duplicate
+    val two = pairs(2)
+    assert(two.sorted == Seq((1L, 2L), (3L, 4L)), s"two bands must recover both, exactly once: $two")
+  }
+
   test("simhashPairs finds identical token sets at distance 0") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "totally different words here"),
