@@ -3849,8 +3849,10 @@ object ExtensionQueries {
     //      every frame hash from the synthesis closed form ----
     "q246_video_frame_census" -> ((s, d) => {
       val media = Multimodal.synthesizeMjpegAvi(t(s, d, "documents"), "doc_id")
+      // aHash census only — withPHash = false skips the per-frame DCT the
+      // selected columns never read (the r14 1.41× regression on this query)
       Multimodal
-        .videoFrameHashes(media)
+        .videoFrameHashes(media, withPHash = false)
         .toDF()
         .select(
           col("media_id"),

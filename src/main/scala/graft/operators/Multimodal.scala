@@ -577,20 +577,26 @@ object Multimodal {
   /** Per-frame perceptual hashes over REAL video content: demux the movi
     * chunks ([[RiffAviCodec.framePayloads]]), `ImageIO.read` each frame
     * payload (full pixel rasterize — MJPEG-style AVI carries a
-    * self-contained image per chunk), and hash each frame BOTH ways from
-    * the one decode — exact-mean [[aHashBits]] and DCT [[pHashBits]] (the
-    * [[imagePHash]] one-pass rule at frame granularity: decode dominates,
-    * the second hash is ~free next to it). Unparseable containers and
-    * undecodable frames answer a single/per-frame all-(−1) sentinel row —
-    * total, callers pairing on signatures filter `ahash_hi >= 0` /
-    * `phash_hi >= 0` (the [[imageDedupKeepBest]] pre-filter contract).
+    * self-contained image per chunk), and hash each frame from the one
+    * decode — exact-mean [[aHashBits]] always, DCT [[pHashBits]] only when
+    * `withPHash` is set. Hash selection is EXPLICIT because the DCT is not
+    * free next to the decode: computing it unconditionally cost the
+    * aHash-only consumers ([[videoNearDupPairs]]/[[videoDedupKeepBest]])
+    * a measured 1.15–1.77× per-query rise at sf0.1, so callers that never
+    * read the pHash columns must not pay for them; `withPHash = false`
+    * answers the (−1, −1) sentinel in `phash_hi/lo` ("not computed" — the
+    * same value the pairing pre-filters already drop). Unparseable
+    * containers and undecodable frames answer a single/per-frame all-(−1)
+    * sentinel row — total, callers pairing on signatures filter
+    * `ahash_hi >= 0` / `phash_hi >= 0` (the [[imageDedupKeepBest]]
+    * pre-filter contract).
     *
     * Scale: `mapPartitions`, one decode per frame, payload bytes dropped
     * at this boundary — only (id, frame, two 64-bit hashes) rows shuffle,
     * and a billion-video corpus decodes in one partition-parallel pass
     * with no per-video driver loop.
     */
-  def videoFrameHashes(media: Dataset[MediaRecord]): Dataset[VideoFrameHashRow] = {
+  def videoFrameHashes(media: Dataset[MediaRecord], withPHash: Boolean = true): Dataset[VideoFrameHashRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.flatMap { m =>
@@ -605,11 +611,13 @@ object Multimodal {
             VideoFrameHashRow(m.media_id, i, -1L, -1L, -1L, -1L, -1, -1)
           else {
             val hash = aHashBits(img)
-            val ph = pHashBits(img)
+            val (phHi, phLo) =
+              if (withPHash) { val ph = pHashBits(img); (ph >>> 32, ph & 0xffffffffL) }
+              else (-1L, -1L)
             VideoFrameHashRow(
               m.media_id, i,
               hash >>> 32, hash & 0xffffffffL,
-              ph >>> 32, ph & 0xffffffffL,
+              phHi, phLo,
               img.getWidth, img.getHeight,
             )
           }
@@ -637,7 +645,7 @@ object Multimodal {
       maxVideosPerSig: Int = 8,
   ): DataFrame =
     sigOverlapPairs(
-      videoFrameHashes(media).toDF().where(col("ahash_hi") >= 0),
+      videoFrameHashes(media, withPHash = false).toDF().where(col("ahash_hi") >= 0),
       minShared,
       maxVideosPerSig,
     )
@@ -695,9 +703,10 @@ object Multimodal {
       minShared: Int = 2,
       maxDist: Int = 4,
       maxVideosPerSig: Int = 8,
+      frameStep: Int = 1,
   ): DataFrame = {
     val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("phash_hi") >= 0))
-    val p = phashFramePairs(fh, minShared, maxDist)
+    val p = phashFramePairs(fh, minShared, maxDist, frameStep)
     val a = sigOverlapPairs(fh, minShared = 1, maxVideosPerSig = maxVideosPerSig)
       .withColumnRenamed("n_shared", "n_shared_ahash")
     p.join(a, Seq("id_a", "id_b"), "left")
@@ -711,28 +720,36 @@ object Multimodal {
 
   /** The frame-level Hamming pairing core shared by
     * [[videoNearDupPairsPHash]] and [[videoDedupKeepBestPHash]]: frames
-    * keyed `media_id·64 + frame_idx` (loudly guarded), TWO-band rotated
-    * prefix pairing ([[Dedup.hammingPairsRotated]] — a single band
-    * measurably loses ~1% of true re-encode pairs to a prefix-bit flip;
-    * the second band re-buckets on the lo half's prefix and recovers
-    * them all on the q266 fixture) at `maxDist`, aggregated to video
-    * pairs by matched-frame count with the `minShared` cut. Input is the
+    * keyed by the STRUCT (media_id, frame_idx) — no id-packing arithmetic
+    * and therefore no frame-count or media-id-range cap (the r14 layout
+    * packed `media_id·64 + frame_idx` and failed loudly at 64 frames ≈ 2 s
+    * of 30 fps video; [[Dedup.hammingPairsRotated]] only ever compares and
+    * carries the key, and struct comparison is lexicographic, so the
+    * ordered-pair rule is unchanged) — TWO-band rotated prefix pairing
+    * (a single band measurably loses ~1% of true re-encode pairs to a
+    * prefix-bit flip; the second band re-buckets on the lo half's prefix
+    * and recovers them all on the q266 fixture) at `maxDist`, aggregated
+    * to video pairs by matched-frame count with the `minShared` cut.
+    *
+    * `frameStep > 1` pairs every k-th frame only (`frame_idx % k = 0`) —
+    * the long-clip knob: a near-dup clip pair shares matched frames
+    * throughout its length, so deterministic stride sampling keeps recall
+    * while cutting the pairing's candidate volume by k (callers lower
+    * `minShared` accordingly when sampling aggressively). Input is the
     * sentinel-filtered, checkpointed [[videoFrameHashes]] table so a
     * composed caller pays the decode pass ONCE. Output:
     * (id_a, id_b, n_matched) with id_a < id_b.
     */
-  private def phashFramePairs(fh: DataFrame, minShared: Int, maxDist: Int): DataFrame = {
-    // fid packing needs frame_idx < 64 — fail loudly, not with silently
-    // colliding frame keys (fh is checkpointed; the probe is one tiny job)
-    val maxIdx = fh.agg(max(col("frame_idx"))).head().getInt(0)
-    require(maxIdx < 64, s"phashFramePairs: frame_idx $maxIdx >= 64 breaks the fid packing")
-    val sigs = fh.select(
-      (col("media_id") * 64 + col("frame_idx")).as("fid"),
+  private def phashFramePairs(fh: DataFrame, minShared: Int, maxDist: Int, frameStep: Int = 1): DataFrame = {
+    require(frameStep >= 1, s"phashFramePairs: frameStep must be >= 1: $frameStep")
+    val sampled = if (frameStep == 1) fh else fh.filter(col("frame_idx") % frameStep === 0)
+    val sigs = sampled.select(
+      struct(col("media_id"), col("frame_idx")).as("fid"),
       shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo")).as("sig"),
     )
     Dedup
       .hammingPairsRotated(sigs, "fid", "sig", prefixBits = 12, maxDist = maxDist, rotations = 2)
-      .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
+      .select(col("id_a.media_id").as("id_a"), col("id_b.media_id").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matched"))
@@ -758,10 +775,11 @@ object Multimodal {
       media: Dataset[MediaRecord],
       minShared: Int = 2,
       maxDist: Int = 4,
+      frameStep: Int = 1,
   ): DataFrame = {
     val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("phash_hi") >= 0))
     val pairs = Lineage.truncate(
-      phashFramePairs(fh, minShared, maxDist)
+      phashFramePairs(fh, minShared, maxDist, frameStep)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
     )
     val comps = Dedup.connectedComponentsAdaptive(pairs)
@@ -879,7 +897,7 @@ object Multimodal {
       minShared: Int = 2,
       maxVideosPerSig: Int = 8,
   ): DataFrame = {
-    val fh = Lineage.truncate(videoFrameHashes(media).toDF().where(col("ahash_hi") >= 0))
+    val fh = Lineage.truncate(videoFrameHashes(media, withPHash = false).toDF().where(col("ahash_hi") >= 0))
     val pairs = Lineage.truncate(
       sigOverlapPairs(fh, minShared, maxVideosPerSig)
         .select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -628,4 +628,66 @@ class MultimodalSpec extends SparkSpec {
     val drifted = pairs.count(r => r.getLong(3) < r.getLong(2))
     assert(drifted > 0, "the re-encode must drift the exact aHash census on some clips")
   }
+
+  test("videoNearDupPairsPHash: long clips (>= 100 frames) pair — no packing cap; frameStep samples deterministically") {
+    // The r14 layout packed frame keys as media_id·64 + frame_idx and
+    // failed loudly at 64 frames (~2 s of 30 fps video); the struct key
+    // has no cap. One 120-frame clip + its re-encode must pair, and the
+    // every-4th-frame stride must still pair them on the sampled frames.
+    import graft.operators.Multimodal.MediaRecord
+    def frame(id: Long, k: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 40) {
+        val cell = (y * 8 / 24) * 8 + x * 8 / 40
+        val v0 = ((id * 131072 + k * 64 + cell + 1) * 2654435761L) & 0xffffffffL
+        val l = (40L + 88L * ((v0 ^ (v0 >> 13)) % 3)).toInt
+        img.setRGB(x, y, l << 16 | l << 8 | l)
+      }
+      img
+    }
+    def jpeg(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val nFrames = 120
+    val records = Seq(0L, 1L).flatMap { id =>
+      val orig = (0 until nFrames).map(k => jpeg(frame(id, k), 1.0f)).toIndexedSeq
+      val reenc = orig
+        .map(b => javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        .map(img => jpeg(img, 0.5f))
+      Seq(
+        MediaRecord(2 * id, "video", Multimodal.packMjpegAvi(orig, 40, 24), "spec"),
+        MediaRecord(2 * id + 1, "video", Multimodal.packMjpegAvi(reenc, 40, 24), "spec"),
+      )
+    }
+    val media = spark.createDataset(records)(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val expected = Set((0L, 1L), (2L, 3L))
+    val full = Multimodal
+      .videoNearDupPairsPHash(media, minShared = 2, maxDist = 4, maxVideosPerSig = 8)
+      .collect()
+    assert(full.map(r => (r.getLong(0), r.getLong(1))).toSet == expected, full.toSeq.toString)
+    // ~all 120 frames Hamming-match (an occasional frame drifts past the
+    // radius under quality 0.5 — 119/120 observed); the point is the count
+    // is far past the old 64-frame packing cap
+    assert(full.forall(_.getLong(2) >= 100L),
+      s"a 120-frame re-encode pair should Hamming-match nearly every frame: ${full.toSeq}")
+    // stride 4 pairs on the 30 sampled frames only — matched count drops
+    // to ~nFrames/4 but the pair survives
+    val sampled = Multimodal
+      .videoNearDupPairsPHash(media, minShared = 2, maxDist = 4, maxVideosPerSig = 8, frameStep = 4)
+      .collect()
+    assert(sampled.map(r => (r.getLong(0), r.getLong(1))).toSet == expected, sampled.toSeq.toString)
+    assert(sampled.forall(r => r.getLong(2) >= 25L && r.getLong(2) < full.find(f =>
+      f.getLong(0) == r.getLong(0) && f.getLong(1) == r.getLong(1)).get.getLong(2)),
+      s"stride sampling must cut the matched-frame count, not recall: ${sampled.toSeq}")
+  }
 }
