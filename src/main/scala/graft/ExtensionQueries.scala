@@ -963,7 +963,10 @@ object ExtensionQueries {
     * md5-prefix hash both engines share). Seed = first `nlist` SAMPLED
     * vectors by id; every round assigns the SAMPLE against the previous
     * float-quantized codebook (cos argmax, ties to the lowest id — the
-    * q133 chain) and re-averages per (centroid, dim); emptied cells drop.
+    * q133 chain) and re-averages per (centroid, dim); emptied cells drop
+    * and the SURVIVORS re-number to 0..n-1 (mirroring
+    * [[graft.operators.IvfIndex.train]]'s contiguity rule — identity
+    * whenever no cell empties).
     * Ends by rebinding `ivfc` and reusing [[sqlAdcIvfPostCtes]] verbatim.
     */
   private def sqlAdcIvfCtesTrained(nlist: Int, iters: Int, sampleMicro: Long): String = {
@@ -991,7 +994,8 @@ object ExtensionQueries {
         tqc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding AS cen
                  FROM (SELECT vec_id, embedding FROM tqsam ORDER BY vec_id LIMIT $nlist)),
         $rounds,
-        ivfc AS (SELECT centroid_id, cen AS embedding FROM tqc$iters),
+        ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY centroid_id) - 1 AS INT) AS centroid_id,
+                        cen AS embedding FROM tqc$iters),
         $sqlAdcIvfPostCtes"""
   }
 

@@ -61,6 +61,19 @@ object IvfIndex {
             .as("centroid")
         )
     }
+    // A Lloyd round that empties a cell DROPS it (no members, no mean),
+    // leaving a gap in the id sequence — and downstream consumers index
+    // codebook literals BY id ([[residualTable]]'s contiguity require, the
+    // residual literal's element_at). Re-number survivors to 0..n-1 so a
+    // dataset-dependent empty cell can never abort a residual pipeline at
+    // scale; order (and therefore the assign tie rule's relative ranking)
+    // is preserved, and when no cell empties — every case the oracles
+    // exercise — the renumbering is the identity.
+    if (iters > 0)
+      centroids = centroids.select(
+        (row_number().over(Window.orderBy(col("centroid_id"))) - 1).as("centroid_id"),
+        col("centroid"),
+      )
     centroids
   }
 
@@ -560,10 +573,22 @@ object IvfIndex {
         val cbs = residualCodebooks(rsd, idCol, m, subDim, pqNlist, pqIters)
         (cbs, residualEncodeFromRsd(rsd, idCol, cbs, m, subDim))
       }
-    encoded.write
+    // meta/ is written FIRST: every later artifact read fails LOUDLY when
+    // absent (a missing parquet path), but a missing meta/ used to read
+    // back as variant = "plain" — a residual save that crashed after
+    // codes/ but before meta/ would have dispatched plain-PQ math onto
+    // residual codes, the silent corruption the dispatch exists to
+    // prevent. With meta first, every crash point leaves an index that is
+    // either fully described or loudly unreadable. (Re-saving INTO a live
+    // index dir still interleaves old and new artifacts mid-write — build
+    // replacements in a fresh dir and swap, the compaction rule.)
+    val metric = if (variant == "plain") "cos" else "l2"
+    Seq((variant, metric, m, subDim))
+      .toDF("variant", "metric", "m", "sub_dim")
+      .coalesce(1)
+      .write
       .mode("overwrite")
-      .partitionBy("centroid_id")
-      .parquet(s"$dir/codes")
+      .parquet(s"$dir/meta")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     cbs.zipWithIndex
       .flatMap { case (cb, sub) => cb.map { case (cid, cen) => (sub, cid, cen) } }
@@ -572,13 +597,10 @@ object IvfIndex {
       .write
       .mode("overwrite")
       .parquet(s"$dir/codebooks")
-    val metric = if (variant == "plain") "cos" else "l2"
-    Seq((variant, metric, m, subDim))
-      .toDF("variant", "metric", "m", "sub_dim")
-      .coalesce(1)
-      .write
+    encoded.write
       .mode("overwrite")
-      .parquet(s"$dir/meta")
+      .partitionBy("centroid_id")
+      .parquet(s"$dir/codes")
   }
 
   /** The layout self-description of a persisted index — "plain" for
@@ -673,12 +695,26 @@ object IvfIndex {
     *     UNTOUCHED — re-writing compacted cells every night is how
     *     compactors turn into full rebuilds;
     *  3. ONE distributed pass over the victim cells only (the read is
-    *     partition-pruned to their directories), repartitioned by
-    *     (cell, bin) so each bin lands as one file;
+    *     partition-pruned to their directories), repartitioned AND
+    *     partition-written by (cell, bin) — the directory write is what
+    *     GUARANTEES one file per bin: hash collisions at small bin counts
+    *     can merge two bins into one task, but a task writes each
+    *     (cell, bin) group into its own partition directory regardless,
+    *     so "each bin lands as one file" holds by construction, not by
+    *     hash luck;
     *  4. a LOUD row-count gate before the swap — a compactor must never
-    *     trade files for rows — then a per-cell directory swap (crash
-    *     mid-swap leaves some cells compacted and none corrupt, since
-    *     content is identical by construction).
+    *     trade files for rows — then a per-cell RENAME-ASIDE swap: the
+    *     live cell dir moves to `codes_compact_aside/` first, the rewritten
+    *     dir renames in, the aside copy is deleted last. Every crash point
+    *     leaves the cell's rows durable in exactly one location, and the
+    *     next compaction entry SELF-HEALS: an aside cell missing from the
+    *     live tree renames back (crash between the two renames), an aside
+    *     cell still present live is deleted (crash before the cleanup).
+    *     The swap window is not atomic for a CONCURRENT reader — a serving
+    *     read racing the two renames can miss the cell; a production
+    *     deployment serializes compaction against serving (maintenance
+    *     window or manifest commit). What the layout guarantees is that
+    *     no crash can LOSE a posting list.
     *
     * Returns the per-cell census (centroid_id, files_before, files_after,
     * bytes_before, bytes_after) — the observability row a maintenance job
@@ -694,6 +730,28 @@ object IvfIndex {
     val codes = s"$dir/codes"
     val root = new org.apache.hadoop.fs.Path(codes)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val asideRoot = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_aside")
+    // SELF-HEAL any interrupted prior swap BEFORE the census reads the
+    // tree: a cell parked aside but absent live renames back (crash
+    // between the two swap renames); a cell aside AND live means the new
+    // dir already landed, so the aside copy is the redundant one.
+    if (fs.exists(asideRoot)) {
+      fs.listStatus(asideRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(s"$codes/${d.getPath.getName}")
+          if (!fs.exists(live))
+            require(fs.rename(d.getPath, live), s"compactAdcIndexCodes: self-heal rename failed for ${d.getPath}")
+          else fs.delete(d.getPath, true)
+        }
+      fs.delete(asideRoot, true)
+    }
+    // Stale rewrite scratch from a crash before any swap: content never
+    // reached the live tree, safe to drop.
+    Seq(s"$dir/codes_compact_tmp", s"$dir/codes_compact_new").foreach { p =>
+      val sp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    }
     def census(): Seq[(Int, String, Long)] =
       fs.listStatus(root)
         .toSeq
@@ -736,12 +794,17 @@ object IvfIndex {
         .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
         .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
       val nBins = victims.values.flatten.map(t => (t._1, t._4)).toSeq.distinct.size
+      // partitionBy (cell, bin) is the one-file-per-bin GUARANTEE: the
+      // repartition co-locates each (cell, bin) group in one task, and the
+      // directory write splits a task's groups into their own dirs — so a
+      // hash collision merging two bins into one task still yields one
+      // file per bin, where the old flat partitionBy(cell) write let the
+      // collided task emit one oversized file for both bins.
       rows
         .repartition(nBins, col("centroid_id"), col("__bin"))
-        .drop("__bin")
         .write
         .mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy("centroid_id", "__bin")
         .parquet(tmp)
       // The loud gate: rows out == rows in, verified BEFORE anything is
       // deleted. A file the name-join missed would silently drop its rows
@@ -753,13 +816,39 @@ object IvfIndex {
         s"compactAdcIndexCodes: rewrite row count $outRows != input $inRows over ${nIn} files — " +
           "aborting before the swap; the codes table is untouched.",
       )
+      // Assemble each victim cell's replacement as a FLAT dir (the serving
+      // layout has no __bin level): the single file under each bin subdir
+      // renames to bin<b>-<name>, names stay UUID-unique.
+      val newRoot = s"$dir/codes_compact_new"
+      victimCells.foreach { cell =>
+        val newCell = new org.apache.hadoop.fs.Path(s"$newRoot/centroid_id=$cell")
+        fs.mkdirs(newCell)
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cell"))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bin="))
+          .foreach { binDir =>
+            val b = binDir.getPath.getName.stripPrefix("__bin=")
+            fs.listStatus(binDir.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val target = new org.apache.hadoop.fs.Path(newCell, s"bin$b-${f.getPath.getName}")
+                require(fs.rename(f.getPath, target), s"compactAdcIndexCodes: assemble rename failed for $target")
+              }
+          }
+      }
+      // The crash-safe swap (see the Scaladoc's rename-aside contract):
+      // old aside -> new in -> aside deleted; the entry self-heal covers
+      // every interruption point.
+      fs.mkdirs(asideRoot)
       victimCells.foreach { cell =>
         val oldDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
-        val newDir = new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cell")
-        fs.delete(oldDir, true)
-        require(fs.rename(newDir, oldDir), s"compactAdcIndexCodes: rename failed for cell $cell")
+        val newDir = new org.apache.hadoop.fs.Path(s"$newRoot/centroid_id=$cell")
+        val aside = new org.apache.hadoop.fs.Path(s"$asideRoot/centroid_id=$cell")
+        require(fs.rename(oldDir, aside), s"compactAdcIndexCodes: aside rename failed for cell $cell")
+        require(fs.rename(newDir, oldDir), s"compactAdcIndexCodes: swap-in rename failed for cell $cell")
+        fs.delete(aside, true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Seq(tmp, newRoot).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.delete(asideRoot, true)
     }
     val after = census()
     val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
