@@ -649,6 +649,21 @@ object IvfIndex {
     * for WHEN the frozen codebooks have gone stale is [[oodCensus]]/
     * [[adcRecallReport]] over a fresh sample — quantization quality is
     * graded, not assumed.
+    *
+    * `batchId` makes the append IDEMPOTENT (the streaming-replay
+    * contract): the batch's files land NAMED `batch<id>-…` — the landing
+    * deletes any prior files of the same batch before moving the fresh
+    * ones in, so a microbatch replayed after a crash-between-append-and-
+    * checkpoint re-lands the IDENTICAL final state instead of doubling
+    * its rows in the served posting lists. Crash anywhere inside the
+    * landing and the replay restores: the scratch write is overwrite, the
+    * delete covers partial prior landings, and only then do the renames
+    * move files live. The idempotency window ends at COMPACTION:
+    * [[compactAdcIndexCodes]] rewrites batch files into `bin…` files, so
+    * a replay of a batch older than the last compaction would re-land its
+    * rows — production compacts only cells whose batches are behind the
+    * ingest checkpoint's committed offset (compaction is the commit
+    * point). `batchId = None` keeps the plain one-shot `mode("append")`.
     */
   def appendToAdcIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -657,6 +672,7 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       m: Int,
+      batchId: Option[Long] = None,
   ): Unit = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cbs = loadCodebooks(spark, dir, m)
@@ -670,10 +686,46 @@ object IvfIndex {
       case _ =>
         adcEncode(increment, idCol, vecCol, centroids, cbs, m, subDim)
     }
-    encoded.write
-      .mode("append")
-      .partitionBy("centroid_id")
-      .parquet(s"$dir/codes")
+    batchId match {
+      case None =>
+        encoded.write
+          .mode("append")
+          .partitionBy("centroid_id")
+          .parquet(s"$dir/codes")
+      case Some(b) =>
+        val codes = s"$dir/codes"
+        val scratch = s"$dir/codes_append_tmp_b$b"
+        val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+        encoded.write
+          .mode("overwrite")
+          .partitionBy("centroid_id")
+          .parquet(scratch)
+        // Sweep EVERY cell for a prior landing of this batch, not just the
+        // cells the fresh encode touched — the delete must cover a partial
+        // prior landing whatever cells it reached.
+        val codesRoot = new org.apache.hadoop.fs.Path(codes)
+        if (fs.exists(codesRoot))
+          fs.listStatus(codesRoot)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+            .foreach { cellDir =>
+              fs.listStatus(cellDir.getPath)
+                .filter(f => f.isFile && f.getPath.getName.startsWith(s"batch$b-"))
+                .foreach(f => fs.delete(f.getPath, false))
+            }
+        fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+          .foreach { cellDir =>
+            val live = new org.apache.hadoop.fs.Path(s"$codes/${cellDir.getPath.getName}")
+            fs.mkdirs(live)
+            fs.listStatus(cellDir.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val target = new org.apache.hadoop.fs.Path(live, s"batch$b-${f.getPath.getName}")
+                require(fs.rename(f.getPath, target), s"appendToAdcIndex: landing rename failed for $target")
+              }
+          }
+        fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    }
   }
 
   /** Compact the cell-partitioned codes table of a persisted index — the

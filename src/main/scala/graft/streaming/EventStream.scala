@@ -962,18 +962,18 @@ object EventStream {
     * result is hash-identical to the batch append (q262 shares q259's
     * oracle verbatim).
     *
-    * Delivery is AT-LEAST-ONCE, stated plainly: `foreachBatch` +
-    * `mode("append")` is not transactional, so a microbatch that fails
-    * AFTER its parquet append but BEFORE the checkpoint commit is replayed
-    * on restart and its code rows land TWICE in the served posting lists
-    * (a duplicate neighbor shows twice in top-k until k pushes it out).
-    * The one-shot harness never restarts, so the caveat is moot here; for
-    * real continuous ingest pass `checkpointDir` (restartability needs a
-    * DURABLE checkpoint — the default is a temp one that dies with the
-    * session) and make the append idempotent downstream: either write each
-    * batch under a `batch_id=<id>` subdir and let a replay OVERWRITE its
-    * own subdir, or dedupe by `neighbor_id` at serving/compaction time
-    * (the q265 compaction pass is the natural place).
+    * Delivery is EXACTLY-ONCE-EFFECTIVE: each microbatch lands through
+    * [[graft.operators.IvfIndex.appendToAdcIndex]]'s batch-keyed layout
+    * (`batchId = Some(id)` — the batch's files are named `batch<id>-…`
+    * and a landing deletes its own prior files first), so a microbatch
+    * replayed after a crash-between-append-and-checkpoint re-lands the
+    * IDENTICAL final state instead of doubling its rows in the served
+    * posting lists. Restartability still needs a DURABLE checkpoint —
+    * pass `checkpointDir`; the default is a temp one that dies with the
+    * session. The idempotency window ends at compaction
+    * ([[graft.operators.IvfIndex.compactAdcIndexCodes]] rewrites batch
+    * files into bin files) — production compacts only batches behind the
+    * checkpoint's committed offset.
     */
   def indexIngestOneShot(
       spark: SparkSession,
@@ -987,8 +987,9 @@ object EventStream {
   ): Unit = {
     val stream = spark.readStream.schema(increment.schema).parquet(writeTemp(increment, queryName))
     val writer = stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.IvfIndex.appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.operators.IvfIndex
+          .appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m, batchId = Some(bid))
       }
       .trigger(Trigger.AvailableNow())
     val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()

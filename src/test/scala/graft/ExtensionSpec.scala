@@ -175,6 +175,38 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
   }
 
+  test("appendToAdcIndex: a batch-keyed append replayed twice lands the identical final state") {
+    import graft.operators.IvfIndex
+    // the crash-between-append-and-checkpoint scenario: the SAME microbatch
+    // (same batchId) lands twice; the batch-named files make the second
+    // landing replace the first instead of doubling the posting lists
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc  = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_replay").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(7L))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def serve() = IvfIndex
+      .adcTopKFromIndex(spark, dir, emb, queries, "vec_id", "embedding", m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    val rowsOnce  = spark.read.parquet(s"$dir/codes").count()
+    val serveOnce = serve()
+    assert(rowsOnce == emb.count(), "base + increment rows present after the first landing")
+    IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(7L))
+    assert(spark.read.parquet(s"$dir/codes").count() == rowsOnce,
+      "a replayed microbatch must not double its rows in the posting lists")
+    assert(serve() == serveOnce, "the replay must be serving-invisible")
+    // the landing is batch-named — that is the mechanism the delete keys on
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles().filter(_.getName.startsWith("centroid_id="))
+    val batchFiles = cellDirs.flatMap(_.listFiles()).filter(_.getName.startsWith("batch7-"))
+    assert(batchFiles.nonEmpty, "batch-keyed landings must carry their batch id in the file name")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("cosineNearDupPairsLsh: exactly-once pairs, subset of exhaustive, sims exact") {
     val lsh = Similarity
       .cosineNearDupPairsLsh(emb, "vec_id", "embedding", dim = 64, planes = 4, threshold = 0.35, tables = 2)
