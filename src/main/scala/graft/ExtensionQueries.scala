@@ -969,7 +969,12 @@ object ExtensionQueries {
     * whenever no cell empties).
     * Ends by rebinding `ivfc` and reusing [[sqlAdcIvfPostCtes]] verbatim.
     */
-  private def sqlAdcIvfCtesTrained(nlist: Int, iters: Int, sampleMicro: Long): String = {
+  private def sqlAdcIvfCtesTrained(
+      nlist: Int,
+      iters: Int,
+      sampleMicro: Long,
+      src: String = "embeddings",
+  ): String = {
     def cos(va: String, vb: String) =
       s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -988,7 +993,7 @@ object ExtensionQueries {
                        FROM tqm$it GROUP BY centroid_id)"""
       }
       .mkString(",\n")
-    s"""tqsam AS (SELECT vec_id, embedding FROM embeddings
+    s"""tqsam AS (SELECT vec_id, embedding FROM $src
                   WHERE ${sqlHash64("CAST(vec_id AS VARCHAR)")} % 1000000 < $sampleMicro),
         tqdims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
         tqc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding AS cen
@@ -1237,6 +1242,27 @@ object ExtensionQueries {
     s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
             ${sqlPqChainCtesFor("s", PqNlist, trainSrc = baseSrc, codeSrc = "embeddings")},
             ${sqlAdcIvfCtesFor(baseSrc)},
+            ${sqlAdcChainTables("", "s")},
+            ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+        FROM adcfinal ORDER BY query_id, rank"""
+  }
+
+  /** The TRAINED durable-lifecycle mirror (q270): the q259 frozen-append
+    * contract with the coarse quantizer coming from the sampled Lloyd
+    * chain over the BASE half instead of the first-16 seed — the index a
+    * user actually deploys (train → save → append → compact → serve) at
+    * the operating point q263 measured (~7× the degenerate quantizer's
+    * recall). Coarse Lloyd AND PQ Lloyd train on the base half only; the
+    * coding pass, posting lists and probe ranks cover ALL vectors; the
+    * storage hops (two batch-keyed appends + codes compaction) are
+    * hash-invisible by the q258/q265 round-trip rules.
+    */
+  private def sqlAdcTrainedLifecycleOracle: String = {
+    val baseSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            ${sqlPqChainCtesFor("s", PqNlist, trainSrc = baseSrc, codeSrc = "embeddings")},
+            ${sqlAdcIvfCtesTrained(16, TrainedIters, TrainedSampleMicro, src = baseSrc)},
             ${sqlAdcChainTables("", "s")},
             ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}
         SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
@@ -4229,6 +4255,37 @@ object ExtensionQueries {
           m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = AdcSweepArms, k = AnnK,
           residualArms = Seq((PqNlist, AnnNprobe, AdcCandK)))
         .orderBy("pq_nlist", "nprobe", "cand_k", "variant")
+    }),
+
+    // ---- The DURABLE index lifecycle at the TRAINED operating point: the
+    //      index a user actually deploys — sampled-Lloyd coarse quantizer
+    //      (q263 measured it at ~7x the degenerate seed's recall) trained
+    //      on the base half, saved, extended by two batch-keyed frozen
+    //      appends, compacted, served. Every prior persisted-index query
+    //      (q258/q259/q262/q264/q265/q268) graded the MECHANISM at the
+    //      iters=0 floor; this grades the operating point production
+    //      would run ----
+    "q270_trained_index_lifecycle" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc1      = emb.filter(col("vec_id") % 4 === 1)
+      val inc2      = emb.filter(col("vec_id") % 4 === 3)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = graft.operators.Lineage.truncate(
+        IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = TrainedIters,
+          sampleFraction = TrainedSampleMicro / 1e6)
+      )
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_trained").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM, batchId = Some(0L))
+      IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM, batchId = Some(1L))
+      IvfIndex.compactAdcIndexCodes(s, dir, targetBytes = 128L << 20)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- DCT pHash near-dup under lossy re-encode: per doc an original
@@ -7660,6 +7717,11 @@ object ExtensionQueries {
     // merged content, and the rewrite moves bytes, never content — q265
     // shares q259's oracle verbatim.
     "q265_codes_compaction" -> sqlAdcAppendOracle,
+    // The trained-lifecycle contract: q259's frozen-append chain with the
+    // sampled-Lloyd coarse quantizer (trained on the base half) in place
+    // of the first-16 seed; the appends and the compaction are
+    // hash-invisible storage hops.
+    "q270_trained_index_lifecycle" -> sqlAdcTrainedLifecycleOracle,
     // The drift-gate contract: the shifted increment regenerated in closed
     // form (float-exact +shift per dim), both censuses from ONE assignment
     // relation, milli shares and the >= gate as exact integer arithmetic.
