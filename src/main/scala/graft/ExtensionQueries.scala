@@ -1269,6 +1269,116 @@ object ExtensionQueries {
         FROM adcfinal ORDER BY query_id, rank"""
   }
 
+  /** The drift-REPAIR mirror (q271): the whole loop regenerated — q267's
+    * gate arithmetic picks the flagged cells; the repaired coarse table
+    * `ivfc2` takes the per-dim member mean for flagged cells (original
+    * membership `mown`, the frozen-assignment rule) and passes quiet
+    * cells through; residual codebooks train on the BASE half's residuals
+    * vs the ORIGINAL centroids (what the saved index froze) while the
+    * coding pass covers ALL vectors' residuals vs the REPAIRED centroids;
+    * probes and the per-probe `IP(q, c)` scalar read the repaired
+    * centroids (serving sees the committed table); posting lists keep the
+    * original assignment (membership is frozen — the surgical contract).
+    */
+  private def sqlAdcDriftRepairOracle: String = {
+    def cosW(va: String, vb: String) =
+      s"""list_sum(list_transform(range(1, len($va)+1), i -> CAST($va[i] AS DOUBLE) * CAST($vb[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    val m = PqM
+    val cuArms = (0 until m)
+      .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM rcand")
+      .mkString("\n UNION ALL ")
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            ivfc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, embedding
+                     FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+            allv AS (SELECT vec_id, embedding FROM embeddings
+                     UNION ALL
+                     SELECT vec_id + 1000000,
+                            list_transform(embedding, x -> CAST(x + $DriftShift AS FLOAT))
+                     FROM embeddings),
+            msc AS (SELECT a.vec_id, b.centroid_id, $sqlCos AS sim
+                    FROM allv a CROSS JOIN ivfc b),
+            mown AS (SELECT vec_id, centroid_id,
+                            CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sq FROM (
+               SELECT vec_id, centroid_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+               FROM msc) WHERE rn = 1),
+            aposting AS (SELECT vec_id AS neighbor_id, centroid_id FROM mown),
+            cen AS (SELECT centroid_id,
+                           CAST(SUM(CASE WHEN vec_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                           CAST(SUM(CASE WHEN vec_id < 1000000 AND sq < $DriftThresholdQ THEN 1 ELSE 0 END) AS BIGINT) AS ob,
+                           CAST(COUNT(*) AS BIGINT) AS n_merged,
+                           CAST(SUM(CASE WHEN sq < $DriftThresholdQ THEN 1 ELSE 0 END) AS BIGINT) AS om
+                    FROM mown GROUP BY 1),
+            flagged AS (SELECT centroid_id FROM cen
+                        WHERE CAST(om * 1000 // n_merged AS BIGINT)
+                              - CAST(CASE WHEN n_base = 0 THEN 0 ELSE ob * 1000 // n_base END AS BIGINT)
+                              >= $DriftGateMilli),
+            edims AS (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS pos),
+            ncm AS (SELECT m.centroid_id, d.pos, avg(CAST(e.embedding[d.pos + 1] AS DOUBLE)) AS mu
+                    FROM mown m JOIN allv e ON e.vec_id = m.vec_id CROSS JOIN edims d
+                    WHERE m.centroid_id IN (SELECT centroid_id FROM flagged)
+                    GROUP BY 1, 2),
+            ncen AS (SELECT centroid_id, list(CAST(mu AS FLOAT) ORDER BY pos) AS embedding
+                     FROM ncm GROUP BY 1),
+            ivfc2 AS (SELECT i.centroid_id, COALESCE(n.embedding, i.embedding) AS embedding
+                      FROM ivfc i LEFT JOIN ncen n USING (centroid_id)),
+            rsd1 AS (SELECT m.vec_id,
+                            list_transform(range(1, $EmbDim + 1),
+                                           i -> CAST(e.embedding[i] - c.embedding[i] AS FLOAT)) AS embedding
+                     FROM mown m JOIN allv e ON e.vec_id = m.vec_id
+                     JOIN ivfc c ON c.centroid_id = m.centroid_id
+                     WHERE m.vec_id < 1000000),
+            rsd2 AS (SELECT m.vec_id,
+                            list_transform(range(1, $EmbDim + 1),
+                                           i -> CAST(e.embedding[i] - c.embedding[i] AS FLOAT)) AS embedding
+                     FROM mown m JOIN allv e ON e.vec_id = m.vec_id
+                     JOIN ivfc2 c ON c.centroid_id = m.centroid_id),
+            ${sqlPqChainCtesFor("s", PqNlist, trainSrc = "rsd1", codeSrc = "rsd2", metric = "l2", seedNonZero = true)},
+            aqv AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 100 = 0),
+            ${sqlAdcChainTables("", "s")},
+            aprank2 AS (SELECT vec_id AS query_id, centroid_id, rn FROM (
+               SELECT q.vec_id, c.centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                         ORDER BY ${cosW("q.embedding", "c.embedding")} DESC, c.centroid_id) AS rn
+               FROM aqv q CROSS JOIN ivfc2 c)),
+            rprobe AS (SELECT pr.query_id, pr.centroid_id,
+                              CAST(floor(list_sum(list_transform(range(1, $EmbDim + 1),
+                                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                                   * 1000000 + 0.5) AS BIGINT) AS ipc
+                       FROM aprank2 pr
+                       JOIN aqv q ON q.vec_id = pr.query_id
+                       JOIN ivfc2 c ON c.centroid_id = pr.centroid_id
+                       WHERE pr.rn <= $AnnNprobe),
+            rcand AS (SELECT pr.query_id, pr.centroid_id, po.neighbor_id,
+                             ${(0 until m).map(s => s"k2.c$s").mkString(", ")}
+                      FROM aprank2 pr JOIN aposting po USING (centroid_id)
+                      JOIN pqcodes k2 ON k2.vec_id = po.neighbor_id
+                      WHERE pr.rn <= $AnnNprobe AND pr.query_id <> po.neighbor_id),
+            rcu AS ($cuArms),
+            radcs AS (SELECT query_id, centroid_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS tsum
+                      FROM rcu JOIN adct USING (query_id, subspace, code)
+                      GROUP BY query_id, centroid_id, neighbor_id),
+            radcf AS (SELECT r.query_id, r.neighbor_id, CAST(r.tsum + p.ipc AS BIGINT) AS adc
+                      FROM radcs r JOIN rprobe p USING (query_id, centroid_id)),
+            rsurv AS (SELECT query_id, neighbor_id, adc FROM (
+               SELECT query_id, neighbor_id, adc,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+               FROM radcf) WHERE rn <= $AdcCandK),
+            rrer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
+                     FROM rsurv s
+                     JOIN allv a ON a.vec_id = s.query_id
+                     JOIN allv b ON b.vec_id = s.neighbor_id),
+            rfinal AS (SELECT query_id, rnk, neighbor_id,
+                              CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
+               SELECT query_id, neighbor_id, adc, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM rrer) WHERE rnk <= $AnnK)
+        SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
+        FROM rfinal ORDER BY query_id, rank"""
+  }
+
   /** The q66/q251 batch-sessionization mirror: ONE definition for the heap
     * and RocksDB state-store runs, so a provider-dependent divergence can
     * only surface as a hash mismatch, never as drift between two mirrors.
@@ -4284,6 +4394,50 @@ object ExtensionQueries {
       graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       IvfIndex
         .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- The drift loop closed at the ACTUATION (q267 detects, this
+    //      repairs): a shifted increment lands in a frozen residual index,
+    //      the gate flags the stale cells, and repairDriftedIndexCells
+    //      re-centers ONLY those cells and re-encodes their members under
+    //      the frozen codebooks — quiet cells' posting lists byte-identical
+    //      (ExtensionSpec pins that), recall in the drifted regime
+    //      recovers (BENCHNOTES). Output = the served top-k AFTER repair,
+    //      the whole loop against one mirror ----
+    "q271_drift_repair" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val inc = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(DriftShift.toFloat)).as("embedding"),
+      )
+      val merged    = base.unionAll(inc)
+      val queriesDf = merged.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_repair").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir,
+        variant = "residual")
+      IvfIndex.appendToAdcIndex(s, dir, inc, "vec_id", "embedding", m = PqM)
+      val flagged = IvfIndex
+        .oodDriftGate(base, inc, "vec_id", "embedding", centroids, DriftThresholdQ, DriftGateMilli)
+        .filter(col("reencode"))
+        .select("centroid_id")
+        .collect()
+        .map(_.getInt(0))
+        .toSeq
+        .sorted
+      // loud fixture gates: the drift must flag SOME cells, never all —
+      // a gate that fires nowhere (or everywhere) means the fixture
+      // stopped testing the repair
+      require(flagged.nonEmpty, "q271: the drift fixture must fire the gate")
+      require(flagged.size < 16, s"q271: the gate flagged every cell: $flagged")
+      IvfIndex.repairDriftedIndexCells(s, dir, merged, "vec_id", "embedding", m = PqM,
+        flaggedCells = flagged)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, merged, queriesDf, "vec_id", "embedding",
           m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id", "rank")
     }),
@@ -7722,6 +7876,10 @@ object ExtensionQueries {
     // of the first-16 seed; the appends and the compaction are
     // hash-invisible storage hops.
     "q270_trained_index_lifecycle" -> sqlAdcTrainedLifecycleOracle,
+    // The drift-repair contract: gate -> flagged cells -> member-mean
+    // re-center -> frozen-codebook re-encode of flagged cells only ->
+    // serve against the repaired centroids, regenerated end to end.
+    "q271_drift_repair" -> sqlAdcDriftRepairOracle,
     // The drift-gate contract: the shifted increment regenerated in closed
     // form (float-exact +shift per dim), both censuses from ONE assignment
     // relation, milli shares and the >= gate as exact integer arithmetic.

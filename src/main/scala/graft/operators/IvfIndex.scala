@@ -772,6 +772,86 @@ object IvfIndex {
     * bytes_before, bytes_after) — the observability row a maintenance job
     * logs and the number the q265 ScaleBench row reports.
     */
+  // Scratch roots of every cell-dir rewrite op (compaction, drift repair):
+  // content under these never reached the live tree, so the entry
+  // self-heal may drop them wholesale.
+  private def swapScratchRoots(dir: String): Seq[String] =
+    Seq(
+      s"$dir/codes_compact_tmp",
+      s"$dir/codes_compact_new",
+      s"$dir/codes_repair_new",
+      s"$dir/centroids_repair_new",
+    )
+
+  /** SELF-HEAL any interrupted prior cell swap BEFORE an op reads the
+    * tree: a cell parked aside but absent live renames back (crash
+    * between the two swap renames); a cell aside AND live means the new
+    * dir already landed, so the aside copy is the redundant one. Stale
+    * rewrite scratch is dropped — its content never reached the live
+    * tree. Shared by every op that rewrites cell dirs in place
+    * ([[compactAdcIndexCodes]], [[repairDriftedIndexCells]]), so whichever
+    * runs next repairs whatever was interrupted.
+    */
+  private def selfHealCellSwaps(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val codes = s"$dir/codes"
+    val asideRoot = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_aside")
+    if (fs.exists(asideRoot)) {
+      fs.listStatus(asideRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(s"$codes/${d.getPath.getName}")
+          if (!fs.exists(live))
+            require(fs.rename(d.getPath, live), s"selfHealCellSwaps: restore rename failed for ${d.getPath}")
+          else fs.delete(d.getPath, true)
+        }
+      fs.delete(asideRoot, true)
+    }
+    // The centroids table's own two-step commit ([[repairDriftedIndexCells]]):
+    // aside present + live missing = crash between its two renames —
+    // restore; both present = crash before the aside delete — drop the
+    // redundant copy. Restoring the OLD centroids is what keeps a crashed
+    // repair convergent: membership always re-derives from them.
+    val cLive = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val cAside = new org.apache.hadoop.fs.Path(s"$dir/centroids_repair_aside")
+    if (fs.exists(cAside)) {
+      if (!fs.exists(cLive))
+        require(fs.rename(cAside, cLive), s"selfHealCellSwaps: centroids restore rename failed")
+      else fs.delete(cAside, true)
+    }
+    swapScratchRoots(dir).foreach { p =>
+      val sp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    }
+  }
+
+  /** The crash-safe per-cell swap (rename-aside): live cell dir moves to
+    * `codes_compact_aside/` first, the replacement renames in, the aside
+    * copy deletes last. Every crash point leaves the cell's rows durable
+    * in exactly one location; [[selfHealCellSwaps]] repairs any
+    * interruption on the next op's entry.
+    */
+  private def swapCellDirsIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      newRoot: String,
+      cells: Seq[Int],
+      op: String,
+  ): Unit = {
+    val codes = s"$dir/codes"
+    val asideRoot = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_aside")
+    fs.mkdirs(asideRoot)
+    cells.foreach { cell =>
+      val oldDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
+      val newDir = new org.apache.hadoop.fs.Path(s"$newRoot/centroid_id=$cell")
+      val aside = new org.apache.hadoop.fs.Path(s"$asideRoot/centroid_id=$cell")
+      require(fs.rename(oldDir, aside), s"$op: aside rename failed for cell $cell")
+      require(fs.rename(newDir, oldDir), s"$op: swap-in rename failed for cell $cell")
+      fs.delete(aside, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(newRoot), true)
+    fs.delete(asideRoot, true)
+  }
+
   def compactAdcIndexCodes(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -782,28 +862,7 @@ object IvfIndex {
     val codes = s"$dir/codes"
     val root = new org.apache.hadoop.fs.Path(codes)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val asideRoot = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_aside")
-    // SELF-HEAL any interrupted prior swap BEFORE the census reads the
-    // tree: a cell parked aside but absent live renames back (crash
-    // between the two swap renames); a cell aside AND live means the new
-    // dir already landed, so the aside copy is the redundant one.
-    if (fs.exists(asideRoot)) {
-      fs.listStatus(asideRoot)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-        .foreach { d =>
-          val live = new org.apache.hadoop.fs.Path(s"$codes/${d.getPath.getName}")
-          if (!fs.exists(live))
-            require(fs.rename(d.getPath, live), s"compactAdcIndexCodes: self-heal rename failed for ${d.getPath}")
-          else fs.delete(d.getPath, true)
-        }
-      fs.delete(asideRoot, true)
-    }
-    // Stale rewrite scratch from a crash before any swap: content never
-    // reached the live tree, safe to drop.
-    Seq(s"$dir/codes_compact_tmp", s"$dir/codes_compact_new").foreach { p =>
-      val sp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(sp)) fs.delete(sp, true)
-    }
+    selfHealCellSwaps(fs, dir)
     def census(): Seq[(Int, String, Long)] =
       fs.listStatus(root)
         .toSeq
@@ -890,17 +949,8 @@ object IvfIndex {
       // The crash-safe swap (see the Scaladoc's rename-aside contract):
       // old aside -> new in -> aside deleted; the entry self-heal covers
       // every interruption point.
-      fs.mkdirs(asideRoot)
-      victimCells.foreach { cell =>
-        val oldDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
-        val newDir = new org.apache.hadoop.fs.Path(s"$newRoot/centroid_id=$cell")
-        val aside = new org.apache.hadoop.fs.Path(s"$asideRoot/centroid_id=$cell")
-        require(fs.rename(oldDir, aside), s"compactAdcIndexCodes: aside rename failed for cell $cell")
-        require(fs.rename(newDir, oldDir), s"compactAdcIndexCodes: swap-in rename failed for cell $cell")
-        fs.delete(aside, true)
-      }
-      Seq(tmp, newRoot).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      fs.delete(asideRoot, true)
+      swapCellDirsIn(fs, dir, newRoot, victimCells, "compactAdcIndexCodes")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     val after = census()
     val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
@@ -1488,6 +1538,163 @@ object IvfIndex {
         col("n_merged"),
         col("ood_merged_milli"),
         (col("ood_merged_milli") - col("ood_base_milli") >= gateMilli).as("reencode"),
+      )
+  }
+
+  /** ACT on [[oodDriftGate]]'s verdict — the repair that closes the drift
+    * loop at the actuation, not just the measurement: for the flagged
+    * cells ONLY, move the cell's coarse centroid to the MEAN of its
+    * current members (the [[train]] update step, applied per cell) and
+    * re-encode those members' residual codes against the moved centroid
+    * under the FROZEN residual codebooks; quiet cells' posting-list files
+    * are untouched — byte-identical (the surgical contract that makes a
+    * nightly repair cheaper than the full rebuild it replaces).
+    *
+    * Why this is the right lever for the RESIDUAL layout (and only it):
+    * residual codes quantize `v − centroid(cell)`, so a drifted cell's
+    * members carry residuals far outside the ball the frozen codebooks
+    * were trained on — the encode degrades exactly where the gate fired.
+    * Re-centering restores small residuals and the frozen codebooks apply
+    * again; recall recovers without touching codebooks or quiet cells
+    * (measured in ExtensionSpec and BENCHNOTES). Plain codes quantize `v`
+    * itself — they do not depend on the centroid, and repairing a stale
+    * PLAIN index means retraining its GLOBAL codebooks, i.e. a rebuild;
+    * this operator refuses the plain layout loudly rather than pretend a
+    * per-cell lever exists.
+    *
+    * Semantics pinned by the q271 oracle:
+    *  - membership is FROZEN: members are re-derived by [[assign]] against
+    *    the STORED centroids (deterministic — identical to how every
+    *    stored posting list was assigned), never re-assigned to the moved
+    *    centroid, so no row migrates between cells and quiet cells stay
+    *    byte-identical;
+    *  - the new centroid is the per-dim double mean of the members, cast
+    *    to float (the [[train]] update arithmetic);
+    *  - the residual re-encode is `v − newCentroid` through
+    *    [[residualEncodeFromRsd]] with the INDEX's codebooks (frozen).
+    *
+    * Commit order is codes THEN centroids, and that makes a crashed
+    * repair CONVERGENT under re-run: membership is always derived from
+    * the OLD stored centroids, so until the centroids table commits (the
+    * last step), a re-run recomputes the identical members, means and
+    * codes, re-swaps idempotently, and completes the centroid write. The
+    * cell swap itself is the [[swapCellDirsIn]] rename-aside contract
+    * with [[selfHealCellSwaps]] at entry. A crash BETWEEN the codes swap
+    * and the centroids commit leaves flagged cells encoded against the
+    * new centroid but probed against the old — re-running the repair (the
+    * restart path) converges; a reader in that window sees degraded, not
+    * corrupt, results for the flagged cells only.
+    *
+    * Scale: ONE zero-shuffle [[assign]] projection over the corpus
+    * filtered to flagged members, one tiny per-cell mean aggregate, one
+    * map-only re-encode of the flagged cells' rows, file moves bounded by
+    * the flagged cells. Returns the repair census: (centroid_id,
+    * n_members, centroid_shift_q) — shift = per-micro quantized cosine
+    * between the old and new centroid, the observability row a nightly
+    * job logs.
+    */
+  def repairDriftedIndexCells(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      flaggedCells: Seq[Int],
+  ): DataFrame = {
+    import spark.implicits._
+    val variant = loadVariant(spark, dir)
+    require(
+      variant == "residual",
+      "repairDriftedIndexCells: per-cell repair is a RESIDUAL-layout lever (codes quantize " +
+        "v - centroid, so re-centering restores the frozen codebooks' ball). Plain codes do not " +
+        "depend on the centroid; a stale plain index needs its global codebooks retrained - a rebuild.",
+    )
+    if (flaggedCells.isEmpty) {
+      // a nightly run where nothing gated: legitimate no-op, empty census
+      return Seq.empty[(Int, Long, Long)].toDF("centroid_id", "n_members", "centroid_shift_q")
+    }
+    val codes = s"$dir/codes"
+    val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    selfHealCellSwaps(fs, dir)
+    val centroids = Lineage.truncate(spark.read.parquet(s"$dir/centroids"))
+    val cbs = loadCodebooks(spark, dir, m)
+    val subDim = cbs.head.head._2.length
+    // Members under the FROZEN stored centroids — exactly the stored
+    // posting-list assignment (assign is deterministic), filtered to the
+    // flagged cells; zero shuffle, never a corpus-wide re-join.
+    val members = Lineage.truncate(
+      assign(corpus, centroids, idCol, vecCol)
+        .filter(col("centroid_id").isin(flaggedCells: _*))
+    )
+    // New centroid = per-dim double mean of the members, float cast — the
+    // train() update step applied to the flagged cells only.
+    val newCents = Lineage.truncate(
+      members
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
+            .as("centroid")
+        )
+    )
+    // Re-encode the flagged members: residual vs the NEW centroid, coded
+    // by the index's FROZEN residual codebooks.
+    val rsd = members
+      .join(broadcast(newCents), Seq("centroid_id"))
+      .select(
+        col(idCol),
+        col("centroid_id"),
+        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("__rv"),
+      )
+    val newRoot = s"$dir/codes_repair_new"
+    residualEncodeFromRsd(rsd, idCol, cbs, m, subDim).write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(newRoot)
+    // The loud gate before any swap: the rewrite must carry exactly the
+    // flagged members' rows.
+    val inRows = members.count()
+    val outRows = spark.read.parquet(newRoot).count()
+    require(
+      outRows == inRows,
+      s"repairDriftedIndexCells: re-encode row count $outRows != member count $inRows - " +
+        "aborting before the swap; the codes table is untouched.",
+    )
+    val sortedCells = flaggedCells.distinct.sorted
+    swapCellDirsIn(fs, dir, newRoot, sortedCells, "repairDriftedIndexCells")
+    // Centroids commit LAST (the convergence argument above): flagged rows
+    // take the new mean, quiet rows pass through; the table swaps via a
+    // fresh dir + rename so a crash mid-write cannot half-update it.
+    val repaired = Lineage.truncate(
+      centroids
+        .join(broadcast(newCents.withColumnRenamed("centroid", "__nc")), Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__nc"), col("centroid")).as("centroid"))
+    )
+    val centsNew = s"$dir/centroids_repair_new"
+    repaired.coalesce(1).write.mode("overwrite").parquet(centsNew)
+    val centsLive = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val centsAside = new org.apache.hadoop.fs.Path(s"$dir/centroids_repair_aside")
+    if (fs.exists(centsAside)) fs.delete(centsAside, true)
+    require(fs.rename(centsLive, centsAside), "repairDriftedIndexCells: centroids aside rename failed")
+    require(
+      fs.rename(new org.apache.hadoop.fs.Path(centsNew), centsLive),
+      "repairDriftedIndexCells: centroids swap-in rename failed",
+    )
+    fs.delete(centsAside, true)
+    // The census: members repaired and how far each centroid moved.
+    val oldC = centroids.select(col("centroid_id"), col("centroid").as("__oc"))
+    members
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(broadcast(newCents), Seq("centroid_id"))
+      .join(broadcast(oldC), Seq("centroid_id"))
+      .select(
+        col("centroid_id"),
+        col("n_members"),
+        floor(cos(col("__oc"), col("centroid")) * lit(1000000.0) + lit(0.5)).cast("long").as("centroid_shift_q"),
       )
   }
 }

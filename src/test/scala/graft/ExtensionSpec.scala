@@ -207,6 +207,78 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
   }
 
+  test("repairDriftedIndexCells: flagged cells re-center + re-encode, quiet cells byte-identical, recall recovers") {
+    import graft.operators.{IvfIndex, Similarity}
+    // the q267 drift fixture at spec scale: the increment is the base
+    // shifted +0.5/dim (binary32-exact) under fresh ids — it piles into a
+    // few cells of the frozen quantizer with residuals far outside the
+    // ball the base-trained codebooks cover
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val inc = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"),
+    )
+    val merged = base.unionAll(inc)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_repair").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir, variant = "residual")
+    IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4)
+    // grade in the drifted regime: queries drawn from the increment
+    val queries = inc.filter(col("vec_id") % 50 === 0)
+    def recall(): Double = {
+      val exact = Similarity.bruteForceTopK(merged, queries, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val approx = IvfIndex
+        .adcTopKFromIndex(spark, dir, merged, queries, "vec_id", "embedding",
+          m = 4, nprobe = 2, candK = 8, k = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    def snapshot(): Map[Int, Map[String, String]] =
+      new java.io.File(s"$dir/codes").listFiles().toSeq
+        .filter(_.getName.startsWith("centroid_id="))
+        .map { d =>
+          val cell = d.getName.stripPrefix("centroid_id=").toInt
+          cell -> d.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).map { f =>
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            f.getName -> java.util.Base64.getEncoder.encodeToString(
+              java.security.MessageDigest.getInstance("MD5").digest(bytes))
+          }.toMap
+        }.toMap
+    val recallBefore = recall()
+    val gate = IvfIndex
+      .oodDriftGate(base, inc, "vec_id", "embedding", centroids, thresholdQ = 200000L, gateMilli = 150L)
+    val flagged = gate.filter(col("reencode")).select("centroid_id").as[Int].collect().toSeq.sorted
+    assert(flagged.nonEmpty, "the drift fixture must fire the gate")
+    assert(flagged.size < 8, "the gate must not flag every cell — drift is a delta, not a fence")
+    val filesBefore = snapshot()
+    val census = IvfIndex
+      .repairDriftedIndexCells(spark, dir, merged, "vec_id", "embedding", m = 4, flaggedCells = flagged)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(census.map(_._1).toSeq == flagged, s"one census row per flagged cell: ${census.toSeq}")
+    assert(census.forall(_._2 > 0), "every flagged cell had members to repair")
+    assert(census.forall(_._3 < 1000000L), s"a repaired centroid must have MOVED: ${census.toSeq}")
+    val filesAfter = snapshot()
+    val quiet = filesBefore.keySet -- flagged.toSet
+    quiet.foreach { cell =>
+      assert(filesAfter(cell) == filesBefore(cell),
+        s"quiet cell $cell files must be byte-identical after a repair of $flagged")
+    }
+    flagged.foreach { cell =>
+      assert(filesAfter(cell) != filesBefore(cell), s"flagged cell $cell must have been rewritten")
+    }
+    val recallAfter = recall()
+    info(f"drifted-query recall: before=$recallBefore%.3f after=$recallAfter%.3f (flagged ${flagged.size}/8 cells)")
+    assert(recallAfter > recallBefore,
+      f"per-cell repair must recover recall in the drifted regime: $recallBefore%.3f -> $recallAfter%.3f")
+    // idempotent no-op: an empty flagged set repairs nothing
+    assert(IvfIndex.repairDriftedIndexCells(spark, dir, merged, "vec_id", "embedding", m = 4, Nil).count() == 0)
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("cosineNearDupPairsLsh: exactly-once pairs, subset of exhaustive, sims exact") {
     val lsh = Similarity
       .cosineNearDupPairsLsh(emb, "vec_id", "embedding", dim = 64, planes = 4, threshold = 0.35, tables = 2)
