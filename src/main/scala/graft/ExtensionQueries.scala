@@ -1083,10 +1083,55 @@ object ExtensionQueries {
     * all of it — the frozen-codebook append contract (q268): codebooks
     * learned on the BASE half's residuals, every vector coded.
     */
-  private def sqlAdcResidualCtesFor(chainP: String, tp: String, trainFilter: String = ""): String = {
+  /** One residual ADC search arm over a prebuilt residual chain
+    * (`{chainTp}pqcodes`/`{chainTp}adct`): per-probe quantized `IP(q, c)`
+    * scalar at `nprobe`, candidate pull, table-lookup scoring seeded by
+    * the scalar (the IP decomposition), the `candK` cut, the exact rerank
+    * and the `AnnK` final — the residual sibling of [[sqlAdcArmCtes]].
+    * CTE names are `{a}probe … {a}final`; [[sqlAdcResidualCtesFor]] calls
+    * it with `a = tp + "r"` so every pre-existing oracle's relation names
+    * (`rprobe`/`rrcand`/`rfinal`/…) are unchanged, and the q272 grid
+    * instantiates it once per (nprobe, candK) off shared chains.
+    */
+  private def sqlResidualArmCtes(a: String, chainTp: String, nprobe: Int, candK: Int): String = {
     val cuArms = (0 until PqM)
-      .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM ${tp}rcand")
+      .map(s => s"SELECT query_id, centroid_id, neighbor_id, $s AS subspace, c$s AS code FROM ${a}cand")
       .mkString("\n UNION ALL ")
+    s"""${a}probe AS (SELECT pr.query_id, pr.centroid_id,
+                          CAST(floor(list_sum(list_transform(range(1, $EmbDim + 1),
+                                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                               * 1000000 + 0.5) AS BIGINT) AS ipc
+                   FROM aprank pr
+                   JOIN aqv q ON q.vec_id = pr.query_id
+                   JOIN ivfc c ON c.centroid_id = pr.centroid_id
+                   WHERE pr.rn <= $nprobe),
+        ${a}cand AS (SELECT pr.query_id, pr.centroid_id, po.neighbor_id,
+                         ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
+                  FROM aprank pr JOIN aposting po USING (centroid_id)
+                  JOIN ${chainTp}pqcodes k2 ON k2.vec_id = po.neighbor_id
+                  WHERE pr.rn <= $nprobe AND pr.query_id <> po.neighbor_id),
+        ${a}cu AS ($cuArms),
+        ${a}adcs AS (SELECT query_id, centroid_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS tsum
+                  FROM ${a}cu JOIN ${chainTp}adct USING (query_id, subspace, code)
+                  GROUP BY query_id, centroid_id, neighbor_id),
+        ${a}adcf AS (SELECT r.query_id, r.neighbor_id, CAST(r.tsum + p.ipc AS BIGINT) AS adc
+                  FROM ${a}adcs r JOIN ${a}probe p USING (query_id, centroid_id)),
+        ${a}surv AS (SELECT query_id, neighbor_id, adc FROM (
+           SELECT query_id, neighbor_id, adc,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+           FROM ${a}adcf) WHERE rn <= $candK),
+        ${a}rer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
+                 FROM ${a}surv s
+                 JOIN embeddings a ON a.vec_id = s.query_id
+                 JOIN embeddings b ON b.vec_id = s.neighbor_id),
+        ${a}final AS (SELECT query_id, rnk, neighbor_id,
+                          CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
+           SELECT query_id, neighbor_id, adc, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM ${a}rer) WHERE rnk <= $AnnK)"""
+  }
+
+  private def sqlAdcResidualCtesFor(chainP: String, tp: String, trainFilter: String = ""): String =
     s"""${tp}rsd AS (SELECT po.neighbor_id AS vec_id,
                        list_transform(range(1, $EmbDim + 1),
                                       i -> CAST(e.embedding[i] - c.embedding[i] AS FLOAT)) AS embedding
@@ -1102,39 +1147,7 @@ object ExtensionQueries {
         seedNonZero = true,
       )},
         ${sqlAdcChainTables(tp, chainP)},
-        ${tp}rprobe AS (SELECT pr.query_id, pr.centroid_id,
-                          CAST(floor(list_sum(list_transform(range(1, $EmbDim + 1),
-                                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                               * 1000000 + 0.5) AS BIGINT) AS ipc
-                   FROM aprank pr
-                   JOIN aqv q ON q.vec_id = pr.query_id
-                   JOIN ivfc c ON c.centroid_id = pr.centroid_id
-                   WHERE pr.rn <= $AnnNprobe),
-        ${tp}rcand AS (SELECT pr.query_id, pr.centroid_id, po.neighbor_id,
-                         ${(0 until PqM).map(s => s"k2.c$s").mkString(", ")}
-                  FROM aprank pr JOIN aposting po USING (centroid_id)
-                  JOIN ${tp}pqcodes k2 ON k2.vec_id = po.neighbor_id
-                  WHERE pr.rn <= $AnnNprobe AND pr.query_id <> po.neighbor_id),
-        ${tp}rcu AS ($cuArms),
-        ${tp}radcs AS (SELECT query_id, centroid_id, neighbor_id, CAST(SUM(dq) AS BIGINT) AS tsum
-                  FROM ${tp}rcu JOIN ${tp}adct USING (query_id, subspace, code)
-                  GROUP BY query_id, centroid_id, neighbor_id),
-        ${tp}radcf AS (SELECT r.query_id, r.neighbor_id, CAST(r.tsum + p.ipc AS BIGINT) AS adc
-                  FROM ${tp}radcs r JOIN ${tp}rprobe p USING (query_id, centroid_id)),
-        ${tp}rsurv AS (SELECT query_id, neighbor_id, adc FROM (
-           SELECT query_id, neighbor_id, adc,
-                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
-           FROM ${tp}radcf) WHERE rn <= $AdcCandK),
-        ${tp}rrer AS (SELECT s.query_id, s.neighbor_id, s.adc, $sqlCos AS sim
-                 FROM ${tp}rsurv s
-                 JOIN embeddings a ON a.vec_id = s.query_id
-                 JOIN embeddings b ON b.vec_id = s.neighbor_id),
-        ${tp}rfinal AS (SELECT query_id, rnk, neighbor_id,
-                          CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_q, adc FROM (
-           SELECT query_id, neighbor_id, adc, sim,
-                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-           FROM ${tp}rrer) WHERE rnk <= $AnnK)"""
-  }
+        ${sqlResidualArmCtes(s"${tp}r", tp, AnnNprobe, AdcCandK)}"""
 
   /** The full ADC top-k mirror — ONE definition shared verbatim by q248
     * (in-memory pipeline) and q258 (persisted-index round trip): the
@@ -1267,6 +1280,64 @@ object ExtensionQueries {
             ${sqlAdcArmCtes("adc", "", AnnNprobe, AdcCandK)}
         SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, sim_q, adc
         FROM adcfinal ORDER BY query_id, rank"""
+  }
+
+  /** The TRAINED-residual operating-curve mirror (q272): the q263 grid
+    * re-run with every arm RESIDUAL — one shared residual table off the
+    * trained coarse assignment, three residual PQ chains (code sizes 4 /
+    * 8 / 16, L2 metric, non-zero seeds), one [[sqlResidualArmCtes]]
+    * pipeline per (nprobe, candK), each arm reduced to (n_cand, n_hit)
+    * against the one exact side. q263 priced the residual encode at ONE
+    * grid point (and it lost to trained plain there); this measures the
+    * whole curve so the crossover — if any — is data, not extrapolation.
+    */
+  private def sqlTrainedResidualSweepOracle: String = {
+    val armDefs = Seq(
+      ("b1", "rt", 4, 2, 8),
+      ("b2", "rs", PqNlist, 1, 8),
+      ("b3", "rs", PqNlist, 2, 4),
+      ("b4", "rs", PqNlist, 2, 8),
+      ("b5", "rs", PqNlist, 2, 16),
+      ("b6", "ru", 16, 2, 8),
+      ("b7", "rs", PqNlist, 4, 8),
+    )
+    val armCtes = armDefs.map { case (a, tp, _, np, ck) => sqlResidualArmCtes(a, tp, np, ck) }.mkString(",\n")
+    val rows = armDefs
+      .map { case (a, _, nl, np, ck) =>
+        s"""SELECT CAST($nl AS INT) AS pq_nlist, CAST($np AS INT) AS nprobe, CAST($ck AS INT) AS cand_k,
+                 CAST((SELECT COUNT(*) FROM ${a}cand) AS BIGINT) AS n_cand,
+                 CAST((SELECT COUNT(*) FROM ${a}final f JOIN exact e
+                       ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hit,
+                 'residual' AS variant"""
+      }
+      .mkString("\n UNION ALL ")
+    s"""WITH sdims AS (SELECT CAST(unnest(range(0, ${EmbDim / PqM})) AS INT) AS pos),
+            ${sqlAdcIvfCtesTrained(16, TrainedIters, TrainedSampleMicro)},
+            rsd0 AS (SELECT po.neighbor_id AS vec_id,
+                            list_transform(range(1, $EmbDim + 1),
+                                           i -> CAST(e.embedding[i] - c.embedding[i] AS FLOAT)) AS embedding
+                     FROM aposting po
+                     JOIN embeddings e ON e.vec_id = po.neighbor_id
+                     JOIN ivfc c ON c.centroid_id = po.centroid_id),
+            ${sqlPqChainCtesFor("rs", PqNlist, trainSrc = "rsd0", codeSrc = "rsd0", metric = "l2", seedNonZero = true)},
+            ${sqlPqChainCtesFor("rt", 4, trainSrc = "rsd0", codeSrc = "rsd0", metric = "l2", seedNonZero = true)},
+            ${sqlPqChainCtesFor("ru", 16, trainSrc = "rsd0", codeSrc = "rsd0", metric = "l2", seedNonZero = true)},
+            ${sqlAdcChainTables("rs", "rs")},
+            ${sqlAdcChainTables("rt", "rt")},
+            ${sqlAdcChainTables("ru", "ru")},
+            $armCtes,
+            escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $sqlCos AS sim
+                        FROM embeddings a JOIN embeddings b
+                          ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+            exact AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM escored) WHERE rnk <= $AnnK),
+            armrows AS ($rows)
+        SELECT pq_nlist, nprobe, cand_k, n_cand, n_hit,
+               CAST(n_hit * 1000 // ((SELECT COUNT(*) FROM aqv) * $AnnK) AS BIGINT) AS recall_milli,
+               variant
+        FROM armrows ORDER BY pq_nlist, nprobe, cand_k, variant"""
   }
 
   /** The drift-REPAIR mirror (q271): the whole loop regenerated — q267's
@@ -4440,6 +4511,25 @@ object ExtensionQueries {
         .adcTopKFromIndex(s, dir, merged, queriesDf, "vec_id", "embedding",
           m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- The q263 grid with every arm RESIDUAL, against the TRAINED
+    //      quantizer: q263 priced the residual encode at one point (83 vs
+    //      trained plain's 116 recall-milli) — before demoting the variant
+    //      the WHOLE curve is measured, so the crossover (if any) is data.
+    //      One residual table + one chain per code size, arms re-cut them ----
+    "q272_trained_residual_sweep" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = graft.operators.Lineage.truncate(
+        IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = TrainedIters,
+          sampleFraction = TrainedSampleMicro / 1e6)
+      )
+      IvfIndex
+        .adcOperatingCurve(emb, queriesDf, "vec_id", "embedding", centroids,
+          m = PqM, subDim = EmbDim / PqM, pqIters = PqIters, arms = Nil, k = AnnK,
+          residualArms = AdcSweepArms)
+        .orderBy("pq_nlist", "nprobe", "cand_k", "variant")
     }),
 
     // ---- DCT pHash near-dup under lossy re-encode: per doc an original
@@ -7945,6 +8035,10 @@ object ExtensionQueries {
     // and in the oracle alike.
     "q263_trained_adc_sweep" ->
       sqlAdcSweepOracleWith(sqlAdcIvfCtesTrained(16, TrainedIters, TrainedSampleMicro)),
+    // The trained-residual grid contract: the q263 sweep shape with every
+    // arm residual — shared residual table, three residual chains, one
+    // generated arm pipeline per grid point, the same exact side.
+    "q272_trained_residual_sweep" -> sqlTrainedResidualSweepOracle,
     // The pHash contract: both hashes regenerated from the closed form
     // (block pixels + deterministic re-encode noise, integer DCT through
     // the EMBEDDED cosine table), the q242 prefix-bucket pair semantics on

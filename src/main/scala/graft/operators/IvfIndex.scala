@@ -1045,7 +1045,7 @@ object IvfIndex {
       k: Int,
       residualArms: Seq[(Int, Int, Int)] = Nil,
   ): DataFrame = {
-    require(arms.nonEmpty, "adcOperatingCurve: at least one (pqNlist, nprobe, candK) arm")
+    require(arms.nonEmpty || residualArms.nonEmpty, "adcOperatingCurve: at least one arm (plain or residual)")
     require((arms ++ residualArms).forall(_._3 >= k), s"adcOperatingCurve: every candK must be >= k ($k)")
     val nQueries = queries.count()
     require(nQueries > 0, "adcOperatingCurve: empty query sample")
