@@ -235,6 +235,44 @@ object ScaleBench {
         s"""{"op":"ann_codes_compact","factor":$f,"sec":${math.round(tComp * 1000) / 1000.0},""" +
           s""""files_before":${filesBA._1},"files_after":${filesBA._2}}"""
       )
+      // (5) the drift-repair lifecycle (q267 -> q271): a SHIFTED increment
+      // lands in a frozen RESIDUAL index, the OOD gate flags the stale
+      // cells in one pass over base ∪ increment, and the repair re-centers
+      // + re-encodes ONLY those cells. The increment scales WITH the
+      // factor (unlike the append rows' fixed-size increments): a
+      // fixed-size drift dilutes below the 150-milli gate as the base
+      // grows — correct gate behavior, but it would null the measurement;
+      // proportional drift keeps the gate firing so the row measures
+      // repair cost tracking the flagged members at every factor.
+      val resDir = s"$tmp/annidxres_$f"
+      operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
+        m = 4, subDim = 16, pqNlist = 8, pqIters = 2, dir = resDir, variant = "residual")
+      val drifted = emb
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(0.5f)))
+      operators.IvfIndex.appendToAdcIndex(spark, resDir, drifted, "vec_id", "embedding", m = 4)
+      val (tRepair, flaggedN) = time {
+        val flagged = operators.IvfIndex
+          .oodDriftGate(emb, drifted, "vec_id", "embedding", centroids,
+            thresholdQ = 200000L, gateMilli = 150L)
+          .filter(col("reencode"))
+          .select("centroid_id")
+          .collect()
+          .map(_.getInt(0))
+          .toSeq
+        if (flagged.nonEmpty)
+          operators.IvfIndex.repairDriftedIndexCells(
+            spark, resDir,
+            emb.select(col("vec_id"), col("embedding"))
+              .unionAll(drifted.select(col("vec_id"), col("embedding"))),
+            "vec_id", "embedding", m = 4, flaggedCells = flagged,
+          ).count()
+        flagged.size.toLong
+      }
+      println(
+        s"""{"op":"ann_drift_gate_repair","factor":$f,"sec":${math.round(tRepair * 1000) / 1000.0},""" +
+          s""""flagged_cells":$flaggedN}"""
+      )
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants
