@@ -4461,7 +4461,9 @@ object ExtensionQueries {
         m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
       IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM, batchId = Some(0L))
       IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM, batchId = Some(1L))
-      IvfIndex.compactAdcIndexCodes(s, dir, targetBytes = 128L << 20)
+      // the checkpoint committed past both batches: watermark above them
+      // fences the replays and lets compaction bin the landings
+      IvfIndex.compactAdcIndexCodes(s, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(2L))
       graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       IvfIndex
         .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",

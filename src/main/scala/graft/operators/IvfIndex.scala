@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *    `nprobe/nlist` of the corpus instead of all of it.
   */
 object IvfIndex {
+  // Test-only observability of the batch-landing sweep bound (how many
+  // cell dirs the last [[appendToAdcIndex]] landing listed for prior
+  // files, and whether it fell back to the full sweep) — driver-side
+  // counters in the spirit of Sink's accumulators, never read by any
+  // operator logic.
+  @volatile private[graft] var lastLandingSweepCells: Int = 0
+  @volatile private[graft] var lastLandingSweepFull: Boolean = false
 
   private def cos(a: Column, b: Column): Column = CosineSimilarity.cosine(a, b)
 
@@ -658,12 +665,18 @@ object IvfIndex {
     * its rows in the served posting lists. Crash anywhere inside the
     * landing and the replay restores: the scratch write is overwrite, the
     * delete covers partial prior landings, and only then do the renames
-    * move files live. The idempotency window ends at COMPACTION:
-    * [[compactAdcIndexCodes]] rewrites batch files into `bin…` files, so
-    * a replay of a batch older than the last compaction would re-land its
-    * rows — production compacts only cells whose batches are behind the
-    * ingest checkpoint's committed offset (compaction is the commit
-    * point). `batchId = None` keeps the plain one-shot `mode("append")`.
+    * move files live. The idempotency window ends at the first op that
+    * REWRITES the batch's files away from their `batch<id>-` names —
+    * [[compactAdcIndexCodes]] (bins victim files) and
+    * [[repairDriftedIndexCells]] (re-encodes flagged cells) both do — so
+    * a batch replayed after either would re-land its rows as duplicates.
+    * Both ops therefore take the ingest checkpoint's committed offset as
+    * `minRetainedBatchId` and refuse loudly to rewrite a landing at or
+    * above it: batches below the watermark are fenced (the checkpoint
+    * committed; they can no longer replay) and safe to rewrite; batches
+    * above it stay under their replay names (compaction retains them,
+    * repair refuses the cell). `batchId = None` keeps the plain one-shot
+    * `mode("append")`.
     */
   def appendToAdcIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -700,20 +713,46 @@ object IvfIndex {
           .mode("overwrite")
           .partitionBy("centroid_id")
           .parquet(scratch)
-        // Sweep EVERY cell for a prior landing of this batch, not just the
-        // cells the fresh encode touched — the delete must cover a partial
-        // prior landing whatever cells it reached.
+        // The prior-landing sweep is bounded by the cells THIS encode
+        // produced — the steady-state microbatch pays O(touched cells)
+        // driver listings, not O(nlist) (at nlist in the tens of
+        // thousands the full sweep per microbatch was the ingest
+        // bottleneck). That bound is sound because the encode is
+        // deterministic under the frozen codebooks and a replayed
+        // microbatch re-delivers the identical rows (the foreachBatch
+        // contract), so any prior landing of this batch — complete or
+        // crashed mid-rename — touched a subset of these same cells. The
+        // paranoid case (a prior landing from DIFFERENT code against the
+        // same index dir, which the frozen-codebook contract already
+        // forbids) is covered one step further: the moment ANY prior
+        // file of this batch is detected, the landing falls back to the
+        // full O(nlist) sweep before re-landing.
         val codesRoot = new org.apache.hadoop.fs.Path(codes)
-        if (fs.exists(codesRoot))
-          fs.listStatus(codesRoot)
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-            .foreach { cellDir =>
-              fs.listStatus(cellDir.getPath)
-                .filter(f => f.isFile && f.getPath.getName.startsWith(s"batch$b-"))
-                .foreach(f => fs.delete(f.getPath, false))
-            }
-        fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+        val scratchCells = fs
+          .listStatus(new org.apache.hadoop.fs.Path(scratch))
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        val touchedLive = scratchCells
+          .map(cd => new org.apache.hadoop.fs.Path(s"$codes/${cd.getPath.getName}"))
+          .filter(fs.exists)
+        val priorDetected = touchedLive.exists { live =>
+          fs.listStatus(live).exists(f => f.isFile && f.getPath.getName.startsWith(s"batch$b-"))
+        }
+        val sweepDirs =
+          if (priorDetected && fs.exists(codesRoot))
+            fs.listStatus(codesRoot)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+              .map(_.getPath)
+              .toSeq
+          else touchedLive.toSeq
+        // test-only observability for the bound (see LandingSweepSpec)
+        lastLandingSweepCells = sweepDirs.size
+        lastLandingSweepFull = priorDetected
+        sweepDirs.foreach { cellDir =>
+          fs.listStatus(cellDir)
+            .filter(f => f.isFile && f.getPath.getName.startsWith(s"batch$b-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+        scratchCells
           .foreach { cellDir =>
             val live = new org.apache.hadoop.fs.Path(s"$codes/${cellDir.getPath.getName}")
             fs.mkdirs(live)
@@ -768,6 +807,19 @@ object IvfIndex {
     *     window or manifest commit). What the layout guarantees is that
     *     no crash can LOSE a posting list.
     *
+    * `minRetainedBatchId` is the replay-idempotency watermark (the ingest
+    * checkpoint's committed offset): [[appendToAdcIndex]]'s replays key
+    * their delete-then-re-land on the `batch<id>-` file NAMES, so binning
+    * a landing whose batch may still replay would end its idempotency
+    * window silently — the replay would re-land its rows as duplicates
+    * next to the bin that already holds them. Files at or above the
+    * watermark are RETAINED: excluded from binning and victim selection,
+    * never scanned, and carried into any rewritten cell under their
+    * names (q273 replays a retained batch after compaction and serves
+    * hash-identically). Compacting a batch landing with NO watermark is a
+    * loud refusal, not a Scaladoc caveat. Batch-less appends
+    * (`batchId = None`) carry no landing names and need no watermark.
+    *
     * Returns the per-cell census (centroid_id, files_before, files_after,
     * bytes_before, bytes_after) — the observability row a maintenance job
     * logs and the number the q265 ScaleBench row reports.
@@ -782,6 +834,15 @@ object IvfIndex {
       s"$dir/codes_repair_new",
       s"$dir/centroids_repair_new",
     )
+
+  // The batch id a code file's name carries, if any: batch-keyed landings
+  // ([[appendToAdcIndex]]) name their files `batch<id>-<part>.parquet`;
+  // base writes and compacted bins (`bin<b>-…`, `part-…`) carry none.
+  private val LandingName = raw"batch(\d+)-.*".r
+  private[graft] def batchIdOfLanding(name: String): Option[Long] = name match {
+    case LandingName(id) => Some(id.toLong)
+    case _ => None
+  }
 
   /** SELF-HEAL any interrupted prior cell swap BEFORE an op reads the
     * tree: a cell parked aside but absent live renames back (crash
@@ -809,8 +870,10 @@ object IvfIndex {
     // The centroids table's own two-step commit ([[repairDriftedIndexCells]]):
     // aside present + live missing = crash between its two renames —
     // restore; both present = crash before the aside delete — drop the
-    // redundant copy. Restoring the OLD centroids is what keeps a crashed
-    // repair convergent: membership always re-derives from them.
+    // redundant copy. (Membership derives from the codes files, not the
+    // centroids, so either copy re-runs the repair to the same state —
+    // the restore just keeps the two-step commit's invariant: the table
+    // exists in exactly one location at every crash point.)
     val cLive = new org.apache.hadoop.fs.Path(s"$dir/centroids")
     val cAside = new org.apache.hadoop.fs.Path(s"$dir/centroids_repair_aside")
     if (fs.exists(cAside)) {
@@ -822,6 +885,17 @@ object IvfIndex {
       val sp = new org.apache.hadoop.fs.Path(p)
       if (fs.exists(sp)) fs.delete(sp, true)
     }
+    // Batch-landing scratch ([[appendToAdcIndex]]'s codes_append_tmp_b<id>)
+    // left by a crash before its renames: content never reached the live
+    // tree (a replay overwrites its own batch's scratch anyway), so a
+    // maintenance entry may drop it. Maintenance is fenced against live
+    // ingest (the same serialization rule compaction already assumes), so
+    // no landing is in flight when this sweep runs.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("codes_append_tmp_b"))
+        .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** The crash-safe per-cell swap (rename-aside): live cell dir moves to
@@ -856,6 +930,7 @@ object IvfIndex {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long,
+      minRetainedBatchId: Option[Long] = None,
   ): DataFrame = {
     require(targetBytes >= 1, s"compactAdcIndexCodes: targetBytes must be positive: $targetBytes")
     import spark.implicits._
@@ -876,7 +951,20 @@ object IvfIndex {
         }
     val before = census()
     require(before.nonEmpty, s"compactAdcIndexCodes: no code files under $codes")
-    val binned: Seq[(Int, String, Long, Long)] = before
+    // The replay-idempotency watermark: a `batch<id>-` landing at or
+    // above `minRetainedBatchId` may still be replayed by the ingest
+    // (its checkpoint has not committed past it), and a replay keys its
+    // delete-then-re-land on the batch FILE NAME — so those files are
+    // RETAINED under their names (excluded from binning, carried into any
+    // rewritten cell unchanged). Batches below the watermark are fenced
+    // and compact like any other file. With no watermark, compacting a
+    // batch landing refuses loudly below instead of ending the replay
+    // window silently.
+    val (retained, eligible) = before.partition { case (_, name, _) =>
+      batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
+    }
+    require(eligible.nonEmpty, s"compactAdcIndexCodes: every file under $codes is watermark-retained")
+    val binned: Seq[(Int, String, Long, Long)] = eligible
       .groupBy(_._1)
       .toSeq
       .flatMap { case (cell, cellFiles) =>
@@ -888,9 +976,23 @@ object IvfIndex {
         }
       }
     val victims = binned.groupBy(_._1).filter { case (_, cf) => cf.map(_._4).distinct.size < cf.size }
+    if (minRetainedBatchId.isEmpty) {
+      val unfenced = victims.values.flatten
+        .flatMap { case (cell, name, _, _) => batchIdOfLanding(name).map(id => (cell, id)) }
+        .toSeq
+        .distinct
+        .sorted
+      require(
+        unfenced.isEmpty,
+        s"compactAdcIndexCodes: about to rewrite batch landings that may still replay " +
+          s"(cell, batchId): ${unfenced.mkString(", ")} - binning them drops the batch<id>- file " +
+          "names their replay-idempotency keys on. Pass minRetainedBatchId = Some(w) (the ingest " +
+          "checkpoint's committed offset: batches >= w are retained under their names, batches < w " +
+          "are fenced and compactable), or Some(maxBatchId + 1) when every batch is known committed.",
+      )
+    }
     if (victims.nonEmpty) {
       val victimCells = victims.keys.toSeq.sorted
-      val victimDirs = victimCells.map(c => s"$codes/centroid_id=$c")
       // file-NAME join (part names are UUID-unique) — input_file_name()'s
       // URI rendering and the Hadoop listing disagree on scheme slashes
       val fileBin = victims.values.flatten.toSeq
@@ -898,9 +1000,17 @@ object IvfIndex {
         .toDF("centroid_id", "__fname", "__bin")
       val nIn = victims.values.map(_.size).sum
       val tmp = s"$dir/codes_compact_tmp"
+      // The read lists the victim FILES explicitly, not the victim dirs:
+      // a watermark-retained batch landing in a victim cell must neither
+      // be rewritten nor even scanned (the retained files are the hot
+      // recent batches — reading them to throw the rows away is wasted
+      // IO that grows with ingest rate).
+      val victimFiles = victims.values.flatten.toSeq.map { case (cell, name, _, _) =>
+        s"$codes/centroid_id=$cell/$name"
+      }
       val rows = spark.read
         .option("basePath", codes)
-        .parquet(victimDirs: _*)
+        .parquet(victimFiles: _*)
         .withColumn("__fname", substring_index(input_file_name(), "/", -1))
         .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
         .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
@@ -920,7 +1030,7 @@ object IvfIndex {
       // The loud gate: rows out == rows in, verified BEFORE anything is
       // deleted. A file the name-join missed would silently drop its rows
       // into the void — this turns that bug into a failed job.
-      val inRows = spark.read.option("basePath", codes).parquet(victimDirs: _*).count()
+      val inRows = spark.read.option("basePath", codes).parquet(victimFiles: _*).count()
       val outRows = spark.read.parquet(tmp).count()
       require(
         outRows == inRows,
@@ -931,6 +1041,7 @@ object IvfIndex {
       // layout has no __bin level): the single file under each bin subdir
       // renames to bin<b>-<name>, names stay UUID-unique.
       val newRoot = s"$dir/codes_compact_new"
+      val retainedByCell = retained.groupBy(_._1)
       victimCells.foreach { cell =>
         val newCell = new org.apache.hadoop.fs.Path(s"$newRoot/centroid_id=$cell")
         fs.mkdirs(newCell)
@@ -945,6 +1056,19 @@ object IvfIndex {
                 require(fs.rename(f.getPath, target), s"compactAdcIndexCodes: assemble rename failed for $target")
               }
           }
+        // Watermark-retained batch landings in this cell carry over into
+        // the replacement dir UNDER THEIR REPLAY NAMES — COPIED, not
+        // renamed: the live tree must stay complete until the swap (a
+        // crash here drops the whole newRoot on the next entry's
+        // self-heal, which must not have stolen a live file first).
+        retainedByCell.getOrElse(cell, Nil).foreach { case (_, name, _) =>
+          val src = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell/$name")
+          val dst = new org.apache.hadoop.fs.Path(newCell, name)
+          require(
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, spark.sessionState.newHadoopConf()),
+            s"compactAdcIndexCodes: retained-landing copy failed for $src",
+          )
+        }
       }
       // The crash-safe swap (see the Scaladoc's rename-aside contract):
       // old aside -> new in -> aside deleted; the entry self-heal covers
@@ -1563,32 +1687,55 @@ object IvfIndex {
     * per-cell lever exists.
     *
     * Semantics pinned by the q271 oracle:
-    *  - membership is FROZEN: members are re-derived by [[assign]] against
-    *    the STORED centroids (deterministic — identical to how every
-    *    stored posting list was assigned), never re-assigned to the moved
-    *    centroid, so no row migrates between cells and quiet cells stay
-    *    byte-identical;
+    *  - membership is FROZEN: members are read from the stored posting
+    *    lists THEMSELVES — the codes files, partition-pruned to the
+    *    flagged cells, joined back to the corpus for vectors. The files
+    *    are the membership of record: re-running [[assign]] against the
+    *    live centroids table would be wrong the SECOND time a repair runs
+    *    (the first repair moved the flagged centroids, so a later
+    *    re-assignment can disagree with the frozen posting lists — a
+    *    vector whose argmax flipped would silently drop from, or
+    *    duplicate into, the rewrite). Reading the files makes repairs
+    *    COMPOSE: sequential repairs over disjoint flagged sets equal one
+    *    repair of the union (q274 pins that against the q271 mirror),
+    *    so the documented nightly cadence is sound;
     *  - the new centroid is the per-dim double mean of the members, cast
     *    to float (the [[train]] update arithmetic);
     *  - the residual re-encode is `v − newCentroid` through
     *    [[residualEncodeFromRsd]] with the INDEX's codebooks (frozen).
     *
     * Commit order is codes THEN centroids, and that makes a crashed
-    * repair CONVERGENT under re-run: membership is always derived from
-    * the OLD stored centroids, so until the centroids table commits (the
-    * last step), a re-run recomputes the identical members, means and
-    * codes, re-swaps idempotently, and completes the centroid write. The
-    * cell swap itself is the [[swapCellDirsIn]] rename-aside contract
+    * repair CONVERGENT under re-run: the re-encode rewrites each flagged
+    * cell's files VALUE-for-value on the (id, cell) membership — same
+    * rows, new code bytes — so whether a re-run reads the old or the
+    * already-swapped files it recomputes the identical members, means
+    * and codes, re-swaps idempotently, and completes the centroid write.
+    * The cell swap itself is the [[swapCellDirsIn]] rename-aside contract
     * with [[selfHealCellSwaps]] at entry. A crash BETWEEN the codes swap
     * and the centroids commit leaves flagged cells encoded against the
     * new centroid but probed against the old — re-running the repair (the
     * restart path) converges; a reader in that window sees degraded, not
     * corrupt, results for the flagged cells only.
     *
-    * Scale: ONE zero-shuffle [[assign]] projection over the corpus
-    * filtered to flagged members, one tiny per-cell mean aggregate, one
-    * map-only re-encode of the flagged cells' rows, file moves bounded by
-    * the flagged cells. Returns the repair census: (centroid_id,
+    * Replay fencing (`minRetainedBatchId`): the rewrite drops the
+    * `batch<id>-` file names [[appendToAdcIndex]]'s idempotent replay
+    * keys on, so repairing a cell ENDS the replay window of every batch
+    * whose files it holds — a batch replayed afterwards would re-land its
+    * rows as duplicates. Like [[compactAdcIndexCodes]], the repair
+    * refuses loudly when a flagged cell holds a batch landing at or above
+    * the watermark (or ANY batch landing when no watermark is given):
+    * pass the ingest checkpoint's committed offset — batches below it are
+    * fenced (can no longer replay) and safe to rewrite. Unlike
+    * compaction, a repair cannot RETAIN the newer files instead: a cell's
+    * codes all quantize residuals against that cell's one centroid, so a
+    * partial re-encode would mix two centroid bases in one posting list.
+    *
+    * Scale: ONE partition-pruned read of the flagged cells' posting
+    * lists, one id-equi-join against the corpus for the members' vectors
+    * (bounded by the flagged membership — AQE broadcasts the posting side
+    * when it is small), one tiny per-cell mean aggregate, one map-only
+    * re-encode of the flagged cells' rows, file moves bounded by the
+    * flagged cells. Returns the repair census: (centroid_id,
     * n_members, centroid_shift_q) — shift = per-micro quantized cosine
     * between the old and new centroid, the observability row a nightly
     * job logs.
@@ -1601,6 +1748,7 @@ object IvfIndex {
       vecCol: String,
       m: Int,
       flaggedCells: Seq[Int],
+      minRetainedBatchId: Option[Long] = None,
   ): DataFrame = {
     import spark.implicits._
     val variant = loadVariant(spark, dir)
@@ -1617,15 +1765,49 @@ object IvfIndex {
     val codes = s"$dir/codes"
     val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
     selfHealCellSwaps(fs, dir)
+    // The replay fence (see Scaladoc): a flagged cell holding a batch
+    // landing the ingest checkpoint has not committed past must not be
+    // rewritten — its replay would duplicate rows into the repaired cell.
+    val unfenced = flaggedCells.distinct.sorted.flatMap { cell =>
+      val cellDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
+      if (!fs.exists(cellDir)) Nil
+      else
+        fs.listStatus(cellDir)
+          .toSeq
+          .flatMap(f => batchIdOfLanding(f.getPath.getName))
+          .filter(id => minRetainedBatchId.forall(id >= _))
+          .map(id => (cell, id))
+    }
+    require(
+      unfenced.isEmpty,
+      s"repairDriftedIndexCells: flagged cells hold batch landings that may still replay " +
+        s"(cell, batchId): ${unfenced.distinct.mkString(", ")} - rewriting them would end their " +
+        "replay-idempotency window silently. Pass minRetainedBatchId = Some(w) (the ingest " +
+        "checkpoint's committed offset; batches < w are fenced and safe to rewrite), or fence " +
+        "the replays and pass Some(maxBatchId + 1).",
+    )
     val centroids = Lineage.truncate(spark.read.parquet(s"$dir/centroids"))
     val cbs = loadCodebooks(spark, dir, m)
     val subDim = cbs.head.head._2.length
-    // Members under the FROZEN stored centroids — exactly the stored
-    // posting-list assignment (assign is deterministic), filtered to the
-    // flagged cells; zero shuffle, never a corpus-wide re-join.
-    val members = Lineage.truncate(
-      assign(corpus, centroids, idCol, vecCol)
+    // Members = the STORED posting lists (the membership of record),
+    // partition-pruned to the flagged cells, joined to the corpus for
+    // vectors — never a re-assignment against the live centroids, which
+    // would migrate rows on the second repair after centroids moved.
+    val stored = Lineage.truncate(
+      spark.read
+        .parquet(codes)
         .filter(col("centroid_id").isin(flaggedCells: _*))
+        .select(col("neighbor_id").as(idCol), col("centroid_id"))
+    )
+    val storedRows = stored.count()
+    val members = Lineage.truncate(
+      corpus.select(col(idCol), col(vecCol)).join(stored, Seq(idCol))
+    )
+    val memberRows = members.count()
+    require(
+      memberRows == storedRows,
+      s"repairDriftedIndexCells: the corpus matched $memberRows of $storedRows stored members - " +
+        "the repair corpus must cover every vector in the flagged posting lists exactly once.",
     )
     // New centroid = per-dim double mean of the members, float cast — the
     // train() update step applied to the flagged cells only.
@@ -1656,7 +1838,7 @@ object IvfIndex {
       .parquet(newRoot)
     // The loud gate before any swap: the rewrite must carry exactly the
     // flagged members' rows.
-    val inRows = members.count()
+    val inRows = memberRows
     val outRows = spark.read.parquet(newRoot).count()
     require(
       outRows == inRows,

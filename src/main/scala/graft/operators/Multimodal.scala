@@ -686,7 +686,8 @@ object Multimodal {
     * DCT signs WITHIN A SMALL RADIUS (exact pHash equality breaks too —
     * measured: over half the fixture pairs lose exact-sig overlap), so
     * the pairing is [[Dedup.hammingPairs]] at frame granularity — frames
-    * keyed `media_id·64 + frame_idx`, prefix-bucketed on the stable
+    * keyed by the STRUCT `(media_id, frame_idx)` (see [[phashFramePairs]];
+    * no packing, so no frame-count cap), prefix-bucketed on the stable
     * low-frequency top bits, popcount-filtered at `maxDist` — aggregated
     * to video pairs by matched-frame count. The exact-aHash overlap count
     * rides along as the "what exact-signature dedup ([[videoNearDupPairs]])

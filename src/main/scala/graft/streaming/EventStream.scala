@@ -970,10 +970,17 @@ object EventStream {
     * IDENTICAL final state instead of doubling its rows in the served
     * posting lists. Restartability still needs a DURABLE checkpoint —
     * pass `checkpointDir`; the default is a temp one that dies with the
-    * session. The idempotency window ends at compaction
-    * ([[graft.operators.IvfIndex.compactAdcIndexCodes]] rewrites batch
-    * files into bin files) — production compacts only batches behind the
-    * checkpoint's committed offset.
+    * session. The idempotency window ends at the first op that rewrites
+    * the batch's files away from their `batch<id>-` names — compaction
+    * ([[graft.operators.IvfIndex.compactAdcIndexCodes]] bins victim
+    * files) or a drift repair of a cell the batch landed in
+    * ([[graft.operators.IvfIndex.repairDriftedIndexCells]] re-encodes
+    * whole cells). Both ops take the checkpoint's committed offset as
+    * their `minRetainedBatchId` watermark and refuse loudly to rewrite a
+    * landing the checkpoint has not committed past — so the fence is
+    * enforced, not assumed: compaction retains un-fenced landings under
+    * their names; repair refuses the flagged cell until the checkpoint
+    * commits.
     */
   def indexIngestOneShot(
       spark: SparkSession,

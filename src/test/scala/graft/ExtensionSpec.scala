@@ -279,6 +279,189 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
   }
 
+  test("repairDriftedIndexCells composes: sequential disjoint repairs equal one repair of the union") {
+    import graft.operators.IvfIndex
+    // the contract the nightly cadence rests on: membership is read from
+    // the STORED posting lists, so a second repair after the first moved
+    // centroids still rewrites exactly the frozen members — two disjoint
+    // repairs commit byte-for-value the same centroids and codes as one
+    // repair of the union (re-assigning against the live centroids would
+    // migrate boundary rows on the second pass)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val inc = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"),
+    )
+    val merged = base.unionAll(inc)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_spec_repair2").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir, variant = "residual")
+      IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      dir
+    }
+    val flagged = IvfIndex
+      .oodDriftGate(base, inc, "vec_id", "embedding", centroids, thresholdQ = 200000L, gateMilli = 150L)
+      .filter(col("reencode"))
+      .select("centroid_id")
+      .as[Int]
+      .collect()
+      .toSeq
+      .sorted
+    assert(flagged.size >= 2, s"the composability fixture needs >= 2 flagged cells: $flagged")
+    val (half1, half2) = flagged.splitAt(flagged.size / 2)
+    val dirSeq = build()
+    val dirUnion = build()
+    IvfIndex.repairDriftedIndexCells(spark, dirSeq, merged, "vec_id", "embedding", m = 4, half1)
+    IvfIndex.repairDriftedIndexCells(spark, dirSeq, merged, "vec_id", "embedding", m = 4, half2)
+    IvfIndex.repairDriftedIndexCells(spark, dirUnion, merged, "vec_id", "embedding", m = 4, flagged)
+    def cents(d: String) = spark.read
+      .parquet(s"$d/centroids")
+      .orderBy("centroid_id")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .toSeq
+    assert(cents(dirSeq) == cents(dirUnion),
+      "sequential repairs must commit the same centroids as the union repair")
+    def codes(d: String) = spark.read
+      .parquet(s"$d/codes")
+      .orderBy("neighbor_id")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(codes(dirSeq) == codes(dirUnion),
+      "sequential repairs must encode the same codes as the union repair")
+    assert(spark.read.parquet(s"$dirSeq/codes").count() == merged.count(),
+      "the second repair must neither lose nor duplicate posting-list rows")
+  }
+
+  test("compactAdcIndexCodes: watermark retains replayable landings; replay after compaction is serving-invisible") {
+    import graft.operators.IvfIndex
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc0 = emb.filter(col("vec_id") % 4 === 1)
+    val inc1 = emb.filter(col("vec_id") % 4 === 3)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_wm").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.appendToAdcIndex(spark, dir, inc0, "vec_id", "embedding", m = 4, batchId = Some(0L))
+    IvfIndex.appendToAdcIndex(spark, dir, inc1, "vec_id", "embedding", m = 4, batchId = Some(1L))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def serve() = IvfIndex
+      .adcTopKFromIndex(spark, dir, emb, queries, "vec_id", "embedding", m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    def files() = new java.io.File(s"$dir/codes")
+      .listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .flatMap(_.listFiles())
+      .map(_.getName)
+      .toSeq
+    val serveBefore = serve()
+    // compacting a replayable landing with NO watermark is a loud refusal
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20)
+    }
+    assert(ex.getMessage.contains("minRetainedBatchId"), ex.getMessage)
+    assert(files().exists(_.startsWith("batch0-")), "a refused compaction must leave the layout untouched")
+    // watermark 1: batch 0 is fenced (compacts), batch 1 is retained by NAME
+    IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(1L))
+    val afterWm = files()
+    assert(!afterWm.exists(_.startsWith("batch0-")), "the fenced batch 0 landing must have been binned")
+    assert(afterWm.exists(_.startsWith("batch1-")), "the retained batch 1 landing must keep its replay names")
+    assert(serve() == serveBefore, "watermarked compaction must not change served content")
+    // the retained batch replays AFTER compaction — still idempotent
+    val rowsBefore = spark.read.parquet(s"$dir/codes").count()
+    IvfIndex.appendToAdcIndex(spark, dir, inc1, "vec_id", "embedding", m = 4, batchId = Some(1L))
+    assert(spark.read.parquet(s"$dir/codes").count() == rowsBefore,
+      "a batch replayed after watermarked compaction must not double its rows")
+    assert(serve() == serveBefore, "a batch replayed after watermarked compaction must be serving-invisible")
+    // watermark above every batch: everything compacts, names normalize
+    IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(2L))
+    assert(!files().exists(_.startsWith("batch")), "a watermark above every batch compacts all landings")
+    assert(serve() == serveBefore)
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
+  test("appendToAdcIndex: landing sweep is bounded by touched cells; replay falls back to the full sweep") {
+    import graft.operators.IvfIndex
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_sweep").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    val nCells = new java.io.File(s"$dir/codes").listFiles().count(_.getName.startsWith("centroid_id="))
+    assert(nCells > 1, "the bound is only visible with more than one occupied cell")
+    // a one-cell increment: the landing must list exactly ONE cell, not nlist
+    val someCell = IvfIndex
+      .assign(inc, centroids, "vec_id", "embedding")
+      .groupBy("centroid_id")
+      .count()
+      .orderBy("centroid_id")
+      .head()
+      .getInt(0)
+    val slice = IvfIndex
+      .assign(inc, centroids, "vec_id", "embedding")
+      .filter(col("centroid_id") === someCell)
+      .select(col("vec_id"), col("embedding"))
+    IvfIndex.appendToAdcIndex(spark, dir, slice, "vec_id", "embedding", m = 4, batchId = Some(3L))
+    assert(!IvfIndex.lastLandingSweepFull, "a first landing must not trigger the full sweep")
+    assert(IvfIndex.lastLandingSweepCells == 1,
+      s"a one-cell landing must sweep one cell, swept ${IvfIndex.lastLandingSweepCells} of $nCells")
+    // replay: a prior file is detected in a touched cell -> full sweep
+    IvfIndex.appendToAdcIndex(spark, dir, slice, "vec_id", "embedding", m = 4, batchId = Some(3L))
+    assert(IvfIndex.lastLandingSweepFull, "a replay must fall back to the full sweep")
+    assert(IvfIndex.lastLandingSweepCells == nCells,
+      s"the replay sweep must cover all $nCells cells, swept ${IvfIndex.lastLandingSweepCells}")
+    assert(spark.read.parquet(s"$dir/codes").count() == base.count() + slice.count(),
+      "the replay must land the identical final state")
+    // a crashed landing's scratch dir is swept by the next maintenance entry
+    val stale = new java.io.File(s"$dir/codes_append_tmp_b9")
+    assert(stale.mkdirs())
+    IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(4L))
+    assert(!stale.exists(), "a maintenance entry must sweep crashed landings' scratch dirs")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
+  test("repairDriftedIndexCells: refuses a flagged cell holding an unfenced batch landing") {
+    import graft.operators.IvfIndex
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val inc = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"),
+    )
+    val merged = base.unionAll(inc)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_fence").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir, variant = "residual")
+    IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(5L))
+    val flagged = IvfIndex
+      .oodDriftGate(base, inc, "vec_id", "embedding", centroids, thresholdQ = 200000L, gateMilli = 150L)
+      .filter(col("reencode"))
+      .select("centroid_id")
+      .as[Int]
+      .collect()
+      .toSeq
+      .sorted
+    assert(flagged.nonEmpty)
+    // repair re-encodes whole cells — it cannot retain the landing's files,
+    // so an unfenced batch in a flagged cell is a loud refusal...
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.repairDriftedIndexCells(spark, dir, merged, "vec_id", "embedding", m = 4, flagged)
+    }
+    assert(ex.getMessage.contains("minRetainedBatchId"), ex.getMessage)
+    // ...and a watermark above the batch (checkpoint committed) unfences it
+    val census = IvfIndex.repairDriftedIndexCells(
+      spark, dir, merged, "vec_id", "embedding", m = 4, flagged, minRetainedBatchId = Some(6L))
+    assert(census.count() == flagged.size.toLong)
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("cosineNearDupPairsLsh: exactly-once pairs, subset of exhaustive, sims exact") {
     val lsh = Similarity
       .cosineNearDupPairsLsh(emb, "vec_id", "embedding", dim = 64, planes = 4, threshold = 0.35, tables = 2)
