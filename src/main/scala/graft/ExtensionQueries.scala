@@ -4471,6 +4471,95 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- The replay-idempotency watermark under fire: q270's lifecycle
+    //      with compaction RETAINING the not-yet-committed batch (its
+    //      files keep their replay names) and that batch REPLAYED after
+    //      the compaction — the crash-between-append-and-checkpoint
+    //      scenario landing on an already-compacted index. Content is
+    //      q270's exactly (the oracle string is shared verbatim): the
+    //      watermark, the retention and the post-compaction replay are
+    //      all hash-invisible, which is the whole contract ----
+    "q273_watermarked_compaction" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc1      = emb.filter(col("vec_id") % 4 === 1)
+      val inc2      = emb.filter(col("vec_id") % 4 === 3)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = graft.operators.Lineage.truncate(
+        IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = TrainedIters,
+          sampleFraction = TrainedSampleMicro / 1e6)
+      )
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_wm").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM, batchId = Some(0L))
+      IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM, batchId = Some(1L))
+      // checkpoint committed past batch 0 only: batch 1 may still replay,
+      // so compaction bins batch 0 and retains batch 1 under its names
+      IvfIndex.compactAdcIndexCodes(s, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(1L))
+      def landingFiles(prefix: String): Int =
+        new java.io.File(s"$dir/codes").listFiles().toSeq
+          .filter(_.getName.startsWith("centroid_id="))
+          .flatMap(_.listFiles().toSeq)
+          .count(_.getName.startsWith(prefix))
+      // loud fixture gates: the watermark must have split the batches
+      require(landingFiles("batch0-") == 0, "q273: the fenced batch 0 landing must have been binned")
+      require(landingFiles("batch1-") > 0, "q273: the retained batch 1 landing must keep its replay names")
+      val rowsBeforeReplay = s.read.parquet(s"$dir/codes").count()
+      // the crash-recovery replay AFTER compaction — only legal because
+      // the watermark kept the batch's files under their replay names
+      IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM, batchId = Some(1L))
+      require(s.read.parquet(s"$dir/codes").count() == rowsBeforeReplay,
+        "q273: a replay after watermarked compaction must not double its rows")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
+    //      with the flagged set split in two and repaired SEQUENTIALLY —
+    //      correct only because membership is read from the stored
+    //      posting lists, so the second repair is blind to the first's
+    //      moved centroids. The final state equals one repair of the
+    //      union, i.e. q271's oracle verbatim ----
+    "q274_sequential_drift_repairs" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val inc = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(DriftShift.toFloat)).as("embedding"),
+      )
+      val merged    = base.unionAll(inc)
+      val queriesDf = merged.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_repair2").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir,
+        variant = "residual")
+      IvfIndex.appendToAdcIndex(s, dir, inc, "vec_id", "embedding", m = PqM)
+      val flagged = IvfIndex
+        .oodDriftGate(base, inc, "vec_id", "embedding", centroids, DriftThresholdQ, DriftGateMilli)
+        .filter(col("reencode"))
+        .select("centroid_id")
+        .collect()
+        .map(_.getInt(0))
+        .toSeq
+        .sorted
+      require(flagged.size >= 2, s"q274: the split fixture needs >= 2 flagged cells: $flagged")
+      require(flagged.size < 16, s"q274: the gate flagged every cell: $flagged")
+      val (night1, night2) = flagged.splitAt(flagged.size / 2)
+      IvfIndex.repairDriftedIndexCells(s, dir, merged, "vec_id", "embedding", m = PqM,
+        flaggedCells = night1)
+      IvfIndex.repairDriftedIndexCells(s, dir, merged, "vec_id", "embedding", m = PqM,
+        flaggedCells = night2)
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromIndex(s, dir, merged, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- The drift loop closed at the ACTUATION (q267 detects, this
     //      repairs): a shifted increment lands in a frozen residual index,
     //      the gate flags the stale cells, and repairDriftedIndexCells
@@ -7968,10 +8057,19 @@ object ExtensionQueries {
     // of the first-16 seed; the appends and the compaction are
     // hash-invisible storage hops.
     "q270_trained_index_lifecycle" -> sqlAdcTrainedLifecycleOracle,
+    // q270's oracle VERBATIM: the watermark (batch 1 retained under its
+    // replay names, batch 0 binned) and the post-compaction replay of the
+    // retained batch are storage-level only — content never moves.
+    "q273_watermarked_compaction" -> sqlAdcTrainedLifecycleOracle,
     // The drift-repair contract: gate -> flagged cells -> member-mean
     // re-center -> frozen-codebook re-encode of flagged cells only ->
     // serve against the repaired centroids, regenerated end to end.
     "q271_drift_repair" -> sqlAdcDriftRepairOracle,
+    // q271's oracle VERBATIM: two sequential repairs over the split
+    // flagged set must land exactly where one repair of the union lands —
+    // membership is frozen in the stored posting lists, so per-cell means
+    // and re-encodes are independent of which night the cell is repaired.
+    "q274_sequential_drift_repairs" -> sqlAdcDriftRepairOracle,
     // The drift-gate contract: the shifted increment regenerated in closed
     // form (float-exact +shift per dim), both censuses from ONE assignment
     // relation, milli shares and the >= gate as exact integer arithmetic.
