@@ -192,7 +192,19 @@ object ScaleBench {
         operators.IvfIndex.pqTrainAll(emb, "vec_id", "embedding", m = 4, subDim = 16, nlist = 8, iters = 2)
       }
       report("ann_pq_train_single_pass", f, tTrain, nEmb)
-      val centroids = operators.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      // The PRODUCTION quantizer (q263/q270 operating point): sampled
+      // Lloyd, iters = 2 on a 50% hash sample — the index the lifecycle
+      // rows below build/serve/append/compact/repair is the one a user
+      // deploys, not the degenerate first-16 seed. Training is its own
+      // row: (iters + 1) sampled scans whose cost must stay linear in
+      // corpus rows.
+      val (tLloyd, centroids) = time {
+        val c = operators.Lineage.truncate(
+          operators.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 2, sampleFraction = 0.5))
+        c.count()
+        c
+      }
+      report("ann_coarse_train_lloyd", f, tLloyd, nEmb)
       val idxDir = s"$tmp/annidx_$f"
       val (tBuild, _) = time {
         operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
@@ -245,7 +257,15 @@ object ScaleBench {
       // proportional drift keeps the gate firing so the row measures
       // repair cost tracking the flagged members at every factor.
       val resDir = s"$tmp/annidxres_$f"
-      operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
+      // The repair row keeps the DEGENERATE (iters = 0) quantizer on
+      // purpose: the trained quantizer averages the tiled fixture well
+      // enough that the +0.5 drift dilutes under the 150-milli gate at
+      // >= 4x — correct gate behavior that would null the measurement
+      // (flagged = 0 means nothing to time). What this row measures —
+      // per-flagged-member rewrite cost tracking the flagged membership —
+      // is independent of how the coarse quantizer was trained.
+      val repairCents = operators.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", repairCents,
         m = 4, subDim = 16, pqNlist = 8, pqIters = 2, dir = resDir, variant = "residual")
       val drifted = emb
         .withColumn("vec_id", col("vec_id") + lit(10000000L))
@@ -253,7 +273,7 @@ object ScaleBench {
       operators.IvfIndex.appendToAdcIndex(spark, resDir, drifted, "vec_id", "embedding", m = 4)
       val (tRepair, flaggedN) = time {
         val flagged = operators.IvfIndex
-          .oodDriftGate(emb, drifted, "vec_id", "embedding", centroids,
+          .oodDriftGate(emb, drifted, "vec_id", "embedding", repairCents,
             thresholdQ = 200000L, gateMilli = 150L)
           .filter(col("reencode"))
           .select("centroid_id")

@@ -676,7 +676,9 @@ object IvfIndex {
     * committed; they can no longer replay) and safe to rewrite; batches
     * above it stay under their replay names (compaction retains them,
     * repair refuses the cell). `batchId = None` keeps the plain one-shot
-    * `mode("append")`.
+    * `mode("append")`. The landing's scratch-to-live file moves ride the
+    * [[swapCellDirsIn]] filesystem contract — atomic rename; see its
+    * Scaladoc for the object-store manifest-commit alternative.
     */
   def appendToAdcIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -903,6 +905,28 @@ object IvfIndex {
     * copy deletes last. Every crash point leaves the cell's rows durable
     * in exactly one location; [[selfHealCellSwaps]] repairs any
     * interruption on the next op's entry.
+    *
+    * FILESYSTEM CONTRACT — atomic directory rename. The whole commit
+    * protocol here (and in [[appendToAdcIndex]]'s file landings and
+    * [[repairDriftedIndexCells]]'s centroids two-step) assumes
+    * `FileSystem.rename` is an atomic metadata operation that either
+    * fully moves the directory or fails — true on HDFS and on POSIX
+    * local filesystems (the test environment). It is NOT true on plain
+    * object stores: S3-style "rename" is copy-then-delete per object,
+    * O(data) and non-atomic, so a crash mid-rename can leave a cell half
+    * in both locations — exactly the state the aside protocol exists to
+    * prevent. Deploying the index on an object store needs one of:
+    * (a) a rename-atomic layer over the store (HDFS-compatible services
+    * or a consistent metadata layer); or (b) the MANIFEST-COMMIT
+    * alternative this layout is one file away from: the index already
+    * self-describes under `meta/`, so adding a `manifest/` generation
+    * pointer (one tiny file naming the live file set per cell) turns
+    * every swap into write-new-files + write-one-manifest — readers
+    * resolve the manifest first, renames disappear from the commit path
+    * entirely, and abandoned files are swept by generation age. The
+    * manifest write is the only operation that must be atomic, and a
+    * single-object PUT is atomic on every major store. (Sketch only —
+    * not implemented; SCALE.md tracks this envelope edge.)
     */
   private def swapCellDirsIn(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -1711,7 +1735,9 @@ object IvfIndex {
     * already-swapped files it recomputes the identical members, means
     * and codes, re-swaps idempotently, and completes the centroid write.
     * The cell swap itself is the [[swapCellDirsIn]] rename-aside contract
-    * with [[selfHealCellSwaps]] at entry. A crash BETWEEN the codes swap
+    * with [[selfHealCellSwaps]] at entry (and its atomic-rename
+    * filesystem assumption — see that Scaladoc for the object-store
+    * manifest alternative). A crash BETWEEN the codes swap
     * and the centroids commit leaves flagged cells encoded against the
     * new centroid but probed against the old — re-running the repair (the
     * restart path) converges; a reader in that window sees degraded, not
