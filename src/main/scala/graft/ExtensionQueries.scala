@@ -4518,6 +4518,46 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- The MANIFEST-commit lifecycle (the object-store path): no
+    //      commit depends on an atomic rename — writers only ADD files
+    //      under fresh names and flip one generation object; readers
+    //      resolve a generation and read exactly its file set. Bootstrap
+    //      census → two batch landings each committed as a generation →
+    //      manifest compaction (bins land next to the old files, the new
+    //      generation de-references them) → generation cleanup (only
+    //      de-referenced files die) → snapshot serve. Content = q259's
+    //      append chain, so its oracle verbatim: every manifest hop is
+    //      hash-invisible ----
+    "q275_manifest_lifecycle" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc1      = emb.filter(col("vec_id") % 4 === 1)
+      val inc2      = emb.filter(col("vec_id") % 4 === 3)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_manifest").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.writeAdcManifest(s, dir) // gen 0: the base snapshot
+      IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM, batchId = Some(0L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 0L) // gen 1
+      IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM, batchId = Some(1L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 1L) // gen 2
+      // checkpoint committed past both batches -> everything compactable;
+      // gen 3 references only the fresh bins, nothing was deleted yet
+      IvfIndex.compactAdcIndexCodesManifest(s, dir, targetBytes = 128L << 20,
+        minRetainedBatchId = Some(2L))
+      // keepGens = 1 retains gen 3 only: the superseded base + landing
+      // files are de-referenced and must actually die (loud fixture gate)
+      require(IvfIndex.cleanupAdcGenerations(s, dir, keepGens = 1) > 0L,
+        "q275: the compaction must have de-referenced the pre-bin files")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromSnapshot(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -8057,6 +8097,10 @@ object ExtensionQueries {
     // of the first-16 seed; the appends and the compaction are
     // hash-invisible storage hops.
     "q270_trained_index_lifecycle" -> sqlAdcTrainedLifecycleOracle,
+    // q259's oracle VERBATIM: the manifest generations (bootstrap census,
+    // per-batch commits, compaction commit, cleanup) are pure metadata
+    // over the same base + two-landing content — hash-invisible.
+    "q275_manifest_lifecycle" -> sqlAdcAppendOracle,
     // q270's oracle VERBATIM: the watermark (batch 1 retained under its
     // replay names, batch 0 binned) and the post-compaction replay of the
     // retained batch are storage-level only — content never moves.

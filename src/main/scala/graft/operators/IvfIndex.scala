@@ -961,6 +961,7 @@ object IvfIndex {
     val codes = s"$dir/codes"
     val root = new org.apache.hadoop.fs.Path(codes)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    requireNoManifest(fs, dir, "compactAdcIndexCodes")
     selfHealCellSwaps(fs, dir)
     def census(): Seq[(Int, String, Long)] =
       fs.listStatus(root)
@@ -1112,6 +1113,383 @@ object IvfIndex {
       .toDF("centroid_id", "files_before", "files_after", "bytes_before", "bytes_after")
   }
 
+  // ----------------------------------------------------------------------
+  // MANIFEST-COMMIT mode — the object-store alternative the
+  // [[swapCellDirsIn]] contract sketches, implemented for the CODES table
+  // (the only multi-file, incrementally-rewritten artifact; centroids /
+  // codebooks / meta are tiny and swap wholesale). A generation file
+  // under `manifest/` names the exact file set of every posting list;
+  // readers resolve a generation and read THOSE files, so no commit ever
+  // depends on a rename being atomic: writers land new files under fresh
+  // names (never colliding, never deleting), and the only atomic step is
+  // making one small manifest object visible — a single-object PUT on
+  // every major store. De-referenced files are swept later by
+  // [[cleanupAdcGenerations]], which gives in-flight snapshot readers a
+  // configurable generation grace. Single maintenance writer assumed (the
+  // same serialization every lake manifest design assumes); concurrent
+  // APPENDS are fine — a landing only adds never-referenced files, which
+  // both compaction (manifest census) and cleanup (reference-set math)
+  // ignore. The two commit modes must not mix: the rename ops census the
+  // live TREE and would double-count a manifest index's de-referenced
+  // files, so they refuse loudly when `manifest/` exists, and the
+  // manifest ops refuse its absence (except the bootstrap).
+  // ----------------------------------------------------------------------
+
+  private def manifestDir(dir: String) = s"$dir/manifest"
+
+  private val GenName = raw"gen-(\d+)\.parquet".r
+
+  private[graft] def listAdcGens(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+  ): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    if (!fs.exists(p)) Nil
+    else
+      fs.listStatus(p)
+        .toSeq
+        .flatMap(_.getPath.getName match {
+          case GenName(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted
+  }
+
+  private def requireNoManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String): Unit =
+    require(
+      listAdcGens(fs, dir).isEmpty,
+      s"$op: $dir is MANIFEST-committed (manifest/ has generations). The rename-mode ops census " +
+        "the live tree and would double-count de-referenced files - use the manifest ops " +
+        "(compactAdcIndexCodesManifest, adcTopKFromSnapshot, cleanupAdcGenerations) instead.",
+    )
+
+  // One manifest generation's rows, collected: (cell, fileName, bytes).
+  // Driver-side by design — a manifest is metadata-scale (one row per
+  // FILE) and the explicit-files read needs the list on the driver anyway.
+  private def readAdcManifestRefs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      gen: Long,
+  ): Seq[(Int, String, Long)] =
+    spark.read
+      .parquet(s"${manifestDir(dir)}/gen-$gen.parquet")
+      .select(col("centroid_id"), col("name"), col("bytes"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  // Commit one generation: write the refs as a SINGLE parquet object.
+  // The rename below is commit-local bookkeeping, not the commit itself:
+  // on an object store the move is a copy whose target object appears
+  // atomically (PUT semantics) — the generation becomes visible exactly
+  // when the object does, and a crash before that leaves no partial gen.
+  private def commitAdcGen(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      gen: Long,
+      refs: Seq[(Int, String, Long)],
+  ): Long = {
+    import spark.implicits._
+    require(refs.nonEmpty, s"commitAdcGen: refusing to commit an EMPTY generation $gen for $dir")
+    val scratch = s"$dir/manifest_tmp"
+    refs.toDF("centroid_id", "name", "bytes").coalesce(1).write.mode("overwrite").parquet(scratch)
+    val parts = fs
+      .listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(parts.length == 1, s"commitAdcGen: expected one manifest part, found ${parts.length}")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(dir)))
+    val target = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/gen-$gen.parquet")
+    require(!fs.exists(target), s"commitAdcGen: generation $gen already exists at $target")
+    require(fs.rename(parts.head.getPath, target), s"commitAdcGen: commit move failed for $target")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    gen
+  }
+
+  /** BOOTSTRAP the manifest: census the live codes tree into generation
+    * 0. Only legal while no generation exists AND the tree has never been
+    * rewritten in place — a census over a tree that holds de-referenced
+    * files would re-reference them (double rows served). Call it once,
+    * right after [[saveAdcIndex]] (plus any landings that should be in
+    * the initial snapshot); every later generation comes from an op that
+    * KNOWS its delta ([[commitAdcBatchToManifest]],
+    * [[compactAdcIndexCodesManifest]]).
+    */
+  def writeAdcManifest(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val codes = s"$dir/codes"
+    val root = new org.apache.hadoop.fs.Path(codes)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(
+      listAdcGens(fs, dir).isEmpty,
+      s"writeAdcManifest: $dir already has manifest generations - the census bootstrap would " +
+        "re-reference de-referenced files. Incremental gens come from commitAdcBatchToManifest / " +
+        "compactAdcIndexCodesManifest.",
+    )
+    val refs = fs
+      .listStatus(root)
+      .toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .flatMap { d =>
+        val cell = d.getPath.getName.stripPrefix("centroid_id=").toInt
+        fs.listStatus(d.getPath)
+          .toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (cell, f.getPath.getName, f.getLen))
+      }
+    commitAdcGen(spark, fs, dir, 0L, refs)
+  }
+
+  /** Commit a landed batch ([[appendToAdcIndex]] with `batchId`) into the
+    * next generation: previous refs, minus any refs this SAME batch wrote
+    * before (a replay re-lands under fresh part names, so stale refs to
+    * its prior landing would dangle — the re-commit heals them), plus the
+    * batch's files now on disk. `cells` bounds the listing to the cells
+    * the landing touched (the production ingest knows them); None lists
+    * every cell — fine at test nlist, the O(nlist) caveat applies.
+    *
+    * The at-least-once window: a crash between the landing and this
+    * commit leaves the batch's files on disk but un-referenced — invisible
+    * to snapshot readers and untouchable by cleanup (never referenced),
+    * and the replay + re-commit converges. A crash between this commit
+    * and the CHECKPOINT commit means the replay deletes files the latest
+    * gen references: snapshot readers of that gen must retry (or serving
+    * is fenced to gens behind the checkpoint offset — the production
+    * rule, same fence the compaction watermark enforces).
+    */
+  def commitAdcBatchToManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batchId: Long,
+      cells: Option[Seq[Int]] = None,
+  ): Long = {
+    val codes = s"$dir/codes"
+    val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"commitAdcBatchToManifest: no manifest at $dir - bootstrap with writeAdcManifest")
+    val prev = readAdcManifestRefs(spark, dir, gens.max)
+    val kept = prev.filterNot { case (_, name, _) => batchIdOfLanding(name).contains(batchId) }
+    val cellDirs = cells match {
+      case Some(cs) => cs.distinct.sorted.map(c => new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$c"))
+      case None =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(codes))
+          .toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+          .map(_.getPath)
+    }
+    val landed = cellDirs.filter(fs.exists).flatMap { d =>
+      val cell = d.getName.stripPrefix("centroid_id=").toInt
+      fs.listStatus(d)
+        .toSeq
+        .filter(f => f.isFile && batchIdOfLanding(f.getPath.getName).contains(batchId))
+        .map(f => (cell, f.getPath.getName, f.getLen))
+    }
+    require(landed.nonEmpty, s"commitAdcBatchToManifest: batch $batchId left no files under $codes")
+    commitAdcGen(spark, fs, dir, gens.max + 1, kept ++ landed)
+  }
+
+  /** [[compactAdcIndexCodes]] in MANIFEST mode: the census comes from the
+    * latest generation's refs (pure metadata — no tree listing), the
+    * rewrite lands bin files into the live cell dirs under fresh
+    * `m<gen>bin<b>-…` names (new names never collide, nothing is deleted,
+    * no rename-aside), and the commit is one manifest object referencing
+    * the bins plus the watermark-retained landings. Old victim files stay
+    * on disk for in-flight readers of older generations —
+    * [[cleanupAdcGenerations]] sweeps them later. Same binning, same
+    * `minRetainedBatchId` watermark semantics, same loud row-count gate
+    * as the rename-mode op; idempotent at the metadata level (an
+    * already-binned generation selects no victims).
+    */
+  def compactAdcIndexCodesManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long,
+      minRetainedBatchId: Option[Long] = None,
+  ): DataFrame = {
+    require(targetBytes >= 1, s"compactAdcIndexCodesManifest: targetBytes must be positive: $targetBytes")
+    import spark.implicits._
+    val codes = s"$dir/codes"
+    val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"compactAdcIndexCodesManifest: no manifest at $dir - bootstrap with writeAdcManifest")
+    val before = readAdcManifestRefs(spark, dir, gens.max)
+    val (retained, eligible) = before.partition { case (_, name, _) =>
+      batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
+    }
+    require(eligible.nonEmpty, s"compactAdcIndexCodesManifest: every ref in gen ${gens.max} is watermark-retained")
+    val binned = eligible
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (cell, cellFiles) =>
+        var cum = 0L
+        cellFiles.sortBy(_._2).map { case (_, name, bytes) =>
+          val bin = cum / targetBytes
+          cum += bytes
+          (cell, name, bytes, bin)
+        }
+      }
+    val victims = binned.groupBy(_._1).filter { case (_, cf) => cf.map(_._4).distinct.size < cf.size }
+    if (minRetainedBatchId.isEmpty) {
+      val unfenced = victims.values.flatten
+        .flatMap { case (cell, name, _, _) => batchIdOfLanding(name).map(id => (cell, id)) }
+        .toSeq
+        .distinct
+        .sorted
+      require(
+        unfenced.isEmpty,
+        s"compactAdcIndexCodesManifest: about to de-reference batch landings that may still replay " +
+          s"(cell, batchId): ${unfenced.mkString(", ")} - pass minRetainedBatchId (the ingest " +
+          "checkpoint's committed offset).",
+      )
+    }
+    val newGen = gens.max + 1
+    var committedRefs = before
+    if (victims.nonEmpty) {
+      val victimCells = victims.keys.toSeq.sorted
+      val fileBin = victims.values.flatten.toSeq
+        .map { case (cell, name, _, bin) => (cell, name, bin) }
+        .toDF("centroid_id", "__fname", "__bin")
+      val victimFiles = victims.values.flatten.toSeq.map { case (cell, name, _, _) =>
+        s"$codes/centroid_id=$cell/$name"
+      }
+      val tmp = s"$dir/codes_mcompact_tmp"
+      val rows = spark.read
+        .option("basePath", codes)
+        .parquet(victimFiles: _*)
+        .withColumn("__fname", substring_index(input_file_name(), "/", -1))
+        .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
+        .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
+      val nBins = victims.values.flatten.map(t => (t._1, t._4)).toSeq.distinct.size
+      rows
+        .repartition(nBins, col("centroid_id"), col("__bin"))
+        .write
+        .mode("overwrite")
+        .partitionBy("centroid_id", "__bin")
+        .parquet(tmp)
+      val inRows = spark.read.option("basePath", codes).parquet(victimFiles: _*).count()
+      val outRows = spark.read.parquet(tmp).count()
+      require(
+        outRows == inRows,
+        s"compactAdcIndexCodesManifest: rewrite row count $outRows != input $inRows - " +
+          "aborting before the commit; the manifest is untouched.",
+      )
+      // Land the bins into the LIVE cell dirs under fresh names. These
+      // moves need no atomicity: the files are invisible until the
+      // manifest object commits, and a crash here leaves never-referenced
+      // files that cleanup ignores and a re-run supersedes.
+      val newBinRefs = victimCells.flatMap { cell =>
+        val cellDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
+        fs.mkdirs(cellDir)
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/centroid_id=$cell"))
+          .toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bin="))
+          .flatMap { binDir =>
+            val b = binDir.getPath.getName.stripPrefix("__bin=")
+            fs.listStatus(binDir.getPath)
+              .toSeq
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val target = new org.apache.hadoop.fs.Path(cellDir, s"m${newGen}bin$b-${f.getPath.getName}")
+                require(fs.rename(f.getPath, target), s"compactAdcIndexCodesManifest: bin move failed for $target")
+                (cell, target.getName, fs.getFileStatus(target).getLen)
+              }
+          }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // The new generation: non-victim cells carry their refs unchanged;
+      // a victim cell's refs become its watermark-retained landings plus
+      // the fresh bins.
+      val victimSet = victimCells.toSet
+      committedRefs = before.filter { case (cell, _, _) => !victimSet(cell) } ++
+        retained.filter { case (cell, _, _) => victimSet(cell) } ++
+        newBinRefs
+    }
+    commitAdcGen(spark, fs, dir, newGen, committedRefs)
+    // The census (from refs, not the tree): per-cell files/bytes before vs
+    // after — the same observability row the rename-mode op returns.
+    val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
+    val aAgg = committedRefs.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
+    bAgg.keys.toSeq.sorted
+      .map { c =>
+        val (nb, sb) = bAgg(c)
+        val (na, sa) = aAgg.getOrElse(c, (0L, 0L))
+        (c, nb, na, sb, sa)
+      }
+      .toDF("centroid_id", "files_before", "files_after", "bytes_before", "bytes_after")
+  }
+
+  /** Sweep DE-REFERENCED files: everything some generation older than the
+    * retained window referenced that no retained generation references.
+    * Files referenced by NO generation are never touched — they are
+    * either in-flight landings or a crashed rewrite's orphans, and both
+    * have owners. Old generation objects beyond the window are removed
+    * with their files. `keepGens` is the snapshot-reader grace: a reader
+    * that resolved a generation keeps a consistent file set as long as
+    * its generation stays inside the window. Returns the deleted-file
+    * count.
+    */
+  def cleanupAdcGenerations(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      keepGens: Int = 2,
+  ): Long = {
+    require(keepGens >= 1, s"cleanupAdcGenerations: keepGens must be >= 1: $keepGens")
+    val codes = s"$dir/codes"
+    val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"cleanupAdcGenerations: no manifest at $dir")
+    val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
+    if (old.isEmpty) return 0L
+    val keptRefs: Set[(Int, String)] =
+      kept.flatMap(g => readAdcManifestRefs(spark, dir, g).map(r => (r._1, r._2))).toSet
+    val deadRefs: Set[(Int, String)] =
+      old.flatMap(g => readAdcManifestRefs(spark, dir, g).map(r => (r._1, r._2))).toSet -- keptRefs
+    var deleted = 0L
+    deadRefs.toSeq.sorted.foreach { case (cell, name) =>
+      val p = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell/$name")
+      if (fs.exists(p) && fs.delete(p, false)) deleted += 1
+    }
+    old.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/gen-$g.parquet"), false))
+    deleted
+  }
+
+  /** Serve from a MANIFEST snapshot: resolve a generation (latest by
+    * default, or a pinned `gen`), read exactly its file set (explicit
+    * paths under `basePath` — the partition column and the dynamically
+    * pruned probe join survive, PlanSpec pins that), and run the
+    * identical serving pipeline. Hash-identical to [[adcTopKFromIndex]]
+    * over the same content; immune to concurrent commits — a compaction
+    * that lands while this reads changes which files the NEXT resolution
+    * sees, never this one's (its files outlive it by the cleanup grace).
+    */
+  def adcTopKFromSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+      gen: Option[Long] = None,
+  ): DataFrame = {
+    val codes = s"$dir/codes"
+    val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"adcTopKFromSnapshot: no manifest at $dir - bootstrap with writeAdcManifest")
+    val g = gen.getOrElse(gens.max)
+    require(gens.contains(g), s"adcTopKFromSnapshot: generation $g not in ${gens.mkString(",")}")
+    val files = readAdcManifestRefs(spark, dir, g).map { case (cell, name, _) =>
+      s"$codes/centroid_id=$cell/$name"
+    }
+    val encoded = spark.read
+      .option("basePath", codes)
+      .parquet(files: _*)
+      .select(col("neighbor_id"), col("centroid_id"), col("codes"))
+    adcTopKFromIndexOn(spark, dir, encoded, corpus, queries, idCol, vecCol, m, nprobe, candK, k)
+  }
+
   /** Serve [[adcTopK]] from a PERSISTED index ([[saveAdcIndex]] layout):
     * read back the coarse codebook, the PQ codebooks (tiny — collected to
     * the driver like every codebook literal), and the partitioned codes
@@ -1132,13 +1510,33 @@ object IvfIndex {
       candK: Int,
       k: Int,
   ): DataFrame = {
+    val encoded = spark.read
+      .parquet(s"$dir/codes")
+      .select(col("neighbor_id"), col("centroid_id"), col("codes"))
+    adcTopKFromIndexOn(spark, dir, encoded, corpus, queries, idCol, vecCol, m, nprobe, candK, k)
+  }
+
+  // The shared serving body: everything after "which files ARE the codes
+  // table" — the live-tree path ([[adcTopKFromIndex]]) and the
+  // manifest-snapshot path ([[adcTopKFromSnapshot]]) differ only in that
+  // file resolution.
+  private def adcTopKFromIndexOn(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      encoded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      nprobe: Int,
+      candK: Int,
+      k: Int,
+  ): DataFrame = {
     require(candK >= k, s"adcTopKFromIndex: candK ($candK) must be >= k ($k)")
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cbs = loadCodebooks(spark, dir, m)
     val subDim = cbs.head.head._2.length
-    val encoded = spark.read
-      .parquet(s"$dir/codes")
-      .select(col("neighbor_id"), col("centroid_id"), col("codes"))
     val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)
     // Same dispatch as the append: serving math follows the layout. Both
     // branches keep the dynamic-partition-pruned codes scan (the probe
@@ -1790,6 +2188,7 @@ object IvfIndex {
     }
     val codes = s"$dir/codes"
     val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    requireNoManifest(fs, dir, "repairDriftedIndexCells")
     selfHealCellSwaps(fs, dir)
     // The replay fence (see Scaladoc): a flagged cell holding a batch
     // landing the ingest checkpoint has not committed past must not be

@@ -427,6 +427,85 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
   }
 
+  test("manifest commit: snapshot isolation, replay healing, cleanup spares in-flight landings") {
+    import graft.operators.IvfIndex
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc4 = emb.filter(col("vec_id") % 4 === 1)
+    val inc9 = emb.filter(col("vec_id") % 4 === 3)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_manifest").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    assert(IvfIndex.writeAdcManifest(spark, dir) == 0L)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def serveSnap(gen: Option[Long]) = IvfIndex
+      .adcTopKFromSnapshot(spark, dir, emb, queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3, gen = gen)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    def codeFiles(prefix: String): Int =
+      new java.io.File(s"$dir/codes").listFiles().toSeq
+        .filter(_.getName.startsWith("centroid_id="))
+        .flatMap(_.listFiles().toSeq)
+        .count(_.getName.startsWith(prefix))
+    val serveBase = serveSnap(Some(0L))
+    // a LANDED but uncommitted batch is invisible to every snapshot
+    IvfIndex.appendToAdcIndex(spark, dir, inc4, "vec_id", "embedding", m = 4, batchId = Some(4L))
+    assert(serveSnap(None) == serveBase, "an uncommitted landing must be snapshot-invisible")
+    assert(IvfIndex.commitAdcBatchToManifest(spark, dir, 4L) == 1L)
+    val serveG1 = serveSnap(None)
+    assert(serveG1 != serveBase, "the committed landing must change the served content")
+    // snapshot == live-tree serving over the same content
+    val live = IvfIndex
+      .adcTopKFromIndex(spark, dir, emb.filter(col("vec_id") % 4 =!= 3), queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    assert(serveG1 == live, "snapshot serving must be hash-identical to the live-tree path")
+    // manifest compaction: commits a new gen, deletes NOTHING
+    val census = IvfIndex
+      .compactAdcIndexCodesManifest(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(5L))
+      .as[(Int, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(census.exists(c => c._2 > c._3), s"some cell must have fewer refs after binning: $census")
+    assert(codeFiles("batch4-") > 0, "manifest compaction must not delete the superseded files")
+    assert(serveSnap(Some(2L)) == serveG1, "the compacted generation must serve identical content")
+    assert(serveSnap(Some(1L)) == serveG1, "the PRE-compaction generation must still serve (isolation)")
+    // rename-mode compaction refuses a manifest index
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(5L))
+    }
+    assert(ex.getMessage.contains("MANIFEST"), ex.getMessage)
+    // cleanup: de-referenced files die, never-referenced (in-flight) survive
+    IvfIndex.appendToAdcIndex(spark, dir, inc9, "vec_id", "embedding", m = 4, batchId = Some(9L))
+    val deleted = IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1)
+    assert(deleted > 0, "cleanup must delete the de-referenced pre-bin files")
+    assert(codeFiles("batch4-") == 0, "the superseded landing files must be gone after cleanup")
+    assert(codeFiles("batch9-") > 0, "a never-referenced in-flight landing must survive cleanup")
+    assert(serveSnap(None) == serveG1, "cleanup must not change the retained generation's content")
+    // replay healing: the in-flight batch commits, replays (fresh part
+    // names), and the re-commit heals the refs to the replayed files
+    IvfIndex.commitAdcBatchToManifest(spark, dir, 9L)
+    val serveG4 = serveSnap(None)
+    assert(serveG4 != serveG1)
+    IvfIndex.appendToAdcIndex(spark, dir, inc9, "vec_id", "embedding", m = 4, batchId = Some(9L))
+    IvfIndex.commitAdcBatchToManifest(spark, dir, 9L)
+    assert(serveSnap(None) == serveG4, "a replayed batch's re-commit must serve the identical state")
+    // the snapshot read keeps the dynamically pruned probe join
+    val p = IvfIndex
+      .adcTopKFromSnapshot(spark, dir, emb, queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(p.contains("dynamicpruning"),
+      s"the snapshot codes scan must stay dynamically partition-pruned:\n$p")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("repairDriftedIndexCells: refuses a flagged cell holding an unfenced batch landing") {
     import graft.operators.IvfIndex
     val base = emb.select(col("vec_id"), col("embedding"))
