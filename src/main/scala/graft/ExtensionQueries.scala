@@ -4558,6 +4558,30 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Streaming ingest into the MANIFEST index (q262's transport on
+    //      q275's commit protocol): each microbatch lands batch-keyed and
+    //      commits its own generation, the listing bounded to the cells
+    //      the landing reported; the snapshot serve reads the last
+    //      committed generation. Content = q259's append chain, oracle
+    //      verbatim ----
+    "q276_manifest_stream_ingest" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc       = emb.filter(col("vec_id") % 2 === 1)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_mstream").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.writeAdcManifest(s, dir) // gen 0: the base snapshot
+      EventStream.indexIngestOneShotManifest(s, inc, dir, "vec_id", "embedding", m = PqM, "graft_q276")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromSnapshot(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -8101,6 +8125,9 @@ object ExtensionQueries {
     // per-batch commits, compaction commit, cleanup) are pure metadata
     // over the same base + two-landing content — hash-invisible.
     "q275_manifest_lifecycle" -> sqlAdcAppendOracle,
+    // q259's oracle VERBATIM: the streaming transport + per-batch
+    // generation commits move the same content the batch append moves.
+    "q276_manifest_stream_ingest" -> sqlAdcAppendOracle,
     // q270's oracle VERBATIM: the watermark (batch 1 retained under its
     // replay names, batch 0 binned) and the post-compaction replay of the
     // retained batch are storage-level only — content never moves.

@@ -679,6 +679,11 @@ object IvfIndex {
     * `mode("append")`. The landing's scratch-to-live file moves ride the
     * [[swapCellDirsIn]] filesystem contract — atomic rename; see its
     * Scaladoc for the object-store manifest-commit alternative.
+    *
+    * Returns the TOUCHED cells (batch-keyed landings; the scratch write
+    * names them for free) — what [[commitAdcBatchToManifest]] needs to
+    * bound its listing to O(touched). A plain `batchId = None` append
+    * returns empty: Spark wrote straight into the tree.
     */
   def appendToAdcIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -688,7 +693,7 @@ object IvfIndex {
       vecCol: String,
       m: Int,
       batchId: Option[Long] = None,
-  ): Unit = {
+  ): Seq[Int] = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cbs = loadCodebooks(spark, dir, m)
     val subDim = cbs.head.head._2.length
@@ -707,6 +712,10 @@ object IvfIndex {
           .mode("append")
           .partitionBy("centroid_id")
           .parquet(s"$dir/codes")
+        // plain append: Spark wrote straight into the tree, so the
+        // touched-cell set wasn't observed — callers that need it use a
+        // batch-keyed landing (the scratch write names the cells).
+        Seq.empty[Int]
       case Some(b) =>
         val codes = s"$dir/codes"
         val scratch = s"$dir/codes_append_tmp_b$b"
@@ -766,6 +775,9 @@ object IvfIndex {
               }
           }
         fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        // The touched cells — what a manifest commit needs to bound its
+        // listing ([[commitAdcBatchToManifest]]'s `cells`).
+        scratchCells.map(_.getPath.getName.stripPrefix("centroid_id=").toInt).toSeq.sorted
     }
   }
 

@@ -997,6 +997,48 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.operators.IvfIndex
           .appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m, batchId = Some(bid))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+    q.awaitTermination()
+  }
+
+  /** [[indexIngestOneShot]] for a MANIFEST-committed index: each
+    * microbatch lands batch-keyed ([[graft.operators.IvfIndex.appendToAdcIndex]])
+    * and then COMMITS a manifest generation referencing exactly its files
+    * ([[graft.operators.IvfIndex.commitAdcBatchToManifest]]), with the
+    * listing bounded to the cells the landing itself reported (O(touched),
+    * never O(nlist)). Snapshot readers ([[graft.operators.IvfIndex.adcTopKFromSnapshot]])
+    * see each batch atomically — a landed-but-uncommitted batch is
+    * invisible, and the commit is one generation object.
+    *
+    * Crash windows (both convergent): before the manifest commit, the
+    * replay re-lands the identical rows under fresh names and its own
+    * commit supersedes — the orphaned files were never referenced, so
+    * cleanup ignores them; between the manifest commit and the CHECKPOINT
+    * commit, the replay's delete invalidates the just-committed
+    * generation's refs to this batch until its re-commit heals them —
+    * production fences snapshot serving to generations behind the
+    * checkpoint offset (the same fence the compaction watermark enforces).
+    */
+  def indexIngestOneShotManifest(
+      spark: SparkSession,
+      increment: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      queryName: String,
+      checkpointDir: Option[String] = None,
+  ): Unit = {
+    val stream = spark.readStream.schema(increment.schema).parquet(writeTemp(increment, queryName))
+    val writer = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val cells = graft.operators.IvfIndex
+          .appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m, batchId = Some(bid))
+        graft.operators.IvfIndex.commitAdcBatchToManifest(spark, indexDir, bid, Some(cells))
+        ()
       }
       .trigger(Trigger.AvailableNow())
     val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
