@@ -4582,6 +4582,49 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Drift repair with an ATOMIC commit (q271 on q275's protocol):
+    //      the re-encoded cells and the repaired centroids commit as ONE
+    //      generation object, closing the rename-mode repair's documented
+    //      codes-swapped/centroids-not-yet window; the pre-repair
+    //      generation keeps serving the old index until cleanup. Content
+    //      = q271's loop, oracle verbatim ----
+    "q277_manifest_drift_repair" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val inc = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(DriftShift.toFloat)).as("embedding"),
+      )
+      val merged    = base.unionAll(inc)
+      val queriesDf = merged.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_mrepair").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir,
+        variant = "residual")
+      IvfIndex.writeAdcManifest(s, dir) // gen 0
+      val cells = IvfIndex.appendToAdcIndex(s, dir, inc, "vec_id", "embedding", m = PqM,
+        batchId = Some(0L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 0L, Some(cells)) // gen 1
+      val flagged = IvfIndex
+        .oodDriftGate(base, inc, "vec_id", "embedding", centroids, DriftThresholdQ, DriftGateMilli)
+        .filter(col("reencode"))
+        .select("centroid_id")
+        .collect()
+        .map(_.getInt(0))
+        .toSeq
+        .sorted
+      require(flagged.nonEmpty, "q277: the drift fixture must fire the gate")
+      require(flagged.size < 16, s"q277: the gate flagged every cell: $flagged")
+      // the checkpoint committed past batch 0: the repair's replay fence opens
+      IvfIndex.repairDriftedIndexCellsManifest(s, dir, merged, "vec_id", "embedding", m = PqM,
+        flaggedCells = flagged, minRetainedBatchId = Some(1L)) // gen 2
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromSnapshot(s, dir, merged, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -8128,6 +8171,10 @@ object ExtensionQueries {
     // q259's oracle VERBATIM: the streaming transport + per-batch
     // generation commits move the same content the batch append moves.
     "q276_manifest_stream_ingest" -> sqlAdcAppendOracle,
+    // q271's oracle VERBATIM: the manifest transport (batch-keyed landing
+    // + generation commits + the atomic codes+centroids repair commit)
+    // runs the identical gate -> member-mean -> frozen re-encode loop.
+    "q277_manifest_drift_repair" -> sqlAdcDriftRepairOracle,
     // q270's oracle VERBATIM: the watermark (batch 1 retained under its
     // replay names, batch 0 binned) and the post-compaction replay of the
     // retained batch are storage-level only — content never moves.

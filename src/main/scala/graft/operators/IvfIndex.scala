@@ -1175,19 +1175,32 @@ object IvfIndex {
         "(compactAdcIndexCodesManifest, adcTopKFromSnapshot, cleanupAdcGenerations) instead.",
     )
 
-  // One manifest generation's rows, collected: (cell, fileName, bytes).
-  // Driver-side by design — a manifest is metadata-scale (one row per
-  // FILE) and the explicit-files read needs the list on the driver anyway.
+  // One manifest reference: a codes FILE (kind = "codes", cell + file
+  // name) or the centroids TABLE (kind = "centroids", name = the live
+  // centroids dir relative to the index root — versioned by drift
+  // repairs, "centroids" at bootstrap). Codebooks and meta/ are frozen
+  // artifacts of the save and need no versioning.
+  private[graft] case class AdcRef(kind: String, cell: Int, name: String, bytes: Long)
+
+  private def codesRefs(refs: Seq[AdcRef]): Seq[(Int, String, Long)] =
+    refs.collect { case AdcRef("codes", cell, name, bytes) => (cell, name, bytes) }
+
+  private def centroidsPathOf(dir: String, refs: Seq[AdcRef]): String =
+    s"$dir/${refs.collectFirst { case AdcRef("centroids", _, name, _) => name }.getOrElse("centroids")}"
+
+  // One manifest generation's rows, collected. Driver-side by design — a
+  // manifest is metadata-scale (one row per FILE) and the explicit-files
+  // read needs the list on the driver anyway.
   private def readAdcManifestRefs(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       gen: Long,
-  ): Seq[(Int, String, Long)] =
+  ): Seq[AdcRef] =
     spark.read
       .parquet(s"${manifestDir(dir)}/gen-$gen.parquet")
-      .select(col("centroid_id"), col("name"), col("bytes"))
+      .select(col("kind"), col("centroid_id"), col("name"), col("bytes"))
       .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .map(r => AdcRef(r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
       .toSeq
 
   // Commit one generation: write the refs as a SINGLE parquet object.
@@ -1200,12 +1213,18 @@ object IvfIndex {
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String,
       gen: Long,
-      refs: Seq[(Int, String, Long)],
+      refs: Seq[AdcRef],
   ): Long = {
     import spark.implicits._
-    require(refs.nonEmpty, s"commitAdcGen: refusing to commit an EMPTY generation $gen for $dir")
+    require(refs.exists(_.kind == "codes"), s"commitAdcGen: refusing to commit a codes-EMPTY generation $gen for $dir")
     val scratch = s"$dir/manifest_tmp"
-    refs.toDF("centroid_id", "name", "bytes").coalesce(1).write.mode("overwrite").parquet(scratch)
+    refs
+      .map(r => (r.kind, r.cell, r.name, r.bytes))
+      .toDF("kind", "centroid_id", "name", "bytes")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(scratch)
     val parts = fs
       .listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1246,9 +1265,9 @@ object IvfIndex {
         fs.listStatus(d.getPath)
           .toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => (cell, f.getPath.getName, f.getLen))
+          .map(f => AdcRef("codes", cell, f.getPath.getName, f.getLen))
       }
-    commitAdcGen(spark, fs, dir, 0L, refs)
+    commitAdcGen(spark, fs, dir, 0L, refs :+ AdcRef("centroids", -1, "centroids", 0L))
   }
 
   /** Commit a landed batch ([[appendToAdcIndex]] with `batchId`) into the
@@ -1279,7 +1298,7 @@ object IvfIndex {
     val gens = listAdcGens(fs, dir)
     require(gens.nonEmpty, s"commitAdcBatchToManifest: no manifest at $dir - bootstrap with writeAdcManifest")
     val prev = readAdcManifestRefs(spark, dir, gens.max)
-    val kept = prev.filterNot { case (_, name, _) => batchIdOfLanding(name).contains(batchId) }
+    val kept = prev.filterNot(r => r.kind == "codes" && batchIdOfLanding(r.name).contains(batchId))
     val cellDirs = cells match {
       case Some(cs) => cs.distinct.sorted.map(c => new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$c"))
       case None =>
@@ -1293,7 +1312,7 @@ object IvfIndex {
       fs.listStatus(d)
         .toSeq
         .filter(f => f.isFile && batchIdOfLanding(f.getPath.getName).contains(batchId))
-        .map(f => (cell, f.getPath.getName, f.getLen))
+        .map(f => AdcRef("codes", cell, f.getPath.getName, f.getLen))
     }
     require(landed.nonEmpty, s"commitAdcBatchToManifest: batch $batchId left no files under $codes")
     commitAdcGen(spark, fs, dir, gens.max + 1, kept ++ landed)
@@ -1323,7 +1342,9 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
     val gens = listAdcGens(fs, dir)
     require(gens.nonEmpty, s"compactAdcIndexCodesManifest: no manifest at $dir - bootstrap with writeAdcManifest")
-    val before = readAdcManifestRefs(spark, dir, gens.max)
+    val allRefs = readAdcManifestRefs(spark, dir, gens.max)
+    val otherRefs = allRefs.filter(_.kind != "codes")
+    val before = codesRefs(allRefs)
     val (retained, eligible) = before.partition { case (_, name, _) =>
       batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
     }
@@ -1415,7 +1436,8 @@ object IvfIndex {
         retained.filter { case (cell, _, _) => victimSet(cell) } ++
         newBinRefs
     }
-    commitAdcGen(spark, fs, dir, newGen, committedRefs)
+    commitAdcGen(spark, fs, dir, newGen,
+      committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ otherRefs)
     // The census (from refs, not the tree): per-cell files/bytes before vs
     // after — the same observability row the rename-mode op returns.
     val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
@@ -1451,17 +1473,183 @@ object IvfIndex {
     require(gens.nonEmpty, s"cleanupAdcGenerations: no manifest at $dir")
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
     if (old.isEmpty) return 0L
-    val keptRefs: Set[(Int, String)] =
-      kept.flatMap(g => readAdcManifestRefs(spark, dir, g).map(r => (r._1, r._2))).toSet
-    val deadRefs: Set[(Int, String)] =
-      old.flatMap(g => readAdcManifestRefs(spark, dir, g).map(r => (r._1, r._2))).toSet -- keptRefs
+    val keptAll = kept.flatMap(g => readAdcManifestRefs(spark, dir, g))
+    val oldAll = old.flatMap(g => readAdcManifestRefs(spark, dir, g))
+    val keptRefs: Set[(Int, String)] = codesRefs(keptAll).map(r => (r._1, r._2)).toSet
+    val deadRefs: Set[(Int, String)] = codesRefs(oldAll).map(r => (r._1, r._2)).toSet -- keptRefs
     var deleted = 0L
     deadRefs.toSeq.sorted.foreach { case (cell, name) =>
       val p = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell/$name")
       if (fs.exists(p) && fs.delete(p, false)) deleted += 1
     }
+    // De-referenced centroids VERSIONS (repair-written dirs) die with
+    // their generations; the bootstrap "centroids" dir is never deleted
+    // even when de-referenced — it is the save's artifact, not ours.
+    val keptCents = keptAll.collect { case AdcRef("centroids", _, name, _) => name }.toSet
+    val deadCents = oldAll.collect { case AdcRef("centroids", _, name, _) => name }.toSet -- keptCents - "centroids"
+    deadCents.toSeq.sorted.foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (fs.exists(p) && fs.delete(p, true)) deleted += 1
+    }
     old.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/gen-$g.parquet"), false))
     deleted
+  }
+
+  /** [[repairDriftedIndexCells]] in MANIFEST mode — and the version of
+    * the repair with an ATOMIC commit: the rename-mode op documents a
+    * window between its codes swap and its centroids two-step where a
+    * reader sees re-encoded codes probed against the old centroids;
+    * here the re-encoded cell files land under fresh names (invisible),
+    * the repaired centroids table is written as a NEW versioned dir
+    * `centroids_g<gen>` (invisible), and ONE generation object commits
+    * both together — a reader resolves either the old world or the new,
+    * never a mix. Old generations keep serving the PRE-repair index
+    * until [[cleanupAdcGenerations]] retires them (snapshot isolation
+    * through a repair).
+    *
+    * Same semantics as the rename op, pinned by the same oracle shape:
+    * membership of record = the generation's referenced posting-list
+    * files (so repairs compose); member-mean re-center; frozen-codebook
+    * re-encode; the `minRetainedBatchId` replay fence (a repair cannot
+    * retain a landing — a partial re-encode would mix centroid bases).
+    */
+  def repairDriftedIndexCellsManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      flaggedCells: Seq[Int],
+      minRetainedBatchId: Option[Long] = None,
+  ): DataFrame = {
+    import spark.implicits._
+    val variant = loadVariant(spark, dir)
+    require(
+      variant == "residual",
+      "repairDriftedIndexCellsManifest: per-cell repair is a RESIDUAL-layout lever - see " +
+        "repairDriftedIndexCells (plain codes need a rebuild, not a repair).",
+    )
+    if (flaggedCells.isEmpty) {
+      return Seq.empty[(Int, Long, Long)].toDF("centroid_id", "n_members", "centroid_shift_q")
+    }
+    val codes = s"$dir/codes"
+    val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"repairDriftedIndexCellsManifest: no manifest at $dir - bootstrap with writeAdcManifest")
+    val refs = readAdcManifestRefs(spark, dir, gens.max)
+    val flaggedSet = flaggedCells.distinct.sorted
+    val flaggedRefs = codesRefs(refs).filter { case (cell, _, _) => flaggedSet.contains(cell) }
+    require(flaggedRefs.nonEmpty, s"repairDriftedIndexCellsManifest: no referenced files in cells $flaggedSet")
+    val unfenced = flaggedRefs
+      .flatMap { case (cell, name, _) => batchIdOfLanding(name).map(id => (cell, id)) }
+      .filter { case (_, id) => minRetainedBatchId.forall(id >= _) }
+      .distinct
+      .sorted
+    require(
+      unfenced.isEmpty,
+      s"repairDriftedIndexCellsManifest: flagged cells reference batch landings that may still " +
+        s"replay (cell, batchId): ${unfenced.mkString(", ")} - pass minRetainedBatchId (the ingest " +
+        "checkpoint's committed offset).",
+    )
+    val centroids = Lineage.truncate(spark.read.parquet(centroidsPathOf(dir, refs)))
+    val cbs = loadCodebooks(spark, dir, m)
+    val subDim = cbs.head.head._2.length
+    // Membership of record = the GENERATION's referenced files — never a
+    // tree listing (de-referenced files would double members), never a
+    // re-assignment (repairs must compose).
+    val memberFiles = flaggedRefs.map { case (cell, name, _) => s"$codes/centroid_id=$cell/$name" }
+    val stored = Lineage.truncate(
+      spark.read
+        .option("basePath", codes)
+        .parquet(memberFiles: _*)
+        .select(col("neighbor_id").as(idCol), col("centroid_id"))
+    )
+    val storedRows = stored.count()
+    val members = Lineage.truncate(
+      corpus.select(col(idCol), col(vecCol)).join(stored, Seq(idCol))
+    )
+    val memberRows = members.count()
+    require(
+      memberRows == storedRows,
+      s"repairDriftedIndexCellsManifest: the corpus matched $memberRows of $storedRows stored members.",
+    )
+    val newCents = Lineage.truncate(
+      members
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
+            .as("centroid")
+        )
+    )
+    val rsd = members
+      .join(broadcast(newCents), Seq("centroid_id"))
+      .select(
+        col(idCol),
+        col("centroid_id"),
+        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("__rv"),
+      )
+    val newGen = gens.max + 1
+    val scratch = s"$dir/codes_mrepair_tmp"
+    residualEncodeFromRsd(rsd, idCol, cbs, m, subDim).write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(scratch)
+    val outRows = spark.read.parquet(scratch).count()
+    require(
+      outRows == memberRows,
+      s"repairDriftedIndexCellsManifest: re-encode row count $outRows != member count $memberRows - " +
+        "aborting before the commit; the manifest is untouched.",
+    )
+    // Land the re-encoded cells under fresh names (invisible until the
+    // generation commits).
+    val newCodeRefs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .flatMap { cellDir =>
+        val cell = cellDir.getPath.getName.stripPrefix("centroid_id=").toInt
+        val live = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
+        fs.mkdirs(live)
+        fs.listStatus(cellDir.getPath)
+          .toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val target = new org.apache.hadoop.fs.Path(live, s"r$newGen-${f.getPath.getName}")
+            require(fs.rename(f.getPath, target), s"repairDriftedIndexCellsManifest: land failed for $target")
+            AdcRef("codes", cell, target.getName, fs.getFileStatus(target).getLen)
+          }
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    // The repaired centroids: a NEW versioned table (old versions keep
+    // serving old generations until cleanup).
+    val repaired = Lineage.truncate(
+      centroids
+        .join(broadcast(newCents.withColumnRenamed("centroid", "__nc")), Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__nc"), col("centroid")).as("centroid"))
+    )
+    val centsName = s"centroids_g$newGen"
+    repaired.coalesce(1).write.mode("overwrite").parquet(s"$dir/$centsName")
+    // ONE commit for codes + centroids: the atomic step the rename-mode
+    // repair cannot have.
+    val committed = refs.filterNot(r =>
+      (r.kind == "codes" && flaggedSet.contains(r.cell)) || r.kind == "centroids"
+    ) ++ newCodeRefs :+ AdcRef("centroids", -1, centsName, 0L)
+    commitAdcGen(spark, fs, dir, newGen, committed)
+    val oldC = centroids.select(col("centroid_id"), col("centroid").as("__oc"))
+    members
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(broadcast(newCents), Seq("centroid_id"))
+      .join(broadcast(oldC), Seq("centroid_id"))
+      .select(
+        col("centroid_id"),
+        col("n_members"),
+        floor(cos(col("__oc"), col("centroid")) * lit(1000000.0) + lit(0.5)).cast("long").as("centroid_shift_q"),
+      )
   }
 
   /** Serve from a MANIFEST snapshot: resolve a generation (latest by
@@ -1492,14 +1680,14 @@ object IvfIndex {
     require(gens.nonEmpty, s"adcTopKFromSnapshot: no manifest at $dir - bootstrap with writeAdcManifest")
     val g = gen.getOrElse(gens.max)
     require(gens.contains(g), s"adcTopKFromSnapshot: generation $g not in ${gens.mkString(",")}")
-    val files = readAdcManifestRefs(spark, dir, g).map { case (cell, name, _) =>
-      s"$codes/centroid_id=$cell/$name"
-    }
+    val refs = readAdcManifestRefs(spark, dir, g)
+    val files = codesRefs(refs).map { case (cell, name, _) => s"$codes/centroid_id=$cell/$name" }
     val encoded = spark.read
       .option("basePath", codes)
       .parquet(files: _*)
       .select(col("neighbor_id"), col("centroid_id"), col("codes"))
-    adcTopKFromIndexOn(spark, dir, encoded, corpus, queries, idCol, vecCol, m, nprobe, candK, k)
+    adcTopKFromIndexOn(spark, dir, encoded, centroidsPathOf(dir, refs), corpus, queries, idCol, vecCol,
+      m, nprobe, candK, k)
   }
 
   /** Serve [[adcTopK]] from a PERSISTED index ([[saveAdcIndex]] layout):
@@ -1525,17 +1713,20 @@ object IvfIndex {
     val encoded = spark.read
       .parquet(s"$dir/codes")
       .select(col("neighbor_id"), col("centroid_id"), col("codes"))
-    adcTopKFromIndexOn(spark, dir, encoded, corpus, queries, idCol, vecCol, m, nprobe, candK, k)
+    adcTopKFromIndexOn(spark, dir, encoded, s"$dir/centroids", corpus, queries, idCol, vecCol,
+      m, nprobe, candK, k)
   }
 
   // The shared serving body: everything after "which files ARE the codes
-  // table" — the live-tree path ([[adcTopKFromIndex]]) and the
-  // manifest-snapshot path ([[adcTopKFromSnapshot]]) differ only in that
-  // file resolution.
+  // table and which dir IS the centroids" — the live-tree path
+  // ([[adcTopKFromIndex]]) and the manifest-snapshot path
+  // ([[adcTopKFromSnapshot]], generation-versioned centroids) differ only
+  // in those two resolutions.
   private def adcTopKFromIndexOn(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       encoded: DataFrame,
+      centroidsPath: String,
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
@@ -1546,7 +1737,7 @@ object IvfIndex {
       k: Int,
   ): DataFrame = {
     require(candK >= k, s"adcTopKFromIndex: candK ($candK) must be >= k ($k)")
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = spark.read.parquet(centroidsPath)
     val cbs = loadCodebooks(spark, dir, m)
     val subDim = cbs.head.head._2.length
     val qtables = adcTables(queries, idCol, vecCol, cbs, m, subDim)

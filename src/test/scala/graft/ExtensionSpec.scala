@@ -506,6 +506,82 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
   }
 
+  test("manifest drift repair: one atomic commit, pre-repair generation keeps serving the old index") {
+    import graft.operators.IvfIndex
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val inc = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"),
+    )
+    val merged = base.unionAll(inc)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_mrepair").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir, variant = "residual")
+    IvfIndex.writeAdcManifest(spark, dir)
+    val cells = IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(0L))
+    IvfIndex.commitAdcBatchToManifest(spark, dir, 0L, Some(cells)) // gen 1
+    val queries = inc.filter(col("vec_id") % 50 === 0)
+    def serveSnap(gen: Option[Long]) = IvfIndex
+      .adcTopKFromSnapshot(spark, dir, merged, queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3, gen = gen)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    val flagged = IvfIndex
+      .oodDriftGate(base, inc, "vec_id", "embedding", centroids, thresholdQ = 200000L, gateMilli = 150L)
+      .filter(col("reencode"))
+      .select("centroid_id")
+      .as[Int]
+      .collect()
+      .toSeq
+      .sorted
+    assert(flagged.nonEmpty)
+    // an unfenced landing in a flagged cell refuses, manifest-style
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.repairDriftedIndexCellsManifest(spark, dir, merged, "vec_id", "embedding", m = 4, flagged)
+    }
+    assert(ex.getMessage.contains("minRetainedBatchId"), ex.getMessage)
+    val serveBefore = serveSnap(None)
+    val census = IvfIndex
+      .repairDriftedIndexCellsManifest(spark, dir, merged, "vec_id", "embedding", m = 4, flagged,
+        minRetainedBatchId = Some(1L)) // gen 2
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(census.map(_._1).toSeq == flagged, s"one census row per flagged cell: ${census.toSeq}")
+    assert(census.forall(_._3 < 1000000L), s"a repaired centroid must have MOVED: ${census.toSeq}")
+    // snapshot isolation THROUGH the repair: the pre-repair generation
+    // still serves the exact pre-repair results (old codes AND old
+    // centroids — no mixed world), while the new generation serves the
+    // repaired index
+    assert(serveSnap(Some(1L)) == serveBefore,
+      "the pre-repair generation must keep serving the old codes + old centroids")
+    val serveAfter = serveSnap(None)
+    assert(serveAfter != serveBefore, "the repair must change drifted-regime serving")
+    // the repaired world == the rename-mode repair's world: rebuild the
+    // same index rename-style and compare served content
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_spec_mrepair_ref").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir2, variant = "residual")
+    IvfIndex.appendToAdcIndex(spark, dir2, inc, "vec_id", "embedding", m = 4)
+    IvfIndex.repairDriftedIndexCells(spark, dir2, merged, "vec_id", "embedding", m = 4, flagged)
+    val serveRename = IvfIndex
+      .adcTopKFromIndex(spark, dir2, merged, queries, "vec_id", "embedding", m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    assert(serveAfter == serveRename, "manifest repair must serve exactly what the rename repair serves")
+    // cleanup retires the pre-repair world: old codes files AND the
+    // superseded centroids version die; the live generation is unaffected
+    assert(IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1) > 0L)
+    assert(!new java.io.File(s"$dir/centroids").exists() ||
+      serveSnap(None) == serveAfter, "cleanup must not change the retained generation")
+    assert(serveSnap(None) == serveAfter)
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir2))
+  }
+
   test("repairDriftedIndexCells: refuses a flagged cell holding an unfenced batch landing") {
     import graft.operators.IvfIndex
     val base = emb.select(col("vec_id"), col("embedding"))
