@@ -247,6 +247,43 @@ object ScaleBench {
         s"""{"op":"ann_codes_compact","factor":$f,"sec":${math.round(tComp * 1000) / 1000.0},""" +
           s""""files_before":${filesBA._1},"files_after":${filesBA._2}}"""
       )
+      // (4b) the MANIFEST lifecycle (q275/q276): the same trained index
+      // under the object-store commit protocol — per-batch generation
+      // commit (bounded to touched cells), manifest-census compaction
+      // (one generation object, nothing deleted), pinned-snapshot serve.
+      // The slopes to watch: commit cost tracks the BATCH (not the
+      // corpus), compaction tracks the victim refs, serve matches the
+      // rename-mode pruned serve.
+      val mDir = s"$tmp/annidxm_$f"
+      operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
+        m = 4, subDim = 16, pqNlist = 8, pqIters = 2, dir = mDir)
+      operators.IvfIndex.writeAdcManifest(spark, mDir)
+      val (tCommit, nIncM) = time {
+        val cells = operators.IvfIndex.appendToAdcIndex(spark, mDir, inc, "vec_id", "embedding",
+          m = 4, batchId = Some(0L))
+        operators.IvfIndex.commitAdcBatchToManifest(spark, mDir, 0L, Some(cells))
+        inc.count()
+      }
+      report("ann_manifest_batch_commit", f, tCommit, nIncM)
+      val (tMComp, mFilesBA) = time {
+        val c = operators.IvfIndex
+          .compactAdcIndexCodesManifest(spark, mDir, targetBytes = 128L << 20, minRetainedBatchId = Some(1L))
+          .agg(sum(col("files_before")), sum(col("files_after")))
+          .head()
+        (c.getLong(0), c.getLong(1))
+      }
+      println(
+        s"""{"op":"ann_manifest_compact","factor":$f,"sec":${math.round(tMComp * 1000) / 1000.0},""" +
+          s""""files_before":${mFilesBA._1},"files_after":${mFilesBA._2}}"""
+      )
+      val (tSnap, rSnap) = time(
+        operators.IvfIndex
+          .adcTopKFromSnapshot(spark, mDir, emb.unionAll(inc), queries, "vec_id", "embedding",
+            m = 4, nprobe = 2, candK = 8, k = 3)
+          .count()
+      )
+      report("ann_manifest_snapshot_serve", f, tSnap, rSnap)
+
       // (5) the drift-repair lifecycle (q267 -> q271): a SHIFTED increment
       // lands in a frozen RESIDUAL index, the OOD gate flags the stale
       // cells in one pass over base ∪ increment, and the repair re-centers

@@ -1436,8 +1436,11 @@ object IvfIndex {
         retained.filter { case (cell, _, _) => victimSet(cell) } ++
         newBinRefs
     }
-    commitAdcGen(spark, fs, dir, newGen,
-      committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ otherRefs)
+    // A no-op pass (nothing to bin) commits NOTHING — an idempotent
+    // nightly compactor must not grow the generation chain.
+    if (victims.nonEmpty)
+      commitAdcGen(spark, fs, dir, newGen,
+        committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ otherRefs)
     // The census (from refs, not the tree): per-cell files/bytes before vs
     // after — the same observability row the rename-mode op returns.
     val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
