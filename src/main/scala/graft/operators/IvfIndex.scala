@@ -694,7 +694,18 @@ object IvfIndex {
       m: Int,
       batchId: Option[Long] = None,
   ): Seq[Int] = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    // Centroids resolve through the MANIFEST when one exists: a manifest
+    // drift repair commits a versioned centroids_g<gen> table and never
+    // touches $dir/centroids, so reading the live dir here would assign
+    // and residual-encode every post-repair increment against the STALE
+    // centroids while snapshot serving scores with the repaired ones —
+    // silently wrong ADC math for every appended row in a repaired cell.
+    val fsm = new org.apache.hadoop.fs.Path(s"$dir/codes").getFileSystem(spark.sessionState.newHadoopConf())
+    val manifestGens = listAdcGens(fsm, dir)
+    val centroidsPath =
+      if (manifestGens.isEmpty) s"$dir/centroids"
+      else centroidsPathOf(dir, readAdcManifestRefs(spark, dir, manifestGens.max))
+    val centroids = spark.read.parquet(centroidsPath)
     val cbs = loadCodebooks(spark, dir, m)
     val subDim = cbs.head.head._2.length
     // Dispatch on the LAYOUT's variant, not a caller flag: encoding an
@@ -755,7 +766,8 @@ object IvfIndex {
               .map(_.getPath)
               .toSeq
           else touchedLive.toSeq
-        // test-only observability for the bound (see LandingSweepSpec)
+        // test-only observability for the bound (ExtensionSpec's
+        // "landing sweep is bounded by touched cells" case)
         lastLandingSweepCells = sweepDirs.size
         lastLandingSweepFull = priorDetected
         sweepDirs.foreach { cellDir =>
@@ -856,6 +868,204 @@ object IvfIndex {
   private[graft] def batchIdOfLanding(name: String): Option[Long] = name match {
     case LandingName(id) => Some(id.toLong)
     case _ => None
+  }
+
+  // The replay fence both repair modes share: list the TREE for batch
+  // landings at or above the watermark. On-disk batch files outside the
+  // current manifest refs are exactly the in-flight landings, so the
+  // fence must list the tree, never read refs. Every cell is checked,
+  // not just the flagged ones — a repair moves centroids, and a batch
+  // replayed afterwards re-ASSIGNS its rows against the moved table, so
+  // any unfenced landing's rows can migrate cells and its prior files
+  // escape the replay's touched-cell sweep (duplicate rows served).
+  private def unfencedLandingsInTree(
+      fs: org.apache.hadoop.fs.FileSystem,
+      codes: String,
+      minRetainedBatchId: Option[Long],
+  ): Seq[(Int, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(codes)
+    if (!fs.exists(root)) Nil
+    else
+      fs.listStatus(root)
+        .toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .flatMap { d =>
+          val cell = d.getPath.getName.stripPrefix("centroid_id=").toInt
+          fs.listStatus(d.getPath)
+            .toSeq
+            .flatMap(f => batchIdOfLanding(f.getPath.getName))
+            .filter(id => minRetainedBatchId.forall(id >= _))
+            .map(id => (cell, id))
+        }
+        .distinct
+        .sorted
+  }
+
+  // Shared core of both repair modes, from frozen membership to encoded
+  // scratch: join the stored (id, cell) posting rows to the corpus for
+  // the members' vectors (loud completeness gate), take each flagged
+  // cell's per-dim double mean (the train() update step), and
+  // residual-encode the members against their NEW centroid under the
+  // index's frozen codebooks into `scratch`, partitioned by cell, with a
+  // loud row-count gate before anything is committed or swapped.
+  // Returns (members, newCents, memberRows).
+  private def repairEncodeMembers(
+      spark: org.apache.spark.sql.SparkSession,
+      stored: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cbs: IndexedSeq[Seq[(Int, Seq[Float])]],
+      m: Int,
+      subDim: Int,
+      scratch: String,
+      op: String,
+  ): (DataFrame, DataFrame, Long) = {
+    val storedRows = stored.count()
+    val members = Lineage.truncate(
+      corpus.select(col(idCol), col(vecCol)).join(stored, Seq(idCol))
+    )
+    val memberRows = members.count()
+    require(
+      memberRows == storedRows,
+      s"$op: the corpus matched $memberRows of $storedRows stored members - " +
+        "the repair corpus must cover every vector in the flagged posting lists exactly once.",
+    )
+    val newCents = Lineage.truncate(
+      members
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
+            .as("centroid")
+        )
+    )
+    val rsd = members
+      .join(broadcast(newCents), Seq("centroid_id"))
+      .select(
+        col(idCol),
+        col("centroid_id"),
+        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("__rv"),
+      )
+    residualEncodeFromRsd(rsd, idCol, cbs, m, subDim).write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(scratch)
+    val outRows = spark.read.parquet(scratch).count()
+    require(
+      outRows == memberRows,
+      s"$op: re-encode row count $outRows != member count $memberRows - " +
+        "aborting before anything is committed; the index is untouched.",
+    )
+    (members, newCents, memberRows)
+  }
+
+  // The repair census both modes return: per flagged cell, its member
+  // count and how far the centroid moved (per-micro quantized cosine
+  // between the old and new centroid) — the observability row a nightly
+  // job logs.
+  private def repairCensus(members: DataFrame, newCents: DataFrame, oldCentroids: DataFrame): DataFrame = {
+    val oldC = oldCentroids.select(col("centroid_id"), col("centroid").as("__oc"))
+    members
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(broadcast(newCents), Seq("centroid_id"))
+      .join(broadcast(oldC), Seq("centroid_id"))
+      .select(
+        col("centroid_id"),
+        col("n_members"),
+        floor(cos(col("__oc"), col("centroid")) * lit(1000000.0) + lit(0.5)).cast("long").as("centroid_shift_q"),
+      )
+  }
+
+  // Shared compaction planning for both commit modes: watermark
+  // partition (batch landings at or above `minRetainedBatchId` are
+  // retained under their replay names), the greedy per-cell binning
+  // (`bytes div target` in file-name order), victim selection (a cell
+  // whose eligible files already match its bins is untouched), and the
+  // loud refusal when a batch landing would be rewritten with no
+  // watermark. Returns (retained, victims).
+  private def planCodesCompaction(
+      op: String,
+      before: Seq[(Int, String, Long)],
+      targetBytes: Long,
+      minRetainedBatchId: Option[Long],
+  ): (Seq[(Int, String, Long)], Map[Int, Seq[(Int, String, Long, Long)]]) = {
+    val (retained, eligible) = before.partition { case (_, name, _) =>
+      batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
+    }
+    require(eligible.nonEmpty, s"$op: every code file is watermark-retained - nothing to compact")
+    val binned = eligible
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (cell, cellFiles) =>
+        var cum = 0L
+        cellFiles.sortBy(_._2).map { case (_, name, bytes) =>
+          val bin = cum / targetBytes
+          cum += bytes
+          (cell, name, bytes, bin)
+        }
+      }
+    val victims = binned.groupBy(_._1).filter { case (_, cf) => cf.map(_._4).distinct.size < cf.size }
+    if (minRetainedBatchId.isEmpty) {
+      val unfenced = victims.values.flatten
+        .flatMap { case (cell, name, _, _) => batchIdOfLanding(name).map(id => (cell, id)) }
+        .toSeq
+        .distinct
+        .sorted
+      require(
+        unfenced.isEmpty,
+        s"$op: about to rewrite batch landings that may still replay (cell, batchId): " +
+          s"${unfenced.mkString(", ")} - binning them drops the batch<id>- file names their " +
+          "replay-idempotency keys on. Pass minRetainedBatchId = Some(w) (the ingest checkpoint's " +
+          "committed offset: batches >= w are retained under their names, batches < w are fenced " +
+          "and compactable), or Some(maxBatchId + 1) when every batch is known committed.",
+      )
+    }
+    (retained, victims)
+  }
+
+  // Shared victim rewrite for both commit modes: read the victim FILES
+  // explicitly (a retained landing in a victim cell is neither rewritten
+  // nor scanned), name-join each row to its bin, and partition-write by
+  // (cell, bin) into `tmp` — one file per bin by construction — with the
+  // loud row-count gate before anything is deleted or committed.
+  private def rewriteCompactionVictims(
+      spark: org.apache.spark.sql.SparkSession,
+      codes: String,
+      victims: Map[Int, Seq[(Int, String, Long, Long)]],
+      tmp: String,
+      op: String,
+  ): Unit = {
+    import spark.implicits._
+    val fileBin = victims.values.flatten.toSeq
+      .map { case (cell, name, _, bin) => (cell, name, bin) }
+      .toDF("centroid_id", "__fname", "__bin")
+    val victimFiles = victims.values.flatten.toSeq.map { case (cell, name, _, _) =>
+      s"$codes/centroid_id=$cell/$name"
+    }
+    val rows = spark.read
+      .option("basePath", codes)
+      .parquet(victimFiles: _*)
+      .withColumn("__fname", substring_index(input_file_name(), "/", -1))
+      .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
+      .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
+    val nBins = victims.values.flatten.map(t => (t._1, t._4)).toSeq.distinct.size
+    rows
+      .repartition(nBins, col("centroid_id"), col("__bin"))
+      .write
+      .mode("overwrite")
+      .partitionBy("centroid_id", "__bin")
+      .parquet(tmp)
+    val inRows = spark.read.option("basePath", codes).parquet(victimFiles: _*).count()
+    val outRows = spark.read.parquet(tmp).count()
+    require(
+      outRows == inRows,
+      s"$op: rewrite row count $outRows != input $inRows over ${victimFiles.size} files - " +
+        "aborting before anything is deleted or committed; the codes table is untouched.",
+    )
   }
 
   /** SELF-HEAL any interrupted prior cell swap BEFORE an op reads the
@@ -988,92 +1198,20 @@ object IvfIndex {
         }
     val before = census()
     require(before.nonEmpty, s"compactAdcIndexCodes: no code files under $codes")
-    // The replay-idempotency watermark: a `batch<id>-` landing at or
-    // above `minRetainedBatchId` may still be replayed by the ingest
-    // (its checkpoint has not committed past it), and a replay keys its
-    // delete-then-re-land on the batch FILE NAME — so those files are
-    // RETAINED under their names (excluded from binning, carried into any
-    // rewritten cell unchanged). Batches below the watermark are fenced
-    // and compact like any other file. With no watermark, compacting a
-    // batch landing refuses loudly below instead of ending the replay
-    // window silently.
-    val (retained, eligible) = before.partition { case (_, name, _) =>
-      batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
-    }
-    require(eligible.nonEmpty, s"compactAdcIndexCodes: every file under $codes is watermark-retained")
-    val binned: Seq[(Int, String, Long, Long)] = eligible
-      .groupBy(_._1)
-      .toSeq
-      .flatMap { case (cell, cellFiles) =>
-        var cum = 0L
-        cellFiles.sortBy(_._2).map { case (_, name, bytes) =>
-          val bin = cum / targetBytes
-          cum += bytes
-          (cell, name, bytes, bin)
-        }
-      }
-    val victims = binned.groupBy(_._1).filter { case (_, cf) => cf.map(_._4).distinct.size < cf.size }
-    if (minRetainedBatchId.isEmpty) {
-      val unfenced = victims.values.flatten
-        .flatMap { case (cell, name, _, _) => batchIdOfLanding(name).map(id => (cell, id)) }
-        .toSeq
-        .distinct
-        .sorted
-      require(
-        unfenced.isEmpty,
-        s"compactAdcIndexCodes: about to rewrite batch landings that may still replay " +
-          s"(cell, batchId): ${unfenced.mkString(", ")} - binning them drops the batch<id>- file " +
-          "names their replay-idempotency keys on. Pass minRetainedBatchId = Some(w) (the ingest " +
-          "checkpoint's committed offset: batches >= w are retained under their names, batches < w " +
-          "are fenced and compactable), or Some(maxBatchId + 1) when every batch is known committed.",
-      )
-    }
+    // The replay-idempotency watermark + binning + victim selection +
+    // no-watermark refusal are [[planCodesCompaction]], shared with the
+    // manifest-mode compactor: retained landings are excluded from
+    // binning and carried into any rewritten cell unchanged.
+    val (retained, victims) = planCodesCompaction("compactAdcIndexCodes", before, targetBytes, minRetainedBatchId)
     if (victims.nonEmpty) {
       val victimCells = victims.keys.toSeq.sorted
       // file-NAME join (part names are UUID-unique) — input_file_name()'s
       // URI rendering and the Hadoop listing disagree on scheme slashes
-      val fileBin = victims.values.flatten.toSeq
-        .map { case (cell, name, _, bin) => (cell, name, bin) }
-        .toDF("centroid_id", "__fname", "__bin")
-      val nIn = victims.values.map(_.size).sum
       val tmp = s"$dir/codes_compact_tmp"
-      // The read lists the victim FILES explicitly, not the victim dirs:
-      // a watermark-retained batch landing in a victim cell must neither
-      // be rewritten nor even scanned (the retained files are the hot
-      // recent batches — reading them to throw the rows away is wasted
-      // IO that grows with ingest rate).
-      val victimFiles = victims.values.flatten.toSeq.map { case (cell, name, _, _) =>
-        s"$codes/centroid_id=$cell/$name"
-      }
-      val rows = spark.read
-        .option("basePath", codes)
-        .parquet(victimFiles: _*)
-        .withColumn("__fname", substring_index(input_file_name(), "/", -1))
-        .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
-        .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
-      val nBins = victims.values.flatten.map(t => (t._1, t._4)).toSeq.distinct.size
-      // partitionBy (cell, bin) is the one-file-per-bin GUARANTEE: the
-      // repartition co-locates each (cell, bin) group in one task, and the
-      // directory write splits a task's groups into their own dirs — so a
-      // hash collision merging two bins into one task still yields one
-      // file per bin, where the old flat partitionBy(cell) write let the
-      // collided task emit one oversized file for both bins.
-      rows
-        .repartition(nBins, col("centroid_id"), col("__bin"))
-        .write
-        .mode("overwrite")
-        .partitionBy("centroid_id", "__bin")
-        .parquet(tmp)
-      // The loud gate: rows out == rows in, verified BEFORE anything is
-      // deleted. A file the name-join missed would silently drop its rows
-      // into the void — this turns that bug into a failed job.
-      val inRows = spark.read.option("basePath", codes).parquet(victimFiles: _*).count()
-      val outRows = spark.read.parquet(tmp).count()
-      require(
-        outRows == inRows,
-        s"compactAdcIndexCodes: rewrite row count $outRows != input $inRows over ${nIn} files — " +
-          "aborting before the swap; the codes table is untouched.",
-      )
+      // The explicit-file victim read, name-join, (cell, bin) partition
+      // write and row-count gate are [[rewriteCompactionVictims]], shared
+      // with the manifest-mode compactor.
+      rewriteCompactionVictims(spark, codes, victims, tmp, "compactAdcIndexCodes")
       // Assemble each victim cell's replacement as a FLAT dir (the serving
       // layout has no __bin level): the single file under each bin subdir
       // renames to bin<b>-<name>, names stay UUID-unique.
@@ -1345,66 +1483,18 @@ object IvfIndex {
     val allRefs = readAdcManifestRefs(spark, dir, gens.max)
     val otherRefs = allRefs.filter(_.kind != "codes")
     val before = codesRefs(allRefs)
-    val (retained, eligible) = before.partition { case (_, name, _) =>
-      batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
-    }
-    require(eligible.nonEmpty, s"compactAdcIndexCodesManifest: every ref in gen ${gens.max} is watermark-retained")
-    val binned = eligible
-      .groupBy(_._1)
-      .toSeq
-      .flatMap { case (cell, cellFiles) =>
-        var cum = 0L
-        cellFiles.sortBy(_._2).map { case (_, name, bytes) =>
-          val bin = cum / targetBytes
-          cum += bytes
-          (cell, name, bytes, bin)
-        }
-      }
-    val victims = binned.groupBy(_._1).filter { case (_, cf) => cf.map(_._4).distinct.size < cf.size }
-    if (minRetainedBatchId.isEmpty) {
-      val unfenced = victims.values.flatten
-        .flatMap { case (cell, name, _, _) => batchIdOfLanding(name).map(id => (cell, id)) }
-        .toSeq
-        .distinct
-        .sorted
-      require(
-        unfenced.isEmpty,
-        s"compactAdcIndexCodesManifest: about to de-reference batch landings that may still replay " +
-          s"(cell, batchId): ${unfenced.mkString(", ")} - pass minRetainedBatchId (the ingest " +
-          "checkpoint's committed offset).",
-      )
-    }
+    // Watermark partition + binning + victim selection + no-watermark
+    // refusal are [[planCodesCompaction]]; the victim rewrite + row gate
+    // are [[rewriteCompactionVictims]] — both shared verbatim with the
+    // rename-mode compactor. Only the LANDING differs: bins go into the
+    // live cell dirs under fresh names and one manifest object commits.
+    val (retained, victims) = planCodesCompaction("compactAdcIndexCodesManifest", before, targetBytes, minRetainedBatchId)
     val newGen = gens.max + 1
     var committedRefs = before
     if (victims.nonEmpty) {
       val victimCells = victims.keys.toSeq.sorted
-      val fileBin = victims.values.flatten.toSeq
-        .map { case (cell, name, _, bin) => (cell, name, bin) }
-        .toDF("centroid_id", "__fname", "__bin")
-      val victimFiles = victims.values.flatten.toSeq.map { case (cell, name, _, _) =>
-        s"$codes/centroid_id=$cell/$name"
-      }
       val tmp = s"$dir/codes_mcompact_tmp"
-      val rows = spark.read
-        .option("basePath", codes)
-        .parquet(victimFiles: _*)
-        .withColumn("__fname", substring_index(input_file_name(), "/", -1))
-        .join(broadcast(fileBin), Seq("centroid_id", "__fname"))
-        .select(col("neighbor_id"), col("codes"), col("centroid_id"), col("__bin"))
-      val nBins = victims.values.flatten.map(t => (t._1, t._4)).toSeq.distinct.size
-      rows
-        .repartition(nBins, col("centroid_id"), col("__bin"))
-        .write
-        .mode("overwrite")
-        .partitionBy("centroid_id", "__bin")
-        .parquet(tmp)
-      val inRows = spark.read.option("basePath", codes).parquet(victimFiles: _*).count()
-      val outRows = spark.read.parquet(tmp).count()
-      require(
-        outRows == inRows,
-        s"compactAdcIndexCodesManifest: rewrite row count $outRows != input $inRows - " +
-          "aborting before the commit; the manifest is untouched.",
-      )
+      rewriteCompactionVictims(spark, codes, victims, tmp, "compactAdcIndexCodesManifest")
       // Land the bins into the LIVE cell dirs under fresh names. These
       // moves need no atomicity: the files are invisible until the
       // manifest object commits, and a crash here leaves never-referenced
@@ -1544,16 +1634,19 @@ object IvfIndex {
     val flaggedSet = flaggedCells.distinct.sorted
     val flaggedRefs = codesRefs(refs).filter { case (cell, _, _) => flaggedSet.contains(cell) }
     require(flaggedRefs.nonEmpty, s"repairDriftedIndexCellsManifest: no referenced files in cells $flaggedSet")
-    val unfenced = flaggedRefs
-      .flatMap { case (cell, name, _) => batchIdOfLanding(name).map(id => (cell, id)) }
-      .filter { case (_, id) => minRetainedBatchId.forall(id >= _) }
-      .distinct
-      .sorted
+    // The replay fence — over the whole TREE (not just the flagged refs,
+    // and not the refs at all): a replay after this repair re-assigns
+    // against the moved centroids, so ANY unfenced landing's rows can
+    // migrate cells — a later commitAdcBatchToManifest(cells = None)
+    // would then find and re-reference the stale originals next to the
+    // re-landed copies. On-disk batch files OUTSIDE the current refs are
+    // exactly the in-flight landings, so the fence must list the tree.
+    val unfenced = unfencedLandingsInTree(fs, codes, minRetainedBatchId)
     require(
       unfenced.isEmpty,
-      s"repairDriftedIndexCellsManifest: flagged cells reference batch landings that may still " +
-        s"replay (cell, batchId): ${unfenced.mkString(", ")} - pass minRetainedBatchId (the ingest " +
-        "checkpoint's committed offset).",
+      s"repairDriftedIndexCellsManifest: the index holds batch landings that may still replay " +
+        s"(cell, batchId): ${unfenced.mkString(", ")} - pass minRetainedBatchId " +
+        "(the ingest checkpoint's committed offset).",
     )
     val centroids = Lineage.truncate(spark.read.parquet(centroidsPathOf(dir, refs)))
     val cbs = loadCodebooks(spark, dir, m)
@@ -1568,45 +1661,14 @@ object IvfIndex {
         .parquet(memberFiles: _*)
         .select(col("neighbor_id").as(idCol), col("centroid_id"))
     )
-    val storedRows = stored.count()
-    val members = Lineage.truncate(
-      corpus.select(col(idCol), col(vecCol)).join(stored, Seq(idCol))
-    )
-    val memberRows = members.count()
-    require(
-      memberRows == storedRows,
-      s"repairDriftedIndexCellsManifest: the corpus matched $memberRows of $storedRows stored members.",
-    )
-    val newCents = Lineage.truncate(
-      members
-        .select(col("centroid_id"), posexplode(col(vecCol)))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
-            .as("centroid")
-        )
-    )
-    val rsd = members
-      .join(broadcast(newCents), Seq("centroid_id"))
-      .select(
-        col(idCol),
-        col("centroid_id"),
-        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("__rv"),
-      )
     val newGen = gens.max + 1
     val scratch = s"$dir/codes_mrepair_tmp"
-    residualEncodeFromRsd(rsd, idCol, cbs, m, subDim).write
-      .mode("overwrite")
-      .partitionBy("centroid_id")
-      .parquet(scratch)
-    val outRows = spark.read.parquet(scratch).count()
-    require(
-      outRows == memberRows,
-      s"repairDriftedIndexCellsManifest: re-encode row count $outRows != member count $memberRows - " +
-        "aborting before the commit; the manifest is untouched.",
-    )
+    // Member join, completeness gate, per-cell mean, frozen-codebook
+    // re-encode and the row-count gate are [[repairEncodeMembers]],
+    // shared verbatim with the rename-mode repair — only the COMMIT
+    // differs below.
+    val (members, newCents, _) = repairEncodeMembers(
+      spark, stored, corpus, idCol, vecCol, cbs, m, subDim, scratch, "repairDriftedIndexCellsManifest")
     // Land the re-encoded cells under fresh names (invisible until the
     // generation commits).
     val newCodeRefs = fs
@@ -1642,17 +1704,7 @@ object IvfIndex {
       (r.kind == "codes" && flaggedSet.contains(r.cell)) || r.kind == "centroids"
     ) ++ newCodeRefs :+ AdcRef("centroids", -1, centsName, 0L)
     commitAdcGen(spark, fs, dir, newGen, committed)
-    val oldC = centroids.select(col("centroid_id"), col("centroid").as("__oc"))
-    members
-      .groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .join(broadcast(newCents), Seq("centroid_id"))
-      .join(broadcast(oldC), Seq("centroid_id"))
-      .select(
-        col("centroid_id"),
-        col("n_members"),
-        floor(cos(col("__oc"), col("centroid")) * lit(1000000.0) + lit(0.5)).cast("long").as("centroid_shift_q"),
-      )
+    repairCensus(members, newCents, centroids)
   }
 
   /** Serve from a MANIFEST snapshot: resolve a generation (latest by
@@ -1713,6 +1765,13 @@ object IvfIndex {
       candK: Int,
       k: Int,
   ): DataFrame = {
+    // A manifest index's live tree holds de-referenced files between a
+    // manifest compaction/repair and its cleanup — a whole-tree read
+    // would serve those rows TWICE (and probe against stale centroids
+    // after a manifest repair). Same refusal rule as every rename-mode
+    // op: resolve manifest indexes through [[adcTopKFromSnapshot]].
+    val fsg = new org.apache.hadoop.fs.Path(s"$dir/codes").getFileSystem(spark.sessionState.newHadoopConf())
+    requireNoManifest(fsg, dir, "adcTopKFromIndex")
     val encoded = spark.read
       .parquet(s"$dir/codes")
       .select(col("neighbor_id"), col("centroid_id"), col("codes"))
@@ -2396,26 +2455,20 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
     requireNoManifest(fs, dir, "repairDriftedIndexCells")
     selfHealCellSwaps(fs, dir)
-    // The replay fence (see Scaladoc): a flagged cell holding a batch
-    // landing the ingest checkpoint has not committed past must not be
-    // rewritten — its replay would duplicate rows into the repaired cell.
-    val unfenced = flaggedCells.distinct.sorted.flatMap { cell =>
-      val cellDir = new org.apache.hadoop.fs.Path(s"$codes/centroid_id=$cell")
-      if (!fs.exists(cellDir)) Nil
-      else
-        fs.listStatus(cellDir)
-          .toSeq
-          .flatMap(f => batchIdOfLanding(f.getPath.getName))
-          .filter(id => minRetainedBatchId.forall(id >= _))
-          .map(id => (cell, id))
-    }
+    // The replay fence (see Scaladoc and [[unfencedLandingsInTree]]) —
+    // over EVERY cell, not just the flagged ones: a replay after this
+    // repair re-assigns against the MOVED centroids, so any unfenced
+    // landing's rows can migrate cells and its prior files escape the
+    // replay's touched-cell sweep (duplicate rows served).
+    val unfenced = unfencedLandingsInTree(fs, codes, minRetainedBatchId)
     require(
       unfenced.isEmpty,
-      s"repairDriftedIndexCells: flagged cells hold batch landings that may still replay " +
-        s"(cell, batchId): ${unfenced.distinct.mkString(", ")} - rewriting them would end their " +
-        "replay-idempotency window silently. Pass minRetainedBatchId = Some(w) (the ingest " +
-        "checkpoint's committed offset; batches < w are fenced and safe to rewrite), or fence " +
-        "the replays and pass Some(maxBatchId + 1).",
+      s"repairDriftedIndexCells: the index holds batch landings that may still replay " +
+        s"(cell, batchId): ${unfenced.mkString(", ")} - a replay after this repair re-assigns " +
+        "against the MOVED centroids, so its rows can migrate cells and its prior files escape " +
+        "the replay's touched-cell sweep (duplicate rows served). Pass minRetainedBatchId = " +
+        "Some(w) (the ingest checkpoint's committed offset; batches < w are fenced), or fence the " +
+        "replays and pass Some(maxBatchId + 1).",
     )
     val centroids = Lineage.truncate(spark.read.parquet(s"$dir/centroids"))
     val cbs = loadCodebooks(spark, dir, m)
@@ -2430,52 +2483,14 @@ object IvfIndex {
         .filter(col("centroid_id").isin(flaggedCells: _*))
         .select(col("neighbor_id").as(idCol), col("centroid_id"))
     )
-    val storedRows = stored.count()
-    val members = Lineage.truncate(
-      corpus.select(col(idCol), col(vecCol)).join(stored, Seq(idCol))
-    )
-    val memberRows = members.count()
-    require(
-      memberRows == storedRows,
-      s"repairDriftedIndexCells: the corpus matched $memberRows of $storedRows stored members - " +
-        "the repair corpus must cover every vector in the flagged posting lists exactly once.",
-    )
-    // New centroid = per-dim double mean of the members, float cast — the
-    // train() update step applied to the flagged cells only.
-    val newCents = Lineage.truncate(
-      members
-        .select(col("centroid_id"), posexplode(col(vecCol)))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m").cast("float"))
-            .as("centroid")
-        )
-    )
-    // Re-encode the flagged members: residual vs the NEW centroid, coded
-    // by the index's FROZEN residual codebooks.
-    val rsd = members
-      .join(broadcast(newCents), Seq("centroid_id"))
-      .select(
-        col(idCol),
-        col("centroid_id"),
-        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("__rv"),
-      )
     val newRoot = s"$dir/codes_repair_new"
-    residualEncodeFromRsd(rsd, idCol, cbs, m, subDim).write
-      .mode("overwrite")
-      .partitionBy("centroid_id")
-      .parquet(newRoot)
-    // The loud gate before any swap: the rewrite must carry exactly the
-    // flagged members' rows.
-    val inRows = memberRows
-    val outRows = spark.read.parquet(newRoot).count()
-    require(
-      outRows == inRows,
-      s"repairDriftedIndexCells: re-encode row count $outRows != member count $inRows - " +
-        "aborting before the swap; the codes table is untouched.",
-    )
+    // Member join, completeness gate, per-cell mean (the train() update
+    // step), frozen-codebook re-encode and the row-count gate are
+    // [[repairEncodeMembers]], shared verbatim with the manifest-mode
+    // repair — only the COMMIT differs below (swap + centroids two-step
+    // here; one generation object there).
+    val (members, newCents, _) = repairEncodeMembers(
+      spark, stored, corpus, idCol, vecCol, cbs, m, subDim, newRoot, "repairDriftedIndexCells")
     val sortedCells = flaggedCells.distinct.sorted
     swapCellDirsIn(fs, dir, newRoot, sortedCells, "repairDriftedIndexCells")
     // Centroids commit LAST (the convergence argument above): flagged rows
@@ -2497,17 +2512,6 @@ object IvfIndex {
       "repairDriftedIndexCells: centroids swap-in rename failed",
     )
     fs.delete(centsAside, true)
-    // The census: members repaired and how far each centroid moved.
-    val oldC = centroids.select(col("centroid_id"), col("centroid").as("__oc"))
-    members
-      .groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .join(broadcast(newCents), Seq("centroid_id"))
-      .join(broadcast(oldC), Seq("centroid_id"))
-      .select(
-        col("centroid_id"),
-        col("n_members"),
-        floor(cos(col("__oc"), col("centroid")) * lit(1000000.0) + lit(0.5)).cast("long").as("centroid_shift_q"),
-      )
+    repairCensus(members, newCents, centroids)
   }
 }

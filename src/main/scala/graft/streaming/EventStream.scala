@@ -1037,7 +1037,12 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val cells = graft.operators.IvfIndex
           .appendToAdcIndex(spark, indexDir, batch.toDF(), idCol, vecCol, m, batchId = Some(bid))
-        graft.operators.IvfIndex.commitAdcBatchToManifest(spark, indexDir, bid, Some(cells))
+        // an EMPTY microbatch lands no files — a legitimate no-op, not a
+        // generation (commitAdcBatchToManifest would loudly refuse a
+        // zero-file batch, which is right for a lost landing but wrong
+        // for a source that delivered zero rows)
+        if (cells.nonEmpty)
+          graft.operators.IvfIndex.commitAdcBatchToManifest(spark, indexDir, bid, Some(cells))
         ()
       }
       .trigger(Trigger.AvailableNow())

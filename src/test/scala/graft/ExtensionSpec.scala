@@ -456,14 +456,26 @@ class ExtensionSpec extends SparkSpec {
     assert(IvfIndex.commitAdcBatchToManifest(spark, dir, 4L) == 1L)
     val serveG1 = serveSnap(None)
     assert(serveG1 != serveBase, "the committed landing must change the served content")
-    // snapshot == live-tree serving over the same content
+    // snapshot == rename-mode serving over the same content (a TWIN
+    // index: live-tree reads on the manifest dir itself are refused —
+    // between a manifest compaction and cleanup the tree double-counts)
+    val twin = java.nio.file.Files.createTempDirectory("graft_spec_manifest_twin").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = twin)
+    IvfIndex.appendToAdcIndex(spark, twin, inc4, "vec_id", "embedding", m = 4)
     val live = IvfIndex
-      .adcTopKFromIndex(spark, dir, emb.filter(col("vec_id") % 4 =!= 3), queries, "vec_id", "embedding",
+      .adcTopKFromIndex(spark, twin, emb.filter(col("vec_id") % 4 =!= 3), queries, "vec_id", "embedding",
         m = 4, nprobe = 2, candK = 8, k = 3)
       .orderBy("query_id", "rank")
       .collect()
       .toSeq
-    assert(serveG1 == live, "snapshot serving must be hash-identical to the live-tree path")
+    assert(serveG1 == live, "snapshot serving must be hash-identical to the rename-mode path")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(twin))
+    val exLive = intercept[IllegalArgumentException] {
+      IvfIndex.adcTopKFromIndex(spark, dir, emb, queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3)
+    }
+    assert(exLive.getMessage.contains("MANIFEST"), exLive.getMessage)
     // manifest compaction: commits a new gen, deletes NOTHING
     val census = IvfIndex
       .compactAdcIndexCodesManifest(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(5L))
