@@ -1564,6 +1564,19 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
     val gens = listAdcGens(fs, dir)
     require(gens.nonEmpty, s"cleanupAdcGenerations: no manifest at $dir")
+    // Crashed landings' scratch (codes_append_tmp_b<id> — content never
+    // reached the live tree) and a crashed commit's manifest_tmp are
+    // swept here in manifest mode, the mirror of what
+    // selfHealCellSwaps does at every rename-mode maintenance entry.
+    // Cleanup is maintenance, fenced against live ingest, so no landing
+    // is in flight when this runs.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath)
+        .filter(s =>
+          s.isDirectory &&
+            (s.getPath.getName.startsWith("codes_append_tmp_b") || s.getPath.getName == "manifest_tmp"))
+        .foreach(s => fs.delete(s.getPath, true))
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
     if (old.isEmpty) return 0L
     val keptAll = kept.flatMap(g => readAdcManifestRefs(spark, dir, g))

@@ -491,9 +491,14 @@ class ExtensionSpec extends SparkSpec {
       IvfIndex.compactAdcIndexCodes(spark, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(5L))
     }
     assert(ex.getMessage.contains("MANIFEST"), ex.getMessage)
-    // cleanup: de-referenced files die, never-referenced (in-flight) survive
+    // cleanup: de-referenced files die, never-referenced (in-flight) survive,
+    // and a crashed landing's scratch dir is swept (manifest mode's mirror
+    // of the rename-mode maintenance-entry self-heal)
     IvfIndex.appendToAdcIndex(spark, dir, inc9, "vec_id", "embedding", m = 4, batchId = Some(9L))
+    val staleScratch = new java.io.File(s"$dir/codes_append_tmp_b77")
+    assert(staleScratch.mkdirs())
     val deleted = IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1)
+    assert(!staleScratch.exists(), "cleanup must sweep crashed landings' scratch dirs")
     assert(deleted > 0, "cleanup must delete the de-referenced pre-bin files")
     assert(codeFiles("batch4-") == 0, "the superseded landing files must be gone after cleanup")
     assert(codeFiles("batch9-") > 0, "a never-referenced in-flight landing must survive cleanup")
