@@ -675,7 +675,9 @@ object IvfIndex {
     * above it: batches below the watermark are fenced (the checkpoint
     * committed; they can no longer replay) and safe to rewrite; batches
     * above it stay under their replay names (compaction retains them,
-    * repair refuses the cell). `batchId = None` keeps the plain one-shot
+    * repair refuses the whole index — a replay after a repair re-assigns
+    * against moved centroids, so any unfenced landing's rows can migrate
+    * cells). `batchId = None` keeps the plain one-shot
     * `mode("append")`. The landing's scratch-to-live file moves ride the
     * [[swapCellDirsIn]] filesystem contract — atomic rename; see its
     * Scaladoc for the object-store manifest-commit alternative.

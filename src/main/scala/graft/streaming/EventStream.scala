@@ -979,8 +979,9 @@ object EventStream {
     * their `minRetainedBatchId` watermark and refuse loudly to rewrite a
     * landing the checkpoint has not committed past — so the fence is
     * enforced, not assumed: compaction retains un-fenced landings under
-    * their names; repair refuses the flagged cell until the checkpoint
-    * commits.
+    * their names; repair refuses the whole index while ANY un-fenced
+    * landing exists (its centroid moves would re-route a replay's rows
+    * past the landing's original files).
     */
   def indexIngestOneShot(
       spark: SparkSession,

@@ -599,7 +599,7 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir2))
   }
 
-  test("repairDriftedIndexCells: refuses a flagged cell holding an unfenced batch landing") {
+  test("repairDriftedIndexCells: refuses while any unfenced batch landing exists") {
     import graft.operators.IvfIndex
     val base = emb.select(col("vec_id"), col("embedding"))
     val inc = base.select(
@@ -621,8 +621,9 @@ class ExtensionSpec extends SparkSpec {
       .toSeq
       .sorted
     assert(flagged.nonEmpty)
-    // repair re-encodes whole cells — it cannot retain the landing's files,
-    // so an unfenced batch in a flagged cell is a loud refusal...
+    // repair re-encodes whole cells and moves centroids — it can neither
+    // retain a landing's files nor leave a replay's re-assignment sound,
+    // so ANY unfenced batch landing is a loud refusal...
     val ex = intercept[IllegalArgumentException] {
       IvfIndex.repairDriftedIndexCells(spark, dir, merged, "vec_id", "embedding", m = 4, flagged)
     }
