@@ -721,6 +721,19 @@ object IvfIndex {
     }
     batchId match {
       case None =>
+        // Structural composition rule: a MANIFEST index accepts only
+        // batch-keyed landings. A plain append writes straight into the
+        // tree, so the touched-cell set is never observed and the commit
+        // ([[commitAdcBatchToManifest]]) would silently degrade to the
+        // full O(nlist) listing — and without a batch key the landing has
+        // no replay-idempotency name for the commit to heal. The rule was
+        // a Scaladoc caveat; this makes it a fence.
+        require(
+          manifestGens.isEmpty,
+          s"appendToAdcIndex: $dir is MANIFEST-committed - a manifest commit needs the landing's " +
+            "touched cells and its replay key, which only a batch-keyed landing observes. Pass " +
+            "batchId = Some(<the ingest batch id>) and commit via commitAdcBatchToManifest.",
+        )
         encoded.write
           .mode("append")
           .partitionBy("centroid_id")
@@ -989,7 +1002,7 @@ object IvfIndex {
   // whose eligible files already match its bins is untouched), and the
   // loud refusal when a batch landing would be rewritten with no
   // watermark. Returns (retained, victims).
-  private def planCodesCompaction(
+  private[graft] def planCodesCompaction(
       op: String,
       before: Seq[(Int, String, Long)],
       targetBytes: Long,
@@ -998,7 +1011,12 @@ object IvfIndex {
     val (retained, eligible) = before.partition { case (_, name, _) =>
       batchIdOfLanding(name).exists(id => minRetainedBatchId.exists(id >= _))
     }
-    require(eligible.nonEmpty, s"$op: every code file is watermark-retained - nothing to compact")
+    // Every file watermark-retained = nothing eligible to bin. That is a
+    // legal nightly-compactor state (an index whose whole tail is still
+    // inside the replay window), so it NO-OPS like any other
+    // nothing-to-bin pass — both compactors commit/rewrite nothing on an
+    // empty victim map.
+    if (eligible.isEmpty) return (retained, Map.empty)
     val binned = eligible
       .groupBy(_._1)
       .toSeq
@@ -1277,10 +1295,22 @@ object IvfIndex {
   // making one small manifest object visible — a single-object PUT on
   // every major store. De-referenced files are swept later by
   // [[cleanupAdcGenerations]], which gives in-flight snapshot readers a
-  // configurable generation grace. Single maintenance writer assumed (the
-  // same serialization every lake manifest design assumes); concurrent
-  // APPENDS are fine — a landing only adds never-referenced files, which
-  // both compaction (manifest census) and cleanup (reference-set math)
+  // configurable generation grace. CONCURRENT WRITERS are detected, not
+  // assumed away: every generation commit names the parent generation it
+  // was built from and re-lists the chain after staging — if another
+  // committer advanced the chain meanwhile (manifest-mode ingest IS a
+  // manifest writer, racing maintenance; or an orchestrator restarting a
+  // "dead" driver whose JVM is still finishing), exactly one commit wins
+  // and the loser refuses LOUDLY with the refs it must re-read
+  // ([[commitAdcGen]]'s expected-parent fence). The same-generation
+  // PUT-overwrite race (object stores silently replace on name collision
+  // where HDFS rename refuses) is closed by a committer token inside the
+  // generation object, verified after the commit move — a loser discovers
+  // the overwrite and refuses instead of believing its vanished world was
+  // published. Losers re-read the latest refs and retry; nothing is ever
+  // silently dropped. Concurrent APPENDS need no fence at all — a landing
+  // only adds never-referenced files, which both compaction (manifest
+  // census) and cleanup (reference-set math)
   // ignore. The two commit modes must not mix: the rename ops census the
   // live TREE and would double-count a manifest index's de-referenced
   // files, so they refuse loudly when `manifest/` exists, and the
@@ -1348,17 +1378,46 @@ object IvfIndex {
   // on an object store the move is a copy whose target object appears
   // atomically (PUT semantics) — the generation becomes visible exactly
   // when the object does, and a crash before that leaves no partial gen.
-  private def commitAdcGen(
+  //
+  // CONCURRENT-COMMITTER GUARD (the module comment's contract), two
+  // independent fences because object stores break two different
+  // assumptions:
+  //  1. EXPECTED-PARENT (the lost-update fence): the caller states which
+  //     generation its refs were READ from; after staging the object we
+  //     re-list the chain and refuse if the head moved — a committer
+  //     that built gen N+1 from gen N-1's refs (maintenance that read
+  //     while ingest committed) would otherwise publish a world with the
+  //     interleaved batch's refs silently dropped, and cleanup would
+  //     later delete that batch's files. The refusal fires BEFORE the
+  //     commit move, so the chain is untouched and the loser just
+  //     re-reads and retries.
+  //  2. COMMITTER TOKEN (the PUT-overwrite fence): `!fs.exists` + rename
+  //     only refuses a same-generation collision where rename refuses
+  //     existing targets — local FS and HDFS, NOT object stores, where
+  //     the second PUT silently replaces the first. Every generation
+  //     object carries one `kind = "committer"` row with a fresh UUID;
+  //     after the move we read the published object back and require OUR
+  //     token — the committer whose object was overwritten sees the
+  //     winner's token and refuses loudly instead of walking away
+  //     believing its world (possibly a different file set for the same
+  //     generation number) is live.
+  // private[graft] so the spec can interleave two committers directly.
+  private[graft] def commitAdcGen(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String,
       gen: Long,
       refs: Seq[AdcRef],
+      expectedParent: Option[Long],
   ): Long = {
     import spark.implicits._
     require(refs.exists(_.kind == "codes"), s"commitAdcGen: refusing to commit a codes-EMPTY generation $gen for $dir")
+    // Strip inherited committer rows (refs built from a previous
+    // generation's rows carry its token) and stamp this commit's own.
+    val token = java.util.UUID.randomUUID().toString
+    val payload = refs.filterNot(_.kind == "committer") :+ AdcRef("committer", -1, token, 0L)
     val scratch = s"$dir/manifest_tmp"
-    refs
+    payload
       .map(r => (r.kind, r.cell, r.name, r.bytes))
       .toDF("kind", "centroid_id", "name", "bytes")
       .coalesce(1)
@@ -1369,12 +1428,45 @@ object IvfIndex {
       .listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     require(parts.length == 1, s"commitAdcGen: expected one manifest part, found ${parts.length}")
+    // Fence 1: the world we built on must still be the chain head. Listed
+    // AFTER the staging write so the check covers the whole read-build
+    // window, not just the caller's entry.
+    val headNow = listAdcGens(fs, dir).lastOption
+    require(
+      headNow == expectedParent,
+      s"commitAdcGen: generation head moved from $expectedParent to $headNow while this commit was " +
+        s"built - a concurrent committer published first (ingest racing maintenance, or a restarted " +
+        s"driver's twin). Committing gen $gen from stale refs would silently drop the interleaved " +
+        "generation's files from the chain. Re-read the latest generation's refs and retry.",
+    )
     fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(dir)))
     val target = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/gen-$gen.parquet")
     require(!fs.exists(target), s"commitAdcGen: generation $gen already exists at $target")
     require(fs.rename(parts.head.getPath, target), s"commitAdcGen: commit move failed for $target")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    // Fence 2: the published object must be OURS (CAS emulation for
+    // stores whose "rename" is a silently-replacing PUT).
+    requireGenCommitWon(spark, dir, gen, token)
     gen
+  }
+
+  // The post-commit read-back of fence 2, separated so the spec can
+  // drive the losing side directly (simulating the object-store PUT
+  // overwrite a local-FS test cannot produce through rename).
+  private[graft] def requireGenCommitWon(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      gen: Long,
+      token: String,
+  ): Unit = {
+    val winners = readAdcManifestRefs(spark, dir, gen).collect { case AdcRef("committer", _, t, _) => t }
+    require(
+      winners == Seq(token),
+      s"commitAdcGen: generation $gen at $dir was committed by ANOTHER writer " +
+        s"(its token ${winners.mkString(",")}, ours $token) - on an object store two drivers' PUTs " +
+        "for the same generation silently last-write-win, and this driver lost: its file set is NOT " +
+        "what readers resolve. Re-read the latest generation's refs and retry as the next generation.",
+    )
   }
 
   /** BOOTSTRAP the manifest: census the live codes tree into generation
@@ -1407,7 +1499,7 @@ object IvfIndex {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => AdcRef("codes", cell, f.getPath.getName, f.getLen))
       }
-    commitAdcGen(spark, fs, dir, 0L, refs :+ AdcRef("centroids", -1, "centroids", 0L))
+    commitAdcGen(spark, fs, dir, 0L, refs :+ AdcRef("centroids", -1, "centroids", 0L), expectedParent = None)
   }
 
   /** Commit a landed batch ([[appendToAdcIndex]] with `batchId`) into the
@@ -1455,7 +1547,7 @@ object IvfIndex {
         .map(f => AdcRef("codes", cell, f.getPath.getName, f.getLen))
     }
     require(landed.nonEmpty, s"commitAdcBatchToManifest: batch $batchId left no files under $codes")
-    commitAdcGen(spark, fs, dir, gens.max + 1, kept ++ landed)
+    commitAdcGen(spark, fs, dir, gens.max + 1, kept ++ landed, expectedParent = Some(gens.max))
   }
 
   /** [[compactAdcIndexCodes]] in MANIFEST mode: the census comes from the
@@ -1532,7 +1624,8 @@ object IvfIndex {
     // nightly compactor must not grow the generation chain.
     if (victims.nonEmpty)
       commitAdcGen(spark, fs, dir, newGen,
-        committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ otherRefs)
+        committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ otherRefs,
+        expectedParent = Some(gens.max))
     // The census (from refs, not the tree): per-cell files/bytes before vs
     // after — the same observability row the rename-mode op returns.
     val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
@@ -1548,13 +1641,20 @@ object IvfIndex {
 
   /** Sweep DE-REFERENCED files: everything some generation older than the
     * retained window referenced that no retained generation references.
-    * Files referenced by NO generation are never touched — they are
-    * either in-flight landings or a crashed rewrite's orphans, and both
-    * have owners. Old generation objects beyond the window are removed
-    * with their files. `keepGens` is the snapshot-reader grace: a reader
-    * that resolved a generation keeps a consistent file set as long as
-    * its generation stays inside the window. Returns the deleted-file
-    * count.
+    * Files referenced by NO generation are spared when they may have an
+    * owner — in-flight landings (`batch<id>-`, no generation to judge
+    * by) and maintenance files whose embedded generation is AHEAD of the
+    * chain head (an op building its commit right now). Maintenance files
+    * whose generation the head has already passed, yet no generation
+    * references, are CRASHED-OP ORPHANS (bins/repair files landed, the
+    * generation object never committed, and the chain moved on — a
+    * re-run lands fresh names and never reclaims them) and are swept
+    * here, the vacuum step every manifest-pointer lake design pairs with
+    * add-only writers. Old generation objects beyond the window are
+    * removed with their files. `keepGens` is the snapshot-reader grace: a
+    * reader that resolved a generation keeps a consistent file set as
+    * long as its generation stays inside the window. Returns the
+    * deleted-file count.
     */
   def cleanupAdcGenerations(
       spark: org.apache.spark.sql.SparkSession,
@@ -1580,7 +1680,6 @@ object IvfIndex {
             (s.getPath.getName.startsWith("codes_append_tmp_b") || s.getPath.getName == "manifest_tmp"))
         .foreach(s => fs.delete(s.getPath, true))
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
-    if (old.isEmpty) return 0L
     val keptAll = kept.flatMap(g => readAdcManifestRefs(spark, dir, g))
     val oldAll = old.flatMap(g => readAdcManifestRefs(spark, dir, g))
     val keptRefs: Set[(Int, String)] = codesRefs(keptAll).map(r => (r._1, r._2)).toSet
@@ -1599,6 +1698,50 @@ object IvfIndex {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
       if (fs.exists(p) && fs.delete(p, true)) deleted += 1
     }
+    // ORPHAN SWEEP — never-referenced files a CRASHED maintenance op left
+    // in live cell dirs (bins/repair files landed, generation object
+    // never committed; or a committer that LOST a commit race and did not
+    // retry). "A re-run supersedes" heals the CONTENT but lands fresh
+    // UUID names, so without this sweep the orphans are permanently
+    // unreclaimable — an unbounded leak on exactly the object-store path
+    // this mode exists for. The discriminator is the embedded generation:
+    // a maintenance file whose gen is at or below the CURRENT head yet
+    // referenced by NO generation on disk lost its commit (the head
+    // passed it), while gen > head may be an op in flight right now —
+    // spared, same rule the never-referenced contract states for
+    // landings. Plain `batch<id>-` landings carry no gen and are never
+    // candidates.
+    val maxGen = gens.max
+    val orphanGen = raw"(?:m(\d+)bin|r(\d+)-).*".r
+    val allRefNames: Set[(Int, String)] = keptRefs ++ codesRefs(oldAll).map(r => (r._1, r._2))
+    fs.listStatus(new org.apache.hadoop.fs.Path(codes))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .foreach { d =>
+        val cell = d.getPath.getName.stripPrefix("centroid_id=").toInt
+        fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
+          val name = f.getPath.getName
+          val g = name match {
+            case orphanGen(mg, rg) => Option(mg).orElse(Option(rg)).map(_.toLong)
+            case _ => None
+          }
+          if (g.exists(_ <= maxGen) && !allRefNames((cell, name)) && fs.delete(f.getPath, false))
+            deleted += 1
+        }
+      }
+    // Same sweep for a crashed repair's never-referenced centroids
+    // version (its deterministic name only self-supersedes when NO other
+    // commit interleaved before the re-run).
+    val orphanCents = raw"centroids_g(\d+)".r
+    val refCents = (keptAll ++ oldAll).collect { case AdcRef("centroids", _, n, _) => n }.toSet
+    fs.listStatus(dirPath)
+      .filter(_.isDirectory)
+      .foreach { d =>
+        d.getPath.getName match {
+          case orphanCents(g) if g.toLong <= maxGen && !refCents(d.getPath.getName) =>
+            if (fs.delete(d.getPath, true)) deleted += 1
+          case _ => ()
+        }
+      }
     old.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/gen-$g.parquet"), false))
     deleted
   }
@@ -1718,7 +1861,7 @@ object IvfIndex {
     val committed = refs.filterNot(r =>
       (r.kind == "codes" && flaggedSet.contains(r.cell)) || r.kind == "centroids"
     ) ++ newCodeRefs :+ AdcRef("centroids", -1, centsName, 0L)
-    commitAdcGen(spark, fs, dir, newGen, committed)
+    commitAdcGen(spark, fs, dir, newGen, committed, expectedParent = Some(gens.max))
     repairCensus(members, newCents, centroids)
   }
 

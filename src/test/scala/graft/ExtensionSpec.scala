@@ -599,6 +599,116 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir2))
   }
 
+  test("commitAdcGen: a stale-parent committer refuses loudly; a PUT-overwritten commit is detected") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_commitguard").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val refs = Seq(IvfIndex.AdcRef("codes", 0, "part-spec.parquet", 1L))
+    IvfIndex.commitAdcGen(spark, fs, dir, 0L, refs, expectedParent = None)
+    IvfIndex.commitAdcGen(spark, fs, dir, 1L, refs, expectedParent = Some(0L))
+    // the LOST-UPDATE interleaving: maintenance read gen 0's refs, ingest
+    // committed gen 1 meanwhile — publishing gen 2 from gen-0 refs would
+    // silently drop gen 1's files from the chain, so the commit refuses
+    // BEFORE touching the chain
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.commitAdcGen(spark, fs, dir, 2L, refs, expectedParent = Some(0L))
+    }
+    assert(ex.getMessage.contains("head moved"), ex.getMessage)
+    assert(IvfIndex.listAdcGens(fs, dir) == Seq(0L, 1L), "a refused commit must leave the chain untouched")
+    // the restarted-driver twin racing for the SAME generation: the loser
+    // sees the head moved past its parent — refused, chain untouched
+    val ex2 = intercept[IllegalArgumentException] {
+      IvfIndex.commitAdcGen(spark, fs, dir, 1L, refs, expectedParent = Some(0L))
+    }
+    assert(ex2.getMessage.contains("head moved"), ex2.getMessage)
+    assert(IvfIndex.listAdcGens(fs, dir) == Seq(0L, 1L))
+    // the PUT-overwrite fence (fence 2): on an object store both twins can
+    // pass fence 1 and PUT gen-N, last write silently winning — the
+    // read-back must then tell the loser its world is NOT what readers
+    // resolve (simulated by verifying gen 1 against a token that is not
+    // the winner's)
+    val ex3 = intercept[IllegalArgumentException] {
+      IvfIndex.requireGenCommitWon(spark, dir, 1L, "not-the-winning-token")
+    }
+    assert(ex3.getMessage.contains("ANOTHER writer"), ex3.getMessage)
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
+  test("planCodesCompaction: a fully watermark-retained census is a no-op, not a failure") {
+    import graft.operators.IvfIndex
+    // the nightly-compactor edge: every code file is a batch landing at or
+    // above the watermark — nothing eligible to bin must mean "no victims"
+    // (both compactors then rewrite/commit NOTHING), never an exception
+    val before = Seq((0, "batch5-a.parquet", 10L), (1, "batch6-b.parquet", 10L))
+    val (retained, victims) = IvfIndex.planCodesCompaction("spec", before, targetBytes = 1L, Some(5L))
+    assert(victims.isEmpty, "all-retained must select no victims")
+    assert(retained == before, "every file stays retained under its replay name")
+  }
+
+  test("appendToAdcIndex: refuses a plain (non-batch-keyed) append into a manifest index") {
+    import graft.operators.IvfIndex
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_mplain").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.writeAdcManifest(spark, dir)
+    val inc = base.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    // a plain append never observes its touched cells or carries a replay
+    // key, so a later manifest commit would silently degrade to the full
+    // O(nlist) listing — the composition rule is a fence, not a caveat
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4)
+    }
+    assert(ex.getMessage.contains("batch-keyed"), ex.getMessage)
+    // and the batch-keyed landing is accepted as before
+    val cells = IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(0L))
+    assert(cells.nonEmpty)
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
+  test("cleanupAdcGenerations: sweeps crashed-op orphans the chain passed, spares in-flight gens") {
+    import graft.operators.IvfIndex
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val inc = base.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_orphans").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.writeAdcManifest(spark, dir) // gen 0
+    val cells = IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(0L))
+    IvfIndex.commitAdcBatchToManifest(spark, dir, 0L, Some(cells)) // gen 1 = the head
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val cellDir = s"$dir/codes/centroid_id=${cells.head}"
+    // a compaction that built gen 1 but LOST the commit race (or crashed
+    // before its commit) left bins behind; the head passed gen 1, no
+    // generation references them — permanently unreclaimable before the
+    // orphan sweep
+    fs.create(new org.apache.hadoop.fs.Path(s"$cellDir/m1bin0-orphan.parquet")).close()
+    // a maintenance op building gen 2 RIGHT NOW (head is 1): must be spared
+    fs.create(new org.apache.hadoop.fs.Path(s"$cellDir/r2-inflight.parquet")).close()
+    // same pair for a repair's centroids version
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/centroids_g1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/centroids_g2"))
+    val queries = inc.filter(col("vec_id") % 50 === 0)
+    def serve() = IvfIndex
+      .adcTopKFromSnapshot(spark, dir, base.unionAll(inc), queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    val beforeServe = serve()
+    // keepGens covers the whole chain: no generation dies, ONLY orphans do
+    val deleted = IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 2)
+    assert(deleted == 2L, s"exactly the two passed-gen orphans die: $deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$cellDir/m1bin0-orphan.parquet")), "passed-gen bin orphan swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$cellDir/r2-inflight.parquet")), "ahead-of-head file spared")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_g1")), "passed-gen centroids orphan swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_g2")), "ahead-of-head centroids spared")
+    assert(serve() == beforeServe, "the orphan sweep must not change what the head generation serves")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("repairDriftedIndexCells: refuses while any unfenced batch landing exists") {
     import graft.operators.IvfIndex
     val base = emb.select(col("vec_id"), col("embedding"))
