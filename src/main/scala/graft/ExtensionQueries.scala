@@ -1282,6 +1282,31 @@ object ExtensionQueries {
         FROM adcfinal ORDER BY query_id, rank"""
   }
 
+  /** The index-append workflow mirror (q124, and q279's durability twin):
+    * the oracle can't see the append/compaction/replay round-trips —
+    * that's the point: build(b<5) + append(5<=b<8) (q124), or the same
+    * content landed as two BATCH-KEYED appends, watermark-compacted and
+    * replayed after the compaction (q279), must behave exactly like one
+    * index over b<8.
+    */
+  private def sqlIndexAppendOracle: String =
+    s"""WITH ${sqlLshPairs("documents", 0.8)},
+            d AS (SELECT doc_id, ${sqlHash64("'upd:' || text")} % 10 AS bkt,
+                         ${sqlHash64("text")} AS h FROM documents),
+            ex AS (SELECT * FROM d WHERE bkt < 8),
+            inc AS (SELECT * FROM d WHERE bkt >= 8),
+            cp AS (SELECT p.id_a, p.id_b, da.bkt AS ba, db.bkt AS bb
+                   FROM lshp p JOIN d da ON p.id_a = da.doc_id
+                               JOIN d db ON p.id_b = db.doc_id),
+            dropn AS (SELECT id_a AS doc_id FROM cp WHERE ba >= 8 AND bb < 8
+                      UNION SELECT id_b FROM cp WHERE bb >= 8 AND ba < 8),
+            drope AS (SELECT i.doc_id FROM inc i
+                      JOIN (SELECT DISTINCT h FROM ex) e ON i.h = e.h)
+          SELECT doc_id FROM inc
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
+            AND doc_id NOT IN (SELECT doc_id FROM drope)
+          ORDER BY doc_id"""
+
   /** The TRAINED-residual operating-curve mirror (q272): the q263 grid
     * re-run with every arm RESIDUAL — one shared residual table off the
     * trained coarse assignment, three residual PQ chains (code sizes 4 /
@@ -4497,11 +4522,17 @@ object ExtensionQueries {
       // checkpoint committed past batch 0 only: batch 1 may still replay,
       // so compaction bins batch 0 and retains batch 1 under its names
       IvfIndex.compactAdcIndexCodes(s, dir, targetBytes = 128L << 20, minRetainedBatchId = Some(1L))
-      def landingFiles(prefix: String): Int =
-        new java.io.File(s"$dir/codes").listFiles().toSeq
-          .filter(_.getName.startsWith("centroid_id="))
-          .flatMap(_.listFiles().toSeq)
-          .count(_.getName.startsWith(prefix))
+      // Hadoop FS, not java.io.File: the one abstraction every filesystem
+      // touch in the repo goes through, so this gate would survive
+      // pointing the same query at an object store.
+      def landingFiles(prefix: String): Int = {
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+          .toSeq
+          .filter(c => c.isDirectory && c.getPath.getName.startsWith("centroid_id="))
+          .flatMap(c => fs.listStatus(c.getPath).toSeq)
+          .count(f => f.isFile && f.getPath.getName.startsWith(prefix))
+      }
       // loud fixture gates: the watermark must have split the batches
       require(landingFiles("batch0-") == 0, "q273: the fenced batch 0 landing must have been binned")
       require(landingFiles("batch1-") > 0, "q273: the retained batch 1 landing must keep its replay names")
@@ -4623,6 +4654,82 @@ object ExtensionQueries {
         .adcTopKFromSnapshot(s, dir, merged, queriesDf, "vec_id", "embedding",
           m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- The MANIFEST protocol at the TRAINED operating point: q270's
+    //      content (sampled-Lloyd coarse quantizer, two frozen batch
+    //      appends, compaction) through q275's commit protocol — the
+    //      production combination (q275–q277 pin the protocol at the
+    //      iters=0 floor only). Every generation commit is metadata, so
+    //      content = q270's exactly: its oracle verbatim ----
+    "q278_trained_manifest_lifecycle" -> ((s, d) => {
+      val emb       = t(s, d, "embeddings")
+      val base      = emb.filter(col("vec_id") % 2 === 0)
+      val inc1      = emb.filter(col("vec_id") % 4 === 1)
+      val inc2      = emb.filter(col("vec_id") % 4 === 3)
+      val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+      val centroids = graft.operators.Lineage.truncate(
+        IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = TrainedIters,
+          sampleFraction = TrainedSampleMicro / 1e6)
+      )
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_mtrained").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.writeAdcManifest(s, dir) // gen 0: the base snapshot
+      val c1 = IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM,
+        batchId = Some(0L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 0L, Some(c1)) // gen 1
+      val c2 = IvfIndex.appendToAdcIndex(s, dir, inc2, "vec_id", "embedding", m = PqM,
+        batchId = Some(1L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 1L, Some(c2)) // gen 2
+      // checkpoint committed past both batches -> everything compactable
+      IvfIndex.compactAdcIndexCodesManifest(s, dir, targetBytes = 128L << 20,
+        minRetainedBatchId = Some(2L)) // gen 3
+      require(IvfIndex.cleanupAdcGenerations(s, dir, keepGens = 1) > 0L,
+        "q278: the compaction must have de-referenced the pre-bin files")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromSnapshot(s, dir, emb, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- The dedup index under the SAME durability protocol the ANN
+    //      index proved (q273's shape on the repo's other persisted
+    //      artifact): q124's content landed as two BATCH-KEYED appends,
+    //      compaction fencing batch 0 (committed) while RETAINING batch 1
+    //      under its replay names, and batch 1 REPLAYED after the
+    //      compaction — the crash-between-append-and-checkpoint scenario.
+    //      Every hop is hash-invisible: q124's oracle verbatim ----
+    "q279_dedup_index_replay" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_wm")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 7), "doc_id", "text"), path, batchId = Some(0L))
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b === 7), "doc_id", "text"), path, batchId = Some(1L))
+      // checkpoint committed past batch 0 only: compaction bins the base
+      // files + batch 0, retains batch 1 under its replay names
+      Dedup.compactDedupIndex(s, path, targetFiles = 1, minRetainedBatchId = Some(1L))
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      def landings(prefix: String): Int =
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .count(f => f.isFile && f.getPath.getName.startsWith(prefix))
+      // loud fixture gates: the watermark must have split the batches
+      require(landings("batch0-") == 0, "q279: the fenced batch 0 landing must have been compacted")
+      require(landings("batch1-") > 0, "q279: the retained batch 1 landing must keep its replay names")
+      val rowsBeforeReplay = s.read.parquet(path).count()
+      // the crash-recovery replay AFTER compaction — only legal because
+      // the watermark kept the batch's files under their replay names
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b === 7), "doc_id", "text"), path, batchId = Some(1L))
+      require(s.read.parquet(path).count() == rowsBeforeReplay,
+        "q279: a replay after watermarked compaction must not double its rows")
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndex(s, path), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
@@ -5935,24 +6042,11 @@ object ExtensionQueries {
           ORDER BY k.doc_id"""
     },
     // The oracle can't see the append — the point: build(b<5) + append
-    // (5<=b<8) must behave exactly like one index over b<8.
-    "q124_index_append" ->
-      s"""WITH ${sqlLshPairs("documents", 0.8)},
-            d AS (SELECT doc_id, ${sqlHash64("'upd:' || text")} % 10 AS bkt,
-                         ${sqlHash64("text")} AS h FROM documents),
-            ex AS (SELECT * FROM d WHERE bkt < 8),
-            inc AS (SELECT * FROM d WHERE bkt >= 8),
-            cp AS (SELECT p.id_a, p.id_b, da.bkt AS ba, db.bkt AS bb
-                   FROM lshp p JOIN d da ON p.id_a = da.doc_id
-                               JOIN d db ON p.id_b = db.doc_id),
-            dropn AS (SELECT id_a AS doc_id FROM cp WHERE ba >= 8 AND bb < 8
-                      UNION SELECT id_b FROM cp WHERE bb >= 8 AND ba < 8),
-            drope AS (SELECT i.doc_id FROM inc i
-                      JOIN (SELECT DISTINCT h FROM ex) e ON i.h = e.h)
-          SELECT doc_id FROM inc
-          WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
-            AND doc_id NOT IN (SELECT doc_id FROM drope)
-          ORDER BY doc_id""",
+    // (5<=b<8) must behave exactly like one index over b<8. Shared
+    // VERBATIM by q279 (batch-keyed landings + watermarked compaction +
+    // post-compaction replay): every durability hop is hash-invisible.
+    "q124_index_append" -> sqlIndexAppendOracle,
+    "q279_dedup_index_replay" -> sqlIndexAppendOracle,
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,
@@ -8179,6 +8273,9 @@ object ExtensionQueries {
     // replay names, batch 0 binned) and the post-compaction replay of the
     // retained batch are storage-level only — content never moves.
     "q273_watermarked_compaction" -> sqlAdcTrainedLifecycleOracle,
+    // the manifest protocol at the TRAINED operating point (q278): every
+    // generation-commit hop is hash-invisible, so q270's oracle verbatim
+    "q278_trained_manifest_lifecycle" -> sqlAdcTrainedLifecycleOracle,
     // The drift-repair contract: gate -> flagged cells -> member-mean
     // re-center -> frozen-codebook re-encode of flagged cells only ->
     // serve against the repaired centroids, regenerated end to end.

@@ -229,13 +229,16 @@ object ScaleBench {
       val inc = spark.read
         .parquet(s"$tmp/embeddings_1")
         .withColumn("vec_id", col("vec_id") + lit(10000000L))
-      val (tApp, nInc) = time {
+      // The increment row count is observability for the report lines, not
+      // part of any lifecycle op — counted once OUTSIDE every timed block
+      // so the append/commit rows measure only the op they claim to.
+      val incRows = inc.count()
+      val (tApp, _) = time {
         operators.IvfIndex.appendToAdcIndex(spark, idxDir, inc, "vec_id", "embedding", m = 4)
         operators.IvfIndex.appendToAdcIndex(
           spark, idxDir, inc.withColumn("vec_id", col("vec_id") + lit(10000000L)), "vec_id", "embedding", m = 4)
-        inc.count() * 2
       }
-      report("ann_index_append_x2", f, tApp, nInc)
+      report("ann_index_append_x2", f, tApp, incRows * 2)
       val (tComp, filesBA) = time {
         val c = operators.IvfIndex
           .compactAdcIndexCodes(spark, idxDir, targetBytes = 128L << 20)
@@ -258,13 +261,12 @@ object ScaleBench {
       operators.IvfIndex.saveAdcIndex(emb, "vec_id", "embedding", centroids,
         m = 4, subDim = 16, pqNlist = 8, pqIters = 2, dir = mDir)
       operators.IvfIndex.writeAdcManifest(spark, mDir)
-      val (tCommit, nIncM) = time {
+      val (tCommit, _) = time {
         val cells = operators.IvfIndex.appendToAdcIndex(spark, mDir, inc, "vec_id", "embedding",
           m = 4, batchId = Some(0L))
         operators.IvfIndex.commitAdcBatchToManifest(spark, mDir, 0L, Some(cells))
-        inc.count()
       }
-      report("ann_manifest_batch_commit", f, tCommit, nIncM)
+      report("ann_manifest_batch_commit", f, tCommit, incRows)
       val (tMComp, mFilesBA) = time {
         val c = operators.IvfIndex
           .compactAdcIndexCodesManifest(spark, mDir, targetBytes = 128L << 20, minRetainedBatchId = Some(1L))
@@ -397,8 +399,13 @@ object ScaleBench {
         adiff == 0,
         s"adaptive CC labeling diverged from label-prop at factor $f: $adiff rows differ (branch=$branch)",
       )
+      // "escaped" = the label-prop branch blew its rounds budget and the
+      // dispatch fell through to star (the structure-not-size bound the
+      // cc family exists to watch) — expected false at every factor here;
+      // a true is the report that a tiling's diameter outgrew the budget.
       println(
-        s"""{"op":"cc_adaptive","factor":$f,"sec":${math.round(ta * 1000) / 1000.0},"edges":$nPairs,"branch":"$branch"}"""
+        s"""{"op":"cc_adaptive","factor":$f,"sec":${math.round(ta * 1000) / 1000.0},"edges":$nPairs,""" +
+          s""""branch":"$branch","escaped":${operators.Dedup.lastAdaptiveEscaped}}"""
       )
     }
 

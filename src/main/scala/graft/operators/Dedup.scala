@@ -695,15 +695,46 @@ object Dedup {
     * edge set is materialized once (lazy checkpoint forced by the count)
     * and the chosen variant re-reads that checkpoint, so the dispatch adds
     * one count on data the iteration needed materialized anyway.
+    *
+    * SIZE is not the only thing that can make min-label the wrong pick:
+    * its round count is the component DIAMETER, invisible to an edge
+    * count (ScaleBench's 16× tiling converges in more rounds than its
+    * 32× — structure, not size, dominated the wall clock). So the
+    * label-prop branch runs under `labelRoundsBudget`: a graph that has
+    * not converged within the budget is a long-diameter graph on the
+    * wrong algorithm, and the dispatch ESCAPES to star contraction —
+    * immune to diameter, correct from the same materialized edges (both
+    * variants contract to comp = min id, so the escape is
+    * plan-level, hash-invisible) — with a loud stderr report of the
+    * abandoned rounds. The budget defaults well above the measured
+    * near-dup regime (2–4 rounds) so real corpora never pay the
+    * abandoned work; the escape exists for the chain-shaped tail.
     */
+  // Test-only observability: did the last adaptive dispatch escape its
+  // label-prop rounds budget? (the OpsSpec escape case pins the path)
+  private[graft] var lastAdaptiveEscaped: Boolean = false
+
   def connectedComponentsAdaptive(
       edges: DataFrame,
       starThreshold: Long = 20000000L,
       reliable: Boolean = false,
+      labelRoundsBudget: Int = 12,
   ): DataFrame = {
+    require(labelRoundsBudget >= 1, s"connectedComponentsAdaptive: labelRoundsBudget must be >= 1: $labelRoundsBudget")
     val mat = truncateLineage(edges.select(col("src"), col("dst")), reliable)
+    lastAdaptiveEscaped = false
     if (mat.count() >= starThreshold) connectedComponentsStar(mat, reliable = reliable)
-    else connectedComponents(mat, reliable = reliable)
+    else
+      try connectedComponents(mat, maxRounds = labelRoundsBudget, reliable = reliable)
+      catch {
+        case e: IllegalStateException if e.getMessage.contains("did not converge") =>
+          lastAdaptiveEscaped = true
+          System.err.println(
+            s"[graft] connectedComponentsAdaptive: label propagation blew its $labelRoundsBudget-round " +
+              s"budget below the $starThreshold-edge threshold (long-diameter graph - rounds, not rows) - " +
+              "escaping to star contraction on the same materialized edges.")
+          connectedComponentsStar(mat, reliable = reliable)
+      }
   }
 
   def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame =
@@ -1165,17 +1196,61 @@ object Dedup {
     * back as NULLs — silently excluded from the near-dup path (silent
     * under-dedup, the worst failure mode an index can have).
     *
+    * `batchId` opts into the REPLAY-IDEMPOTENT landing (pass the
+    * foreachBatch batch id): the increment stages to scratch, any prior
+    * landing of the same batch is swept, and the files land under
+    * `batch<id>-` names — so a checkpoint replay (crash between the
+    * landing and the checkpoint commit) converges to the identical final
+    * state instead of silently doubling the batch's signatures, which
+    * under-dedups nothing but makes every later near-dup verify pay the
+    * duplicate candidates. A streaming writer MUST pass it; the plain
+    * append remains for one-shot batch jobs with no replay semantics.
+    *
     * Append forever and the index degrades to file-listing-bound loads:
-    * run [[compactDedupIndex]] on the cadence the batch count dictates.
+    * run [[compactDedupIndex]] on the cadence the batch count dictates
+    * (with the watermark when batch landings exist).
     */
-  def appendDedupIndex(index: DataFrame, path: String): Unit = {
+  def appendDedupIndex(index: DataFrame, path: String, batchId: Option[Long] = None): Unit = {
     val k = index.columns.count(_.startsWith("mh"))
     requireIndexColumns(s"appendDedupIndex: incoming frame for $path", index.columns.toSeq, k)
     val stored =
       try Some(index.sparkSession.read.parquet(path).columns.toSeq)
       catch { case _: org.apache.spark.sql.AnalysisException => None } // first write: append creates
     stored.foreach(requireIndexColumns(s"appendDedupIndex: stored index at $path", _, k))
-    index.write.mode("append").parquet(path)
+    batchId match {
+      case None =>
+        index.write.mode("append").parquet(path)
+      case Some(b) =>
+        // BATCH-KEYED landing — the replay-idempotency protocol the ANN
+        // index proved ([[graft.operators.IvfIndex.appendToAdcIndex]]),
+        // ported because this is the repo's other durable artifact and a
+        // foreachBatch writer replaying a plain append would double its
+        // rows silently. The increment stages to a sibling scratch, any
+        // PRIOR landing of this same batch is swept (a crash mid-landing
+        // or a checkpoint replay re-delivers identical rows — the
+        // foreachBatch contract), and the parts land under
+        // `batch<id>-<part>` names so the landing is detectable,
+        // sweepable, and retainable by name. The index is one flat dir,
+        // so the sweep is a single directory listing — no O(cells) bound
+        // to manage.
+        val spark = index.sparkSession
+        val live = new org.apache.hadoop.fs.Path(path)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val scratch = new org.apache.hadoop.fs.Path(s"$path.append_tmp_b$b")
+        index.write.mode("overwrite").parquet(scratch.toString)
+        if (fs.exists(live))
+          fs.listStatus(live)
+            .filter(f => f.isFile && f.getPath.getName.startsWith(s"batch$b-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        fs.mkdirs(live)
+        fs.listStatus(scratch)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val target = new org.apache.hadoop.fs.Path(live, s"batch$b-${f.getPath.getName}")
+            require(fs.rename(f.getPath, target), s"appendDedupIndex: landing rename failed for $target")
+          }
+        fs.delete(scratch, true): Unit
+    }
   }
 
   /** Load a persisted dedup index, failing loudly on a schema mismatch
@@ -1199,22 +1274,87 @@ object Dedup {
     * index (fixed-width longs, no text), amortized over the batches since
     * the last one.
     *
+    * Replay-idempotency watermark (`minRetainedBatchId`, same protocol
+    * the ANN index pins in q273): batch-keyed landings at or above the
+    * watermark keep their `batch<id>-` replay names (neither rewritten
+    * nor scanned), batches below it are checkpoint-committed and
+    * compacted; rewriting a batch landing with NO watermark is a loud
+    * refusal. An all-retained census is a legal nightly state and
+    * no-ops.
+    *
     * Swap discipline: the compacted copy is fully written to a sibling tmp
     * dir BEFORE any rename; the old index is moved aside, the tmp renamed
     * in, and the old copy deleted only after — on a failed second rename
     * the original is restored, so no failure mode leaves the path empty.
     * (Directory rename is atomic on HDFS and POSIX; on object stores it is
     * copy-based — run compaction from a single writer there, which a
-    * standing pipeline's end-of-batch step already is.)
+    * standing pipeline's end-of-batch step already is, or port the
+    * manifest-commit mode the ANN index implements for exactly this:
+    * [[graft.operators.IvfIndex.compactAdcIndexCodesManifest]] is the
+    * reference shape — add-only writers, one generation object per
+    * commit, reference-set cleanup.)
     */
-  def compactDedupIndex(spark: SparkSession, path: String, k: Int = 8, targetFiles: Int = 8): Unit = {
+  def compactDedupIndex(
+      spark: SparkSession,
+      path: String,
+      k: Int = 8,
+      targetFiles: Int = 8,
+      minRetainedBatchId: Option[Long] = None,
+  ): Unit = {
     require(targetFiles >= 1, s"compactDedupIndex: targetFiles must be >= 1: $targetFiles")
-    val idx = loadDedupIndex(spark, path, k)
-    val tmp = path + ".compacting"
-    val bak = path + ".precompact"
-    idx.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val names = fs
+      .listStatus(hp(path))
+      .toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+      .sorted
+    require(names.nonEmpty, s"compactDedupIndex: no parquet files under $path")
+    // The replay-idempotency watermark, same semantics the ANN-index
+    // compactor pins (q273): batch landings at or above the watermark are
+    // RETAINED under their replay names (a replay must find and supersede
+    // its own files — rewriting them would turn the replay into silent
+    // double rows), batches below it are checkpoint-committed and
+    // compactable. Rewriting any batch landing with NO watermark is a
+    // loud refusal, not a Scaladoc caveat.
+    val (retained, eligible) = names.partition(n =>
+      IvfIndex.batchIdOfLanding(n).exists(id => minRetainedBatchId.exists(id >= _)))
+    if (minRetainedBatchId.isEmpty) {
+      val unfenced = eligible.flatMap(IvfIndex.batchIdOfLanding).distinct.sorted
+      require(
+        unfenced.isEmpty,
+        s"compactDedupIndex: about to rewrite batch landings that may still replay (batchId): " +
+          s"${unfenced.mkString(", ")} - binning them drops the batch<id>- file names their " +
+          "replay-idempotency keys on. Pass minRetainedBatchId = Some(w) (the ingest checkpoint's " +
+          "committed offset), or Some(maxBatchId + 1) when every batch is known committed.",
+      )
+    }
+    // Every file watermark-retained: a legal nightly state — no-op.
+    if (eligible.isEmpty) return
+    val eligibleFiles = eligible.map(n => s"$path/$n")
+    val idx = spark.read.parquet(eligibleFiles: _*)
+    requireIndexColumns(s"compactDedupIndex: $path", idx.columns.toSeq, k)
+    val tmp = path + ".compacting"
+    val bak = path + ".precompact"
+    idx.select(indexColumns(k).map(col): _*).coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+    val inRows = spark.read.parquet(eligibleFiles: _*).count()
+    val outRows = spark.read.parquet(tmp).count()
+    require(
+      outRows == inRows,
+      s"compactDedupIndex: rewrite row count $outRows != input $inRows - " +
+        "aborting before the swap; the index is untouched.",
+    )
+    // Retained landings carry into the replacement UNDER THEIR REPLAY
+    // NAMES — copied, not renamed: the live dir must stay complete until
+    // the swap (a failed swap restores it whole).
+    retained.foreach { n =>
+      require(
+        org.apache.hadoop.fs.FileUtil.copy(fs, hp(s"$path/$n"), fs, hp(s"$tmp/$n"), false,
+          spark.sparkContext.hadoopConfiguration),
+        s"compactDedupIndex: retained-landing copy failed for $path/$n",
+      )
+    }
     fs.delete(hp(bak), true)
     if (!fs.rename(hp(path), hp(bak)))
       throw new IllegalStateException(s"compactDedupIndex: could not move $path aside to $bak")

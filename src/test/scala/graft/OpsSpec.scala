@@ -195,4 +195,62 @@ class OpsSpec extends SparkSpec {
     val siblings = Option(new java.io.File(dir).getParentFile.listFiles()).get.map(_.getName).toSet
     assert(!siblings.exists(n => n.contains("compacting") || n.contains("precompact")), siblings.toString)
   }
+
+  test("dedup index batch landings: replay converges, watermark splits compaction, unfenced refusal") {
+    import graft.operators.Dedup
+    val docs = (1L to 40L).map(i => (i, s"document number $i with shared filler words")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_dedup_batch").resolve("index").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 20), "doc_id", "text"), dir)
+    val b0 = Dedup.buildDedupIndex(docs.filter($"doc_id" > 20 && $"doc_id" <= 30), "doc_id", "text")
+    val b1 = Dedup.buildDedupIndex(docs.filter($"doc_id" > 30), "doc_id", "text")
+    Dedup.appendDedupIndex(b0, dir, batchId = Some(0L))
+    Dedup.appendDedupIndex(b1, dir, batchId = Some(1L))
+    val full = Dedup.loadDedupIndex(spark, dir).collect().toSet
+    assert(full.size == 40, s"40 docs indexed, got ${full.size}")
+    // a replayed landing (crash between landing and checkpoint commit)
+    // converges to the identical state — never double rows
+    Dedup.appendDedupIndex(b1, dir, batchId = Some(1L))
+    assert(Dedup.loadDedupIndex(spark, dir).collect().toSet == full)
+    assert(Dedup.loadDedupIndex(spark, dir).count() == 40L)
+    // rewriting batch landings with NO watermark is a loud refusal
+    val e = intercept[IllegalArgumentException](Dedup.compactDedupIndex(spark, dir, targetFiles = 1))
+    assert(e.getMessage.contains("minRetainedBatchId"), e.getMessage)
+    // the watermark splits: batch 0 (checkpoint-committed) compacts,
+    // batch 1 keeps its replay names
+    Dedup.compactDedupIndex(spark, dir, targetFiles = 1, minRetainedBatchId = Some(1L))
+    def files(prefix: String) =
+      Option(new java.io.File(dir).listFiles()).get.count(_.getName.startsWith(prefix))
+    assert(files("batch0-") == 0, "the fenced batch 0 landing must have been compacted")
+    assert(files("batch1-") > 0, "the retained batch 1 landing must keep its replay names")
+    assert(Dedup.loadDedupIndex(spark, dir).collect().toSet == full, "compaction is content-lossless")
+    // the crash-recovery replay AFTER compaction still converges
+    Dedup.appendDedupIndex(b1, dir, batchId = Some(1L))
+    assert(Dedup.loadDedupIndex(spark, dir).collect().toSet == full)
+    // an ALL-retained index is a legal nightly state: the compactor no-ops
+    val dir2 = Files.createTempDirectory("graft_dedup_batch2").resolve("index").toString
+    Dedup.appendDedupIndex(b0, dir2, batchId = Some(5L))
+    val pre2 = Dedup.loadDedupIndex(spark, dir2).collect().toSet
+    Dedup.compactDedupIndex(spark, dir2, targetFiles = 1, minRetainedBatchId = Some(5L))
+    assert(Dedup.loadDedupIndex(spark, dir2).collect().toSet == pre2)
+    assert(files("batch1-") > 0 && Option(new java.io.File(dir2).listFiles()).get
+      .count(_.getName.startsWith("batch5-")) > 0, "a no-op pass must leave the retained landing untouched")
+  }
+
+  test("connectedComponentsAdaptive: a long-diameter graph escapes the rounds budget to star") {
+    import graft.operators.Dedup
+    // a 64-node path: diameter 63 — min-label propagation moves the min
+    // one hop per round, so a 4-round budget must trip the escape
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Dedup.connectedComponentsAdaptive(chain, labelRoundsBudget = 4)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Dedup.lastAdaptiveEscaped, "the 4-round budget must trip on a diameter-63 path")
+    assert(got == (0L to 63L).map(i => (i, 0L)).toSet,
+      "the star escape must still label the whole chain comp = min id")
+    // the dense near-dup regime (diameter 2) never escapes under the default
+    val dense = (1L to 20L).map(i => (0L, i)).toDF("src", "dst")
+    val out2 = Dedup.connectedComponentsAdaptive(dense)
+    val got2 = out2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!Dedup.lastAdaptiveEscaped, "a star graph converges inside the default budget")
+    assert(got2 == (0L to 20L).map(i => (i, 0L)).toSet)
+  }
 }
