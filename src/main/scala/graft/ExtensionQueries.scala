@@ -4732,6 +4732,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Streaming ingest into the DEDUP index (q262's transport on
+    //      q279's landing protocol): accepted docs stream in, each
+    //      microbatch signs itself and lands batch-keyed into the
+    //      persisted signature index — the standing pipeline's
+    //      end-of-batch step as a stream, replay-idempotent by the
+    //      batch<id>- contract. Content = q124's build+append, oracle
+    //      verbatim: the streaming transport is hash-invisible ----
+    "q280_dedup_stream_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_stream")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      EventStream.dedupIndexIngestOneShot(s, docs.filter(b >= 5 && b < 8), path,
+        "doc_id", "text", "graft_q280")
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndex(s, path), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -6047,6 +6066,7 @@ object ExtensionQueries {
     // post-compaction replay): every durability hop is hash-invisible.
     "q124_index_append" -> sqlIndexAppendOracle,
     "q279_dedup_index_replay" -> sqlIndexAppendOracle,
+    "q280_dedup_stream_ingest" -> sqlIndexAppendOracle,
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

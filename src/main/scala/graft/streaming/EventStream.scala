@@ -1051,6 +1051,55 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Continuous dedup-index ingest — the streaming half of the
+    * [[graft.operators.Dedup.appendDedupIndex]] workflow, the end-of-batch
+    * step of a standing dedup pipeline run as a stream: accepted docs
+    * arrive, each microbatch signs ITSELF
+    * ([[graft.operators.Dedup.buildDedupIndex]] — one map-only
+    * projection, no state, no watermark) and lands BATCH-KEYED into the
+    * persisted index, so the next batch dedups against it too.
+    *
+    * Delivery is EXACTLY-ONCE-EFFECTIVE by the same contract as
+    * [[indexIngestOneShot]]: the landing names its files `batch<id>-…`
+    * and sweeps its own prior landing first, so a microbatch replayed
+    * after a crash-between-landing-and-checkpoint re-lands the identical
+    * final state instead of silently doubling its signatures (doubled
+    * signatures never under-dedup, but every later near-dup verify pays
+    * the duplicate candidates). The idempotency window ends at
+    * [[graft.operators.Dedup.compactDedupIndex]], which takes the
+    * checkpoint's committed offset as its `minRetainedBatchId` watermark
+    * and refuses loudly to rewrite a landing the checkpoint has not
+    * committed past. An empty microbatch lands nothing — a zero-row
+    * source delivery is a no-op, not a stray empty file. Restartability
+    * needs a DURABLE `checkpointDir`; the default temp one dies with the
+    * session.
+    */
+  def dedupIndexIngestOneShot(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      queryName: String,
+      k: Int = 8,
+      checkpointDir: Option[String] = None,
+  ): Unit = {
+    val stream = spark.readStream.schema(docs.schema).parquet(writeTemp(docs, queryName))
+    val writer = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup.appendDedupIndex(
+            graft.operators.Dedup.buildDedupIndex(batch.toDF(), idCol, textCol, k),
+            indexPath,
+            batchId = Some(bid),
+          )
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+    q.awaitTermination()
+  }
+
   def statelessOneShot(
       spark: SparkSession,
       df: DataFrame,
