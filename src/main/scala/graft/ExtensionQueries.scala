@@ -4751,6 +4751,53 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- The MANIFEST lifecycle on the DEDUP index (q275's protocol on
+    //      the repo's other durable artifact): bootstrap census → two
+    //      batch landings each committed as a generation → manifest
+    //      compaction (bins land next to the old files, nothing deleted)
+    //      → reference-set cleanup → snapshot load → dedup. Content =
+    //      q124's build+append, oracle verbatim ----
+    "q281_dedup_manifest_lifecycle" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_manifest")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0: the base snapshot
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 7), "doc_id", "text"), path, batchId = Some(0L))
+      Dedup.commitDedupBatchToManifest(s, path, 0L) // gen 1
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b === 7), "doc_id", "text"), path, batchId = Some(1L))
+      Dedup.commitDedupBatchToManifest(s, path, 1L) // gen 2
+      // checkpoint committed past both batches -> everything compactable
+      Dedup.compactDedupIndexManifest(s, path, targetFiles = 1, minRetainedBatchId = Some(2L)) // gen 3
+      // keepGens = 1 retains gen 3 only: the superseded base + landing
+      // files are de-referenced and must actually die (loud fixture gate)
+      require(Dedup.cleanupDedupGenerations(s, path, keepGens = 1) > 0L,
+        "q281: the compaction must have de-referenced the pre-bin files")
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndexSnapshot(s, path), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Streaming ingest into the MANIFEST dedup index (q280's
+    //      transport on q281's commit protocol): each microbatch signs
+    //      itself, lands batch-keyed, and commits its own generation;
+    //      the snapshot load reads the last committed generation.
+    //      Content = q124's build+append, oracle verbatim ----
+    "q282_dedup_manifest_stream_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_mstream")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0
+      EventStream.dedupIndexIngestOneShotManifest(s, docs.filter(b >= 5 && b < 8), path,
+        "doc_id", "text", "graft_q282")
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndexSnapshot(s, path), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -6067,6 +6114,8 @@ object ExtensionQueries {
     "q124_index_append" -> sqlIndexAppendOracle,
     "q279_dedup_index_replay" -> sqlIndexAppendOracle,
     "q280_dedup_stream_ingest" -> sqlIndexAppendOracle,
+    "q281_dedup_manifest_lifecycle" -> sqlIndexAppendOracle,
+    "q282_dedup_manifest_stream_ingest" -> sqlIndexAppendOracle,
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

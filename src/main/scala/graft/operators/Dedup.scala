@@ -1219,6 +1219,17 @@ object Dedup {
     stored.foreach(requireIndexColumns(s"appendDedupIndex: stored index at $path", _, k))
     batchId match {
       case None =>
+        // Structural composition rule (the ANN index's, mirrored): a
+        // MANIFEST index accepts only batch-keyed landings — a plain
+        // append carries no replay key for a commit to reference or heal.
+        val fsp = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
+        require(
+          listDedupGens(fsp, path).isEmpty,
+          s"appendDedupIndex: $path is MANIFEST-committed - a manifest commit needs the landing's " +
+            "replay key, which only a batch-keyed landing carries. Pass batchId = Some(<the ingest " +
+            "batch id>) and commit via commitDedupBatchToManifest.",
+        )
         index.write.mode("append").parquet(path)
       case Some(b) =>
         // BATCH-KEYED landing — the replay-idempotency protocol the ANN
@@ -1261,6 +1272,12 @@ object Dedup {
     * parquet would otherwise align `id` with `__h` silently.
     */
   def loadDedupIndex(spark: SparkSession, path: String, k: Int = 8): DataFrame = {
+    // A manifest index's live dir holds DE-referenced files between a
+    // manifest compaction and its cleanup — a whole-dir read would count
+    // those signatures twice. Same refusal rule as the ANN index's
+    // adcTopKFromIndex: resolve manifest indexes via loadDedupIndexSnapshot.
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDedupManifest(fs, path, "loadDedupIndex")
     val df = spark.read.parquet(path)
     requireIndexColumns(s"loadDedupIndex: $path", df.columns.toSeq, k)
     df.select(indexColumns(k).map(col): _*)
@@ -1303,6 +1320,7 @@ object Dedup {
   ): Unit = {
     require(targetFiles >= 1, s"compactDedupIndex: targetFiles must be >= 1: $targetFiles")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDedupManifest(fs, path, "compactDedupIndex")
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     val names = fs
       .listStatus(hp(path))
@@ -1363,6 +1381,306 @@ object Dedup {
       throw new IllegalStateException(s"compactDedupIndex: could not move $tmp into place; original restored")
     }
     fs.delete(hp(bak), true): Unit
+  }
+
+  // ----------------------------------------------------------------------
+  // MANIFEST-COMMIT mode for the dedup index — the object-store
+  // alternative to [[compactDedupIndex]]'s rename-aside swap, the same
+  // protocol the ANN index proved (see the IvfIndex manifest section for
+  // the full rationale): a generation object under `_manifest/` (an
+  // underscore name, so plain parquet readers ignore it) names the exact
+  // file set; writers only ADD files under fresh names and commit by
+  // making one small generation object visible — a single-object PUT,
+  // atomic on every major store. De-referenced files are swept later by
+  // [[cleanupDedupGenerations]] under a snapshot-reader grace. Concurrent
+  // writers are DETECTED, not assumed away: each commit carries the
+  // expected-parent fence and the committer-token read-back (the two
+  // fences [[graft.operators.IvfIndex]]'s `commitAdcGen` documents — the
+  // lost-update interleaving refuses before the chain is touched, and a
+  // same-generation PUT-overwrite loser discovers the winner's token).
+  // The two commit modes refuse each other's layout loudly: a rename-mode
+  // whole-dir read over a manifest index would double-count de-referenced
+  // signatures, and the manifest ops refuse its absence (except the
+  // bootstrap).
+  // ----------------------------------------------------------------------
+
+  private def dedupManifestDir(path: String) = s"$path/_manifest"
+
+  private val DedupGenName = raw"gen-(\d+)\.parquet".r
+
+  private[graft] def listDedupGens(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dedupManifestDir(path))
+    if (!fs.exists(p)) Nil
+    else
+      fs.listStatus(p)
+        .toSeq
+        .flatMap(_.getPath.getName match {
+          case DedupGenName(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted
+  }
+
+  private def requireNoDedupManifest(fs: org.apache.hadoop.fs.FileSystem, path: String, op: String): Unit =
+    require(
+      listDedupGens(fs, path).isEmpty,
+      s"$op: $path is MANIFEST-committed (_manifest/ has generations). The rename-mode ops read the " +
+        "whole live dir and would double-count de-referenced files - use the manifest ops " +
+        "(compactDedupIndexManifest, loadDedupIndexSnapshot, cleanupDedupGenerations) instead.",
+    )
+
+  // One manifest generation's (kind, name, bytes) rows, collected —
+  // metadata-scale (one row per FILE), and the explicit-files read needs
+  // the list on the driver anyway. kind: "sig" (a signature file) or
+  // "committer" (the commit token).
+  private def readDedupManifestRefs(
+      spark: SparkSession,
+      path: String,
+      gen: Long,
+  ): Seq[(String, String, Long)] =
+    spark.read
+      .parquet(s"${dedupManifestDir(path)}/gen-$gen.parquet")
+      .select(col("kind"), col("name"), col("bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  private def sigRefs(refs: Seq[(String, String, Long)]): Seq[(String, Long)] =
+    refs.collect { case ("sig", name, bytes) => (name, bytes) }
+
+  // Commit one generation, with the SAME two concurrent-committer fences
+  // the ANN index's commitAdcGen documents: (1) expected-parent — re-list
+  // the chain after staging and refuse loudly if the head moved (the
+  // lost-update interleaving becomes a refusal, never silent ref loss);
+  // (2) committer token — read the published object back and require OUR
+  // token (the CAS emulation for stores whose "rename" is a silently
+  // replacing PUT). private[graft] so the spec drives the race directly.
+  private[graft] def commitDedupGen(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      gen: Long,
+      refs: Seq[(String, String, Long)],
+      expectedParent: Option[Long],
+  ): Long = {
+    import spark.implicits._
+    require(refs.exists(_._1 == "sig"), s"commitDedupGen: refusing to commit a signature-EMPTY generation $gen for $path")
+    val token = java.util.UUID.randomUUID().toString
+    val payload = refs.filterNot(_._1 == "committer") :+ (("committer", token, 0L))
+    val scratch = s"$path/_manifest_tmp"
+    payload
+      .toDF("kind", "name", "bytes")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(scratch)
+    val parts = fs
+      .listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(parts.length == 1, s"commitDedupGen: expected one manifest part, found ${parts.length}")
+    val headNow = listDedupGens(fs, path).lastOption
+    require(
+      headNow == expectedParent,
+      s"commitDedupGen: generation head moved from $expectedParent to $headNow while this commit was " +
+        "built - a concurrent committer published first. Committing from stale refs would silently " +
+        "drop the interleaved generation's files. Re-read the latest refs and retry.",
+    )
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dedupManifestDir(path)))
+    val target = new org.apache.hadoop.fs.Path(s"${dedupManifestDir(path)}/gen-$gen.parquet")
+    require(!fs.exists(target), s"commitDedupGen: generation $gen already exists at $target")
+    require(fs.rename(parts.head.getPath, target), s"commitDedupGen: commit move failed for $target")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    val winners = readDedupManifestRefs(spark, path, gen).collect { case ("committer", t, _) => t }
+    require(
+      winners == Seq(token),
+      s"commitDedupGen: generation $gen at $path was committed by ANOTHER writer " +
+        s"(its token ${winners.mkString(",")}, ours $token) - this driver lost the PUT race; its file " +
+        "set is NOT what readers resolve. Re-read the latest refs and retry as the next generation.",
+    )
+    gen
+  }
+
+  /** BOOTSTRAP the manifest: census the live flat dir into generation 0.
+    * Only legal while no generation exists and the dir was never
+    * rewritten in place (a census over a dir holding de-referenced files
+    * would re-reference them). Call once after [[saveDedupIndex]]; every
+    * later generation comes from an op that knows its delta.
+    */
+  def writeDedupManifest(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      listDedupGens(fs, path).isEmpty,
+      s"writeDedupManifest: $path already has manifest generations - the census bootstrap would " +
+        "re-reference de-referenced files. Incremental gens come from commitDedupBatchToManifest / " +
+        "compactDedupIndexManifest.",
+    )
+    val refs = fs
+      .listStatus(root)
+      .toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => ("sig", f.getPath.getName, f.getLen))
+    commitDedupGen(spark, fs, path, 0L, refs, expectedParent = None)
+  }
+
+  /** Commit a landed batch ([[appendDedupIndex]] with `batchId`) into the
+    * next generation: previous refs, minus any refs this SAME batch wrote
+    * before (a replay re-lands under fresh part names — the re-commit
+    * heals the dangling refs), plus the batch's files now on disk. The
+    * index is one flat dir, so the listing is a single directory listing.
+    */
+  def commitDedupBatchToManifest(spark: SparkSession, path: String, batchId: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"commitDedupBatchToManifest: no manifest at $path - bootstrap with writeDedupManifest")
+    val prev = readDedupManifestRefs(spark, path, gens.max)
+    val kept = prev.filterNot { case (kind, name, _) =>
+      kind == "sig" && IvfIndex.batchIdOfLanding(name).contains(batchId)
+    }
+    val landed = fs
+      .listStatus(root)
+      .toSeq
+      .filter(f => f.isFile && IvfIndex.batchIdOfLanding(f.getPath.getName).contains(batchId))
+      .map(f => ("sig", f.getPath.getName, f.getLen))
+    require(landed.nonEmpty, s"commitDedupBatchToManifest: batch $batchId left no files under $path")
+    commitDedupGen(spark, fs, path, gens.max + 1, kept ++ landed, expectedParent = Some(gens.max))
+  }
+
+  /** [[compactDedupIndex]] in MANIFEST mode: the census comes from the
+    * latest generation's refs (pure metadata), the rewrite lands under
+    * fresh `m<gen>bin-…` names NEXT TO the files it supersedes (nothing
+    * deleted, no dir swap), and the commit is one generation object
+    * referencing the bins plus the watermark-retained landings. Same
+    * watermark semantics, same unfenced refusal, same all-retained no-op,
+    * same row-count gate as the rename-mode compactor.
+    */
+  def compactDedupIndexManifest(
+      spark: SparkSession,
+      path: String,
+      k: Int = 8,
+      targetFiles: Int = 8,
+      minRetainedBatchId: Option[Long] = None,
+  ): Unit = {
+    require(targetFiles >= 1, s"compactDedupIndexManifest: targetFiles must be >= 1: $targetFiles")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"compactDedupIndexManifest: no manifest at $path - bootstrap with writeDedupManifest")
+    val refs = readDedupManifestRefs(spark, path, gens.max)
+    val names = sigRefs(refs).map(_._1).sorted
+    val (retained, eligible) = names.partition(n =>
+      IvfIndex.batchIdOfLanding(n).exists(id => minRetainedBatchId.exists(id >= _)))
+    if (minRetainedBatchId.isEmpty) {
+      val unfenced = eligible.flatMap(IvfIndex.batchIdOfLanding).distinct.sorted
+      require(
+        unfenced.isEmpty,
+        s"compactDedupIndexManifest: about to rewrite batch landings that may still replay (batchId): " +
+          s"${unfenced.mkString(", ")} - pass minRetainedBatchId = Some(w) (the ingest checkpoint's " +
+          "committed offset), or Some(maxBatchId + 1) when every batch is known committed.",
+      )
+    }
+    // Nothing eligible to bin (all retained, or already one bin's worth):
+    // an idempotent nightly compactor commits NOTHING.
+    if (eligible.isEmpty || eligible.size <= targetFiles) return
+    val newGen = gens.max + 1
+    val eligibleFiles = eligible.map(n => s"$path/$n")
+    val idx = spark.read.parquet(eligibleFiles: _*)
+    requireIndexColumns(s"compactDedupIndexManifest: $path", idx.columns.toSeq, k)
+    val scratch = s"$path/_mcompact_tmp"
+    idx.select(indexColumns(k).map(col): _*).coalesce(targetFiles).write.mode("overwrite").parquet(scratch)
+    val inRows = spark.read.parquet(eligibleFiles: _*).count()
+    val outRows = spark.read.parquet(scratch).count()
+    require(
+      outRows == inRows,
+      s"compactDedupIndexManifest: rewrite row count $outRows != input $inRows - " +
+        "aborting before anything is committed; the index is untouched.",
+    )
+    // Land the bins under fresh names — invisible until the generation
+    // commits; a crash here leaves never-referenced files the orphan
+    // sweep reclaims once the chain passes this generation.
+    val binRefs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val target = new org.apache.hadoop.fs.Path(path, s"m${newGen}bin-${f.getPath.getName}")
+        require(fs.rename(f.getPath, target), s"compactDedupIndexManifest: bin move failed for $target")
+        ("sig", target.getName, fs.getFileStatus(target).getLen)
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    val retainedSet = retained.toSet
+    val committed = refs.filter { case (kind, name, _) => kind == "sig" && retainedSet(name) } ++ binRefs
+    commitDedupGen(spark, fs, path, newGen, committed, expectedParent = Some(gens.max)): Unit
+  }
+
+  /** Sweep DE-referenced files (referenced by a generation beyond the
+    * `keepGens` window, by no retained one) plus crashed-op ORPHANS the
+    * chain has passed (`m<gen>bin-` files with gen at or below the head
+    * yet referenced by NO generation — a compactor that crashed before
+    * its commit or lost the commit race); files whose gen is AHEAD of
+    * the head are spared as possibly in flight, and plain `batch<id>-`
+    * landings referenced by nothing are in-flight landings — never
+    * touched. Returns the deleted-file count.
+    */
+  def cleanupDedupGenerations(spark: SparkSession, path: String, keepGens: Int = 2): Long = {
+    require(keepGens >= 1, s"cleanupDedupGenerations: keepGens must be >= 1: $keepGens")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"cleanupDedupGenerations: no manifest at $path")
+    // crashed commit/compaction scratch — content never reached a commit
+    Seq(s"$path/_manifest_tmp", s"$path/_mcompact_tmp").foreach { p =>
+      val sp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    }
+    val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
+    val keptAll = kept.flatMap(g => readDedupManifestRefs(spark, path, g))
+    val oldAll = old.flatMap(g => readDedupManifestRefs(spark, path, g))
+    val keptNames = sigRefs(keptAll).map(_._1).toSet
+    val deadNames = sigRefs(oldAll).map(_._1).toSet -- keptNames
+    var deleted = 0L
+    deadNames.toSeq.sorted.foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (fs.exists(p) && fs.delete(p, false)) deleted += 1
+    }
+    val maxGen = gens.max
+    val orphanGen = raw"m(\d+)bin-.*".r
+    val allNames = keptNames ++ sigRefs(oldAll).map(_._1)
+    fs.listStatus(root).filter(_.isFile).foreach { f =>
+      val name = f.getPath.getName
+      val g = name match {
+        case orphanGen(mg) => Some(mg.toLong)
+        case _ => None
+      }
+      if (g.exists(_ <= maxGen) && !allNames(name) && fs.delete(f.getPath, false))
+        deleted += 1
+    }
+    old.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(s"${dedupManifestDir(path)}/gen-$g.parquet"), false))
+    deleted
+  }
+
+  /** [[loadDedupIndex]] from a MANIFEST snapshot: resolve a generation
+    * (latest by default, or pinned), read exactly its file set, same
+    * loud schema check and canonical column order. Immune to concurrent
+    * commits — a compaction landing mid-read changes what the NEXT
+    * resolution sees, never this one's (its files outlive it by the
+    * cleanup grace).
+    */
+  def loadDedupIndexSnapshot(
+      spark: SparkSession,
+      path: String,
+      k: Int = 8,
+      gen: Option[Long] = None,
+  ): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"loadDedupIndexSnapshot: no manifest at $path - bootstrap with writeDedupManifest")
+    val g = gen.getOrElse(gens.max)
+    require(gens.contains(g), s"loadDedupIndexSnapshot: generation $g not in ${gens.mkString(",")}")
+    val files = sigRefs(readDedupManifestRefs(spark, path, g)).map { case (name, _) => s"$path/$name" }
+    val df = spark.read.parquet(files: _*)
+    requireIndexColumns(s"loadDedupIndexSnapshot: $path gen $g", df.columns.toSeq, k)
+    df.select(indexColumns(k).map(col): _*)
   }
 
   /** Incremental dedup: from `incoming`, drop every doc that duplicates the

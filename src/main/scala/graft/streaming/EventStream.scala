@@ -1100,6 +1100,44 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** [[dedupIndexIngestOneShot]] for a MANIFEST-committed dedup index:
+    * each microbatch signs itself, lands batch-keyed, and COMMITS a
+    * manifest generation referencing exactly its files
+    * ([[graft.operators.Dedup.commitDedupBatchToManifest]]) — snapshot
+    * readers ([[graft.operators.Dedup.loadDedupIndexSnapshot]]) see each
+    * batch atomically, and both crash windows converge exactly as the
+    * ANN manifest ingest's do (orphans never referenced; a replay's
+    * re-commit heals refs). An empty microbatch is a no-op, not a
+    * generation.
+    */
+  def dedupIndexIngestOneShotManifest(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      queryName: String,
+      k: Int = 8,
+      checkpointDir: Option[String] = None,
+  ): Unit = {
+    val stream = spark.readStream.schema(docs.schema).parquet(writeTemp(docs, queryName))
+    val writer = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.appendDedupIndex(
+            graft.operators.Dedup.buildDedupIndex(batch.toDF(), idCol, textCol, k),
+            indexPath,
+            batchId = Some(bid),
+          )
+          graft.operators.Dedup.commitDedupBatchToManifest(spark, indexPath, bid)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+    q.awaitTermination()
+  }
+
   def statelessOneShot(
       spark: SparkSession,
       df: DataFrame,

@@ -236,6 +236,82 @@ class OpsSpec extends SparkSpec {
       .count(_.getName.startsWith("batch5-")) > 0, "a no-op pass must leave the retained landing untouched")
   }
 
+  test("dedup manifest: lifecycle, snapshot isolation, mode-twin refusals, post-compaction replay") {
+    import graft.operators.Dedup
+    val docs = (1L to 40L).map(i => (i, s"document number $i with shared filler words")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_dedup_manifest").resolve("index").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 20), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    val eB = intercept[IllegalArgumentException](Dedup.writeDedupManifest(spark, dir))
+    assert(eB.getMessage.contains("already has manifest"), eB.getMessage)
+    val b0 = Dedup.buildDedupIndex(docs.filter($"doc_id" > 20 && $"doc_id" <= 30), "doc_id", "text")
+    val b1 = Dedup.buildDedupIndex(docs.filter($"doc_id" > 30), "doc_id", "text")
+    // a landed-but-UNCOMMITTED batch is invisible to snapshot readers
+    Dedup.appendDedupIndex(b0, dir, batchId = Some(0L))
+    assert(Dedup.loadDedupIndexSnapshot(spark, dir).count() == 20L,
+      "an uncommitted landing must be invisible to the snapshot")
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L) // gen 1
+    assert(Dedup.loadDedupIndexSnapshot(spark, dir).count() == 30L)
+    Dedup.appendDedupIndex(b1, dir, batchId = Some(1L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 1L) // gen 2
+    val full = Dedup.loadDedupIndexSnapshot(spark, dir).collect().toSet
+    assert(full.size == 40)
+    // the mode twins refuse each other's layout
+    val eP = intercept[IllegalArgumentException](Dedup.appendDedupIndex(b1, dir))
+    assert(eP.getMessage.contains("batch-keyed"), eP.getMessage)
+    val eL = intercept[IllegalArgumentException](Dedup.loadDedupIndex(spark, dir))
+    assert(eL.getMessage.contains("MANIFEST"), eL.getMessage)
+    val eC = intercept[IllegalArgumentException](Dedup.compactDedupIndex(spark, dir, targetFiles = 1))
+    assert(eC.getMessage.contains("MANIFEST"), eC.getMessage)
+    val eM = intercept[IllegalArgumentException](
+      Dedup.compactDedupIndexManifest(spark, Files.createTempDirectory("graft_nomanifest").toString))
+    assert(eM.getMessage.contains("bootstrap"), eM.getMessage)
+    // unfenced manifest compaction refuses; the watermark splits batches
+    val eU = intercept[IllegalArgumentException](
+      Dedup.compactDedupIndexManifest(spark, dir, targetFiles = 1))
+    assert(eU.getMessage.contains("minRetainedBatchId"), eU.getMessage)
+    Dedup.compactDedupIndexManifest(spark, dir, targetFiles = 1, minRetainedBatchId = Some(1L)) // gen 3
+    // snapshot isolation THROUGH the compaction: the pre-compaction
+    // generation still resolves its exact file set (nothing was deleted)
+    assert(Dedup.loadDedupIndexSnapshot(spark, dir, gen = Some(2L)).collect().toSet == full)
+    assert(Dedup.loadDedupIndexSnapshot(spark, dir).collect().toSet == full)
+    // the retained batch REPLAYS after compaction; its re-commit heals refs
+    Dedup.appendDedupIndex(b1, dir, batchId = Some(1L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 1L) // gen 4
+    assert(Dedup.loadDedupIndexSnapshot(spark, dir).collect().toSet == full,
+      "a post-compaction replay + re-commit must converge, never double rows")
+    // cleanup retires the superseded worlds; the head keeps serving
+    assert(Dedup.cleanupDedupGenerations(spark, dir, keepGens = 1) > 0L)
+    assert(Dedup.loadDedupIndexSnapshot(spark, dir).collect().toSet == full)
+  }
+
+  test("dedup manifest: commit guard refuses a stale parent; orphan sweep spares in-flight gens") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_dedup_guard").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val refs = Seq(("sig", "part-spec.parquet", 1L))
+    Dedup.commitDedupGen(spark, fs, dir, 0L, refs, expectedParent = None)
+    Dedup.commitDedupGen(spark, fs, dir, 1L, refs, expectedParent = Some(0L))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.commitDedupGen(spark, fs, dir, 2L, refs, expectedParent = Some(0L))
+    }
+    assert(ex.getMessage.contains("head moved"), ex.getMessage)
+    assert(Dedup.listDedupGens(fs, dir) == Seq(0L, 1L), "a refused commit must leave the chain untouched")
+    // orphan sweep on a real index: passed-gen orphans die, ahead-of-head spared
+    val docs = (1L to 10L).map(i => (i, s"document number $i with shared filler words")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_dedup_orphans").resolve("index").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs, "doc_id", "text"), idx)
+    Dedup.writeDedupManifest(spark, idx) // gen 0 = the head
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/m0bin-orphan.parquet")).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$idx/m5bin-inflight.parquet")).close()
+    val before = Dedup.loadDedupIndexSnapshot(spark, idx).collect().toSet
+    val deleted = Dedup.cleanupDedupGenerations(spark, idx, keepGens = 2)
+    assert(deleted == 1L, s"exactly the passed-gen orphan dies: $deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/m0bin-orphan.parquet")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/m5bin-inflight.parquet")), "ahead-of-head spared")
+    assert(Dedup.loadDedupIndexSnapshot(spark, idx).collect().toSet == before)
+  }
+
   test("connectedComponentsAdaptive: a long-diameter graph escapes the rounds budget to star") {
     import graft.operators.Dedup
     // a 64-node path: diameter 63 — min-label propagation moves the min
