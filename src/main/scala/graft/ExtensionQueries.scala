@@ -4798,6 +4798,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- BUCKETED steady-state serve (q124's content on the co-located
+    //      serving layout): the corpus index is PUBLISHED once as three
+    //      bucketed catalog tables — band rows by band key, signatures by
+    //      id, content hashes by __h — and the increment dedups against
+    //      them with every corpus-side join exchange-free (the per-batch
+    //      corpus shuffle the plain banding self-join pays is gone; the
+    //      ScaleSpec plan assert pins it). Same drop set: q124's oracle
+    //      verbatim ----
+    "q283_bucketed_increment_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      Dedup.saveDedupServeTables(
+        Dedup.buildDedupIndex(docs.filter(b < 8), "doc_id", "text"), "graft_q283", buckets = 8)
+      Dedup
+        .dedupIncrementBucketed(s, "graft_q283", docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -6116,6 +6134,7 @@ object ExtensionQueries {
     "q280_dedup_stream_ingest" -> sqlIndexAppendOracle,
     "q281_dedup_manifest_lifecycle" -> sqlIndexAppendOracle,
     "q282_dedup_manifest_stream_ingest" -> sqlIndexAppendOracle,
+    "q283_bucketed_increment_dedup" -> sqlIndexAppendOracle,
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

@@ -58,11 +58,12 @@ object ScaleBench {
       .map(_.split(',').map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16, 32))
     // Family subset for targeted re-runs (full run is ~45 min):
-    // comma-separated from {ops, media, cc, stream, rocksdb, ann}; default all.
+    // comma-separated from {ops, media, cc, stream, rocksdb, ann, dedupidx};
+    // default all.
     val families = sys.env
       .get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("ops", "media", "cc", "stream", "rocksdb", "ann"))
+      .getOrElse(Set("ops", "media", "cc", "stream", "rocksdb", "ann", "dedupidx"))
     val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -332,6 +333,115 @@ object ScaleBench {
         s"""{"op":"ann_drift_gate_repair","factor":$f,"sec":${math.round(tRepair * 1000) / 1000.0},""" +
           s""""flagged_cells":$flaggedN}"""
       )
+    }
+
+    // --- dedup-index lifecycle family (q279–q282-shaped): the repo's
+    //     OTHER durable artifact under the same replay/commit protocol the
+    //     ann rows pin. Per documents tiling: (1) corpus signature build +
+    //     persist (the once-per-corpus cost — must stay linear in docs);
+    //     (2) two FIXED-SIZE batch-keyed appends (cost must track the
+    //     batch, not the corpus — the index is one flat dir, so a landing
+    //     is one scratch write + one dir listing); (3) the watermarked
+    //     rename-mode compaction (batch 0 binned, batch 1 retained under
+    //     its replay name — one linear rewrite of the eligible rows);
+    //     (4) the manifest twin: batch commit (one generation object —
+    //     cost tracks the batch), manifest compaction (census from refs,
+    //     pure metadata), reference-set cleanup; (5) the steady-state
+    //     SERVE: a fixed-size increment deduped against the growing
+    //     snapshot (signature work is the increment's own; the banding
+    //     join shuffles corpus+increment sig rows — 8-long fixed-width —
+    //     so the slope is shuffle-bandwidth linear in corpus, the
+    //     documented design point, NOT pairwise).
+    for (f <- factors if families("dedupidx")) {
+      val docs = spark.read.parquet(s"$tmp/documents_$f")
+      val nDocs = docs.count()
+      // Fixed-size increment: base docs, ids disjoint from every tiling
+      // shift, text rotated PAST every copy in the index so the increment
+      // is mostly novel (the realistic standing-pipeline batch).
+      val incDocs = Tables
+        .t(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+        .withColumn("text", translate(col("text"), alpha, rot(13)))
+      val incRows = incDocs.count()
+      val dIdxDir = s"$tmp/dedupidx_$f"
+      val (tBuild, _) = time {
+        operators.Dedup.saveDedupIndex(operators.Dedup.buildDedupIndex(docs, "doc_id", "text", 8), dIdxDir)
+      }
+      report("dedup_index_build_persist", f, tBuild, nDocs)
+      val incIdx = operators.Dedup.buildDedupIndex(incDocs, "doc_id", "text", 8)
+      val (tApp, _) = time {
+        operators.Dedup.appendDedupIndex(incIdx, dIdxDir, batchId = Some(0L))
+        operators.Dedup.appendDedupIndex(
+          incIdx.withColumn("id", col("id") + lit(100000000L)), dIdxDir, batchId = Some(1L))
+      }
+      report("dedup_index_batch_append_x2", f, tApp, incRows * 2)
+      def liveFiles(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+      }
+      val dFilesBefore = liveFiles(dIdxDir)
+      val (tComp, _) = time {
+        operators.Dedup.compactDedupIndex(spark, dIdxDir, k = 8, targetFiles = 8,
+          minRetainedBatchId = Some(1L))
+      }
+      println(
+        s"""{"op":"dedup_index_compact","factor":$f,"sec":${math.round(tComp * 1000) / 1000.0},""" +
+          s""""files_before":$dFilesBefore,"files_after":${liveFiles(dIdxDir)}}"""
+      )
+      // The manifest twin on its own dir: bootstrap census, one batch
+      // commit, manifest compaction, reference-set cleanup.
+      val dmDir = s"$tmp/dedupidxm_$f"
+      operators.Dedup.saveDedupIndex(operators.Dedup.buildDedupIndex(docs, "doc_id", "text", 8), dmDir)
+      operators.Dedup.writeDedupManifest(spark, dmDir)
+      val (tCommit, _) = time {
+        operators.Dedup.appendDedupIndex(incIdx, dmDir, batchId = Some(0L))
+        operators.Dedup.commitDedupBatchToManifest(spark, dmDir, 0L)
+      }
+      report("dedup_manifest_batch_commit", f, tCommit, incRows)
+      val (tMComp, _) = time {
+        operators.Dedup.compactDedupIndexManifest(spark, dmDir, k = 8, targetFiles = 8,
+          minRetainedBatchId = Some(1L))
+      }
+      report("dedup_manifest_compact", f, tMComp, nDocs + incRows)
+      val (tClean, swept) = time {
+        operators.Dedup.cleanupDedupGenerations(spark, dmDir, keepGens = 1)
+      }
+      println(
+        s"""{"op":"dedup_manifest_cleanup","factor":$f,"sec":${math.round(tClean * 1000) / 1000.0},""" +
+          s""""deleted_files":$swept,"live_files":${liveFiles(dmDir)}}"""
+      )
+      // Serve-side batch: its own rotation (14) — mostly novel against
+      // every index resident (copies rot 0..7, batch 0 rot 13), the
+      // realistic standing-pipeline batch whose survivors ≈ its size.
+      val serveDocs = Tables
+        .t(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id") + lit(200000000L))
+        .withColumn("text", translate(col("text"), alpha, rot(14)))
+      val (tServe, rServe) = time {
+        operators.Dedup
+          .dedupIncrementWithIndex(
+            operators.Dedup.loadDedupIndexSnapshot(spark, dmDir, 8),
+            serveDocs, "doc_id", "text", 8)
+          .count()
+      }
+      report("dedup_index_snapshot_increment", f, tServe, rServe)
+      // (6) the BUCKETED serve twin: publish once (one deterministic
+      // rewrite of the snapshot — the row must stay linear in corpus),
+      // then the same batch served exchange-free on the corpus side. The
+      // slope to compare against (5): the plain serve re-shuffles corpus
+      // sig rows per batch, the bucketed one only scans them.
+      val (tPub, _) = time {
+        operators.Dedup.saveDedupServeTables(
+          operators.Dedup.loadDedupIndexSnapshot(spark, dmDir, 8), "graft_scale_serve", buckets = 32)
+      }
+      report("dedup_serve_publish", f, tPub, nDocs + incRows)
+      val (tBServe, rBServe) = time {
+        operators.Dedup
+          .dedupIncrementBucketed(spark, "graft_scale_serve", serveDocs, "doc_id", "text", 8)
+          .count()
+      }
+      report("dedup_serve_bucketed", f, tBServe, rBServe)
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants

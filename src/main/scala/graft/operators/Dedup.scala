@@ -1794,6 +1794,148 @@ object Dedup {
       .select(col("id"))
   }
 
+  // ----------------------------------------------------------------------
+  // BUCKETED steady-state serve — the corpus side of the standing
+  // increment-dedup pipeline persisted as co-located catalog tables.
+  // [[dedupIncrementWithIndex]] is already signature-incremental (the
+  // corpus signs once), but every batch still SHUFFLES the corpus
+  // signature rows: the banding self-join exchanges the unioned sig set
+  // on the band key, per batch. At 100 TB-corpus scale that exchange IS
+  // the nightly bill. The bucketed layout pays it once at publish time:
+  // each serve join's corpus side is bucketed BY THAT JOIN'S KEY, so per
+  // batch the corpus is scanned (fixed-width signature rows — no text)
+  // but never exchanged; only the batch's own rows shuffle, and the
+  // exchange-free plan is spec-pinned, not hoped for.
+  // ----------------------------------------------------------------------
+
+  private def bandKeyCols(rowsPerBand: Int): Seq[String] =
+    "band" +: (0 until rowsPerBand).map(i => s"k$i")
+
+  // One row per (band, band-key, id) — the same band keys
+  // [[bandedPairsOfSigs]] derives, flattened to plain columns so they can
+  // be bucket columns. Null-signature rows (empty token sets) carry no
+  // bands, mirroring the core's `mh0.isNotNull` filter.
+  private def bandRows(index: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val keys = (b * rowsPerBand until (b + 1) * rowsPerBand).zipWithIndex.map { case (i, j) =>
+        col(s"mh$i").as(s"k$j")
+      }
+      struct((lit(b).as("band") +: keys): _*)
+    }
+    index
+      .filter(col("mh0").isNotNull)
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id") +: bandKeyCols(rowsPerBand).map(n => col(s"bk.$n").as(n)): _*)
+  }
+
+  /** Publish a [[buildDedupIndex]] corpus as the three BUCKETED catalog
+    * tables the steady-state serve joins against — one per join, each
+    * bucketed by that join's key so [[dedupIncrementBucketed]] never
+    * exchanges a corpus row:
+    *
+    *  - `<prefix>_bands`: exploded (band, k0..k{rows-1}, id), bucketed by
+    *    the band key — the LSH candidate join's corpus side;
+    *  - `<prefix>_sigs`: the index rows, bucketed by id — the corpus-side
+    *    lookup that feeds the agree prefilter AND the Jaccard verify in
+    *    one join;
+    *  - `<prefix>_hashes`: distinct content hashes, bucketed by `__h` —
+    *    the exact-dup anti-join's corpus side.
+    *
+    * Bucket count should match target parallelism (executors × cores);
+    * re-publishing is a `mode("overwrite")` save. The tables are a SERVING
+    * layout, not the artifact of record — the persisted index
+    * ([[saveDedupIndex]] / the manifest mode) stays the source of truth,
+    * and a publish is one deterministic rewrite of it.
+    */
+  def saveDedupServeTables(
+      index: DataFrame,
+      prefix: String,
+      buckets: Int = 32,
+      k: Int = 8,
+      bands: Int = 4,
+  ): Unit = {
+    require(k % bands == 0, s"saveDedupServeTables: bands ($bands) must divide k ($k)")
+    requireIndexColumns(s"saveDedupServeTables: incoming index for '$prefix'", index.columns.toSeq, k)
+    val idx = Lineage.truncate(index.select(indexColumns(k).map(col): _*))
+    graft.ops.Lake.bucketize(bandRows(idx, k, bands), s"${prefix}_bands", bandKeyCols(k / bands), buckets)
+    graft.ops.Lake.bucketize(idx, s"${prefix}_sigs", Seq("id"), buckets)
+    graft.ops.Lake.bucketize(idx.select(col("__h")).distinct(), s"${prefix}_hashes", Seq("__h"), buckets)
+  }
+
+  /** [[dedupIncrementWithIndex]] against [[saveDedupServeTables]]' layout
+    * — same contract, same drop set (the q124 oracle holds verbatim),
+    * different physical plan: every corpus-side join is co-located on its
+    * table's bucketing, so per batch the corpus is read but never
+    * shuffled. The candidate set is the banded cross-side pair set as a
+    * DISTINCT set (the core's first-matching-band trick emits each pair
+    * exactly once to dedup verify WORK; here one distinct over the
+    * batch-bounded candidate pairs does the same job), and the agree
+    * prefilter + size-ratio + Jaccard verify all ride ONE lookup join
+    * against `_sigs` instead of the core's two-sided union.
+    */
+  def dedupIncrementBucketed(
+      spark: SparkSession,
+      prefix: String,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      minAgree: Int = 4,
+      checkDisjointIds: Boolean = true,
+  ): DataFrame = {
+    require(k % bands == 0, s"dedupIncrementBucketed: bands ($bands) must divide k ($k)")
+    val sigsT = spark.table(s"${prefix}_sigs")
+    requireIndexColumns(s"dedupIncrementBucketed: table ${prefix}_sigs", sigsT.columns.toSeq, k)
+    val incIdx = Lineage.truncate(buildDedupIndex(incoming, idCol, textCol, k))
+    if (checkDisjointIds) {
+      val shared = sigsT.select(col("id")).join(incIdx.select(col("id")), "id").limit(1).collect()
+      if (shared.nonEmpty) {
+        throw new IllegalStateException(
+          s"dedupIncrementBucketed: id '${shared.head.get(0)}' appears on BOTH sides — existing and " +
+            "incoming ids must be disjoint (a shared id makes the pair orientation and the drop set ambiguous)."
+        )
+      }
+    }
+    // LSH candidates: the batch's band rows probe the co-located corpus
+    // band table; only the batch side exchanges. Distinct pairs — the
+    // drop decision needs the pair SET, not exactly-once emission.
+    val cand = bandRows(incIdx, k, bands)
+      .withColumnRenamed("id", "id_b")
+      .join(spark.table(s"${prefix}_bands").withColumnRenamed("id", "id_a"), bandKeyCols(k / bands))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // One corpus lookup join (bucketed by id) carries signatures AND
+    // stored token sets to the batch side; agree prefilter, size-ratio
+    // prefilter, and the merge-intersect Jaccard are then pure
+    // expressions over the joined row.
+    val corpusSide = sigsT.select(
+      Seq(col("id").as("id_a"), col("toks").as("toks_a")) ++
+        (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*
+    )
+    val incSide = incIdx.select(
+      Seq(col("id").as("id_b"), col("toks").as("toks_b")) ++
+        (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*
+    )
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dropNear = cand
+      .join(corpusSide, "id_a")
+      .join(incSide, "id_b")
+      .filter(agree >= minAgree)
+      .filter(sizeRatioOk(size(col("toks_a")), size(col("toks_b")), threshold))
+      .filter(jaccardHashed(col("toks_a"), col("toks_b")) >= threshold)
+      .select(col("id_b").as("id"))
+    incIdx
+      .join(spark.table(s"${prefix}_hashes"), Seq("__h"), "left_anti")
+      .join(dropNear, Seq("id"), "left_anti")
+      .select(col("id"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Maximum block ordinal per document for [[blockDedupRewrite]]'s packed
     * (doc, block) keep-key. 2^20 blocks × blockTokens ≥ 8 ≈ an 8M-token
     * document — far beyond any real training doc; exceeding it raises

@@ -78,6 +78,52 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedupIncrementBucketed == dedupIncrementWithIndex; corpus rows never shuffle") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val b = graft.functions.Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+    val corpus = docs.filter(b < 8)
+    val inc = docs.filter(b >= 8)
+    val idx = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    Dedup.saveDedupServeTables(idx, "graft_serve_t", buckets = 4)
+    val plainRes = Dedup
+      .dedupIncrementWithIndex(idx, inc, "doc_id", "text")
+      .as[Long].collect().sorted
+    // AQE off so the executed plan is a plain walkable tree (query stages
+    // hide their subtrees behind leaf nodes); broadcast off so the
+    // co-located sort-merge path is what's exercised and pinned.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val res = Dedup.dedupIncrementBucketed(spark, "graft_serve_t", inc, "doc_id", "text")
+      assert(res.as[Long].collect().sorted.sameElements(plainRes))
+      val root = res.queryExecution.executedPlan
+      // The invariant the layout buys: RAW corpus rows never pass an
+      // Exchange — below every Exchange, any path that reaches a serve-
+      // table scan must cross a join first (post-join rows are candidate-
+      // bounded, the batch's own size class, and may shuffle freely).
+      def rawCorpusScanBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("graft_serve_")
+        case other => other.children.exists(rawCorpusScanBelow)
+      }
+      val exchanges = root.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+      assert(exchanges.nonEmpty, "expected the batch side to shuffle (plan shape changed?)")
+      exchanges.foreach { e =>
+        assert(!rawCorpusScanBelow(e.child), s"corpus rows passed through an Exchange:\n${e.treeString}")
+      }
+      // and the bucketing must actually be exploited, not planned away
+      val pStr = root.toString
+      assert("Bucketed: true".r.findAllMatchIn(pStr).size >= 3,
+        s"all three corpus scans must read bucketed:\n$pStr")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("readManifest: one scan over N category files, category derived from path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
     def write(name: String, rows: String): String = {
