@@ -4816,6 +4816,32 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- The serving layout composed with the MANIFEST artifact of
+    //      record (q281 → q283 end to end): corpus lands through the
+    //      manifest protocol, the serve tables are PUBLISHED from its
+    //      snapshot with the served generation STAMPED on them (the
+    //      freshness contract — staleness is chain head minus stamp, an
+    //      observable, not a guess), and the batch dedups against the
+    //      published layout. Content = q124's build+append: oracle
+    //      verbatim ----
+    "q284_manifest_bucketed_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_pub")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 8), "doc_id", "text"), path, batchId = Some(0L))
+      Dedup.commitDedupBatchToManifest(s, path, 0L) // gen 1
+      val gen = Dedup.publishDedupServeTables(s, path, "graft_q284", buckets = 8)
+      require(gen == 1L, s"q284: expected to publish the chain head (gen 1), got $gen")
+      require(Dedup.dedupServeGeneration(s, "graft_q284").contains(1L),
+        "q284: the published layout must report its stamped generation")
+      Dedup
+        .dedupIncrementBucketed(s, "graft_q284", docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -6135,6 +6161,7 @@ object ExtensionQueries {
     "q281_dedup_manifest_lifecycle" -> sqlIndexAppendOracle,
     "q282_dedup_manifest_stream_ingest" -> sqlIndexAppendOracle,
     "q283_bucketed_increment_dedup" -> sqlIndexAppendOracle,
+    "q284_manifest_bucketed_serve" -> sqlIndexAppendOracle,
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

@@ -1863,6 +1863,51 @@ object Dedup {
     graft.ops.Lake.bucketize(idx.select(col("__h")).distinct(), s"${prefix}_hashes", Seq("__h"), buckets)
   }
 
+  /** [[saveDedupServeTables]] from a MANIFEST index's snapshot, with the
+    * served generation STAMPED on the tables — the freshness contract for
+    * a standing pipeline: the serve tables are a point-in-time rewrite of
+    * one generation, later ingest commits advance the chain without
+    * touching them, and [[dedupServeGeneration]] against
+    * [[listDedupGens]]'s head tells an operator exactly how stale the
+    * serving layout is (re-publish on the cadence compaction already
+    * dictates; serving an older snapshot deliberately is legitimate —
+    * that's what generation pinning is for). Returns the published
+    * generation.
+    */
+  def publishDedupServeTables(
+      spark: SparkSession,
+      indexPath: String,
+      prefix: String,
+      buckets: Int = 32,
+      k: Int = 8,
+      bands: Int = 4,
+      gen: Option[Long] = None,
+  ): Long = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, indexPath)
+    require(gens.nonEmpty, s"publishDedupServeTables: no manifest at $indexPath - bootstrap with writeDedupManifest")
+    val g = gen.getOrElse(gens.max)
+    saveDedupServeTables(loadDedupIndexSnapshot(spark, indexPath, k, Some(g)), prefix, buckets, k, bands)
+    Seq("bands", "sigs", "hashes").foreach { t =>
+      spark.sql(s"ALTER TABLE ${prefix}_$t SET TBLPROPERTIES ('graft.servedGeneration' = '$g')")
+    }
+    g
+  }
+
+  /** The generation a [[publishDedupServeTables]] layout serves, read back
+    * from the stamped table property — None for a layout published by the
+    * raw [[saveDedupServeTables]] (no generation to claim). Compare with
+    * the index chain's head to measure serving staleness.
+    */
+  def dedupServeGeneration(spark: SparkSession, prefix: String): Option[Long] =
+    spark
+      .sql(s"SHOW TBLPROPERTIES ${prefix}_sigs ('graft.servedGeneration')")
+      .collect()
+      .headOption
+      .map(_.getString(1))
+      .filterNot(_.startsWith("Table"))
+      .flatMap(_.toLongOption)
+
   /** [[dedupIncrementWithIndex]] against [[saveDedupServeTables]]' layout
     * — same contract, same drop set (the q124 oracle holds verbatim),
     * different physical plan: every corpus-side join is co-located on its

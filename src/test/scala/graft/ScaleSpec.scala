@@ -124,6 +124,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("publishDedupServeTables stamps the served generation; staleness is observable") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pubserve").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    assert(Dedup.publishDedupServeTables(spark, dir, "graft_pub_t", buckets = 2) == 0L)
+    assert(Dedup.dedupServeGeneration(spark, "graft_pub_t").contains(0L))
+    // the chain advances (a batch lands and commits gen 1); the serving
+    // layout still claims gen 0 — staleness is head minus stamp, observable
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 2 === 1), "doc_id", "text"), dir, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Dedup.listDedupGens(fs, dir).max == 1L)
+    assert(Dedup.dedupServeGeneration(spark, "graft_pub_t").contains(0L))
+    // a re-publish catches the layout up to the head
+    assert(Dedup.publishDedupServeTables(spark, dir, "graft_pub_t", buckets = 2) == 1L)
+    assert(Dedup.dedupServeGeneration(spark, "graft_pub_t").contains(1L))
+    // a raw saveDedupServeTables layout claims no generation
+    Dedup.saveDedupServeTables(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text"), "graft_pub_raw", buckets = 2)
+    assert(Dedup.dedupServeGeneration(spark, "graft_pub_raw").isEmpty)
+  }
+
   test("readManifest: one scan over N category files, category derived from path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
     def write(name: String, rows: String): String = {
