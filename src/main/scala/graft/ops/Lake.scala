@@ -65,13 +65,27 @@ object Lake {
     * (e.g. executors × cores); sortBy makes the merge side of a sort-merge
     * join sort-free too.
     */
-  def bucketize(df: org.apache.spark.sql.DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+  def bucketize(df: org.apache.spark.sql.DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Overwrite must be idempotent ACROSS SESSIONS: `mode("overwrite")`
+    // replaces tables the catalog knows, but with the default in-memory
+    // catalog a fresh session forgets every table while the warehouse
+    // DIRECTORY persists — saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS. Drop what the catalog knows, then vacuum a
+    // stale location (a bucketized table is a publish-time rewrite, never
+    // the artifact of record, so clearing it loses nothing).
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val bare = table.substring(table.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), bare)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Parquet BLOOM-FILTER write for point-lookup / join-key pruning — the
     * stats gap Z-order can't close: min/max row-group stats prune RANGE
