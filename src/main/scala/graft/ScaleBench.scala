@@ -399,11 +399,17 @@ object ScaleBench {
         operators.Dedup.commitDedupBatchToManifest(spark, dmDir, 0L)
       }
       report("dedup_manifest_batch_commit", f, tCommit, incRows)
-      val (tMComp, _) = time {
+      val (tMComp, mFilesBA) = time {
         operators.Dedup.compactDedupIndexManifest(spark, dmDir, k = 8, targetFiles = 8,
           minRetainedBatchId = Some(1L))
       }
-      report("dedup_manifest_compact", f, tMComp, nDocs + incRows)
+      // files_before == files_after marks a legal no-op commit (not
+      // enough eligible files to bin) — the row must not read as a
+      // measured rewrite when nothing ran.
+      println(
+        s"""{"op":"dedup_manifest_compact","factor":$f,"sec":${math.round(tMComp * 1000) / 1000.0},""" +
+          s""""files_before":${mFilesBA._1},"files_after":${mFilesBA._2}}"""
+      )
       val (tClean, swept) = time {
         operators.Dedup.cleanupDedupGenerations(spark, dmDir, keepGens = 1)
       }

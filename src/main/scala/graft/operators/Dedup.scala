@@ -1206,6 +1206,19 @@ object Dedup {
     * duplicate candidates. A streaming writer MUST pass it; the plain
     * append remains for one-shot batch jobs with no replay semantics.
     *
+    * Two CONCURRENCY transients, shared with the ANN landing and worth
+    * naming: (1) the landing mutates the live dir non-atomically (prior
+    * batch files swept, then parts renamed in), so a whole-dir
+    * [[loadDedupIndex]] racing a REPLAY may see the batch partially —
+    * plain-dir reads and landings are the single-writer/rename-mode
+    * world; concurrent readers belong on the manifest mode's snapshot
+    * loads. (2) On a manifest index, a replay's sweep supersedes files
+    * the pre-crash generation still references; until the re-commit
+    * publishes the healed refs, a snapshot reader resolving THAT
+    * generation can fail on the swept batch — a crash-recovery
+    * transient (the replay exists only because the checkpoint never
+    * committed), not a steady state.
+    *
     * Append forever and the index degrades to file-listing-bound loads:
     * run [[compactDedupIndex]] on the cadence the batch count dictates
     * (with the watermark when batch landings exist).
@@ -1247,7 +1260,12 @@ object Dedup {
         val spark = index.sparkSession
         val live = new org.apache.hadoop.fs.Path(path)
         val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val scratch = new org.apache.hadoop.fs.Path(s"$path.append_tmp_b$b")
+        // Scratch INSIDE the index dir (underscore name — invisible to
+        // plain parquet reads), so a crashed landing's staged copy is
+        // inside the reach of [[cleanupDedupGenerations]]' vacuum instead
+        // of leaking as an unowned sibling forever (the ANN landing's
+        // codes_append_tmp_b<id> rule).
+        val scratch = new org.apache.hadoop.fs.Path(s"$path/_append_tmp_b$b")
         index.write.mode("overwrite").parquet(scratch.toString)
         if (fs.exists(live))
           fs.listStatus(live)
@@ -1467,7 +1485,12 @@ object Dedup {
     require(refs.exists(_._1 == "sig"), s"commitDedupGen: refusing to commit a signature-EMPTY generation $gen for $path")
     val token = java.util.UUID.randomUUID().toString
     val payload = refs.filterNot(_._1 == "committer") :+ (("committer", token, 0L))
-    val scratch = s"$path/_manifest_tmp"
+    // Token-unique scratch (the ANN chain's rule): concurrent committers
+    // are the acknowledged race the two fences exist for — a shared
+    // staging path would let one committer's overwrite replace another's
+    // staged object BEFORE either fence runs. Crashed scratch is vacuumed
+    // by [[cleanupDedupGenerations]] under its scratch grace.
+    val scratch = s"$path/_manifest_tmp_$token"
     payload
       .toDF("kind", "name", "bytes")
       .coalesce(1)
@@ -1490,6 +1513,20 @@ object Dedup {
     require(!fs.exists(target), s"commitDedupGen: generation $gen already exists at $target")
     require(fs.rename(parts.head.getPath, target), s"commitDedupGen: commit move failed for $target")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    requireDedupGenCommitWon(spark, path, gen, token)
+    gen
+  }
+
+  // The post-commit read-back of fence 2, separated (the ANN chain's
+  // shape) so the spec can drive the LOSING side directly — simulating
+  // the object-store PUT overwrite a local-FS test cannot produce
+  // through rename.
+  private[graft] def requireDedupGenCommitWon(
+      spark: SparkSession,
+      path: String,
+      gen: Long,
+      token: String,
+  ): Unit = {
     val winners = readDedupManifestRefs(spark, path, gen).collect { case ("committer", t, _) => t }
     require(
       winners == Seq(token),
@@ -1497,7 +1534,6 @@ object Dedup {
         s"(its token ${winners.mkString(",")}, ours $token) - this driver lost the PUT race; its file " +
         "set is NOT what readers resolve. Re-read the latest refs and retry as the next generation.",
     )
-    gen
   }
 
   /** BOOTSTRAP the manifest: census the live flat dir into generation 0.
@@ -1561,7 +1597,7 @@ object Dedup {
       k: Int = 8,
       targetFiles: Int = 8,
       minRetainedBatchId: Option[Long] = None,
-  ): Unit = {
+  ): (Long, Long) = {
     require(targetFiles >= 1, s"compactDedupIndexManifest: targetFiles must be >= 1: $targetFiles")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = listDedupGens(fs, path)
@@ -1580,13 +1616,16 @@ object Dedup {
       )
     }
     // Nothing eligible to bin (all retained, or already one bin's worth):
-    // an idempotent nightly compactor commits NOTHING.
-    if (eligible.isEmpty || eligible.size <= targetFiles) return
+    // an idempotent nightly compactor commits NOTHING. The (before, after)
+    // file counts are returned either way so a caller (ScaleBench's row,
+    // an operator's log line) can tell a measured rewrite from a no-op.
+    if (eligible.isEmpty || eligible.size <= targetFiles) return (names.size.toLong, names.size.toLong)
     val newGen = gens.max + 1
     val eligibleFiles = eligible.map(n => s"$path/$n")
     val idx = spark.read.parquet(eligibleFiles: _*)
     requireIndexColumns(s"compactDedupIndexManifest: $path", idx.columns.toSeq, k)
-    val scratch = s"$path/_mcompact_tmp"
+    // UUID-unique scratch — same rule as the commit scratch above.
+    val scratch = s"$path/_mcompact_tmp_${java.util.UUID.randomUUID().toString}"
     idx.select(indexColumns(k).map(col): _*).coalesce(targetFiles).write.mode("overwrite").parquet(scratch)
     val inRows = spark.read.parquet(eligibleFiles: _*).count()
     val outRows = spark.read.parquet(scratch).count()
@@ -1610,7 +1649,8 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     val retainedSet = retained.toSet
     val committed = refs.filter { case (kind, name, _) => kind == "sig" && retainedSet(name) } ++ binRefs
-    commitDedupGen(spark, fs, path, newGen, committed, expectedParent = Some(gens.max)): Unit
+    commitDedupGen(spark, fs, path, newGen, committed, expectedParent = Some(gens.max))
+    (names.size.toLong, (retained.size + binRefs.size).toLong)
   }
 
   /** Sweep DE-referenced files (referenced by a generation beyond the
@@ -1622,17 +1662,32 @@ object Dedup {
     * landings referenced by nothing are in-flight landings — never
     * touched. Returns the deleted-file count.
     */
-  def cleanupDedupGenerations(spark: SparkSession, path: String, keepGens: Int = 2): Long = {
+  def cleanupDedupGenerations(
+      spark: SparkSession,
+      path: String,
+      keepGens: Int = 2,
+      scratchGraceMs: Long = 15L * 60L * 1000L,
+  ): Long = {
     require(keepGens >= 1, s"cleanupDedupGenerations: keepGens must be >= 1: $keepGens")
+    require(scratchGraceMs >= 0, s"cleanupDedupGenerations: scratchGraceMs must be >= 0: $scratchGraceMs")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = listDedupGens(fs, path)
     require(gens.nonEmpty, s"cleanupDedupGenerations: no manifest at $path")
-    // crashed commit/compaction scratch — content never reached a commit
-    Seq(s"$path/_manifest_tmp", s"$path/_mcompact_tmp").foreach { p =>
-      val sp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(sp)) fs.delete(sp, true)
-    }
+    // Crashed-op scratch (a commit's _manifest_tmp_<token>, a compactor's
+    // _mcompact_tmp_<uuid>, a landing's _append_tmp_b<id>) — content that
+    // never reached a commit. AGE-GATED like the ANN chain's vacuum:
+    // manifest-mode ingest legitimately races maintenance, so a scratch
+    // younger than `scratchGraceMs` may be an op staging right now and is
+    // spared; a crashed op's scratch ages past any real staging window.
+    val staleBefore = System.currentTimeMillis() - scratchGraceMs
+    val scratchPrefixes = Seq("_manifest_tmp", "_mcompact_tmp", "_append_tmp_b")
+    fs.listStatus(root)
+      .filter(s =>
+        s.isDirectory &&
+          scratchPrefixes.exists(s.getPath.getName.startsWith) &&
+          s.getModificationTime <= staleBefore)
+      .foreach(s => fs.delete(s.getPath, true))
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
     val keptAll = kept.flatMap(g => readDedupManifestRefs(spark, path, g))
     val oldAll = old.flatMap(g => readDedupManifestRefs(spark, path, g))

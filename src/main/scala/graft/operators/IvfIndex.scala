@@ -682,6 +682,14 @@ object IvfIndex {
     * [[swapCellDirsIn]] filesystem contract — atomic rename; see its
     * Scaladoc for the object-store manifest-commit alternative.
     *
+    * CONCURRENCY transient worth naming (shared with the dedup landing):
+    * on a manifest index, a REPLAY's sweep supersedes files the
+    * pre-crash generation still references; until the re-commit
+    * publishes the healed refs, a snapshot reader resolving that
+    * generation can fail on the swept batch. This is a crash-recovery
+    * transient — the replay exists only because the checkpoint never
+    * committed — not a steady state.
+    *
     * Returns the TOUCHED cells (batch-keyed landings; the scratch write
     * names them for free) — what [[commitAdcBatchToManifest]] needs to
     * bound its listing to O(touched). A plain `batchId = None` append
@@ -1416,7 +1424,14 @@ object IvfIndex {
     // generation's rows carry its token) and stamp this commit's own.
     val token = java.util.UUID.randomUUID().toString
     val payload = refs.filterNot(_.kind == "committer") :+ AdcRef("committer", -1, token, 0L)
-    val scratch = s"$dir/manifest_tmp"
+    // Token-unique scratch: concurrent committers are an ACKNOWLEDGED race
+    // (the two fences below exist for it) — a shared staging path would
+    // let committer B's overwrite replace committer A's staged object
+    // BEFORE either fence runs, publishing one writer's refs under the
+    // other's rename. Unique names make staging corruption structurally
+    // impossible; a crashed commit's scratch is vacuumed by
+    // [[cleanupAdcGenerations]] under its scratch grace.
+    val scratch = s"$dir/manifest_tmp_$token"
     payload
       .map(r => (r.kind, r.cell, r.name, r.bytes))
       .toDF("kind", "centroid_id", "name", "bytes")
@@ -1587,7 +1602,11 @@ object IvfIndex {
     var committedRefs = before
     if (victims.nonEmpty) {
       val victimCells = victims.keys.toSeq.sorted
-      val tmp = s"$dir/codes_mcompact_tmp"
+      // UUID-unique scratch: manifest maintenance can race an ingest
+      // committer (the commit fences' acknowledged world), so no two ops
+      // may share a staging path. Crashed scratch is vacuumed by
+      // [[cleanupAdcGenerations]] under its scratch grace.
+      val tmp = s"$dir/codes_mcompact_tmp_${java.util.UUID.randomUUID().toString}"
       rewriteCompactionVictims(spark, codes, victims, tmp, "compactAdcIndexCodesManifest")
       // Land the bins into the LIVE cell dirs under fresh names. These
       // moves need no atomicity: the files are invisible until the
@@ -1660,24 +1679,34 @@ object IvfIndex {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       keepGens: Int = 2,
+      scratchGraceMs: Long = 15L * 60L * 1000L,
   ): Long = {
     require(keepGens >= 1, s"cleanupAdcGenerations: keepGens must be >= 1: $keepGens")
+    require(scratchGraceMs >= 0, s"cleanupAdcGenerations: scratchGraceMs must be >= 0: $scratchGraceMs")
     val codes = s"$dir/codes"
     val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
     val gens = listAdcGens(fs, dir)
     require(gens.nonEmpty, s"cleanupAdcGenerations: no manifest at $dir")
-    // Crashed landings' scratch (codes_append_tmp_b<id> — content never
-    // reached the live tree) and a crashed commit's manifest_tmp are
-    // swept here in manifest mode, the mirror of what
-    // selfHealCellSwaps does at every rename-mode maintenance entry.
-    // Cleanup is maintenance, fenced against live ingest, so no landing
-    // is in flight when this runs.
+    // Crashed-op scratch dirs (a landing's codes_append_tmp_b<id>, a
+    // commit's manifest_tmp_<token>, a manifest compactor's / repair's
+    // codes_m*_tmp_<uuid> — content that never reached the live tree) are
+    // swept here, the mirror of what selfHealCellSwaps does at every
+    // rename-mode maintenance entry. AGE-GATED: manifest-mode ingest
+    // commits legitimately race maintenance (the commit fences'
+    // acknowledged world), so a scratch younger than `scratchGraceMs` may
+    // be an op staging RIGHT NOW and is spared; a crashed op's scratch
+    // ages past any real staging window and is reclaimed on the next
+    // cleanup.
+    val scratchPrefixes =
+      Seq("codes_append_tmp_b", "manifest_tmp", "codes_mcompact_tmp", "codes_mrepair_tmp")
+    val staleBefore = System.currentTimeMillis() - scratchGraceMs
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(dirPath))
       fs.listStatus(dirPath)
         .filter(s =>
           s.isDirectory &&
-            (s.getPath.getName.startsWith("codes_append_tmp_b") || s.getPath.getName == "manifest_tmp"))
+            scratchPrefixes.exists(s.getPath.getName.startsWith) &&
+            s.getModificationTime <= staleBefore)
         .foreach(s => fs.delete(s.getPath, true))
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
     val keptAll = kept.flatMap(g => readAdcManifestRefs(spark, dir, g))
@@ -1820,7 +1849,8 @@ object IvfIndex {
         .select(col("neighbor_id").as(idCol), col("centroid_id"))
     )
     val newGen = gens.max + 1
-    val scratch = s"$dir/codes_mrepair_tmp"
+    // UUID-unique for the same reason as the manifest compactor's scratch.
+    val scratch = s"$dir/codes_mrepair_tmp_${java.util.UUID.randomUUID().toString}"
     // Member join, completeness gate, per-cell mean, frozen-codebook
     // re-encode and the row-count gate are [[repairEncodeMembers]],
     // shared verbatim with the rename-mode repair — only the COMMIT

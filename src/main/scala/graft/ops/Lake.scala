@@ -75,8 +75,22 @@ object Lake {
     // stale location (a bucketized table is a publish-time rewrite, never
     // the artifact of record, so clearing it loses nothing).
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val bare = table.substring(table.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
-    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), bare)
+    // The stale location must be derived DATABASE-AWARE: a managed table
+    // lives at <warehouse>/<table> only in the default database; in any
+    // other it lives at <warehouse>/<db>.db/<table>. Deriving from the
+    // bare name alone would vacuum the DEFAULT database's same-named
+    // table — destroying unrelated data — while missing the actual stale
+    // dir. Qualified names resolve their own database; unqualified names
+    // resolve the session's current one.
+    val parts = table.split('.')
+    require(parts.length <= 2, s"bucketize: at most db.table expected, got '$table'")
+    val bare = parts.last.toLowerCase(java.util.Locale.ROOT)
+    val db = (if (parts.length == 2) parts.head else spark.catalog.currentDatabase)
+      .toLowerCase(java.util.Locale.ROOT)
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc =
+      if (db == "default") new org.apache.hadoop.fs.Path(wh, bare)
+      else new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, s"$db.db"), bare)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -497,8 +497,17 @@ class ExtensionSpec extends SparkSpec {
     IvfIndex.appendToAdcIndex(spark, dir, inc9, "vec_id", "embedding", m = 4, batchId = Some(9L))
     val staleScratch = new java.io.File(s"$dir/codes_append_tmp_b77")
     assert(staleScratch.mkdirs())
+    // The scratch sweep is AGE-GATED (an op staging right now is spared;
+    // a crashed op's scratch ages past the grace): at the default grace a
+    // seconds-old scratch survives, at grace 0 it is reclaimed.
+    val youngScratch = new java.io.File(s"$dir/manifest_tmp_inflight-commit")
+    assert(youngScratch.mkdirs())
     val deleted = IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1)
+    assert(youngScratch.exists(), "a scratch younger than the grace (an op staging now) must be spared")
+    assert(staleScratch.exists(), "the landing scratch is also seconds old here - spared at default grace")
+    IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1, scratchGraceMs = 0L)
     assert(!staleScratch.exists(), "cleanup must sweep crashed landings' scratch dirs")
+    assert(!youngScratch.exists(), "grace 0 reclaims every crashed-op scratch")
     assert(deleted > 0, "cleanup must delete the de-referenced pre-bin files")
     assert(codeFiles("batch4-") == 0, "the superseded landing files must be gone after cleanup")
     assert(codeFiles("batch9-") > 0, "a never-referenced in-flight landing must survive cleanup")

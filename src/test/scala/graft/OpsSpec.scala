@@ -297,6 +297,13 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("head moved"), ex.getMessage)
     assert(Dedup.listDedupGens(fs, dir) == Seq(0L, 1L), "a refused commit must leave the chain untouched")
+    // the PUT-overwrite fence (fence 2): on an object store both twins can
+    // pass fence 1 and PUT gen-N, last write silently winning — the
+    // read-back must tell the loser its world is NOT what readers resolve
+    val exPut = intercept[IllegalArgumentException] {
+      Dedup.requireDedupGenCommitWon(spark, dir, 1L, "not-the-winning-token")
+    }
+    assert(exPut.getMessage.contains("ANOTHER writer"), exPut.getMessage)
     // orphan sweep on a real index: passed-gen orphans die, ahead-of-head spared
     val docs = (1L to 10L).map(i => (i, s"document number $i with shared filler words")).toDF("doc_id", "text")
     val idx = Files.createTempDirectory("graft_dedup_orphans").resolve("index").toString
@@ -310,6 +317,15 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/m0bin-orphan.parquet")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/m5bin-inflight.parquet")), "ahead-of-head spared")
     assert(Dedup.loadDedupIndexSnapshot(spark, idx).collect().toSet == before)
+    // the scratch sweep is age-gated (the ANN chain's rule): a scratch an
+    // op may be staging RIGHT NOW is spared at the default grace,
+    // reclaimed once it ages past it (grace 0 here)
+    val youngScratch = new org.apache.hadoop.fs.Path(s"$idx/_mcompact_tmp_inflight")
+    fs.mkdirs(youngScratch)
+    Dedup.cleanupDedupGenerations(spark, idx, keepGens = 2)
+    assert(fs.exists(youngScratch), "young scratch spared at default grace")
+    Dedup.cleanupDedupGenerations(spark, idx, keepGens = 2, scratchGraceMs = 0L)
+    assert(!fs.exists(youngScratch), "grace 0 reclaims crashed-op scratch")
   }
 
   test("connectedComponentsAdaptive: a long-diameter graph escapes the rounds budget to star") {
