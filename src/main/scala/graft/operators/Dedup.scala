@@ -686,15 +686,24 @@ object Dedup {
     *    two joins + distinct per round cost more than the extra label
     *    rounds on small graphs (ScaleBench: 14 s vs 17 s at 2.9M pairs,
     *    25 s vs 34 s at 11.7M);
-    *  - above it, star contraction wins and keeps winning — flat 175 s at
-    *    both 47M and 129M pairs while label propagation doubles
-    *    (196 s → 408 s), and star is immune to the O(diameter) failure
-    *    mode outright.
+    *  - above it, star contraction is the DEFAULT — immune to the
+    *    O(diameter) failure mode outright.
     *
-    * The threshold sits in the measured 11.7M–47M crossover bracket. The
-    * edge set is materialized once (lazy checkpoint forced by the count)
-    * and the chosen variant re-reads that checkpoint, so the dispatch adds
-    * one count on data the iteration needed materialized anyway.
+    * The large-graph crossover is MACHINE-ERA UNSTABLE, which is why the
+    * threshold is a parameter and not a constant to keep re-tuning: the
+    * r15-era takes had star flat (175 s at both 47M and 129M pairs)
+    * while label propagation doubled (196 s → 408 s); the r17 takes on
+    * the same fixture had label propagation WIN at both sizes
+    * (100 s/116 s vs star's 128 s/219 s — 6 rounds at every factor).
+    * When rounds stay in the near-dup regime the two are within ~2×
+    * either way; the budget escape below bounds label propagation's
+    * downside wherever the dispatch lands, so a caller with a measured
+    * workload can raise `starThreshold` and run label-prop-first safely
+    * (worst case = `labelRoundsBudget` abandoned rounds, then star).
+    * The edge set is materialized once (lazy checkpoint forced by the
+    * count) and the chosen variant re-reads that checkpoint, so the
+    * dispatch adds one count on data the iteration needed materialized
+    * anyway.
     *
     * SIZE is not the only thing that can make min-label the wrong pick:
     * its round count is the component DIAMETER, invisible to an edge
