@@ -4842,6 +4842,34 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- CHAIN DIFF (the audit primitive): what did generation g ADD?
+    //      The diff reads only files referenced by exactly ONE side — a
+    //      batch commit's diff costs the batch, never the corpus — and a
+    //      manifest compaction is provably content-invisible to it (the
+    //      in-query gate). The added set over the batch commit IS the
+    //      batch, which the oracle states directly from the documents
+    //      table ----
+    "q285_dedup_chain_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_diff")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 8), "doc_id", "text"), path, batchId = Some(0L))
+      Dedup.commitDedupBatchToManifest(s, path, 0L) // gen 1
+      // maintenance must change LAYOUT only: compact (gen 2), then gate
+      // that the diff across the compaction is empty in both directions
+      Dedup.compactDedupIndexManifest(s, path, targetFiles = 1, minRetainedBatchId = Some(1L))
+      require(Dedup.dedupChainDiff(s, path, 1L, 2L).isEmpty,
+        "q285: a manifest compaction must be content-invisible to the chain diff")
+      Dedup
+        .dedupChainDiff(s, path, 0L, 1L)
+        .filter(col("op") === "added")
+        .select(col("id").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Repairs COMPOSE (the nightly-cadence contract): the q271 loop
     //      with the flagged set split in two and repaired SEQUENTIALLY —
     //      correct only because membership is read from the stored
@@ -6162,6 +6190,12 @@ object ExtensionQueries {
     "q282_dedup_manifest_stream_ingest" -> sqlIndexAppendOracle,
     "q283_bucketed_increment_dedup" -> sqlIndexAppendOracle,
     "q284_manifest_bucketed_serve" -> sqlIndexAppendOracle,
+    // The diff's added set over the batch commit IS the batch — statable
+    // straight from the documents table, no index machinery in the oracle.
+    "q285_dedup_chain_diff" ->
+      s"""SELECT doc_id FROM documents
+          WHERE ${sqlHash64("'upd:' || text")} % 10 BETWEEN 5 AND 7
+          ORDER BY doc_id""",
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

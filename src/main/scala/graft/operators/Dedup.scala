@@ -1747,6 +1747,59 @@ object Dedup {
     df.select(indexColumns(k).map(col): _*)
   }
 
+  /** CONTENT DIFF between two generations of a manifest dedup index — the
+    * audit primitive a standing pipeline needs ("which documents did
+    * generation g add or remove?") and the invariant probe ("did that
+    * maintenance op change WHAT the index says, or only how it is
+    * laid out?"). Returns (op = 'added' | 'removed', id, __h), one row
+    * per signature present in exactly one generation's content.
+    *
+    * Scale design: the ref sets are metadata (one row per FILE); only
+    * files referenced by exactly ONE side are read — a batch commit's
+    * diff costs the batch's files, never the corpus — and the two
+    * residual sides resolve with one anti-join each on (id, __h). A
+    * COMPACTION's diff does read both rewrites (the file sets are
+    * disjoint by construction — that IS the corpus), and returns empty:
+    * compaction, repair, and cleanup are content-invisible, which makes
+    * this the cheapest possible "the maintenance op changed nothing"
+    * gate an operator can run after any chain hop.
+    */
+  def dedupChainDiff(
+      spark: SparkSession,
+      path: String,
+      fromGen: Long,
+      toGen: Long,
+      k: Int = 8,
+  ): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"dedupChainDiff: no manifest at $path - bootstrap with writeDedupManifest")
+    Seq(fromGen, toGen).foreach(g =>
+      require(gens.contains(g), s"dedupChainDiff: generation $g not in ${gens.mkString(",")}"))
+    val fromNames = sigRefs(readDedupManifestRefs(spark, path, fromGen)).map(_._1).toSet
+    val toNames = sigRefs(readDedupManifestRefs(spark, path, toGen)).map(_._1).toSet
+    // An empty side keeps the INDEX's schema (id may be long or string):
+    // read the generation's own files and limit(0) — one footer, no rows.
+    def rowsOf(names: Set[String], genAll: Set[String]): DataFrame = {
+      val src = if (names.nonEmpty) names else genAll // genAll nonempty: sig-empty gens refuse to commit
+      val df = spark.read.parquet(src.toSeq.sorted.map(n => s"$path/$n"): _*)
+      requireIndexColumns(s"dedupChainDiff: $path", df.columns.toSeq, k)
+      val sel = df.select(col("id"), col("__h"))
+      if (names.nonEmpty) sel else sel.limit(0)
+    }
+    // Shared files contribute identical rows to both sides — only the
+    // symmetric difference of the FILE sets is ever read.
+    val onlyFrom = rowsOf(fromNames -- toNames, fromNames)
+    val onlyTo = rowsOf(toNames -- fromNames, toNames)
+    onlyTo
+      .join(onlyFrom, Seq("id", "__h"), "left_anti")
+      .select(lit("added").as("op"), col("id"), col("__h"))
+      .unionAll(
+        onlyFrom
+          .join(onlyTo, Seq("id", "__h"), "left_anti")
+          .select(lit("removed").as("op"), col("id"), col("__h")))
+  }
+
   /** Incremental dedup: from `incoming`, drop every doc that duplicates the
     * EXISTING corpus — exact (content hash) or near (the verified MinHash+
     * LSH path) — and keep the rest. This is the production dedup workflow at

@@ -328,6 +328,35 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(youngScratch), "grace 0 reclaims crashed-op scratch")
   }
 
+  test("dedupChainDiff: batch = added; backward diff = removed; compaction and identity invisible") {
+    import graft.operators.Dedup
+    val docs = (1L to 20L).map(i => (i, s"chain diff document $i with filler words")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_chain_diff").resolve("index").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 12), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" > 12), "doc_id", "text"), dir, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L) // gen 1
+    def diff(a: Long, b: Long): Map[String, Set[Long]] =
+      Dedup.dedupChainDiff(spark, dir, a, b)
+        .select($"op", $"id")
+        .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fwd = diff(0L, 1L)
+    assert(fwd.getOrElse("added", Set.empty) == (13L to 20L).toSet, fwd.toString)
+    assert(!fwd.contains("removed"), "a pure batch commit removes nothing")
+    val bwd = diff(1L, 0L)
+    assert(bwd.getOrElse("removed", Set.empty) == (13L to 20L).toSet, bwd.toString)
+    assert(!bwd.contains("added"))
+    assert(diff(1L, 1L).isEmpty, "a generation diffs empty against itself")
+    // compaction rewrites every file (disjoint sets) yet the CONTENT diff
+    // is empty — the cheapest "maintenance changed nothing" gate
+    Dedup.compactDedupIndexManifest(spark, dir, targetFiles = 1, minRetainedBatchId = Some(1L)) // gen 2
+    assert(diff(1L, 2L).isEmpty, "a manifest compaction must be content-invisible")
+    assert(diff(2L, 1L).isEmpty)
+    val ex = intercept[IllegalArgumentException](Dedup.dedupChainDiff(spark, dir, 0L, 9L))
+    assert(ex.getMessage.contains("generation 9 not in"), ex.getMessage)
+  }
+
   test("connectedComponentsAdaptive: a long-diameter graph escapes the rounds budget to star") {
     import graft.operators.Dedup
     // a 64-node path: diameter 63 — min-label propagation moves the min
