@@ -4589,6 +4589,33 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- CHAIN DIFF on the ANN index (q285's twin): the batch commit's
+    //      added set IS the batch (oracle stated straight from the
+    //      embeddings table); the manifest compaction rewrites every
+    //      victim file yet is ID-invisible to the diff (in-query gate) ----
+    "q286_ann_chain_diff" -> ((s, d) => {
+      val emb  = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val inc1 = emb.filter(col("vec_id") % 4 === 1)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_diff").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir)
+      IvfIndex.writeAdcManifest(s, dir) // gen 0
+      IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM, batchId = Some(0L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 0L) // gen 1
+      IvfIndex.compactAdcIndexCodesManifest(s, dir, targetBytes = 128L << 20,
+        minRetainedBatchId = Some(1L)) // gen 2: every file rewritten
+      require(IvfIndex.adcChainDiff(s, dir, 1L, 2L).isEmpty,
+        "q286: a manifest compaction must be id-invisible to the chain diff")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcChainDiff(s, dir, 0L, 1L)
+        .filter(col("op") === "added")
+        .select(col("id").as("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- Streaming ingest into the MANIFEST index (q262's transport on
     //      q275's commit protocol): each microbatch lands batch-keyed and
     //      commits its own generation, the listing bounded to the cells
@@ -6196,6 +6223,8 @@ object ExtensionQueries {
       s"""SELECT doc_id FROM documents
           WHERE ${sqlHash64("'upd:' || text")} % 10 BETWEEN 5 AND 7
           ORDER BY doc_id""",
+    "q286_ann_chain_diff" ->
+      "SELECT vec_id FROM embeddings WHERE vec_id % 4 = 1 ORDER BY vec_id",
     "q112_dedup_index" ->
       s"""WITH ${sqlLshPairs("documents", 0.8)},
             d AS (SELECT doc_id, ${sqlHash64("'idx:' || text")} % 10 AS bkt,

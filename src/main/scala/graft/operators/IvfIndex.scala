@@ -1484,6 +1484,54 @@ object IvfIndex {
     )
   }
 
+  /** CONTENT DIFF between two generations of the manifest index — the
+    * audit primitive ([[graft.operators.Dedup.dedupChainDiff]]'s twin on
+    * this artifact): which vector ids did generation `toGen` add or
+    * remove relative to `fromGen`? Returns (op = 'added' | 'removed',
+    * vec id as `id`). ID-LEVEL by design: a manifest compaction rewrites
+    * every victim file and a drift repair re-encodes and may MIGRATE
+    * vectors between cells, yet neither adds nor removes a vector — both
+    * are provably invisible to this diff, which makes it the cheapest
+    * "maintenance changed membership by nothing" gate after any chain
+    * hop.
+    *
+    * Scale design: the ref sets are metadata (one row per file); only
+    * files referenced by exactly ONE side are read — a batch commit's
+    * diff costs the batch, never the corpus (shared files contribute
+    * identical rows under the add-only contract) — and the residue
+    * resolves with one anti-join per direction.
+    */
+  def adcChainDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      fromGen: Long,
+      toGen: Long,
+  ): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/codes").getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"adcChainDiff: no manifest at $dir - bootstrap with writeAdcManifest")
+    Seq(fromGen, toGen).foreach(g =>
+      require(gens.contains(g), s"adcChainDiff: generation $g not in ${gens.mkString(",")}"))
+    def refsOf(g: Long): Set[(Int, String)] =
+      codesRefs(readAdcManifestRefs(spark, dir, g)).map(r => (r._1, r._2)).toSet
+    val fromRefs = refsOf(fromGen)
+    val toRefs = refsOf(toGen)
+    // An empty residual side keeps the codes schema via limit(0) over the
+    // generation's own files (codes-empty generations refuse to commit).
+    def rowsOf(refs: Set[(Int, String)], genAll: Set[(Int, String)]): DataFrame = {
+      val src = if (refs.nonEmpty) refs else genAll
+      val files = src.toSeq.sorted.map { case (cell, name) => s"$dir/codes/centroid_id=$cell/$name" }
+      val df = spark.read.parquet(files: _*).select(col("neighbor_id").as("id"))
+      if (refs.nonEmpty) df else df.limit(0)
+    }
+    val onlyFrom = rowsOf(fromRefs -- toRefs, fromRefs)
+    val onlyTo = rowsOf(toRefs -- fromRefs, toRefs)
+    onlyTo
+      .join(onlyFrom, Seq("id"), "left_anti")
+      .select(lit("added").as("op"), col("id"))
+      .unionAll(onlyFrom.join(onlyTo, Seq("id"), "left_anti").select(lit("removed").as("op"), col("id")))
+  }
+
   /** BOOTSTRAP the manifest: census the live codes tree into generation
     * 0. Only legal while no generation exists AND the tree has never been
     * rewritten in place — a census over a tree that holds de-referenced

@@ -585,6 +585,15 @@ class ExtensionSpec extends SparkSpec {
       "the pre-repair generation must keep serving the old codes + old centroids")
     val serveAfter = serveSnap(None)
     assert(serveAfter != serveBefore, "the repair must change drifted-regime serving")
+    // the repair re-encodes and may migrate vectors between cells, yet
+    // adds/removes NONE: id-invisible to the chain diff — while the batch
+    // commit's diff is exactly the batch
+    assert(IvfIndex.adcChainDiff(spark, dir, 1L, 2L).isEmpty,
+      "a drift repair must be id-invisible to the chain diff")
+    val added = IvfIndex.adcChainDiff(spark, dir, 0L, 1L)
+      .filter(col("op") === "added").select("id").as[Long].collect().toSet
+    assert(added == inc.select("vec_id").as[Long].collect().toSet,
+      "the batch commit's added set must be exactly the batch")
     // the repaired world == the rename-mode repair's world: rebuild the
     // same index rename-style and compare served content
     val dir2 = java.nio.file.Files.createTempDirectory("graft_spec_mrepair_ref").toString
