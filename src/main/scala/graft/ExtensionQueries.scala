@@ -4605,9 +4605,15 @@ object ExtensionQueries {
       IvfIndex.appendToAdcIndex(s, dir, inc1, "vec_id", "embedding", m = PqM, batchId = Some(0L))
       IvfIndex.commitAdcBatchToManifest(s, dir, 0L) // gen 1
       IvfIndex.compactAdcIndexCodesManifest(s, dir, targetBytes = 128L << 20,
-        minRetainedBatchId = Some(1L)) // gen 2: every file rewritten
-      require(IvfIndex.adcChainDiff(s, dir, 1L, 2L).isEmpty,
-        "q286: a manifest compaction must be id-invisible to the chain diff")
+        minRetainedBatchId = Some(1L)) // gen 2 when anything binned
+      // Gate against the chain HEAD, not a hardcoded gen: at a tiny SF
+      // the compactor may legally no-op (no cell with >= 2 eligible
+      // files) and commit nothing — the invisibility claim holds either
+      // way and the gate must not turn that data-dependent no-op into a
+      // missing-generation crash.
+      val fsQ = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+      require(IvfIndex.adcChainDiff(s, dir, 1L, IvfIndex.listAdcGens(fsQ, dir).max).isEmpty,
+        "q286: manifest maintenance must be id-invisible to the chain diff")
       graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       IvfIndex
         .adcChainDiff(s, dir, 0L, 1L)

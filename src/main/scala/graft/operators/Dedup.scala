@@ -1753,6 +1753,11 @@ object Dedup {
     * maintenance op change WHAT the index says, or only how it is
     * laid out?"). Returns (op = 'added' | 'removed', id, __h), one row
     * per signature present in exactly one generation's content.
+    * MULTISET semantics over the add-only contract: if a caller
+    * re-lands an already-indexed signature (a pipeline-contract
+    * violation nothing structurally refuses), the new COPY surfaces as
+    * 'added' — the generation's content multiset did grow, and
+    * surfacing the violation is exactly what an audit primitive is for.
     *
     * Scale design: the ref sets are metadata (one row per FILE); only
     * files referenced by exactly ONE side are read — a batch commit's

@@ -1488,7 +1488,10 @@ object IvfIndex {
     * audit primitive ([[graft.operators.Dedup.dedupChainDiff]]'s twin on
     * this artifact): which vector ids did generation `toGen` add or
     * remove relative to `fromGen`? Returns (op = 'added' | 'removed',
-    * vec id as `id`). ID-LEVEL by design: a manifest compaction rewrites
+    * vec id as `id`). MULTISET semantics over the add-only contract: a
+    * re-landed copy of an already-indexed id (a pipeline-contract
+    * violation nothing structurally refuses) surfaces as 'added' — the
+    * audit signal, not a false positive. ID-LEVEL by design: a manifest compaction rewrites
     * every victim file and a drift repair re-encodes and may MIGRATE
     * vectors between cells, yet neither adds nor removes a vector — both
     * are provably invisible to this diff, which makes it the cheapest
