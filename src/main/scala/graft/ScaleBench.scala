@@ -399,6 +399,15 @@ object ScaleBench {
         operators.Dedup.commitDedupBatchToManifest(spark, dmDir, 0L)
       }
       report("dedup_manifest_batch_commit", f, tCommit, incRows)
+      // The chain diff, gen 0 (corpus census) -> gen 1 (the fixed batch
+      // commit), BEFORE the cleanup below retires gen 0. The claim the
+      // row pins: the diff reads ONLY the files referenced by exactly
+      // one side — the batch's — so its cost must stay FLAT as the
+      // corpus grows.
+      val (tDiff, rDiff) = time {
+        operators.Dedup.dedupChainDiff(spark, dmDir, 0L, 1L).count()
+      }
+      report("dedup_chain_diff", f, tDiff, rDiff)
       val (tMComp, mFilesBA) = time {
         operators.Dedup.compactDedupIndexManifest(spark, dmDir, k = 8, targetFiles = 8,
           minRetainedBatchId = Some(1L))
