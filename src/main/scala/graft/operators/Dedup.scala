@@ -1274,7 +1274,7 @@ object Dedup {
         // inside the reach of [[cleanupDedupGenerations]]' vacuum instead
         // of leaking as an unowned sibling forever (the ANN landing's
         // codes_append_tmp_b<id> rule).
-        val scratch = new org.apache.hadoop.fs.Path(s"$path/_append_tmp_b$b")
+        val scratch = new org.apache.hadoop.fs.Path(s"$path/${IvfIndex.scratchName("_append_tmp", s"b$b")}")
         index.write.mode("overwrite").parquet(scratch.toString)
         if (fs.exists(live))
           fs.listStatus(live)
@@ -1499,7 +1499,7 @@ object Dedup {
     // staging path would let one committer's overwrite replace another's
     // staged object BEFORE either fence runs. Crashed scratch is vacuumed
     // by [[cleanupDedupGenerations]] under its scratch grace.
-    val scratch = s"$path/_manifest_tmp_$token"
+    val scratch = s"$path/${IvfIndex.scratchName("_manifest_tmp", token)}"
     payload
       .toDF("kind", "name", "bytes")
       .coalesce(1)
@@ -1634,7 +1634,7 @@ object Dedup {
     val idx = spark.read.parquet(eligibleFiles: _*)
     requireIndexColumns(s"compactDedupIndexManifest: $path", idx.columns.toSeq, k)
     // UUID-unique scratch — same rule as the commit scratch above.
-    val scratch = s"$path/_mcompact_tmp_${java.util.UUID.randomUUID().toString}"
+    val scratch = s"$path/${IvfIndex.scratchName("_mcompact_tmp", java.util.UUID.randomUUID().toString)}"
     idx.select(indexColumns(k).map(col): _*).coalesce(targetFiles).write.mode("overwrite").parquet(scratch)
     val inRows = spark.read.parquet(eligibleFiles: _*).count()
     val outRows = spark.read.parquet(scratch).count()
@@ -1689,13 +1689,17 @@ object Dedup {
     // manifest-mode ingest legitimately races maintenance, so a scratch
     // younger than `scratchGraceMs` may be an op staging right now and is
     // spared; a crashed op's scratch ages past any real staging window.
+    // Age comes from the wall-clock stamp the scratch NAME embeds
+    // ([[IvfIndex.scratchName]]) — mtime is the fallback for stamp-less
+    // legacy names only (object stores report epoch-0 mtimes for
+    // directory entries, which would void the grace).
     val staleBefore = System.currentTimeMillis() - scratchGraceMs
-    val scratchPrefixes = Seq("_manifest_tmp", "_mcompact_tmp", "_append_tmp_b")
+    val scratchPrefixes = Seq("_manifest_tmp", "_mcompact_tmp", "_append_tmp")
     fs.listStatus(root)
       .filter(s =>
         s.isDirectory &&
           scratchPrefixes.exists(s.getPath.getName.startsWith) &&
-          s.getModificationTime <= staleBefore)
+          IvfIndex.scratchIsStale(s, staleBefore))
       .foreach(s => fs.delete(s.getPath, true))
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
     val keptAll = kept.flatMap(g => readDedupManifestRefs(spark, path, g))
@@ -1753,11 +1757,16 @@ object Dedup {
     * maintenance op change WHAT the index says, or only how it is
     * laid out?"). Returns (op = 'added' | 'removed', id, __h), one row
     * per signature present in exactly one generation's content.
-    * MULTISET semantics over the add-only contract: if a caller
-    * re-lands an already-indexed signature (a pipeline-contract
-    * violation nothing structurally refuses), the new COPY surfaces as
-    * 'added' — the generation's content multiset did grow, and
-    * surfacing the violation is exactly what an audit primitive is for.
+    * SET semantics over the residual file sides, with one scoped
+    * multiset escape: if a caller re-lands an already-indexed signature
+    * (a pipeline-contract violation nothing structurally refuses), the
+    * new COPY surfaces as 'added' ONLY on diffs whose residual sides
+    * still hold the copy — the per-hop diff over the landing's own
+    * commit, before any rewrite. A diff SPANNING a compaction reads
+    * both full rewritten sides and the anti-join collapses copy-count
+    * changes — the duplicate is invisible there. Audit duplicate
+    * landings hop-by-hop (the shape the standing pipeline runs anyway);
+    * cross-compaction diffs answer set membership only.
     *
     * Scale design: the ref sets are metadata (one row per FILE); only
     * files referenced by exactly ONE side are read — a batch commit's

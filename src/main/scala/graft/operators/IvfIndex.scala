@@ -752,7 +752,7 @@ object IvfIndex {
         Seq.empty[Int]
       case Some(b) =>
         val codes = s"$dir/codes"
-        val scratch = s"$dir/codes_append_tmp_b$b"
+        val scratch = s"$dir/${scratchName("codes_append_tmp", s"b$b")}"
         val fs = new org.apache.hadoop.fs.Path(codes).getFileSystem(spark.sessionState.newHadoopConf())
         encoded.write
           .mode("overwrite")
@@ -892,6 +892,28 @@ object IvfIndex {
     case LandingName(id) => Some(id.toLong)
     case _ => None
   }
+
+  // Scratch dirs embed their creation WALL CLOCK in the name
+  // (`<prefix>_ts<millis>_<suffix>`) so the cleanup age gate never
+  // depends on filesystem mtime: object stores routinely report epoch-0
+  // mtimes for fake directory entries — under an mtime gate every
+  // scratch looks infinitely stale and the grace is void, reintroducing
+  // the delete-an-in-flight-staging race the grace exists to close
+  // (client/store clock skew voids it the same way). The committer's own
+  // clock names the scratch, the same clock the cleanup compares against
+  // when cleanup runs from the maintenance driver; cross-driver skew
+  // only narrows or widens the grace, never zeroes it. Names without an
+  // embedded stamp (pre-stamp layouts, hand-made test dirs) fall back to
+  // mtime — legacy dirs age out rather than leak.
+  private[graft] def scratchName(prefix: String, suffix: String): String =
+    s"${prefix}_ts${System.currentTimeMillis()}_$suffix"
+  private val ScratchStamp = raw".*_ts(\d+)_.*".r
+  private[graft] def scratchBornAt(name: String): Option[Long] = name match {
+    case ScratchStamp(ts) => Some(ts.toLong)
+    case _ => None
+  }
+  private[graft] def scratchIsStale(s: org.apache.hadoop.fs.FileStatus, staleBefore: Long): Boolean =
+    scratchBornAt(s.getPath.getName).getOrElse(s.getModificationTime) <= staleBefore
 
   // The replay fence both repair modes share: list the TREE for batch
   // landings at or above the watermark. On-disk batch files outside the
@@ -1146,7 +1168,7 @@ object IvfIndex {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(dirPath))
       fs.listStatus(dirPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("codes_append_tmp_b"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("codes_append_tmp"))
         .foreach(s => fs.delete(s.getPath, true))
   }
 
@@ -1431,7 +1453,7 @@ object IvfIndex {
     // other's rename. Unique names make staging corruption structurally
     // impossible; a crashed commit's scratch is vacuumed by
     // [[cleanupAdcGenerations]] under its scratch grace.
-    val scratch = s"$dir/manifest_tmp_$token"
+    val scratch = s"$dir/${scratchName("manifest_tmp", token)}"
     payload
       .map(r => (r.kind, r.cell, r.name, r.bytes))
       .toDF("kind", "centroid_id", "name", "bytes")
@@ -1488,10 +1510,14 @@ object IvfIndex {
     * audit primitive ([[graft.operators.Dedup.dedupChainDiff]]'s twin on
     * this artifact): which vector ids did generation `toGen` add or
     * remove relative to `fromGen`? Returns (op = 'added' | 'removed',
-    * vec id as `id`). MULTISET semantics over the add-only contract: a
-    * re-landed copy of an already-indexed id (a pipeline-contract
-    * violation nothing structurally refuses) surfaces as 'added' — the
-    * audit signal, not a false positive. ID-LEVEL by design: a manifest compaction rewrites
+    * vec id as `id`). SET semantics over the residual file sides, with
+    * one scoped multiset escape: a re-landed copy of an already-indexed
+    * id (a pipeline-contract violation nothing structurally refuses)
+    * surfaces as 'added' only on diffs whose residual sides still hold
+    * the copy — the per-hop diff over the landing's own commit; a diff
+    * spanning a compaction reads both full rewritten sides and collapses
+    * copy-count changes, so audit duplicate landings hop-by-hop.
+    * ID-LEVEL by design: a manifest compaction rewrites
     * every victim file and a drift repair re-encodes and may MIGRATE
     * vectors between cells, yet neither adds nor removes a vector — both
     * are provably invisible to this diff, which makes it the cheapest
@@ -1657,7 +1683,7 @@ object IvfIndex {
       // committer (the commit fences' acknowledged world), so no two ops
       // may share a staging path. Crashed scratch is vacuumed by
       // [[cleanupAdcGenerations]] under its scratch grace.
-      val tmp = s"$dir/codes_mcompact_tmp_${java.util.UUID.randomUUID().toString}"
+      val tmp = s"$dir/${scratchName("codes_mcompact_tmp", java.util.UUID.randomUUID().toString)}"
       rewriteCompactionVictims(spark, codes, victims, tmp, "compactAdcIndexCodesManifest")
       // Land the bins into the LIVE cell dirs under fresh names. These
       // moves need no atomicity: the files are invisible until the
@@ -1747,9 +1773,12 @@ object IvfIndex {
     // acknowledged world), so a scratch younger than `scratchGraceMs` may
     // be an op staging RIGHT NOW and is spared; a crashed op's scratch
     // ages past any real staging window and is reclaimed on the next
-    // cleanup.
+    // cleanup. Age comes from the WALL-CLOCK STAMP the scratch name
+    // embeds ([[scratchName]]) — filesystem mtime is the fallback for
+    // stamp-less legacy names only, because object stores report epoch-0
+    // mtimes for directory entries, which would void the grace entirely.
     val scratchPrefixes =
-      Seq("codes_append_tmp_b", "manifest_tmp", "codes_mcompact_tmp", "codes_mrepair_tmp")
+      Seq("codes_append_tmp", "manifest_tmp", "codes_mcompact_tmp", "codes_mrepair_tmp")
     val staleBefore = System.currentTimeMillis() - scratchGraceMs
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(dirPath))
@@ -1757,7 +1786,7 @@ object IvfIndex {
         .filter(s =>
           s.isDirectory &&
             scratchPrefixes.exists(s.getPath.getName.startsWith) &&
-            s.getModificationTime <= staleBefore)
+            scratchIsStale(s, staleBefore))
         .foreach(s => fs.delete(s.getPath, true))
     val (old, kept) = gens.splitAt(math.max(0, gens.size - keepGens))
     val keptAll = kept.flatMap(g => readAdcManifestRefs(spark, dir, g))
@@ -1901,7 +1930,7 @@ object IvfIndex {
     )
     val newGen = gens.max + 1
     // UUID-unique for the same reason as the manifest compactor's scratch.
-    val scratch = s"$dir/codes_mrepair_tmp_${java.util.UUID.randomUUID().toString}"
+    val scratch = s"$dir/${scratchName("codes_mrepair_tmp", java.util.UUID.randomUUID().toString)}"
     // Member join, completeness gate, per-cell mean, frozen-codebook
     // re-encode and the row-count gate are [[repairEncodeMembers]],
     // shared verbatim with the rename-mode repair — only the COMMIT

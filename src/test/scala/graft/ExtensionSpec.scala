@@ -508,6 +508,20 @@ class ExtensionSpec extends SparkSpec {
     IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1, scratchGraceMs = 0L)
     assert(!staleScratch.exists(), "cleanup must sweep crashed landings' scratch dirs")
     assert(!youngScratch.exists(), "grace 0 reclaims every crashed-op scratch")
+    // The age gate reads the wall-clock stamp the scratch NAME embeds,
+    // not mtime: old-stamped + fresh mtime dies at the default grace;
+    // fresh-stamped + epoch-0 mtime (the object-store directory-entry
+    // case that voids an mtime gate) is spared.
+    val fsH = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldStamped = new org.apache.hadoop.fs.Path(s"$dir/manifest_tmp_ts1000_crashed")
+    fsH.mkdirs(oldStamped)
+    val freshStamped = new org.apache.hadoop.fs.Path(s"$dir/${IvfIndex.scratchName("manifest_tmp", "staging-now")}")
+    fsH.mkdirs(freshStamped)
+    fsH.setTimes(freshStamped, 0L, 0L)
+    IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1)
+    assert(!fsH.exists(oldStamped), "old-stamped scratch dies at default grace despite fresh mtime")
+    assert(fsH.exists(freshStamped), "fresh-stamped scratch survives an epoch-0 mtime")
+    fsH.delete(freshStamped, true)
     assert(deleted > 0, "cleanup must delete the de-referenced pre-bin files")
     assert(codeFiles("batch4-") == 0, "the superseded landing files must be gone after cleanup")
     assert(codeFiles("batch9-") > 0, "a never-referenced in-flight landing must survive cleanup")

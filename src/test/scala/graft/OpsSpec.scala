@@ -326,6 +326,21 @@ class OpsSpec extends SparkSpec {
     assert(fs.exists(youngScratch), "young scratch spared at default grace")
     Dedup.cleanupDedupGenerations(spark, idx, keepGens = 2, scratchGraceMs = 0L)
     assert(!fs.exists(youngScratch), "grace 0 reclaims crashed-op scratch")
+    // The age gate reads the WALL-CLOCK STAMP embedded in the scratch
+    // name, not filesystem mtime: an old-stamped scratch with a fresh
+    // mtime is reclaimed at the default grace, and a fresh-stamped
+    // scratch whose mtime reads epoch 0 (what object stores report for
+    // directory entries — the case that would void an mtime gate) is
+    // spared.
+    val oldStamped = new org.apache.hadoop.fs.Path(s"$idx/_mcompact_tmp_ts1000_crashed")
+    fs.mkdirs(oldStamped)
+    val freshStamped =
+      new org.apache.hadoop.fs.Path(s"$idx/${graft.operators.IvfIndex.scratchName("_mcompact_tmp", "staging-now")}")
+    fs.mkdirs(freshStamped)
+    fs.setTimes(freshStamped, 0L, 0L) // simulate the object-store epoch-0 dir mtime
+    Dedup.cleanupDedupGenerations(spark, idx, keepGens = 2)
+    assert(!fs.exists(oldStamped), "an old-stamped scratch dies at default grace despite a fresh mtime")
+    assert(fs.exists(freshStamped), "a fresh-stamped scratch survives an epoch-0 mtime")
   }
 
   test("dedupChainDiff: batch = added; backward diff = removed; compaction and identity invisible") {
