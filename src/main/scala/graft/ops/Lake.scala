@@ -65,17 +65,19 @@ object Lake {
     * (e.g. executors × cores); sortBy makes the merge side of a sort-merge
     * join sort-free too.
     */
+  /** The marker [[bucketize]] leaves behind so its overwrite path can prove
+    * a table/location is its OWN previous publish before destroying it:
+    * a `graft.publishedBy` table property (the catalog-visible stamp) and
+    * a `_graft_bucketize` sentinel file in the location (the stamp that
+    * survives the default in-memory catalog forgetting the table across
+    * sessions while the warehouse directory persists).
+    */
+  private[graft] val BucketizeSentinel = "_graft_bucketize"
+  private[graft] val PublishedByProp = "graft.publishedBy"
+
   def bucketize(df: org.apache.spark.sql.DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
-    // Overwrite must be idempotent ACROSS SESSIONS: `mode("overwrite")`
-    // replaces tables the catalog knows, but with the default in-memory
-    // catalog a fresh session forgets every table while the warehouse
-    // DIRECTORY persists — saveAsTable then refuses with
-    // LOCATION_ALREADY_EXISTS. Drop what the catalog knows, then vacuum a
-    // stale location (a bucketized table is a publish-time rewrite, never
-    // the artifact of record, so clearing it loses nothing).
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // The stale location must be derived DATABASE-AWARE: a managed table
+    // The location must be derived DATABASE-AWARE: a managed table
     // lives at <warehouse>/<table> only in the default database; in any
     // other it lives at <warehouse>/<db>.db/<table>. Deriving from the
     // bare name alone would vacuum the DEFAULT database's same-named
@@ -92,13 +94,54 @@ object Lake {
       if (db == "default") new org.apache.hadoop.fs.Path(wh, bare)
       else new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, s"$db.db"), bare)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // Overwrite must be idempotent ACROSS SESSIONS: `mode("overwrite")`
+    // replaces tables the catalog knows, but with the default in-memory
+    // catalog a fresh session forgets every table while the warehouse
+    // DIRECTORY persists — saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS. So the overwrite path drops what the
+    // catalog knows and vacuums a stale location — but ONLY what this
+    // method itself published (a bucketized table is a publish-time
+    // rewrite, never the artifact of record, so clearing OUR OWN prior
+    // publish loses nothing). Destroying anything else through a generic
+    // lake API is the one failure mode worse than a loud stop, so an
+    // unstamped table or location refuses: a caller whose target name
+    // collides with an unrelated managed table keeps that table's data.
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(bare, Some(db))
+    val cat = spark.sessionState.catalog
+    if (cat.tableExists(ident)) {
+      require(
+        cat.getTableMetadata(ident).properties.contains(PublishedByProp),
+        s"bucketize: refusing to overwrite table '$table' - it carries no '$PublishedByProp' " +
+          "property, so it was not published by Lake.bucketize. Overwriting a foreign table through " +
+          "a publish API would destroy data this method does not own; drop it yourself if that is " +
+          "really what you want.",
+      )
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    if (fs.exists(loc)) {
+      val sentinel = new org.apache.hadoop.fs.Path(loc, BucketizeSentinel)
+      require(
+        fs.exists(sentinel) || fs.listStatus(loc).isEmpty,
+        s"bucketize: refusing to vacuum location '$loc' - the directory is non-empty and carries no " +
+          s"$BucketizeSentinel sentinel, so it was not written by Lake.bucketize (an unrelated " +
+          "managed table's data, or a foreign writer's). Delete it yourself if it is known disposable.",
+      )
+      fs.delete(loc, true)
+    }
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+    // Stamp AFTER the save (the location does not exist before it): the
+    // sentinel file makes the location self-identifying across sessions,
+    // the table property makes the catalog entry self-identifying within
+    // one. A crash between save and stamp leaves a table the next
+    // publish refuses loudly — a recoverable stop, never silent loss.
+    val actualLoc = new org.apache.hadoop.fs.Path(cat.getTableMetadata(ident).location)
+    fs.create(new org.apache.hadoop.fs.Path(actualLoc, BucketizeSentinel), true).close()
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$PublishedByProp' = 'graft.Lake.bucketize')")
   }
 
   /** Parquet BLOOM-FILTER write for point-lookup / join-key pruning — the

@@ -78,6 +78,47 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketize refuses to clobber foreign tables and locations; own republish survives catalog loss") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(hc)
+    // A FOREIGN managed table at the target name: refuse loudly, data intact.
+    spark.range(5).toDF("x").write.saveAsTable("guard_foreign_tbl")
+    val exTbl = intercept[IllegalArgumentException] {
+      Lake.bucketize(spark.range(3).toDF("x"), "guard_foreign_tbl", Seq("x"), 2)
+    }
+    assert(exTbl.getMessage.contains("not published by Lake.bucketize"), exTbl.getMessage)
+    assert(spark.table("guard_foreign_tbl").count() == 5, "the foreign table's data must be intact")
+    // A FOREIGN non-empty directory at the derived location (no catalog
+    // entry — e.g. another application's table the in-memory catalog
+    // never knew): refuse loudly, files intact.
+    val foreignLoc = new org.apache.hadoop.fs.Path(wh, "guard_foreign_dir")
+    fs.mkdirs(foreignLoc)
+    fs.create(new org.apache.hadoop.fs.Path(foreignLoc, "part-0.parquet"), true).close()
+    val exDir = intercept[IllegalArgumentException] {
+      Lake.bucketize(spark.range(3).toDF("x"), "guard_foreign_dir", Seq("x"), 2)
+    }
+    assert(exDir.getMessage.contains("not written by Lake.bucketize"), exDir.getMessage)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(foreignLoc, "part-0.parquet")),
+      "the foreign directory's files must be intact")
+    // Our OWN table republishes freely in-session...
+    Lake.bucketize(spark.range(4).toDF("x"), "guard_own_t", Seq("x"), 2)
+    Lake.bucketize(spark.range(6).toDF("x"), "guard_own_t", Seq("x"), 2)
+    assert(spark.table("guard_own_t").count() == 6)
+    // ...and ACROSS SESSIONS (the in-memory catalog forgets the table,
+    // the warehouse dir persists — the 1925a23 state, reconstructed by
+    // parking the dir aside over a managed DROP): the sentinel inside
+    // the location proves prior ownership and the vacuum proceeds.
+    val ownLoc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("guard_own_t", Some("default"))).location)
+    val aside = new org.apache.hadoop.fs.Path(wh, "guard_own_t__aside")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, ownLoc, fs, aside, false, hc))
+    spark.sql("DROP TABLE guard_own_t") // managed drop deletes the dir
+    assert(fs.rename(aside, ownLoc)) // dir back, catalog entry gone
+    Lake.bucketize(spark.range(7).toDF("x"), "guard_own_t", Seq("x"), 2)
+    assert(spark.table("guard_own_t").count() == 7)
+  }
+
   test("dedupIncrementBucketed == dedupIncrementWithIndex; corpus rows never shuffle") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(sf() + "/documents.parquet")
