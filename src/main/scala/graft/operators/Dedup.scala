@@ -1985,25 +1985,235 @@ object Dedup {
       buckets: Int = 32,
       k: Int = 8,
       bands: Int = 4,
+  ): Unit =
+    saveServeTablesNamed(index, s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_hashes", buckets, k, bands)
+
+  private def saveServeTablesNamed(
+      index: DataFrame,
+      bandsTable: String,
+      sigsTable: String,
+      hashesTable: String,
+      buckets: Int,
+      k: Int,
+      bands: Int,
   ): Unit = {
     require(k % bands == 0, s"saveDedupServeTables: bands ($bands) must divide k ($k)")
-    requireIndexColumns(s"saveDedupServeTables: incoming index for '$prefix'", index.columns.toSeq, k)
+    requireIndexColumns(s"saveDedupServeTables: incoming index for '$sigsTable'", index.columns.toSeq, k)
     val idx = Lineage.truncate(index.select(indexColumns(k).map(col): _*))
-    graft.ops.Lake.bucketize(bandRows(idx, k, bands), s"${prefix}_bands", bandKeyCols(k / bands), buckets)
-    graft.ops.Lake.bucketize(idx, s"${prefix}_sigs", Seq("id"), buckets)
-    graft.ops.Lake.bucketize(idx.select(col("__h")).distinct(), s"${prefix}_hashes", Seq("__h"), buckets)
+    graft.ops.Lake.bucketize(bandRows(idx, k, bands), bandsTable, bandKeyCols(k / bands), buckets)
+    graft.ops.Lake.bucketize(idx, sigsTable, Seq("id"), buckets)
+    graft.ops.Lake.bucketize(idx.select(col("__h")).distinct(), hashesTable, Seq("__h"), buckets)
   }
 
-  /** [[saveDedupServeTables]] from a MANIFEST index's snapshot, with the
-    * served generation STAMPED on the tables — the freshness contract for
-    * a standing pipeline: the serve tables are a point-in-time rewrite of
-    * one generation, later ingest commits advance the chain without
-    * touching them, and [[dedupServeGeneration]] against
+  // ----------------------------------------------------------------------
+  // ATOMIC serve publish — the pointer-swap protocol for the serving
+  // layout, inheriting the shape the two manifest chains proved: a
+  // publish writes three GENERATION-VERSIONED tables under fresh
+  // token-unique names (`<prefix>_g<gen>_ts<millis>_<tok8>_{bands,sigs,
+  // hashes}`), stamps each with the served generation AND the publish
+  // token BEFORE any pointer moves (the freshness observable can never
+  // lie, even mid-crash), and then swings ONE tiny head object — a
+  // `serve-<seq>.properties` file in a `<prefix>__servehead` directory
+  // next to the tables — carrying the same two concurrent-committer
+  // fences as the chains (expected-parent re-listed after staging;
+  // committer-token read-back for silently-replacing PUTs). A reader
+  // resolves the head once and serves wholly one publish: mid-republish
+  // it sees wholly OLD (head not yet swung) or wholly NEW, never a
+  // gen-N bands / gen-N-1 sigs mix; superseded publishes outlive their
+  // replacement by the keep window, the reader's grace. The raw
+  // [[saveDedupServeTables]] remains the headless single-writer mode
+  // (plain `<prefix>_*` names, no generation claim) — the two modes are
+  // distinguished by the head's existence, and a head always wins.
+  // ----------------------------------------------------------------------
+
+  private def serveHeadDir(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path =
+    graft.ops.Lake.managedLocation(spark, s"${prefix}__servehead")
+
+  private val ServeHeadName = raw"serve-(\d+)\.properties".r
+
+  private[graft] def listServeHeads(
+      fs: org.apache.hadoop.fs.FileSystem,
+      headDir: org.apache.hadoop.fs.Path,
+  ): Seq[Long] =
+    if (!fs.exists(headDir)) Nil
+    else
+      fs.listStatus(headDir)
+        .toSeq
+        .flatMap(_.getPath.getName match {
+          case ServeHeadName(n) => Some(n.toLong)
+          case _ => None
+        })
+        .sorted
+
+  private[graft] case class ServeHead(
+      seq: Long,
+      gen: Long,
+      token: String,
+      bands: String,
+      sigs: String,
+      hashes: String,
+  )
+
+  private[graft] def readServeHead(
+      fs: org.apache.hadoop.fs.FileSystem,
+      headDir: org.apache.hadoop.fs.Path,
+      seq: Long,
+  ): ServeHead = {
+    val p = new org.apache.hadoop.fs.Path(headDir, s"serve-$seq.properties")
+    val in = fs.open(p)
+    val props = new java.util.Properties()
+    try props.load(in)
+    finally in.close()
+    def req(key: String): String = {
+      val v = props.getProperty(key)
+      require(v != null, s"readServeHead: $p is missing '$key' - a corrupt or foreign head object")
+      v
+    }
+    ServeHead(seq, req("gen").toLong, req("token"), req("bands"), req("sigs"), req("hashes"))
+  }
+
+  /** Commit one head object — the serve layout's single-object pointer
+    * swap, carrying the manifest chains' two concurrent-committer fences:
+    * (1) expected-parent, re-listed here AFTER the payload is built, so a
+    * publisher that lost the race refuses loudly instead of silently
+    * unreferencing the winner's tables; (2) the committer-token
+    * read-back ([[requireServeHeadCommitWon]]) for stores whose "rename"
+    * is a silently replacing PUT. private[graft] so the spec drives the
+    * losing side of both fences directly.
+    */
+  private[graft] def commitServeHead(
+      fs: org.apache.hadoop.fs.FileSystem,
+      headDir: org.apache.hadoop.fs.Path,
+      head: ServeHead,
+      expectedParent: Option[Long],
+  ): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("gen", head.gen.toString)
+    props.setProperty("token", head.token)
+    props.setProperty("bands", head.bands)
+    props.setProperty("sigs", head.sigs)
+    props.setProperty("hashes", head.hashes)
+    fs.mkdirs(headDir)
+    val tmp = new org.apache.hadoop.fs.Path(headDir, IvfIndex.scratchName("_head_tmp", head.token))
+    val out = fs.create(tmp, true)
+    try props.store(out, null)
+    finally out.close()
+    val headNow = listServeHeads(fs, headDir).lastOption
+    if (headNow != expectedParent) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commitServeHead: serve head moved from $expectedParent to $headNow while this publish was " +
+          "built - a concurrent publisher swung the pointer first. Committing would silently " +
+          "unreference its tables. Re-resolve and retry (or accept the fresher publish).")
+    }
+    val target = new org.apache.hadoop.fs.Path(headDir, s"serve-${head.seq}.properties")
+    require(!fs.exists(target), s"commitServeHead: head seq ${head.seq} already exists at $target")
+    require(fs.rename(tmp, target), s"commitServeHead: commit move failed for $target")
+    requireServeHeadCommitWon(fs, headDir, head.seq, head.token)
+  }
+
+  // Fence 2's read-back, separated (the chains' shape) so the spec can
+  // drive the LOSING side — the object-store PUT overwrite a local-FS
+  // test cannot produce through rename.
+  private[graft] def requireServeHeadCommitWon(
+      fs: org.apache.hadoop.fs.FileSystem,
+      headDir: org.apache.hadoop.fs.Path,
+      seq: Long,
+      token: String,
+  ): Unit = {
+    val winner = readServeHead(fs, headDir, seq).token
+    require(
+      winner == token,
+      s"commitServeHead: head seq $seq was committed by ANOTHER publisher (its token $winner, ours " +
+        s"$token) - this publisher lost the PUT race; its tables are NOT what readers resolve. " +
+        "Re-resolve and retry as the next seq (the orphaned tables age out via the publish vacuum).")
+  }
+
+  private def versionedServeNames(prefix: String, gen: Long, stampMs: Long, tok8: String): (String, String, String) = {
+    val base = s"${prefix}_g${gen}_ts${stampMs}_$tok8"
+    (s"${base}_bands", s"${base}_sigs", s"${base}_hashes")
+  }
+
+  // A versioned serve-table name's embedded (gen, stampMs) — the vacuum's
+  // age gate, wall-clock-stamped for the same reason scratch names are
+  // ([[IvfIndex.scratchName]]).
+  private def versionedServePattern(prefix: String) =
+    (java.util.regex.Pattern.quote(prefix) + raw"_g(\d+)_ts(\d+)_[0-9a-f]{8}_(?:bands|sigs|hashes)").r
+
+  /** The resolved serving layout a reader should join against. Versioned
+    * mode (a head exists): the head names the exact three tables, and the
+    * resolution VERIFIES all three exist and carry the head's own
+    * (generation, token) stamps — a torn publish (crash between table
+    * saves, or a doctored table) refuses loudly instead of silently
+    * under-dedup-ing via a gen-N bands / gen-N-1 sigs mix. Headless mode:
+    * the raw [[saveDedupServeTables]] plain names, no generation claim,
+    * single-writer by contract. A resolution is a SNAPSHOT: a republish
+    * swings the head for the NEXT resolution, never this one's (the
+    * superseded tables outlive it by the publish keep window).
+    */
+  private[graft] case class DedupServeLayout(
+      bands: String,
+      sigs: String,
+      hashes: String,
+      gen: Option[Long],
+      token: Option[String],
+  )
+
+  private[graft] def resolveDedupServe(spark: SparkSession, prefix: String): DedupServeLayout = {
+    val headDir = serveHeadDir(spark, prefix)
+    val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val heads = listServeHeads(fs, headDir)
+    if (heads.isEmpty)
+      DedupServeLayout(s"${prefix}_bands", s"${prefix}_sigs", s"${prefix}_hashes", None, None)
+    else {
+      val h = readServeHead(fs, headDir, heads.max)
+      val cat = spark.sessionState.catalog
+      Seq(h.bands, h.sigs, h.hashes).foreach { t =>
+        val (db, bare) = graft.ops.Lake.dbAndBare(spark, t)
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(bare, Some(db))
+        require(
+          cat.tableExists(ident),
+          s"resolveDedupServe: head seq ${h.seq} for '$prefix' names table '$t' which the catalog " +
+            "does not know. With the default in-memory catalog serve tables do not survive a session " +
+            "restart - republish from the index (publishDedupServeTables); on a persistent metastore " +
+            "this means the publish behind this head crashed before completing or its tables were " +
+            "dropped externally.",
+        )
+        val props = cat.getTableMetadata(ident).properties
+        require(
+          props.get(ServeGenProp).contains(h.gen.toString) && props.get(ServeTokenProp).contains(h.token),
+          s"resolveDedupServe: table '$t' carries stamps (gen ${props.get(ServeGenProp)}, token " +
+            s"${props.get(ServeTokenProp)}) that do not match its head (gen ${h.gen}, token ${h.token}) " +
+            "- a TORN or doctored publish. Refusing to serve a mixed-generation layout; republish.",
+        )
+      }
+      DedupServeLayout(h.bands, h.sigs, h.hashes, Some(h.gen), Some(h.token))
+    }
+  }
+
+  private[graft] val ServeGenProp = "graft.servedGeneration"
+  private[graft] val ServeTokenProp = "graft.publishToken"
+
+  /** [[saveDedupServeTables]] from a MANIFEST index's snapshot as an
+    * ATOMIC generation-versioned publish. The layout's freshness contract
+    * for a standing pipeline: the serve tables are a point-in-time
+    * rewrite of one generation, later ingest commits advance the chain
+    * without touching them, and [[dedupServeGeneration]] against
     * [[listDedupGens]]'s head tells an operator exactly how stale the
-    * serving layout is (re-publish on the cadence compaction already
-    * dictates; serving an older snapshot deliberately is legitimate —
-    * that's what generation pinning is for). Returns the published
-    * generation.
+    * serving layout is (serving an older snapshot deliberately is
+    * legitimate — that's what generation pinning is for).
+    *
+    * Atomicity: the three tables land under fresh token-unique versioned
+    * names, each stamped (generation, token) as part of its save — only
+    * then does one head object swing the pointer, under the chains' two
+    * commit fences. A reader mid-republish sees wholly the old publish
+    * or wholly the new one; a crash at ANY point leaves either the old
+    * head serving intact tables plus unreferenced garbage the vacuum
+    * ages out, or the new head serving its complete stamped set. The
+    * superseded publish's tables survive `keepPublishes` more publishes
+    * — the in-flight reader's grace window — then are dropped and their
+    * locations vacuumed (sentinel-guarded, never a foreign table's
+    * data). Returns the published generation.
     */
   def publishDedupServeTables(
       spark: SparkSession,
@@ -2013,31 +2223,113 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       gen: Option[Long] = None,
+      keepPublishes: Int = 2,
+      vacuumGraceMs: Long = 15L * 60L * 1000L,
   ): Long = {
+    require(keepPublishes >= 1, s"publishDedupServeTables: keepPublishes must be >= 1: $keepPublishes")
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = listDedupGens(fs, indexPath)
     require(gens.nonEmpty, s"publishDedupServeTables: no manifest at $indexPath - bootstrap with writeDedupManifest")
     val g = gen.getOrElse(gens.max)
-    saveDedupServeTables(loadDedupIndexSnapshot(spark, indexPath, k, Some(g)), prefix, buckets, k, bands)
-    Seq("bands", "sigs", "hashes").foreach { t =>
-      spark.sql(s"ALTER TABLE ${prefix}_$t SET TBLPROPERTIES ('graft.servedGeneration' = '$g')")
+    val token = java.util.UUID.randomUUID().toString
+    val tok8 = token.replace("-", "").take(8)
+    val stampMs = System.currentTimeMillis()
+    val headDir = serveHeadDir(spark, prefix)
+    val hfs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parentSeq = listServeHeads(hfs, headDir).lastOption
+    val (bandsT, sigsT, hashesT) = versionedServeNames(prefix, g, stampMs, tok8)
+    saveServeTablesNamed(loadDedupIndexSnapshot(spark, indexPath, k, Some(g)), bandsT, sigsT, hashesT, buckets, k, bands)
+    // Stamp BEFORE the pointer swap: readers only reach these tables
+    // through the head, and the head only commits after every stamp is
+    // durable — the staleness observable cannot lie, even briefly.
+    Seq(bandsT, sigsT, hashesT).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ServeGenProp' = '$g', '$ServeTokenProp' = '$token')")
     }
+    commitServeHead(hfs, headDir, ServeHead(parentSeq.getOrElse(-1L) + 1L, g, token, bandsT, sigsT, hashesT), parentSeq)
+    vacuumServePublishes(spark, prefix, keepPublishes, vacuumGraceMs)
     g
   }
 
-  /** The generation a [[publishDedupServeTables]] layout serves, read back
-    * from the stamped table property — None for a layout published by the
-    * raw [[saveDedupServeTables]] (no generation to claim). Compare with
-    * the index chain's head to measure serving staleness.
+  /** Retire superseded and crashed publishes: head entries beyond the
+    * newest `keepPublishes` are dropped with their tables (readers
+    * resolved within the keep window keep consistent tables — the same
+    * grace rule the manifest cleanup gives snapshot readers), and
+    * versioned serve tables referenced by NO live head whose embedded
+    * wall-clock stamp has aged past `graceMs` (a publish that crashed
+    * before its head swing, or lost a commit race and did not retry) are
+    * swept — catalog entries and, for tables the in-memory catalog
+    * forgot across sessions, their sentinel-guarded warehouse dirs.
+    * Runs at the end of every [[publishDedupServeTables]]; callable
+    * standalone on a maintenance cadence. Returns the number of retired
+    * table names.
     */
-  def dedupServeGeneration(spark: SparkSession, prefix: String): Option[Long] =
-    spark
-      .sql(s"SHOW TBLPROPERTIES ${prefix}_sigs ('graft.servedGeneration')")
-      .collect()
-      .headOption
-      .map(_.getString(1))
-      .filterNot(_.startsWith("Table"))
-      .flatMap(_.toLongOption)
+  def vacuumServePublishes(
+      spark: SparkSession,
+      prefix: String,
+      keepPublishes: Int = 2,
+      graceMs: Long = 15L * 60L * 1000L,
+  ): Long = {
+    require(keepPublishes >= 1, s"vacuumServePublishes: keepPublishes must be >= 1: $keepPublishes")
+    val headDir = serveHeadDir(spark, prefix)
+    val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val heads = listServeHeads(fs, headDir)
+    val (oldSeqs, keptSeqs) = heads.splitAt(math.max(0, heads.size - keepPublishes))
+    val keptTables: Set[String] =
+      keptSeqs.flatMap { s => val h = readServeHead(fs, headDir, s); Seq(h.bands, h.sigs, h.hashes) }.toSet
+    var retired = 0L
+    def dropServeTable(name: String): Unit = {
+      val (db, bare) = graft.ops.Lake.dbAndBare(spark, name)
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(bare, Some(db))
+      if (spark.sessionState.catalog.tableExists(ident)) spark.sql(s"DROP TABLE IF EXISTS $name")
+      // The in-memory catalog forgets tables across sessions while the
+      // warehouse dir persists — vacuum it too, but ONLY behind the
+      // bucketize sentinel: never a foreign writer's data.
+      val loc = graft.ops.Lake.managedLocation(spark, name)
+      if (fs.exists(loc) && fs.exists(new org.apache.hadoop.fs.Path(loc, graft.ops.Lake.BucketizeSentinel)))
+        fs.delete(loc, true)
+      retired += 1
+    }
+    oldSeqs.foreach { s =>
+      val h = readServeHead(fs, headDir, s)
+      Seq(h.bands, h.sigs, h.hashes).filterNot(keptTables).foreach(dropServeTable)
+      fs.delete(new org.apache.hadoop.fs.Path(headDir, s"serve-$s.properties"), false)
+    }
+    // Crashed-publish orphans: versioned names matching this prefix's
+    // pattern, referenced by no live head, aged past the grace (the
+    // stamp is in the NAME — mtime-free for the same object-store
+    // reason as scratch vacuums). Swept from both the catalog and the
+    // warehouse listing, so a crash in any session is reclaimable.
+    val pat = versionedServePattern(prefix)
+    val staleBefore = System.currentTimeMillis() - graceMs
+    def orphaned(name: String): Boolean = name match {
+      case pat(_, ts) => !keptTables(name) && ts.toLong <= staleBefore
+      case _ => false
+    }
+    val (db, _) = graft.ops.Lake.dbAndBare(spark, prefix + "__servehead")
+    val catalogOrphans = spark.sessionState.catalog
+      .listTables(db)
+      .map(_.table)
+      .filter(orphaned)
+    val whParent = graft.ops.Lake.managedLocation(spark, prefix + "__servehead").getParent
+    val dirOrphans =
+      if (!fs.exists(whParent)) Nil
+      else fs.listStatus(whParent).toSeq.map(_.getPath.getName).filter(orphaned)
+    (catalogOrphans ++ dirOrphans).distinct.foreach(dropServeTable)
+    retired
+  }
+
+  /** The generation a published layout serves — read from the HEAD
+    * pointer, which only ever swings to a fully-stamped publish, so the
+    * observable cannot report a generation whose tables are not yet
+    * (or no longer) wholly in place. None for a headless raw
+    * [[saveDedupServeTables]] layout (no generation to claim). Compare
+    * with the index chain's head to measure serving staleness.
+    */
+  def dedupServeGeneration(spark: SparkSession, prefix: String): Option[Long] = {
+    val headDir = serveHeadDir(spark, prefix)
+    val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listServeHeads(fs, headDir).lastOption.map(readServeHead(fs, headDir, _).gen)
+  }
 
   /** [[dedupIncrementWithIndex]] against [[saveDedupServeTables]]' layout
     * — same contract, same drop set (the q124 oracle holds verbatim),
@@ -2063,7 +2355,12 @@ object Dedup {
       checkDisjointIds: Boolean = true,
   ): DataFrame = {
     require(k % bands == 0, s"dedupIncrementBucketed: bands ($bands) must divide k ($k)")
-    val sigsT = spark.table(s"${prefix}_sigs")
+    // Resolve the layout ONCE (snapshot semantics): versioned mode pins
+    // the head's three tables after verifying their (gen, token) stamps
+    // agree — a torn publish refuses loudly here rather than silently
+    // under-dedup-ing via a mixed-generation bands/sigs pair.
+    val layout = resolveDedupServe(spark, prefix)
+    val sigsT = spark.table(layout.sigs)
     requireIndexColumns(s"dedupIncrementBucketed: table ${prefix}_sigs", sigsT.columns.toSeq, k)
     val incIdx = Lineage.truncate(buildDedupIndex(incoming, idCol, textCol, k))
     if (checkDisjointIds) {
@@ -2080,7 +2377,7 @@ object Dedup {
     // drop decision needs the pair SET, not exactly-once emission.
     val cand = bandRows(incIdx, k, bands)
       .withColumnRenamed("id", "id_b")
-      .join(spark.table(s"${prefix}_bands").withColumnRenamed("id", "id_a"), bandKeyCols(k / bands))
+      .join(spark.table(layout.bands).withColumnRenamed("id", "id_a"), bandKeyCols(k / bands))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // One corpus lookup join (bucketed by id) carries signatures AND
@@ -2106,7 +2403,7 @@ object Dedup {
       .filter(jaccardHashed(col("toks_a"), col("toks_b")) >= threshold)
       .select(col("id_b").as("id"))
     incIdx
-      .join(spark.table(s"${prefix}_hashes"), Seq("__h"), "left_anti")
+      .join(spark.table(layout.hashes), Seq("__h"), "left_anti")
       .join(dropNear, Seq("id"), "left_anti")
       .select(col("id"))
       .withColumnRenamed("id", idCol)

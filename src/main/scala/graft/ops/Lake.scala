@@ -75,24 +75,40 @@ object Lake {
   private[graft] val BucketizeSentinel = "_graft_bucketize"
   private[graft] val PublishedByProp = "graft.publishedBy"
 
-  def bucketize(df: org.apache.spark.sql.DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
-    val spark = df.sparkSession
-    // The location must be derived DATABASE-AWARE: a managed table
-    // lives at <warehouse>/<table> only in the default database; in any
-    // other it lives at <warehouse>/<db>.db/<table>. Deriving from the
-    // bare name alone would vacuum the DEFAULT database's same-named
-    // table — destroying unrelated data — while missing the actual stale
-    // dir. Qualified names resolve their own database; unqualified names
-    // resolve the session's current one.
-    val parts = table.split('.')
-    require(parts.length <= 2, s"bucketize: at most db.table expected, got '$table'")
+  /** (database, bare table name) a possibly-qualified name resolves to —
+    * lower-cased the way the catalog stores them; unqualified names take
+    * the session's current database.
+    */
+  private[graft] def dbAndBare(spark: SparkSession, name: String): (String, String) = {
+    val parts = name.split('.')
+    require(parts.length <= 2, s"dbAndBare: at most db.table expected, got '$name'")
     val bare = parts.last.toLowerCase(java.util.Locale.ROOT)
     val db = (if (parts.length == 2) parts.head else spark.catalog.currentDatabase)
       .toLowerCase(java.util.Locale.ROOT)
+    (db, bare)
+  }
+
+  /** The warehouse location the default catalog assigns a MANAGED name —
+    * DATABASE-AWARE: a managed table lives at `<warehouse>/<table>` only
+    * in the default database; in any other it lives at
+    * `<warehouse>/<db>.db/<table>`. Deriving from the bare name alone
+    * would point maintenance at the DEFAULT database's same-named table —
+    * touching unrelated data — while missing the actual one. Shared by
+    * [[bucketize]]'s stale-location vacuum and the dedup serve-head
+    * pointer ([[graft.operators.Dedup.publishDedupServeTables]]), which
+    * must live NEXT TO the tables it points at.
+    */
+  private[graft] def managedLocation(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val (db, bare) = dbAndBare(spark, name)
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc =
-      if (db == "default") new org.apache.hadoop.fs.Path(wh, bare)
-      else new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, s"$db.db"), bare)
+    if (db == "default") new org.apache.hadoop.fs.Path(wh, bare)
+    else new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, s"$db.db"), bare)
+  }
+
+  def bucketize(df: org.apache.spark.sql.DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val (db, bare) = dbAndBare(spark, table)
+    val loc = managedLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Overwrite must be idempotent ACROSS SESSIONS: `mode("overwrite")`
     // replaces tables the catalog knows, but with the default in-memory

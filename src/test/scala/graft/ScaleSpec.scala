@@ -190,6 +190,75 @@ class ScaleSpec extends SparkSpec {
     assert(Dedup.dedupServeGeneration(spark, "graft_pub_raw").isEmpty)
   }
 
+  test("atomic serve publish: wholly-old-or-wholly-new, torn publish refuses, head fences, orphan vacuum") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val b = graft.functions.Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomicpub").toString
+    val inc = docs.filter(b >= 8)
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    assert(Dedup.publishDedupServeTables(spark, dir, "graft_apub", buckets = 2) == 0L)
+    // A reader resolves the CURRENT publish when it builds its plan...
+    val oldRes = Dedup.dedupIncrementBucketed(spark, "graft_apub", inc, "doc_id", "text")
+    val oldRows = oldRes.as[Long].collect().sorted
+    val gen0Sigs = Dedup.resolveDedupServe(spark, "graft_apub").sigs
+    // ...the chain advances and a REPUBLISH swings the pointer...
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 8), "doc_id", "text"), dir, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L)
+    assert(Dedup.publishDedupServeTables(spark, dir, "graft_apub", buckets = 2) == 1L)
+    // ...and the pre-republish reader still serves WHOLLY gen 0 (the keep
+    // window is its grace), while a fresh resolution serves WHOLLY gen 1
+    // — never a mixed layout, never a missing table.
+    assert(oldRes.as[Long].collect().sorted.sameElements(oldRows))
+    val newRows =
+      Dedup.dedupIncrementBucketed(spark, "graft_apub", inc, "doc_id", "text").as[Long].collect().sorted
+    val expect = Dedup
+      .dedupIncrementWithIndex(Dedup.loadDedupIndexSnapshot(spark, dir), inc, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(newRows.sameElements(expect))
+    assert(!newRows.sameElements(oldRows), "gen 1 serves more corpus, so the drop set must differ")
+    // TORN PUBLISH: a table whose stamp disagrees with the head (a crash
+    // between saves on a persistent metastore, or doctoring) refuses
+    // loudly instead of serving a mixed-generation layout.
+    val layout = Dedup.resolveDedupServe(spark, "graft_apub")
+    spark.sql(s"ALTER TABLE ${layout.sigs} SET TBLPROPERTIES ('${Dedup.ServeTokenProp}' = 'doctored')")
+    val exTorn = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementBucketed(spark, "graft_apub", inc, "doc_id", "text")
+    }
+    assert(exTorn.getMessage.contains("TORN or doctored"), exTorn.getMessage)
+    spark.sql(s"ALTER TABLE ${layout.sigs} SET TBLPROPERTIES ('${Dedup.ServeTokenProp}' = '${layout.token.get}')")
+    // HEAD COMMIT FENCES, driven from the losing side (the chains' rule):
+    val headDir = graft.ops.Lake.managedLocation(spark, "graft_apub__servehead")
+    val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seqs = Dedup.listServeHeads(fs, headDir)
+    val exF1 = intercept[IllegalStateException] {
+      Dedup.commitServeHead(fs, headDir,
+        Dedup.ServeHead(seqs.max + 1, 9L, "tok-x", layout.bands, layout.sigs, layout.hashes),
+        expectedParent = Some(seqs.max - 1))
+    }
+    assert(exF1.getMessage.contains("head moved"), exF1.getMessage)
+    val exF2 = intercept[IllegalArgumentException] {
+      Dedup.requireServeHeadCommitWon(fs, headDir, seqs.max, "not-the-winner")
+    }
+    assert(exF2.getMessage.contains("ANOTHER publisher"), exF2.getMessage)
+    // A THIRD publish retires the seq-0 publish (beyond keepPublishes=2):
+    // its tables are dropped — the keep window IS the reader grace.
+    assert(Dedup.publishDedupServeTables(spark, dir, "graft_apub", buckets = 2) == 1L)
+    assert(!spark.catalog.tableExists(gen0Sigs), "the superseded publish's tables must be retired")
+    // ORPHAN VACUUM: an unreferenced versioned table with an aged
+    // name-stamp (a crashed publish) is swept; a fresh one (a publish
+    // staging right now) is spared. Stamps live in the NAME — mtime-free.
+    graft.ops.Lake.bucketize(spark.range(3).toDF("id"), "graft_apub_g9_ts1000_deadbeef_sigs", Seq("id"), 2)
+    val freshOrphan = s"graft_apub_g9_ts${System.currentTimeMillis()}_cafebabe_sigs"
+    graft.ops.Lake.bucketize(spark.range(3).toDF("id"), freshOrphan, Seq("id"), 2)
+    Dedup.vacuumServePublishes(spark, "graft_apub")
+    assert(!spark.catalog.tableExists("graft_apub_g9_ts1000_deadbeef_sigs"), "aged crashed-publish orphan dies")
+    assert(spark.catalog.tableExists(freshOrphan), "fresh staging orphan is spared")
+    assert(Dedup.dedupServeGeneration(spark, "graft_apub").contains(1L), "vacuum never touches the live head")
+  }
+
   test("readManifest: one scan over N category files, category derived from path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
     def write(name: String, rows: String): String = {
