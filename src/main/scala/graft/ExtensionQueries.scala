@@ -4875,6 +4875,39 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- The STANDING SERVING PIPELINE (q280 → q284 composed as the
+    //      loop they exist for): corpus bootstraps and publishes, a
+    //      batch STREAMS in (batch-keyed landing + generation commit per
+    //      microbatch), and the staleness-bounded refresh republishes
+    //      the bucketed layout only because the chain drifted past the
+    //      bound — then immediately no-ops, fresh. The batch dedups
+    //      against the refreshed layout. Content = q124's build+append:
+    //      oracle verbatim ----
+    "q287_serve_refresh_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_refresh")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0
+      require(Dedup.refreshDedupServe(s, path, "graft_q287", buckets = 8).contains(0L),
+        "q287: a never-published layout must always refresh")
+      // the nightly loop body: a batch streams in and commits its generation(s)
+      EventStream.dedupIndexIngestOneShotManifest(s, docs.filter(b >= 5 && b < 8), path,
+        "doc_id", "text", "graft_q287")
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      val head = Dedup.listDedupGens(fs, path).max
+      require(head > 0L, "q287: the streaming ingest must have advanced the chain")
+      // staleness reached the bound -> the refresh republishes at the head...
+      require(Dedup.refreshDedupServe(s, path, "graft_q287", buckets = 8).contains(head),
+        "q287: a layout at-or-past the staleness bound must republish at the chain head")
+      // ...and the very next refresh is the below-bound no-op
+      require(Dedup.refreshDedupServe(s, path, "graft_q287", buckets = 8).isEmpty,
+        "q287: a fresh layout must not pay a corpus rewrite")
+      Dedup
+        .dedupIncrementBucketed(s, "graft_q287", docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- CHAIN DIFF (the audit primitive): what did generation g ADD?
     //      The diff reads only files referenced by exactly ONE side — a
     //      batch commit's diff costs the batch, never the corpus — and a
@@ -6223,6 +6256,7 @@ object ExtensionQueries {
     "q282_dedup_manifest_stream_ingest" -> sqlIndexAppendOracle,
     "q283_bucketed_increment_dedup" -> sqlIndexAppendOracle,
     "q284_manifest_bucketed_serve" -> sqlIndexAppendOracle,
+    "q287_serve_refresh_pipeline" -> sqlIndexAppendOracle,
     // The diff's added set over the batch commit IS the batch — statable
     // straight from the documents table, no index machinery in the oracle.
     "q285_dedup_chain_diff" ->

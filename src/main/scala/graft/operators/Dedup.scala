@@ -2331,6 +2331,48 @@ object Dedup {
     listServeHeads(fs, headDir).lastOption.map(readServeHead(fs, headDir, _).gen)
   }
 
+  /** The standing serving loop's refresh rule — the piece that turns the
+    * staleness OBSERVABLE (chain head − [[dedupServeGeneration]]) into an
+    * ACTION: republish the layout when staleness reaches `maxStaleGens`,
+    * no-op below it. Composed after each ingest commit
+    * ([[graft.streaming.EventStream.dedupIndexIngestOneShotManifest]])
+    * this is the whole nightly serving pipeline: batches land and commit
+    * generations continuously; the expensive corpus rewrite (one
+    * [[publishDedupServeTables]], linear in the corpus) runs only when
+    * the bound says the layout has drifted far enough to be worth it —
+    * the same amortization rule compaction already follows. A
+    * never-published layout (no head) always refreshes. Returns the
+    * published generation on a refresh, None on the fresh-enough no-op.
+    *
+    * `maxStaleGens` trades serve freshness against rewrite cost: 1
+    * republishes after every committed batch (a corpus rewrite per
+    * batch — only right for small corpora or rare batches); N amortizes
+    * one rewrite over N batches while [[dedupIncrementBucketed]] keeps
+    * serving the pinned older snapshot, whose misses are bounded by the
+    * un-served batches' content.
+    */
+  def refreshDedupServe(
+      spark: SparkSession,
+      indexPath: String,
+      prefix: String,
+      maxStaleGens: Long = 1L,
+      buckets: Int = 32,
+      k: Int = 8,
+      bands: Int = 4,
+      keepPublishes: Int = 2,
+  ): Option[Long] = {
+    require(maxStaleGens >= 1, s"refreshDedupServe: maxStaleGens must be >= 1: $maxStaleGens")
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, indexPath)
+    require(gens.nonEmpty, s"refreshDedupServe: no manifest at $indexPath - bootstrap with writeDedupManifest")
+    val head = gens.max
+    val stale = dedupServeGeneration(spark, prefix).forall(served => head - served >= maxStaleGens)
+    if (stale)
+      Some(publishDedupServeTables(spark, indexPath, prefix, buckets, k, bands,
+        gen = Some(head), keepPublishes = keepPublishes))
+    else None
+  }
+
   /** [[dedupIncrementWithIndex]] against [[saveDedupServeTables]]' layout
     * — same contract, same drop set (the q124 oracle holds verbatim),
     * different physical plan: every corpus-side join is co-located on its

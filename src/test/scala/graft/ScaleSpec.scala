@@ -190,6 +190,28 @@ class ScaleSpec extends SparkSpec {
     assert(Dedup.dedupServeGeneration(spark, "graft_pub_raw").isEmpty)
   }
 
+  test("refreshDedupServe: corpus rewrite only at the staleness bound, no-op below it") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 0), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    // never-published -> always refresh
+    assert(Dedup.refreshDedupServe(spark, dir, "graft_refresh_t", maxStaleGens = 2, buckets = 2).contains(0L))
+    // one committed batch: staleness 1 < bound 2 -> the no-op, layout untouched
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 1), "doc_id", "text"), dir, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L) // gen 1
+    assert(Dedup.refreshDedupServe(spark, dir, "graft_refresh_t", maxStaleGens = 2, buckets = 2).isEmpty)
+    assert(Dedup.dedupServeGeneration(spark, "graft_refresh_t").contains(0L))
+    // a second batch: staleness 2 reaches the bound -> republish at the head
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 2), "doc_id", "text"), dir, batchId = Some(1L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 1L) // gen 2
+    assert(Dedup.refreshDedupServe(spark, dir, "graft_refresh_t", maxStaleGens = 2, buckets = 2).contains(2L))
+    assert(Dedup.dedupServeGeneration(spark, "graft_refresh_t").contains(2L))
+  }
+
   test("atomic serve publish: wholly-old-or-wholly-new, torn publish refuses, head fences, orphan vacuum") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(sf() + "/documents.parquet")
