@@ -4908,6 +4908,33 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- SERVE-LAYOUT DIFF (the audit primitive pointed at the
+    //      published tables): after a clean atomic publish, every serve
+    //      table's CONTENT equals the deterministic derivation of the
+    //      stamped generation's snapshot — the diff is empty per table,
+    //      and the zero census IS the oracled result (the stamp checks
+    //      prove the tables belong to one publish; this proves they
+    //      serve what the head claims). The doctored/torn cases are
+    //      spec-driven where a layout can be corrupted on purpose ----
+    "q288_serve_layout_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_sdiff")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter(b >= 5 && b < 8), "doc_id", "text"), path, batchId = Some(0L))
+      Dedup.commitDedupBatchToManifest(s, path, 0L) // gen 1
+      Dedup.publishDedupServeTables(s, path, "graft_q288", buckets = 8)
+      val diff = Dedup.dedupServeDiff(s, path, "graft_q288")
+      import s.implicits._
+      Seq("bands", "hashes", "sigs")
+        .toDF("tbl")
+        .join(diff.groupBy("tbl").count(), Seq("tbl"), "left")
+        .select(col("tbl"), coalesce(col("count"), lit(0L)).as("n_diff"))
+        .orderBy("tbl")
+    }),
+
     // ---- CHAIN DIFF (the audit primitive): what did generation g ADD?
     //      The diff reads only files referenced by exactly ONE side — a
     //      batch commit's diff costs the batch, never the corpus — and a
@@ -6257,6 +6284,11 @@ object ExtensionQueries {
     "q283_bucketed_increment_dedup" -> sqlIndexAppendOracle,
     "q284_manifest_bucketed_serve" -> sqlIndexAppendOracle,
     "q287_serve_refresh_pipeline" -> sqlIndexAppendOracle,
+    // A clean publish's serve-layout diff is empty by construction — the
+    // zero census per table is the statable invariant.
+    "q288_serve_layout_diff" ->
+      """SELECT * FROM (VALUES ('bands', CAST(0 AS BIGINT)), ('hashes', CAST(0 AS BIGINT)),
+                               ('sigs', CAST(0 AS BIGINT))) AS v(tbl, n_diff) ORDER BY tbl""",
     // The diff's added set over the batch commit IS the batch — statable
     // straight from the documents table, no index machinery in the oracle.
     "q285_dedup_chain_diff" ->

@@ -2373,6 +2373,76 @@ object Dedup {
     else None
   }
 
+  /** SERVE-LAYOUT DIFF — [[dedupChainDiff]]'s twin pointed at the
+    * published tables: what does the serving layout ACTUALLY contain,
+    * versus the deterministic derivation of the snapshot its head
+    * claims? The chain diffs audit the artifact of record; this audits
+    * the serving copy — exactly the gap where a torn publish, a doctored
+    * table, or metadata drift would hide (the stamp checks prove the
+    * tables belong to one publish; this proves their CONTENT matches the
+    * claimed generation). Returns (tbl ∈ bands|hashes|sigs,
+    * op ∈ serve_only|index_only, id, h): full-row set compares per
+    * table (a doctored minhash column surfaces, not just a missing id),
+    * projected to the id plus a row fingerprint for a unified report.
+    * Empty after a clean publish — the cheapest "the layout serves what
+    * it says" gate a pipeline can run after any publish.
+    *
+    * `gen` overrides the head's claim for drift probes (e.g. diff the
+    * live layout against a LATER generation to see exactly what a
+    * pending republish would change — the serve-side staleness CONTENT,
+    * where [[dedupServeGeneration]] gives only its count).
+    *
+    * Scale shape: three co-partitioned except/anti compares, each linear
+    * in the corpus with no pairwise blowup; the serve side reads
+    * bucketed tables, the index side one snapshot — the same cost class
+    * as the publish it audits, run on the same cadence.
+    */
+  def dedupServeDiff(
+      spark: SparkSession,
+      indexPath: String,
+      prefix: String,
+      k: Int = 8,
+      bands: Int = 4,
+      gen: Option[Long] = None,
+  ): DataFrame = {
+    require(k % bands == 0, s"dedupServeDiff: bands ($bands) must divide k ($k)")
+    val layout = resolveDedupServe(spark, prefix)
+    val g = gen.orElse(layout.gen)
+    require(
+      g.nonEmpty,
+      s"dedupServeDiff: layout '$prefix' claims no generation (a headless raw save) - pass gen " +
+        "explicitly to state which snapshot it should match.",
+    )
+    val snap = Lineage.truncate(loadDedupIndexSnapshot(spark, indexPath, k, g))
+    val sigCols = indexColumns(k).map(col)
+    val bandCols = (col("id") +: bandKeyCols(k / bands).map(col))
+    // except() aligns columns POSITIONALLY (union rules): both sides of
+    // every compare are re-selected into the same canonical order.
+    def tblDiff(tbl: String, actual: DataFrame, expected: DataFrame, project: DataFrame => DataFrame): DataFrame =
+      project(actual.except(expected)).select(lit(tbl).as("tbl"), lit("serve_only").as("op"), col("id"), col("h"))
+        .unionAll(
+          project(expected.except(actual)).select(lit(tbl).as("tbl"), lit("index_only").as("op"), col("id"), col("h")))
+    val sigDiff = tblDiff(
+      "sigs",
+      spark.table(layout.sigs).select(sigCols: _*),
+      snap.select(sigCols: _*),
+      d => d.select(col("id").cast("string").as("id"), col("__h").as("h")),
+    )
+    val bandDiff = tblDiff(
+      "bands",
+      spark.table(layout.bands).select(bandCols: _*),
+      bandRows(snap, k, bands).select(bandCols: _*),
+      d => d.select(col("id").cast("string").as("id"), xxhash64(bandCols: _*).as("h")),
+    )
+    val hashDiff = tblDiff(
+      "hashes",
+      spark.table(layout.hashes).select(col("__h")),
+      snap.select(col("__h")).distinct(),
+      d => d.select(lit(null).cast("string").as("id"), col("__h").as("h")),
+    )
+    bandDiff.unionAll(hashDiff).unionAll(sigDiff)
+  }
+
   /** [[dedupIncrementWithIndex]] against [[saveDedupServeTables]]' layout
     * — same contract, same drop set (the q124 oracle holds verbatim),
     * different physical plan: every corpus-side join is co-located on its

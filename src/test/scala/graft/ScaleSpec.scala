@@ -281,6 +281,34 @@ class ScaleSpec extends SparkSpec {
     assert(Dedup.dedupServeGeneration(spark, "graft_apub").contains(1L), "vacuum never touches the live head")
   }
 
+  test("dedupServeDiff: clean publish is empty; stale probes and doctored tables surface rows") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdiff").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    Dedup.publishDedupServeTables(spark, dir, "graft_sdiff_t", buckets = 2)
+    assert(Dedup.dedupServeDiff(spark, dir, "graft_sdiff_t").isEmpty, "a clean publish diffs empty")
+    // The chain advances without a republish: the layout stays clean
+    // against its OWN stamped generation, and probing it against the new
+    // head shows exactly the pending republish's content (the serve-side
+    // staleness CONTENT, not just its count).
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 2 === 1), "doc_id", "text"), dir, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L) // gen 1
+    assert(Dedup.dedupServeDiff(spark, dir, "graft_sdiff_t").isEmpty, "clean vs its own stamped gen")
+    val pending = Dedup.dedupServeDiff(spark, dir, "graft_sdiff_t", gen = Some(1L))
+    assert(pending.filter($"op" === "index_only").count() > 0, "the un-served batch surfaces as index_only")
+    assert(pending.filter($"op" === "serve_only").count() == 0)
+    // DOCTOR one serve table: a row the snapshot never produced surfaces,
+    // named by table — the content gate behind the stamp checks.
+    val layout = Dedup.resolveDedupServe(spark, "graft_sdiff_t")
+    spark.sql(s"INSERT INTO ${layout.hashes} VALUES (CAST(-42 AS BIGINT))")
+    val rows = Dedup.dedupServeDiff(spark, dir, "graft_sdiff_t").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows.head.getString(0) == "hashes" && rows.head.getString(1) == "serve_only", rows.head.toString)
+  }
+
   test("readManifest: one scan over N category files, category derived from path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest")
     def write(name: String, rows: String): String = {
