@@ -457,6 +457,26 @@ object ScaleBench {
           .count()
       }
       report("dedup_serve_bucketed", f, tBServe, rBServe)
+      // (7) the ATOMIC publish twin: versioned tables + stamps + the
+      // head swap + vacuum. The claim the row pins against (6): the
+      // pointer-swap protocol's overhead is METADATA (three ALTERs, one
+      // tiny head object, a listing) — publish cost must track
+      // dedup_serve_publish, same linear-in-corpus slope.
+      val (tAPub, _) = time {
+        operators.Dedup.publishDedupServeTables(spark, dmDir, "graft_scale_apub", buckets = 32)
+      }
+      report("dedup_serve_publish_atomic", f, tAPub, nDocs + incRows)
+      // (8) the serve-layout audit: full-content compare of the three
+      // published tables against their stamped snapshot — the same cost
+      // class as the publish it audits (linear, no pairwise blowup).
+      val (tSDiff, rSDiff) = time {
+        operators.Dedup.dedupServeDiff(spark, dmDir, "graft_scale_apub").count()
+      }
+      println(
+        s"""{"op":"dedup_serve_diff","factor":$f,"sec":${math.round(tSDiff * 1000) / 1000.0},""" +
+          s""""diff_rows":$rSDiff}"""
+      )
+      require(rSDiff == 0L, s"dedup_serve_diff: a clean publish must diff empty, got $rSDiff rows at factor $f")
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants
@@ -531,6 +551,29 @@ object ScaleBench {
       println(
         s"""{"op":"cc_adaptive","factor":$f,"sec":${math.round(ta * 1000) / 1000.0},"edges":$nPairs,""" +
           s""""branch":"$branch","escaped":${operators.Dedup.lastAdaptiveEscaped}}"""
+      )
+      // The OTHER dispatch policy, measured every round so the
+      // machine-era-unstable crossover is re-tunable from DATA instead
+      // of scaladoc archaeology: label-prop-first (starThreshold raised
+      // past the edge count) under the same rounds budget. The budget
+      // bounds label-prop's long-diameter downside (escape -> star), so
+      // running it first is SAFE everywhere; this row says whether it
+      // is FAST here — compare against cc_adaptive's default-dispatch
+      // seconds at 16×/32×, where the default pays for star if
+      // label-prop solo is winning in this era.
+      val (tLpf, lpfLab) = time {
+        val df = operators.Dedup.connectedComponentsAdaptive(pairs, starThreshold = Long.MaxValue)
+        df.write.mode("overwrite").parquet(s"$tmp/cc_lpfirst_$f")
+        spark.read.parquet(s"$tmp/cc_lpfirst_$f")
+      }
+      val lpfDiff = lpfLab.except(lpLab).count() + lpLab.except(lpfLab).count()
+      require(
+        lpfDiff == 0,
+        s"label-prop-first CC labeling diverged from label-prop at factor $f: $lpfDiff rows differ",
+      )
+      println(
+        s"""{"op":"cc_adaptive_lpfirst","factor":$f,"sec":${math.round(tLpf * 1000) / 1000.0},""" +
+          s""""edges":$nPairs,"escaped":${operators.Dedup.lastAdaptiveEscaped}}"""
       )
     }
 
