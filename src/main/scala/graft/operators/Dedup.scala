@@ -2224,7 +2224,7 @@ object Dedup {
       bands: Int = 4,
       gen: Option[Long] = None,
       keepPublishes: Int = 2,
-      vacuumGraceMs: Long = 15L * 60L * 1000L,
+      vacuumGraceMs: Long = 24L * 60L * 60L * 1000L,
   ): Long = {
     require(keepPublishes >= 1, s"publishDedupServeTables: keepPublishes must be >= 1: $keepPublishes")
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2262,12 +2262,20 @@ object Dedup {
     * Runs at the end of every [[publishDedupServeTables]]; callable
     * standalone on a maintenance cadence. Returns the number of retired
     * table names.
+    *
+    * The grace defaults to 24 HOURS, deliberately far above the scratch
+    * vacuums' 15 minutes: a manifest commit stages metadata (seconds),
+    * but a serve publish is a CORPUS-LINEAR rewrite that can
+    * legitimately run for hours at scale — a concurrent publisher's
+    * vacuum must never sweep tables another publish is still staging.
+    * The cost of the margin is bounded: a crashed publish's orphans are
+    * one corpus copy surviving at most one extra cadence period.
     */
   def vacuumServePublishes(
       spark: SparkSession,
       prefix: String,
       keepPublishes: Int = 2,
-      graceMs: Long = 15L * 60L * 1000L,
+      graceMs: Long = 24L * 60L * 60L * 1000L,
   ): Long = {
     require(keepPublishes >= 1, s"vacuumServePublishes: keepPublishes must be >= 1: $keepPublishes")
     val headDir = serveHeadDir(spark, prefix)
@@ -2392,10 +2400,11 @@ object Dedup {
     * pending republish would change — the serve-side staleness CONTENT,
     * where [[dedupServeGeneration]] gives only its count).
     *
-    * Scale shape: three co-partitioned except/anti compares, each linear
-    * in the corpus with no pairwise blowup; the serve side reads
-    * bucketed tables, the index side one snapshot — the same cost class
-    * as the publish it audits, run on the same cadence.
+    * Scale shape: three except compares, each linear in the corpus with
+    * no pairwise blowup (each exchanges both sides once on its own
+    * keys); the serve side reads bucketed tables, the index side one
+    * snapshot — the same cost class as the publish it audits, run on
+    * the same cadence.
     */
   def dedupServeDiff(
       spark: SparkSession,
