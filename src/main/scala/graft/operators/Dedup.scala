@@ -2374,7 +2374,18 @@ object Dedup {
     val gens = listDedupGens(fs, indexPath)
     require(gens.nonEmpty, s"refreshDedupServe: no manifest at $indexPath - bootstrap with writeDedupManifest")
     val head = gens.max
-    val stale = dedupServeGeneration(spark, prefix).forall(served => head - served >= maxStaleGens)
+    // The staleness rule runs on what the layout can actually SERVE, not
+    // what its head claims: a head whose tables do not resolve — the
+    // default in-memory catalog lost them across a session restart while
+    // the head file persisted in the warehouse, or a torn/doctored
+    // layout — is serving NOTHING, so it refreshes regardless of its
+    // stamped generation (republish is also the torn layout's documented
+    // remediation). A cheap head-only read would have called that
+    // dangling layout "fresh" and left every increment refusing.
+    val servableGen =
+      try resolveDedupServe(spark, prefix).gen
+      catch { case _: IllegalArgumentException => None }
+    val stale = servableGen.forall(served => head - served >= maxStaleGens)
     if (stale)
       Some(publishDedupServeTables(spark, indexPath, prefix, buckets, k, bands,
         gen = Some(head), keepPublishes = keepPublishes))

@@ -210,6 +210,20 @@ class ScaleSpec extends SparkSpec {
     Dedup.commitDedupBatchToManifest(spark, dir, 1L) // gen 2
     assert(Dedup.refreshDedupServe(spark, dir, "graft_refresh_t", maxStaleGens = 2, buckets = 2).contains(2L))
     assert(Dedup.dedupServeGeneration(spark, "graft_refresh_t").contains(2L))
+    // A DANGLING head — the in-memory catalog lost the tables across a
+    // session restart while the head file persisted in the warehouse
+    // (or an externally-dropped/torn layout) — serves NOTHING: the
+    // refresh must republish even though the head claims the chain head,
+    // and the republished layout must resolve again.
+    val layout = Dedup.resolveDedupServe(spark, "graft_refresh_t")
+    Seq(layout.bands, layout.sigs, layout.hashes).foreach(t => spark.sql(s"DROP TABLE $t"))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementBucketed(spark, "graft_refresh_t",
+        docs.limit(1).withColumn("doc_id", $"doc_id" + 900000000L), "doc_id", "text")
+    }
+    assert(Dedup.refreshDedupServe(spark, dir, "graft_refresh_t", maxStaleGens = 2, buckets = 2).contains(2L),
+      "a dangling head must refresh regardless of its stamped generation")
+    assert(Dedup.resolveDedupServe(spark, "graft_refresh_t").gen.contains(2L))
   }
 
   test("atomic serve publish: wholly-old-or-wholly-new, torn publish refuses, head fences, orphan vacuum") {
