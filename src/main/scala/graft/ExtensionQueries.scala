@@ -4646,6 +4646,63 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- STANDING MAINTENANCE on the ANN chain (q287's twin on the
+    //      other artifact): one tick reads the head generation's refs
+    //      and decides which levers to pull — compact when the per-cell
+    //      file census reaches the bound, repair the gate-flagged cells,
+    //      sweep last. An idle (below-bound, nothing-flagged) tick pulls
+    //      none and the chain does not grow; the real tick compacts,
+    //      repairs, and sweeps. Content = q277's repair loop exactly
+    //      (compaction and cleanup are content-invisible): oracle
+    //      verbatim ----
+    "q289_ann_standing_maintenance" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val inc = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(DriftShift.toFloat)).as("embedding"),
+      )
+      val merged    = base.unionAll(inc)
+      val queriesDf = merged.filter(col("vec_id") % 100 === 0)
+      val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 16, iters = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_maint").toString
+      IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = dir,
+        variant = "residual")
+      IvfIndex.writeAdcManifest(s, dir) // gen 0
+      val cells = IvfIndex.appendToAdcIndex(s, dir, inc, "vec_id", "embedding", m = PqM,
+        batchId = Some(0L))
+      IvfIndex.commitAdcBatchToManifest(s, dir, 0L, Some(cells)) // gen 1
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+      // an IDLE tick (census below the bound, nothing flagged) pulls no
+      // levers and must not grow the chain
+      val idle = IvfIndex.maintainAdcIndexManifest(s, dir, merged, "vec_id", "embedding", m = PqM,
+        minRetainedBatchId = Some(1L), maxFilesPerCell = 1000)
+      require(!idle.compacted && idle.repairedCells.isEmpty && idle.maxCellFilesBefore >= 1L,
+        "q289: a below-bound tick must pull no levers")
+      require(IvfIndex.listAdcGens(fs, dir).max == 1L, "q289: an idle tick must not grow the chain")
+      val flagged = IvfIndex
+        .oodDriftGate(base, inc, "vec_id", "embedding", centroids, DriftThresholdQ, DriftGateMilli)
+        .filter(col("reencode"))
+        .select("centroid_id")
+        .collect()
+        .map(_.getInt(0))
+        .toSeq
+        .sorted
+      require(flagged.nonEmpty, "q289: the drift fixture must fire the gate")
+      require(flagged.size < 16, s"q289: the gate flagged every cell: $flagged")
+      // the REAL tick: over-bound census -> compact (gen 2); flagged
+      // cells -> repair (gen 3); sweep retires the pre-bin world
+      val tick = IvfIndex.maintainAdcIndexManifest(s, dir, merged, "vec_id", "embedding", m = PqM,
+        minRetainedBatchId = Some(1L), maxFilesPerCell = 2, flaggedCells = flagged)
+      require(tick.compacted, "q289: the over-bound census must trigger compaction")
+      require(tick.sweptFiles > 0L, "q289: the sweep must reclaim the de-referenced pre-bin files")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+      IvfIndex
+        .adcTopKFromSnapshot(s, dir, merged, queriesDf, "vec_id", "embedding",
+          m = PqM, nprobe = AnnNprobe, candK = AdcCandK, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Drift repair with an ATOMIC commit (q271 on q275's protocol):
     //      the re-encoded cells and the repaired centroids commit as ONE
     //      generation object, closing the rename-mode repair's documented
@@ -8519,6 +8576,10 @@ object ExtensionQueries {
     // + generation commits + the atomic codes+centroids repair commit)
     // runs the identical gate -> member-mean -> frozen re-encode loop.
     "q277_manifest_drift_repair" -> sqlAdcDriftRepairOracle,
+    // The standing-maintenance tick's only content-visible lever is the
+    // repair — compaction and cleanup are content-invisible — so the
+    // whole tick's oracle is the repair loop's, verbatim.
+    "q289_ann_standing_maintenance" -> sqlAdcDriftRepairOracle,
     // q270's oracle VERBATIM: the watermark (batch 1 retained under its
     // replay names, batch 0 binned) and the post-compaction replay of the
     // retained batch are storage-level only — content never moves.

@@ -286,6 +286,19 @@ object ScaleBench {
           .count()
       )
       report("ann_manifest_snapshot_serve", f, tSnap, rSnap)
+      // (4c) the standing-maintenance ADMISSION (q289's idle tick): the
+      // census read + the no-lever decision + the cleanup listing. The
+      // claim the row pins: an idle tick is METADATA — flat in corpus
+      // size, and it never grows the chain.
+      val (tTick, tick) = time {
+        operators.IvfIndex.maintainAdcIndexManifest(spark, mDir, emb.unionAll(inc),
+          "vec_id", "embedding", m = 4, minRetainedBatchId = Some(1L), maxFilesPerCell = 100000)
+      }
+      require(!tick.compacted, s"ann_maintenance_idle_tick: below-bound tick must not compact at factor $f")
+      println(
+        s"""{"op":"ann_maintenance_idle_tick","factor":$f,"sec":${math.round(tTick * 1000) / 1000.0},""" +
+          s""""max_cell_files":${tick.maxCellFilesBefore},"swept":${tick.sweptFiles}}"""
+      )
 
       // (5) the drift-repair lifecycle (q267 -> q271): a SHIFTED increment
       // lands in a frozen RESIDUAL index, the OOD gate flags the stale

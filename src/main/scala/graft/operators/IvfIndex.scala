@@ -1975,6 +1975,72 @@ object IvfIndex {
     repairCensus(members, newCents, centroids)
   }
 
+  /** What one standing-maintenance tick did — [[maintainAdcIndexManifest]]'s
+    * report, for the caller's log line and the in-query gates.
+    */
+  final case class AdcMaintenanceReport(
+      maxCellFilesBefore: Long,
+      compacted: Boolean,
+      repairedCells: Seq[Int],
+      sweptFiles: Long,
+  )
+
+  /** The ANN chain's STANDING-MAINTENANCE rule — the ADC twin of
+    * [[graft.operators.Dedup.refreshDedupServe]]: turn the chain's own
+    * metadata into this cadence tick's maintenance decision, as the one
+    * call a nightly pipeline makes after its ingest commits.
+    *
+    *  - COMPACT when any cell's REFERENCED file count reaches
+    *    `maxFilesPerCell`. Per-cell file count is the serving read's
+    *    degradation metric (every probed cell pays one parquet footer
+    *    per file), and it reads from the head generation's refs alone —
+    *    metadata, no tree listing. Below the bound the compactor is not
+    *    even invoked, so an idle tick never grows the chain (the
+    *    compactor's own nothing-to-bin pass also commits nothing — the
+    *    bound is an ADMISSION rule, not a correctness one).
+    *  - REPAIR the caller-flagged drifted cells
+    *    ([[repairDriftedIndexCellsManifest]]). The flag set comes from
+    *    the drift gate ([[oodDriftGate]]) — an era-over-era ANALYSIS the
+    *    pipeline runs on its own corpus slices; the maintenance tick
+    *    actuates a decision, it does not make one.
+    *  - SWEEP last ([[cleanupAdcGenerations]]), after every commit this
+    *    tick makes, so the reference-set cleanup sees the final chain.
+    *
+    * Every lever keeps its own fences (watermark refusals, the two
+    * commit fences, the snapshot-reader grace) — this operator adds the
+    * BOUNDS and the ordering, not new commit machinery, and every hop
+    * is content-invisible except the repair, whose effect is exactly
+    * [[repairDriftedIndexCellsManifest]]'s (q289 shares q277's oracle
+    * verbatim). Returns what ran.
+    */
+  def maintainAdcIndexManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      minRetainedBatchId: Option[Long],
+      maxFilesPerCell: Int = 8,
+      targetBytes: Long = 128L << 20,
+      flaggedCells: Seq[Int] = Nil,
+      keepGens: Int = 2,
+  ): AdcMaintenanceReport = {
+    require(maxFilesPerCell >= 1, s"maintainAdcIndexManifest: maxFilesPerCell must be >= 1: $maxFilesPerCell")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"maintainAdcIndexManifest: no manifest at $dir - bootstrap with writeAdcManifest")
+    val census = codesRefs(readAdcManifestRefs(spark, dir, gens.max))
+    val maxCellFiles = census.groupBy(_._1).map(_._2.size.toLong).maxOption.getOrElse(0L)
+    val compact = maxCellFiles >= maxFilesPerCell
+    if (compact)
+      compactAdcIndexCodesManifest(spark, dir, targetBytes, minRetainedBatchId): Unit
+    if (flaggedCells.nonEmpty)
+      repairDriftedIndexCellsManifest(spark, dir, corpus, idCol, vecCol, m, flaggedCells, minRetainedBatchId): Unit
+    val swept = cleanupAdcGenerations(spark, dir, keepGens)
+    AdcMaintenanceReport(maxCellFiles, compact, flaggedCells.distinct.sorted, swept)
+  }
+
   /** Serve from a MANIFEST snapshot: resolve a generation (latest by
     * default, or a pinned `gen`), read exactly its file set (explicit
     * paths under `basePath` — the partition column and the dynamically

@@ -427,6 +427,43 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
   }
 
+  test("maintainAdcIndexManifest: idle tick commits nothing; over-bound tick compacts content-invisibly") {
+    import graft.operators.IvfIndex
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = 4, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_maint").toString
+    IvfIndex.saveAdcIndex(base, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = dir)
+    IvfIndex.writeAdcManifest(spark, dir) // gen 0
+    val cells = IvfIndex.appendToAdcIndex(spark, dir, inc, "vec_id", "embedding", m = 4, batchId = Some(0L))
+    IvfIndex.commitAdcBatchToManifest(spark, dir, 0L, Some(cells)) // gen 1
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def serve() = IvfIndex
+      .adcTopKFromSnapshot(spark, dir, emb, queries, "vec_id", "embedding",
+        m = 4, nprobe = 2, candK = 8, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = serve()
+    // IDLE tick: census below the bound, nothing flagged -> no lever
+    // pulled, the chain does not grow, content untouched
+    val idle = IvfIndex.maintainAdcIndexManifest(spark, dir, emb, "vec_id", "embedding", m = 4,
+      minRetainedBatchId = Some(1L), maxFilesPerCell = 1000)
+    assert(!idle.compacted && idle.repairedCells.isEmpty)
+    assert(IvfIndex.listAdcGens(fs, dir) == Seq(0L, 1L), "an idle tick must not grow the chain")
+    assert(serve() == before)
+    // OVER-BOUND tick (no drift flagged): compaction runs and commits,
+    // the sweep retires the pre-bin world, and serving is hash-identical
+    // - maintenance moves bytes, never content
+    val tick = IvfIndex.maintainAdcIndexManifest(spark, dir, emb, "vec_id", "embedding", m = 4,
+      minRetainedBatchId = Some(1L), maxFilesPerCell = 2, keepGens = 1)
+    assert(tick.compacted && tick.repairedCells.isEmpty)
+    assert(tick.maxCellFilesBefore >= 2L)
+    assert(tick.sweptFiles > 0L, "the sweep must reclaim the de-referenced pre-bin files")
+    assert(IvfIndex.listAdcGens(fs, dir) == Seq(2L), "compaction commits one generation; cleanup retires the rest")
+    assert(serve() == before, "a no-drift maintenance tick must be content-invisible")
+  }
+
   test("manifest commit: snapshot isolation, replay healing, cleanup spares in-flight landings") {
     import graft.operators.IvfIndex
     val base = emb.filter(col("vec_id") % 2 === 0)
