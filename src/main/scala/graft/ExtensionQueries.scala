@@ -4691,11 +4691,19 @@ object ExtensionQueries {
       require(flagged.nonEmpty, "q289: the drift fixture must fire the gate")
       require(flagged.size < 16, s"q289: the gate flagged every cell: $flagged")
       // the REAL tick: over-bound census -> compact (gen 2); flagged
-      // cells -> repair (gen 3); sweep retires the pre-bin world
+      // cells -> repair (gen 3). Its own sweep SPARES the pre-tick head
+      // (retention widens by the tick's own commits - a concurrent
+      // snapshot reader on gen 1 must survive the tick that supersedes
+      // it); the NEXT tick retires the superseded world.
       val tick = IvfIndex.maintainAdcIndexManifest(s, dir, merged, "vec_id", "embedding", m = PqM,
         minRetainedBatchId = Some(1L), maxFilesPerCell = 2, flaggedCells = flagged)
-      require(tick.compacted, "q289: the over-bound census must trigger compaction")
-      require(tick.sweptFiles > 0L, "q289: the sweep must reclaim the de-referenced pre-bin files")
+      require(tick.compacted, "q289: the over-bound census must trigger a committed compaction")
+      require(tick.repairedCells == flagged, s"q289: the repair census must cover the flagged cells: ${tick.repairedCells}")
+      require(IvfIndex.listAdcGens(fs, dir).min <= 1L,
+        "q289: the committing tick must spare the pre-tick head for in-flight readers")
+      val next = IvfIndex.maintainAdcIndexManifest(s, dir, merged, "vec_id", "embedding", m = PqM,
+        minRetainedBatchId = Some(1L), maxFilesPerCell = 1000)
+      require(next.sweptFiles > 0L, "q289: the NEXT tick retires the superseded world after the grace")
       graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
       IvfIndex
         .adcTopKFromSnapshot(s, dir, merged, queriesDf, "vec_id", "embedding",

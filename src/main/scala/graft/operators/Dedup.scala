@@ -2098,18 +2098,26 @@ object Dedup {
     val out = fs.create(tmp, true)
     try props.store(out, null)
     finally out.close()
-    val headNow = listServeHeads(fs, headDir).lastOption
-    if (headNow != expectedParent) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commitServeHead: serve head moved from $expectedParent to $headNow while this publish was " +
-          "built - a concurrent publisher swung the pointer first. Committing would silently " +
-          "unreference its tables. Re-resolve and retry (or accept the fresher publish).")
+    // EVERY refusal path deletes the staged tmp (fence 1, seq-exists,
+    // failed rename, the fence-2 PUT loss) — only a driver crash can
+    // leave one behind, and [[vacuumServePublishes]] ages those out by
+    // their name stamp.
+    var committed = false
+    try {
+      val headNow = listServeHeads(fs, headDir).lastOption
+      if (headNow != expectedParent)
+        throw new IllegalStateException(
+          s"commitServeHead: serve head moved from $expectedParent to $headNow while this publish was " +
+            "built - a concurrent publisher swung the pointer first. Committing would silently " +
+            "unreference its tables. Re-resolve and retry (or accept the fresher publish).")
+      val target = new org.apache.hadoop.fs.Path(headDir, s"serve-${head.seq}.properties")
+      require(!fs.exists(target), s"commitServeHead: head seq ${head.seq} already exists at $target")
+      require(fs.rename(tmp, target), s"commitServeHead: commit move failed for $target")
+      committed = true
+      requireServeHeadCommitWon(fs, headDir, head.seq, head.token)
+    } finally {
+      if (!committed) fs.delete(tmp, false): Unit
     }
-    val target = new org.apache.hadoop.fs.Path(headDir, s"serve-${head.seq}.properties")
-    require(!fs.exists(target), s"commitServeHead: head seq ${head.seq} already exists at $target")
-    require(fs.rename(tmp, target), s"commitServeHead: commit move failed for $target")
-    requireServeHeadCommitWon(fs, headDir, head.seq, head.token)
   }
 
   // Fence 2's read-back, separated (the chains' shape) so the spec can
@@ -2284,18 +2292,41 @@ object Dedup {
     val (oldSeqs, keptSeqs) = heads.splitAt(math.max(0, heads.size - keepPublishes))
     val keptTables: Set[String] =
       keptSeqs.flatMap { s => val h = readServeHead(fs, headDir, s); Seq(h.bands, h.sigs, h.hashes) }.toSet
+    // A db-qualified prefix ("mydb.graft_x") builds qualified table
+    // names, but the catalog listing and the warehouse dir carry BARE
+    // names — the orphan pattern must match on the bare form, and a
+    // bare orphan name must be re-qualified before the drop resolves it
+    // (an unqualified drop would resolve against the session's CURRENT
+    // database, not the prefix's).
+    val prefixParts = prefix.split('.')
+    val barePrefix = prefixParts.last.toLowerCase(java.util.Locale.ROOT)
+    val qualifier = if (prefixParts.length == 2) Some(prefixParts.head) else None
+    def bareOf(name: String): String = name.split('.').last.toLowerCase(java.util.Locale.ROOT)
+    val keptBare = keptTables.map(bareOf)
     var retired = 0L
     def dropServeTable(name: String): Unit = {
       val (db, bare) = graft.ops.Lake.dbAndBare(spark, name)
       val ident = org.apache.spark.sql.catalyst.TableIdentifier(bare, Some(db))
-      if (spark.sessionState.catalog.tableExists(ident)) spark.sql(s"DROP TABLE IF EXISTS $name")
+      var removed = false
+      if (spark.sessionState.catalog.tableExists(ident)) {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        removed = true
+      }
       // The in-memory catalog forgets tables across sessions while the
-      // warehouse dir persists — vacuum it too, but ONLY behind the
-      // bucketize sentinel: never a foreign writer's data.
+      // warehouse dir persists — vacuum the location too. Ownership
+      // proof: the bucketize sentinel, OR the versioned-serve name
+      // itself (token-unique, stamped, under this prefix — which is
+      // exactly what a publish that crashed INSIDE the table save
+      // leaves behind: data landed, sentinel not yet written; without
+      // the name rule that corpus-sized dir would leak forever).
       val loc = graft.ops.Lake.managedLocation(spark, name)
-      if (fs.exists(loc) && fs.exists(new org.apache.hadoop.fs.Path(loc, graft.ops.Lake.BucketizeSentinel)))
+      val owned = fs.exists(new org.apache.hadoop.fs.Path(loc, graft.ops.Lake.BucketizeSentinel)) ||
+        versionedServePattern(barePrefix).pattern.matcher(bare).matches()
+      if (fs.exists(loc) && owned) {
         fs.delete(loc, true)
-      retired += 1
+        removed = true
+      }
+      if (removed) retired += 1
     }
     oldSeqs.foreach { s =>
       val h = readServeHead(fs, headDir, s)
@@ -2307,10 +2338,10 @@ object Dedup {
     // stamp is in the NAME — mtime-free for the same object-store
     // reason as scratch vacuums). Swept from both the catalog and the
     // warehouse listing, so a crash in any session is reclaimable.
-    val pat = versionedServePattern(prefix)
+    val pat = versionedServePattern(barePrefix)
     val staleBefore = System.currentTimeMillis() - graceMs
     def orphaned(name: String): Boolean = name match {
-      case pat(_, ts) => !keptTables(name) && ts.toLong <= staleBefore
+      case pat(_, ts) => !keptBare(name) && ts.toLong <= staleBefore
       case _ => false
     }
     val (db, _) = graft.ops.Lake.dbAndBare(spark, prefix + "__servehead")
@@ -2322,7 +2353,17 @@ object Dedup {
     val dirOrphans =
       if (!fs.exists(whParent)) Nil
       else fs.listStatus(whParent).toSeq.map(_.getPath.getName).filter(orphaned)
-    (catalogOrphans ++ dirOrphans).distinct.foreach(dropServeTable)
+    (catalogOrphans ++ dirOrphans).distinct
+      .foreach(bare => dropServeTable(qualifier.fold(bare)(q => s"$q.$bare")))
+    // Crashed-COMMIT head scratch (_head_tmp_ts<ms>_<token>): every
+    // refusal path in commitServeHead deletes its own tmp, so anything
+    // here is a driver crash's residue — aged out by its name stamp.
+    if (fs.exists(headDir))
+      fs.listStatus(headDir)
+        .filter(s =>
+          s.getPath.getName.startsWith("_head_tmp") &&
+            IvfIndex.scratchIsStale(s, staleBefore))
+        .foreach(s => fs.delete(s.getPath, false))
     retired
   }
 
@@ -2332,12 +2373,37 @@ object Dedup {
     * (or no longer) wholly in place. None for a headless raw
     * [[saveDedupServeTables]] layout (no generation to claim). Compare
     * with the index chain's head to measure serving staleness.
+    *
+    * Headless layouts carrying the PRE-HEAD stamped-plain-table claim
+    * (a `graft.servedGeneration` property on `<prefix>_sigs`, how the
+    * original publish stamped before the pointer-swap protocol) keep
+    * their telemetry through the legacy read below — without it an
+    * upgrade would silently report a working published layout as
+    * never-published and the first refresh would pay an unneeded full
+    * corpus republish.
     */
   def dedupServeGeneration(spark: SparkSession, prefix: String): Option[Long] = {
     val headDir = serveHeadDir(spark, prefix)
     val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    listServeHeads(fs, headDir).lastOption.map(readServeHead(fs, headDir, _).gen)
+    listServeHeads(fs, headDir)
+      .lastOption
+      .map(readServeHead(fs, headDir, _).gen)
+      .orElse(legacyServeGeneration(spark, prefix))
   }
+
+  // The pre-head stamped-plain-table read (the original publish's
+  // observable), kept so layouts published before the atomic protocol
+  // still report their generation.
+  private def legacyServeGeneration(spark: SparkSession, prefix: String): Option[Long] =
+    try
+      spark
+        .sql(s"SHOW TBLPROPERTIES ${prefix}_sigs ('$ServeGenProp')")
+        .collect()
+        .headOption
+        .map(_.getString(1))
+        .filterNot(_.startsWith("Table"))
+        .flatMap(_.toLongOption)
+    catch { case _: org.apache.spark.sql.AnalysisException => None } // no such table: no claim
 
   /** The standing serving loop's refresh rule — the piece that turns the
     * staleness OBSERVABLE (chain head − [[dedupServeGeneration]]) into an
@@ -2382,6 +2448,13 @@ object Dedup {
     // stamped generation (republish is also the torn layout's documented
     // remediation). A cheap head-only read would have called that
     // dangling layout "fresh" and left every increment refusing.
+    // IllegalArgumentException covers every "cannot serve" refusal —
+    // the missing-table and torn-stamp requires, AND a corrupt head's
+    // parse (NumberFormatException is an IllegalArgumentException).
+    // A transient IO error deliberately CRASHES the tick instead: it
+    // says nothing about the layout, and republishing on it would turn
+    // every store blip into a full corpus rewrite; the next tick
+    // retries.
     val servableGen =
       try resolveDedupServe(spark, prefix).gen
       catch { case _: IllegalArgumentException => None }
@@ -2493,7 +2566,7 @@ object Dedup {
     // under-dedup-ing via a mixed-generation bands/sigs pair.
     val layout = resolveDedupServe(spark, prefix)
     val sigsT = spark.table(layout.sigs)
-    requireIndexColumns(s"dedupIncrementBucketed: table ${prefix}_sigs", sigsT.columns.toSeq, k)
+    requireIndexColumns(s"dedupIncrementBucketed: table ${layout.sigs}", sigsT.columns.toSeq, k)
     val incIdx = Lineage.truncate(buildDedupIndex(incoming, idCol, textCol, k))
     if (checkDisjointIds) {
       val shared = sigsT.select(col("id")).join(incIdx.select(col("id")), "id").limit(1).collect()

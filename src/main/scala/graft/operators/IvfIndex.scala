@@ -2005,13 +2005,25 @@ object IvfIndex {
     *    actuates a decision, it does not make one.
     *  - SWEEP last ([[cleanupAdcGenerations]]), after every commit this
     *    tick makes, so the reference-set cleanup sees the final chain.
+    *    The sweep's retention is `keepGens` PLUS the generations this
+    *    tick itself committed: a tick that compacts AND repairs adds two
+    *    generations, and a plain `keepGens` would let the tick consume
+    *    the whole reader grace with its own commits — retiring the
+    *    generation that was head at tick ENTRY while a concurrent
+    *    snapshot reader is still scanning it. Under the adjusted
+    *    retention the pre-tick head always survives the tick; the
+    *    superseded world is retired by the NEXT tick, after the grace.
     *
     * Every lever keeps its own fences (watermark refusals, the two
     * commit fences, the snapshot-reader grace) — this operator adds the
     * BOUNDS and the ordering, not new commit machinery, and every hop
     * is content-invisible except the repair, whose effect is exactly
     * [[repairDriftedIndexCellsManifest]]'s (q289 shares q277's oracle
-    * verbatim). Returns what ran.
+    * verbatim). Returns what actually RAN — `compacted` is true only if
+    * the compactor COMMITTED a generation (its nothing-to-bin pass
+    * commits none even when the census admitted it), and
+    * `repairedCells` is the repair census's own cell list, not an echo
+    * of the caller's flag set.
     */
   def maintainAdcIndexManifest(
       spark: org.apache.spark.sql.SparkSession,
@@ -2030,15 +2042,31 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val gens = listAdcGens(fs, dir)
     require(gens.nonEmpty, s"maintainAdcIndexManifest: no manifest at $dir - bootstrap with writeAdcManifest")
-    val census = codesRefs(readAdcManifestRefs(spark, dir, gens.max))
+    val headAtEntry = gens.max
+    val census = codesRefs(readAdcManifestRefs(spark, dir, headAtEntry))
     val maxCellFiles = census.groupBy(_._1).map(_._2.size.toLong).maxOption.getOrElse(0L)
-    val compact = maxCellFiles >= maxFilesPerCell
-    if (compact)
+    var compacted = false
+    if (maxCellFiles >= maxFilesPerCell) {
       compactAdcIndexCodesManifest(spark, dir, targetBytes, minRetainedBatchId): Unit
-    if (flaggedCells.nonEmpty)
-      repairDriftedIndexCellsManifest(spark, dir, corpus, idCol, vecCol, m, flaggedCells, minRetainedBatchId): Unit
-    val swept = cleanupAdcGenerations(spark, dir, keepGens)
-    AdcMaintenanceReport(maxCellFiles, compact, flaggedCells.distinct.sorted, swept)
+      // Outcome, not admission: the compactor's nothing-to-bin pass
+      // commits no generation even when the census admitted it.
+      compacted = listAdcGens(fs, dir).max > headAtEntry
+    }
+    val repairedCells =
+      if (flaggedCells.isEmpty) Seq.empty[Int]
+      else
+        repairDriftedIndexCellsManifest(spark, dir, corpus, idCol, vecCol, m, flaggedCells, minRetainedBatchId)
+          .select(col("centroid_id"))
+          .collect()
+          .map(_.getInt(0))
+          .toSeq
+          .sorted
+    // Retention is widened by this tick's OWN commits so a
+    // compact-and-repair tick cannot spend the reader grace on itself:
+    // the pre-tick head always survives the tick it was superseded in.
+    val commitsThisTick = (listAdcGens(fs, dir).max - headAtEntry).toInt
+    val swept = cleanupAdcGenerations(spark, dir, keepGens + commitsThisTick)
+    AdcMaintenanceReport(maxCellFiles, compacted, repairedCells, swept)
   }
 
   /** Serve from a MANIFEST snapshot: resolve a generation (latest by

@@ -125,8 +125,13 @@ object Lake {
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(bare, Some(db))
     val cat = spark.sessionState.catalog
     if (cat.tableExists(ident)) {
+      val props = cat.getTableMetadata(ident).properties
+      // Ownership proof: the publishedBy stamp, or the pre-sentinel-era
+      // serve-generation stamp (how publishes marked their tables before
+      // this guard existed) — so an upgrade does not hard-fail the first
+      // republish over a layout the old code wrote.
       require(
-        cat.getTableMetadata(ident).properties.contains(PublishedByProp),
+        props.contains(PublishedByProp) || props.contains("graft.servedGeneration"),
         s"bucketize: refusing to overwrite table '$table' - it carries no '$PublishedByProp' " +
           "property, so it was not published by Lake.bucketize. Overwriting a foreign table through " +
           "a publish API would destroy data this method does not own; drop it yourself if that is " +

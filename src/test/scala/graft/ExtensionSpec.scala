@@ -453,15 +453,24 @@ class ExtensionSpec extends SparkSpec {
     assert(IvfIndex.listAdcGens(fs, dir) == Seq(0L, 1L), "an idle tick must not grow the chain")
     assert(serve() == before)
     // OVER-BOUND tick (no drift flagged): compaction runs and commits,
-    // the sweep retires the pre-bin world, and serving is hash-identical
-    // - maintenance moves bytes, never content
+    // but the tick's own sweep SPARES the pre-tick head - retention
+    // widens by the tick's own commits, so a concurrent snapshot reader
+    // on gen 1 survives the tick that supersedes it. Serving stays
+    // hash-identical - maintenance moves bytes, never content.
     val tick = IvfIndex.maintainAdcIndexManifest(spark, dir, emb, "vec_id", "embedding", m = 4,
       minRetainedBatchId = Some(1L), maxFilesPerCell = 2, keepGens = 1)
     assert(tick.compacted && tick.repairedCells.isEmpty)
     assert(tick.maxCellFilesBefore >= 2L)
-    assert(tick.sweptFiles > 0L, "the sweep must reclaim the de-referenced pre-bin files")
-    assert(IvfIndex.listAdcGens(fs, dir) == Seq(2L), "compaction commits one generation; cleanup retires the rest")
+    assert(IvfIndex.listAdcGens(fs, dir) == Seq(1L, 2L),
+      "a committing tick must keep the pre-tick head readable (keepGens counts beyond its own commits)")
     assert(serve() == before, "a no-drift maintenance tick must be content-invisible")
+    // The NEXT tick (idle) retires the superseded world: grace consumed,
+    // de-referenced pre-bin files reclaimed, content still identical.
+    val next = IvfIndex.maintainAdcIndexManifest(spark, dir, emb, "vec_id", "embedding", m = 4,
+      minRetainedBatchId = Some(1L), maxFilesPerCell = 1000, keepGens = 1)
+    assert(!next.compacted && next.sweptFiles > 0L, s"the next tick reclaims the superseded files: $next")
+    assert(IvfIndex.listAdcGens(fs, dir) == Seq(2L))
+    assert(serve() == before)
   }
 
   test("manifest commit: snapshot isolation, replay healing, cleanup spares in-flight landings") {
