@@ -5000,6 +5000,53 @@ object ExtensionQueries {
         .orderBy("tbl")
     }),
 
+    // ---- The COMPLETE dedup nightly (q287 + the chain's own upkeep —
+    //      q289's twin on this artifact): streaming ingest advances the
+    //      chain, ONE maintenance tick reads the head's refs and
+    //      decides (idle below the file bound — the chain must not
+    //      grow; compact at it — sparing the pre-tick head for
+    //      in-flight snapshot readers; the NEXT tick retires the
+    //      superseded world), the staleness-bounded refresh republishes
+    //      the serving layout, and the batch dedups against it. Every
+    //      hop is content-invisible: q124's oracle verbatim ----
+    "q290_dedup_standing_maintenance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val path = tempIndexDir("graft_index_maint")
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), path)
+      Dedup.writeDedupManifest(s, path) // gen 0
+      EventStream.dedupIndexIngestOneShotManifest(s, docs.filter(b >= 5 && b < 8), path,
+        "doc_id", "text", "graft_q290")
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      val headAfterIngest = Dedup.listDedupGens(fs, path).max
+      require(headAfterIngest > 0L, "q290: the streaming ingest must have advanced the chain")
+      // an IDLE tick (census below the bound) pulls no lever, chain unchanged
+      val idle = Dedup.maintainDedupIndexManifest(s, path, maxFiles = 1000,
+        minRetainedBatchId = Some(1000000L))
+      require(!idle.compacted && Dedup.listDedupGens(fs, path).max == headAfterIngest,
+        "q290: a below-bound tick must not grow the chain")
+      // the COMMITTING tick: over-bound census -> compact to one bin,
+      // sparing the pre-tick head (in-flight snapshot readers' grace)
+      val tick = Dedup.maintainDedupIndexManifest(s, path, maxFiles = 2, targetFiles = 1,
+        minRetainedBatchId = Some(1000000L))
+      require(tick.compacted && tick.filesAfter <= tick.filesBefore,
+        s"q290: the over-bound tick must commit a compaction: $tick")
+      require(Dedup.listDedupGens(fs, path).min <= headAfterIngest,
+        "q290: the committing tick must spare the pre-tick head")
+      // the NEXT tick retires the superseded world after the grace
+      val next = Dedup.maintainDedupIndexManifest(s, path, maxFiles = 1000, keepGens = 1,
+        minRetainedBatchId = Some(1000000L))
+      require(next.sweptFiles > 0L, "q290: the next tick retires the superseded pre-bin files")
+      // the serving layout catches up behind the staleness bound...
+      require(Dedup.refreshDedupServe(s, path, "graft_q290", buckets = 8)
+        .contains(Dedup.listDedupGens(fs, path).max),
+        "q290: the refresh must republish at the maintained chain head")
+      // ...and the batch dedups against the fresh co-located layout
+      Dedup
+        .dedupIncrementBucketed(s, "graft_q290", docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- CHAIN DIFF (the audit primitive): what did generation g ADD?
     //      The diff reads only files referenced by exactly ONE side — a
     //      batch commit's diff costs the batch, never the corpus — and a
@@ -6349,6 +6396,7 @@ object ExtensionQueries {
     "q283_bucketed_increment_dedup" -> sqlIndexAppendOracle,
     "q284_manifest_bucketed_serve" -> sqlIndexAppendOracle,
     "q287_serve_refresh_pipeline" -> sqlIndexAppendOracle,
+    "q290_dedup_standing_maintenance" -> sqlIndexAppendOracle,
     // A clean publish's serve-layout diff is empty by construction — the
     // zero census per table is the statable invariant.
     "q288_serve_layout_diff" ->

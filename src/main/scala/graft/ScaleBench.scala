@@ -490,6 +490,18 @@ object ScaleBench {
           s""""diff_rows":$rSDiff}"""
       )
       require(rSDiff == 0L, s"dedup_serve_diff: a clean publish must diff empty, got $rSDiff rows at factor $f")
+      // (9) the standing-maintenance ADMISSION (q290's idle tick): the
+      // refs census + the no-lever decision + the cleanup listing —
+      // metadata-flat in corpus size, never growing the chain.
+      val (tDTick, dTick) = time {
+        operators.Dedup.maintainDedupIndexManifest(spark, dmDir, maxFiles = 100000,
+          minRetainedBatchId = Some(1000000L))
+      }
+      require(!dTick.compacted, s"dedup_maintenance_idle_tick: below-bound tick must not compact at factor $f")
+      println(
+        s"""{"op":"dedup_maintenance_idle_tick","factor":$f,"sec":${math.round(tDTick * 1000) / 1000.0},""" +
+          s""""files":${dTick.filesBefore},"swept":${dTick.sweptFiles}}"""
+      )
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants

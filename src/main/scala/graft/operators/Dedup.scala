@@ -1727,6 +1727,68 @@ object Dedup {
     deleted
   }
 
+  /** What one standing-maintenance tick did — [[maintainDedupIndexManifest]]'s
+    * report, for the caller's log line and the in-query gates.
+    */
+  final case class DedupMaintenanceReport(
+      filesBefore: Long,
+      filesAfter: Long,
+      compacted: Boolean,
+      sweptFiles: Long,
+  )
+
+  /** The dedup chain's STANDING-MAINTENANCE rule —
+    * [[graft.operators.IvfIndex.maintainAdcIndexManifest]]'s twin on
+    * this artifact, and the piece that completes the nightly loop q287
+    * exercises (ingest → staleness-bounded republish): one tick reads
+    * the head generation's refs and decides whether the chain itself
+    * needs work this cadence.
+    *
+    *  - COMPACT when the referenced signature-file count reaches
+    *    `maxFiles` — file count is the snapshot load's degradation
+    *    metric (one parquet footer per file per load), readable from
+    *    the head's refs alone. Below the bound the compactor is not
+    *    even invoked, so an idle tick never grows the chain (the
+    *    compactor's own not-enough-to-bin pass also commits nothing —
+    *    the bound is an ADMISSION rule, not a correctness one).
+    *  - SWEEP last ([[cleanupDedupGenerations]]), with retention
+    *    widened by the generations this tick itself committed: a
+    *    committing tick must not spend the snapshot-reader grace on its
+    *    own commits — the generation that was head at tick ENTRY always
+    *    survives the tick, and the superseded world is retired by the
+    *    NEXT tick, after the grace.
+    *
+    * Both levers keep their own fences (the replay watermark, the two
+    * commit fences, the reader grace); the tick adds the bound and the
+    * ordering. Every hop is content-invisible ([[dedupChainDiff]]-empty
+    * by construction), so q290 shares q124's oracle verbatim. Returns
+    * what actually ran — `compacted` is true only if a generation
+    * committed.
+    */
+  def maintainDedupIndexManifest(
+      spark: SparkSession,
+      path: String,
+      k: Int = 8,
+      minRetainedBatchId: Option[Long] = None,
+      maxFiles: Int = 16,
+      targetFiles: Int = 8,
+      keepGens: Int = 2,
+  ): DedupMaintenanceReport = {
+    require(maxFiles >= 1, s"maintainDedupIndexManifest: maxFiles must be >= 1: $maxFiles")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"maintainDedupIndexManifest: no manifest at $path - bootstrap with writeDedupManifest")
+    val headAtEntry = gens.max
+    val filesBefore = sigRefs(readDedupManifestRefs(spark, path, headAtEntry)).size.toLong
+    var filesAfter = filesBefore
+    if (filesBefore >= maxFiles) {
+      filesAfter = compactDedupIndexManifest(spark, path, k, targetFiles, minRetainedBatchId)._2
+    }
+    val commitsThisTick = (listDedupGens(fs, path).max - headAtEntry).toInt
+    val swept = cleanupDedupGenerations(spark, path, keepGens + commitsThisTick)
+    DedupMaintenanceReport(filesBefore, filesAfter, commitsThisTick > 0, swept)
+  }
+
   /** [[loadDedupIndex]] from a MANIFEST snapshot: resolve a generation
     * (latest by default, or pinned), read exactly its file set, same
     * loud schema check and canonical column order. Immune to concurrent

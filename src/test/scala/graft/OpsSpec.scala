@@ -332,6 +332,33 @@ class OpsSpec extends SparkSpec {
     // scratch whose mtime reads epoch 0 (what object stores report for
     // directory entries — the case that would void an mtime gate) is
     // spared.
+    // Standing-maintenance tick (the ANN tick's twin): idle below the
+    // file bound commits nothing; the committing tick spares the
+    // pre-tick head (retention widens by its own commits); the next
+    // tick retires the superseded world; content identical throughout.
+    val mDocs = (1L to 12L).map(i => (i, s"maintenance doc number $i sharing filler words")).toDF("doc_id", "text")
+    val mIdx = Files.createTempDirectory("graft_dedup_maint").resolve("index").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(mDocs.filter($"doc_id" <= 6), "doc_id", "text"), mIdx)
+    Dedup.writeDedupManifest(spark, mIdx) // gen 0
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(mDocs.filter($"doc_id" > 6), "doc_id", "text"), mIdx, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, mIdx, 0L) // gen 1
+    def snap() = Dedup.loadDedupIndexSnapshot(spark, mIdx).collect().toSet
+    val contentBefore = snap()
+    val idleT = Dedup.maintainDedupIndexManifest(spark, mIdx, maxFiles = 1000, minRetainedBatchId = Some(1L))
+    assert(!idleT.compacted && Dedup.listDedupGens(fs, mIdx) == Seq(0L, 1L), "idle tick must not grow the chain")
+    val commitT = Dedup.maintainDedupIndexManifest(spark, mIdx, maxFiles = 2, targetFiles = 1,
+      minRetainedBatchId = Some(1L), keepGens = 1)
+    assert(commitT.compacted && commitT.filesAfter == 1L, commitT.toString)
+    assert(Dedup.listDedupGens(fs, mIdx) == Seq(1L, 2L),
+      "a committing tick must keep the pre-tick head readable (keepGens counts beyond its own commits)")
+    assert(snap() == contentBefore, "maintenance must be content-invisible")
+    val nextT = Dedup.maintainDedupIndexManifest(spark, mIdx, maxFiles = 1000, keepGens = 1,
+      minRetainedBatchId = Some(1L))
+    assert(!nextT.compacted && nextT.sweptFiles > 0L, s"the next tick reclaims the superseded files: $nextT")
+    assert(Dedup.listDedupGens(fs, mIdx) == Seq(2L))
+    assert(snap() == contentBefore)
+
     val oldStamped = new org.apache.hadoop.fs.Path(s"$idx/_mcompact_tmp_ts1000_crashed")
     fs.mkdirs(oldStamped)
     val freshStamped =
