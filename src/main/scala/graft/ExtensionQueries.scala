@@ -5321,6 +5321,86 @@ object ExtensionQueries {
         )
         .orderBy(col("n_name"))
     }),
+
+    // ---- CROSS-ARTIFACT coverage census (the consistency audit ACROSS
+    //      the two artifacts of record): one corpus batch feeds both the
+    //      dedup signature chain and the ANN codes chain, each commit
+    //      independent — a crash between the two commits diverges them
+    //      silently, invisible to every single-chain audit. The census
+    //      reads both HEADS' batch refs (pure metadata) and reports
+    //      per-batch coverage + the symmetric difference; over a clean
+    //      double-ingest it is table-stated: every batch in BOTH ----
+    "q291_cross_artifact_census" -> ((s, d) => {
+      import graft.operators.Consistency
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      // one logical corpus: doc_id-aligned text + vector per row
+      val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      val dedupPath = tempIndexDir("graft_xart_dedup")
+      val annDir = java.nio.file.Files.createTempDirectory("graft_xart_ann").toString
+      // bootstrap BOTH artifacts of record from the same base slice
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), dedupPath)
+      Dedup.writeDedupManifest(s, dedupPath) // dedup gen 0
+      val annBase = joined.filter(b < 5).select(col("vec_id"), col("embedding"))
+      val centroids = IvfIndex.train(annBase, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex.saveAdcIndex(annBase, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = annDir)
+      IvfIndex.writeAdcManifest(s, annDir) // ann gen 0
+      // two dual batches: the SAME batch id lands and commits in BOTH
+      // chains (the dual-ingest tick's deterministic skeleton)
+      Seq(0L -> (b >= 5 && b < 7), 1L -> (b === 7)).foreach { case (bid, slice) =>
+        Dedup.appendDedupIndex(
+          Dedup.buildDedupIndex(docs.filter(slice), "doc_id", "text"), dedupPath, batchId = Some(bid))
+        Dedup.commitDedupBatchToManifest(s, dedupPath, bid)
+        val cells = IvfIndex.appendToAdcIndex(s, annDir,
+          joined.filter(slice).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", m = PqM, batchId = Some(bid))
+        IvfIndex.commitAdcBatchToManifest(s, annDir, bid, Some(cells))
+      }
+      // the loud gate passes on a clean double-ingest (its refusal side
+      // is spec-driven from the one-side-crashed state)
+      Consistency.requireCoverage(s, dedupPath, annDir, Seq(0L, 1L))
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
+      Consistency.crossArtifactCoverage(s, dedupPath, annDir).orderBy("batch_id")
+    }),
+
+    // ---- The standing DUAL-INGEST tick (q287/q289's cross-artifact
+    //      sibling): ONE stream lands each microbatch into BOTH chains
+    //      under the same batch id and verifies both heads cover every
+    //      batch it committed — "ingest into both, then check both" as
+    //      one composition. Dedup content = q282's slices exactly, so
+    //      q124's oracle verbatim: the dual transport is hash-invisible
+    //      to the artifact it feeds ----
+    "q292_dual_ingest_tick" -> ((s, d) => {
+      import graft.operators.Consistency
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      val dedupPath = tempIndexDir("graft_dual_dedup")
+      val annDir = java.nio.file.Files.createTempDirectory("graft_dual_ann").toString
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), dedupPath)
+      Dedup.writeDedupManifest(s, dedupPath) // dedup gen 0
+      val annBase = joined.filter(b < 5).select(col("vec_id"), col("embedding"))
+      val centroids = IvfIndex.train(annBase, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex.saveAdcIndex(annBase, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = annDir)
+      IvfIndex.writeAdcManifest(s, annDir) // ann gen 0
+      val incRows = joined.filter(b >= 5 && b < 8).select(col("doc_id"), col("text"), col("embedding"))
+      val bids = EventStream.dualIngestOneShotManifest(s, incRows, dedupPath, annDir,
+        "doc_id", "text", "embedding", m = PqM, "graft_q292")
+      require(bids.nonEmpty, "q292: the dual ingest must have committed at least one batch")
+      // the tick verified coverage itself; the census over its window is
+      // clean (every committed batch in BOTH chains)
+      require(Consistency.crossArtifactCoverage(s, dedupPath, annDir, bids.min)
+        .filter(col("status") =!= "both").isEmpty,
+        "q292: a clean dual ingest must census 'both' everywhere")
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
+      Dedup
+        .dedupIncrementWithIndex(Dedup.loadDedupIndexSnapshot(s, dedupPath), docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6397,6 +6477,15 @@ object ExtensionQueries {
     "q284_manifest_bucketed_serve" -> sqlIndexAppendOracle,
     "q287_serve_refresh_pipeline" -> sqlIndexAppendOracle,
     "q290_dedup_standing_maintenance" -> sqlIndexAppendOracle,
+    // The dual-ingest tick feeds the dedup chain q282's slices exactly —
+    // the cross-artifact transport must be hash-invisible to the artifact.
+    "q292_dual_ingest_tick" -> sqlIndexAppendOracle,
+    // A clean double-ingest's census is table-stated: both batches, both
+    // chains, no symmetric difference.
+    "q291_cross_artifact_census" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), true, true, 'both'),
+                               (CAST(1 AS BIGINT), true, true, 'both'))
+                 AS v(batch_id, in_dedup, in_ann, status) ORDER BY batch_id""",
     // A clean publish's serve-layout diff is empty by construction — the
     // zero census per table is the statable invariant.
     "q288_serve_layout_diff" ->

@@ -93,6 +93,23 @@ object ScaleBench {
     def report(op: String, factor: Int, sec: Double, rows: Long): Unit =
       println(s"""{"op":"$op","factor":$factor,"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows}""")
 
+    // Between-ops state release — the single-JVM envelope fix (the r18
+    // suite OOMed a 48 g heap at the cc family's 32× tier and needed a
+    // 3-process split; the cause was CUMULATIVE block-manager retention
+    // across ops, not any one op's working set): every iterative operator
+    // truncates lineage via localCheckpoint, and those blocks stay in the
+    // block manager until their RDD is GC'd — which a big heap may never
+    // bother to do mid-run. Every timed block here ENDS with a terminal
+    // materialization (parquet write or count) and the next op re-reads
+    // its inputs from parquet, so no released block is ever recomputed;
+    // this only returns memory a finished op was hoarding. ONLY legal
+    // between terminal ops: unpersisting a localCheckpoint a still-live
+    // plan references loses data outright (lineage is severed by design).
+    def releaseRetainedState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     for (f <- factors if families("ops")) {
       val ev   = spark.read.parquet(s"$tmp/events_$f")
       val docs = spark.read.parquet(s"$tmp/documents_$f")
@@ -152,6 +169,7 @@ object ScaleBench {
           .count()
       )
       report("bm25_topk", f, t7, r7)
+      releaseRetainedState()
     }
 
     // --- content-level media family: REAL encode→decode→feature per
@@ -176,6 +194,7 @@ object ScaleBench {
         operators.Multimodal.audioFeatures(media).count()
       }
       report("audio_features", f, t9, r9)
+      releaseRetainedState()
     }
 
     // --- ANN serving family (q248/q258-shaped): per embeddings tiling,
@@ -346,6 +365,7 @@ object ScaleBench {
         s"""{"op":"ann_drift_gate_repair","factor":$f,"sec":${math.round(tRepair * 1000) / 1000.0},""" +
           s""""flagged_cells":$flaggedN}"""
       )
+      releaseRetainedState()
     }
 
     // --- dedup-index lifecycle family (q279–q282-shaped): the repo's
@@ -502,6 +522,7 @@ object ScaleBench {
         s"""{"op":"dedup_maintenance_idle_tick","factor":$f,"sec":${math.round(tDTick * 1000) / 1000.0},""" +
           s""""files":${dTick.filesBefore},"swept":${dTick.sweptFiles}}"""
       )
+      releaseRetainedState()
     }
 
     // --- pair/CC family (q218-shaped): pairs once, then BOTH CC variants
@@ -523,6 +544,24 @@ object ScaleBench {
       }
       val pairs = spark.read.parquet(s"$tmp/pairs_$f")
       report("lsh_pairs_t08", f, tp, pairs.count())
+      releaseRetainedState()
+      // The EXECUTABLE pick rule, run once per round at the family's
+      // smallest tier (the bounded calibration probe the scaladoc
+      // promises): both policies measured on the same sample, labeling
+      // equality verified inside, the winner-first threshold returned.
+      // Compare its verdict against the 16×/32× rows below — if the
+      // small-tier winner also wins large, the probe is a sufficient
+      // re-tune; if not, that divergence is the round's finding.
+      if (f == ccFactors.min) {
+        val cal = operators.Dedup.ccCalibrate(pairs)
+        println(
+          s"""{"op":"cc_calibrate","factor":$f,"edges":${cal.sampleEdges},""" +
+            s""""lp_sec":${math.round(cal.lpSeconds * 1000) / 1000.0},"lp_rounds":${cal.lpRounds},""" +
+            s""""lp_escaped":${cal.lpEscaped},"star_sec":${math.round(cal.starSeconds * 1000) / 1000.0},""" +
+            s""""star_rounds":${cal.starRounds},"winner":"${cal.winner}","star_threshold":${cal.starThreshold}}"""
+        )
+        releaseRetainedState()
+      }
       // Each variant's timed block MATERIALIZES its labeling (parquet write
       // — the same terminal-action cost shape as the old groupBy-count) so
       // the tripwire below can compare full labelings without re-running
@@ -533,12 +572,14 @@ object ScaleBench {
       }
       val lpLab = spark.read.parquet(s"$tmp/cc_lp_$f")
       reportCc("cc_labelprop", f, tl, lpLab.select(col("comp")).distinct().count(), lr)
+      releaseRetainedState()
       val (ts, sr) = time {
         val (df, r) = operators.Dedup.connectedComponentsStarCounted(pairs)
         df.write.mode("overwrite").parquet(s"$tmp/cc_star_$f"); r
       }
       val spLab = spark.read.parquet(s"$tmp/cc_star_$f")
       reportCc("cc_star", f, ts, spLab.select(col("comp")).distinct().count(), sr)
+      releaseRetainedState()
       // Tripwire on the LABELINGS, not the component count: equal counts
       // can hide membership disagreement. Both variants contract to
       // (id, comp = min id of component), so at fixpoint the (id, comp)
@@ -577,6 +618,7 @@ object ScaleBench {
         s"""{"op":"cc_adaptive","factor":$f,"sec":${math.round(ta * 1000) / 1000.0},"edges":$nPairs,""" +
           s""""branch":"$branch","escaped":${operators.Dedup.lastAdaptiveEscaped}}"""
       )
+      releaseRetainedState()
       // The OTHER dispatch policy, measured every round so the
       // machine-era-unstable crossover is re-tunable from DATA instead
       // of scaladoc archaeology: label-prop-first (starThreshold raised
@@ -600,6 +642,7 @@ object ScaleBench {
         s"""{"op":"cc_adaptive_lpfirst","factor":$f,"sec":${math.round(tLpf * 1000) / 1000.0},""" +
           s""""edges":$nPairs,"escaped":${operators.Dedup.lastAdaptiveEscaped}}"""
       )
+      releaseRetainedState()
     }
 
     // --- streaming family: the stateful operators (sessionizeExact's
@@ -646,6 +689,7 @@ object ScaleBench {
       reportStream("stream_interval_join", f, t2, r2, s"scale_ij_$f")
       spark.sql(s"DROP TABLE IF EXISTS scale_sess_$f")
       spark.sql(s"DROP TABLE IF EXISTS scale_ij_$f")
+      releaseRetainedState()
     }
 
     // --- rocksdb family: the SAME two stateful operators on the RocksDB
@@ -667,6 +711,7 @@ object ScaleBench {
       }
       spark.sql(s"DROP TABLE IF EXISTS scale_sess_rdb_$f")
       spark.sql(s"DROP TABLE IF EXISTS scale_ij_rdb_$f")
+      releaseRetainedState()
     }
     spark.stop()
   }

@@ -746,6 +746,100 @@ object Dedup {
       }
   }
 
+  /** A [[ccCalibrate]] run's measured verdict: per-policy wall seconds and
+    * rounds on the caller's sample, the winner, and the `starThreshold` to
+    * hand [[connectedComponentsAdaptive]] so the measured winner runs
+    * FIRST on this workload — `Long.MaxValue` for label-prop-first (its
+    * long-diameter downside stays bounded by the rounds-budget escape to
+    * star, so running it first is safe everywhere), `0` for star-first.
+    * A label-prop run that blew the budget on the sample reports
+    * `lpEscaped = true` with its abandoned seconds — star wins outright.
+    */
+  final case class CcCalibration(
+      sampleEdges: Long,
+      lpSeconds: Double,
+      lpRounds: Int,
+      lpEscaped: Boolean,
+      starSeconds: Double,
+      starRounds: Int,
+      winner: String,
+      starThreshold: Long,
+  )
+
+  /** EXECUTABLE RE-TUNE for the CC dispatch crossover. Two consecutive
+    * measurement eras had label propagation WIN at 47M–129M edges while
+    * the era before had it LOSE 2× — the crossover is machine-era
+    * unstable, so the pick rule must be measured, not remembered. This
+    * runs BOTH policies on the caller's bounded sample, verifies their
+    * labelings agree bit-for-bit (the same tripwire the scale probe
+    * rides — both contract to comp = min id), and returns the measured
+    * winner plus the `starThreshold` that makes
+    * [[connectedComponentsAdaptive]] run it first.
+    *
+    * THE SAMPLE IS THE CALLER'S CONTRACT: pass a REPRESENTATIVE bounded
+    * edge set — the workload's smallest tier, one day's pair build, one
+    * shard — sized so both policies finish in seconds. Do NOT uniformly
+    * sample edges out of a much larger graph: thinning edges breaks
+    * components apart and lengthens paths, so the sampled diameter (and
+    * label propagation's round count) stops resembling the real
+    * workload's. Structure, not size, is what the calibration measures.
+    *
+    * The rounds budget bounds the label-prop arm the same way the
+    * adaptive dispatch bounds production runs: a sample that blows it is
+    * a long-diameter graph on the wrong algorithm — star wins without
+    * waiting out the pathology.
+    */
+  def ccCalibrate(
+      sampleEdges: DataFrame,
+      labelRoundsBudget: Int = 12,
+      reliable: Boolean = false,
+  ): CcCalibration = {
+    require(labelRoundsBudget >= 1, s"ccCalibrate: labelRoundsBudget must be >= 1: $labelRoundsBudget")
+    val mat = truncateLineage(sampleEdges.select(col("src"), col("dst")), reliable)
+    val n = mat.count()
+    require(n > 0, "ccCalibrate: the calibration sample has no edges - nothing to measure")
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    // Each arm's timed block MATERIALIZES its labeling (count on the
+    // final checkpoint) — the same terminal-action shape the scale probe
+    // times, so the numbers are comparable run to run.
+    val (lpSec, lpOut) = timed {
+      try {
+        val (df, r) = connectedComponentsCounted(mat, maxRounds = labelRoundsBudget, reliable = reliable)
+        df.count(): Unit
+        Some((df, r))
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("did not converge") => None
+      }
+    }
+    val (starSec, (starLab, starRounds)) = timed {
+      val (df, r) = connectedComponentsStarCounted(mat, reliable = reliable)
+      df.count(): Unit
+      (df, r)
+    }
+    lpOut.foreach { case (lpLab, _) =>
+      val diff = lpLab.except(starLab).count() + starLab.except(lpLab).count()
+      require(
+        diff == 0,
+        s"ccCalibrate: the two policies disagree on $diff (id, comp) rows over the same sample - a " +
+          "correctness bug in one of them, not a tuning question. Refusing to calibrate on it.")
+    }
+    val lpWins = lpOut.isDefined && lpSec < starSec
+    CcCalibration(
+      sampleEdges = n,
+      lpSeconds = lpSec,
+      lpRounds = lpOut.fold(labelRoundsBudget)(_._2),
+      lpEscaped = lpOut.isEmpty,
+      starSeconds = starSec,
+      starRounds = starRounds,
+      winner = if (lpWins) "labelprop" else "star",
+      starThreshold = if (lpWins) Long.MaxValue else 0L,
+    )
+  }
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame =
     connectedComponentsCounted(edges, maxRounds, reliable)._1
 
@@ -1460,7 +1554,7 @@ object Dedup {
   // metadata-scale (one row per FILE), and the explicit-files read needs
   // the list on the driver anyway. kind: "sig" (a signature file) or
   // "committer" (the commit token).
-  private def readDedupManifestRefs(
+  private[graft] def readDedupManifestRefs(
       spark: SparkSession,
       path: String,
       gen: Long,
@@ -1510,19 +1604,27 @@ object Dedup {
       .listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     require(parts.length == 1, s"commitDedupGen: expected one manifest part, found ${parts.length}")
-    val headNow = listDedupGens(fs, path).lastOption
-    require(
-      headNow == expectedParent,
-      s"commitDedupGen: generation head moved from $expectedParent to $headNow while this commit was " +
-        "built - a concurrent committer published first. Committing from stale refs would silently " +
-        "drop the interleaved generation's files. Re-read the latest refs and retry.",
-    )
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dedupManifestDir(path)))
+    // Both fences + the refusal-path scratch hygiene live in the shared
+    // protocol ([[AtomicHead.commit]]); this site supplies the chain
+    // listing, its spec'd refusal, and the fence-2 read-back.
     val target = new org.apache.hadoop.fs.Path(s"${dedupManifestDir(path)}/gen-$gen.parquet")
-    require(!fs.exists(target), s"commitDedupGen: generation $gen already exists at $target")
-    require(fs.rename(parts.head.getPath, target), s"commitDedupGen: commit move failed for $target")
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    requireDedupGenCommitWon(spark, path, gen, token)
+    AtomicHead.commit(
+      fs,
+      staged = parts.head.getPath,
+      scratchRoot = new org.apache.hadoop.fs.Path(scratch),
+      scratchIsDir = true,
+      target = target,
+      headNow = () => listDedupGens(fs, path).lastOption,
+      expectedParent = expectedParent,
+      refuseMoved = headNow =>
+        throw new IllegalArgumentException(
+          s"commitDedupGen: generation head moved from $expectedParent to $headNow while this commit was " +
+            "built - a concurrent committer published first. Committing from stale refs would silently " +
+            "drop the interleaved generation's files. Re-read the latest refs and retry."),
+      existsMsg = s"commitDedupGen: generation $gen already exists at $target",
+      renameFailedMsg = s"commitDedupGen: commit move failed for $target",
+      requireCommitWon = () => requireDedupGenCommitWon(spark, path, gen, token),
+    )
     gen
   }
 
@@ -2161,25 +2263,28 @@ object Dedup {
     try props.store(out, null)
     finally out.close()
     // EVERY refusal path deletes the staged tmp (fence 1, seq-exists,
-    // failed rename, the fence-2 PUT loss) — only a driver crash can
+    // failed rename, the fence-2 PUT loss) — the shared protocol
+    // ([[AtomicHead.commit]]) owns that hygiene; only a driver crash can
     // leave one behind, and [[vacuumServePublishes]] ages those out by
     // their name stamp.
-    var committed = false
-    try {
-      val headNow = listServeHeads(fs, headDir).lastOption
-      if (headNow != expectedParent)
+    val target = new org.apache.hadoop.fs.Path(headDir, s"serve-${head.seq}.properties")
+    AtomicHead.commit(
+      fs,
+      staged = tmp,
+      scratchRoot = tmp,
+      scratchIsDir = false,
+      target = target,
+      headNow = () => listServeHeads(fs, headDir).lastOption,
+      expectedParent = expectedParent,
+      refuseMoved = headNow =>
         throw new IllegalStateException(
           s"commitServeHead: serve head moved from $expectedParent to $headNow while this publish was " +
             "built - a concurrent publisher swung the pointer first. Committing would silently " +
-            "unreference its tables. Re-resolve and retry (or accept the fresher publish).")
-      val target = new org.apache.hadoop.fs.Path(headDir, s"serve-${head.seq}.properties")
-      require(!fs.exists(target), s"commitServeHead: head seq ${head.seq} already exists at $target")
-      require(fs.rename(tmp, target), s"commitServeHead: commit move failed for $target")
-      committed = true
-      requireServeHeadCommitWon(fs, headDir, head.seq, head.token)
-    } finally {
-      if (!committed) fs.delete(tmp, false): Unit
-    }
+            "unreference its tables. Re-resolve and retry (or accept the fresher publish)."),
+      existsMsg = s"commitServeHead: head seq ${head.seq} already exists at $target",
+      renameFailedMsg = s"commitServeHead: commit move failed for $target",
+      requireCommitWon = () => requireServeHeadCommitWon(fs, headDir, head.seq, head.token),
+    )
   }
 
   // Fence 2's read-back, separated (the chains' shape) so the spec can
@@ -2316,7 +2421,10 @@ object Dedup {
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ServeGenProp' = '$g', '$ServeTokenProp' = '$token')")
     }
     commitServeHead(hfs, headDir, ServeHead(parentSeq.getOrElse(-1L) + 1L, g, token, bandsT, sigsT, hashesT), parentSeq)
-    vacuumServePublishes(spark, prefix, keepPublishes, vacuumGraceMs)
+    // Shallow inline vacuum: the warehouse-root listing is skipped unless
+    // this publish itself retired a head or surfaced a catalog orphan —
+    // the full listing belongs to the standalone maintenance cadence.
+    vacuumServePublishes(spark, prefix, keepPublishes, vacuumGraceMs, deep = false)
     g
   }
 
@@ -2340,12 +2448,24 @@ object Dedup {
     * vacuum must never sweep tables another publish is still staging.
     * The cost of the margin is bounded: a crashed publish's orphans are
     * one corpus copy surviving at most one extra cadence period.
+    *
+    * `deep = false` (how [[publishDedupServeTables]] runs it inline)
+    * skips the warehouse-root directory listing unless this very call
+    * retired a head or found a catalog orphan: that listing is
+    * O(every managed table in the database) and expensive on object
+    * stores, while the cross-session dir orphans it exists for (a
+    * crashed publish whose tables a fresh session's in-memory catalog
+    * forgot) cannot have appeared between two clean publishes from the
+    * same session. The standalone maintenance cadence keeps the default
+    * `deep = true` full sweep — that is the call that reclaims
+    * other-session residue.
     */
   def vacuumServePublishes(
       spark: SparkSession,
       prefix: String,
       keepPublishes: Int = 2,
       graceMs: Long = 24L * 60L * 60L * 1000L,
+      deep: Boolean = true,
   ): Long = {
     require(keepPublishes >= 1, s"vacuumServePublishes: keepPublishes must be >= 1: $keepPublishes")
     val headDir = serveHeadDir(spark, prefix)
@@ -2411,12 +2531,56 @@ object Dedup {
       .listTables(db)
       .map(_.table)
       .filter(orphaned)
-    val whParent = graft.ops.Lake.managedLocation(spark, prefix + "__servehead").getParent
+    // The warehouse-root listing is the expensive half (O(all managed
+    // tables), object-store listings priced per entry) and only finds
+    // CROSS-SESSION residue — shallow mode runs it just when this call
+    // itself surfaced evidence of garbage (a retired head, a catalog
+    // orphan); the deep maintenance cadence always runs it.
     val dirOrphans =
-      if (!fs.exists(whParent)) Nil
-      else fs.listStatus(whParent).toSeq.map(_.getPath.getName).filter(orphaned)
+      if (!deep && oldSeqs.isEmpty && catalogOrphans.isEmpty) Nil
+      else {
+        val whParent = graft.ops.Lake.managedLocation(spark, prefix + "__servehead").getParent
+        if (!fs.exists(whParent)) Nil
+        else fs.listStatus(whParent).toSeq.map(_.getPath.getName).filter(orphaned)
+      }
     (catalogOrphans ++ dirOrphans).distinct
       .foreach(bare => dropServeTable(qualifier.fold(bare)(q => s"$q.$bare")))
+    // SUPERSEDED PLAIN LAYOUT: once a head exists, the plain
+    // `<prefix>_{bands,sigs,hashes}` tables are unreachable through
+    // resolution (a head always wins) — a pre-head legacy publish, or a
+    // raw-save layout the operator migrated to the versioned protocol,
+    // is one permanently dead corpus copy. Retire it once every
+    // headless reader's grace has passed, measured from the EARLIEST
+    // live publish's name stamp (a reader can only have resolved the
+    // plain layout before the first head swung). Ownership is proved
+    // BEFORE the drop — the legacy publish stamp or the bucketize
+    // publish property in the catalog, the bucketize sentinel for a
+    // location the in-memory catalog forgot — so a foreign table that
+    // merely collides with the plain name survives, the same refusal
+    // rule bucketize itself applies. Three point lookups, no listing.
+    if (keptSeqs.nonEmpty) {
+      val earliestLiveStamp = keptSeqs
+        .map(readServeHead(fs, headDir, _))
+        .flatMap(h => Seq(h.bands, h.sigs, h.hashes))
+        .flatMap(t => bareOf(t) match { case pat(_, ts) => Some(ts.toLong); case _ => None })
+        .minOption
+      if (earliestLiveStamp.exists(_ <= staleBefore)) {
+        def plainOwned(t: String): Boolean = {
+          val (pdb, pbare) = graft.ops.Lake.dbAndBare(spark, t)
+          val ident = org.apache.spark.sql.catalyst.TableIdentifier(pbare, Some(pdb))
+          if (spark.sessionState.catalog.tableExists(ident)) {
+            val props = spark.sessionState.catalog.getTableMetadata(ident).properties
+            props.contains(ServeGenProp) || props.contains(graft.ops.Lake.PublishedByProp)
+          } else
+            fs.exists(new org.apache.hadoop.fs.Path(
+              graft.ops.Lake.managedLocation(spark, t), graft.ops.Lake.BucketizeSentinel))
+        }
+        Seq("bands", "sigs", "hashes")
+          .map(sfx => qualifier.fold(s"${barePrefix}_$sfx")(q => s"$q.${barePrefix}_$sfx"))
+          .filter(plainOwned)
+          .foreach(dropServeTable)
+      }
+    }
     // Crashed-COMMIT head scratch (_head_tmp_ts<ms>_<token>): every
     // refusal path in commitServeHead deletes its own tmp, so anything
     // here is a driver crash's residue — aged out by its name stamp.
@@ -2518,8 +2682,26 @@ object Dedup {
     // every store blip into a full corpus rewrite; the next tick
     // retries.
     val servableGen =
-      try resolveDedupServe(spark, prefix).gen
-      catch { case _: IllegalArgumentException => None }
+      try {
+        val layout = resolveDedupServe(spark, prefix)
+        // A HEADLESS layout can still be a WORKING legacy publish: the
+        // pre-head protocol stamped the plain tables
+        // (graft.servedGeneration on <prefix>_sigs) instead of swinging a
+        // head. dedupServeGeneration keeps that telemetry for exactly
+        // this reason — without the same fallback here, the first
+        // post-upgrade refresh would call a perfectly fresh legacy
+        // layout "never published" and pay a full corpus republish the
+        // staleness rule does not require. The fallback only counts if
+        // ALL THREE plain tables resolve (a partial legacy layout serves
+        // nothing and must refresh); its first refresh then publishes
+        // versioned tables and the superseded plain set is retired by
+        // [[vacuumServePublishes]] once the reader grace passes.
+        layout.gen.orElse {
+          val plainResolves =
+            Seq(layout.bands, layout.sigs, layout.hashes).forall(spark.catalog.tableExists)
+          if (plainResolves) legacyServeGeneration(spark, prefix) else None
+        }
+      } catch { case _: IllegalArgumentException => None }
     val stale = servableGen.forall(served => head - served >= maxStaleGens)
     if (stale)
       Some(publishDedupServeTables(spark, indexPath, prefix, buckets, k, bands,

@@ -907,7 +907,12 @@ object IvfIndex {
   // mtime — legacy dirs age out rather than leak.
   private[graft] def scratchName(prefix: String, suffix: String): String =
     s"${prefix}_ts${System.currentTimeMillis()}_$suffix"
-  private val ScratchStamp = raw".*_ts(\d+)_.*".r
+  // FIRST parseable `_ts<digits>_` token (lazy prefix), not the last: every
+  // scratch prefix is a `_ts`-free literal, so the stamp is always the first
+  // such token — a greedy parse would instead read any later `_ts<digits>_`
+  // a future SUFFIX happened to contain, misdating a live staging dir and
+  // letting the sweep reclaim it mid-staging.
+  private val ScratchStamp = raw".*?_ts(\d+)_.*".r
   private[graft] def scratchBornAt(name: String): Option[Long] = name match {
     case ScratchStamp(ts) => Some(ts.toLong)
     case _ => None
@@ -1391,7 +1396,7 @@ object IvfIndex {
   // One manifest generation's rows, collected. Driver-side by design — a
   // manifest is metadata-scale (one row per FILE) and the explicit-files
   // read needs the list on the driver anyway.
-  private def readAdcManifestRefs(
+  private[graft] def readAdcManifestRefs(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       gen: Long,
@@ -1465,25 +1470,28 @@ object IvfIndex {
       .listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     require(parts.length == 1, s"commitAdcGen: expected one manifest part, found ${parts.length}")
-    // Fence 1: the world we built on must still be the chain head. Listed
-    // AFTER the staging write so the check covers the whole read-build
-    // window, not just the caller's entry.
-    val headNow = listAdcGens(fs, dir).lastOption
-    require(
-      headNow == expectedParent,
-      s"commitAdcGen: generation head moved from $expectedParent to $headNow while this commit was " +
-        s"built - a concurrent committer published first (ingest racing maintenance, or a restarted " +
-        s"driver's twin). Committing gen $gen from stale refs would silently drop the interleaved " +
-        "generation's files from the chain. Re-read the latest generation's refs and retry.",
-    )
-    fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(dir)))
+    // Both fences + the refusal-path scratch hygiene live in the shared
+    // protocol ([[AtomicHead.commit]]); this site supplies the chain
+    // listing, its spec'd refusal, and the fence-2 read-back.
     val target = new org.apache.hadoop.fs.Path(s"${manifestDir(dir)}/gen-$gen.parquet")
-    require(!fs.exists(target), s"commitAdcGen: generation $gen already exists at $target")
-    require(fs.rename(parts.head.getPath, target), s"commitAdcGen: commit move failed for $target")
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    // Fence 2: the published object must be OURS (CAS emulation for
-    // stores whose "rename" is a silently-replacing PUT).
-    requireGenCommitWon(spark, dir, gen, token)
+    AtomicHead.commit(
+      fs,
+      staged = parts.head.getPath,
+      scratchRoot = new org.apache.hadoop.fs.Path(scratch),
+      scratchIsDir = true,
+      target = target,
+      headNow = () => listAdcGens(fs, dir).lastOption,
+      expectedParent = expectedParent,
+      refuseMoved = headNow =>
+        throw new IllegalArgumentException(
+          s"commitAdcGen: generation head moved from $expectedParent to $headNow while this commit was " +
+            s"built - a concurrent committer published first (ingest racing maintenance, or a restarted " +
+            s"driver's twin). Committing gen $gen from stale refs would silently drop the interleaved " +
+            "generation's files from the chain. Re-read the latest generation's refs and retry."),
+      existsMsg = s"commitAdcGen: generation $gen already exists at $target",
+      renameFailedMsg = s"commitAdcGen: commit move failed for $target",
+      requireCommitWon = () => requireGenCommitWon(spark, dir, gen, token),
+    )
     gen
   }
 

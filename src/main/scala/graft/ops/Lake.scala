@@ -141,11 +141,25 @@ object Lake {
     }
     if (fs.exists(loc)) {
       val sentinel = new org.apache.hadoop.fs.Path(loc, BucketizeSentinel)
+      // KNOWN ONE-TIME UPGRADE EDGE, deliberately a loud stop: a dir
+      // bucketize wrote BEFORE the sentinel existed, whose table the
+      // in-memory catalog then forgot across sessions, has no ownership
+      // proof left — only the catalog property survived the old era, and
+      // the catalog lost it. Accepting "looks like parquet output" as
+      // proof would also accept every unrelated managed parquet table,
+      // which is the exact destruction this guard exists to refuse; the
+      // remediation below is once per pre-sentinel table, then every
+      // republish is stamped and self-identifying.
       require(
         fs.exists(sentinel) || fs.listStatus(loc).isEmpty,
         s"bucketize: refusing to vacuum location '$loc' - the directory is non-empty and carries no " +
           s"$BucketizeSentinel sentinel, so it was not written by Lake.bucketize (an unrelated " +
-          "managed table's data, or a foreign writer's). Delete it yourself if it is known disposable.",
+          "managed table's data, a foreign writer's, or a PRE-SENTINEL bucketize publish whose " +
+          "catalog entry a session restart dropped). If you can confirm it is the last of these - " +
+          "a table only ever written by this method before the ownership stamp existed - the " +
+          "one-time remediation is to delete the directory yourself (the publish is a derived " +
+          "rewrite, never the artifact of record) and re-run; every republish from then on is " +
+          "stamped and upgrades cleanly.",
       )
       fs.delete(loc, true)
     }

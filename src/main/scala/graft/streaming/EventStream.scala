@@ -1138,6 +1138,71 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** ONE stream, BOTH artifacts of record — the standing dual-ingest tick
+    * for the pipeline where each accepted batch must reach the dedup
+    * signature index AND the ANN codes index. Each microbatch lands and
+    * commits into the dedup chain, then the ANN chain, batch-keyed by the
+    * SAME microbatch id; after the stream drains, the run verifies that
+    * both chain heads cover every batch it committed
+    * ([[graft.operators.Consistency.requireCoverage]]) — "ingest batch B
+    * into both artifacts, then check both heads cover B" as one
+    * composition. Returns the committed batch ids (the census window).
+    *
+    * Crash windows, in landing order: before the dedup commit — neither
+    * chain references the batch; the replay re-lands both sides.
+    * BETWEEN the two commits — the batch is in the dedup chain only,
+    * exactly the divergence the coverage gate exists for: this run never
+    * reaches its verification (it crashed), the NEXT run's replay
+    * re-lands both sides under the same batch id (the dedup re-commit
+    * heals its refs, the ANN commit completes the pair), and a
+    * maintenance-cadence [[graft.operators.Consistency.crossArtifactCoverage]]
+    * census run between the crash and the replay reports the batch
+    * `dedup_only` — loud, with the re-land remediation in the gate's
+    * refusal text. After both commits but before the checkpoint — the
+    * replay re-lands both sides idempotently (each side's re-commit
+    * heals its own refs).
+    */
+  def dualIngestOneShotManifest(
+      spark: SparkSession,
+      rows: DataFrame,
+      dedupIndexPath: String,
+      annIndexDir: String,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      m: Int,
+      queryName: String,
+      k: Int = 8,
+      checkpointDir: Option[String] = None,
+  ): Seq[Long] = {
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val stream = spark.readStream.schema(rows.schema).parquet(writeTemp(rows, queryName))
+    val writer = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val df = batch.toDF()
+          graft.operators.Dedup.appendDedupIndex(
+            graft.operators.Dedup.buildDedupIndex(df, idCol, textCol, k),
+            dedupIndexPath,
+            batchId = Some(bid),
+          )
+          graft.operators.Dedup.commitDedupBatchToManifest(spark, dedupIndexPath, bid)
+          val cells = graft.operators.IvfIndex
+            .appendToAdcIndex(spark, annIndexDir, df, idCol, vecCol, m, batchId = Some(bid))
+          if (cells.nonEmpty)
+            graft.operators.IvfIndex.commitAdcBatchToManifest(spark, annIndexDir, bid, Some(cells))
+          committed.add(bid)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+    q.awaitTermination()
+    val bids = committed.toArray(Array.empty[java.lang.Long]).toSeq.map(_.longValue).sorted
+    graft.operators.Consistency.requireCoverage(spark, dedupIndexPath, annIndexDir, bids)
+    bids
+  }
+
   def statelessOneShot(
       spark: SparkSession,
       df: DataFrame,

@@ -568,6 +568,17 @@ class ExtensionSpec extends SparkSpec {
     assert(!fsH.exists(oldStamped), "old-stamped scratch dies at default grace despite fresh mtime")
     assert(fsH.exists(freshStamped), "fresh-stamped scratch survives an epoch-0 mtime")
     fsH.delete(freshStamped, true)
+    // The stamp parse reads the FIRST `_ts<digits>_` token, not the last:
+    // no suffix contains one today, but a future suffix that did would —
+    // under a greedy parse — misdate a live staging dir and let the sweep
+    // reclaim it mid-staging.
+    assert(IvfIndex.scratchBornAt("manifest_tmp_ts5000_b_ts1_x").contains(5000L),
+      "the name stamp is the first _ts token, never a later suffix token")
+    val trickySuffix = new org.apache.hadoop.fs.Path(s"$dir/${IvfIndex.scratchName("manifest_tmp", "b_ts1_x")}")
+    fsH.mkdirs(trickySuffix)
+    IvfIndex.cleanupAdcGenerations(spark, dir, keepGens = 1)
+    assert(fsH.exists(trickySuffix), "a fresh scratch with an old-looking _ts token in its SUFFIX is spared")
+    fsH.delete(trickySuffix, true)
     assert(deleted > 0, "cleanup must delete the de-referenced pre-bin files")
     assert(codeFiles("batch4-") == 0, "the superseded landing files must be gone after cleanup")
     assert(codeFiles("batch9-") > 0, "a never-referenced in-flight landing must survive cleanup")
@@ -693,6 +704,8 @@ class ExtensionSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("head moved"), ex.getMessage)
     assert(IvfIndex.listAdcGens(fs, dir) == Seq(0L, 1L), "a refused commit must leave the chain untouched")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(_.getPath.getName.startsWith("manifest_tmp")),
+      "a refused commit must leave no staged scratch behind (the shared head-commit protocol's hygiene rule)")
     // the restarted-driver twin racing for the SAME generation: the loser
     // sees the head moved past its parent — refused, chain untouched
     val ex2 = intercept[IllegalArgumentException] {
@@ -710,6 +723,65 @@ class ExtensionSpec extends SparkSpec {
     }
     assert(ex3.getMessage.contains("ANOTHER writer"), ex3.getMessage)
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
+  test("cross-artifact coverage: a one-side crash is detected loudly; re-landing the missing batch heals it") {
+    import graft.operators.{Consistency, IvfIndex}
+    val docs = (1L to 60L).map(i => (i, s"document number $i with shared filler words")).toDF("doc_id", "text")
+    val dedupPath = java.nio.file.Files.createTempDirectory("graft_xart_spec").resolve("dedup").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 30), "doc_id", "text"), dedupPath)
+    Dedup.writeDedupManifest(spark, dedupPath) // dedup gen 0
+    val annBase = emb.filter(col("vec_id") % 2 === 0)
+    val centroids = IvfIndex.train(annBase, "vec_id", "embedding", nlist = 4, iters = 0)
+    val annDir = java.nio.file.Files.createTempDirectory("graft_xart_spec_ann").toString
+    IvfIndex.saveAdcIndex(annBase, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = annDir)
+    IvfIndex.writeAdcManifest(spark, annDir) // ann gen 0
+    // batch 0 lands and commits in BOTH chains — the clean dual hop
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" > 30 && $"doc_id" <= 45), "doc_id", "text"),
+      dedupPath, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dedupPath, 0L)
+    val cells0 = IvfIndex.appendToAdcIndex(spark, annDir, emb.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", m = 4, batchId = Some(0L))
+    IvfIndex.commitAdcBatchToManifest(spark, annDir, 0L, Some(cells0))
+    Consistency.requireCoverage(spark, dedupPath, annDir, Seq(0L))
+    assert(Consistency.crossArtifactCoverage(spark, dedupPath, annDir)
+      .filter(col("status") =!= "both").isEmpty, "a clean dual batch censuses 'both'")
+    // THE CRASH WINDOW: batch 1 commits into the dedup chain; the ANN
+    // side lands its files but the driver dies BEFORE the ANN commit —
+    // the landed files are referenced by no generation, so the ANN head
+    // does not cover the batch. Both chains are internally consistent;
+    // only the cross-artifact census can see the divergence.
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" > 45), "doc_id", "text"), dedupPath, batchId = Some(1L))
+    Dedup.commitDedupBatchToManifest(spark, dedupPath, 1L)
+    IvfIndex.appendToAdcIndex(spark, annDir, emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", m = 4, batchId = Some(1L)): Unit // crash: no commit
+    val census = Consistency.crossArtifactCoverage(spark, dedupPath, annDir).collect()
+    assert(census.exists(r => r.getLong(0) == 1L && r.getString(3) == "dedup_only"),
+      s"the census must surface the half-committed batch: ${census.mkString(";")}")
+    val ex = intercept[IllegalArgumentException] {
+      Consistency.requireCoverage(spark, dedupPath, annDir, Seq(0L, 1L))
+    }
+    assert(ex.getMessage.contains("cross-artifact divergence") && ex.getMessage.contains("re-land"),
+      ex.getMessage)
+    // REMEDIATION = the replay the landing protocol already makes
+    // idempotent: re-land the batch into the missing artifact under the
+    // SAME batch id (the fresh landing sweeps the crash residue) and
+    // commit its generation. The census is clean afterwards.
+    val cells1 = IvfIndex.appendToAdcIndex(spark, annDir, emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", m = 4, batchId = Some(1L))
+    IvfIndex.commitAdcBatchToManifest(spark, annDir, 1L, Some(cells1))
+    Consistency.requireCoverage(spark, dedupPath, annDir, Seq(0L, 1L))
+    assert(Consistency.crossArtifactCoverage(spark, dedupPath, annDir)
+      .filter(col("status") =!= "both").isEmpty, "re-landing the missing side heals the divergence")
+    assert(spark.read.parquet(s"$annDir/codes").count() ==
+      annBase.count() + emb.filter(col("vec_id") % 4 === 1).count() + emb.filter(col("vec_id") % 4 === 3).count(),
+      "the remediation replay must not double the crashed landing's rows")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
+    graft.streaming.EventStream.registerDeleteOnExit(
+      new java.io.File(dedupPath).getParentFile)
   }
 
   test("planCodesCompaction: a fully watermark-retained census is a no-op, not a failure") {

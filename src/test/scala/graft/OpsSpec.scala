@@ -297,6 +297,8 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("head moved"), ex.getMessage)
     assert(Dedup.listDedupGens(fs, dir) == Seq(0L, 1L), "a refused commit must leave the chain untouched")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(_.getPath.getName.startsWith("_manifest_tmp")),
+      "a refused commit must leave no staged scratch behind (the shared head-commit protocol's hygiene rule)")
     // the PUT-overwrite fence (fence 2): on an object store both twins can
     // pass fence 1 and PUT gen-N, last write silently winning — the
     // read-back must tell the loser its world is NOT what readers resolve
@@ -415,5 +417,33 @@ class OpsSpec extends SparkSpec {
     val got2 = out2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!Dedup.lastAdaptiveEscaped, "a star graph converges inside the default budget")
     assert(got2 == (0L to 20L).map(i => (i, 0L)).toSet)
+  }
+
+  test("ccCalibrate: measures both policies, verifies labeling equality, returns the winner-first threshold") {
+    import graft.operators.Dedup
+    // two dense components + a short tail — converges fast on both arms
+    val edges = ((1L to 15L).map(i => (0L, i)) ++ (101L to 110L).map(i => (100L, i)) ++
+      Seq((15L, 16L), (16L, 17L))).toDF("src", "dst")
+    val cal = Dedup.ccCalibrate(edges)
+    assert(cal.sampleEdges == 27L)
+    assert(cal.lpSeconds > 0 && cal.starSeconds > 0)
+    assert(!cal.lpEscaped, "a diameter-3 sample must converge inside the default budget")
+    assert(Set("labelprop", "star")(cal.winner))
+    // the threshold ENCODES the winner: MaxValue = label-prop-first (the
+    // budget escape bounds its tail), 0 = star-first
+    assert(cal.starThreshold == (if (cal.winner == "labelprop") Long.MaxValue else 0L))
+    assert((cal.winner == "labelprop") == (cal.lpSeconds < cal.starSeconds))
+    // the calibration is EXECUTABLE: dispatching with the returned
+    // threshold reproduces the same labeling either way
+    val expect = (0L to 17L).map(i => (i, 0L)).toSet ++ (100L to 110L).map(i => (i, 100L)).toSet
+    val labeled = Dedup.connectedComponentsAdaptive(edges, starThreshold = cal.starThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labeled == expect)
+    // a long-diameter sample: the lp arm blows its budget and star wins
+    // outright — the report says so instead of waiting out the pathology
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cal2 = Dedup.ccCalibrate(chain, labelRoundsBudget = 4)
+    assert(cal2.lpEscaped && cal2.winner == "star" && cal2.starThreshold == 0L,
+      s"a budget-blowing sample must calibrate star-first: $cal2")
   }
 }

@@ -226,6 +226,82 @@ class ScaleSpec extends SparkSpec {
     assert(Dedup.resolveDedupServe(spark, "graft_refresh_t").gen.contains(2L))
   }
 
+  test("refreshDedupServe: a fresh LEGACY headless layout no-ops; its plain tables retire after a versioned publish supersedes them") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacyserve").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 0), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    // The PRE-HEAD protocol: plain tables + the servedGeneration stamp on
+    // sigs — exactly what the original publish wrote before the pointer
+    // swap existed.
+    Dedup.saveDedupServeTables(Dedup.loadDedupIndexSnapshot(spark, dir), "graft_legacy_t", buckets = 2)
+    spark.sql(s"ALTER TABLE graft_legacy_t_sigs SET TBLPROPERTIES ('${Dedup.ServeGenProp}' = '0')")
+    assert(Dedup.dedupServeGeneration(spark, "graft_legacy_t").contains(0L))
+    // Fresh legacy layout AT the chain head: the refresh must read the
+    // legacy stamp and no-op — not call the layout never-published and
+    // pay a spurious full corpus republish.
+    assert(Dedup.refreshDedupServe(spark, dir, "graft_legacy_t", maxStaleGens = 1, buckets = 2).isEmpty,
+      "a fresh legacy headless layout must not pay a spurious corpus republish")
+    // The chain advances to the bound: the refresh publishes VERSIONED.
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 1), "doc_id", "text"), dir, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 0L) // gen 1
+    assert(Dedup.refreshDedupServe(spark, dir, "graft_legacy_t", maxStaleGens = 1, buckets = 2).contains(1L))
+    assert(Dedup.resolveDedupServe(spark, "graft_legacy_t").gen.contains(1L))
+    // The superseded plain set survives the headless readers' grace...
+    assert(spark.catalog.tableExists("graft_legacy_t_sigs"),
+      "the superseded plain layout survives the headless readers' grace window")
+    // ...and retires once the grace passes — otherwise it leaks one
+    // unreachable corpus copy per prefix permanently.
+    Dedup.vacuumServePublishes(spark, "graft_legacy_t", graceMs = 0L)
+    Seq("sigs", "bands", "hashes").foreach(sfx =>
+      assert(!spark.catalog.tableExists(s"graft_legacy_t_$sfx"),
+        s"a superseded plain $sfx table is a dead corpus copy - the vacuum must retire it"))
+    assert(Dedup.resolveDedupServe(spark, "graft_legacy_t").gen.contains(1L),
+      "retiring the plain layout must not touch the live publish")
+    // A FOREIGN table that merely collides with the plain name carries no
+    // ownership stamp: the vacuum must spare it (bucketize's refusal rule).
+    spark.range(5).toDF("id").write.saveAsTable("graft_foreignp_t_sigs")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_legacyserve2").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 2), "doc_id", "text"), dir2)
+    Dedup.writeDedupManifest(spark, dir2)
+    Dedup.publishDedupServeTables(spark, dir2, "graft_foreignp_t", buckets = 2)
+    Dedup.vacuumServePublishes(spark, "graft_foreignp_t", graceMs = 0L)
+    assert(spark.catalog.tableExists("graft_foreignp_t_sigs") &&
+      spark.table("graft_foreignp_t_sigs").count() == 5L,
+      "an unstamped foreign table colliding with the plain serve name must survive the vacuum")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir2))
+  }
+
+  test("vacuumServePublishes: the inline shallow vacuum skips the warehouse listing; deep maintenance reclaims cross-session dir orphans") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shallowvac").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 0), "doc_id", "text"), dir)
+    Dedup.writeDedupManifest(spark, dir) // gen 0
+    Dedup.publishDedupServeTables(spark, dir, "graft_shvac_t", buckets = 2)
+    // Cross-session residue: a versioned, aged, DIR-ONLY orphan (its
+    // catalog entry died with another session; the warehouse dir and the
+    // bucketize sentinel persist).
+    val orphanLoc = graft.ops.Lake.managedLocation(spark, "graft_shvac_t_g9_ts1000_deadbeef_sigs")
+    val fs = orphanLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphanLoc)
+    fs.create(new org.apache.hadoop.fs.Path(orphanLoc, graft.ops.Lake.BucketizeSentinel), true).close()
+    // A clean publish (no retired head, no catalog orphan) runs the
+    // SHALLOW inline vacuum: the O(all-tables) warehouse listing is
+    // skipped, so the cross-session dir survives — by design, it is the
+    // standalone maintenance cadence's job.
+    Dedup.publishDedupServeTables(spark, dir, "graft_shvac_t", buckets = 2)
+    assert(fs.exists(orphanLoc),
+      "a clean inline publish must not pay the warehouse-root listing for cross-session residue")
+    // The standalone DEEP vacuum reclaims it.
+    Dedup.vacuumServePublishes(spark, "graft_shvac_t")
+    assert(!fs.exists(orphanLoc), "the deep maintenance vacuum must reclaim the cross-session dir orphan")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
+  }
+
   test("atomic serve publish: wholly-old-or-wholly-new, torn publish refuses, head fences, orphan vacuum") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(sf() + "/documents.parquet")
@@ -275,6 +351,8 @@ class ScaleSpec extends SparkSpec {
         expectedParent = Some(seqs.max - 1))
     }
     assert(exF1.getMessage.contains("head moved"), exF1.getMessage)
+    assert(!fs.listStatus(headDir).exists(_.getPath.getName.startsWith("_head_tmp")),
+      "a refused head commit must leave no staged tmp behind (the shared head-commit protocol's hygiene rule)")
     val exF2 = intercept[IllegalArgumentException] {
       Dedup.requireServeHeadCommitWon(fs, headDir, seqs.max, "not-the-winner")
     }
