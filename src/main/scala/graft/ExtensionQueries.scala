@@ -5339,6 +5339,9 @@ object ExtensionQueries {
       val joined = docs.join(emb, col("doc_id") === col("vec_id"))
       val dedupPath = tempIndexDir("graft_xart_dedup")
       val annDir = java.nio.file.Files.createTempDirectory("graft_xart_ann").toString
+      // register for cleanup BEFORE any gate can refuse - a refusal must
+      // not leak the corpus-bearing temp dir past JVM exit
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
       // bootstrap BOTH artifacts of record from the same base slice
       Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), dedupPath)
       Dedup.writeDedupManifest(s, dedupPath) // dedup gen 0
@@ -5361,7 +5364,6 @@ object ExtensionQueries {
       // the loud gate passes on a clean double-ingest (its refusal side
       // is spec-driven from the one-side-crashed state)
       Consistency.requireCoverage(s, dedupPath, annDir, Seq(0L, 1L))
-      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
       Consistency.crossArtifactCoverage(s, dedupPath, annDir).orderBy("batch_id")
     }),
 
@@ -5380,6 +5382,7 @@ object ExtensionQueries {
       val joined = docs.join(emb, col("doc_id") === col("vec_id"))
       val dedupPath = tempIndexDir("graft_dual_dedup")
       val annDir = java.nio.file.Files.createTempDirectory("graft_dual_ann").toString
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
       Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), dedupPath)
       Dedup.writeDedupManifest(s, dedupPath) // dedup gen 0
       val annBase = joined.filter(b < 5).select(col("vec_id"), col("embedding"))
@@ -5396,7 +5399,6 @@ object ExtensionQueries {
       require(Consistency.crossArtifactCoverage(s, dedupPath, annDir, bids.min)
         .filter(col("status") =!= "both").isEmpty,
         "q292: a clean dual ingest must census 'both' everywhere")
-      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
       Dedup
         .dedupIncrementWithIndex(Dedup.loadDedupIndexSnapshot(s, dedupPath), docs.filter(b >= 8), "doc_id", "text")
         .orderBy("doc_id")

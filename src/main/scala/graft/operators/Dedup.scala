@@ -795,49 +795,70 @@ object Dedup {
       reliable: Boolean = false,
   ): CcCalibration = {
     require(labelRoundsBudget >= 1, s"ccCalibrate: labelRoundsBudget must be >= 1: $labelRoundsBudget")
-    val mat = truncateLineage(sampleEdges.select(col("src"), col("dst")), reliable)
-    val n = mat.count()
-    require(n > 0, "ccCalibrate: the calibration sample has no edges - nothing to measure")
-    def timed[T](f: => T): (Double, T) = {
-      val t0 = System.nanoTime()
-      val r = f
-      ((System.nanoTime() - t0) / 1e9, r)
-    }
-    // Each arm's timed block MATERIALIZES its labeling (count on the
-    // final checkpoint) — the same terminal-action shape the scale probe
-    // times, so the numbers are comparable run to run.
-    val (lpSec, lpOut) = timed {
-      try {
-        val (df, r) = connectedComponentsCounted(mat, maxRounds = labelRoundsBudget, reliable = reliable)
+    // The calibration returns plain scalars, but BOTH arms checkpoint
+    // every iteration round — blocks that would otherwise stay pinned in
+    // the caller's block manager until GC (cumulative checkpoint
+    // retention in a long-lived driver is a measured OOM cause). Snapshot
+    // the persisted-RDD ids at entry and release everything this probe
+    // created before returning. Assumes no CONCURRENT persists in the
+    // same session during the probe — fine for a calibration, which is a
+    // dedicated bounded measurement by contract.
+    val sc = sampleEdges.sparkSession.sparkContext
+    val preExisting = sc.getPersistentRDDs.keySet
+    try {
+      val mat = truncateLineage(sampleEdges.select(col("src"), col("dst")), reliable)
+      val n = mat.count()
+      require(n > 0, "ccCalibrate: the calibration sample has no edges - nothing to measure")
+      def timed[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime()
+        val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      // Each arm's timed block MATERIALIZES its labeling (count on the
+      // final checkpoint) — the same terminal-action shape the scale probe
+      // times, so the numbers are comparable run to run.
+      val (lpSec, lpOut) = timed {
+        try {
+          val (df, r) = connectedComponentsCounted(mat, maxRounds = labelRoundsBudget, reliable = reliable)
+          df.count(): Unit
+          Some((df, r))
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("did not converge") => None
+        }
+      }
+      val (starSec, (starLab, starRounds)) = timed {
+        val (df, r) = connectedComponentsStarCounted(mat, reliable = reliable)
         df.count(): Unit
-        Some((df, r))
-      } catch {
-        case e: IllegalStateException if e.getMessage.contains("did not converge") => None
+        (df, r)
+      }
+      lpOut.foreach { case (lpLab, _) =>
+        val diff = lpLab.except(starLab).count() + starLab.except(lpLab).count()
+        require(
+          diff == 0,
+          s"ccCalibrate: the two policies disagree on $diff (id, comp) rows over the same sample - a " +
+            "correctness bug in one of them, not a tuning question. Refusing to calibrate on it.")
+      }
+      val lpWins = lpOut.isDefined && lpSec < starSec
+      CcCalibration(
+        sampleEdges = n,
+        lpSeconds = lpSec,
+        lpRounds = lpOut.fold(labelRoundsBudget)(_._2),
+        lpEscaped = lpOut.isEmpty,
+        starSeconds = starSec,
+        starRounds = starRounds,
+        winner = if (lpWins) "labelprop" else "star",
+        starThreshold = if (lpWins) Long.MaxValue else 0L,
+      )
+    } finally {
+      // Release every block this probe created (entry-snapshot diff;
+      // Dataset.unpersist would miss localCheckpoint blocks, which
+      // persist on the RDD, not in the cache manager) — on refusal
+      // paths too. Safe because every frame the probe built is local
+      // to it and already materialized past its last use.
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preExisting(id)) rdd.unpersist(blocking = false)
       }
     }
-    val (starSec, (starLab, starRounds)) = timed {
-      val (df, r) = connectedComponentsStarCounted(mat, reliable = reliable)
-      df.count(): Unit
-      (df, r)
-    }
-    lpOut.foreach { case (lpLab, _) =>
-      val diff = lpLab.except(starLab).count() + starLab.except(lpLab).count()
-      require(
-        diff == 0,
-        s"ccCalibrate: the two policies disagree on $diff (id, comp) rows over the same sample - a " +
-          "correctness bug in one of them, not a tuning question. Refusing to calibrate on it.")
-    }
-    val lpWins = lpOut.isDefined && lpSec < starSec
-    CcCalibration(
-      sampleEdges = n,
-      lpSeconds = lpSec,
-      lpRounds = lpOut.fold(labelRoundsBudget)(_._2),
-      lpEscaped = lpOut.isEmpty,
-      starSeconds = starSec,
-      starRounds = starRounds,
-      winner = if (lpWins) "labelprop" else "star",
-      starThreshold = if (lpWins) Long.MaxValue else 0L,
-    )
   }
 
   def connectedComponents(edges: DataFrame, maxRounds: Int = 100, reliable: Boolean = false): DataFrame =
@@ -2209,6 +2230,18 @@ object Dedup {
         })
         .sorted
 
+  /** `since` = the wall clock at which a head FIRST superseded the plain
+    * `<prefix>_*` layout (the seq-0 commit's staging stamp), forwarded
+    * verbatim by every later publish — a FIXED anchor for the
+    * plain-table retirement grace. Anchoring on the oldest LIVE head's
+    * stamp instead would be a sliding window: a prefix that republishes
+    * more often than the grace would never see an old-enough live head
+    * and the superseded plain layout (one dead corpus copy) would leak
+    * permanently — the exact failure the retirement exists to close.
+    * Heads written before the field existed fall back to the oldest
+    * stamp their own table NAMES carry (conservative: at least as late
+    * as the true first swing, so the grace only widens).
+    */
   private[graft] case class ServeHead(
       seq: Long,
       gen: Long,
@@ -2216,6 +2249,7 @@ object Dedup {
       bands: String,
       sigs: String,
       hashes: String,
+      since: Long = Long.MaxValue,
   )
 
   private[graft] def readServeHead(
@@ -2233,7 +2267,18 @@ object Dedup {
       require(v != null, s"readServeHead: $p is missing '$key' - a corrupt or foreign head object")
       v
     }
-    ServeHead(seq, req("gen").toLong, req("token"), req("bands"), req("sigs"), req("hashes"))
+    val bands = req("bands")
+    val sigs = req("sigs")
+    val hashes = req("hashes")
+    // Pre-`since` heads: the oldest stamp in this head's own table names
+    // bounds the first swing from above — a conservative legacy anchor.
+    val since = Option(props.getProperty("since")).map(_.toLong).getOrElse {
+      val stamps = Seq(bands, sigs, hashes)
+        .map(_.split('.').last.toLowerCase(java.util.Locale.ROOT))
+        .flatMap(n => raw"_ts(\d+)_".r.findFirstMatchIn(n).map(_.group(1).toLong))
+      if (stamps.isEmpty) Long.MaxValue else stamps.min
+    }
+    ServeHead(seq, req("gen").toLong, req("token"), bands, sigs, hashes, since)
   }
 
   /** Commit one head object — the serve layout's single-object pointer
@@ -2257,6 +2302,7 @@ object Dedup {
     props.setProperty("bands", head.bands)
     props.setProperty("sigs", head.sigs)
     props.setProperty("hashes", head.hashes)
+    props.setProperty("since", head.since.toString)
     fs.mkdirs(headDir)
     val tmp = new org.apache.hadoop.fs.Path(headDir, IvfIndex.scratchName("_head_tmp", head.token))
     val out = fs.create(tmp, true)
@@ -2420,7 +2466,11 @@ object Dedup {
     Seq(bandsT, sigsT, hashesT).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ServeGenProp' = '$g', '$ServeTokenProp' = '$token')")
     }
-    commitServeHead(hfs, headDir, ServeHead(parentSeq.getOrElse(-1L) + 1L, g, token, bandsT, sigsT, hashesT), parentSeq)
+    // `since` (the first-swing anchor) is FORWARDED from the parent head;
+    // only the very first publish stamps it — see [[ServeHead]].
+    val since = parentSeq.map(readServeHead(hfs, headDir, _).since).getOrElse(stampMs)
+    commitServeHead(hfs, headDir,
+      ServeHead(parentSeq.getOrElse(-1L) + 1L, g, token, bandsT, sigsT, hashesT, since), parentSeq)
     // Shallow inline vacuum: the warehouse-root listing is skipped unless
     // this publish itself retired a head or surfaced a catalog orphan —
     // the full listing belongs to the standalone maintenance cadence.
@@ -2451,14 +2501,17 @@ object Dedup {
     *
     * `deep = false` (how [[publishDedupServeTables]] runs it inline)
     * skips the warehouse-root directory listing unless this very call
-    * retired a head or found a catalog orphan: that listing is
-    * O(every managed table in the database) and expensive on object
-    * stores, while the cross-session dir orphans it exists for (a
-    * crashed publish whose tables a fresh session's in-memory catalog
-    * forgot) cannot have appeared between two clean publishes from the
-    * same session. The standalone maintenance cadence keeps the default
-    * `deep = true` full sweep — that is the call that reclaims
-    * other-session residue.
+    * found a CATALOG orphan: that listing is O(every managed table in
+    * the database) and expensive on object stores, while the
+    * cross-session dir orphans it exists for (a crashed publish whose
+    * tables a fresh session's in-memory catalog forgot) cannot have
+    * appeared between two clean publishes from the same session.
+    * Retiring a superseded head is NOT evidence of such residue — it is
+    * the routine steady-state path (every publish beyond `keepPublishes`
+    * retires one), and its tables are dropped by NAME with no listing —
+    * so it deliberately does not trigger the sweep. The standalone
+    * maintenance cadence keeps the default `deep = true` full sweep —
+    * that is the call that reclaims other-session residue.
     */
   def vacuumServePublishes(
       spark: SparkSession,
@@ -2472,8 +2525,9 @@ object Dedup {
     val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val heads = listServeHeads(fs, headDir)
     val (oldSeqs, keptSeqs) = heads.splitAt(math.max(0, heads.size - keepPublishes))
+    val keptHeads = keptSeqs.map(readServeHead(fs, headDir, _))
     val keptTables: Set[String] =
-      keptSeqs.flatMap { s => val h = readServeHead(fs, headDir, s); Seq(h.bands, h.sigs, h.hashes) }.toSet
+      keptHeads.flatMap(h => Seq(h.bands, h.sigs, h.hashes)).toSet
     // A db-qualified prefix ("mydb.graft_x") builds qualified table
     // names, but the catalog listing and the warehouse dir carry BARE
     // names — the orphan pattern must match on the bare form, and a
@@ -2534,10 +2588,12 @@ object Dedup {
     // The warehouse-root listing is the expensive half (O(all managed
     // tables), object-store listings priced per entry) and only finds
     // CROSS-SESSION residue — shallow mode runs it just when this call
-    // itself surfaced evidence of garbage (a retired head, a catalog
-    // orphan); the deep maintenance cadence always runs it.
+    // surfaced a catalog orphan. A retired head is NOT such evidence:
+    // it is the routine steady-state path (every publish past
+    // keepPublishes retires one) and its tables drop by name, so gating
+    // on it would re-pay the listing on every inline publish forever.
     val dirOrphans =
-      if (!deep && oldSeqs.isEmpty && catalogOrphans.isEmpty) Nil
+      if (!deep && catalogOrphans.isEmpty) Nil
       else {
         val whParent = graft.ops.Lake.managedLocation(spark, prefix + "__servehead").getParent
         if (!fs.exists(whParent)) Nil
@@ -2550,21 +2606,19 @@ object Dedup {
     // resolution (a head always wins) — a pre-head legacy publish, or a
     // raw-save layout the operator migrated to the versioned protocol,
     // is one permanently dead corpus copy. Retire it once every
-    // headless reader's grace has passed, measured from the EARLIEST
-    // live publish's name stamp (a reader can only have resolved the
-    // plain layout before the first head swung). Ownership is proved
-    // BEFORE the drop — the legacy publish stamp or the bucketize
-    // publish property in the catalog, the bucketize sentinel for a
-    // location the in-memory catalog forgot — so a foreign table that
-    // merely collides with the plain name survives, the same refusal
-    // rule bucketize itself applies. Three point lookups, no listing.
-    if (keptSeqs.nonEmpty) {
-      val earliestLiveStamp = keptSeqs
-        .map(readServeHead(fs, headDir, _))
-        .flatMap(h => Seq(h.bands, h.sigs, h.hashes))
-        .flatMap(t => bareOf(t) match { case pat(_, ts) => Some(ts.toLong); case _ => None })
-        .minOption
-      if (earliestLiveStamp.exists(_ <= staleBefore)) {
+    // headless reader's grace has passed, measured from the FIRST head
+    // swing (a reader can only have resolved the plain layout before
+    // seq 0 committed) — the `since` anchor every head forwards
+    // ([[ServeHead]]). A live-stamp anchor would be a sliding window:
+    // a prefix republishing more often than the grace would never
+    // retire the plain layout at all. Ownership is proved BEFORE the
+    // drop — the legacy publish stamp or the bucketize publish
+    // property in the catalog, the bucketize sentinel for a location
+    // the in-memory catalog forgot — so a foreign table that merely
+    // collides with the plain name survives, the same refusal rule
+    // bucketize itself applies. Three point lookups, no listing.
+    if (keptHeads.nonEmpty) {
+      if (keptHeads.map(_.since).min <= staleBefore) {
         def plainOwned(t: String): Boolean = {
           val (pdb, pbare) = graft.ops.Lake.dbAndBare(spark, t)
           val ident = org.apache.spark.sql.catalyst.TableIdentifier(pbare, Some(pdb))

@@ -1189,8 +1189,15 @@ object EventStream {
           graft.operators.Dedup.commitDedupBatchToManifest(spark, dedupIndexPath, bid)
           val cells = graft.operators.IvfIndex
             .appendToAdcIndex(spark, annIndexDir, df, idCol, vecCol, m, batchId = Some(bid))
-          if (cells.nonEmpty)
-            graft.operators.IvfIndex.commitAdcBatchToManifest(spark, annIndexDir, bid, Some(cells))
+          // Commit UNCONDITIONALLY: a non-empty batch that landed no ANN
+          // files is a pipeline-contract violation (rows whose vectors
+          // vanish in the encode), and commitAdcBatchToManifest's own
+          // "left no files" require names it at the true cause — far
+          // better than skipping the commit, adding the batch to the
+          // census window, and reporting a false "crashed between
+          // commits" divergence no re-land could ever heal. (An EMPTY
+          // microbatch is already a no-op on both sides, above.)
+          graft.operators.IvfIndex.commitAdcBatchToManifest(spark, annIndexDir, bid, Some(cells))
           committed.add(bid)
         }
         ()

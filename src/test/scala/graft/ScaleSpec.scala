@@ -252,13 +252,38 @@ class ScaleSpec extends SparkSpec {
     // The superseded plain set survives the headless readers' grace...
     assert(spark.catalog.tableExists("graft_legacy_t_sigs"),
       "the superseded plain layout survives the headless readers' grace window")
-    // ...and retires once the grace passes — otherwise it leaks one
-    // unreachable corpus copy per prefix permanently.
-    Dedup.vacuumServePublishes(spark, "graft_legacy_t", graceMs = 0L)
+    // The retirement grace is anchored on the FIRST head swing (the
+    // `since` every head forwards), not on the oldest live head's stamp:
+    // a prefix that republishes more often than the grace must still
+    // retire the plain layout once the first swing is old enough —
+    // otherwise the dead corpus copy leaks forever on exactly the
+    // busiest pipelines.
+    val headDirL = graft.ops.Lake.managedLocation(spark, "graft_legacy_t__servehead")
+    val fsL = headDirL.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 2), "doc_id", "text"), dir, batchId = Some(1L))
+    Dedup.commitDedupBatchToManifest(spark, dir, 1L) // gen 2
+    Dedup.publishDedupServeTables(spark, dir, "graft_legacy_t", buckets = 2) // seq 1
+    val seqsL = Dedup.listServeHeads(fsL, headDirL)
+    assert(Dedup.readServeHead(fsL, headDirL, seqsL.max).since ==
+      Dedup.readServeHead(fsL, headDirL, seqsL.min).since,
+      "every publish must FORWARD the first-swing anchor, not restamp it")
+    // fresh anchor + default grace: the plain layout is still inside the
+    // headless readers' window — spared
+    Dedup.vacuumServePublishes(spark, "graft_legacy_t")
+    assert(spark.catalog.tableExists("graft_legacy_t_sigs"),
+      "a fresh first-swing anchor spares the plain layout at the default grace")
+    // an AGED anchor (crafted head forwarding since=1000, the state a
+    // busy prefix reaches a day after its first publish) retires the
+    // plain layout even though every live head's own stamp is fresh
+    val newestL = Dedup.readServeHead(fsL, headDirL, seqsL.max)
+    Dedup.commitServeHead(fsL, headDirL,
+      newestL.copy(seq = seqsL.max + 1, since = 1000L), Some(seqsL.max))
+    Dedup.vacuumServePublishes(spark, "graft_legacy_t")
     Seq("sigs", "bands", "hashes").foreach(sfx =>
       assert(!spark.catalog.tableExists(s"graft_legacy_t_$sfx"),
-        s"a superseded plain $sfx table is a dead corpus copy - the vacuum must retire it"))
-    assert(Dedup.resolveDedupServe(spark, "graft_legacy_t").gen.contains(1L),
+        s"a superseded plain $sfx table is a dead corpus copy - the vacuum must retire it once the FIRST swing ages"))
+    assert(Dedup.resolveDedupServe(spark, "graft_legacy_t").gen.contains(2L),
       "retiring the plain layout must not touch the live publish")
     // A FOREIGN table that merely collides with the plain name carries no
     // ownership stamp: the vacuum must spare it (bucketize's refusal rule).
@@ -296,6 +321,14 @@ class ScaleSpec extends SparkSpec {
     Dedup.publishDedupServeTables(spark, dir, "graft_shvac_t", buckets = 2)
     assert(fs.exists(orphanLoc),
       "a clean inline publish must not pay the warehouse-root listing for cross-session residue")
+    // STEADY STATE: the third publish retires a head (the routine path
+    // past keepPublishes) — that is NOT evidence of cross-session
+    // residue, and the shallow inline vacuum must STILL skip the
+    // warehouse listing (gating on a retired head would re-pay the
+    // O(all-tables) listing on every publish forever).
+    Dedup.publishDedupServeTables(spark, dir, "graft_shvac_t", buckets = 2)
+    assert(fs.exists(orphanLoc),
+      "a steady-state publish (one head retired) must still skip the warehouse-root listing")
     // The standalone DEEP vacuum reclaims it.
     Dedup.vacuumServePublishes(spark, "graft_shvac_t")
     assert(!fs.exists(orphanLoc), "the deep maintenance vacuum must reclaim the cross-session dir orphan")
