@@ -5403,6 +5403,68 @@ object ExtensionQueries {
         .dedupIncrementWithIndex(Dedup.loadDedupIndexSnapshot(s, dedupPath), docs.filter(b >= 8), "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // ---- The COMPLETE dual-artifact nightly — the standing loop an
+    //      operator actually schedules, as ONE composition: dual ingest
+    //      (q292's tick) → BOTH chains' maintenance ticks with the
+    //      coverage-GATED compaction (each compactor proves the other
+    //      artifact covers every batch it folds, then persists its fold
+    //      watermark) → the staleness-bounded serve refresh (q287's
+    //      rule) → the cross-artifact census, still clean across both
+    //      folds because coverage is fold-aware. Dedup content = q282's
+    //      slices exactly, so q124's oracle verbatim: the entire
+    //      lifecycle transport is hash-invisible to the artifact ----
+    "q293_dual_artifact_nightly" -> ((s, d) => {
+      import graft.operators.Consistency
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val b = Hashing.hash64(concat(lit("upd:"), col("text"))) % 10
+      val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      val dedupPath = tempIndexDir("graft_nightly_dedup")
+      val annDir = java.nio.file.Files.createTempDirectory("graft_nightly_ann").toString
+      graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
+      Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter(b < 5), "doc_id", "text"), dedupPath)
+      Dedup.writeDedupManifest(s, dedupPath) // dedup gen 0
+      val annBase = joined.filter(b < 5).select(col("vec_id"), col("embedding"))
+      val centroids = IvfIndex.train(annBase, "vec_id", "embedding", nlist = 16, iters = 0)
+      IvfIndex.saveAdcIndex(annBase, "vec_id", "embedding", centroids,
+        m = PqM, subDim = EmbDim / PqM, pqNlist = PqNlist, pqIters = PqIters, dir = annDir)
+      IvfIndex.writeAdcManifest(s, annDir) // ann gen 0
+      // (1) the ingest: one stream, both artifacts, coverage verified
+      val incRows = joined.filter(b >= 5 && b < 8).select(col("doc_id"), col("text"), col("embedding"))
+      val bids = EventStream.dualIngestOneShotManifest(s, incRows, dedupPath, annDir,
+        "doc_id", "text", "embedding", m = PqM, "graft_q293")
+      require(bids.nonEmpty, "q293: the dual ingest must have committed at least one batch")
+      val fence = bids.max + 1 // the checkpoint's committed offset: every batch is durable
+      // (2) BOTH maintenance ticks, each compaction gated on the OTHER
+      // artifact's coverage — the census's window discipline enforced
+      val dTick = Dedup.maintainDedupIndexManifest(s, dedupPath, maxFiles = 2, targetFiles = 1,
+        minRetainedBatchId = Some(fence), coverageGuard = Some(annDir))
+      require(dTick.compacted, s"q293: the dedup tick must commit a compaction: $dTick")
+      require(Dedup.dedupFoldWatermark(s, dedupPath).contains(bids.max),
+        "q293: the dedup fold must persist its watermark at the folded batches' max")
+      val aTick = IvfIndex.maintainAdcIndexManifest(s, annDir,
+        joined.select(col("vec_id"), col("embedding")), "vec_id", "embedding", m = PqM,
+        minRetainedBatchId = Some(fence), maxFilesPerCell = 2, coverageGuard = Some(dedupPath))
+      require(aTick.compacted, s"q293: the ANN tick must commit a compaction: $aTick")
+      require(IvfIndex.adcFoldWatermark(s, annDir).contains(bids.max),
+        "q293: the ANN fold must persist its watermark at the folded batches' max")
+      // (3) the serve refresh republishes at the maintained chain head
+      val fs = new org.apache.hadoop.fs.Path(dedupPath).getFileSystem(s.sessionState.newHadoopConf())
+      require(Dedup.refreshDedupServe(s, dedupPath, "graft_q293", buckets = 8)
+        .contains(Dedup.listDedupGens(fs, dedupPath).max),
+        "q293: the refresh must republish at the maintained chain head")
+      // (4) the census stays clean ACROSS both folds: the batch names are
+      // gone from both heads' refs, but both fold watermarks cover them
+      require(Consistency.crossArtifactCoverage(s, dedupPath, annDir, bids.min)
+        .filter(col("status") =!= "both").isEmpty,
+        "q293: the post-fold census must stay clean")
+      Consistency.requireCoverage(s, dedupPath, annDir, bids)
+      // (5) the batch dedups against the freshly served layout
+      Dedup
+        .dedupIncrementBucketed(s, "graft_q293", docs.filter(b >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6482,6 +6544,10 @@ object ExtensionQueries {
     // The dual-ingest tick feeds the dedup chain q282's slices exactly —
     // the cross-artifact transport must be hash-invisible to the artifact.
     "q292_dual_ingest_tick" -> sqlIndexAppendOracle,
+    // The COMPLETE dual-artifact nightly: ingest + both coverage-gated
+    // maintenance ticks + serve refresh + census are all content-invisible
+    // transports — the same oracle, verbatim.
+    "q293_dual_artifact_nightly" -> sqlIndexAppendOracle,
     // A clean double-ingest's census is table-stated: both batches, both
     // chains, no symmetric difference.
     "q291_cross_artifact_census" ->

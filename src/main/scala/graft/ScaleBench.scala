@@ -66,6 +66,31 @@ object ScaleBench {
       .getOrElse(Set("ops", "media", "cc", "stream", "rocksdb", "ann", "dedupidx"))
     val tmp     = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
+    // OPT-IN per-stage profile (SPARK_GRAFT_SCALE_PROFILE=1): one JSON
+    // line per completed stage — stage id, task count, summed run/cpu
+    // time, shuffle bytes, spill. The attribution tool for tier-shaped
+    // anomalies: the r19 16× pair-build inversion could not be explained
+    // from black-box op timings alone; this makes the stage where the
+    // time goes a printed fact. Off by default — the listener's println
+    // interleaves with the op rows, so clean timing takes keep it off.
+    if (sys.env.contains("SPARK_GRAFT_SCALE_PROFILE"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            done: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = done.stageInfo
+          val m = si.taskMetrics
+          val name = si.name.takeWhile(_ != '\n').replace("\"", "'")
+          println(
+            s"""{"stage":${si.stageId},"name":"$name","tasks":${si.numTasks},""" +
+              s""""run_ms":${m.executorRunTime},"cpu_ms":${m.executorCpuTime / 1000000L},""" +
+              s""""input_mb":${m.inputMetrics.bytesRead >> 20},""" +
+              s""""shuffle_read_mb":${m.shuffleReadMetrics.totalBytesRead >> 20},""" +
+              s""""shuffle_write_mb":${m.shuffleWriteMetrics.bytesWritten >> 20},""" +
+              s""""spill_mb":${(m.memoryBytesSpilled + m.diskBytesSpilled) >> 20}}"""
+          )
+        }
+      })
+
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def rot(k: Int): String = alpha.drop(k % 26) + alpha.take(k % 26)
     def tile(base: DataFrame, factor: Int, shift: Seq[(String, Long)], rotCol: Option[String]): DataFrame =
@@ -522,6 +547,31 @@ object ScaleBench {
         s"""{"op":"dedup_maintenance_idle_tick","factor":$f,"sec":${math.round(tDTick * 1000) / 1000.0},""" +
           s""""files":${dTick.filesBefore},"swept":${dTick.sweptFiles}}"""
       )
+      // (10) the CROSS-ARTIFACT census (q291/q293's audit primitive): two
+      // head-ref reads + driver set algebra — the claim this row measures
+      // is FLAT in corpus size (the dedup chain above grows with the
+      // factor; the ANN side is a fixed-size manifest chain sharing batch
+      // 0's id). The dedup compaction above FOLDED batch 0, so the row
+      // also pins the fold-aware path: coverage comes from the persisted
+      // fold watermark, not name observability.
+      val xaDir = s"$tmp/dedupidx_ann_$f"
+      val xaEmb = spark.read.parquet(s"$tmp/embeddings_1")
+      val xaCents = operators.IvfIndex.train(xaEmb, "vec_id", "embedding", nlist = 16, iters = 0)
+      operators.IvfIndex.saveAdcIndex(xaEmb, "vec_id", "embedding", xaCents,
+        m = 4, subDim = 16, pqNlist = 8, pqIters = 0, dir = xaDir)
+      operators.IvfIndex.writeAdcManifest(spark, xaDir)
+      val xaInc = xaEmb.withColumn("vec_id", col("vec_id") + lit(500000000L))
+      val xaCells = operators.IvfIndex.appendToAdcIndex(
+        spark, xaDir, xaInc, "vec_id", "embedding", m = 4, batchId = Some(0L))
+      operators.IvfIndex.commitAdcBatchToManifest(spark, xaDir, 0L, Some(xaCells))
+      val (tCensus, rCensus) = time {
+        operators.Consistency.requireCoverage(spark, dmDir, xaDir, Seq(0L))
+        operators.Consistency.crossArtifactCoverage(spark, dmDir, xaDir).count()
+      }
+      println(
+        s"""{"op":"cross_artifact_census","factor":$f,"sec":${math.round(tCensus * 1000) / 1000.0},""" +
+          s""""batches":$rCensus}"""
+      )
       releaseRetainedState()
     }
 
@@ -536,6 +586,15 @@ object ScaleBench {
       )
     for (f <- ccFactors if families("cc")) {
       val docs = spark.read.parquet(s"$tmp/documents_$f")
+      // BUILD measured separately from BUILD+WRITE (two runs of the same
+      // plan): the r19 16× inversion sat in a row that confounded the
+      // pair computation with its parquet write — `build_sec` is the
+      // count-only run, `sec` stays the full materialization (the
+      // cross-round comparable), and their gap bounds the write's share.
+      val (tb, _) = time {
+        operators.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 8, 4, 0.8).count()
+      }
+      releaseRetainedState()
       val (tp, _) = time {
         operators.Dedup
           .minhashNearDupPairs(docs, "doc_id", "text", 8, 4, 0.8)
@@ -543,7 +602,10 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$tmp/pairs_$f")
       }
       val pairs = spark.read.parquet(s"$tmp/pairs_$f")
-      report("lsh_pairs_t08", f, tp, pairs.count())
+      println(
+        s"""{"op":"lsh_pairs_t08","factor":$f,"sec":${math.round(tp * 1000) / 1000.0},""" +
+          s""""build_sec":${math.round(tb * 1000) / 1000.0},"rows":${pairs.count()}}"""
+      )
       releaseRetainedState()
       // The EXECUTABLE pick rule, run once per round at the family's
       // smallest tier (the bounded calibration probe the scaladoc
@@ -558,7 +620,9 @@ object ScaleBench {
           s"""{"op":"cc_calibrate","factor":$f,"edges":${cal.sampleEdges},""" +
             s""""lp_sec":${math.round(cal.lpSeconds * 1000) / 1000.0},"lp_rounds":${cal.lpRounds},""" +
             s""""lp_escaped":${cal.lpEscaped},"star_sec":${math.round(cal.starSeconds * 1000) / 1000.0},""" +
-            s""""star_rounds":${cal.starRounds},"winner":"${cal.winner}","star_threshold":${cal.starThreshold}}"""
+            s""""star_rounds":${cal.starRounds},"winner":"${cal.winner}","star_threshold":${cal.starThreshold},""" +
+            s""""margin":${math.round(cal.margin * 1000) / 1000.0},""" +
+            s""""recommended_threshold":${cal.recommendedThreshold()}}"""
         )
         releaseRetainedState()
       }

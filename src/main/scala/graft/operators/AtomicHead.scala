@@ -63,6 +63,7 @@ private[graft] object AtomicHead {
       requireCommitWon: () => Unit,
   ): Unit = {
     var committed = false
+    var inFlight: Throwable = null
     try {
       val now = headNow()
       if (now != expectedParent) refuseMoved(now)
@@ -70,12 +71,28 @@ private[graft] object AtomicHead {
       require(!fs.exists(target), existsMsg)
       require(fs.rename(staged, target), renameFailedMsg)
       committed = true
+    } catch {
+      case t: Throwable =>
+        inFlight = t
+        throw t
     } finally {
       // A parquet staging DIR still holds marker files after its payload
       // object renamed away — removed on success and refusal alike; a
       // directly-staged file exists only until the rename, so it is
-      // removed on refusal only.
-      if (scratchIsDir || !committed) fs.delete(scratchRoot, scratchIsDir): Unit
+      // removed on refusal only. An IO failure in THIS delete must never
+      // replace an in-flight protocol refusal (fence-1 head-moved,
+      // target-exists, rename-failed — each carries the actionable
+      // "re-read and retry" diagnosis): it is suppressed onto the refusal
+      // instead, and on the success path it is swallowed outright — the
+      // head IS published, and the stamped scratch it strands is exactly
+      // what each chain's vacuum ages out by name.
+      if (scratchIsDir || !committed) {
+        try fs.delete(scratchRoot, scratchIsDir): Unit
+        catch {
+          case scala.util.control.NonFatal(cleanupFailure) =>
+            if (inFlight != null) inFlight.addSuppressed(cleanupFailure)
+        }
+      }
     }
     requireCommitWon()
   }

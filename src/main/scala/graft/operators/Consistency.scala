@@ -18,17 +18,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.streaming.EventStream.dualIngestOneShotManifest]], which
   * verifies its own batches' coverage after every run.
   *
-  * WINDOWED BY DESIGN: coverage is read from the batch ids the head
-  * generations' file refs still carry (the `batch<id>-…` landing names,
-  * [[IvfIndex.batchIdOfLanding]]). A manifest COMPACTION folds landings
-  * at or below its watermark into `m<gen>bin-…` / bin files, making their
-  * batch ids unobservable from refs — so the census applies to the window
-  * ABOVE both artifacts' compaction watermarks (`sinceBatchId`), which is
-  * exactly the window replay-based remediation targets: a batch the
-  * checkpoint has committed past and compaction has folded is durable by
-  * the chains' own spec'd invariants, not this census's subject. Run the
-  * census on the maintenance cadence BEFORE advancing either compaction
-  * watermark past the batches being audited.
+  * WINDOWED BY DESIGN, WITH THE WINDOW'S EDGE PERSISTED: coverage is
+  * read from the batch ids the head generations' file refs still carry
+  * (the `batch<id>-…` landing names, [[IvfIndex.batchIdOfLanding]]). A
+  * manifest COMPACTION folds landings at or below its watermark into
+  * `m<gen>bin-…` / bin files, making their batch ids unobservable from
+  * refs — and it records the largest batch id it ever folded as a
+  * `fold` ref in the generation it commits (the chain's FOLD WATERMARK,
+  * [[Dedup.dedupFoldWatermark]] / [[IvfIndex.adcFoldWatermark]]). The
+  * census and the gates treat a batch at or below a chain's fold
+  * watermark as covered THERE: it was folded by a compactor — under
+  * [[requireFoldCovered]]'s cross-artifact gate when the deployment
+  * runs dual artifacts — so its durability rests on the chain's own
+  * replay invariants, not on name observability. That closes both
+  * ordering races structurally: a concurrent maintenance compaction
+  * folding a just-committed batch can no longer make a clean dual
+  * ingest's post-drain verification refuse spuriously, and the
+  * "run the census before advancing either watermark" rule is no longer
+  * operator discipline — the coverage-gated compactor REFUSES to fold a
+  * batch the other artifact never covered (see the `coverageGuard`
+  * parameter on [[Dedup.compactDedupIndexManifest]] /
+  * [[IvfIndex.compactAdcIndexCodesManifest]] and the two maintenance
+  * ticks).
   *
   * Scale shape: pure metadata — two head-ref reads (one row per live
   * file, the chains' own design point), set algebra on the driver, a
@@ -39,9 +50,14 @@ object Consistency {
 
   /** Per-batch coverage at both chain heads: one row per batch id either
     * head still references at or above `sinceBatchId`, with
-    * `status ∈ both | dedup_only | ann_only`. Empty means the window is
+    * `status ∈ both | dedup_only | ann_only`. `in_dedup` / `in_ann`
+    * report name-OBSERVABILITY (the head's refs); `status` reports
+    * COVERAGE — observable, or at/below that chain's persisted fold
+    * watermark (folded into bins by a compactor; see the object doc) —
+    * so a batch one chain has compacted while the other still holds its
+    * landing reads `both`, not a divergence. Empty means the window is
     * covered identically (including the trivially-consistent case where
-    * neither chain carries a windowed batch). Any `*_only` row is a
+    * neither chain carries a windowed batch). Any `*_only` row is a real
     * divergence: a dual ingest crashed between its two commits, or an
     * operator landed a batch into one artifact only.
     */
@@ -54,10 +70,16 @@ object Consistency {
     import spark.implicits._
     val dedupB = dedupCoveredBatches(spark, dedupIndexPath, sinceBatchId)
     val annB = annCoveredBatches(spark, annIndexDir, sinceBatchId)
+    val dedupFold = Dedup.dedupFoldWatermark(spark, dedupIndexPath)
+    val annFold = IvfIndex.adcFoldWatermark(spark, annIndexDir)
+    def dedupCovers(b: Long) = dedupB(b) || dedupFold.exists(b <= _)
+    def annCovers(b: Long) = annB(b) || annFold.exists(b <= _)
     (dedupB ++ annB).toSeq.sorted
       .map { b =>
         val status =
-          if (dedupB(b) && annB(b)) "both" else if (dedupB(b)) "dedup_only" else "ann_only"
+          if (dedupCovers(b) && annCovers(b)) "both"
+          else if (dedupCovers(b)) "dedup_only"
+          else "ann_only"
         (b, dedupB(b), annB(b), status)
       }
       .toDF("batch_id", "in_dedup", "in_ann", "status")
@@ -123,8 +145,14 @@ object Consistency {
     val since = batchIds.min
     val dedupB = dedupCoveredBatches(spark, dedupIndexPath, since)
     val annB = annCoveredBatches(spark, annIndexDir, since)
-    val missingDedup = batchIds.filterNot(dedupB).sorted
-    val missingAnn = batchIds.filterNot(annB).sorted
+    // Fold-aware like the census: a batch a chain's compactor already
+    // folded (at/below its persisted fold watermark) is covered there —
+    // without this, a maintenance compaction racing the verifying tick
+    // would make a CLEAN dual ingest refuse as a manufactured divergence.
+    val dedupFold = Dedup.dedupFoldWatermark(spark, dedupIndexPath)
+    val annFold = IvfIndex.adcFoldWatermark(spark, annIndexDir)
+    val missingDedup = batchIds.filterNot(b => dedupB(b) || dedupFold.exists(b <= _)).sorted
+    val missingAnn = batchIds.filterNot(b => annB(b) || annFold.exists(b <= _)).sorted
     require(
       missingDedup.isEmpty && missingAnn.isEmpty,
       s"cross-artifact divergence: batch(es) ${missingDedup.mkString(",")} missing from the dedup chain " +
@@ -133,6 +161,53 @@ object Consistency {
         "one artifact only. Remediation: re-land the batch into the missing artifact under the SAME " +
         "batch id and re-commit its generation; the batch-keyed landing protocol makes the re-land " +
         "idempotent (an already-covered side replays safely).",
+    )
+  }
+
+  /** The COMPACTION-SIDE gate — the census's window discipline made
+    * structural. A manifest compaction that folds batch landings into
+    * bins makes their batch ids unobservable from that head's refs
+    * FOREVER; if the other artifact never committed one of those
+    * batches, the divergence folds where no census can ever see it
+    * again. So before folding, every batch id about to lose its name
+    * must already be covered by the OTHER artifact — observable at its
+    * head, or at/below its own fold watermark (folded there under this
+    * same gate, or durable by that chain's replay invariants). Called by
+    * [[Dedup.compactDedupIndexManifest]] /
+    * [[IvfIndex.compactAdcIndexCodesManifest]] when their `coverageGuard`
+    * names the other artifact (opt-in: a single-artifact deployment has
+    * no "other chain"); the refusal names the divergent batch and the
+    * idempotent re-land remediation, and fires BEFORE any rewrite — the
+    * folding chain is untouched.
+    *
+    * `otherIsDedup` selects which chain `otherPath` is; `folding`
+    * describes the refusing compactor for the message.
+    */
+  private[graft] def requireFoldCovered(
+      spark: SparkSession,
+      folding: String,
+      foldingBatchIds: Seq[Long],
+      otherIsDedup: Boolean,
+      otherPath: String,
+  ): Unit = {
+    if (foldingBatchIds.isEmpty) return
+    val since = foldingBatchIds.min
+    val covered =
+      if (otherIsDedup) dedupCoveredBatches(spark, otherPath, since)
+      else annCoveredBatches(spark, otherPath, since)
+    val fold =
+      if (otherIsDedup) Dedup.dedupFoldWatermark(spark, otherPath)
+      else IvfIndex.adcFoldWatermark(spark, otherPath)
+    val missing = foldingBatchIds.distinct.filterNot(b => covered(b) || fold.exists(b <= _)).sorted
+    val otherName = if (otherIsDedup) "dedup chain" else "ANN chain"
+    require(
+      missing.isEmpty,
+      s"$folding: refusing to fold batch(es) ${missing.mkString(",")} into bins - the $otherName " +
+        s"($otherPath) does not cover them (not at its head, not below its fold watermark " +
+        s"${fold.fold("<none>")(_.toString)}). Folding would make the cross-artifact divergence " +
+        "permanently unobservable to every census. Remediation: re-land the batch into the missing " +
+        "artifact under the SAME batch id and re-commit its generation (the batch-keyed landing " +
+        "protocol makes the re-land idempotent), then re-run this compaction.",
     )
   }
 }

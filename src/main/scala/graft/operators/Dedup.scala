@@ -764,7 +764,40 @@ object Dedup {
       starRounds: Int,
       winner: String,
       starThreshold: Long,
-  )
+  ) {
+
+    /** The measured relative margin between the two arms —
+      * `|lp − star| / max(lp, star)` — or 1.0 when label propagation
+      * blew its rounds budget on the sample (star wins outright, no
+      * margin question). This is the tie detector
+      * [[recommendedThreshold]] runs on.
+      */
+    def margin: Double =
+      if (lpEscaped) 1.0
+      else math.abs(lpSeconds - starSeconds) / math.max(lpSeconds, starSeconds)
+
+    /** The threshold to actually DEPLOY, with the measured-margin
+      * tiebreak as API instead of operator prose. A calibration whose
+      * margin is inside `tieBand` is a coin flip — two policies within
+      * measurement noise of each other, exactly what the 16×-tier
+      * crossover measured (winners flipped between a full-suite take
+      * and a solo take at a 6% margin) — and the two sides of that coin
+      * are NOT symmetric: label-prop-first's downside is bounded by the
+      * rounds-budget escape to star (worst case = the abandoned budget
+      * rounds, then star), while star-first's downside on an lp-shaped
+      * workload is unbounded in principle and measured at 1.7× at the
+      * 32× tier. So inside the band this returns the budget-guarded
+      * lp-first threshold (`Long.MaxValue`); outside it, the measured
+      * winner's. A budget-blown sample stays star-first regardless —
+      * the sample itself proved the lp pathology.
+      */
+    def recommendedThreshold(tieBand: Double = 0.20): Long = {
+      require(tieBand >= 0.0 && tieBand < 1.0, s"recommendedThreshold: tieBand must be in [0, 1): $tieBand")
+      if (lpEscaped) 0L
+      else if (margin < tieBand) Long.MaxValue
+      else starThreshold
+    }
+  }
 
   /** EXECUTABLE RE-TUNE for the CC dispatch crossover. Two consecutive
     * measurement eras had label propagation WIN at 47M–129M edges while
@@ -1590,6 +1623,24 @@ object Dedup {
   private def sigRefs(refs: Seq[(String, String, Long)]): Seq[(String, Long)] =
     refs.collect { case ("sig", name, bytes) => (name, bytes) }
 
+  /** The chain's FOLD WATERMARK: the largest batch id a manifest
+    * compaction ever folded into bins, persisted as a `kind = "fold"`
+    * ref (name = the id) in every generation from the folding commit on.
+    * None until the first batch landing is folded. The cross-artifact
+    * census and gates ([[Consistency]]) treat batch ids at or below it
+    * as covered by this chain — folded names are unobservable from refs
+    * by design, and the coverage-gated compactor proved (or the chain's
+    * replay invariants guarantee) their durability before folding.
+    */
+  private[graft] def dedupFoldWatermark(spark: SparkSession, path: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = listDedupGens(fs, path)
+    require(gens.nonEmpty, s"dedupFoldWatermark: no manifest at $path - bootstrap with writeDedupManifest")
+    readDedupManifestRefs(spark, path, gens.max)
+      .collect { case ("fold", w, _) => w.toLong }
+      .maxOption
+  }
+
   // Commit one generation, with the SAME two concurrent-committer fences
   // the ANN index's commitAdcGen documents: (1) expected-parent — re-list
   // the chain after staging and refuse loudly if the head moved (the
@@ -1722,6 +1773,13 @@ object Dedup {
     * referencing the bins plus the watermark-retained landings. Same
     * watermark semantics, same unfenced refusal, same all-retained no-op,
     * same row-count gate as the rename-mode compactor.
+    *
+    * `coverageGuard` (opt-in, for dual-artifact deployments): the ANN
+    * index dir whose chain must COVER every batch id this compaction is
+    * about to fold — [[Consistency.requireFoldCovered]]'s loud gate,
+    * fired before any rewrite. Folding records the largest folded batch
+    * id as the chain's fold watermark ([[dedupFoldWatermark]]) either
+    * way, so the census stays sound across the fold.
     */
   def compactDedupIndexManifest(
       spark: SparkSession,
@@ -1729,6 +1787,7 @@ object Dedup {
       k: Int = 8,
       targetFiles: Int = 8,
       minRetainedBatchId: Option[Long] = None,
+      coverageGuard: Option[String] = None,
   ): (Long, Long) = {
     require(targetFiles >= 1, s"compactDedupIndexManifest: targetFiles must be >= 1: $targetFiles")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1752,6 +1811,13 @@ object Dedup {
     // file counts are returned either way so a caller (ScaleBench's row,
     // an operator's log line) can tell a measured rewrite from a no-op.
     if (eligible.isEmpty || eligible.size <= targetFiles) return (names.size.toLong, names.size.toLong)
+    // The batch ids about to LOSE their names: the cross-artifact gate
+    // (opt-in) refuses before any rewrite if the other chain never
+    // covered one; the fold watermark below records them either way.
+    val foldedIds = eligible.flatMap(IvfIndex.batchIdOfLanding)
+    coverageGuard.foreach(annDir =>
+      Consistency.requireFoldCovered(spark, "compactDedupIndexManifest", foldedIds,
+        otherIsDedup = false, otherPath = annDir))
     val newGen = gens.max + 1
     val eligibleFiles = eligible.map(n => s"$path/$n")
     val idx = spark.read.parquet(eligibleFiles: _*)
@@ -1780,7 +1846,13 @@ object Dedup {
       }
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     val retainedSet = retained.toSet
-    val committed = refs.filter { case (kind, name, _) => kind == "sig" && retainedSet(name) } ++ binRefs
+    // The fold watermark ref: max over everything ever folded (prior
+    // mark carried forward, this commit's folded ids merged in). One row
+    // per generation — the committer token is re-stamped by commitDedupGen.
+    val foldMark = (refs.collect { case ("fold", w, _) => w.toLong } ++ foldedIds).maxOption
+    val foldRefs = foldMark.map(w => ("fold", w.toString, 0L)).toSeq
+    val committed =
+      refs.filter { case (kind, name, _) => kind == "sig" && retainedSet(name) } ++ binRefs ++ foldRefs
     commitDedupGen(spark, fs, path, newGen, committed, expectedParent = Some(gens.max))
     (names.size.toLong, (retained.size + binRefs.size).toLong)
   }
@@ -1883,7 +1955,11 @@ object Dedup {
     *
     * Both levers keep their own fences (the replay watermark, the two
     * commit fences, the reader grace); the tick adds the bound and the
-    * ordering. Every hop is content-invisible ([[dedupChainDiff]]-empty
+    * ordering. A DUAL-ARTIFACT deployment passes `coverageGuard` (the
+    * ANN index dir) so the compactor refuses to fold any batch the other
+    * chain never covered ([[Consistency.requireFoldCovered]]) — the
+    * cross-artifact census's window discipline enforced, not documented.
+    * Every hop is content-invisible ([[dedupChainDiff]]-empty
     * by construction), so q290 shares q124's oracle verbatim. Returns
     * what actually ran — `compacted` is true only if a generation
     * committed.
@@ -1896,6 +1972,7 @@ object Dedup {
       maxFiles: Int = 16,
       targetFiles: Int = 8,
       keepGens: Int = 2,
+      coverageGuard: Option[String] = None,
   ): DedupMaintenanceReport = {
     require(maxFiles >= 1, s"maintainDedupIndexManifest: maxFiles must be >= 1: $maxFiles")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1905,7 +1982,8 @@ object Dedup {
     val filesBefore = sigRefs(readDedupManifestRefs(spark, path, headAtEntry)).size.toLong
     var filesAfter = filesBefore
     if (filesBefore >= maxFiles) {
-      filesAfter = compactDedupIndexManifest(spark, path, k, targetFiles, minRetainedBatchId)._2
+      filesAfter = compactDedupIndexManifest(spark, path, k, targetFiles, minRetainedBatchId,
+        coverageGuard)._2
     }
     val commitsThisTick = (listDedupGens(fs, path).max - headAtEntry).toInt
     val swept = cleanupDedupGenerations(spark, path, keepGens + commitsThisTick)
@@ -2188,6 +2266,21 @@ object Dedup {
     graft.ops.Lake.bucketize(bandRows(idx, k, bands), bandsTable, bandKeyCols(k / bands), buckets)
     graft.ops.Lake.bucketize(idx, sigsTable, Seq("id"), buckets)
     graft.ops.Lake.bucketize(idx.select(col("__h")).distinct(), hashesTable, Seq("__h"), buckets)
+    // Serve-ownership stamps ([[ServeLayoutProp]] / [[ServeSentinel]]):
+    // property for the catalog plane, sentinel for the warehouse-dir
+    // plane — what the plain-layout retirement and the publish vacuum
+    // accept as proof this table is OURS to drop.
+    val spark = index.sparkSession
+    Seq(bandsTable, sigsTable, hashesTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ServeLayoutProp' = 'dedup')")
+      val (db, bare) = graft.ops.Lake.dbAndBare(spark, t)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bare, Some(db)))
+          .location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(loc, ServeSentinel), true).close()
+    }
   }
 
   // ----------------------------------------------------------------------
@@ -2272,14 +2365,42 @@ object Dedup {
     val hashes = req("hashes")
     // Pre-`since` heads: the oldest stamp in this head's own table names
     // bounds the first swing from above — a conservative legacy anchor.
+    // Anchored on the versioned-name TAIL (`_g<gen>_ts<ms>_<tok8>_<table>`
+    // at end-of-name, [[versionedServeNames]]'s shape), NOT a bare
+    // first-`_ts<digits>_` scan: a user prefix that itself contains a
+    // `_ts<digits>_` token (`corpus_ts2024_x`) would otherwise be parsed
+    // as the stamp, misdating the anchor to near-epoch and retiring the
+    // plain layout before the headless-reader grace actually elapsed.
     val since = Option(props.getProperty("since")).map(_.toLong).getOrElse {
+      val tail = raw"_g\d+_ts(\d+)_[0-9a-f]{8}_(?:bands|sigs|hashes)$$".r
       val stamps = Seq(bands, sigs, hashes)
         .map(_.split('.').last.toLowerCase(java.util.Locale.ROOT))
-        .flatMap(n => raw"_ts(\d+)_".r.findFirstMatchIn(n).map(_.group(1).toLong))
+        .flatMap(n => tail.findFirstMatchIn(n).map(_.group(1).toLong))
       if (stamps.isEmpty) Long.MaxValue else stamps.min
     }
     ServeHead(seq, req("gen").toLong, req("token"), bands, sigs, hashes, since)
   }
+
+  // The forwarded `since` anchor for a publish whose parent was listed as
+  // `parentSeq`. The parent-head READ runs after the corpus-linear table
+  // save, so a concurrent publisher plus vacuum can retire the listed
+  // parent in that window — the head object is simply GONE. That loser
+  // was going to refuse anyway (its expectedParent no longer matches the
+  // re-listed head, commitServeHead's fence 1), so the anchor falls back
+  // to `stampMs` and lets the fence refuse with its spec'd "head moved"
+  // message instead of surfacing a raw FileNotFoundException from
+  // mid-protocol. private[graft] so the spec drives the retired-parent
+  // window directly.
+  private[graft] def firstSwingAnchor(
+      fs: org.apache.hadoop.fs.FileSystem,
+      headDir: org.apache.hadoop.fs.Path,
+      parentSeq: Option[Long],
+      stampMs: Long,
+  ): Long =
+    parentSeq.fold(stampMs) { p =>
+      try readServeHead(fs, headDir, p).since
+      catch { case _: java.io.FileNotFoundException => stampMs }
+    }
 
   /** Commit one head object — the serve layout's single-object pointer
     * swap, carrying the manifest chains' two concurrent-committer fences:
@@ -2415,6 +2536,18 @@ object Dedup {
   private[graft] val ServeGenProp = "graft.servedGeneration"
   private[graft] val ServeTokenProp = "graft.publishToken"
 
+  // SERVE-ownership stamps, one per visibility plane (the catalog can
+  // forget a table across sessions while its warehouse dir persists —
+  // the same split [[graft.ops.Lake.bucketize]]'s stamps cover): every
+  // table [[saveServeTablesNamed]] writes carries the property and the
+  // location sentinel. The plain-layout retirement's ownership proof
+  // must be SERVE-specific — the generic bucketize stamp would also
+  // claim an unrelated bucketize-published table that merely collides
+  // with a plain serve name (`<prefix>_sigs`), and once the retirement
+  // anchor ages that foreign table would be dropped.
+  private[graft] val ServeLayoutProp = "graft.serveLayout"
+  private[graft] val ServeSentinel = "_graft_dedup_serve"
+
   /** [[saveDedupServeTables]] from a MANIFEST index's snapshot as an
     * ATOMIC generation-versioned publish. The layout's freshness contract
     * for a standing pipeline: the serve tables are a point-in-time
@@ -2468,7 +2601,7 @@ object Dedup {
     }
     // `since` (the first-swing anchor) is FORWARDED from the parent head;
     // only the very first publish stamps it — see [[ServeHead]].
-    val since = parentSeq.map(readServeHead(hfs, headDir, _).since).getOrElse(stampMs)
+    val since = firstSwingAnchor(hfs, headDir, parentSeq, stampMs)
     commitServeHead(hfs, headDir,
       ServeHead(parentSeq.getOrElse(-1L) + 1L, g, token, bandsT, sigsT, hashesT, since), parentSeq)
     // Shallow inline vacuum: the warehouse-root listing is skipped unless
@@ -2619,15 +2752,20 @@ object Dedup {
     // bucketize itself applies. Three point lookups, no listing.
     if (keptHeads.nonEmpty) {
       if (keptHeads.map(_.since).min <= staleBefore) {
+        // Ownership proof is SERVE-specific ([[ServeLayoutProp]] /
+        // [[ServeSentinel]], or the pre-head publish's generation stamp)
+        // — NOT the generic bucketize stamp: any bucketize-published
+        // table that happened to be named `<prefix>_sigs` would satisfy
+        // that one and be destroyed here once the anchor aged.
         def plainOwned(t: String): Boolean = {
           val (pdb, pbare) = graft.ops.Lake.dbAndBare(spark, t)
           val ident = org.apache.spark.sql.catalyst.TableIdentifier(pbare, Some(pdb))
           if (spark.sessionState.catalog.tableExists(ident)) {
             val props = spark.sessionState.catalog.getTableMetadata(ident).properties
-            props.contains(ServeGenProp) || props.contains(graft.ops.Lake.PublishedByProp)
+            props.contains(ServeGenProp) || props.contains(ServeLayoutProp)
           } else
             fs.exists(new org.apache.hadoop.fs.Path(
-              graft.ops.Lake.managedLocation(spark, t), graft.ops.Lake.BucketizeSentinel))
+              graft.ops.Lake.managedLocation(spark, t), ServeSentinel))
         }
         Seq("bands", "sigs", "hashes")
           .map(sfx => qualifier.fold(s"${barePrefix}_$sfx")(q => s"$q.${barePrefix}_$sfx"))

@@ -1390,6 +1390,26 @@ object IvfIndex {
   private def codesRefs(refs: Seq[AdcRef]): Seq[(Int, String, Long)] =
     refs.collect { case AdcRef("codes", cell, name, bytes) => (cell, name, bytes) }
 
+  /** The chain's FOLD WATERMARK ([[graft.operators.Dedup.dedupFoldWatermark]]'s
+    * twin on this artifact): the largest batch id a manifest compaction
+    * ever folded into bins, persisted as a `kind = "fold"` ref carried
+    * forward by every later generation. None until the first batch
+    * landing is folded. The cross-artifact census and gates
+    * ([[graft.operators.Consistency]]) treat batch ids at or below it as
+    * covered by this chain.
+    */
+  private[graft] def adcFoldWatermark(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+  ): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listAdcGens(fs, dir)
+    require(gens.nonEmpty, s"adcFoldWatermark: no manifest at $dir - bootstrap with writeAdcManifest")
+    readAdcManifestRefs(spark, dir, gens.max)
+      .collect { case AdcRef("fold", _, w, _) => w.toLong }
+      .maxOption
+  }
+
   private def centroidsPathOf(dir: String, refs: Seq[AdcRef]): String =
     s"$dir/${refs.collectFirst { case AdcRef("centroids", _, name, _) => name }.getOrElse("centroids")}"
 
@@ -1661,12 +1681,20 @@ object IvfIndex {
     * `minRetainedBatchId` watermark semantics, same loud row-count gate
     * as the rename-mode op; idempotent at the metadata level (an
     * already-binned generation selects no victims).
+    *
+    * `coverageGuard` (opt-in, for dual-artifact deployments): the dedup
+    * index path whose chain must COVER every batch id this compaction is
+    * about to fold —
+    * [[graft.operators.Consistency.requireFoldCovered]]'s loud gate,
+    * fired before any rewrite. Folding records the largest folded batch
+    * id as the chain's fold watermark ([[adcFoldWatermark]]) either way.
     */
   def compactAdcIndexCodesManifest(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long,
       minRetainedBatchId: Option[Long] = None,
+      coverageGuard: Option[String] = None,
   ): DataFrame = {
     require(targetBytes >= 1, s"compactAdcIndexCodesManifest: targetBytes must be positive: $targetBytes")
     import spark.implicits._
@@ -1683,6 +1711,14 @@ object IvfIndex {
     // rename-mode compactor. Only the LANDING differs: bins go into the
     // live cell dirs under fresh names and one manifest object commits.
     val (retained, victims) = planCodesCompaction("compactAdcIndexCodesManifest", before, targetBytes, minRetainedBatchId)
+    // The batch ids about to LOSE their names: the cross-artifact gate
+    // (opt-in) refuses before any rewrite if the dedup chain never
+    // covered one; the fold watermark below records them either way.
+    val foldedIds = victims.values.flatten.toSeq
+      .flatMap { case (_, name, _, _) => batchIdOfLanding(name) }
+    coverageGuard.foreach(dedupPath =>
+      graft.operators.Consistency.requireFoldCovered(spark, "compactAdcIndexCodesManifest", foldedIds,
+        otherIsDedup = true, otherPath = dedupPath))
     val newGen = gens.max + 1
     var committedRefs = before
     if (victims.nonEmpty) {
@@ -1726,10 +1762,17 @@ object IvfIndex {
     }
     // A no-op pass (nothing to bin) commits NOTHING — an idempotent
     // nightly compactor must not grow the generation chain.
-    if (victims.nonEmpty)
+    if (victims.nonEmpty) {
+      // The fold watermark ref: prior mark carried forward, this commit's
+      // folded ids merged in (the committer token is re-stamped by
+      // commitAdcGen; every other non-codes ref passes through).
+      val foldMark = (otherRefs.collect { case AdcRef("fold", _, w, _) => w.toLong } ++ foldedIds).maxOption
+      val carried = otherRefs.filterNot(_.kind == "fold") ++
+        foldMark.map(w => AdcRef("fold", -1, w.toString, 0L)).toSeq
       commitAdcGen(spark, fs, dir, newGen,
-        committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ otherRefs,
+        committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ carried,
         expectedParent = Some(gens.max))
+    }
     // The census (from refs, not the tree): per-cell files/bytes before vs
     // after — the same observability row the rename-mode op returns.
     val bAgg = before.groupBy(_._1).map { case (c, l) => c -> (l.size.toLong, l.map(_._3).sum) }
@@ -2024,7 +2067,12 @@ object IvfIndex {
     *
     * Every lever keeps its own fences (watermark refusals, the two
     * commit fences, the snapshot-reader grace) — this operator adds the
-    * BOUNDS and the ordering, not new commit machinery, and every hop
+    * BOUNDS and the ordering, not new commit machinery. A DUAL-ARTIFACT
+    * deployment passes `coverageGuard` (the dedup index path) so the
+    * compactor refuses to fold any batch the other chain never covered
+    * ([[graft.operators.Consistency.requireFoldCovered]]) — the
+    * cross-artifact census's window discipline enforced, not documented.
+    * Every hop
     * is content-invisible except the repair, whose effect is exactly
     * [[repairDriftedIndexCellsManifest]]'s (q289 shares q277's oracle
     * verbatim). Returns what actually RAN — `compacted` is true only if
@@ -2045,6 +2093,7 @@ object IvfIndex {
       targetBytes: Long = 128L << 20,
       flaggedCells: Seq[Int] = Nil,
       keepGens: Int = 2,
+      coverageGuard: Option[String] = None,
   ): AdcMaintenanceReport = {
     require(maxFilesPerCell >= 1, s"maintainAdcIndexManifest: maxFilesPerCell must be >= 1: $maxFilesPerCell")
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -2055,7 +2104,7 @@ object IvfIndex {
     val maxCellFiles = census.groupBy(_._1).map(_._2.size.toLong).maxOption.getOrElse(0L)
     var compacted = false
     if (maxCellFiles >= maxFilesPerCell) {
-      compactAdcIndexCodesManifest(spark, dir, targetBytes, minRetainedBatchId): Unit
+      compactAdcIndexCodesManifest(spark, dir, targetBytes, minRetainedBatchId, coverageGuard): Unit
       // Outcome, not admission: the compactor's nothing-to-bin pass
       // commits no generation even when the census admitted it.
       compacted = listAdcGens(fs, dir).max > headAtEntry

@@ -1146,7 +1146,13 @@ object EventStream {
     * both chain heads cover every batch it committed
     * ([[graft.operators.Consistency.requireCoverage]]) — "ingest batch B
     * into both artifacts, then check both heads cover B" as one
-    * composition. Returns the committed batch ids (the census window).
+    * composition. The verification is FOLD-AWARE: a concurrent
+    * maintenance compaction that folds a just-committed batch's landings
+    * into bins makes its id unobservable from that head's refs, but the
+    * compactor persists its fold watermark and the gate counts
+    * at-or-below-watermark ids as covered — racing the maintenance
+    * cadence cannot make a clean tick refuse as a manufactured
+    * divergence. Returns the committed batch ids (the census window).
     *
     * Crash windows, in landing order: before the dedup commit — neither
     * chain references the batch; the replay re-lands both sides.

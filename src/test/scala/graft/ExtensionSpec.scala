@@ -784,6 +784,89 @@ class ExtensionSpec extends SparkSpec {
       new java.io.File(dedupPath).getParentFile)
   }
 
+  test("coverage-gated compaction: folding a batch the other artifact never covered refuses; fold watermarks keep the census sound") {
+    import graft.operators.{Consistency, Dedup, IvfIndex}
+    val docs = (1L to 60L).map(i => (i, s"gate document number $i with shared filler words")).toDF("doc_id", "text")
+    val dedupPath = java.nio.file.Files.createTempDirectory("graft_foldgate_spec").resolve("dedup").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 30), "doc_id", "text"), dedupPath)
+    Dedup.writeDedupManifest(spark, dedupPath) // dedup gen 0
+    val annBase = emb.filter(col("vec_id") % 2 === 0)
+    val centroids = IvfIndex.train(annBase, "vec_id", "embedding", nlist = 4, iters = 0)
+    val annDir = java.nio.file.Files.createTempDirectory("graft_foldgate_spec_ann").toString
+    IvfIndex.saveAdcIndex(annBase, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = annDir)
+    IvfIndex.writeAdcManifest(spark, annDir) // ann gen 0
+    val fs = new org.apache.hadoop.fs.Path(dedupPath).getFileSystem(spark.sessionState.newHadoopConf())
+    // THE DIVERGENT STATE: batch 0 committed into the dedup chain only
+    // (the between-commits crash window)
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" > 30), "doc_id", "text"), dedupPath, batchId = Some(0L))
+    Dedup.commitDedupBatchToManifest(spark, dedupPath, 0L)
+    val gensBefore = Dedup.listDedupGens(fs, dedupPath)
+    // A coverage-GATED compaction whose watermark would fold batch 0
+    // refuses loudly: folding would bin the landing's name away and make
+    // the divergence permanently unobservable to every census
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.compactDedupIndexManifest(spark, dedupPath, targetFiles = 1,
+        minRetainedBatchId = Some(1L), coverageGuard = Some(annDir))
+    }
+    assert(ex.getMessage.contains("refusing to fold") && ex.getMessage.contains("batch(es) 0") &&
+      ex.getMessage.contains("re-land"), ex.getMessage)
+    assert(Dedup.listDedupGens(fs, dedupPath) == gensBefore,
+      "the refused compaction must leave the chain untouched")
+    assert(Dedup.dedupFoldWatermark(spark, dedupPath).isEmpty,
+      "a refused fold must not advance the fold watermark")
+    // REMEDIATION (the refusal's own text): re-land batch 0 into the ANN
+    // chain under the same id and commit - the gate then passes and the
+    // SAME compaction call proceeds
+    val cells0 = IvfIndex.appendToAdcIndex(spark, annDir, emb.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", m = 4, batchId = Some(0L))
+    IvfIndex.commitAdcBatchToManifest(spark, annDir, 0L, Some(cells0))
+    val (fb, fa) = Dedup.compactDedupIndexManifest(spark, dedupPath, targetFiles = 1,
+      minRetainedBatchId = Some(1L), coverageGuard = Some(annDir))
+    assert(fa < fb, "the post-remediation compaction must actually rewrite")
+    // the fold watermark is PERSISTED: the largest folded batch id,
+    // carried by the new head generation
+    assert(Dedup.dedupFoldWatermark(spark, dedupPath).contains(0L))
+    // ...and the census stays SOUND across the fold: batch 0 is no longer
+    // name-observable in the dedup refs, but its id is at the fold
+    // watermark, so the fold-aware census reads 'both' (in_dedup=false)
+    // and the coverage gate still passes - the concurrent-compaction race
+    // that would have manufactured a false divergence is closed
+    val row = Consistency.crossArtifactCoverage(spark, dedupPath, annDir)
+      .filter(col("batch_id") === 0L).collect()
+    assert(row.length == 1 && !row.head.getBoolean(1) && row.head.getBoolean(2) &&
+      row.head.getString(3) == "both",
+      s"a folded-one-side batch must census covered: ${row.mkString(";")}")
+    Consistency.requireCoverage(spark, dedupPath, annDir, Seq(0L))
+    // the SYMMETRIC gate on the ANN compactor: batch 1 lands in the ANN
+    // chain only - a guarded ANN compaction refuses to fold it
+    val cells1 = IvfIndex.appendToAdcIndex(spark, annDir, emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", m = 4, batchId = Some(1L))
+    IvfIndex.commitAdcBatchToManifest(spark, annDir, 1L, Some(cells1))
+    val ex2 = intercept[IllegalArgumentException] {
+      IvfIndex.compactAdcIndexCodesManifest(spark, annDir, targetBytes = 1L << 30,
+        minRetainedBatchId = Some(2L), coverageGuard = Some(dedupPath))
+    }
+    assert(ex2.getMessage.contains("refusing to fold") && ex2.getMessage.contains("1") &&
+      ex2.getMessage.contains("dedup chain"), ex2.getMessage)
+    // re-land batch 1 into the dedup chain, then the guarded ANN
+    // compaction proceeds and persists ITS fold watermark; batch 0 passes
+    // the gate through the dedup chain's fold watermark (it is no longer
+    // name-observable there - exactly the inductive case)
+    Dedup.appendDedupIndex(
+      Dedup.buildDedupIndex(docs.filter($"doc_id" > 30), "doc_id", "text")
+        .withColumn("id", col("id") + lit(1000L)), dedupPath, batchId = Some(1L))
+    Dedup.commitDedupBatchToManifest(spark, dedupPath, 1L)
+    IvfIndex.compactAdcIndexCodesManifest(spark, annDir, targetBytes = 1L << 30,
+      minRetainedBatchId = Some(2L), coverageGuard = Some(dedupPath)): Unit
+    assert(IvfIndex.adcFoldWatermark(spark, annDir).contains(1L))
+    // both batches verify through the two fold watermarks + the live refs
+    Consistency.requireCoverage(spark, dedupPath, annDir, Seq(0L, 1L))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dedupPath).getParentFile)
+  }
+
   test("planCodesCompaction: a fully watermark-retained census is a no-op, not a failure") {
     import graft.operators.IvfIndex
     // the nightly-compactor edge: every code file is a batch landing at or

@@ -445,5 +445,30 @@ class OpsSpec extends SparkSpec {
     val cal2 = Dedup.ccCalibrate(chain, labelRoundsBudget = 4)
     assert(cal2.lpEscaped && cal2.winner == "star" && cal2.starThreshold == 0L,
       s"a budget-blowing sample must calibrate star-first: $cal2")
+    // the measured margin and the tiebreak are part of the report's API
+    assert(cal2.margin == 1.0 && cal2.recommendedThreshold(0.99) == 0L,
+      "a budget-blown sample stays star-first at ANY tie band - the sample proved the lp pathology")
+    assert(cal.recommendedThreshold(0.0) == cal.starThreshold,
+      "a zero tie band is the raw measured winner")
+  }
+
+  test("CcCalibration.recommendedThreshold: a margin inside the tie band deploys budget-guarded lp-first") {
+    import graft.operators.Dedup.CcCalibration
+    // the 16x-tier shape: star nominally wins by 6% - a coin flip, and
+    // the asymmetric downside rule must override the raw winner (lp's
+    // tail is rounds-budget-bounded; star's loss was measured 1.7x)
+    val coinFlip = CcCalibration(1000L, 10.6, 3, lpEscaped = false, 10.0, 5, "star", 0L)
+    assert(math.abs(coinFlip.margin - 0.6 / 10.6) < 1e-12)
+    assert(coinFlip.recommendedThreshold() == Long.MaxValue,
+      "inside the default 20% band the safe tiebreak is lp-first, whatever the raw winner")
+    assert(coinFlip.recommendedThreshold(tieBand = 0.01) == 0L,
+      "outside the band the measured winner deploys")
+    // a decisive star win is never overridden
+    val starBig = CcCalibration(1000L, 20.0, 3, lpEscaped = false, 10.0, 5, "star", 0L)
+    assert(starBig.margin == 0.5 && starBig.recommendedThreshold() == 0L)
+    // a decisive lp win deploys lp-first both ways
+    val lpBig = CcCalibration(1000L, 10.0, 3, lpEscaped = false, 20.0, 5, "labelprop", Long.MaxValue)
+    assert(lpBig.recommendedThreshold() == Long.MaxValue)
+    intercept[IllegalArgumentException](lpBig.recommendedThreshold(1.0))
   }
 }

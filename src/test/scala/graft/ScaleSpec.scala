@@ -296,8 +296,130 @@ class ScaleSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graft_foreignp_t_sigs") &&
       spark.table("graft_foreignp_t_sigs").count() == 5L,
       "an unstamped foreign table colliding with the plain serve name must survive the vacuum")
+    // ...and so must a foreign table that was published by Lake.bucketize
+    // for some UNRELATED purpose: the ownership proof is the
+    // SERVE-specific stamp, not the generic bucketize one — accepting
+    // publishedBy alone would destroy any bucketized table that merely
+    // collides with the plain serve name.
+    graft.ops.Lake.bucketize(spark.range(7).toDF("id"), "graft_foreignb_t_sigs", Seq("id"), 2)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_legacyserve3").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 2), "doc_id", "text"), dir3)
+    Dedup.writeDedupManifest(spark, dir3)
+    Dedup.publishDedupServeTables(spark, dir3, "graft_foreignb_t", buckets = 2)
+    Dedup.vacuumServePublishes(spark, "graft_foreignb_t", graceMs = 0L)
+    assert(spark.catalog.tableExists("graft_foreignb_t_sigs") &&
+      spark.table("graft_foreignb_t_sigs").count() == 7L,
+      "a bucketize-published foreign table colliding with the plain serve name must survive the vacuum")
+    // a RAW headless layout (no legacy generation stamp at all) still
+    // retires through the serve-layout stamp its own save writes
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_legacyserve4").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" % 3 === 1), "doc_id", "text"), dir4)
+    Dedup.writeDedupManifest(spark, dir4)
+    Dedup.saveDedupServeTables(Dedup.loadDedupIndexSnapshot(spark, dir4), "graft_rawplain_t", buckets = 2)
+    Dedup.publishDedupServeTables(spark, dir4, "graft_rawplain_t", buckets = 2)
+    val headDirR = graft.ops.Lake.managedLocation(spark, "graft_rawplain_t__servehead")
+    val fsR = headDirR.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seqR = Dedup.listServeHeads(fsR, headDirR).max
+    Dedup.commitServeHead(fsR, headDirR,
+      Dedup.readServeHead(fsR, headDirR, seqR).copy(seq = seqR + 1, since = 1000L), Some(seqR))
+    Dedup.vacuumServePublishes(spark, "graft_rawplain_t")
+    assert(!spark.catalog.tableExists("graft_rawplain_t_sigs"),
+      "a superseded RAW plain layout must retire via its serve-layout stamp once the anchor ages")
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir))
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir2))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir3))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dir4))
+  }
+
+  test("readServeHead: the legacy since fallback anchors on the versioned-name tail, immune to a _ts token inside the prefix") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sincetrap")
+    val headDir = new org.apache.hadoop.fs.Path(tmp.toString, "heads")
+    val fs = headDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(headDir)
+    // a PRE-`since` head (the upgrade case) whose PREFIX itself carries a
+    // _ts<digits>_ token: the trap is parsing 2024 as the stamp and
+    // misdating the anchor to near-epoch — the fallback must read the
+    // versioned tail's stamp instead
+    val stamp = 1700000000000L
+    val props = new java.util.Properties()
+    props.setProperty("gen", "3")
+    props.setProperty("token", "tok")
+    Seq("bands", "sigs", "hashes").foreach(sfx =>
+      props.setProperty(sfx, s"corpus_ts2024_x_g3_ts${stamp}_deadbeef_$sfx"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(headDir, "serve-0.properties"), true)
+    try props.store(out, null)
+    finally out.close()
+    assert(Dedup.readServeHead(fs, headDir, 0L).since == stamp,
+      "the legacy anchor must come from the versioned tail, not the prefix's own _ts token")
+    // firstSwingAnchor: a parent RETIRED between the head listing and the
+    // read (concurrent publisher + vacuum) falls back to the publish's
+    // own stamp — the subsequent commit refuses on fence 1 as spec'd
+    // instead of surfacing a raw FileNotFoundException mid-protocol
+    assert(Dedup.firstSwingAnchor(fs, headDir, Some(9L), 777L) == 777L,
+      "a vanished parent head must fall back to the publish stamp")
+    assert(Dedup.firstSwingAnchor(fs, headDir, Some(0L), 777L) == stamp,
+      "a present parent head forwards its anchor")
+    assert(Dedup.firstSwingAnchor(fs, headDir, None, 777L) == 777L,
+      "the very first publish stamps the anchor")
+    graft.streaming.EventStream.registerDeleteOnExit(tmp.toFile)
+  }
+
+  test("AtomicHead: a cleanup IO failure is suppressed onto the protocol refusal, never replacing it") {
+    import graft.operators.AtomicHead
+    val tmp = java.nio.file.Files.createTempDirectory("graft_athead")
+    val raw = new org.apache.hadoop.fs.Path(tmp.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(tmp.toString, "staged.obj")
+    raw.create(staged, true).close()
+    // a filesystem whose DELETE fails (an object-store blip during
+    // refusal-path hygiene) — the in-flight refusal must still propagate,
+    // with the cleanup failure attached as suppressed
+    val failingDelete = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
+        throw new java.io.IOException("injected cleanup failure")
+    }
+    val ex = intercept[IllegalStateException] {
+      AtomicHead.commit(
+        failingDelete,
+        staged = staged,
+        scratchRoot = staged,
+        scratchIsDir = false,
+        target = new org.apache.hadoop.fs.Path(tmp.toString, "head-1"),
+        headNow = () => Some(5L),
+        expectedParent = Some(0L),
+        refuseMoved = h => throw new IllegalStateException(s"head moved to $h - retry"),
+        existsMsg = "exists",
+        renameFailedMsg = "rename failed",
+        requireCommitWon = () => (),
+      )
+    }
+    assert(ex.getMessage.contains("head moved"), ex.getMessage)
+    assert(ex.getSuppressed.exists(_.getMessage.contains("injected cleanup failure")),
+      "the cleanup failure must ride the refusal as suppressed, not replace it")
+    // the SUCCESS path with a failing dir cleanup: the head IS published —
+    // the commit must report success (stranded stamped scratch is the
+    // vacuums' job), not fail a commit readers already resolve
+    val scratchDir = new org.apache.hadoop.fs.Path(tmp.toString, "scratch_dir")
+    raw.mkdirs(scratchDir)
+    val staged2 = new org.apache.hadoop.fs.Path(scratchDir, "payload.obj")
+    raw.create(staged2, true).close()
+    val target2 = new org.apache.hadoop.fs.Path(tmp.toString, "head-2")
+    AtomicHead.commit(
+      failingDelete,
+      staged = staged2,
+      scratchRoot = scratchDir,
+      scratchIsDir = true,
+      target = target2,
+      headNow = () => Some(0L),
+      expectedParent = Some(0L),
+      refuseMoved = h => throw new IllegalStateException(s"head moved to $h"),
+      existsMsg = "exists",
+      renameFailedMsg = "rename failed",
+      requireCommitWon = () => (),
+    )
+    assert(raw.exists(target2), "the success-path commit must stand despite the failed scratch delete")
+    graft.streaming.EventStream.registerDeleteOnExit(tmp.toFile)
   }
 
   test("vacuumServePublishes: the inline shallow vacuum skips the warehouse listing; deep maintenance reclaims cross-session dir orphans") {
