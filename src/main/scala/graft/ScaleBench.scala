@@ -130,9 +130,15 @@ object ScaleBench {
     // this only returns memory a finished op was hoarding. ONLY legal
     // between terminal ops: unpersisting a localCheckpoint a still-live
     // plan references loses data outright (lineage is severed by design).
+    // BLOCKING by design: an async unpersist leaves the freed blocks as
+    // a removal backlog that is still LIVE heap while the next op's
+    // allocation spike arrives — measured this round as a GCLocker
+    // allocation-failure crash at the 32× cc tier once the family gained
+    // one more full pair-build era; the synchronous wait costs seconds
+    // and makes the envelope deterministic.
     def releaseRetainedState(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
 
     for (f <- factors if families("ops")) {

@@ -167,9 +167,25 @@ object Dedup {
         (col("l.bk.band") === b) && earlierNoMatch
       }
       .reduce(_ || _)
+    // MERGE-hinted: the banding self-join must NEVER be broadcast-planned.
+    // Its cost is the quadratic-in-bucket pair EMISSION plus the per-pair
+    // verify riding the same stage — work the planner's BYTE estimates
+    // cannot see (input bytes are tiny whenever the corpus is; output
+    // rows are not). Measured (r20 ScaleBench, stage profile): at the 16×
+    // tier the size estimate stayed under the broadcast threshold, the
+    // join chain collapsed into ONE task (119 s wall, pure CPU, zero
+    // shuffle) — while the 2× bigger 32× tier crossed the threshold,
+    // planned the shuffle join, and ran the same logical work 4× FASTER
+    // on 14 post-shuffle tasks (~2 µs/pair at both tiers; the anomaly was
+    // parallelism, never per-pair cost). Broadcast is never the right
+    // plan here: a banded side small enough to broadcast makes the
+    // shuffle cheap too, and the sides are same-sized by construction —
+    // so the asymmetric risk says pin the exchange and let AQE size the
+    // post-shuffle partitions (parallelism-first, never to one task).
     banded
       .as("l")
-      .join(banded.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .hint("merge")
+      .join(banded.as("r").hint("merge"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
       .filter(firstBandOnly)
   }
 
