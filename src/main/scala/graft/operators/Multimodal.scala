@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio's default stream cache is FILE-backed: every
+  // ImageIO.read / write / createImage{Input,Output}Stream call creates
+  // (and deletes) a temp file under java.io.tmpdir just to buffer a
+  // payload we already hold fully in memory as a byte array. At one
+  // encode + one decode per frame that is two filesystem round trips per
+  // frame of pure overhead (measured: the q266/q269 decode stages are the
+  // two slowest queries of the suite). Memory-backed streams are
+  // bit-identical — the flag only picks the buffering strategy — and this
+  // object is initialized on every JVM (driver or executor) before any
+  // call site in it runs, so one static switch covers them all.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRecord(
       media_id: Long,
@@ -453,6 +465,40 @@ object Multimodal {
     * Scale: `mapPartitions`, one encoder per frame, no shuffle; payloads
     * ≤ ~8 KB — the family verifies frame decode, not codec throughput.
     */
+  /** One quality-1.0 JPEG encode — the shared per-frame encoder of the two
+    * MJPEG synthesizers. The writer is THREAD-LOCAL: a fresh
+    * `getImageWritersByFormatName("jpg").next()` per frame pays the full SPI
+    * registry walk + writer construction per frame (it dominated the
+    * synthesize stage next to the actual DCT work); one writer per task
+    * thread reused across every frame is the documented ImageIO reuse
+    * pattern (`reset()` between uses) and is byte-identical — the writer is
+    * stateless across writes apart from its output. Never disposed: task
+    * threads are pooled and the writer is a tiny native-free object; GC
+    * reclaims it with the thread.
+    */
+  private val jpegWriterTl = new ThreadLocal[javax.imageio.ImageWriter]
+
+  private[graft] def encodeJpegQ1(img: java.awt.image.BufferedImage): Array[Byte] = {
+    var writer = jpegWriterTl.get()
+    if (writer == null) {
+      writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      jpegWriterTl.set(writer)
+    }
+    val prm = writer.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(1.0f)
+    val fbos = new java.io.ByteArrayOutputStream()
+    val ios  = javax.imageio.ImageIO.createImageOutputStream(fbos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    } finally {
+      writer.reset()
+      ios.close()
+    }
+    fbos.toByteArray
+  }
+
   def synthesizeMjpegAvi(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -485,20 +531,7 @@ object Multimodal {
               }
               y += 1
             }
-            val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-            val prm = writer.getDefaultWriteParam
-            prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-            prm.setCompressionQuality(1.0f)
-            val fbos = new java.io.ByteArrayOutputStream()
-            val ios  = javax.imageio.ImageIO.createImageOutputStream(fbos)
-            try {
-              writer.setOutput(ios)
-              writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
-            } finally {
-              writer.dispose()
-              ios.close()
-            }
-            fbos.toByteArray
+            encodeJpegQ1(img)
           }
           val bos = new java.io.ByteArrayOutputStream()
           val d   = new java.io.DataOutputStream(bos)
@@ -610,10 +643,9 @@ object Multimodal {
           if (img == null || img.getWidth < 1 || img.getHeight < 1)
             VideoFrameHashRow(m.media_id, i, -1L, -1L, -1L, -1L, -1, -1)
           else {
-            val hash = aHashBits(img)
-            val (phHi, phLo) =
-              if (withPHash) { val ph = pHashBits(img); (ph >>> 32, ph & 0xffffffffL) }
-              else (-1L, -1L)
+            val (hash, phHi, phLo) =
+              if (withPHash) { val (ah, ph) = bothHashBits(img); (ah, ph >>> 32, ph & 0xffffffffL) }
+              else (aHashBits(img), -1L, -1L)
             VideoFrameHashRow(
               m.media_id, i,
               hash >>> 32, hash & 0xffffffffL,
@@ -859,20 +891,7 @@ object Multimodal {
                 }
                 y += 1
               }
-              val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-              val prm = writer.getDefaultWriteParam
-              prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-              prm.setCompressionQuality(1.0f)
-              val fbos = new java.io.ByteArrayOutputStream()
-              val ios  = javax.imageio.ImageIO.createImageOutputStream(fbos)
-              try {
-                writer.setOutput(ios)
-                writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
-              } finally {
-                writer.dispose()
-                ios.close()
-              }
-              fbos.toByteArray
+              encodeJpegQ1(img)
             }
             MediaRecord(2 * id + variant, "video", packMjpegAvi(frameBytes, w, h), "synthetic")
           }
@@ -1100,20 +1119,40 @@ object Multimodal {
     * mean (see [[imageAHash]] for the full contract). Shared by the image
     * and per-video-frame paths so the two families cannot drift.
     */
-  private[graft] def aHashBits(img: java.awt.image.BufferedImage): Long = {
+  /** Shared 8×8 luma box-pool for [[aHashBits]]/[[pHashBits]] — bit-identical
+    * to the per-pixel `getRGB` loops it replaced, but reads pixels in BULK:
+    * per-pixel `getRGB` pays a ColorModel virtual dispatch + sRGB conversion
+    * call per pixel, which dominated the decode stages (q266/q269 hash every
+    * frame of every clip). TYPE_BYTE_GRAY images read raw raster samples and
+    * map through [[GraySrgbLut]] — exactly what `getRGB` returns for a gray
+    * image (r = g = b = lut(level), so luma = 1000·lut(level), the identity
+    * the q266 oracle already embeds); anything else reads whole rows through
+    * the bulk `getRGB` overload (same conversion, one call per row).
+    * Returns (cellSum, cellCnt, totalLumaSum).
+    */
+  private def poolLuma8x8(img: java.awt.image.BufferedImage): (Array[Long], Array[Long], Long) = {
     val w = img.getWidth
     val h = img.getHeight
     val cellSum = new Array[Long](64)
     val cellCnt = new Array[Long](64)
     var totalSum = 0L
+    val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val row = new Array[Int](w)
+    val raster = img.getRaster
     var y = 0
     while (y < h) {
-      val rj = y * 8 / h
+      val base = (y * 8 / h) * 8
+      if (gray) raster.getSamples(0, y, w, 1, 0, row)
+      else img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val v = img.getRGB(x, y) & 0xffffff
-        val luma = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
-        val c = rj * 8 + x * 8 / w
+        val luma =
+          if (gray) 1000L * GraySrgbLutArr(row(x))
+          else {
+            val v = row(x) & 0xffffff
+            299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+          }
+        val c = base + x * 8 / w
         cellSum(c) += luma
         cellCnt(c) += 1
         totalSum += luma
@@ -1121,7 +1160,15 @@ object Multimodal {
       }
       y += 1
     }
-    val totalN = w.toLong * h
+    (cellSum, cellCnt, totalSum)
+  }
+
+  private[graft] def aHashBits(img: java.awt.image.BufferedImage): Long = {
+    val (cellSum, cellCnt, totalSum) = poolLuma8x8(img)
+    aHashFromPool(cellSum, cellCnt, totalSum, img.getWidth.toLong * img.getHeight)
+  }
+
+  private def aHashFromPool(cellSum: Array[Long], cellCnt: Array[Long], totalSum: Long, totalN: Long): Long = {
     var hash = 0L
     var c = 0
     while (c < 64) {
@@ -1131,6 +1178,18 @@ object Multimodal {
       c += 1
     }
     hash
+  }
+
+  /** Both hashes from ONE pooling pass — the pool (a full pixel read) is the
+    * dominant cost of hashing a decoded frame, and every both-hash caller
+    * ([[videoFrameHashes]], [[imagePHash]]) used to pay it twice.
+    */
+  private[graft] def bothHashBits(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (cellSum, cellCnt, totalSum) = poolLuma8x8(img)
+    (
+      aHashFromPool(cellSum, cellCnt, totalSum, img.getWidth.toLong * img.getHeight),
+      pHashFromPool(cellSum, cellCnt),
+    )
   }
 
   /** Quantized DCT-II cosine basis for [[pHashBits]]:
@@ -1158,6 +1217,10 @@ object Multimodal {
     img.getRaster.setSample(0, 0, 0, l)
     img.getRGB(0, 0) & 0xff
   }
+
+  // Array view of the LUT for the per-pixel hot loop (IndexedSeq#apply is a
+  // megamorphic call; the loop runs once per pixel of every decoded frame).
+  private lazy val GraySrgbLutArr: Array[Int] = GraySrgbLut.toArray
 
   private[graft] val PhashScale: Long = 1L << 14
   private[graft] val PhashCosTable: Array[Array[Long]] =
@@ -1189,23 +1252,11 @@ object Multimodal {
     * few luma counts cannot move on an image with real structure.
     */
   private[graft] def pHashBits(img: java.awt.image.BufferedImage): Long = {
-    val w = img.getWidth
-    val h = img.getHeight
-    val cellSum = new Array[Long](64)
-    val cellCnt = new Array[Long](64)
-    var y = 0
-    while (y < h) {
-      val cy = y * 8 / h
-      var x = 0
-      while (x < w) {
-        val v = img.getRGB(x, y) & 0xffffff
-        val luma = 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
-        cellSum(cy * 8 + x * 8 / w) += luma
-        cellCnt(cy * 8 + x * 8 / w) += 1
-        x += 1
-      }
-      y += 1
-    }
+    val (cellSum, cellCnt, _) = poolLuma8x8(img)
+    pHashFromPool(cellSum, cellCnt)
+  }
+
+  private def pHashFromPool(cellSum: Array[Long], cellCnt: Array[Long]): Long = {
     // An image narrower/shorter than 8 px leaves pool cells EMPTY (the
     // `y*8/h` map skips grid rows) — treat an empty cell's mean as 0 so
     // the hash stays TOTAL (a 1×1 tracking pixel must not throw and kill
@@ -1269,8 +1320,7 @@ object Multimodal {
       if (img == null || img.getWidth < 1 || img.getHeight < 1)
         PHashRow(m.media_id, -1L, -1L, -1L, -1L)
       else {
-        val p = pHashBits(img)
-        val a = aHashBits(img)
+        val (a, p) = bothHashBits(img)
         PHashRow(m.media_id, p >>> 32, p & 0xffffffffL, a >>> 32, a & 0xffffffffL)
       }
     })
