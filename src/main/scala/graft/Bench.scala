@@ -103,6 +103,20 @@ object Bench {
             .replaceAll("[\"\\\\]", "'")
             .replaceAll("\\p{Cntrl}", " ")
           name -> -1.0
+      } finally {
+        // BETWEEN-QUERY state release (outside every timed region; the
+        // timing methodology above is unchanged). Operators truncate
+        // lineage via localCheckpoint, whose blocks stay pinned until GC +
+        // ContextCleaner get around to them — across 293 queries in one
+        // JVM that backlog is live heap, and it was measurably taxing
+        // late-suite queries (r21: q231 30.5 s in-suite vs 11.9 s solo,
+        // q264 18.9 vs 4.5, on identical plans — same mechanism as the
+        // r20 ScaleBench GCLocker crash, below the crash threshold).
+        // Synchronous, the r20 lesson: an async release is a removal
+        // backlog that is still live heap when the next query's
+        // allocation spike arrives.
+        try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // Seconds rounded to 1 ms: halves the JSON line length (the round-5

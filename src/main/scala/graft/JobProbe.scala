@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
@@ -47,6 +47,20 @@ object JobProbe {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.get(je.jobId)).foreach(_.end = je.time)
       }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+        // Only print stages that matter (>= 500 ms wall): the interesting
+        // signal is a long stage, and inside it whether the time is one
+        // straggler task (max >> sum/n) or spread work.
+        if (wall >= 500) {
+          val m = Option(si.taskMetrics)
+          val run = m.map(_.executorRunTime).getOrElse(-1L)
+          println(
+            f"  STAGE ${si.stageId}%4d wall=${wall}%6d ms tasks=${si.numTasks}%4d taskSum=${run}%7d ms  ${si.name.takeWhile(_ != '(').trim} ${si.details.linesIterator.toSeq.drop(1).headOption.getOrElse("").trim.take(80)}"
+          )
+        }
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     // Same warmups as Bench so the first measured query is not absorbing
@@ -67,9 +81,15 @@ object JobProbe {
       val rows = order.asScala.toSeq.flatMap(id => Option(jobs.get(id)))
       val jobSum = rows.collect { case r if r.end > 0 => r.end - r.start }.sum
       println(f"JOBPROBE $name wall=${wallMs / 1000}%.2fs jobs=${rows.size} jobSum=${jobSum / 1000.0}%.2fs driverGap=${(wallMs - jobSum) / 1000}%.2fs")
+      var prevEnd = -1L
       rows.foreach { r =>
         val d = if (r.end > 0) r.end - r.start else -1L
-        println(f"  job ${r.id}%4d ${d}%6d ms  ${r.site}")
+        // gap = driver-side time since the previous job ended (planning,
+        // FS metadata work, collect deserialization) — where "no job is
+        // running" seconds hide.
+        val gap = if (prevEnd > 0) r.start - prevEnd else 0L
+        if (r.end > 0) prevEnd = r.end
+        println(f"  job ${r.id}%4d ${d}%6d ms  gap=${gap}%5d ms  ${r.site}")
       }
       val bySite = rows
         .collect { case r if r.end > 0 => (r.site, r.end - r.start) }

@@ -140,7 +140,11 @@ object Dedup {
     // Materialize the signatures once: the self-join below would otherwise
     // compute the tokenize+hash subtree twice unless ReuseExchange happens to
     // fire — correctness must not lean on an optional physical optimization.
-    val sig = Lineage.truncate(withMinhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), k))
+    // [[Pin.spread]] first: the per-token md5 work runs BEFORE the first
+    // shuffle, i.e. at input-split parallelism — one small file = one core.
+    val sig = Lineage.truncate(
+      withMinhash(Pin.spread(df.select(col(idCol), col(textCol)), col(idCol)), Seq(idCol), col(textCol), k)
+    )
     bandedPairsOfSigs(sig.withColumnRenamed(idCol, "id"), k, bands)
   }
 
@@ -179,13 +183,28 @@ object Dedup {
     // on 14 post-shuffle tasks (~2 µs/pair at both tiers; the anomaly was
     // parallelism, never per-pair cost). Broadcast is never the right
     // plan here: a banded side small enough to broadcast makes the
-    // shuffle cheap too, and the sides are same-sized by construction —
-    // so the asymmetric risk says pin the exchange and let AQE size the
-    // post-shuffle partitions (parallelism-first, never to one task).
-    banded
+    // shuffle cheap too, and the sides are same-sized by construction.
+    //
+    // REPARTITION_BY_NUM-pinned: the r20 merge hint stopped the broadcast
+    // collapse, but AQE's byte-based partition COALESCING re-serialized
+    // the same stage one planner path later — with parallelismFirst's
+    // target clamped at minPartitionSize (1 MB), a banded side of a few
+    // MB coalesces the join's reduce stage to ONE post-shuffle partition,
+    // and the quadratic pair emission + the verify fused behind it run on
+    // one core (measured r21, stage profile: the q209 pair build was one
+    // 7.0 s task with 6.97 s of CPU; 31 cores idle). Same root cause as
+    // r20, different planner path: output rows are invisible to byte
+    // estimates. The [[Pin.byKey]] repartition is a user-specified shuffle
+    // AQE never coalesces, it satisfies the join's clustering requirement
+    // (no extra exchange — it REPLACES the join's own), and its
+    // parallelism follows the session's configured shuffle partitions,
+    // not this tier's byte census. Post-fix: 32 tasks, 3.5 s wall on the
+    // same build (bounded by the largest bucket).
+    val pinned = Pin.byKey(banded, col("bk"))
+    pinned
       .as("l")
       .hint("merge")
-      .join(banded.as("r").hint("merge"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .join(pinned.as("r").hint("merge"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
       .filter(firstBandOnly)
   }
 
@@ -270,8 +289,9 @@ object Dedup {
     // projection is materialized ONCE: it feeds both self-join sides, and
     // the n-gram md5 work must not run twice (the bandedPairs stance).
     val toks = Lineage.truncate(
-      df
-        .select(col(idCol).as("id"), col(blockCol).as("block"), TextAnalysis.wsTokens(col(textCol)).as("__t"))
+      Pin
+        .spread(df.select(col(idCol).as("id"), col(blockCol).as("block"), col(textCol).as("__txt")), col("id"))
+        .select(col("id"), col("block"), TextAnalysis.wsTokens(col("__txt")).as("__t"))
         .select(
           col("id"),
           col("block"),
@@ -281,9 +301,12 @@ object Dedup {
         )
     )
     val inter = SortedIntersectCount.sortedIntersectCount(col("l.toks"), col("r.toks"))
-    toks
+    // [[Pin.byKey]]: structural reduce parallelism for the within-block
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinnedToks = Pin.byKey(toks, col("block"))
+    pinnedToks
       .as("l")
-      .join(toks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .join(pinnedToks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .withColumn("__i", inter)
       .filter(size(col("l.toks")) > 0 && size(col("r.toks")) > 0)
       .withColumn("cont_a", col("__i").cast("double") / size(col("l.toks")))
@@ -305,7 +328,15 @@ object Dedup {
   ): DataFrame =
     jaccardVerifyToks(
       candidates,
-      docs.select(col(idCol).as("id"), TextAnalysis.hashedTokenSet(col(textCol)).as("toks")),
+      // Materialized once and [[Pin.spread]]: [[jaccardVerifyToks]] joins
+      // this table to BOTH pair endpoints, and Spark does not CSE DataFrame
+      // branches — without the checkpoint the per-doc tokenize+hash+sort
+      // runs twice, and on a single-split input it runs on one core.
+      Lineage.truncate(
+        Pin
+          .spread(docs.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+          .select(col("id"), TextAnalysis.hashedTokenSet(col("__txt")).as("toks"))
+      ),
       threshold,
     )
 
@@ -475,14 +506,19 @@ object Dedup {
           "(LSH-banded, sub-quadratic) for such corpora, or raise maxBlockRows deliberately."
       )
     }
-    val toks = df.select(
-      col(idCol).as("id"),
-      col(blockCol).as("block"),
-      TextAnalysis.hashedTokenSet(col(textCol)).as("toks"),
+    // Materialized once (the containmentPairs stance): the projection feeds
+    // BOTH self-join sides, and Spark does not CSE DataFrame branches — the
+    // per-doc tokenize+hash+sort must not run twice. Then [[Pin.byKey]]:
+    // structural reduce parallelism for the within-block pairing.
+    val toks = Lineage.truncate(
+      Pin
+        .spread(df.select(col(idCol).as("id"), col(blockCol).as("block"), col(textCol).as("__txt")), col("id"))
+        .select(col("id"), col("block"), TextAnalysis.hashedTokenSet(col("__txt")).as("toks"))
     )
-    toks
+    val pinned = Pin.byKey(toks, col("block"))
+    pinned
       .as("l")
-      .join(toks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .join(pinned.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .filter(sizeRatioOk(size(col("l.toks")), size(col("r.toks")), threshold))
       .withColumn("jaccard", jaccardHashed(col("l.toks"), col("r.toks")))
       .filter(col("jaccard") >= threshold)
@@ -534,7 +570,9 @@ object Dedup {
     // unit — see containmentPairs) with the token array hoisted to an
     // attribute first (wordNgramHashesFromTokens' documented inlining trap).
     val toks = Lineage.truncate(
-      df.select(col(idCol).as("id"), TextAnalysis.wsTokens(col(textCol)).as("__t"))
+      Pin
+        .spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+        .select(col("id"), TextAnalysis.wsTokens(col("__txt")).as("__t"))
         .select(
           col("id"),
           (if (shingleN == 1) sort_array(array_distinct(transform(col("__t"), t => Hashing.hash64(t))))
@@ -547,8 +585,15 @@ object Dedup {
     val dfTab = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
     val prefixLen = col("sz") - expr(s"(($thresholdNum * sz) + ${thresholdDen - 1}) div $thresholdDen") + 1
+    // [[Pin.byKey]] at the doc grain BEFORE the ranking window: the join
+    // by token and the per-doc row_number both carry the exploded token
+    // stream (O(corpus tokens) rows of real sort work), and AQE's
+    // byte-based coalescing runs them on one task otherwise (measured:
+    // 3.2 s single-task stage at sf0.1). The pinned exchange doubles as
+    // the window's own partitioning requirement.
     val prefix = Lineage.truncate(
-      ex.join(dfTab, "tok")
+      Pin
+        .byKey(ex.join(dfTab, "tok"), col("id"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= prefixLen)
         .select(col("tok"), col("id"), col("sz"))
@@ -562,9 +607,13 @@ object Dedup {
           s"its candidate bucket would enumerate ~${n * n / 2} pairs — the corpus is too self-similar for " +
           "exact prefix filtering at this threshold. Use minhashNearDupPairs, or raise the limit deliberately.",
     )
-    val cand = prefix
+    // [[Pin.byKey]]: structural reduce parallelism for the per-prefix-token
+    // candidate pairing (AQE byte-coalescing collapses it to one task
+    // otherwise).
+    val pinnedPrefix = Pin.byKey(prefix, col("tok"))
+    val cand = pinnedPrefix
       .as("l")
-      .join(prefix.as("r"), col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
+      .join(pinnedPrefix.as("r"), col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
       .filter(sizeRatioOk(col("l.sz"), col("r.sz"), threshold))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
@@ -1091,7 +1140,7 @@ object Dedup {
       maxBucketRows: Long = 100000L,
   ): DataFrame = {
     val bucketed = Lineage.truncate(
-      withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
+      withSimhash(Pin.spread(df.select(col(idCol), col(textCol)), col(idCol)), Seq(idCol), col(textCol), bits)
         .select(
           col(idCol).as("id"),
           col("simhash").as("sim"),
@@ -1107,8 +1156,11 @@ object Dedup {
           s"the within-bucket pairing would enumerate ~${n * n / 2} pairs. Raise prefixBits " +
           "(more, smaller buckets) or raise maxBucketRows deliberately.",
     )
-    val l = bucketed.as("l")
-    val r = bucketed.as("r")
+    // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinned = Pin.byKey(bucketed, col("bucket"))
+    val l = pinned.as("l")
+    val r = pinned.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1144,7 +1196,7 @@ object Dedup {
     def rotl(c: Column, k: Int): Column =
       if (k == 0) c
       else shiftleft(c, k).bitwiseAND(lit(mask)) + shiftright(c, bits - k)
-    val sigs = withSimhash(df.select(col(idCol), col(textCol)), Seq(idCol), col(textCol), bits)
+    val sigs = withSimhash(Pin.spread(df.select(col(idCol), col(textCol)), col(idCol)), Seq(idCol), col(textCol), bits)
       .select(
         col(idCol).as("id") +: col("simhash").as("sim") +:
           (0 until rotations).map(r => shiftright(rotl(col("simhash"), r * bits / rotations), bits - prefixBits).as(s"b$r")): _*
@@ -1173,9 +1225,12 @@ object Dedup {
         (col("l.rb.rot") === r) && earlierNoMatch
       }
       .reduce(_ || _)
-    banded
+    // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinned = Pin.byKey(banded, col("rb"))
+    pinned
       .as("l")
-      .join(banded.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
+      .join(pinned.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
       .filter(firstRotationOnly)
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1229,8 +1284,12 @@ object Dedup {
           s"the within-bucket pairing would enumerate ~${n * n / 2} pairs. Raise prefixBits " +
           "(more, smaller buckets) or raise maxBucketRows deliberately.",
     )
-    val l = bucketed.as("l")
-    val r = bucketed.as("r")
+    // [[Pin.byKey]]: the within-bucket pairing's reduce parallelism must be
+    // structural — byte-based AQE coalescing serializes it to one task on
+    // tiny inputs (see Pin's scaladoc for the measured history).
+    val pinned = Pin.byKey(bucketed, col("bucket"))
+    val l = pinned.as("l")
+    val r = pinned.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1293,9 +1352,12 @@ object Dedup {
         (col("l.rb.rot") === r) && earlierNoMatch
       }
       .reduce(_ || _)
-    exploded
+    // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinned = Pin.byKey(exploded, col("rb"))
+    pinned
       .as("l")
-      .join(exploded.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
+      .join(pinned.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
       .filter(firstRotationOnly)
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1320,11 +1382,16 @@ object Dedup {
     val mh = Hashing.minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("toks"), h => (lit(a) * (h % Hashing.P) + lit(b)) % Hashing.P)).as(s"mh$i")
     }
-    docs
+    // [[Pin.spread]] is a NO-OP on any real multi-split corpus, so the
+    // zero-shuffle scan-speed contract above holds at scale; on a
+    // degenerate single-split input it buys the signature pass the
+    // session's parallelism for one tiny (id, text) exchange.
+    Pin
+      .spread(docs.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
       .select(
-        col(idCol).as("id"),
-        Hashing.hash64(col(textCol)).as("__h"),
-        TextAnalysis.hashedTokenSet(col(textCol)).as("toks"),
+        col("id"),
+        Hashing.hash64(col("__txt")).as("__h"),
+        TextAnalysis.hashedTokenSet(col("__txt")).as("toks"),
       )
       .select(Seq(col("id"), col("__h"), col("toks")) ++ mh: _*)
   }

@@ -116,25 +116,31 @@ object IvfIndex {
       withSim: Boolean = false,
       keep: Seq[String] = Nil,
   ): DataFrame = {
-    // Pre-flight BEFORE collect(): probing limit(max+1) costs one tiny job,
-    // whereas a corpus-sized `centroids` would OOM the driver inside
-    // collect() and the loud error below would never fire. The codebook plan
-    // is materialized ONCE first — a typical centroids input is a full-corpus
-    // scan + two aggregations, and the probe must not run that twice.
+    // ONE bounded collect does triple duty — materialize the codebook plan,
+    // enforce the size fence, and fetch the rows. The previous shape
+    // (eager truncate + a limit(max+1) count probe + an orderBy collect)
+    // paid THREE driver actions per assign call — and assign runs once per
+    // corpus encode/train pass, so a composed lifecycle query paid it
+    // several times over. The limit bounds what can ever reach the driver
+    // (≤ maxCentroids+1 rows, a fixed ceiling), so the fence still fires
+    // loudly on a corpus-sized input instead of OOMing inside an unbounded
+    // collect; the codebook plan executes exactly once (no truncate
+    // needed — nothing reads it twice anymore); ordering happens
+    // driver-side on the ≤ 2^20 collected rows (the same rows the old
+    // orderBy shipped).
     val maxCentroids = 1 << 20
-    val mat = Lineage.truncate(centroids)
-    val probed = mat.select(lit(1).as("__one")).limit(maxCentroids + 1).count()
+    val cents: Seq[(Int, Seq[Float])] = centroids
+      .limit(maxCentroids + 1)
+      .collect()
+      .toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
     require(
-      probed <= maxCentroids,
+      cents.size <= maxCentroids,
       s"assign: >$maxCentroids centroids — the codebook is collected to the driver and embedded " +
         "in the plan, which only makes sense for a coarse quantizer (nlist ≲ 2^20). " +
         "A codebook this size is a bug or calls for a partitioned ANN design instead.",
     )
-    val cents: Seq[(Int, Seq[Float])] = mat
-      .orderBy(col("centroid_id"))
-      .collect()
-      .toSeq
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, "assign: empty centroid codebook")
     val codebook = typedLit(cents)
     val best = array_max(

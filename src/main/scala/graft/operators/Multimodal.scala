@@ -230,8 +230,8 @@ object Multimodal {
   def synthesizeWav(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    Pin
+      .spread(docs.select(col(idCol).cast("long").as("id")), col("id"))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -377,8 +377,8 @@ object Multimodal {
   def synthesizeAvi(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    Pin
+      .spread(docs.select(col(idCol).cast("long").as("id")), col("id"))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -502,8 +502,8 @@ object Multimodal {
   def synthesizeMjpegAvi(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    Pin
+      .spread(docs.select(col(idCol).cast("long").as("id")), col("id"))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -702,7 +702,9 @@ object Multimodal {
       )
       .distinct()
     val freq = sigs.groupBy(col("sig")).agg(count(lit(1)).as("__nvids"))
-    val keep = sigs.join(freq.filter(col("__nvids") <= maxVideosPerSig), "sig")
+    // [[Pin.byKey]]: structural reduce parallelism for the per-signature
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val keep = Pin.byKey(sigs.join(freq.filter(col("__nvids") <= maxVideosPerSig), "sig"), col("sig"))
     val a = keep.select(col("sig"), col("media_id").as("id_a"))
     val b = keep.select(col("sig"), col("media_id").as("id_b"))
     a.join(b, Seq("sig"))
@@ -863,8 +865,8 @@ object Multimodal {
   def synthesizeMjpegReencodePair(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    Pin
+      .spread(docs.select(col(idCol).cast("long").as("id")), col("id"))
       .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
@@ -991,6 +993,7 @@ object Multimodal {
         // image per id, the original contract).
         col(contentIdCol.getOrElse(idCol)).cast("long").as("cid"),
       )
+      .transform(Pin.spread(_, col("id")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, cid) =>
@@ -1027,8 +1030,8 @@ object Multimodal {
   def synthesizeGif(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    Pin
+      .spread(docs.select(col(idCol).cast("long").as("id")), col("id"))
       .as[Long]
       .mapPartitions { it =>
         val frameBlock = Array[Byte](
@@ -1354,8 +1357,8 @@ object Multimodal {
   def synthesizePngReencodePair(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    Pin
+      .spread(docs.select(col(idCol).cast("long").as("id")), col("id"))
       .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>

@@ -451,8 +451,11 @@ object Similarity {
       )
     }
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), col(blockCol).as("block"))
-    val l = v.as("l")
-    val r = v.as("r")
+    // [[Pin.byKey]]: structural reduce parallelism for the within-block
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinned = Pin.byKey(v, col("block"))
+    val l = pinned.as("l")
+    val r = pinned.as("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .withColumn("sim", cosine(col("l.vec"), col("r.vec")))
       .filter(col("sim") >= threshold)
@@ -571,10 +574,13 @@ object Similarity {
           "codebook (more centroids), or raise maxBlockRows deliberately."
       )
     }
-    assigned
+    // [[Pin.byKey]]: structural reduce parallelism for the within-cluster
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinnedAssigned = Pin.byKey(assigned, col("centroid_id"))
+    pinnedAssigned
       .as("l")
       .join(
-        assigned.as("r"),
+        pinnedAssigned.as("r"),
         col("l.centroid_id") === col("r.centroid_id") && col("l.label") =!= col("r.label"),
       )
       .withColumn("sim", cosine(col("l.vec"), col("r.vec")))
@@ -630,9 +636,12 @@ object Similarity {
         (col("l.tb.tbl") === t) && earlierNoMatch
       }
       .reduce(_ || _)
-    val cand = banded
+    // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinned = Pin.byKey(banded, col("tb"))
+    val cand = pinned
       .as("l")
-      .join(banded.as("r"), col("l.tb") === col("r.tb") && col("l.id") < col("r.id"))
+      .join(pinned.as("r"), col("l.tb") === col("r.tb") && col("l.id") < col("r.id"))
       .filter(firstTableOnly)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
     val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("v"))

@@ -113,7 +113,9 @@ object Winnow {
       .select(col(idCol), col("fp_hash"))
       .distinct()
     val freq = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("__ndocs"))
-    val keep = fp.join(freq.filter(col("__ndocs") <= maxDocsPerFp), "fp_hash")
+    // [[Pin.byKey]]: structural reduce parallelism for the per-fingerprint
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val keep = Pin.byKey(fp.join(freq.filter(col("__ndocs") <= maxDocsPerFp), "fp_hash"), col("fp_hash"))
     val a = keep.select(col("fp_hash"), col(idCol).as("id_a"))
     val b = keep.select(col("fp_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("fp_hash"))

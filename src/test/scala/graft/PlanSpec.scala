@@ -242,11 +242,29 @@ class PlanSpec extends SparkSpec {
     assert(r.getLong(1) == 2L)
   }
 
-  test("buildDedupIndex is zero-shuffle; filterFunnel is one partial-aggregated pass") {
+  test("buildDedupIndex is zero-shuffle at scale; filterFunnel is one partial-aggregated pass") {
     import graft.operators.{Dedup, Quality}
     val docs = spark.read.parquet(sf() + "/documents.parquet")
+    // On a degenerate single-split input, Pin.spread adds exactly ONE
+    // user-pinned exchange of the bare (id, text) projection so the
+    // signature pass isn't serialized on one core; it must never carry
+    // derived columns (signatures, token sets).
     val pIdx = plan(Dedup.buildDedupIndex(docs, "doc_id", "text"))
-    assert(!pIdx.contains("Exchange"), s"index build must be map-only:\n$pIdx")
+    val exIdx = pIdx.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(
+      exIdx.size == 1 && exIdx.head.contains("REPARTITION_BY_NUM"),
+      s"index build on a narrow input: exactly the input spread exchange:\n$pIdx",
+    )
+    assert(!exIdx.head.contains("toks") && !exIdx.head.contains("mh0"), s"spread must ship raw input only:\n$pIdx")
+    // On an input already at session parallelism the spread is a NO-OP —
+    // the at-scale shape: the index build itself stays map-only (the one
+    // exchange below is the test's own widening repartition).
+    val wide = docs.repartition(spark.sessionState.conf.numShufflePartitions)
+    val pWide = plan(Dedup.buildDedupIndex(wide, "doc_id", "text"))
+    assert(
+      "Exchange".r.findAllIn(pWide).length == 1,
+      s"index build over a parallel input must add no exchange of its own:\n$pWide",
+    )
     val pF = plan(Quality.filterFunnel(docs, Seq("nonempty" -> (length(col("text")) > 0))))
     assert("Exchange".r.findAllIn(pF).length == 1, s"funnel must be one agg exchange:\n$pF")
   }
@@ -631,7 +649,12 @@ class PlanSpec extends SparkSpec {
     // (plus AQE's final ordering) — never payload bytes
     assert(!p.contains("Join"), s"no join anywhere in the census:\n$p")
     val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.size === 1, s"exactly the census exchange:\n$p")
+    // Pin.spread adds one user-pinned exchange of BARE IDS before the
+    // synthesizer (so the synth+decode pass isn't serialized on one input
+    // split); the census groupBy remains the only ENSURE exchange.
+    val (spreadEx, censusEx) = hashEx.partition(_.contains("REPARTITION_BY_NUM"))
+    assert(censusEx.size === 1, s"exactly the census exchange:\n$p")
+    assert(spreadEx.size <= 1, s"at most the id spread:\n$p")
     assert(
       hashEx.forall(l => !l.contains("content")),
       s"payload bytes must not reach a shuffle:\n$p",
