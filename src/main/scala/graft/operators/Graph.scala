@@ -58,8 +58,12 @@ object Graph {
     }
     val joinCond = bucketCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
       col(s"l.$itemCol") < col(s"r.$itemCol")
-    b.as("l")
-      .join(b.as("r"), joinCond)
+    // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
+    // pairing (AQE byte-coalescing collapses it to one task otherwise).
+    val pinned = Pin.byKey(b, bucketCols.map(col): _*)
+    pinned
+      .as("l")
+      .join(pinned.as("r"), joinCond)
       .groupBy(col(s"l.$itemCol").as("a"), col(s"r.$itemCol").as("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
@@ -301,9 +305,13 @@ object Graph {
     )
     // Wedge (x→v, x→w) with v ≺ w in the orientation order closes iff the
     // oriented edge v→w exists (v ≺ w fixes the closing edge's direction).
-    val triangles = oriented
+    // [[Pin.byKey]]: the wedge self-join's output is quadratic in the
+    // per-x out-neighborhood — structural reduce parallelism, the bucket
+    // self-join rule.
+    val pinnedOriented = Pin.byKey(oriented, col("x"))
+    val triangles = pinnedOriented
       .as("o1")
-      .join(oriented.as("o2"), col("o1.x") === col("o2.x") && col("o1.yk") < col("o2.yk"))
+      .join(pinnedOriented.as("o2"), col("o1.x") === col("o2.x") && col("o1.yk") < col("o2.yk"))
       .select(col("o1.x").as("ta"), col("o1.yk.n").as("tb"), col("o2.yk.n").as("tc"))
       .join(
         oriented.select(col("x").as("tb"), col("yk.n").as("tc")),

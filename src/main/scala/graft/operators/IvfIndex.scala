@@ -1397,23 +1397,39 @@ object IvfIndex {
     refs.collect { case AdcRef("codes", cell, name, bytes) => (cell, name, bytes) }
 
   /** The chain's FOLD WATERMARK ([[graft.operators.Dedup.dedupFoldWatermark]]'s
-    * twin on this artifact): the largest batch id a manifest compaction
-    * ever folded into bins, persisted as a `kind = "fold"` ref carried
-    * forward by every later generation. None until the first batch
-    * landing is folded. The cross-artifact census and gates
-    * ([[graft.operators.Consistency]]) treat batch ids at or below it as
-    * covered by this chain.
+    * twin): max of [[adcFoldedBatches]], kept for messages and specs.
+    * COVERAGE never tests against this — see [[adcFoldedBatches]].
     */
   private[graft] def adcFoldWatermark(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-  ): Option[Long] = {
+  ): Option[Long] =
+    adcFoldedBatches(spark, dir).maxOption
+
+  /** The EXACT set of batch ids this chain's manifest compactions ever
+    * folded into bins — one `kind = "fold"` ref PER ID, carried forward by
+    * every later generation. The cross-artifact census and gates
+    * ([[graft.operators.Consistency]]) test MEMBERSHIP in this set, never
+    * `<= max`: a single max watermark treated as dense-range coverage
+    * masked any batch that was never landed here but sat below a later
+    * folded id — the gap a one-sided crash leaves is exactly the
+    * divergence the census exists to keep observable (r20 VERDICT #1).
+    * Fold refs are one metadata row per folded batch per generation —
+    * the manifest's own cost class. A pre-upgrade layout carrying only
+    * the old single max ref under-covers (its below-max folded batches
+    * read uncovered and the gates REFUSE), which is the safe direction:
+    * re-landing the named batch heals it, per the refusal text.
+    */
+  private[graft] def adcFoldedBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+  ): Set[Long] = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val gens = listAdcGens(fs, dir)
-    require(gens.nonEmpty, s"adcFoldWatermark: no manifest at $dir - bootstrap with writeAdcManifest")
+    require(gens.nonEmpty, s"adcFoldedBatches: no manifest at $dir - bootstrap with writeAdcManifest")
     readAdcManifestRefs(spark, dir, gens.max)
       .collect { case AdcRef("fold", _, w, _) => w.toLong }
-      .maxOption
+      .toSet
   }
 
   private def centroidsPathOf(dir: String, refs: Seq[AdcRef]): String =
@@ -1769,12 +1785,15 @@ object IvfIndex {
     // A no-op pass (nothing to bin) commits NOTHING — an idempotent
     // nightly compactor must not grow the generation chain.
     if (victims.nonEmpty) {
-      // The fold watermark ref: prior mark carried forward, this commit's
-      // folded ids merged in (the committer token is re-stamped by
-      // commitAdcGen; every other non-codes ref passes through).
-      val foldMark = (otherRefs.collect { case AdcRef("fold", _, w, _) => w.toLong } ++ foldedIds).maxOption
+      // The folded-id SET: prior fold refs carried forward, this commit's
+      // folded ids merged in — one ref PER batch id, never a single max
+      // (see [[adcFoldedBatches]]: `<= max` coverage masked one-sided
+      // batches sitting in a gap below a later fold). The committer token
+      // is re-stamped by commitAdcGen; every other non-codes ref passes
+      // through.
+      val foldSet = (otherRefs.collect { case AdcRef("fold", _, w, _) => w.toLong } ++ foldedIds).distinct.sorted
       val carried = otherRefs.filterNot(_.kind == "fold") ++
-        foldMark.map(w => AdcRef("fold", -1, w.toString, 0L)).toSeq
+        foldSet.map(w => AdcRef("fold", -1, w.toString, 0L))
       commitAdcGen(spark, fs, dir, newGen,
         committedRefs.map { case (cell, name, bytes) => AdcRef("codes", cell, name, bytes) } ++ carried,
         expectedParent = Some(gens.max))

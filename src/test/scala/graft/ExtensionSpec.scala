@@ -867,6 +867,80 @@ class ExtensionSpec extends SparkSpec {
     graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dedupPath).getParentFile)
   }
 
+  test("fold coverage is an exact id set: a gap under the watermark cannot mask a one-sided batch") {
+    // THE r20 VERDICT #1 GAP STATE: batch 2 lands in the ANN chain only
+    // (the between-commits crash, checkpoint abandoned), batch 3 later
+    // dual-lands cleanly, and the dedup chain's gated compaction folds its
+    // own landings {1, 3}. Under max-watermark coverage (`2 <= 3`) the
+    // census flipped the REAL ann_only divergence to 'both', requireCoverage
+    // passed, and the ANN chain's own gate would fold batch 2 — permanently
+    // unobservable with every gate reporting clean. With the folded-id SET,
+    // batch 2 stays a loud divergence until it is actually re-landed.
+    import graft.operators.{Consistency, Dedup, IvfIndex}
+    val docs = (1L to 80L).map(i => (i, s"foldgap document number $i with shared filler words")).toDF("doc_id", "text")
+    val dedupPath = java.nio.file.Files.createTempDirectory("graft_foldgap_spec").resolve("dedup").toString
+    Dedup.saveDedupIndex(Dedup.buildDedupIndex(docs.filter($"doc_id" <= 20), "doc_id", "text"), dedupPath)
+    Dedup.writeDedupManifest(spark, dedupPath)
+    val annBase = emb.filter(col("vec_id") % 2 === 0)
+    val centroids = IvfIndex.train(annBase, "vec_id", "embedding", nlist = 4, iters = 0)
+    val annDir = java.nio.file.Files.createTempDirectory("graft_foldgap_spec_ann").toString
+    IvfIndex.saveAdcIndex(annBase, "vec_id", "embedding", centroids,
+      m = 4, subDim = 16, pqNlist = 4, pqIters = 1, dir = annDir)
+    IvfIndex.writeAdcManifest(spark, annDir)
+    def dedupBatch(lo: Long, hi: Long, b: Long): Unit = {
+      Dedup.appendDedupIndex(
+        Dedup.buildDedupIndex(docs.filter($"doc_id" > lo && $"doc_id" <= hi), "doc_id", "text"),
+        dedupPath, batchId = Some(b))
+      Dedup.commitDedupBatchToManifest(spark, dedupPath, b): Unit
+    }
+    def annBatch(m8: Int, b: Long): Unit = {
+      val cells = IvfIndex.appendToAdcIndex(spark, annDir, emb.filter(col("vec_id") % 8 === m8),
+        "vec_id", "embedding", m = 4, batchId = Some(b))
+      IvfIndex.commitAdcBatchToManifest(spark, annDir, b, Some(cells)): Unit
+    }
+    dedupBatch(20, 40, 1L); annBatch(1, 1L) // batch 1: clean dual land
+    annBatch(3, 2L)                          // batch 2: ANN ONLY — the one-sided crash
+    dedupBatch(40, 60, 3L); annBatch(5, 3L)  // batch 3: clean dual land
+    // The dedup compaction folds {1, 3} — both covered by the ANN chain, so
+    // the gate passes and the persisted fold set is EXACT, with the gap.
+    val (fb, fa) = Dedup.compactDedupIndexManifest(spark, dedupPath, targetFiles = 1,
+      minRetainedBatchId = Some(4L), coverageGuard = Some(annDir))
+    assert(fa < fb, "the gap-state compaction must actually rewrite")
+    assert(Dedup.dedupFoldWatermark(spark, dedupPath).contains(3L))
+    assert(Dedup.dedupFoldedBatches(spark, dedupPath) == Set(1L, 3L),
+      "the folded-id set is exact — no dense-range claim over the gap")
+    // The census still reports the REAL divergence for the gap batch...
+    val row = Consistency.crossArtifactCoverage(spark, dedupPath, annDir)
+      .filter(col("batch_id") === 2L).collect()
+    assert(row.length == 1 && row.head.getString(3) == "ann_only",
+      s"batch 2 under the watermark but never landed must stay ann_only: ${row.mkString(";")}")
+    // ...the coverage gate refuses it...
+    intercept[IllegalArgumentException] {
+      Consistency.requireCoverage(spark, dedupPath, annDir, Seq(2L))
+    }: Unit
+    // ...and the ANN chain's own guarded compaction refuses to fold it
+    // (under the max form it would have consulted dedup's watermark 3,
+    // read 2 <= 3 as covered, and folded the divergence away forever).
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.compactAdcIndexCodesManifest(spark, annDir, targetBytes = 1L << 30,
+        minRetainedBatchId = Some(4L), coverageGuard = Some(dedupPath))
+    }
+    assert(ex.getMessage.contains("refusing to fold") && ex.getMessage.contains("2") &&
+      ex.getMessage.contains("folded-id set"), ex.getMessage)
+    // Remediation per the refusal text: re-land batch 2 into the dedup
+    // chain under the SAME id — the census heals, the gates pass, and the
+    // ANN compaction proceeds with batch 2 in ITS exact fold set.
+    dedupBatch(60, 80, 2L)
+    Consistency.requireCoverage(spark, dedupPath, annDir, Seq(1L, 2L, 3L))
+    IvfIndex.compactAdcIndexCodesManifest(spark, annDir, targetBytes = 1L << 30,
+      minRetainedBatchId = Some(4L), coverageGuard = Some(dedupPath)): Unit
+    assert(IvfIndex.adcFoldedBatches(spark, annDir).contains(2L))
+    assert(Consistency.crossArtifactCoverage(spark, dedupPath, annDir)
+      .filter(col("status") =!= "both").isEmpty, "post-remediation census is clean")
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(annDir))
+    graft.streaming.EventStream.registerDeleteOnExit(new java.io.File(dedupPath).getParentFile)
+  }
+
   test("planCodesCompaction: a fully watermark-retained census is a no-op, not a failure") {
     import graft.operators.IvfIndex
     // the nightly-compactor edge: every code file is a batch landing at or
