@@ -1614,8 +1614,11 @@ object Dedup {
     val tmp = path + ".compacting"
     val bak = path + ".precompact"
     idx.select(indexColumns(k).map(col): _*).coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
-    val inRows = spark.read.parquet(eligibleFiles: _*).count()
-    val outRows = spark.read.parquet(tmp).count()
+    // Row-count gate from parquet FOOTERS (exact metadata the files carry)
+    // — the two spark count() jobs here re-scanned the eligible set and
+    // the rewrite purely to compare cardinalities.
+    val inRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, eligibleFiles)
+    val outRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, Seq(tmp))
     require(
       outRows == inRows,
       s"compactDedupIndex: rewrite row count $outRows != input $inRows - " +
@@ -1690,21 +1693,33 @@ object Dedup {
   // One manifest generation's (kind, name, bytes) rows, collected —
   // metadata-scale (one row per FILE), and the explicit-files read needs
   // the list on the driver anyway. kind: "sig" (a signature file) or
-  // "committer" (the commit token).
+  // "committer" (the commit token). Read DIRECTLY (MetaIO), not through a
+  // Spark action — see [[IvfIndex.readAdcManifestRefs]]: the composed
+  // lifecycle ops re-read the head refs on every hop, and each
+  // spark.read+collect was ~50-150 ms of planning+scheduling to move a
+  // few hundred bytes the driver needs locally anyway.
   private[graft] def readDedupManifestRefs(
       spark: SparkSession,
       path: String,
       gen: Long,
   ): Seq[(String, String, Long)] =
-    spark.read
-      .parquet(s"${dedupManifestDir(path)}/gen-$gen.parquet")
-      .select(col("kind"), col("name"), col("bytes"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      .toSeq
+    MetaIO
+      .readGroups(spark.sparkContext.hadoopConfiguration, s"${dedupManifestDir(path)}/gen-$gen.parquet")
+      .map(g => (MetaIO.str(g, "kind"), MetaIO.str(g, "name"), MetaIO.int64(g, "bytes")))
 
   private def sigRefs(refs: Seq[(String, String, Long)]): Seq[(String, Long)] =
     refs.collect { case ("sig", name, bytes) => (name, bytes) }
+
+  // The generation object's parquet schema — what the Spark writer
+  // produced here before the direct MetaIO staging (optional fields,
+  // UTF8 strings), so pre- and post-change generations are
+  // indistinguishable to every reader.
+  private val DedupManifestSchema =
+    """message spark_schema {
+      |  optional binary kind (UTF8);
+      |  optional binary name (UTF8);
+      |  optional int64 bytes;
+      |}""".stripMargin
 
   /** The chain's FOLD WATERMARK: the largest batch id a manifest
     * compaction ever folded into bins — max of [[dedupFoldedBatches]],
@@ -1745,7 +1760,6 @@ object Dedup {
       refs: Seq[(String, String, Long)],
       expectedParent: Option[Long],
   ): Long = {
-    import spark.implicits._
     require(refs.exists(_._1 == "sig"), s"commitDedupGen: refusing to commit a signature-EMPTY generation $gen for $path")
     val token = java.util.UUID.randomUUID().toString
     val payload = refs.filterNot(_._1 == "committer") :+ (("committer", token, 0L))
@@ -1755,12 +1769,16 @@ object Dedup {
     // staged object BEFORE either fence runs. Crashed scratch is vacuumed
     // by [[cleanupDedupGenerations]] under its scratch grace.
     val scratch = s"$path/${IvfIndex.scratchName("_manifest_tmp", token)}"
-    payload
-      .toDF("kind", "name", "bytes")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(scratch)
+    // Stage the generation object DIRECTLY (MetaIO) — the manifest is one
+    // tiny driver-resident row set, and the Spark coalesce(1) write was a
+    // full job per commit on the ingest critical path. Same parquet
+    // format, same scratch-then-rename protocol below.
+    MetaIO.writeRows(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(scratch, "part-00000.parquet").toString,
+      DedupManifestSchema,
+      payload.map { case (kind, name, bytes) => Seq(kind, name, bytes) },
+    )
     val parts = fs
       .listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1914,8 +1932,9 @@ object Dedup {
     // UUID-unique scratch — same rule as the commit scratch above.
     val scratch = s"$path/${IvfIndex.scratchName("_mcompact_tmp", java.util.UUID.randomUUID().toString)}"
     idx.select(indexColumns(k).map(col): _*).coalesce(targetFiles).write.mode("overwrite").parquet(scratch)
-    val inRows = spark.read.parquet(eligibleFiles: _*).count()
-    val outRows = spark.read.parquet(scratch).count()
+    // Row-count gate from parquet FOOTERS — see compactDedupIndex above.
+    val inRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, eligibleFiles)
+    val outRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, Seq(scratch))
     require(
       outRows == inRows,
       s"compactDedupIndexManifest: rewrite row count $outRows != input $inRows - " +

@@ -627,7 +627,10 @@ object IvfIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) "plain"
     else {
-      val v = spark.read.parquet(s"$dir/meta").select(col("variant")).collect().head.getString(0)
+      // Metadata-scale direct read (one row) — see readAdcManifestRefs.
+      val rows = MetaIO.readGroups(spark.sparkContext.hadoopConfiguration, s"$dir/meta")
+      require(rows.nonEmpty, s"loadVariant: $dir/meta holds no rows - a corrupt index self-description")
+      val v = MetaIO.str(rows.head, "variant")
       require(v == "plain" || v == "residual", s"loadVariant: unknown index variant '$v' at $dir")
       v
     }
@@ -641,11 +644,13 @@ object IvfIndex {
       dir: String,
       m: Int,
   ): IndexedSeq[Seq[(Int, Seq[Float])]] = {
-    val rows = spark.read
-      .parquet(s"$dir/codebooks")
-      .orderBy(col("subspace"), col("centroid_id"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    // Metadata-scale direct read (m × nlist tiny rows that become a
+    // driver-side literal anyway) — see readAdcManifestRefs. The ordering
+    // the old orderBy established happens driver-side.
+    val rows = MetaIO
+      .readGroups(spark.sparkContext.hadoopConfiguration, s"$dir/codebooks")
+      .map(g => (MetaIO.int32(g, "subspace"), MetaIO.int32(g, "centroid_id"), MetaIO.floatSeq(g, "centroid")))
+      .sortBy(t => (t._1, t._2))
     val cbs = (0 until m).map(sub => rows.filter(_._1 == sub).map(t => (t._2, t._3)).toSeq)
     require(cbs.forall(_.nonEmpty), s"loadCodebooks: $dir/codebooks is missing subspaces (m=$m)")
     cbs
@@ -1009,7 +1014,10 @@ object IvfIndex {
       .mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(scratch)
-    val outRows = spark.read.parquet(scratch).count()
+    // Row-count gate from parquet FOOTERS: the count is exact metadata the
+    // files already carry — the spark count() here re-derived it with a
+    // scheduled cluster pass over the just-written scratch.
+    val outRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, Seq(scratch))
     require(
       outRows == memberRows,
       s"$op: re-encode row count $outRows != member count $memberRows - " +
@@ -1120,8 +1128,11 @@ object IvfIndex {
       .mode("overwrite")
       .partitionBy("centroid_id", "__bin")
       .parquet(tmp)
-    val inRows = spark.read.option("basePath", codes).parquet(victimFiles: _*).count()
-    val outRows = spark.read.parquet(tmp).count()
+    // Both row counts from parquet FOOTERS (exact metadata): the two
+    // spark count() jobs here re-scanned the victim set and the rewrite
+    // it just produced, purely to compare cardinalities.
+    val inRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, victimFiles)
+    val outRows = MetaIO.rowCount(spark.sparkContext.hadoopConfiguration, Seq(tmp))
     require(
       outRows == inRows,
       s"$op: rewrite row count $outRows != input $inRows over ${victimFiles.size} files - " +
@@ -1393,6 +1404,18 @@ object IvfIndex {
   // artifacts of the save and need no versioning.
   private[graft] case class AdcRef(kind: String, cell: Int, name: String, bytes: Long)
 
+  // The generation object's parquet schema — what the Spark writer
+  // produced here before the direct MetaIO staging (optional fields,
+  // UTF8 strings), so pre- and post-change generations are
+  // indistinguishable to every reader.
+  private val AdcManifestSchema =
+    """message spark_schema {
+      |  optional binary kind (UTF8);
+      |  optional int32 centroid_id;
+      |  optional binary name (UTF8);
+      |  optional int64 bytes;
+      |}""".stripMargin
+
   private def codesRefs(refs: Seq[AdcRef]): Seq[(Int, String, Long)] =
     refs.collect { case AdcRef("codes", cell, name, bytes) => (cell, name, bytes) }
 
@@ -1437,18 +1460,21 @@ object IvfIndex {
 
   // One manifest generation's rows, collected. Driver-side by design — a
   // manifest is metadata-scale (one row per FILE) and the explicit-files
-  // read needs the list on the driver anyway.
+  // read needs the list on the driver anyway. Read DIRECTLY (MetaIO), not
+  // through a Spark action: the composed lifecycle ops re-read the head
+  // refs on every hop, and each spark.read+collect was ~50-150 ms of
+  // planning+scheduling to move a few hundred bytes the driver needs
+  // locally anyway.
   private[graft] def readAdcManifestRefs(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       gen: Long,
   ): Seq[AdcRef] =
-    spark.read
-      .parquet(s"${manifestDir(dir)}/gen-$gen.parquet")
-      .select(col("kind"), col("centroid_id"), col("name"), col("bytes"))
-      .collect()
-      .map(r => AdcRef(r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
-      .toSeq
+    MetaIO
+      .readGroups(spark.sparkContext.hadoopConfiguration, s"${manifestDir(dir)}/gen-$gen.parquet")
+      .map(g =>
+        AdcRef(MetaIO.str(g, "kind"), MetaIO.int32(g, "centroid_id"), MetaIO.str(g, "name"),
+          MetaIO.int64(g, "bytes")))
 
   // Commit one generation: write the refs as a SINGLE parquet object.
   // The rename below is commit-local bookkeeping, not the commit itself:
@@ -1487,7 +1513,6 @@ object IvfIndex {
       refs: Seq[AdcRef],
       expectedParent: Option[Long],
   ): Long = {
-    import spark.implicits._
     require(refs.exists(_.kind == "codes"), s"commitAdcGen: refusing to commit a codes-EMPTY generation $gen for $dir")
     // Strip inherited committer rows (refs built from a previous
     // generation's rows carry its token) and stamp this commit's own.
@@ -1501,13 +1526,17 @@ object IvfIndex {
     // impossible; a crashed commit's scratch is vacuumed by
     // [[cleanupAdcGenerations]] under its scratch grace.
     val scratch = s"$dir/${scratchName("manifest_tmp", token)}"
-    payload
-      .map(r => (r.kind, r.cell, r.name, r.bytes))
-      .toDF("kind", "centroid_id", "name", "bytes")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(scratch)
+    // Stage the generation object DIRECTLY (MetaIO) — the manifest is one
+    // tiny driver-resident row set, and the Spark coalesce(1) write was a
+    // full job per commit on the ingest critical path. Same parquet
+    // format, same scratch-then-rename protocol below.
+    val stagedFile = new org.apache.hadoop.fs.Path(scratch, "part-00000.parquet")
+    MetaIO.writeRows(
+      spark.sparkContext.hadoopConfiguration,
+      stagedFile.toString,
+      AdcManifestSchema,
+      payload.map(r => Seq(r.kind, r.cell, r.name, r.bytes)),
+    )
     val parts = fs
       .listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
