@@ -304,9 +304,15 @@ object Dedup {
     // [[Pin.byKey]]: structural reduce parallelism for the within-block
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val pinnedToks = Pin.byKey(toks, col("block"))
+    // MERGE-hinted like the banding self-join: at SFs where the byte
+    // estimate admits a broadcast, the pinned build side paid a full
+    // REPARTITION_BY_NUM shuffle whose partitioning the BroadcastExchange
+    // then discarded; merge keeps ONE pinned exchange, reused by both
+    // sides (broadcast is never right for a same-sized self-join).
     pinnedToks
       .as("l")
-      .join(pinnedToks.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .hint("merge")
+      .join(pinnedToks.as("r").hint("merge"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .withColumn("__i", inter)
       .filter(size(col("l.toks")) > 0 && size(col("r.toks")) > 0)
       .withColumn("cont_a", col("__i").cast("double") / size(col("l.toks")))
@@ -516,9 +522,12 @@ object Dedup {
         .select(col("id"), col("block"), TextAnalysis.hashedTokenSet(col("__txt")).as("toks"))
     )
     val pinned = Pin.byKey(toks, col("block"))
+    // MERGE-hinted — see containmentPairs: one pinned exchange, reused by
+    // both sides; no build-side shuffle discarded under a toy-SF broadcast.
     pinned
       .as("l")
-      .join(pinned.as("r"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .hint("merge")
+      .join(pinned.as("r").hint("merge"), col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .filter(sizeRatioOk(size(col("l.toks")), size(col("r.toks")), threshold))
       .withColumn("jaccard", jaccardHashed(col("l.toks"), col("r.toks")))
       .filter(col("jaccard") >= threshold)
@@ -611,9 +620,12 @@ object Dedup {
     // candidate pairing (AQE byte-coalescing collapses it to one task
     // otherwise).
     val pinnedPrefix = Pin.byKey(prefix, col("tok"))
+    // MERGE-hinted — see containmentPairs: one pinned exchange, reused by
+    // both sides; no build-side shuffle discarded under a toy-SF broadcast.
     val cand = pinnedPrefix
       .as("l")
-      .join(pinnedPrefix.as("r"), col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
+      .hint("merge")
+      .join(pinnedPrefix.as("r").hint("merge"), col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
       .filter(sizeRatioOk(col("l.sz"), col("r.sz"), threshold))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
@@ -1159,8 +1171,10 @@ object Dedup {
     // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val pinned = Pin.byKey(bucketed, col("bucket"))
-    val l = pinned.as("l")
-    val r = pinned.as("r")
+    // MERGE-hinted — see containmentPairs: one pinned exchange, reused by
+    // both sides; no build-side shuffle discarded under a toy-SF broadcast.
+    val l = pinned.as("l").hint("merge")
+    val r = pinned.as("r").hint("merge")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1228,9 +1242,12 @@ object Dedup {
     // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val pinned = Pin.byKey(banded, col("rb"))
+    // MERGE-hinted — see containmentPairs: one pinned exchange, reused by
+    // both sides; no build-side shuffle discarded under a toy-SF broadcast.
     pinned
       .as("l")
-      .join(pinned.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
+      .hint("merge")
+      .join(pinned.as("r").hint("merge"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
       .filter(firstRotationOnly)
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1288,8 +1305,10 @@ object Dedup {
     // structural — byte-based AQE coalescing serializes it to one task on
     // tiny inputs (see Pin's scaladoc for the measured history).
     val pinned = Pin.byKey(bucketed, col("bucket"))
-    val l = pinned.as("l")
-    val r = pinned.as("r")
+    // MERGE-hinted — see containmentPairs: one pinned exchange, reused by
+    // both sides; no build-side shuffle discarded under a toy-SF broadcast.
+    val l = pinned.as("l").hint("merge")
+    val r = pinned.as("r").hint("merge")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)
@@ -1355,9 +1374,12 @@ object Dedup {
     // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val pinned = Pin.byKey(exploded, col("rb"))
+    // MERGE-hinted — see containmentPairs: one pinned exchange, reused by
+    // both sides; no build-side shuffle discarded under a toy-SF broadcast.
     pinned
       .as("l")
-      .join(pinned.as("r"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
+      .hint("merge")
+      .join(pinned.as("r").hint("merge"), col("l.rb") === col("r.rb") && col("l.id") < col("r.id"))
       .filter(firstRotationOnly)
       .withColumn("dist", Hashing.hammingDistance(col("l.sim"), col("r.sim")))
       .filter(col("dist") <= maxDist)

@@ -61,9 +61,13 @@ object Graph {
     // [[Pin.byKey]]: structural reduce parallelism for the within-bucket
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val pinned = Pin.byKey(b, bucketCols.map(col): _*)
+    // MERGE-hinted like the banding self-join: one pinned exchange reused
+    // by both sides; no build-side shuffle discarded under a toy-SF
+    // broadcast (broadcast is never right for a same-sized self-join).
     pinned
       .as("l")
-      .join(pinned.as("r"), joinCond)
+      .hint("merge")
+      .join(pinned.as("r").hint("merge"), joinCond)
       .groupBy(col(s"l.$itemCol").as("a"), col(s"r.$itemCol").as("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
@@ -309,9 +313,13 @@ object Graph {
     // per-x out-neighborhood — structural reduce parallelism, the bucket
     // self-join rule.
     val pinnedOriented = Pin.byKey(oriented, col("x"))
+    // MERGE-hinted — see cooccurrence pairing above: one pinned exchange,
+    // reused by both sides; no build-side shuffle discarded under a
+    // broadcast.
     val triangles = pinnedOriented
       .as("o1")
-      .join(pinnedOriented.as("o2"), col("o1.x") === col("o2.x") && col("o1.yk") < col("o2.yk"))
+      .hint("merge")
+      .join(pinnedOriented.as("o2").hint("merge"), col("o1.x") === col("o2.x") && col("o1.yk") < col("o2.yk"))
       .select(col("o1.x").as("ta"), col("o1.yk.n").as("tb"), col("o2.yk.n").as("tc"))
       .join(
         oriented.select(col("x").as("tb"), col("yk.n").as("tc")),

@@ -705,8 +705,11 @@ object Multimodal {
     // [[Pin.byKey]]: structural reduce parallelism for the per-signature
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val keep = Pin.byKey(sigs.join(freq.filter(col("__nvids") <= maxVideosPerSig), "sig"), col("sig"))
-    val a = keep.select(col("sig"), col("media_id").as("id_a"))
-    val b = keep.select(col("sig"), col("media_id").as("id_b"))
+    // MERGE-hinted like the banding self-join: one pinned exchange reused
+    // by both sides; no build-side shuffle discarded under a toy-SF
+    // broadcast (broadcast is never right for a same-sized self-join).
+    val a = keep.select(col("sig"), col("media_id").as("id_a")).hint("merge")
+    val b = keep.select(col("sig"), col("media_id").as("id_b")).hint("merge")
     a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

@@ -116,8 +116,11 @@ object Winnow {
     // [[Pin.byKey]]: structural reduce parallelism for the per-fingerprint
     // pairing (AQE byte-coalescing collapses it to one task otherwise).
     val keep = Pin.byKey(fp.join(freq.filter(col("__ndocs") <= maxDocsPerFp), "fp_hash"), col("fp_hash"))
-    val a = keep.select(col("fp_hash"), col(idCol).as("id_a"))
-    val b = keep.select(col("fp_hash"), col(idCol).as("id_b"))
+    // MERGE-hinted like the banding self-join: one pinned exchange reused
+    // by both sides; no build-side shuffle discarded under a toy-SF
+    // broadcast (broadcast is never right for a same-sized self-join).
+    val a = keep.select(col("fp_hash"), col(idCol).as("id_a")).hint("merge")
+    val b = keep.select(col("fp_hash"), col(idCol).as("id_b")).hint("merge")
     a.join(b, Seq("fp_hash"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
