@@ -24,17 +24,75 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // javax.imageio's default stream cache is FILE-backed: every
+  // javax.imageio's DEFAULT stream cache is FILE-backed: every
   // ImageIO.read / write / createImage{Input,Output}Stream call creates
   // (and deletes) a temp file under java.io.tmpdir just to buffer a
-  // payload we already hold fully in memory as a byte array. At one
-  // encode + one decode per frame that is two filesystem round trips per
-  // frame of pure overhead (measured: the q266/q269 decode stages are the
-  // two slowest queries of the suite). Memory-backed streams are
-  // bit-identical — the flag only picks the buffering strategy — and this
-  // object is initialized on every JVM (driver or executor) before any
-  // call site in it runs, so one static switch covers them all.
-  javax.imageio.ImageIO.setUseCache(false)
+  // payload we already hold fully in memory as a byte array — two
+  // filesystem round trips per frame of pure overhead (measured: the
+  // q266/q269 decode stages were the two slowest queries of the suite).
+  // Every call site in this object therefore constructs a MEMORY-backed
+  // image stream explicitly (MemoryCacheImage{Input,Output}Stream) —
+  // bit-identical (the stream type only picks the buffering strategy),
+  // and scoped to OUR code: the earlier global
+  // `ImageIO.setUseCache(false)` mutated process-wide JVM state for any
+  // co-resident ImageIO user.
+
+  /** Memory-backed image input stream over an in-memory payload — what
+    * `ImageIO.createImageInputStream` returns with caching off, minus the
+    * registry dispatch and the global flag.
+    */
+  private def memIn(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(new java.io.ByteArrayInputStream(bytes))
+
+  // Thread-local reused ImageReaders, one per container format: a fresh
+  // `ImageIO.read` per frame pays the SPI registry walk + reader
+  // construction per call (the write side's measured cost, mirrored —
+  // see [[encodeJpegQ1]]); one reader per (task thread, format), reset
+  // between uses, is the documented ImageIO reuse pattern and decodes
+  // bit-identically (reset() returns the reader to its initial state).
+  // Never disposed: task threads are pooled; GC reclaims with the thread.
+  private val imageReaderTl = new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]]
+
+  private def readerFor(fmt: String): javax.imageio.ImageReader = {
+    var m = imageReaderTl.get()
+    if (m == null) { m = new java.util.HashMap[String, javax.imageio.ImageReader](); imageReaderTl.set(m) }
+    var r = m.get(fmt)
+    if (r == null) { r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next(); m.put(fmt, r) }
+    r
+  }
+
+  /** The container format by MAGIC BYTES for the formats the JDK ships
+    * readers for and this engine's payloads actually carry (JPEG frames
+    * from the MJPEG/AVI demux, PNG/GIF from the image synthesizers) —
+    * null means "let the full ImageIO dispatch decide".
+    */
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpg"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else null
+
+  /** Full rasterize of one in-memory image payload, or null when
+    * undecodable — the shared decode core of the hash paths
+    * ([[videoFrameHashes]], [[imagePHash]], [[imageAHash]]). Sniffed
+    * formats reuse the thread-local reader (same reader class the
+    * registry walk would pick — the JDK ships exactly one reader per
+    * sniffed format); anything else falls back to the full `ImageIO.read`
+    * dispatch, so the total-function contract is unchanged.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = memIn(bytes)
+    try {
+      val fmt = sniffFormat(bytes)
+      if (fmt == null) javax.imageio.ImageIO.read(iis)
+      else {
+        val r = readerFor(fmt)
+        try { r.setInput(iis, true, true); r.read(0) }
+        finally r.reset()
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally iis.close()
+  }
 
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRecord(
@@ -100,10 +158,7 @@ object Multimodal {
       * nothing JVM-global (ImageIO's registry is static and thread-safe).
       */
     def decodeDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-      // createImageInputStream can answer null (no applicable SPI / cache
-      // trouble) — that is "undecodable", not an exception.
-      if (iis == null) return None
+      val iis = memIn(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -118,7 +173,7 @@ object Multimodal {
             case scala.util.control.NonFatal(_) => None
           } finally r.dispose()
         }
-      } finally if (iis != null) iis.close()
+      } finally iis.close()
     }
 
     def isDecodable(bytes: Array[Byte]): Boolean = decodeDimensions(bytes).isDefined
@@ -131,8 +186,7 @@ object Multimodal {
       * header-cost-shaped like [[decodeDimensions]].
       */
     def frameCount(bytes: Array[Byte]): Option[Int] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-      if (iis == null) return None
+      val iis = memIn(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -145,7 +199,7 @@ object Multimodal {
             case scala.util.control.NonFatal(_) => None
           } finally r.dispose()
         }
-      } finally if (iis != null) iis.close()
+      } finally iis.close()
     }
 
     /** Every `everyN`-th frame, REALLY decoded, for payloads an installed
@@ -165,8 +219,7 @@ object Multimodal {
         val fp = RiffAviCodec.framePayloads(bytes)
         return fp.indices.collect { case i if i % math.max(everyN, 1) == 0 => fp(i) }
       }
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
-      if (iis == null) return StubCodec.sampleFrames(bytes, everyN)
+      val iis = memIn(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) StubCodec.sampleFrames(bytes, everyN)
@@ -177,16 +230,12 @@ object Multimodal {
             val n = r.getNumImages(true)
             if (n <= 1) StubCodec.sampleFrames(bytes, everyN)
             else
-              (0 until n by math.max(everyN, 1)).map { i =>
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(r.read(i), "png", bos)
-                bos.toByteArray
-              }
+              (0 until n by math.max(everyN, 1)).map(i => encodePng(r.read(i)))
           } catch {
             case scala.util.control.NonFatal(_) => StubCodec.sampleFrames(bytes, everyN)
           } finally r.dispose()
         }
-      } finally if (iis != null) iis.close()
+      } finally iis.close()
     }
   }
 
@@ -488,15 +537,39 @@ object Multimodal {
     prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     prm.setCompressionQuality(1.0f)
     val fbos = new java.io.ByteArrayOutputStream()
-    val ios  = javax.imageio.ImageIO.createImageOutputStream(fbos)
+    val ios  = new javax.imageio.stream.MemoryCacheImageOutputStream(fbos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
     } finally {
       writer.reset()
-      ios.close()
+      ios.close() // flushes the memory cache into fbos
     }
     fbos.toByteArray
+  }
+
+  // Thread-local reused PNG writer — the [[encodeJpegQ1]] pattern for the
+  // PNG synthesizers and the GIF-frame re-encode (same per-call SPI walk
+  // + writer construction otherwise; default write param, so output is
+  // byte-identical to `ImageIO.write(img, "png", stream)`).
+  private val pngWriterTl = new ThreadLocal[javax.imageio.ImageWriter]
+
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    var writer = pngWriterTl.get()
+    if (writer == null) {
+      writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      pngWriterTl.set(writer)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    } finally {
+      writer.reset()
+      ios.close() // flushes the memory cache into bos
+    }
+    bos.toByteArray
   }
 
   def synthesizeMjpegAvi(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
@@ -637,9 +710,7 @@ object Multimodal {
       if (payloads.isEmpty) Iterator.single(VideoFrameHashRow(m.media_id, -1, -1L, -1L, -1L, -1L, -1, -1))
       else
         payloads.iterator.zipWithIndex.map { case (fb, i) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
-            catch { case scala.util.control.NonFatal(_) => null }
+          val img = decodeImage(fb)
           if (img == null || img.getWidth < 1 || img.getHeight < 1)
             VideoFrameHashRow(m.media_id, i, -1L, -1L, -1L, -1L, -1, -1)
           else {
@@ -1009,9 +1080,7 @@ object Multimodal {
             while (x < w) { img.setRGB(x, y, ((x * 31 + y * 7 + cid) & 0xffffff).toInt); x += 1 }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRecord(id, "image", bos.toByteArray, "synthetic")
+          MediaRecord(id, "image", encodePng(img), "synthetic")
         }
       }
   }
@@ -1320,9 +1389,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = decodeImage(m.content)
       if (img == null || img.getWidth < 1 || img.getHeight < 1)
         PHashRow(m.media_id, -1L, -1L, -1L, -1L)
       else {
@@ -1384,9 +1451,7 @@ object Multimodal {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            MediaRecord(2 * id + variant, "image", bos.toByteArray, "synthetic")
+            MediaRecord(2 * id + variant, "image", encodePng(img), "synthetic")
           }
         }
       }
@@ -1396,9 +1461,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = decodeImage(m.content)
       if (img == null || img.getWidth < 1 || img.getHeight < 1)
         ImageHashRow(m.media_id, -1L, -1L, -1, -1)
       else {

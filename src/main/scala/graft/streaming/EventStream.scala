@@ -923,9 +923,9 @@ object EventStream {
       .select(col("media_id"), col("content"), col("ts"))
       .as[(Long, Array[Byte], Timestamp)]
       .mapPartitions(_.map { case (id, bytes, ts) =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case scala.util.control.NonFatal(_) => null }
+        // Shared decode core: thread-local reader, memory-backed stream
+        // (see Multimodal.decodeImage) — same null-on-undecodable contract.
+        val img = graft.operators.Multimodal.decodeImage(bytes)
         if (img == null || img.getWidth < 1 || img.getHeight < 1) (id, -1L, -1L, ts)
         else {
           val h = graft.operators.Multimodal.aHashBits(img)

@@ -690,4 +690,22 @@ class MultimodalSpec extends SparkSpec {
       f.getLong(0) == r.getLong(0) && f.getLong(1) == r.getLong(1)).get.getLong(2)),
       s"stride sampling must cut the matched-frame count, not recall: ${sampled.toSeq}")
   }
+
+  test("decodeImage == ImageIO.read pixel-for-pixel (jpg/png via thread-local reader; reuse; undecodable null)") {
+    def pixels(img: java.awt.image.BufferedImage): Seq[Int] =
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield img.getRGB(x, y)
+    // PNG (sniffed path) and JPEG (sniffed path) — decoded twice each so
+    // the SECOND decode exercises the REUSED thread-local reader.
+    val png = pngBytes(halfImage(20, 12))
+    val jpg = Multimodal.encodeJpegQ1(halfImage(16, 16))
+    for (payload <- Seq(png, jpg, png, jpg)) {
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val got = Multimodal.decodeImage(payload)
+      assert(got != null && (got.getWidth, got.getHeight) == ((ref.getWidth, ref.getHeight)))
+      assert(pixels(got) == pixels(ref), "thread-local reader decode must be pixel-identical to ImageIO.read")
+    }
+    // Unsniffable format falls back to full dispatch; garbage answers null.
+    assert(Multimodal.decodeImage("not an image".getBytes("utf-8")) == null)
+    assert(Multimodal.decodeImage(Array.emptyByteArray) == null)
+  }
 }
