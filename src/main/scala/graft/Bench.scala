@@ -2,6 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 object Bench {
+  // HOST-ERA PROBE: a fixed, dependency-free, single-thread CPU loop
+  // (~0.2-0.5 s of pure xorshift arithmetic — no allocation, no I/O, no
+  // Spark) timed before and after the query loop and written into the
+  // `queries` map as `probe_host_cpu_pre` / `probe_host_cpu_post`. This
+  // host is a microVM whose effective CPU speed swings 1.3-2x between
+  // (and within) bench takes with code unchanged; two rounds of takes
+  // have needed hand adjudication of 3-8x per-query spikes on untouched
+  // code. The probe makes the era a RECORDED FACT of each artifact: a
+  // take whose probe values differ from another's by 1.5x is comparing
+  // different machines. Probe entries are EXCLUDED from the total (the
+  // same rule as errored queries' -1 entries) so totals stay comparable
+  // with every prior round's artifact.
+  private def hostProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    // Data dependence on stderr (never taken): keeps the loop un-elidable.
+    if (x == 42L) System.err.println("probe")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,11 +88,12 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val probePre = hostProbe()
     // Reading the numbers: the streaming-parity queries (q33, q51, q53, q62)
     // time a REAL AvailableNow streaming run — temp-parquet write, ordered
     // microbatches, state store — so most of their seconds are harness
     // materialization proving stream==batch, not plan cost.
-    val results = selected.map { case (name, fn) =>
+    val timed = selected.map { case (name, fn) =>
       // Reduce every row to a hash and XOR-fold — a bare count() lets
       // Catalyst prune the projections, so expensive output columns (regex,
       // JSON, custom expressions) would never execute and the timing would
@@ -119,6 +142,11 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+    val probePost = hostProbe()
+    // Probe entries ride the queries map (additive; consumers diffing
+    // per-query times see them as two more named rows) but are NOT queries:
+    // `total` below sums `timed` only.
+    val results = timed ++ Seq("probe_host_cpu_pre" -> probePre, "probe_host_cpu_post" -> probePost)
     // Seconds rounded to 1 ms: halves the JSON line length (the round-5
     // artifact was truncated mid-line when scraped from sbt stdout) without
     // losing anything a benchmark comparison can use.
@@ -130,7 +158,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = timed.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Belt-and-braces: persist the line to a file too, so a truncated stdout
     // scrape can always be reconstructed from the run itself.
@@ -175,7 +203,7 @@ object Bench {
     val errNames = errors.map { case (k, v) => s"\"" + k + "\":\"" + v.takeWhile(_ != ':') + "\"" }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"errors":$errNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"errors":$errNames,"sf":"$sfDir"}"""
     println(compact)
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.keys.mkString(", ")}")
